@@ -1,0 +1,118 @@
+"""E2E: distributed pipeline output == single-process oracle, row for row.
+
+The north-rule correctness bar (BASELINE.json): per-document span-sequence
+equality on ``(kind, text, media_ref, order)`` plus the fields fold.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ocr_engine_ray import oracle
+from ocr_engine_ray.pipelines.extraction import extract_from_interleaved
+
+from .fixtures import edge_docs, unit_docs, unit_table
+
+
+def run_pipeline(docs: list[dict], **kwargs) -> dict[str, dict]:
+    ds = rd.from_arrow(unit_table(docs))
+    kwargs.setdefault("num_buckets", 8)
+    kwargs.setdefault("extract_concurrency", 2)
+    out = extract_from_interleaved(ds, **kwargs).take_all()
+    return {r["doc_id"]: r for r in out}
+
+
+def spans_tuple(spans) -> list[tuple]:
+    return [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in spans]
+
+
+def assert_equal_to_oracle(docs: list[dict], got: dict[str, dict]):
+    assert len(got) == len(docs)
+    for doc in docs:
+        exp = oracle.extract_document(doc)
+        g = got[doc["doc_id"]]
+        assert spans_tuple(g["spans"]) == spans_tuple(exp["spans"]), doc["doc_id"]
+        assert g["fields_json"] == exp["fields_json"], doc["doc_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPipelineEqualsOracle:
+    def test_unit_fixture(self):
+        docs = unit_docs()
+        assert_equal_to_oracle(docs, run_pipeline(docs))
+
+    def test_edge_docs_only(self):
+        docs = edge_docs()
+        got = run_pipeline(docs)
+        assert_equal_to_oracle(docs, got)
+        # pinned expectations
+        assert got["doc-90000000"]["spans"] == []          # empty spans list
+        assert [s["text"] for s in got["doc-90000002"]["spans"]] == [
+            "first",
+            "second",
+            "third",
+        ]                                                   # order restored via sort
+        import json
+
+        fj = json.loads(got["doc-90000004"]["fields_json"])
+        assert fj["loan_type"] == "aaa"                     # tie → earlier page wins
+        assert fj["plot_area"] == "bigger-value"            # longer earlier kept
+        assert "pin_code" not in fj                         # empty value skipped
+
+    def test_row_order_and_partitioning_invariance(self):
+        docs = unit_docs()
+        base = run_pipeline(docs)
+        flipped = run_pipeline(list(reversed(docs)), num_buckets=3)
+        for did, row in base.items():
+            assert spans_tuple(row["spans"]) == spans_tuple(flipped[did]["spans"])
+            assert row["fields_json"] == flipped[did]["fields_json"]
+
+
+# --------------------------------------------------------------------------
+# Property-based: random span tables → pipeline == oracle (SURVEY.md §5.3)
+# --------------------------------------------------------------------------
+
+_kind = st.sampled_from(["text", "html", "image_ref", "docx_ref"])
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x10FF),
+    max_size=40,
+)
+
+
+@st.composite
+def _doc(draw, idx: int = 0):
+    n = draw(st.integers(0, 5))
+    offsets = draw(
+        st.lists(st.integers(0, 1000), min_size=n, max_size=n, unique=True)
+    )
+    spans = []
+    media_i = 0
+    for j in range(n):
+        k = draw(_kind)
+        if k in ("image_ref", "docx_ref"):
+            ref = f"media://doc-8{idx:07d}/{media_i}"
+            media_i += 1
+            spans.append({"kind": k, "text": "", "media_ref": ref, "offset": offsets[j]})
+        else:
+            spans.append(
+                {"kind": k, "text": draw(_text), "media_ref": "", "offset": offsets[j]}
+            )
+    return {"doc_id": f"doc-8{idx:07d}", "lang": "en", "spans": spans}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPropertyEquality:
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(data=st.data())
+    def test_random_tables(self, data):
+        n_docs = data.draw(st.integers(1, 6))
+        docs = [data.draw(_doc(idx=i)) for i in range(n_docs)]
+        assert_equal_to_oracle(docs, run_pipeline(docs, num_buckets=4))
