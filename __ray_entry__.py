@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline; ``queries()`` exposes one
+callable per implemented operator family (SURVEY.md §2 + the training-data
+extensions); ``oracle_sql()`` gives the DuckDB-runnable ANSI-SQL twin for
+every SQL-expressible query (same column names, same types, floats rounded
+identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,239 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ocr_engine_ray import spec, synth
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from ocr_engine_ray.pipelines.extraction import extract_documents
+
+    return extract_documents(
+        "/root/testdata/sf0.001/documents.parquet", num_buckets=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_engine_ray.pipelines import analytics, ann, dedup, extract_stats
+    from ocr_engine_ray.pipelines import textstats as tsp
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction family (north rule) --------------------------------
+        "shape_counts": extract_stats.shape_counts,
+        "input_span_counts": extract_stats.input_span_counts,
+        "extract_span_counts": extract_stats.extract_span_counts,
+        "extract_inline_chars": extract_stats.extract_inline_chars,
+        "size_class_counts": extract_stats.size_class_counts,
+        "lang_counts": extract_stats.lang_counts,
+        "image_meta": extract_stats.image_meta,
+        # --- relational / windowed analytics -------------------------------
+        "pricing_summary": analytics.pricing_summary,
+        "events_hourly": analytics.events_hourly,
+        "sessionize": analytics.sessionize,
+        "top_sources": analytics.top_sources,
+        # --- dedup ----------------------------------------------------------
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,       # rows-only check
+        "simhash_dedup": dedup.simhash_dedup,               # rows-only check
+        "embedding_near_dup": dedup.embedding_near_dup,
+        # --- similarity search ---------------------------------------------
+        "ann_topk": ann.ann_topk_bruteforce,
+        "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
+        # --- text analysis --------------------------------------------------
+        "token_totals_by_lang": tsp.token_totals_by_lang,
+        "fingerprint_stats": tsp.fingerprint_stats,
+        "quality_by_source": tsp.quality_by_source,
+        "langid_counts": tsp.langid_counts,                 # rows-only check
+        "doc_stats": tsp.doc_stats,                         # rows-only check
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+_SHAPE = spec.SHAPE_SQL_CASE
+_NW = "greatest(len(string_split(text, ' ')), 1)"
+# html template constant: wrap length minus the one empty "<p></p>" chunk
+_HTML_C = len(synth.html_wrap("doc-00000000", [""])) - len("<p></p>")
+_K32 = spec.KNUTH
+_M32 = spec.MOD32
+
+
+def _h32(expr: str, salt: int) -> str:
+    return f"((({expr} + {salt}) * {_K32}) % {_M32})"
+
+
+_PAGES_PDF = f"(2 + {_h32('doc_id', 1)} % 39)"
+_PAGES_GIANT = f"(100 + {_h32('doc_id', 2)} % 401)"
+
+_WEIGHT = f"""
+CASE
+  WHEN doc_id % 100 < 40 THEN n_chars - (least(1 + doc_id % 3, {_NW}) - 1)
+  WHEN doc_id % 100 < 65 THEN {_HTML_C} + n_chars - (least(2 + doc_id % 3, {_NW}) - 1)
+                              + 7 * least(2 + doc_id % 3, {_NW})
+  WHEN doc_id % 100 < 80 THEN 50 * {_PAGES_PDF}
+  WHEN doc_id % 100 < 90 THEN 0
+  WHEN doc_id % 100 < 94 THEN n_chars - (least(2 + doc_id % 3, {_NW}) - 1)
+  WHEN doc_id % 100 = 94 THEN 0
+  ELSE 50 * {_PAGES_GIANT}
+END
+""".strip()
+
+_TOK = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "shape_counts": f"""
+            SELECT {_SHAPE} AS shape, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "input_span_counts": f"""
+            SELECT shape, sum(n_spans)::BIGINT AS total_spans, count(*) AS n_docs
+            FROM (
+              SELECT {_SHAPE} AS shape,
+                CASE
+                  WHEN doc_id % 100 < 40 THEN 1 + doc_id % 3
+                  WHEN doc_id % 100 < 65 THEN 1
+                  WHEN doc_id % 100 < 80 THEN 1
+                  WHEN doc_id % 100 < 90 THEN 1 + doc_id % 4
+                  WHEN doc_id % 100 < 94 THEN (2 + doc_id % 3) + (1 + doc_id % 2)
+                  WHEN doc_id % 100 = 94 THEN 1
+                  ELSE 1
+                END AS n_spans
+              FROM documents)
+            GROUP BY shape
+        """,
+        "extract_span_counts": f"""
+            SELECT doc_id, ({spec.OUT_SPAN_COUNT_SQL})::BIGINT AS n_spans
+            FROM documents
+        """,
+        "extract_inline_chars": f"""
+            SELECT shape, sum(inline_chars)::BIGINT AS total_inline_chars,
+                   count(*) AS n_docs
+            FROM (
+              SELECT
+                CASE WHEN doc_id % 100 < 40 THEN 'short_text'
+                     WHEN doc_id % 100 < 65 THEN 'html'
+                     ELSE 'docx_mix' END AS shape,
+                CASE
+                  WHEN doc_id % 100 < 40
+                    THEN n_chars - (least(1 + doc_id % 3, {_NW}) - 1)
+                  WHEN doc_id % 100 < 65 THEN n_chars
+                  ELSE n_chars - (least(2 + doc_id % 3, {_NW}) - 1)
+                END AS inline_chars
+              FROM documents
+              WHERE doc_id % 100 < 65 OR (doc_id % 100 >= 90 AND doc_id % 100 < 94))
+            GROUP BY shape
+        """,
+        "size_class_counts": f"""
+            SELECT size_class::BIGINT AS size_class, count(*) AS n_docs,
+                   sum(weight)::BIGINT AS total_weight
+            FROM (
+              SELECT CASE WHEN w >= 10000 THEN 4 WHEN w >= 2000 THEN 3
+                          WHEN w >= 400 THEN 2 WHEN w >= 200 THEN 1
+                          ELSE 0 END AS size_class,
+                     w AS weight
+              FROM (SELECT ({_WEIGHT}) AS w FROM documents))
+            GROUP BY size_class
+        """,
+        "lang_counts": """
+            SELECT CASE WHEN lang IN ('en', 'hi') THEN lang ELSE 'en' END AS lang,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "image_meta": f"""
+            SELECT doc_id, i AS media_idx,
+                   (320 + {_h32('doc_id + i', 77)} % 1280)::BIGINT AS width,
+                   (240 + {_h32('doc_id + i', 177)} % 800)::BIGINT AS height
+            FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(i)
+            WHERE doc_id % 100 BETWEEN 80 AND 89
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS sum_qty,
+                   round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS sum_base_price,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2) AS sum_disc_price,
+                   round(sum(round(l_quantity * 100)::BIGINT) / 100.0 / count(*), 2) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            SELECT user_id, count(*) AS n_events, sum(is_new)::BIGINT AS n_sessions
+            FROM (
+              SELECT user_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            GROUP BY user_id
+        """,
+        "top_sources": """
+            SELECT source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs
+            FROM documents GROUP BY source
+            ORDER BY total_chars DESC, source LIMIT 5
+        """,
+        "exact_dedup": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 8),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS s
+              FROM q, embeddings e WHERE e.vec_id <> q.vec_id)
+            SELECT query_id, rank, vec_id FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "token_totals_by_lang": f"""
+            SELECT lang, sum(tok)::BIGINT AS total_tokens, count(*) AS n_docs
+            FROM (SELECT lang, {_TOK} AS tok FROM documents)
+            GROUP BY lang
+        """,
+        "fingerprint_stats": f"""
+            SELECT source, count(DISTINCT {_FP}) AS n_unique
+            FROM documents GROUP BY source
+        """,
+        "quality_by_source": f"""
+            SELECT source,
+                   round(avg(length(text)), 4) AS avg_chars,
+                   round(avg({_TOK}), 4) AS avg_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        # minhash_lsh_dedup / simhash_dedup / ann_topk_lsh / langid_counts /
+        # doc_stats: intentionally no SQL — sketch/heuristic ops; the driver
+        # records the weaker rows-only check and pytest covers semantics.
+    }

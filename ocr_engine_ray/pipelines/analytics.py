@@ -1,0 +1,173 @@
+"""Relational/analytic pipelines over the driver tables.
+
+These exercise the wide-operation layer of the engine (groupby/aggregate,
+windowed aggregation, sessionization, sort+limit) with exact ANSI-SQL
+oracles.  Float aggregates are rounded identically on both sides (the driver
+compares value hashes; unrounded float sums differ in the last bits between
+summation orders).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..sources.tables import sf_table
+
+
+def _round_cols(ds: rd.Dataset, cols: list[str], ndigits: int = 2) -> rd.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c, pc.round(batch.column(c), ndigits=ndigits)
+            )
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_HALF_AWAY = pc.RoundOptions(round_mode="half_towards_infinity")
+
+
+def _cents(arr: pa.Array) -> pa.Array:
+    """Exact integer cents: round(x*100) half-away (duckdb round semantics).
+    Summing integers is order-independent — float sums are not, and the
+    driver compares value hashes across different summation orders."""
+    return pc.round(pc.multiply(arr, pa.scalar(100.0)), options=_HALF_AWAY).cast(pa.int64())
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Vectorized per-batch revenue; money is summed as exact integer cents so
+    the distributed sum matches the sequential SQL oracle bit-for-bit; tiny
+    group cardinality keeps the shuffle to a few rows per block (Ray
+    aggregates map-side first).
+    """
+    ds = sf_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity")
+        price = batch.column("l_extendedprice")
+        rev = pc.multiply(price, pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_c": _cents(qty),
+                "base_c": _cents(price),
+                "disc_c": _cents(rev),
+            }
+        )
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("base_c", alias_name="base_c"),
+        Sum("disc_c", alias_name="disc_c"),
+        Count(alias_name="count_order"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("count_order").cast(pa.float64())
+        sum_qty = pc.divide(batch.column("qty_c").cast(pa.float64()), pa.scalar(100.0))
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pc.round(sum_qty, ndigits=2),
+                "sum_base_price": pc.round(
+                    pc.divide(batch.column("base_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+                ),
+                "sum_disc_price": pc.round(
+                    pc.divide(batch.column("disc_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+                ),
+                "avg_qty": pc.round(pc.divide(sum_qty, cnt), ndigits=2),
+                "count_order": batch.column("count_order"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window per event_type: count + sum(value)."""
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour").cast(
+            pa.timestamp("us")
+        )
+        return batch.append_column("hour", hour)
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": batch.column("hour"),
+                "value_c": _cents(batch.column("value")),
+            }
+        )
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow").map_batches(
+        add_cents, batch_format="pyarrow"
+    )
+    out = ds.groupby(["event_type", "hour"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_c", alias_name="value_c"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": batch.column("hour").cast(pa.timestamp("us")),
+                "n_events": batch.column("n_events"),
+                "sum_value": pc.round(
+                    pc.divide(batch.column("value_c").cast(pa.float64()), pa.scalar(100.0)),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
+    """Per-user sessionization (gap > ``gap_minutes`` starts a new session).
+
+    Ray Data has no event-time windows; the idiom is groupby(key) +
+    per-group ordered pandas logic (ordering restored IN the group — order
+    is data, not an execution property).
+    """
+    ds = sf_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [int(new_session.sum())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def top_sources(sf_dir: str, *, k: int = 5) -> rd.Dataset:
+    """Top-k sources by total chars (sort + limit; source asc tiebreak)."""
+    ds = sf_table(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(
+        Sum("n_chars", alias_name="total_chars"), Count(alias_name="n_docs")
+    )
+    return agg.sort(["total_chars", "source"], descending=[True, False]).limit(k)

@@ -1,0 +1,165 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``ann_topk_bruteforce``: the exact baseline — broadcast query matrix
+  (``ray.put`` once, read in each actor's ``__init__``), per-batch float64
+  matmul, per-batch partial top-k, then one tiny groupby over partials for
+  the global top-k.  The shuffle moves O(queries × k × blocks) rows, never
+  the corpus.
+- ``ann_topk_lsh``: the scale path — deterministic random-hyperplane LSH
+  (8 planes → 256 buckets); each query probes only its bucket (plus
+  Hamming-1 neighbors), trading recall for a corpus-partitioned search.
+  Recall vs the brute-force baseline is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..sources.tables import sf_table
+
+
+def _load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the embeddings with the smallest vec_ids."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])[:num_queries]
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    return qids, q / qn[:, None]
+
+
+def ann_topk_bruteforce(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
+    """Exact cosine top-k per query.  Returns (query_id, rank, vec_id) with
+    rank 1..k ordered by similarity desc, vec_id asc on ties; the query
+    vector itself is excluded from its own result."""
+    qids, qmat = _load_queries(sf_dir, num_queries)
+    ref = ray.put((qids, qmat))
+
+    class Scorer:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(ref)  # broadcast read, once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            sims = (m / n[:, None]) @ self.qmat.T  # (batch × queries)
+            q_out, v_out, s_out = [], [], []
+            topn = min(k, len(vid))
+            for qi in range(len(self.qids)):
+                col = sims[:, qi].copy()
+                col[vid == self.qids[qi]] = -np.inf  # exclude self
+                # partial top-k within the batch (vectorized argpartition)
+                idx = np.argpartition(-col, topn - 1)[:topn] if topn < len(col) else np.arange(len(col))
+                for i in idx:
+                    q_out.append(int(self.qids[qi]))
+                    v_out.append(int(vid[i]))
+                    s_out.append(float(col[i]))
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, pa.int64()),
+                    "vec_id": pa.array(v_out, pa.int64()),
+                    "score": pa.array(s_out, pa.float64()),
+                }
+            )
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = emb.map_batches(
+        Scorer, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4), num_cpus=1
+    )
+
+    def _final_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                group.column("score").to_pylist(),
+                group.column("vec_id").to_pylist(),
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        qid = group.column("query_id")[0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "vec_id": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
+
+
+def _hyperplanes(dim: int, planes: int = 8) -> np.ndarray:
+    rng = np.random.default_rng(1234)
+    return rng.standard_normal((planes, dim))
+
+
+def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (vecs @ planes.T) > 0
+    return (signs.astype(np.uint32) << np.arange(planes.shape[0], dtype=np.uint32)).sum(axis=1)
+
+
+def ann_topk_lsh(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
+    """LSH-bucketed ANN: search only the query's hyperplane bucket (plus
+    Hamming-1 probes).  Approximate — validated by recall tests."""
+    qids, qmat = _load_queries(sf_dir, num_queries)
+    planes = _hyperplanes(qmat.shape[1])
+    qbuckets = _bucket_of(qmat, planes)
+    probe: dict[int, set[int]] = {}
+    for qi, b in enumerate(qbuckets):
+        bs = {int(b)} | {int(b) ^ (1 << p) for p in range(planes.shape[0])}
+        for bb in bs:
+            probe.setdefault(bb, set()).add(qi)
+    ref = ray.put((qids, qmat, planes, probe))
+
+    class BucketScorer:
+        def __init__(self):
+            self.qids, self.qmat, self.planes, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            mn = m / n[:, None]
+            buckets = _bucket_of(mn, self.planes)
+            q_out, v_out, s_out = [], [], []
+            for i, b in enumerate(buckets):
+                for qi in self.probe.get(int(b), ()):
+                    if vid[i] == self.qids[qi]:
+                        continue
+                    q_out.append(int(self.qids[qi]))
+                    v_out.append(int(vid[i]))
+                    s_out.append(float(mn[i] @ self.qmat[qi]))
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, pa.int64()),
+                    "vec_id": pa.array(v_out, pa.int64()),
+                    "score": pa.array(s_out, pa.float64()),
+                }
+            )
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = emb.map_batches(
+        BucketScorer, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4), num_cpus=1
+    )
+
+    def _final_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("score").to_pylist(), group.column("vec_id").to_pylist()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        qid = group.column("query_id")[0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "vec_id": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")

@@ -1,0 +1,205 @@
+"""SQL-checkable statistics over the derived interleaved table and the full
+extraction pipeline.
+
+Every query here has an exact ANSI-SQL twin in ``__ray_entry__.oracle_sql``:
+the derivation's *counts* are arithmetic in ``doc_id`` (``spec.h32``) and the
+inline char sums are length-preserving by construction (``synth``), so DuckDB
+can recompute them from the raw ``documents`` table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .. import spec
+from ..sources.tables import sf_table
+from ..stages.ingest import (
+    derive_interleaved_batch,
+    doc_size_class_batch,
+)
+from ..stages.multimodal import MediaDecoder
+from .extraction import extract_documents, interleaved_from_documents
+
+
+def _shape_col(doc_nums: pa.Array) -> pa.Array:
+    m = pc.cast(doc_nums, pa.int64()).to_numpy(zero_copy_only=False) % 100
+    labels = np.empty(len(m), dtype=object)
+    labels[m < 40] = spec.SHAPE_SHORT_TEXT
+    labels[(m >= 40) & (m < 65)] = spec.SHAPE_HTML
+    labels[(m >= 65) & (m < 80)] = spec.SHAPE_PDF
+    labels[(m >= 80) & (m < 90)] = spec.SHAPE_IMAGE
+    labels[(m >= 90) & (m < 94)] = spec.SHAPE_DOCX_MIX
+    labels[m == 94] = spec.SHAPE_DOCX_REF
+    labels[m > 94] = spec.SHAPE_GIANT_PDF
+    return pa.array(labels, pa.string())
+
+
+def shape_counts(sf_dir: str) -> rd.Dataset:
+    """Docs per derived shape class (kind-dispatch analog, M1)."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"shape": _shape_col(batch.column("doc_id"))})
+
+    return ds.map_batches(f, batch_format="pyarrow").groupby("shape").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def input_span_counts(sf_dir: str) -> rd.Dataset:
+    """Total *input* spans per shape over the derived interleaved table."""
+    ds = interleaved_from_documents(f"{sf_dir}/documents.parquet")
+
+    def f(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = pc.list_value_length(spans).cast(pa.int64())
+        nums = pa.array(
+            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
+            pa.int64(),
+        )
+        return pa.table({"shape": _shape_col(nums), "n_spans": n})
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("shape")
+        .aggregate(Sum("n_spans", alias_name="total_spans"), Count(alias_name="n_docs"))
+    )
+
+
+def extract_span_counts(sf_dir: str, **kwargs) -> rd.Dataset:
+    """FULL extraction pipeline → (doc_id, n_spans).
+
+    The end-to-end distributed correctness probe with an exact SQL oracle
+    (``spec.OUT_SPAN_COUNT_SQL``): explode → actor extraction → shuffle →
+    reassembly must conserve exactly the spec'd span count per document.
+    """
+    out = extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
+
+    def f(batch: pa.Table) -> pa.Table:
+        nums = pa.array(
+            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": nums, "n_spans": batch.column("n_spans").cast(pa.int64())}
+        )
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def extract_inline_chars(sf_dir: str, **kwargs) -> rd.Dataset:
+    """Extracted chars of inline-origin spans (kinds text/html_text) summed
+    per shape, for the length-preserving shapes — SQL-exact."""
+    out = extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
+
+    def f(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        kinds = pc.struct_field(flat, "kind")
+        texts = pc.struct_field(flat, "text")
+        inline = pc.is_in(
+            kinds, value_set=pa.array([spec.OUT_TEXT, spec.OUT_HTML_TEXT])
+        )
+        chars = pc.if_else(inline, pc.utf8_length(texts), pa.scalar(0, pa.int32())).cast(
+            pa.int64()
+        )
+        per_doc = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(per_doc, parent.to_numpy(zero_copy_only=False), chars.to_numpy(zero_copy_only=False))
+        nums = pa.array(
+            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
+            pa.int64(),
+        )
+        return pa.table({"shape": _shape_col(nums), "inline_chars": pa.array(per_doc)})
+
+    per_doc = out.map_batches(f, batch_format="pyarrow")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(
+                batch.column("shape"),
+                value_set=pa.array(
+                    [spec.SHAPE_SHORT_TEXT, spec.SHAPE_HTML, spec.SHAPE_DOCX_MIX]
+                ),
+            )
+        )
+
+    return (
+        per_doc.map_batches(keep, batch_format="pyarrow")
+        .groupby("shape")
+        .aggregate(Sum("inline_chars", alias_name="total_inline_chars"), Count(alias_name="n_docs"))
+    )
+
+
+def size_class_counts(sf_dir: str) -> rd.Dataset:
+    """Skew-control size classes (ingest stage) per class: count + weight."""
+    ds = interleaved_from_documents(f"{sf_dir}/documents.parquet")
+    sized = ds.map_batches(doc_size_class_batch, batch_format="pyarrow")
+    return sized.groupby("size_class").aggregate(
+        Count(alias_name="n_docs"), Sum("doc_weight", alias_name="total_weight")
+    )
+
+
+def lang_counts(sf_dir: str) -> rd.Dataset:
+    """Normalized-lang distribution of the interleaved table (M6 analog)."""
+    ds = interleaved_from_documents(f"{sf_dir}/documents.parquet")
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch.column("lang")})
+
+    return ds.map_batches(f, batch_format="pyarrow").groupby("lang").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def image_meta(sf_dir: str) -> rd.Dataset:
+    """Decoded (stand-in) image metadata for the image-shape docs — the
+    multimodal actor-pool stage with a SQL-reproducible oracle."""
+    ds = interleaved_from_documents(f"{sf_dir}/documents.parquet")
+
+    def image_spans(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        kinds = pc.struct_field(flat, "kind")
+        refs = pc.struct_field(flat, "media_ref")
+        doc_ids = pc.take(batch.column("doc_id"), parent)
+        nums = np.array(
+            [int(d.rsplit("-", 1)[1]) for d in doc_ids.to_pylist()], dtype=np.int64
+        )
+        keep = pc.and_(
+            pc.equal(kinds, spec.KIND_IMAGE_REF),
+            pa.array((nums % 100 >= 80) & (nums % 100 < 90)),
+        )
+        return pa.table({"doc_id": doc_ids, "media_ref": refs}).filter(keep)
+
+    spans = ds.map_batches(image_spans, batch_format="pyarrow")
+    meta = spans.map_batches(
+        MediaDecoder, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4), num_cpus=1
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        nums = pa.array(
+            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": nums,
+                "media_idx": batch.column("media_idx").cast(pa.int64()),
+                "width": batch.column("width").cast(pa.int64()),
+                "height": batch.column("height").cast(pa.int64()),
+            }
+        )
+
+    return meta.map_batches(project, batch_format="pyarrow")

@@ -1,0 +1,140 @@
+"""Text-analysis pipelines over the ``documents`` table.
+
+Vectorized where Arrow has the kernel (whitespace tokenization, char counts);
+per-row compiled-regex work (BPE-ish counts, langid, quality, fingerprints)
+runs inside batch UDFs — stateless tasks, since the "models" are module-level
+compiled patterns (the langid profile loading would move to an actor
+``__init__`` if profiles were heavyweight).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..functions import textstats as ts
+from ..sources.tables import sf_table
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text")
+    # vectorized: whitespace token count + char count
+    n_tokens = pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts)))
+    n_chars = pc.utf8_length(texts)
+    # per-row (compiled-regex) signals
+    tl = texts.to_pylist()
+    bpe = [ts.token_count_bpe_ish(t) for t in tl]
+    fp = [ts.fingerprint_md5(t) for t in tl]
+    lang = [ts.langid(t) for t in tl]
+    q = [ts.quality_score(t) for t in tl]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": n_chars.cast(pa.int64()),
+            "n_tokens": n_tokens.cast(pa.int64()),
+            "n_tokens_bpe": pa.array(bpe, pa.int64()),
+            "fingerprint": pa.array(fp, pa.string()),
+            "lang_detected": pa.array(lang, pa.string()),
+            "quality": pa.array(q, pa.float64()),
+        }
+    )
+
+
+def doc_stats(sf_dir: str) -> rd.Dataset:
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def token_totals_by_lang(sf_dir: str) -> rd.Dataset:
+    """Whitespace-token totals per (label) lang — SQL-checkable."""
+    ds = sf_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.utf8_split_whitespace(pc.utf8_trim_whitespace(batch.column("text")))
+        ).cast(pa.int64())
+        return pa.table({"lang": batch.column("lang"), "n_tokens": n})
+
+    out = ds.map_batches(counts, batch_format="pyarrow")
+    return out.groupby("lang").aggregate(
+        Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs")
+    )
+
+
+def fingerprint_stats(sf_dir: str) -> rd.Dataset:
+    """Distinct md5 content fingerprints per source (exact-dedup signal with
+    a fully SQL-reproducible key)."""
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "fingerprint": pa.array(
+                    [ts.fingerprint_md5(t) for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    dsf = ds.map_batches(fp, batch_format="pyarrow")
+    # distinct (source, fingerprint) → count per source (two small shuffles;
+    # partial dedup happens map-side inside the groupby implementation)
+    distinct = dsf.groupby(["source", "fingerprint"]).aggregate(Count(alias_name="_n"))
+    return distinct.groupby("source").aggregate(Count(alias_name="n_unique"))
+
+
+def quality_by_source(sf_dir: str) -> rd.Dataset:
+    """Mean SQL-expressible quality components per source."""
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        n_chars = pc.utf8_length(texts).cast(pa.float64())
+        n_tokens = pc.list_value_length(
+            pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+        ).cast(pa.float64())
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+            }
+        )
+
+    out = ds.map_batches(signals, batch_format="pyarrow")
+    agg = out.groupby("source").aggregate(
+        Mean("n_chars", alias_name="avg_chars"),
+        Mean("n_tokens", alias_name="avg_tokens"),
+        Count(alias_name="n_docs"),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        for c in ("avg_chars", "avg_tokens"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c, pc.round(batch.column(c), ndigits=4)
+            )
+        return batch
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def langid_counts(sf_dir: str) -> rd.Dataset:
+    """Detected-language distribution (heuristic — no SQL oracle; verified
+    against the pure-python reference in pytest)."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def det(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang_detected": pa.array(
+                    [ts.langid(t) for t in batch.column("text").to_pylist()], pa.string()
+                )
+            }
+        )
+
+    return ds.map_batches(det, batch_format="pyarrow").groupby("lang_detected").aggregate(
+        Count(alias_name="n_docs")
+    )

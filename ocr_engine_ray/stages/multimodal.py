@@ -1,0 +1,111 @@
+"""Multimodal (image/audio/video) stage plumbing.
+
+Media are opaque references (``media_ref``; at scale, ``binary`` columns or
+object-store URIs) with typed metadata.  The decode kernels themselves need
+libraries this container doesn't ship (PIL/ffmpeg), so the decode is STUBBED:
+
+- ``MediaDecoder`` is the real Ray-side plumbing — an actor-pool
+  ``map_batches`` stage with schema-stable output — whose ``_decode_real``
+  raises ``NotImplementedError`` unless PIL is importable;
+- ``_decode_fake`` is the deterministic stand-in used in this sandbox:
+  metadata is a pure arithmetic function of the media ref
+  (SQL-reproducible: ``320 + h32(doc_num, 77+idx) % 1280`` etc.).
+
+``frame_sample_plan`` shows the same pattern for video: a deterministic
+frame-index plan (the expensive decode would be the actor's job).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import spec, synth
+
+MEDIA_META_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("media_idx", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("format", pa.string()),
+    ]
+)
+
+try:  # pragma: no cover - PIL absent in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def fake_image_meta(media_ref: str) -> tuple[int, int, str]:
+    """Deterministic stand-in image metadata (arithmetic in doc_num —
+    reproducible in ANSI SQL)."""
+    doc_id, idx = synth.parse_media_ref(media_ref)
+    num = synth.doc_num_from_id(doc_id)
+    w = 320 + spec.h32(num, 77 + idx) % 1280
+    h = 240 + spec.h32(num, 177 + idx) % 800
+    return w, h, "png"
+
+
+class MediaDecoder:
+    """Actor-pool decode stage: ``map_batches(MediaDecoder, concurrency=N)``.
+
+    ``use_fake=True`` (default here) uses the deterministic stand-in;
+    ``use_fake=False`` requires PIL and real bytes.
+    """
+
+    def __init__(self, use_fake: bool = True):
+        self.use_fake = use_fake
+        if not use_fake and not _HAVE_PIL:
+            raise NotImplementedError(
+                "Real image decode requires PIL, which is not available in "
+                "this environment; construct MediaDecoder(use_fake=True)."
+            )
+
+    def _decode_real(self, blob: bytes) -> tuple[int, int, str]:  # pragma: no cover
+        raise NotImplementedError("real decode path not exercised in this sandbox")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        w, h, fmt, mi = [], [], [], []
+        for ref in refs:
+            wi, hi, f = fake_image_meta(ref) if self.use_fake else self._decode_real(b"")
+            w.append(wi)
+            h.append(hi)
+            fmt.append(f)
+            mi.append(synth.parse_media_ref(ref)[1])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "media_ref": pa.array(refs, pa.string()),
+                "media_idx": pa.array(mi, pa.int32()),
+                "width": pa.array(w, pa.int32()),
+                "height": pa.array(h, pa.int32()),
+                "format": pa.array(fmt, pa.string()),
+            },
+            schema=MEDIA_META_SCHEMA,
+        )
+
+
+def thumbnail_dims(width: int, height: int, max_side: int = 256) -> tuple[int, int]:
+    """Deterministic resize plan (the compute stub for an image-resize stage)."""
+    if width <= max_side and height <= max_side:
+        return width, height
+    if width >= height:
+        return max_side, max(1, round(height * max_side / width))
+    return max(1, round(width * max_side / height)), max_side
+
+
+def frame_sample_plan(n_frames: int, fps_in: float, fps_out: float) -> np.ndarray:
+    """Deterministic frame-sampling plan for a video stage: indices of frames
+    to keep when resampling fps_in → fps_out."""
+    if fps_out >= fps_in or n_frames == 0:
+        return np.arange(n_frames)
+    step = fps_in / fps_out
+    idx = np.round(np.arange(0, n_frames, step)).astype(np.int64)
+    return idx[idx < n_frames]

@@ -1,0 +1,153 @@
+"""Partition-granular checkpointing with lineage + metrics (north rule).
+
+The reference has NO resume story — a crashed request loses everything and
+orphans its GCS intermediates (SURVEY.md §4).  Here a run is decomposed into
+contiguous ``doc_id``-range partitions; each partition is one bounded Ray Data
+pipeline whose output lands atomically (write to ``part=K.tmp-N`` → rename to
+``part=K``) and is recorded in an append-only ``manifest.jsonl`` with lineage
+(input path, key range) and metrics (docs, spans, chars, ocr retries,
+docs/sec, attempt number).
+
+Resume = call ``run_checkpointed`` again with the same ``out_dir``: completed
+partitions are skipped (an anti-join of partitions against the manifest —
+the manifest is tiny, so this is a driver-side set lookup, no shuffle).
+
+At 100 TB the same layout holds: partitions map to input fragments / key
+ranges, the manifest stays O(partitions), and each partition's pipeline
+streams independently — a killed job re-processes only unfinished partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..pipelines.extraction import extract_from_interleaved
+from ..stages.ingest import derive_interleaved_batch
+
+MANIFEST = "manifest.jsonl"
+
+
+def _read_manifest(out_dir: str) -> list[dict]:
+    path = os.path.join(out_dir, MANIFEST)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _append_manifest(out_dir: str, row: dict) -> None:
+    with open(os.path.join(out_dir, MANIFEST), "a") as f:
+        f.write(json.dumps(row, sort_keys=True) + "\n")
+
+
+def doc_id_range(documents_path: str) -> tuple[int, int]:
+    """Min/max doc_id from parquet row-group stats (no data scan)."""
+    f = pq.ParquetFile(documents_path)
+    idx = f.schema_arrow.get_field_index("doc_id")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None:
+            continue
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:  # no stats: fall back to a scan of the one column
+        col = pq.read_table(documents_path, columns=["doc_id"]).column("doc_id")
+        lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+    return int(lo), int(hi)
+
+
+def partition_ranges(lo: int, hi: int, n: int) -> list[tuple[int, int]]:
+    """n contiguous [lo, hi] inclusive ranges covering [lo, hi]."""
+    total = hi - lo + 1
+    out = []
+    for k in range(n):
+        a = lo + k * total // n
+        b = lo + (k + 1) * total // n - 1
+        if b >= a:
+            out.append((a, b))
+    return out
+
+
+def run_checkpointed(
+    documents_path: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 8,
+    max_partitions_this_run: int | None = None,
+    **pipeline_kwargs,
+) -> list[dict]:
+    """Run the flagship extraction with partition-granular checkpoints.
+
+    Returns the manifest rows of partitions completed across all runs.
+    ``max_partitions_this_run`` exists for kill/resume testing: stop after
+    completing that many partitions in this invocation.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    lo, hi = doc_id_range(documents_path)
+    ranges = partition_ranges(lo, hi, num_partitions)
+
+    done = {m["partition"] for m in _read_manifest(out_dir) if m.get("event") == "done"}
+    starts: dict[int, int] = {}
+    for m in _read_manifest(out_dir):
+        if m.get("event") == "start":
+            starts[m["partition"]] = starts.get(m["partition"], 0) + 1
+
+    completed_this_run = 0
+    for k, (a, b) in enumerate(ranges):
+        if k in done:
+            continue
+        if (
+            max_partitions_this_run is not None
+            and completed_this_run >= max_partitions_this_run
+        ):
+            break
+        attempt = starts.get(k, 0) + 1
+        _append_manifest(out_dir, {"event": "start", "partition": k, "attempt": attempt})
+        t0 = time.monotonic()
+
+        ds = rd.read_parquet(
+            documents_path,
+            columns=["doc_id", "text", "lang"],
+            filter=(pc.field("doc_id") >= a) & (pc.field("doc_id") <= b),
+        ).map_batches(derive_interleaved_batch, batch_format="pyarrow")
+        result = extract_from_interleaved(ds, **pipeline_kwargs)
+
+        tmp = os.path.join(out_dir, f"part={k}.tmp-{attempt}")
+        final = os.path.join(out_dir, f"part={k}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        result.write_parquet(tmp)
+
+        # partition metrics from the written files (no extra pipeline pass)
+        t = pq.read_table(tmp, columns=["n_spans", "total_chars", "ocr_retries"])
+        wall = time.monotonic() - t0
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        _append_manifest(
+            out_dir,
+            {
+                "event": "done",
+                "partition": k,
+                "attempt": attempt,
+                "input": documents_path,
+                "doc_lo": a,
+                "doc_hi": b,
+                "docs": t.num_rows,
+                "spans": int(pc.sum(t.column("n_spans")).as_py() or 0),
+                "total_chars": int(pc.sum(t.column("total_chars")).as_py() or 0),
+                "ocr_retries": int(pc.sum(t.column("ocr_retries")).as_py() or 0),
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(t.num_rows / wall, 2) if wall > 0 else None,
+            },
+        )
+        done.add(k)
+        completed_this_run += 1
+
+    return [m for m in _read_manifest(out_dir) if m.get("event") == "done"]

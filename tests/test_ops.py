@@ -1,0 +1,248 @@
+"""Tests for the training-data ops: dedup, ANN, text stats, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_engine_ray.functions import textstats as ts
+from ocr_engine_ray.pipelines import ann as annp
+from ocr_engine_ray.pipelines import dedup as dd
+from ocr_engine_ray.stages.multimodal import (
+    MediaDecoder,
+    fake_image_meta,
+    frame_sample_plan,
+    thumbnail_dims,
+)
+
+# ---------------------------------------------------------------- textstats
+
+
+class TestTextstats:
+    def test_normalize(self):
+        assert ts.normalize_text("  A\t\nB  c ") == "a b c"
+
+    def test_fingerprint_matches_sql_semantics(self):
+        import hashlib
+
+        t = "Hello   World\n"
+        assert ts.fingerprint_md5(t) == hashlib.md5(b"hello world").hexdigest()
+
+    def test_token_counts(self):
+        assert ts.token_count_ws("a  b\tc") == 3
+        assert ts.token_count_ws("") == 0
+        assert ts.token_count_bpe_ish("don't stop 123x") == 6  # don ' t stop 123 x
+
+    def test_langid(self):
+        assert ts.langid("the cat and the dog of it") == "en"
+        assert ts.langid("der hund und die katze ist") == "de"
+        assert ts.langid("el perro de la casa que") == "es"
+        assert ts.langid("中文文本") == "zh"
+        assert ts.langid("नमस्ते दुनिया") == "hi"
+        assert ts.langid("xyzzy qwerty") == "en"  # no signal → default
+
+    def test_quality(self):
+        good = ts.quality_score("the quick brown fox jumps over the lazy dog " * 3)
+        bad = ts.quality_score("@@@ ### 123 456 !!! %%%")
+        assert 0 <= bad < good <= 1
+
+    def test_winnow_deterministic_and_robust(self):
+        a = ts.winnow_fingerprint("the quick brown fox jumps over the lazy dog")
+        b = ts.winnow_fingerprint("the quick brown fox jumps over the lazy dog")
+        assert a == b and len(a) > 0
+        # a near-duplicate shares most winnowed hashes
+        c = ts.winnow_fingerprint("the quick brown fox leaps over the lazy dog")
+        shared = len(set(a) & set(c)) / len(set(a) | set(c))
+        assert shared >= 0.5
+
+
+# ---------------------------------------------------------------- dedup units
+
+
+class TestDedupUnits:
+    def test_shingles_and_jaccard(self):
+        s1 = dd._shingles("a b c d e")
+        s2 = dd._shingles("a b c d e")
+        assert s1 == s2
+        assert dd.jaccard(s1, s2) == 1.0
+        assert dd.jaccard(set(), set()) == 1.0
+        assert dd.jaccard(s1, set()) == 0.0
+
+    def test_minhash_estimates_jaccard(self):
+        t1 = " ".join(f"w{i}" for i in range(100))
+        t2 = " ".join(f"w{i}" for i in range(5, 105))  # high overlap
+        t3 = " ".join(f"z{i}" for i in range(100))  # disjoint
+        s1, s2, s3 = (dd.minhash_signature(t) for t in (t1, t2, t3))
+        sim12 = (s1 == s2).mean()
+        sim13 = (s1 == s3).mean()
+        true12 = dd.jaccard(dd._shingles(t1), dd._shingles(t2))
+        assert abs(sim12 - true12) < 0.2
+        assert sim13 < 0.1
+
+    def test_simhash_hamming(self):
+        t1 = "the quick brown fox jumps over the lazy dog again and again"
+        t2 = "the quick brown fox jumps over the lazy cat again and again"
+        t3 = "completely different content about spark query engines here"
+        h = lambda a, b: bin(dd.simhash64(a) ^ dd.simhash64(b)).count("1")
+        assert h(t1, t1) == 0
+        assert h(t1, t2) < h(t1, t3)
+
+    def test_union_find(self):
+        cl = dd._union_find_clusters([(1, 2), (2, 3), (10, 11)])
+        assert cl[1] == cl[2] == cl[3] == 1
+        assert cl[10] == cl[11] == 10
+
+
+# ---------------------------------------------------------------- fixtures
+
+
+def _write_corpus(tmp_path) -> str:
+    """Mini sf-style dir with crafted dup structure."""
+    base = "the quick brown fox jumps over the lazy dog while the band plays on"
+    texts = {
+        0: base,
+        1: base,                                   # exact dup of 0
+        2: base.replace("dog", "cat"),             # near dup of 0
+        3: base.replace("quick", "slow").replace("dog", "wolf"),  # near-ish
+        4: "completely unrelated text about ray data pipelines and arrow batches",
+        5: "another unrelated document mentioning parquet files and shuffles",
+        6: base + " extra tail words here",        # near dup of 0
+    }
+    rows = [
+        {
+            "doc_id": i,
+            "text": t,
+            "lang": "en",
+            "source": f"src{i % 2}",
+            "n_chars": len(t),
+        }
+        for i, t in texts.items()
+    ]
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    # embeddings: 3 clusters of near-identical vectors + noise
+    rng = np.random.default_rng(7)
+    vecs = []
+    for i in range(30):
+        c = rng.standard_normal(16)
+        vecs.append(c / np.linalg.norm(c))
+    # make 31 a near-copy of 0 and 32 a near-copy of 1
+    for src in (0, 1):
+        v = np.array(vecs[src]) + rng.standard_normal(16) * 0.01
+        vecs.append(v / np.linalg.norm(v))
+    erows = [
+        {"vec_id": i, "embedding": [float(x) for x in v], "label": 0}
+        for i, v in enumerate(vecs)
+    ]
+    pq.write_table(pa.Table.from_pylist(erows), str(d / "embeddings.parquet"))
+    return str(d)
+
+
+# ---------------------------------------------------------------- pipelines
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupPipelines:
+    def test_exact_dedup(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        rows = dd.exact_dedup(sf).take_all()
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids == [0, 2, 3, 4, 5, 6]  # doc 1 (exact dup of 0) dropped
+
+    def test_minhash_lsh_finds_near_dups(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        t = dd.minhash_lsh_dedup(sf, threshold=0.5)
+        cl = dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist()))
+        # 0, 1, 2, 6 all cluster together (exact + near dups)
+        assert cl.get(0) == cl.get(1) == cl.get(2) == cl.get(6) == 0
+        assert 4 not in cl and 5 not in cl
+
+    def test_simhash_finds_exact_and_close(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        t = dd.simhash_dedup(sf, max_hamming=3)
+        cl = dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist()))
+        assert cl.get(0) == cl.get(1) == 0  # exact dup always found
+        assert cl.get(4) is None or cl[4] != cl[0]
+
+    def test_embedding_near_dup(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        t = dd.embedding_near_dup(sf, threshold=0.98)
+        pairs = set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+        assert (0, 30) in pairs and (1, 31) in pairs
+        assert all(a < b for a, b in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def test_bruteforce_matches_numpy(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        got = dd and annp.ann_topk_bruteforce(sf, num_queries=3, k=4).take_all()
+        # numpy reference
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        ids = np.array(t.column("vec_id").to_pylist())
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1)[:, None]
+        order = np.argsort(ids)
+        q = order[:3]
+        exp = {}
+        for qi in q:
+            sims = m @ m[qi]
+            sims[qi] = -np.inf
+            top = sorted(zip(-sims, ids), key=lambda x: (x[0], x[1]))[:4]
+            exp[int(ids[qi])] = [int(v) for _, v in top]
+        by_q = {}
+        for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+            by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+        assert by_q == exp
+
+    def test_lsh_returns_valid_subset(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        rows = annp.ann_topk_lsh(sf, num_queries=3, k=4).take_all()
+        # near-copy vec 30 must be found for query 0 (same bucket by construction)
+        q0 = [r["vec_id"] for r in rows if r["query_id"] == 0]
+        assert 30 in q0
+        for r in rows:
+            assert r["rank"] >= 1 and r["vec_id"] != r["query_id"]
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+class TestMultimodal:
+    def test_fake_meta_formula(self):
+        from ocr_engine_ray import spec
+
+        w, h, fmt = fake_image_meta("media://doc-00000081/2")
+        assert w == 320 + spec.h32(81, 79) % 1280
+        assert h == 240 + spec.h32(81, 179) % 800
+        assert fmt == "png"
+
+    def test_decoder_batch(self):
+        dec = MediaDecoder(use_fake=True)
+        batch = pa.table(
+            {
+                "doc_id": pa.array(["doc-00000081"], pa.string()),
+                "media_ref": pa.array(["media://doc-00000081/0"], pa.string()),
+            }
+        )
+        out = dec(batch)
+        assert out.column("width")[0].as_py() >= 320
+        assert out.column("media_idx")[0].as_py() == 0
+
+    def test_real_decode_unavailable(self):
+        with pytest.raises(NotImplementedError):
+            MediaDecoder(use_fake=False)
+
+    def test_thumbnail_dims(self):
+        assert thumbnail_dims(100, 50) == (100, 50)
+        assert thumbnail_dims(512, 256) == (256, 128)
+        assert thumbnail_dims(256, 512) == (128, 256)
+
+    def test_frame_sample_plan(self):
+        idx = frame_sample_plan(100, 30.0, 10.0)
+        assert idx[0] == 0 and len(idx) == 34 and (np.diff(idx) > 0).all()
+        assert (frame_sample_plan(10, 30.0, 60.0) == np.arange(10)).all()
