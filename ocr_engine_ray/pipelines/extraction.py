@@ -34,9 +34,37 @@ from ..stages.ingest import derive_interleaved_batch, explode_spans_batch
 from ..stages.reassemble import add_bucket_batch, reassemble_bucket
 
 
-def interleaved_from_documents(documents_path: str, **read_kwargs) -> rd.Dataset:
-    """Driver ``documents`` table → deterministic interleaved-doc Dataset."""
+def interleaved_from_documents(
+    documents_path: str, *, replicate: int = 1, **read_kwargs
+) -> rd.Dataset:
+    """Driver ``documents`` table → deterministic interleaved-doc Dataset.
+
+    ``replicate=R`` expands the corpus R× for benchmarking: replica r of doc d
+    gets ``doc_id = d + r*1_000_000`` — the offset is a multiple of 100, so
+    the shape distribution (doc_id % 100) is preserved while every replica
+    derives distinct deterministic content (offsets/media hashes differ).
+    """
     ds = read_table(documents_path, columns=["doc_id", "text", "lang"], **read_kwargs)
+    if replicate > 1:
+
+        def rep(batch: "pa.Table") -> "pa.Table":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            parts = []
+            for r in range(replicate):
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_id": pc.add(batch.column("doc_id"), r * 1_000_000),
+                            "text": batch.column("text"),
+                            "lang": batch.column("lang"),
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+        ds = ds.map_batches(rep, batch_format="pyarrow")
     return ds.map_batches(derive_interleaved_batch, batch_format="pyarrow")
 
 
@@ -46,31 +74,89 @@ def extract_from_interleaved(
     num_buckets: int = 64,
     extract_batch_size: int = 256,
     extract_concurrency=None,
+    giant_unit_threshold: int | None = None,
+    compute: str = "tasks",
 ) -> rd.Dataset:
-    """Interleaved-doc Dataset → extracted (doc_id, spans, fields_json, …)."""
-    exploded = ds.map_batches(explode_spans_batch, batch_format="pyarrow")
-    kwargs = {}
-    if extract_concurrency is not None:
-        kwargs["concurrency"] = extract_concurrency
-    else:
-        kwargs["concurrency"] = (2, 16)
-    extracted = exploded.map_batches(
-        SpanExtractor,
+    """Interleaved-doc Dataset → extracted (doc_id, spans, fields_json, …).
+
+    **Cost-model routing** (the skew defense): documents whose estimated
+    output-unit count is ≤ ``giant_unit_threshold`` are extracted row-locally
+    by the ``DocExtractor`` actor pool — zero shuffle, output flows straight
+    to the sink.  Documents above the threshold (the giant-PDF tail) take the
+    distributed path: per-page explode → ``SpanExtractor`` actor pool →
+    hash-bucket ``groupby`` → vectorized in-bucket reassembly — the only
+    all-to-all exchange, and it carries only the giant tail's pages.
+
+    The threshold is a cost model: split a document across workers only when
+    ``per-unit model cost × unit count`` exceeds a sane task budget.  With
+    the deterministic stand-in OCR (~0.3 ms/unit) even a 500-page giant is
+    ~0.15 s of work, so the DEFAULT is ``None`` — every document row-local,
+    zero shuffle.  With a real OCR model (0.1-10 s/page) set it to a handful
+    of pages so big documents fan out across the cluster.  ``0`` forces the
+    distributed path for everything (tests use this to cover both paths).
+
+    NOTE: when both paths are active the input lineage executes once per
+    branch (Ray Data re-executes shared lineage on branch) and the union of
+    two streaming plans carries real executor overhead — don't enable the
+    split unless the giant tail's per-doc cost justifies it.
+    """
+    from ..stages.doc_extract import DocExtractor, doc_extract_task, split_by_units
+    from ..stages.extract import span_extract_task
+
+    if compute == "actors":
+        kwargs = {"num_cpus": 1}
+        kwargs["concurrency"] = (
+            extract_concurrency if extract_concurrency is not None else (2, 16)
+        )
+        span_fn, doc_fn = SpanExtractor, DocExtractor
+    else:  # "tasks": fuse with upstream, cache state per worker process
+        kwargs = {}
+        span_fn, doc_fn = span_extract_task, doc_extract_task
+
+    def giant_path(giant_ds: rd.Dataset) -> rd.Dataset:
+        exploded = giant_ds.map_batches(explode_spans_batch, batch_format="pyarrow")
+        extracted = exploded.map_batches(
+            span_fn,
+            batch_format="pyarrow",
+            batch_size=extract_batch_size,
+            **kwargs,
+        )
+        bucketed = extracted.map_batches(
+            add_bucket_batch,
+            batch_format="pyarrow",
+            fn_kwargs={"num_buckets": num_buckets},
+        )
+        return bucketed.groupby("bucket").map_groups(
+            reassemble_bucket, batch_format="pyarrow"
+        )
+
+    def local_path(local_ds: rd.Dataset) -> rd.Dataset:
+        return local_ds.map_batches(
+            doc_fn,
+            batch_format="pyarrow",
+            batch_size=extract_batch_size,
+            **kwargs,
+        )
+
+    if giant_unit_threshold is None:
+        return local_path(ds)
+    if giant_unit_threshold <= 0:
+        return giant_path(ds)
+    local = ds.map_batches(
+        split_by_units,
         batch_format="pyarrow",
-        batch_size=extract_batch_size,
-        num_cpus=1,
-        **kwargs,
+        fn_kwargs={"threshold": giant_unit_threshold, "keep_giant": False},
     )
-    bucketed = extracted.map_batches(
-        add_bucket_batch,
+    giant = ds.map_batches(
+        split_by_units,
         batch_format="pyarrow",
-        fn_kwargs={"num_buckets": num_buckets},
+        fn_kwargs={"threshold": giant_unit_threshold, "keep_giant": True},
     )
-    return bucketed.groupby("bucket").map_groups(
-        reassemble_bucket, batch_format="pyarrow"
-    )
+    return local_path(local).union(giant_path(giant))
 
 
-def extract_documents(documents_path: str, **kwargs) -> rd.Dataset:
+def extract_documents(documents_path: str, *, replicate: int = 1, **kwargs) -> rd.Dataset:
     """End-to-end: driver documents parquet → extracted Dataset."""
-    return extract_from_interleaved(interleaved_from_documents(documents_path), **kwargs)
+    return extract_from_interleaved(
+        interleaved_from_documents(documents_path, replicate=replicate), **kwargs
+    )

@@ -52,6 +52,18 @@ class TransientOCRError(RuntimeError):
     """Simulated transient model fault (primary attempt only)."""
 
 
+_TASK_SPAN_EXTRACTOR = None
+
+
+def span_extract_task(batch: pa.Table) -> pa.Table:
+    """Task-mode wrapper around :class:`SpanExtractor` — state cached once
+    per worker process (see doc_extract.doc_extract_task for the rationale)."""
+    global _TASK_SPAN_EXTRACTOR
+    if _TASK_SPAN_EXTRACTOR is None:
+        _TASK_SPAN_EXTRACTOR = SpanExtractor()
+    return _TASK_SPAN_EXTRACTOR(batch)
+
+
 class SpanExtractor:
     """Stateful extraction worker (one per actor in the pool)."""
 

@@ -76,12 +76,16 @@ def reassemble_bucket(group: pa.Table) -> pa.Table:
     )
     t = group.take(idx).combine_chunks()
 
-    doc = np.asarray(t.column("doc_id").to_pandas(), dtype=object)
-    n = len(doc)
+    doc_col = t.column("doc_id").combine_chunks()
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    # integer codes for boundary detection (no per-row string comparisons)
+    codes = pc.dictionary_encode(doc_col).indices.to_numpy(zero_copy_only=False)
+    n = len(codes)
     # run-length document boundaries (over ALL rows incl. empty-doc sentinels)
     change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = doc[1:] != doc[:-1]
+    change[1:] = codes[1:] != codes[:-1]
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
     counts = ends - starts
@@ -115,19 +119,25 @@ def reassemble_bucket(group: pa.Table) -> pa.Table:
     spans_list = pa.ListArray.from_arrays(offsets, struct)
 
     # fields fold — only rows whose text can contain "Label: value" lines
+    # (colon pre-filter: only those texts are materialized to Python)
     has_colon = pc.match_substring(text_col, ":").to_numpy(zero_copy_only=False)
-    texts = text_col.to_pylist()
+    colon_pos = np.flatnonzero(has_colon)
+    colon_texts = text_col.take(pa.array(colon_pos)).to_pylist() if len(colon_pos) else []
     kstarts = np.concatenate([[0], np.cumsum(counts_kept)[:-1]]).astype(np.int64)
     kends = np.cumsum(counts_kept).astype(np.int64)
+    lo_pos = np.searchsorted(colon_pos, kstarts, side="left")
+    hi_pos = np.searchsorted(colon_pos, kends, side="left")
     fields_json: list[str] = []
-    for s, e in zip(kstarts, kends):
+    empty = json.dumps({})
+    for lo, hi in zip(lo_pos, hi_pos):
+        if lo == hi:
+            fields_json.append(empty)
+            continue
         merged: dict[str, str] = {}
-        if has_colon[s:e].any():
-            for i in range(s, e):
-                if has_colon[i]:
-                    for k, v in parse_unit_fields(texts[i]).items():
-                        if v and (k not in merged or len(str(v)) > len(str(merged[k]))):
-                            merged[k] = v
+        for i in range(lo, hi):
+            for k, v in parse_unit_fields(colon_texts[i]).items():
+                if v and (k not in merged or len(str(v)) > len(str(merged[k]))):
+                    merged[k] = v
         fields_json.append(json.dumps(merged, sort_keys=True, ensure_ascii=False))
 
     chars = pc.utf8_length(text_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -137,7 +147,7 @@ def reassemble_bucket(group: pa.Table) -> pa.Table:
 
     return pa.table(
         {
-            "doc_id": pa.array(doc[starts], pa.string()),
+            "doc_id": doc_col.take(pa.array(starts)),
             "spans": spans_list,
             "fields_json": pa.array(fields_json, pa.string()),
             "n_spans": pa.array(counts_kept.astype(np.int32)),

@@ -45,6 +45,30 @@ class TestPipelineEqualsOracle:
         docs = unit_docs()
         assert_equal_to_oracle(docs, run_pipeline(docs))
 
+    def test_forced_distributed_path(self):
+        # giant_unit_threshold=0 → every doc through explode→extract→groupby
+        docs = unit_docs()
+        assert_equal_to_oracle(docs, run_pipeline(docs, giant_unit_threshold=0))
+
+    def test_forced_local_path(self):
+        docs = unit_docs()
+        assert_equal_to_oracle(docs, run_pipeline(docs, giant_unit_threshold=None))
+
+    def test_actor_pool_compute_mode(self):
+        # same semantics when the extraction runs as an actor pool
+        # (the heavyweight-model configuration) instead of cached tasks
+        docs = unit_docs()
+        got = run_pipeline(docs, compute="actors", giant_unit_threshold=10)
+        assert_equal_to_oracle(docs, got)
+
+    def test_hybrid_routing_with_giants(self):
+        from .fixtures import derived_docs
+
+        # doc_nums 60..160 include the giant_pdf shape (95-99); a low
+        # threshold forces real traffic down BOTH paths, joined by union
+        docs = derived_docs(100, base=60)
+        assert_equal_to_oracle(docs, run_pipeline(docs, giant_unit_threshold=10))
+
     def test_edge_docs_only(self):
         docs = edge_docs()
         got = run_pipeline(docs)
