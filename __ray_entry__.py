@@ -37,10 +37,23 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ocr_engine_ray.pipelines import analytics, ann, dedup, extract_stats
+    from ocr_engine_ray.pipelines import (
+        analytics,
+        ann,
+        dedup,
+        extract_stats,
+        interpret,
+        joins,
+    )
     from ocr_engine_ray.pipelines import textstats as tsp
 
     return {
+        # --- joins (broadcast / bucketed hash / native hash / as-of) -------
+        "mktsegment_revenue": joins.mktsegment_revenue,
+        "brand_volume": joins.brand_volume,
+        "order_priority_counts": joins.order_priority_counts,
+        "top_customers": joins.top_customers,
+        "clicks_last_purchase": joins.clicks_last_purchase,
         # --- extraction family (north rule) --------------------------------
         "shape_counts": extract_stats.shape_counts,
         "input_span_counts": extract_stats.input_span_counts,
@@ -49,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "size_class_counts": extract_stats.size_class_counts,
         "lang_counts": extract_stats.lang_counts,
         "image_meta": extract_stats.image_meta,
+        "rich_fields": interpret.rich_fields,              # rows-only check
+        "free_text": interpret.free_text,                  # rows-only check
         # --- relational / windowed analytics -------------------------------
         "pricing_summary": analytics.pricing_summary,
         "events_hourly": analytics.events_hourly,
@@ -109,6 +124,40 @@ _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mktsegment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS total_revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "brand_volume": """
+            SELECT p_brand,
+                   round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS total_qty,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "order_priority_counts": """
+            SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        """,
+        "top_customers": """
+            SELECT t.ck AS c_custkey, c.c_name, t.total_spent, t.n_orders
+            FROM (SELECT o_custkey AS ck,
+                         round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS total_spent,
+                         count(*) AS n_orders
+                  FROM orders GROUP BY 1) t
+            JOIN customer c ON t.ck = c.c_custkey
+            ORDER BY t.total_spent DESC, t.ck LIMIT 10
+        """,
+        "clicks_last_purchase": """
+            SELECT c.event_id, p.ts AS last_purchase_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
         "shape_counts": f"""
             SELECT {_SHAPE} AS shape, count(*) AS n_docs
             FROM documents GROUP BY 1

@@ -168,6 +168,41 @@ def merge_keep_longer(dst: dict, src: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def rich_fields_document(doc: dict) -> str:
+    """Service-mode rich fields for one doc (app.py:606-630 transcription):
+    fold per-unit fields, wrap every value as {value, conf, source} with
+    conf 0.5 and substring-search page provenance (first page containing the
+    value wins, default 1)."""
+    extracted = extract_document(doc)
+    doc_id = doc["doc_id"]
+    pages = [(s["order"] + 1, s["text"]) for s in extracted["spans"]]
+    raw: dict[str, str] = {}
+    for _, text in pages:
+        raw = merge_keep_longer(raw, unit_fields(text))
+    out: dict[str, dict] = {}
+    for k, v in raw.items():
+        guess = 1
+        val = (v or "").strip()
+        if val:
+            for pno, txt in pages:
+                if val in (txt or ""):
+                    guess = pno
+                    break
+        out[k] = {"value": str(v), "conf": 0.5, "source": f"{doc_id}#page {guess}"}
+    return json.dumps(out, sort_keys=True, ensure_ascii=False)
+
+
+def free_text_document(doc: dict) -> str:
+    """CLI free-text mode for one doc (ocr_any.py:308-321 transcription):
+    '[Page i]\\n{text}' blocks, each rstripped, joined by blank lines,
+    stripped."""
+    extracted = extract_document(doc)
+    texts: list[str] = []
+    for i, s in enumerate(extracted["spans"], start=1):
+        texts.append(f"[Page {i}]\n{s['text']}".rstrip())
+    return "\n\n".join(texts).strip()
+
+
 def extract_document(doc: dict) -> dict:
     """Interleaved doc row → extracted row.
 

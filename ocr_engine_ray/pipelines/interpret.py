@@ -1,0 +1,88 @@
+"""Interpretation-stage pipelines: service-mode rich fields + free-text mode.
+
+These complete the reference's output surfaces (SURVEY.md §2.5/§3):
+
+- ``rich_fields``: the service response shape — per document,
+  ``{key: {value, conf, source}}`` with conf clamping and substring-based
+  page-provenance repair (``source = "<doc_id>#page N"``, first page whose
+  text contains the value, default 1; app.py:606-630).  The "LLM" is the
+  deterministic fold of per-unit ``Label: value`` lines; the normalization
+  logic (M4/M12) is the reference's, re-implemented in
+  ``functions.fields.normalize_rich_fields``.
+- ``free_text``: the CLI free-text mode — per document, extracted units
+  rendered as ``[Page i]\\n{text}`` blocks joined by blank lines, trailing
+  whitespace stripped (ocr_any.py:308-321: ``f"[Page {i}]\\n{page_text}"``
+  rstripped per block, ``"\\n\\n".join(...)`` then ``.strip()``).
+
+Both consume the flagship extraction output, so they are per-row transforms
+(no extra shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.fields import normalize_rich_fields, parse_unit_fields
+from .extraction import extract_documents
+
+
+def _doc_rich_fields(doc_id: str, spans: list[dict]) -> str:
+    pages = [(s["order"] + 1, s["text"]) for s in spans]
+    raw: dict[str, str] = {}
+    for _, text in pages:
+        if ":" in (text or ""):
+            for k, v in parse_unit_fields(text).items():
+                if v and (k not in raw or len(str(v)) > len(str(raw[k]))):
+                    raw[k] = v
+    # Stand-in "model output": {value, conf} records with no source — the
+    # normalization pass (M4/M12) clamps conf and repairs provenance by
+    # substring-searching the doc's own pages.
+    rich = normalize_rich_fields(
+        {k: {"value": v, "conf": 0.5} for k, v in raw.items()}, doc_id, pages
+    )
+    return json.dumps(rich, sort_keys=True, ensure_ascii=False)
+
+
+def _doc_free_text(spans: list[dict]) -> str:
+    blocks = [
+        f"[Page {s['order'] + 1}]\n{s['text']}".rstrip() for s in spans
+    ]
+    return "\n\n".join(blocks).strip()
+
+
+def rich_fields(sf_dir: str, **kwargs) -> rd.Dataset:
+    out = extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        rich = [_doc_rich_fields(d, s) for d, s in zip(ids, spans)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "fields_rich_json": pa.array(rich, pa.string()),
+            }
+        )
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def free_text(sf_dir: str, **kwargs) -> rd.Dataset:
+    out = extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        texts = [_doc_free_text(s) for s in spans]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+
+    return out.map_batches(f, batch_format="pyarrow")

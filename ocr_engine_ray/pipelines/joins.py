@@ -1,0 +1,265 @@
+"""Join patterns over the driver tables — one pipeline per strategy.
+
+The reference has no joins (SURVEY.md §2.6), but a training-data engine at
+100 TB needs all four canonical shapes, each with a different shuffle story:
+
+- ``mktsegment_revenue`` — **broadcast join**: the small side (customer dim)
+  is ``ray.put`` once and read per worker; the big side streams through
+  ``map_batches`` with a numpy/dict lookup.  No shuffle.
+- ``brand_volume`` — **manual bucketed hash join**: both sides bucketed on
+  ``key % B``, tagged, unioned, and joined bucket-by-bucket inside
+  ``map_groups`` (pandas merge); partial aggregates leave each bucket so the
+  final groupby moves only ``B × |brands|`` rows.  This is the portable
+  pattern when both sides are too big to broadcast.
+- ``order_priority_counts`` — **native hash join** (``Dataset.join``,
+  hash-partitioned on the key) for engine parity with the built-in.
+- ``clicks_last_purchase`` — **as-of join**: per-user-bucket
+  ``pd.merge_asof`` over ts-sorted groups (the Ray Data idiom for
+  time-ordered joins); DuckDB's ``ASOF JOIN`` is the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..sources.tables import sf_table
+from .analytics import _cents
+
+
+def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
+    """Total order revenue + order count per customer market segment
+    (broadcast join: customer is the small side)."""
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    ref = ray.put(seg_of)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        segs = [lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = orders.map_batches(attach, batch_format="pyarrow").groupby("c_mktsegment").aggregate(
+        Sum("price_c", alias_name="price_c"), Count(alias_name="n_orders")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "total_revenue": pc.round(
+                    pc.divide(batch.column("price_c").cast(pa.float64()), pa.scalar(100.0)),
+                    ndigits=2,
+                ),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+NUM_JOIN_BUCKETS = 32
+
+
+def brand_volume(sf_dir: str) -> rd.Dataset:
+    """Lineitem volume per part brand (manual bucketed hash join).
+
+    Schema-harmonized union of both sides, keyed by ``p_partkey % B``; each
+    bucket joins independently and emits per-brand partials.
+    """
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    line = sf_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("p_partkey").cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    keys.to_numpy(zero_copy_only=False) % NUM_JOIN_BUCKETS
+                ).cast(pa.int32()),
+                "key": keys,
+                "p_brand": batch.column("p_brand"),
+                "qty_c": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_partkey").cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    keys.to_numpy(zero_copy_only=False) % NUM_JOIN_BUCKETS
+                ).cast(pa.int32()),
+                "key": keys,
+                "p_brand": pa.nulls(batch.num_rows, pa.string()),
+                "qty_c": _cents(batch.column("l_quantity")),
+            }
+        )
+
+    both = part.map_batches(part_side, batch_format="pyarrow").union(
+        line.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        dim = group[group["qty_c"].isna()][["key", "p_brand"]]
+        fact = group[group["p_brand"].isna()][["key", "qty_c"]]
+        j = fact.merge(dim, on="key", how="inner")
+        out = j.groupby("p_brand", as_index=False).agg(
+            qty_c=("qty_c", "sum"), n_items=("qty_c", "size")
+        )
+        out["qty_c"] = out["qty_c"].astype("int64")
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    partials = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    agg = partials.groupby("p_brand").aggregate(
+        Sum("qty_c", alias_name="qty_c"), Sum("n_items", alias_name="n_items")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "total_qty": pc.round(
+                    pc.divide(batch.column("qty_c").cast(pa.float64()), pa.scalar(100.0)),
+                    ndigits=2,
+                ),
+                "n_items": batch.column("n_items"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def order_priority_counts(sf_dir: str) -> rd.Dataset:
+    """Order counts per (mktsegment, orderpriority) via the native
+    hash-partitioned ``Dataset.join``."""
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.groupby(["c_mktsegment", "o_orderpriority"]).aggregate(
+        Count(alias_name="n_orders")
+    )
+
+
+def top_customers(sf_dir: str, *, k: int = 10) -> rd.Dataset:
+    """Top-k customers by total order value (pre-aggregate → broadcast name
+    lookup → sort+limit; c_custkey asc breaks ties)."""
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    per_cust = orders.map_batches(cents, batch_format="pyarrow").groupby(
+        "o_custkey"
+    ).aggregate(Sum("price_c", alias_name="price_c"), Count(alias_name="n_orders"))
+
+    names = {
+        r["c_custkey"]: r["c_name"]
+        for r in sf_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).take_all()
+    }
+    ref = ray.put(names)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "c_name": pa.array(
+                    [lookup.get(c) for c in batch.column("o_custkey").to_pylist()],
+                    pa.string(),
+                ),
+                "total_spent": pc.round(
+                    pc.divide(batch.column("price_c").cast(pa.float64()), pa.scalar(100.0)),
+                    ndigits=2,
+                ),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    return (
+        per_cust.map_batches(attach, batch_format="pyarrow")
+        .sort(["total_spent", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def clicks_last_purchase(sf_dir: str, *, num_buckets: int = 16) -> rd.Dataset:
+    """As-of join: for every 'click' event, the ts of the same user's most
+    recent 'purchase' at or before it (NULL when none).
+
+    Partitioning assumption: rows are co-located per ``user_id % B`` bucket;
+    ordering is restored by the in-group sort (order is data).  Returns the
+    purchase *ts* (not id) so simultaneous purchases cannot make the result
+    ambiguous.
+    """
+    ev = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"), value_set=pa.array(["click", "purchase"])
+        )
+        t = batch.filter(keep)
+        b = (
+            t.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            % num_buckets
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(b.astype(np.int32)),
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        clicks = (
+            group[group["event_type"] == "click"]
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        purch = (
+            group[group["event_type"] == "purchase"]
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        if clicks.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "last_purchase_ts": pd.Series([], dtype="datetime64[us]")})
+        j = pd.merge_asof(
+            clicks[["event_id", "user_id", "ts"]],
+            purch[["user_id", "ts"]].rename(columns={"ts": "last_purchase_ts"}),
+            left_on="ts",
+            right_on="last_purchase_ts",
+            by="user_id",
+            direction="backward",
+        )
+        return j[["event_id", "last_purchase_ts"]]
+
+    return ev.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
+        asof_bucket, batch_format="pandas"
+    )

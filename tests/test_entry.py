@@ -32,6 +32,11 @@ SUBSET = [
     "token_totals_by_lang",
     "fingerprint_stats",
     "quality_by_source",
+    "mktsegment_revenue",
+    "brand_volume",
+    "order_priority_counts",
+    "top_customers",
+    "clicks_last_purchase",
 ]
 
 
