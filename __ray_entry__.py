@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / windowed analytics -------------------------------
         "pricing_summary": analytics.pricing_summary,
         "events_hourly": analytics.events_hourly,
+        "events_sliding": analytics.events_sliding,
         "sessionize": analytics.sessionize,
         "top_sources": analytics.top_sources,
         # --- dedup ----------------------------------------------------------
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
         # --- text analysis --------------------------------------------------
+        "doc_core_stats": tsp.doc_core_stats,
         "token_totals_by_lang": tsp.token_totals_by_lang,
         "fingerprint_stats": tsp.fingerprint_stats,
         "quality_by_source": tsp.quality_by_source,
@@ -237,6 +239,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            SELECT event_type, window_start, count(*) AS n_events,
+                   round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+            FROM (
+              SELECT event_type, value,
+                     time_bucket(INTERVAL '30 minutes', ts) AS window_start
+              FROM events
+              UNION ALL
+              SELECT event_type, value,
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS window_start
+              FROM events)
+            GROUP BY 1, 2
+        """,
+        "doc_core_stats": f"""
+            SELECT doc_id, length(text)::BIGINT AS n_chars,
+                   ({_TOK})::BIGINT AS n_tokens,
+                   {_FP} AS fingerprint
+            FROM documents
         """,
         "sessionize": """
             SELECT user_id, count(*) AS n_events, sum(is_new)::BIGINT AS n_sessions

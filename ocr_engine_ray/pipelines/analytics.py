@@ -140,6 +140,58 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def events_sliding(sf_dir: str) -> rd.Dataset:
+    """Sliding 60-minute windows every 30 minutes per event_type.
+
+    Each event lands in exactly two windows (``floor30(ts)`` and
+    ``floor30(ts) − 30min``); the per-batch flat-map emits both membership
+    rows vectorized, then one small groupby aggregates.
+    """
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch.column("ts"), multiple=30, unit="minute").cast(
+            pa.timestamp("us")
+        )
+        prev = pc.subtract(base, pa.scalar(30 * 60 * 1_000_000, pa.duration("us")))
+        et = batch.column("event_type")
+        vc = _cents(batch.column("value"))
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [et.combine_chunks(), et.combine_chunks()]
+                ),
+                "window_start": pa.concat_arrays(
+                    [base.combine_chunks() if isinstance(base, pa.ChunkedArray) else base,
+                     prev.combine_chunks() if isinstance(prev, pa.ChunkedArray) else prev]
+                ),
+                "value_c": pa.concat_arrays(
+                    [vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc] * 2
+                ),
+            }
+        )
+
+    out = ds.map_batches(explode_windows, batch_format="pyarrow")
+    agg = out.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_c", alias_name="value_c")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": batch.column("window_start").cast(pa.timestamp("us")),
+                "n_events": batch.column("n_events"),
+                "sum_value": pc.round(
+                    pc.divide(batch.column("value_c").cast(pa.float64()), pa.scalar(100.0)),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
     """Per-user sessionization (gap > ``gap_minutes`` starts a new session).
 

@@ -47,6 +47,33 @@ def doc_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(doc_stats_batch, batch_format="pyarrow")
 
 
+def doc_core_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc SQL-reproducible stats: chars, ws tokens, md5 fingerprint."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        n_tokens = pc.list_value_length(
+            pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+        ).cast(pa.int64())
+        # "" splits to [""] (length 1) while the spec counts 0 tokens
+        n_tokens = pc.if_else(
+            pc.equal(pc.utf8_trim_whitespace(texts), ""), pa.scalar(0, pa.int64()), n_tokens
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.utf8_length(texts).cast(pa.int64()),
+                "n_tokens": n_tokens,
+                "fingerprint": pa.array(
+                    [ts.fingerprint_md5(t) for t in texts.to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def token_totals_by_lang(sf_dir: str) -> rd.Dataset:
     """Whitespace-token totals per (label) lang — SQL-checkable."""
     ds = sf_table(sf_dir, "documents", columns=["lang", "text"])
