@@ -38,7 +38,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    from ocr_engine_ray.pipelines import analytics, ann, dedup
+    from ocr_engine_ray.pipelines import analytics, ann, dedup, joins
     from ocr_engine_ray.pipelines import textstats as tsp
     from ocr_engine_ray.pipelines.extraction import extract_documents
 
@@ -134,6 +134,9 @@ def run_bench() -> dict:
         "embedding_near_dup": timed(dedup.embedding_near_dup),
         "ann_topk": timed(ann.ann_topk_bruteforce),
         "doc_stats": timed(tsp.doc_stats),
+        "mktsegment_revenue_join": timed(joins.mktsegment_revenue),
+        "brand_volume_bucketed_join": timed(joins.brand_volume),
+        "clicks_last_purchase_asof": timed(joins.clicks_last_purchase),
     }
 
     result = {

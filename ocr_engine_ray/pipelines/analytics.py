@@ -192,28 +192,41 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
+def sessionize(
+    sf_dir: str, *, gap_minutes: int = 30, num_buckets: int = 32
+) -> rd.Dataset:
     """Per-user sessionization (gap > ``gap_minutes`` starts a new session).
 
-    Ray Data has no event-time windows; the idiom is groupby(key) +
-    per-group ordered pandas logic (ordering restored IN the group — order
-    is data, not an execution property).
+    Ray Data has no event-time windows; the idiom is a keyed shuffle +
+    in-group ordered logic (order is data, restored by the in-group sort).
+    Users are hash-bucketed so each ``map_groups`` call sessionizes a whole
+    bucket of users vectorized — one Python call per bucket, not per user.
     """
     ds = sf_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [int(new_session.sum())],
-            }
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((b % num_buckets).astype("int32"))
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_session = (~same_user) | (g["ts"].diff() > gap)
+        g = g.assign(_new=new_session.astype("int64"))
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("_new", "size"), n_sessions=("_new", "sum")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_events", "n_sessions"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def top_sources(sf_dir: str, *, k: int = 5) -> rd.Dataset:

@@ -32,26 +32,40 @@ from ..sources.tables import sf_table
 # ---------------------------------------------------------------------------
 
 
+NUM_DEDUP_BUCKETS = 64
+
+
 def _sha1_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     h = [hashlib.sha1((t or "").encode("utf-8")).hexdigest() for t in texts]
-    return batch.append_column("text_sha1", pa.array(h, pa.string()))
+    bucket = [int(x[:8], 16) % NUM_DEDUP_BUCKETS for x in h]
+    return batch.append_column("text_sha1", pa.array(h, pa.string())).append_column(
+        "bucket", pa.array(bucket, pa.int32())
+    )
 
 
-def _keep_min_doc(group: pa.Table) -> pa.Table:
-    i = pc.index(group.column("doc_id"), pc.min(group.column("doc_id")))
-    return group.take(pa.array([i.as_py()])).select(["doc_id", "source"])
+def _dedup_bucket(group: pa.Table) -> pa.Table:
+    """Vectorized keep-first within one hash bucket (all groups at once —
+    one Python call per *bucket*, not per distinct text)."""
+    import pandas as pd
+
+    df = group.select(["doc_id", "source", "text_sha1"]).to_pandas()
+    df = df.sort_values("doc_id").drop_duplicates("text_sha1", keep="first")
+    return pa.Table.from_pandas(df[["doc_id", "source"]], preserve_index=False)
 
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """Keep-first-by-doc_id exact dedup over ``documents.text``.
 
-    Returns the surviving rows ``(doc_id, source)``.  Equivalent SQL: keep
-    ``row_number() over (partition by text order by doc_id) = 1``.
+    Hash-bucket partition + per-bucket vectorized dedup: the shuffle key is
+    ``sha1[:8] % B`` (cluster-sized cardinality), and each ``map_groups``
+    call drop-duplicates a whole bucket with pandas — never one Python call
+    per distinct text.  Returns the surviving rows ``(doc_id, source)``;
+    SQL twin: ``row_number() over (partition by text order by doc_id) = 1``.
     """
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
     ds = ds.map_batches(_sha1_batch, batch_format="pyarrow")
-    return ds.groupby("text_sha1").map_groups(_keep_min_doc, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(_dedup_bucket, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
