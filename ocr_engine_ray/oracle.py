@@ -210,9 +210,17 @@ def extract_document(doc: dict) -> dict:
     Output: {"doc_id", "spans": [{kind, text, media_ref, order}], "fields_json"}
     """
     doc_id = doc["doc_id"]
-    spans_in = sorted(
-        enumerate(doc.get("spans") or []), key=lambda t: (t[1]["offset"], t[0])
-    )
+    # Null tolerance (spec): null offset → 0, null kind/text/media_ref → "".
+    cleaned = [
+        {
+            "kind": s.get("kind") or "",
+            "text": s.get("text") or "",
+            "media_ref": s.get("media_ref") or "",
+            "offset": s.get("offset") or 0,
+        }
+        for s in (doc.get("spans") or [])
+    ]
+    spans_in = sorted(enumerate(cleaned), key=lambda t: (t[1]["offset"], t[0]))
     out_spans: list[dict] = []
 
     def emit(kind: str, text: str, media_ref: str):

@@ -106,7 +106,17 @@ class DocExtractor:
         self._docx = flines.docx_to_text
 
     def _extract_doc(self, doc_spans: list[dict]) -> tuple[list, str, int, int]:
-        ordered = sorted(enumerate(doc_spans), key=lambda t: (t[1]["offset"], t[0]))
+        # Null tolerance (spec, matches oracle): null offset → 0, strings → "".
+        cleaned = [
+            {
+                "kind": s.get("kind") or "",
+                "text": s.get("text") or "",
+                "media_ref": s.get("media_ref") or "",
+                "offset": s.get("offset") or 0,
+            }
+            for s in doc_spans
+        ]
+        ordered = sorted(enumerate(cleaned), key=lambda t: (t[1]["offset"], t[0]))
         out: list[tuple[str, str, str]] = []
         retries = 0
         for _, s in ordered:

@@ -93,10 +93,11 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
     parent = pc.list_parent_indices(spans)
     doc_id = pc.take(batch.column("doc_id"), parent)
     flat = pc.list_flatten(spans)
-    kind = pc.struct_field(flat, "kind")
-    text = pc.struct_field(flat, "text")
-    media_ref = pc.struct_field(flat, "media_ref")
-    offset = pc.struct_field(flat, "offset")
+    # Null tolerance (spec, matches oracle): null offset → 0, strings → "".
+    kind = pc.fill_null(pc.struct_field(flat, "kind"), "")
+    text = pc.fill_null(pc.struct_field(flat, "text"), "")
+    media_ref = pc.fill_null(pc.struct_field(flat, "media_ref"), "")
+    offset = pc.fill_null(pc.struct_field(flat, "offset"), pa.scalar(0, pa.int32()))
 
     is_pdf = pc.equal(kind, spec.KIND_PDF_REF)
     n = len(flat)
@@ -130,6 +131,16 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
         pdf_rows.column("media_ref").to_pylist(),
     ):
         pages = synth.media_page_count(ref, spec.KIND_PDF_REF)
+        if pages == 0:
+            # zero-page pdf (malformed ref): keep the doc alive via sentinel
+            out["doc_id"].append(d)
+            out["offset"].append(off)
+            out["kind"].append(spec.KIND_EMPTY_SENTINEL)
+            out["text"].append("")
+            out["media_ref"].append("")
+            out["page_lo"].append(0)
+            out["page_hi"].append(0)
+            continue
         lo = 1
         while lo <= pages:
             hi = min(lo + spec.PDF_SHARD_PAGES - 1, pages)

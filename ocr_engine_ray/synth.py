@@ -119,11 +119,15 @@ def parse_media_ref(media_ref: str) -> tuple[str, int]:
 # Media synthesis (the stand-in OCR "sensor")
 # ---------------------------------------------------------------------------
 def media_page_count(media_ref: str, kind: str) -> int:
-    """Page count for a media ref — arithmetic in doc_id (SQL-reproducible)."""
+    """Page count for a media ref — arithmetic in doc_id (SQL-reproducible).
+    An unparseable pdf ref (spec: null/malformed media) has zero pages."""
     if kind == spec.KIND_IMAGE_REF:
         return 1
-    doc_id, _ = parse_media_ref(media_ref)
-    return spec.pdf_page_count(doc_num_from_id(doc_id))
+    try:
+        doc_id, _ = parse_media_ref(media_ref)
+        return spec.pdf_page_count(doc_num_from_id(doc_id))
+    except (IndexError, ValueError):
+        return 0
 
 
 def media_page(media_ref: str, page_no: int) -> list[list[tuple[str, int]]]:

@@ -108,6 +108,21 @@ def edge_docs() -> list[dict]:
             "lang": "en",
             "spans": [span("mystery", "kept as-is", "ref://x", 0)],
         },
+        # nulls everywhere (spec: null offset → 0, null strings → "")
+        {
+            "doc_id": "doc-90000009",
+            "lang": "en",
+            "spans": [
+                {"kind": None, "text": None, "media_ref": None, "offset": None},
+                span("text", "after the null", "", 7),
+            ],
+        },
+        # malformed pdf media_ref → zero pages, doc must still survive
+        {
+            "doc_id": "doc-90000010",
+            "lang": "en",
+            "spans": [span("pdf_ref", "", "not-a-media-ref", 0)],
+        },
     ]
 
 
