@@ -77,6 +77,9 @@ def run_bench() -> dict:
     )
     ds.write_parquet(out_dir)
     extract_sec = time.monotonic() - t0
+    if os.environ.get("BENCH_STATS"):
+        with open("/tmp/bench_extract_stats.txt", "w") as f:
+            f.write(ds.stats())
 
     # ---- representative queries (steady-state: best of 2 runs; scheduling
     # noise on a busy just-finished session otherwise dominates sub-second

@@ -32,6 +32,8 @@ SUBSET = [
     "token_totals_by_lang",
     "fingerprint_stats",
     "quality_by_source",
+    "events_sliding",
+    "doc_core_stats",
     "mktsegment_revenue",
     "brand_volume",
     "order_priority_counts",
