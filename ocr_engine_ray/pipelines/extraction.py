@@ -155,6 +155,20 @@ def extract_from_interleaved(
     return local_path(local).union(giant_path(giant))
 
 
+def materialize_interleaved(
+    documents_path: str, out_dir: str, *, replicate: int = 1
+) -> None:
+    """Write the derived interleaved-doc table as a Parquet artifact.
+
+    This produces the north-rule input table shape on disk
+    (``doc_id, lang, spans: list<struct<kind, text, media_ref, offset>>``) so
+    downstream runs can start from the real table instead of deriving on the
+    fly — ``extract_from_interleaved(read_table(out_dir))`` must produce
+    byte-identical results (asserted in tests).
+    """
+    interleaved_from_documents(documents_path, replicate=replicate).write_parquet(out_dir)
+
+
 def extract_documents(documents_path: str, *, replicate: int = 1, **kwargs) -> rd.Dataset:
     """End-to-end: driver documents parquet → extracted Dataset."""
     return extract_from_interleaved(

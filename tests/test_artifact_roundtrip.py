@@ -1,0 +1,62 @@
+"""Interleaved-table artifact round-trip + checkpoint determinism."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+from ocr_engine_ray.pipelines.extraction import (
+    extract_documents,
+    extract_from_interleaved,
+    materialize_interleaved,
+)
+from ocr_engine_ray.sources.tables import read_table
+from ocr_engine_ray.state.checkpoint import run_checkpointed
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _result_hash(rows) -> str:
+    canon = sorted(
+        (
+            r["doc_id"],
+            json.dumps(
+                [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]],
+                ensure_ascii=False,
+            ),
+            r["fields_json"],
+        )
+        for r in rows
+    )
+    return hashlib.md5(str(canon).encode("utf-8")).hexdigest()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestArtifactRoundTrip:
+    def test_extraction_from_materialized_table_matches_on_the_fly(self, tmp_path):
+        art = str(tmp_path / "interleaved")
+        materialize_interleaved(DOCS, art)
+        from_artifact = extract_from_interleaved(read_table(art), num_buckets=8)
+        on_the_fly = extract_documents(DOCS, num_buckets=8)
+        assert _result_hash(from_artifact.take_all()) == _result_hash(
+            on_the_fly.take_all()
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckpointDeterminism:
+    def test_two_runs_byte_equal(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        outs = []
+        for name in ("a", "b"):
+            out = str(tmp_path / name)
+            run_checkpointed(DOCS, out, num_partitions=3, num_buckets=8)
+            parts = [pq.read_table(f"{out}/part={k}") for k in range(3)]
+            t = pa.concat_tables(parts)
+            rows = t.to_pylist()
+            outs.append(_result_hash(rows))
+        assert outs[0] == outs[1]
