@@ -2,25 +2,34 @@
 
 Physical plan (all Ray Data, streaming, lazy until consumed)::
 
-    read documents / interleaved table           (column-pruned scan)
-      → map_batches(derive_interleaved_batch)    (stateless, Arrow)      [*]
-      → map_batches(explode_spans_batch)         (stateless; pdf page-sharding
-                                                  = skew defense, spec 25 pp)
-      → map_batches(SpanExtractor, concurrency)  (ACTOR POOL: stand-in OCR,
-                                                  html DOM heuristics, docx)
-      → map_batches(add_bucket_batch)            (hash(doc_id) % B)
-      → groupby("bucket").map_groups(reassemble_bucket)
-                                                 (THE one shuffle; in-bucket
-                                                  sort restores span order;
-                                                  order-sensitive fields fold)
+    read documents / interleaved table            (column-pruned scan)
+      → map_batches(derive_interleaved_batch)     (stateless, Arrow)      [*]
+      → COST-MODEL ROUTER (estimated units per doc vs giant_unit_threshold)
+        ├─ local path (≤ threshold, the default for everything when the
+        │  per-unit model cost is small):
+        │    map_batches(DocExtractor)            (per-worker cached model;
+        │                                          whole doc in one call —
+        │                                          ZERO shuffle)
+        └─ giant path (> threshold — the giant-PDF tail under a real model):
+             map_batches(explode_spans_batch)     (pdf page-sharding, 25 pp)
+             → map_batches(SpanExtractor)         (stand-in OCR, html DOM
+                                                   heuristics, docx flatten)
+             → map_batches(add_bucket_batch)      (hash(doc_id) % B)
+             → groupby("bucket").map_groups(reassemble_bucket)
+                                                  (THE one shuffle; in-bucket
+                                                   sort restores span order;
+                                                   order-sensitive fold)
+      → union
 
 [*] the derive stage only exists for the driver's ``documents`` proxy table;
 ``extract_from_interleaved`` starts from a real interleaved table.
 
 Scale notes (100 TB / 10^12 docs):
-- the only all-to-all exchange is the bucket groupby; its key cardinality is
-  ``num_buckets`` (cluster-sized, e.g. 4–16 × cores), never 10^12 doc_ids;
-- the actor pool amortizes model construction; per-kind work is batched;
+- the only all-to-all exchange is the giant path's bucket groupby; its key
+  cardinality is ``num_buckets`` (cluster-sized), never 10^12 doc_ids, and
+  it carries only the giant tail's pages;
+- extraction state is amortized per worker (actor ``__init__`` in actor
+  mode, module-global cache in task mode);
 - nothing materializes the full dataset — consume with write_parquet/iter.
 """
 
