@@ -39,6 +39,7 @@ OUT_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
         ("offset", pa.int32()),
+        ("span_idx", pa.int32()),
         ("sub", pa.int32()),
         ("kind", pa.string()),
         ("text", pa.string()),
@@ -103,6 +104,7 @@ class SpanExtractor:
                     {
                         "doc_id": t.column("doc_id"),
                         "offset": t.column("offset"),
+                        "span_idx": t.column("span_idx"),
                         "sub": pa.array(np.zeros(n, dtype=np.int32)),
                         "kind": pa.array([spec.OUT_TEXT] * n, pa.string()),
                         # null text coerces to "" (oracle: `s["text"] or ""`)
@@ -118,18 +120,20 @@ class SpanExtractor:
         if rest.num_rows:
             out = {k: [] for k in OUT_SCHEMA.names}
 
-            def emit(d, off, sub, okind, text, ref, retr):
+            def emit(d, off, sidx, sub, okind, text, ref, retr):
                 out["doc_id"].append(d)
                 out["offset"].append(off)
+                out["span_idx"].append(sidx)
                 out["sub"].append(sub)
                 out["kind"].append(okind)
                 out["text"].append(text)
                 out["media_ref"].append(ref)
                 out["retries"].append(retr)
 
-            for d, off, k, txt, ref, lo, hi in zip(
+            for d, off, sidx, k, txt, ref, lo, hi in zip(
                 rest.column("doc_id").to_pylist(),
                 rest.column("offset").to_pylist(),
+                rest.column("span_idx").to_pylist(),
                 rest.column("kind").to_pylist(),
                 rest.column("text").to_pylist(),
                 rest.column("media_ref").to_pylist(),
@@ -137,23 +141,23 @@ class SpanExtractor:
                 rest.column("page_hi").to_pylist(),
             ):
                 if k == spec.KIND_HTML:
-                    emit(d, off, 0, spec.OUT_HTML_TEXT, self._html_text(txt or ""), "", 0)
+                    emit(d, off, sidx, 0, spec.OUT_HTML_TEXT, self._html_text(txt or ""), "", 0)
                 elif k == spec.KIND_PDF_REF:
                     for p in range(lo, hi + 1):
                         text, r = self._ocr_unit(ref, p)
                         self.total_retries += r
-                        emit(d, off, p, spec.OUT_PDF_PAGE, text, ref, r)
+                        emit(d, off, sidx, p, spec.OUT_PDF_PAGE, text, ref, r)
                 elif k == spec.KIND_IMAGE_REF:
                     text, r = self._ocr_unit(ref, 1)
                     self.total_retries += r
-                    emit(d, off, 0, spec.OUT_IMAGE_TEXT, text, ref, r)
+                    emit(d, off, sidx, 0, spec.OUT_IMAGE_TEXT, text, ref, r)
                 elif k == spec.KIND_DOCX_REF:
                     paras, tables = synth.media_docx(ref)
-                    emit(d, off, 0, spec.OUT_DOCX_TEXT, self._docx_text(paras, tables), ref, 0)
+                    emit(d, off, sidx, 0, spec.OUT_DOCX_TEXT, self._docx_text(paras, tables), ref, 0)
                 elif k == spec.KIND_EMPTY_SENTINEL:
-                    emit(d, off, 0, spec.KIND_EMPTY_SENTINEL, "", "", 0)
+                    emit(d, off, sidx, 0, spec.KIND_EMPTY_SENTINEL, "", "", 0)
                 else:  # unknown kind: pass through (default path, app.py:645)
-                    emit(d, off, 0, spec.OUT_TEXT, txt or "", ref or "", 0)
+                    emit(d, off, sidx, 0, spec.OUT_TEXT, txt or "", ref or "", 0)
 
             parts.append(pa.table(out, schema=OUT_SCHEMA))
 

@@ -42,6 +42,7 @@ EXPLODED_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
         ("offset", pa.int32()),
+        ("span_idx", pa.int32()),  # within-doc storage position: offset-tie break
         ("kind", pa.string()),
         ("text", pa.string()),
         ("media_ref", pa.string()),
@@ -81,6 +82,7 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
             {
                 "doc_id": empty_ids,
                 "offset": pa.array(np.zeros(m, dtype=np.int32)),
+                "span_idx": pa.array(np.zeros(m, dtype=np.int32)),
                 "kind": pa.array([spec.KIND_EMPTY_SENTINEL] * m, pa.string()),
                 "text": pa.array([""] * m, pa.string()),
                 "media_ref": pa.array([""] * m, pa.string()),
@@ -98,6 +100,12 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
     text = pc.fill_null(pc.struct_field(flat, "text"), "")
     media_ref = pc.fill_null(pc.struct_field(flat, "media_ref"), "")
     offset = pc.fill_null(pc.struct_field(flat, "offset"), pa.scalar(0, pa.int32()))
+    # within-doc storage position — the offset-tie break that matches the
+    # oracle's (offset, original index) ordering even after the shuffle
+    parent_np = parent.to_numpy(zero_copy_only=False)
+    lens = pc.fill_null(lengths, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    span_idx = (np.arange(len(parent_np)) - doc_starts[parent_np]).astype(np.int32)
 
     is_pdf = pc.equal(kind, spec.KIND_PDF_REF)
     n = len(flat)
@@ -106,6 +114,7 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
         {
             "doc_id": doc_id,
             "offset": offset,
+            "span_idx": pa.array(span_idx),
             "kind": kind,
             "text": text,
             "media_ref": media_ref,
@@ -124,10 +133,11 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
         non_pdf = pa.concat_tables([non_pdf, sentinel])
     pdf_rows = base.filter(is_pdf)
     # Python loop over the (minority) pdf spans only: emit page shards.
-    out = {k: [] for k in ("doc_id", "offset", "kind", "text", "media_ref", "page_lo", "page_hi")}
-    for d, off, ref in zip(
+    out = {k: [] for k in ("doc_id", "offset", "span_idx", "kind", "text", "media_ref", "page_lo", "page_hi")}
+    for d, off, sidx, ref in zip(
         pdf_rows.column("doc_id").to_pylist(),
         pdf_rows.column("offset").to_pylist(),
+        pdf_rows.column("span_idx").to_pylist(),
         pdf_rows.column("media_ref").to_pylist(),
     ):
         pages = synth.media_page_count(ref, spec.KIND_PDF_REF)
@@ -135,6 +145,7 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
             # zero-page pdf (malformed ref): keep the doc alive via sentinel
             out["doc_id"].append(d)
             out["offset"].append(off)
+            out["span_idx"].append(sidx)
             out["kind"].append(spec.KIND_EMPTY_SENTINEL)
             out["text"].append("")
             out["media_ref"].append("")
@@ -146,6 +157,7 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
             hi = min(lo + spec.PDF_SHARD_PAGES - 1, pages)
             out["doc_id"].append(d)
             out["offset"].append(off)
+            out["span_idx"].append(sidx)
             out["kind"].append(spec.KIND_PDF_REF)
             out["text"].append("")
             out["media_ref"].append(ref)

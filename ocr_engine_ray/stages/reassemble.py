@@ -72,7 +72,12 @@ def reassemble_bucket(group: pa.Table) -> pa.Table:
         return RESULT_SCHEMA.empty_table()
     idx = pc.sort_indices(
         group,
-        sort_keys=[("doc_id", "ascending"), ("offset", "ascending"), ("sub", "ascending")],
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("offset", "ascending"),
+            ("span_idx", "ascending"),  # oracle's offset-tie break
+            ("sub", "ascending"),
+        ],
     )
     t = group.take(idx).combine_chunks()
 

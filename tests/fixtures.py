@@ -123,6 +123,19 @@ def edge_docs() -> list[dict]:
             "lang": "en",
             "spans": [span("pdf_ref", "", "not-a-media-ref", 0)],
         },
+        # DUPLICATE offsets: ties must keep storage order (the oracle's
+        # (offset, original index) rule — requires span_idx through the
+        # distributed path's shuffle)
+        {
+            "doc_id": "doc-90000011",
+            "lang": "en",
+            "spans": [
+                span("text", "tie-A", "", 5),
+                span("text", "tie-B", "", 5),
+                span("image_ref", "", "media://doc-90000011/0", 5),
+                span("text", "before", "", 1),
+            ],
+        },
     ]
 
 
