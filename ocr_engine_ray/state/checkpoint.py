@@ -94,6 +94,25 @@ def run_checkpointed(
     lo, hi = doc_id_range(documents_path)
     ranges = partition_ranges(lo, hi, num_partitions)
 
+    # Partition-layout guard: resuming with a different partitioning (or a
+    # different input) would silently mis-map completed partitions.
+    layout = {
+        "event": "layout",
+        "input": documents_path,
+        "num_partitions": num_partitions,
+        "doc_lo": lo,
+        "doc_hi": hi,
+    }
+    prior = [m for m in _read_manifest(out_dir) if m.get("event") == "layout"]
+    if prior:
+        if prior[0] != layout:
+            raise ValueError(
+                f"checkpoint dir {out_dir} was written with layout {prior[0]}, "
+                f"cannot resume with {layout}; use a fresh out_dir"
+            )
+    else:
+        _append_manifest(out_dir, layout)
+
     done = {m["partition"] for m in _read_manifest(out_dir) if m.get("event") == "done"}
     starts: dict[int, int] = {}
     for m in _read_manifest(out_dir):

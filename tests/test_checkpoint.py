@@ -92,3 +92,11 @@ class TestKillResume:
         run_checkpointed(DOCS, out, num_partitions=2, num_buckets=8)
         m = run_checkpointed(DOCS, out, num_partitions=2, num_buckets=8)
         assert len(m) == 2  # still exactly one 'done' per partition
+
+    def test_layout_change_rejected(self, tmp_path):
+        out = str(tmp_path / "ckpt3")
+        run_checkpointed(
+            DOCS, out, num_partitions=2, max_partitions_this_run=1, num_buckets=8
+        )
+        with pytest.raises(ValueError, match="layout"):
+            run_checkpointed(DOCS, out, num_partitions=4, num_buckets=8)
