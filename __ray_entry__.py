@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_volume": joins.brand_volume,
         "order_priority_counts": joins.order_priority_counts,
         "top_customers": joins.top_customers,
+        "inactive_customer_orders": joins.inactive_customer_orders,
         "clicks_last_purchase": joins.clicks_last_purchase,
         # --- extraction family (north rule) --------------------------------
         "shape_counts": extract_stats.shape_counts,
@@ -153,6 +154,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders GROUP BY 1) t
             JOIN customer c ON t.ck = c.c_custkey
             ORDER BY t.total_spent DESC, t.ck LIMIT 10
+        """,
+        "inactive_customer_orders": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   round(sum(round(o.o_totalprice * 100)::BIGINT) / 100.0, 2) AS total_revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+            GROUP BY 1
         """,
         "clicks_last_purchase": """
             SELECT c.event_id, p.ts AS last_purchase_ts

@@ -31,6 +31,18 @@ from ray.data.aggregate import Count, Sum
 from ..sources.tables import sf_table
 from .analytics import _cents
 
+# Per-worker-process cache of deserialized broadcast objects: ``ray.get`` of
+# a plain-Python object deserializes on every call, so task-mode lookups
+# cache by ObjectRef (actor-mode stages cache naturally in ``__init__``).
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_broadcast(ref):
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
 
 def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
     """Total order revenue + order count per customer market segment
@@ -40,7 +52,7 @@ def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
     ref = ray.put(seg_of)
 
     def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
+        lookup = _get_broadcast(ref)
         segs = [lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
         return pa.table(
             {
@@ -183,7 +195,7 @@ def top_customers(sf_dir: str, *, k: int = 10) -> rd.Dataset:
     ref = ray.put(names)
 
     def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
+        lookup = _get_broadcast(ref)
         return pa.table(
             {
                 "c_custkey": batch.column("o_custkey").cast(pa.int64()),
@@ -204,6 +216,59 @@ def top_customers(sf_dir: str, *, k: int = 10) -> rd.Dataset:
         .sort(["total_spent", "c_custkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def inactive_customer_orders(sf_dir: str) -> rd.Dataset:
+    """Anti join: orders from customers with NO events, counted per market
+    segment.  The event-user key set is broadcast (at true scale: a Bloom
+    filter of it) and the filter runs inside ``map_batches`` — no shuffle
+    for the anti-join itself.
+    """
+    users = {
+        r["user_id"]
+        for r in sf_table(sf_dir, "events", columns=["user_id"]).take_all()
+    }
+    seg_of = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in sf_table(
+            sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+        ).take_all()
+    }
+    ref = ray.put((users, seg_of))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        user_set, segs = _get_broadcast(ref)
+        keys = batch.column("o_custkey").to_pylist()
+        keep = [k not in user_set for k in keys]
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(
+                    [segs.get(k) for k in t.column("o_custkey").to_pylist()],
+                    pa.string(),
+                ),
+                "price_c": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = orders.map_batches(anti, batch_format="pyarrow").groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": batch.column("n_orders"),
+                "total_revenue": pc.round(
+                    pc.divide(batch.column("price_c").cast(pa.float64()), pa.scalar(100.0)),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def clicks_last_purchase(sf_dir: str, *, num_buckets: int = 16) -> rd.Dataset:

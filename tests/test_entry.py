@@ -35,6 +35,7 @@ SUBSET = [
     "events_sliding",
     "doc_core_stats",
     "mktsegment_revenue",
+    "inactive_customer_orders",
     "brand_volume",
     "order_priority_counts",
     "top_customers",
