@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
         # --- text analysis --------------------------------------------------
         "doc_core_stats": tsp.doc_core_stats,
+        "token_frequencies": tsp.token_frequencies,
         "token_totals_by_lang": tsp.token_totals_by_lang,
         "fingerprint_stats": tsp.fingerprint_stats,
         "quality_by_source": tsp.quality_by_source,
@@ -308,6 +309,12 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY s DESC, vec_id) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "token_frequencies": """
+            SELECT lang, token, count(*)::BIGINT AS n_occurrences
+            FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY 1, 2
         """,
         "token_totals_by_lang": f"""
             SELECT lang, sum(tok)::BIGINT AS total_tokens, count(*) AS n_docs

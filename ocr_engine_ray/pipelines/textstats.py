@@ -148,6 +148,43 @@ def quality_by_source(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
+def token_frequencies(sf_dir: str) -> rd.Dataset:
+    """Corpus token frequencies per label lang (vocabulary statistics).
+
+    The scale pattern: tokens are counted PARTIALLY inside each batch
+    (one (lang, token, n) row per distinct token per batch) before the
+    groupby, so the shuffle moves vocabulary-sized partials, not one row
+    per token occurrence.
+    """
+    ds = sf_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for lang, text in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for tok in (text or "").split():
+                counts[(lang, tok)] += 1
+        langs, toks, ns = [], [], []
+        for (lang, tok), n in counts.items():
+            langs.append(lang)
+            toks.append(tok)
+            ns.append(n)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial_counts, batch_format="pyarrow").groupby(
+        ["lang", "token"]
+    ).aggregate(Sum("n", alias_name="n_occurrences"))
+
+
 def langid_counts(sf_dir: str) -> rd.Dataset:
     """Detected-language distribution (heuristic — no SQL oracle; verified
     against the pure-python reference in pytest)."""
