@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_stats,
         interpret,
         joins,
+        sampling,
     )
     from ocr_engine_ray.pipelines import textstats as tsp
 
@@ -79,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---------------------------------------------
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
+        # --- sampling -------------------------------------------------------
+        "stratified_hash_sample": sampling.stratified_hash_sample,
         # --- text analysis --------------------------------------------------
         "doc_core_stats": tsp.doc_core_stats,
         "token_frequencies": tsp.token_frequencies,
@@ -309,6 +312,17 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY s DESC, vec_id) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "stratified_hash_sample": """
+            SELECT source, doc_id, sample_key FROM (
+              SELECT source, doc_id,
+                     md5(coalesce(text, '') || ':' || doc_id) AS sample_key,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(coalesce(text, '') || ':' || doc_id), doc_id
+                     ) AS rn
+              FROM documents)
+            WHERE rn <= 5
         """,
         "token_frequencies": """
             SELECT lang, token, count(*)::BIGINT AS n_occurrences

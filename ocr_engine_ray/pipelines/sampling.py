@@ -1,0 +1,80 @@
+"""Sampling & shuffled-export operators for training-data preparation.
+
+- ``stratified_hash_sample``: deterministic per-stratum sampling — take the
+  k documents per source with the smallest ``md5(text || ':' || doc_id)``.
+  Hash-ordering makes the sample a pure function of the data (reproducible
+  on any cluster shape, no RNG state), and gives an exact SQL oracle
+  (``row_number() over (partition by source order by md5(...), doc_id)``).
+  The shuffle key is the stratum, and only per-stratum top-k candidates
+  (pre-pruned per batch) move — not the corpus.
+- ``shuffled_shard_export``: the classic final step of a training-data
+  pipeline — a seeded global ``random_shuffle`` followed by a sharded
+  Parquet export.  Verified by determinism + exactly-once coverage tests
+  (no SQL oracle: the permutation is Ray's seeded RNG).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.tables import sf_table
+
+
+def stratified_hash_sample(sf_dir: str, *, k: int = 5) -> rd.Dataset:
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(f"{t or ''}:{d}".encode("utf-8")).hexdigest()
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            )
+        ]
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "sample_key": pa.array(keys, pa.string()),
+            }
+        )
+        # map-side prune: only each batch's per-source top-k can survive the
+        # global top-k, so the shuffle moves ≤ k rows per source per batch
+        import pandas as pd
+
+        df = out.to_pandas()
+        df = (
+            df.sort_values(["source", "sample_key", "doc_id"])
+            .groupby("source", as_index=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pruned = ds.map_batches(add_key, batch_format="pyarrow")
+
+    def per_source(g) -> "pa.Table":
+        import pandas as pd
+
+        g = g.sort_values(["sample_key", "doc_id"]).head(k)
+        return g[["source", "doc_id", "sample_key"]]
+
+    return pruned.groupby("source").map_groups(per_source, batch_format="pandas")
+
+
+def shuffled_shard_export(
+    sf_dir: str, out_dir: str, *, seed: int = 42, num_shards: int = 16
+) -> dict:
+    """Seeded global shuffle → ``num_shards`` Parquet files.  Returns
+    {rows, shards}.  Same seed ⇒ byte-identical shard contents."""
+    ds = sf_table(sf_dir, "documents")
+    shuffled = ds.random_shuffle(seed=seed).repartition(num_shards)
+    shuffled.write_parquet(out_dir)
+    import glob
+
+    return {
+        "rows": ds.count(),
+        "shards": len(glob.glob(f"{out_dir}/*.parquet")),
+    }

@@ -33,6 +33,7 @@ SUBSET = [
     "fingerprint_stats",
     "quality_by_source",
     "events_sliding",
+    "stratified_hash_sample",
     "doc_core_stats",
     "mktsegment_revenue",
     "inactive_customer_orders",

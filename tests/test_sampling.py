@@ -1,0 +1,45 @@
+"""Sampling + shuffled-export operators."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_engine_ray.pipelines.sampling import (
+    shuffled_shard_export,
+    stratified_hash_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampling:
+    def test_stratified_sample_shape_and_determinism(self):
+        a = sorted(
+            (r["source"], r["doc_id"]) for r in stratified_hash_sample(SF).take_all()
+        )
+        b = sorted(
+            (r["source"], r["doc_id"]) for r in stratified_hash_sample(SF).take_all()
+        )
+        assert a == b
+        per_source: dict[str, int] = {}
+        for s, _ in a:
+            per_source[s] = per_source.get(s, 0) + 1
+        assert all(v == 5 for v in per_source.values())
+        assert len(per_source) == 20
+
+    def test_shuffled_export_coverage_and_determinism(self, tmp_path):
+        out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        r1 = shuffled_shard_export(SF, out1, seed=7, num_shards=4)
+        r2 = shuffled_shard_export(SF, out2, seed=7, num_shards=4)
+        assert r1["rows"] == 500 and r1["shards"] >= 1
+        t1 = pq.read_table(out1).sort_by("doc_id")
+        t2 = pq.read_table(out2).sort_by("doc_id")
+        # exactly-once coverage
+        assert t1.column("doc_id").to_pylist() == sorted(range(500))
+        # same seed ⇒ identical contents
+        assert t1.equals(t2)
+        # genuinely shuffled (not in doc_id order on disk)
+        raw = pq.read_table(out1).column("doc_id").to_pylist()
+        assert raw != sorted(raw)
