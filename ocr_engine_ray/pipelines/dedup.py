@@ -22,7 +22,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
 from ..sources.tables import sf_table

@@ -17,10 +17,7 @@ from ray.data.aggregate import Count, Sum
 
 from .. import spec
 from ..sources.tables import sf_table
-from ..stages.ingest import (
-    derive_interleaved_batch,
-    doc_size_class_batch,
-)
+from ..stages.ingest import doc_size_class_batch
 from ..stages.multimodal import MediaDecoder
 from .extraction import extract_documents, interleaved_from_documents
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
 from ..sources.tables import sf_table
@@ -43,8 +42,6 @@ def stratified_hash_sample(sf_dir: str, *, k: int = 5) -> rd.Dataset:
         )
         # map-side prune: only each batch's per-source top-k can survive the
         # global top-k, so the shuffle moves ≤ k rows per source per batch
-        import pandas as pd
-
         df = out.to_pandas()
         df = (
             df.sort_values(["source", "sample_key", "doc_id"])
@@ -56,8 +53,6 @@ def stratified_hash_sample(sf_dir: str, *, k: int = 5) -> rd.Dataset:
     pruned = ds.map_batches(add_key, batch_format="pyarrow")
 
     def per_source(g) -> "pa.Table":
-        import pandas as pd
-
         g = g.sort_values(["sample_key", "doc_id"]).head(k)
         return g[["source", "doc_id", "sample_key"]]
 
