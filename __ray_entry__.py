@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---------------------------------------------
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
+        "embedding_kmeans": ann.embedding_kmeans,           # rows-only check
         # --- sampling -------------------------------------------------------
         "stratified_hash_sample": sampling.stratified_hash_sample,
         # --- text analysis --------------------------------------------------

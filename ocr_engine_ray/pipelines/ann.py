@@ -93,6 +93,84 @@ def ann_topk_bruteforce(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.
     return partials.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
 
 
+def embedding_kmeans(
+    sf_dir: str, *, k: int = 8, iters: int = 5
+) -> pa.Table:
+    """Deterministic k-means over the embedding column (iterative algorithm
+    showcase — cluster-balanced curation is a standard training-data step).
+
+    Per iteration: centroids are broadcast (``ray.put``), each batch computes
+    assignments and emits PARTIAL (sum, count) per cluster — so the shuffle
+    moves ``k × blocks`` rows, never the corpus — and the driver folds the
+    partials into new centroids.  Init = the k vectors with smallest vec_id;
+    everything is a pure function of the data (no RNG).  Returns
+    (vec_id, cluster) for the final assignment.  No SQL oracle (iterative);
+    convergence and determinism are pytest-verified.
+    """
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = sorted(emb.take_all(), key=lambda r: r["vec_id"])
+    mat_all = np.array([r["embedding"] for r in first], dtype=np.float64)
+    ids_all = np.array([r["vec_id"] for r in first], dtype=np.int64)
+    centroids = mat_all[:k].copy()
+
+    def _assign_batch(batch: pa.Table, cref) -> tuple[np.ndarray, np.ndarray]:
+        c = ray.get(cref)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return m, d.argmin(axis=1)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            m, a = _assign_batch(batch, cref)
+            sums, counts = [], []
+            clusters = []
+            for ci in range(k):
+                mask = a == ci
+                if mask.any():
+                    clusters.append(ci)
+                    sums.append(m[mask].sum(axis=0).tolist())
+                    counts.append(int(mask.sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(clusters, pa.int32()),
+                    "vec_sum": pa.array(sums, pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = emb.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.array(r["vec_sum"])
+            counts[r["cluster"]] += r["n"]
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    # final assignment (one more broadcast pass)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        _, a = _assign_batch(batch, cref)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int32)),
+            }
+        )
+
+    rows = emb.map_batches(assign, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "cluster": pa.array([r["cluster"] for r in rows], pa.int32()),
+        }
+    )
+
+
 def _hyperplanes(dim: int, planes: int = 8) -> np.ndarray:
     rng = np.random.default_rng(1234)
     return rng.standard_normal((planes, dim))

@@ -246,3 +246,16 @@ class TestMultimodal:
         idx = frame_sample_plan(100, 30.0, 10.0)
         assert idx[0] == 0 and len(idx) == 34 and (np.diff(idx) > 0).all()
         assert (frame_sample_plan(10, 30.0, 60.0) == np.arange(10)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmeans:
+    def test_deterministic_and_groups_near_dups(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        a = annp.embedding_kmeans(sf, k=4, iters=3)
+        b = annp.embedding_kmeans(sf, k=4, iters=3)
+        assert a.equals(b)  # pure function of the data
+        cl = dict(zip(a.column("vec_id").to_pylist(), a.column("cluster").to_pylist()))
+        assert len(cl) == 32
+        # near-copies must land in the same cluster as their source
+        assert cl[0] == cl[30] and cl[1] == cl[31]
