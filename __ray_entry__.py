@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals_by_lang": tsp.token_totals_by_lang,
         "fingerprint_stats": tsp.fingerprint_stats,
         "quality_by_source": tsp.quality_by_source,
+        "approx_distinct_texts": tsp.approx_distinct_texts,  # rows-only (sketch)
         "langid_counts": tsp.langid_counts,                 # rows-only check
         "doc_stats": tsp.doc_stats,                         # rows-only check
     }

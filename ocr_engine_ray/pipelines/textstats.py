@@ -185,6 +185,51 @@ def token_frequencies(sf_dir: str) -> rd.Dataset:
     ).aggregate(Sum("n", alias_name="n_occurrences"))
 
 
+def approx_distinct_texts(sf_dir: str) -> rd.Dataset:
+    """Approximate distinct text count per source via mergeable HLL sketches.
+
+    Each batch emits ONE (source, registers) row per source; the groupby
+    merges registers elementwise — the shuffle moves ``sources × blocks``
+    4 KiB sketches, never the texts.  (~1.6% standard error at 2^12
+    registers; accuracy asserted vs exact counts in tests.)
+    """
+    from ..functions import sketch
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def batch_sketches(batch: pa.Table) -> pa.Table:
+        groups: dict[str, list[str]] = {}
+        for s, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            groups.setdefault(s, []).append(t or "")
+        srcs, regs = [], []
+        for s, texts in groups.items():
+            srcs.append(s)
+            regs.append(sketch.hll_sketch(texts).tobytes())
+        return pa.table(
+            {"source": pa.array(srcs, pa.string()), "regs": pa.array(regs, pa.binary())}
+        )
+
+    partials = ds.map_batches(batch_sketches, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sketches = [
+            np.frombuffer(b, dtype=np.uint8) for b in group.column("regs").to_pylist()
+        ]
+        est = sketch.hll_estimate(sketch.hll_merge(sketches))
+        return pa.table(
+            {
+                "source": pa.array([group.column("source")[0].as_py()], pa.string()),
+                "approx_unique": pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
 def langid_counts(sf_dir: str) -> rd.Dataset:
     """Detected-language distribution (heuristic — no SQL oracle; verified
     against the pure-python reference in pytest)."""
