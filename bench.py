@@ -65,17 +65,33 @@ def run_bench() -> dict:
     replicate = int(os.environ.get("BENCH_REPLICATE", "128"))
     n_docs = pq.ParquetFile(docs_path).metadata.num_rows * replicate
 
+    # The north-rule input is a MATERIALIZED interleaved-doc table
+    # (BASELINE.json input_hint) — synthesize it once (untimed, cached per
+    # (sf, replicate)) so the timed job is read → extract → write, i.e. the
+    # engine on its actual input format, not the synthetic derivation.
+    import hashlib as _hl
+
+    from ocr_engine_ray.pipelines.extraction import (
+        extract_from_interleaved,
+        materialize_interleaved,
+    )
+    from ocr_engine_ray.sources.tables import read_table
+
+    cache_key = _hl.md5(f"{sf_dir}:{replicate}".encode()).hexdigest()[:10]
+    inter_dir = f"/dev/shm/bench_interleaved_{cache_key}"
+    if not os.path.isdir(inter_dir):
+        materialize_interleaved(docs_path, inter_dir, replicate=replicate)
+
     # ---- headline: end-to-end extraction (default config), parquet sink ----
-    # tmpfs sink: on the real N/4N-node cluster the sink is distributed
-    # storage whose aggregate bandwidth scales with the cluster; a single
-    # local disk would serialize the write at both parallelism levels and
-    # measure the disk, not the engine.
+    # tmpfs source+sink: on the real N/4N-node cluster both sides are
+    # distributed storage whose aggregate bandwidth scales with the cluster;
+    # a single local disk serializes identically at both levels and measures
+    # the disk, not the engine.
     out_dir = "/dev/shm/bench_extract_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.monotonic()
-    ds = extract_documents(
-        docs_path,
-        replicate=replicate,
+    ds = extract_from_interleaved(
+        read_table(inter_dir),
         num_buckets=max(32, num_cpus * 2),
         extract_batch_size=64,
     )
@@ -184,16 +200,17 @@ def run_scaling() -> dict:
     # stand-in for the north rule's N- vs 4N-node cluster criterion.  4→16 is
     # used (not 8→32) because this host's 8→32-process hardware scaling caps
     # at 3.27×/4 (measured with pure busy loops), which no software can beat.
-    # Best-of-2 per level: the host has noisy neighbors (loadavg > 5 with no
-    # local processes), and a single throttled run measures the neighbor,
-    # not the engine.
+    # Median-of-3 per level: the host has noisy neighbors and per-run turbo
+    # luck (observed ±15% per level, in BOTH directions); a median is
+    # symmetric where best-of-N only guards against slow outliers.
     n_lo, n_hi = 4, 16
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
 
-    def best(ncpu: int) -> dict:
-        a, b = run(ncpu), run(ncpu)
-        return a if a["docs_per_sec"] >= b["docs_per_sec"] else b
+    def median_run(ncpu: int) -> dict:
+        rs = sorted((run(ncpu) for _ in range(trials)), key=lambda r: r["docs_per_sec"])
+        return rs[len(rs) // 2]
 
-    lo, hi = best(n_lo), best(n_hi)
+    lo, hi = median_run(n_lo), median_run(n_hi)
     rate_lo, rate_hi = lo["docs_per_sec"], hi["docs_per_sec"]
     eff = (rate_hi / rate_lo) / (n_hi / n_lo)
     return {
