@@ -127,7 +127,13 @@ CASE
 END
 """.strip()
 
-_TOK = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+# Token = maximal '\S+' run (RE2, ASCII '\s') — same definition as the Ray
+# side's RE2-backed pc.count_substring_regex, so edge tabs/newlines can't make
+# the two sides drift (they did under the old trim+split formulation).
+_TOK = "len(regexp_extract_all(text, '\\S+'))"
+# Fingerprint normalization: RE2 '\s' here == the explicit [ \t\n\f\r] class
+# in functions/textstats.normalize_text (and DuckDB trim() strips spaces only,
+# like Python .strip(' ')).  Unicode whitespace is out of contract.
 _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 

@@ -15,7 +15,10 @@ import re
 # BPE-ish pre-tokenizer (GPT-2 style word/number/punct split, simplified to
 # stdlib `re`: no unicode property classes).
 BPE_ISH_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
-WS_RE = re.compile(r"\s+")
+# Whitespace class harmonized with the DuckDB oracle: RE2's '\s' is exactly
+# [\t\n\f\r ] (ASCII), while Python's '\s' is Unicode — fingerprints must
+# normalize identically on both sides, so use the RE2 class explicitly.
+WS_RE = re.compile(r"[ \t\n\f\r]+")
 PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 DIGIT_RE = re.compile(r"\d")
 
@@ -34,8 +37,9 @@ _DEVANAGARI_RE = re.compile(r"[ऀ-ॿ]")
 
 def normalize_text(text: str) -> str:
     """lower + collapse whitespace runs to single space + strip — matches the
-    SQL ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``."""
-    return WS_RE.sub(" ", (text or "").lower()).strip()
+    SQL ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` exactly
+    (RE2 whitespace class; space-only strip like SQL ``trim``)."""
+    return WS_RE.sub(" ", (text or "").lower()).strip(" ")
 
 
 def fingerprint_md5(text: str) -> str:

@@ -53,7 +53,14 @@ def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
 
     def attach(batch: pa.Table) -> pa.Table:
         lookup = _get_broadcast(ref)
-        segs = [lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
+        # vectorized recode (Series.map over a dict) + inner-join semantics:
+        # rows whose key misses the broadcast dim are dropped, matching SQL
+        keys = pd.Series(batch.column("o_custkey").to_numpy(zero_copy_only=False))
+        segs = keys.map(lookup)
+        hit = segs.notna().to_numpy()
+        if not hit.all():
+            batch = batch.filter(pa.array(hit))
+            segs = segs[hit]
         return pa.table(
             {
                 "c_mktsegment": pa.array(segs, pa.string()),
@@ -103,19 +110,30 @@ def brand_volume(sf_dir: str) -> rd.Dataset:
                 "key": keys,
                 "p_brand": batch.column("p_brand"),
                 "qty_c": pa.nulls(batch.num_rows, pa.int64()),
+                "n": pa.nulls(batch.num_rows, pa.int64()),
             }
         )
 
     def line_side(batch: pa.Table) -> pa.Table:
-        keys = batch.column("l_partkey").cast(pa.int64())
+        # map-side pre-aggregation by partkey BEFORE the bucket shuffle: the
+        # shuffled fact rows shrink from |lineitem| to distinct-partkeys/batch
+        t = pa.table(
+            {
+                "key": batch.column("l_partkey").cast(pa.int64()),
+                "qty_c": _cents(batch.column("l_quantity")),
+            }
+        )
+        agg = pa.TableGroupBy(t, "key").aggregate([("qty_c", "sum"), ("qty_c", "count")])
+        keys = agg.column("key")
         return pa.table(
             {
                 "bucket": pa.array(
                     keys.to_numpy(zero_copy_only=False) % NUM_JOIN_BUCKETS
                 ).cast(pa.int32()),
                 "key": keys,
-                "p_brand": pa.nulls(batch.num_rows, pa.string()),
-                "qty_c": _cents(batch.column("l_quantity")),
+                "p_brand": pa.nulls(agg.num_rows, pa.string()),
+                "qty_c": agg.column("qty_c_sum").cast(pa.int64()),
+                "n": agg.column("qty_c_count").cast(pa.int64()),
             }
         )
 
@@ -125,10 +143,10 @@ def brand_volume(sf_dir: str) -> rd.Dataset:
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         dim = group[group["qty_c"].isna()][["key", "p_brand"]]
-        fact = group[group["p_brand"].isna()][["key", "qty_c"]]
+        fact = group[group["p_brand"].isna()][["key", "qty_c", "n"]]
         j = fact.merge(dim, on="key", how="inner")
         out = j.groupby("p_brand", as_index=False).agg(
-            qty_c=("qty_c", "sum"), n_items=("qty_c", "size")
+            qty_c=("qty_c", "sum"), n_items=("n", "sum")
         )
         out["qty_c"] = out["qty_c"].astype("int64")
         out["n_items"] = out["n_items"].astype("int64")
@@ -196,13 +214,16 @@ def top_customers(sf_dir: str, *, k: int = 10) -> rd.Dataset:
 
     def attach(batch: pa.Table) -> pa.Table:
         lookup = _get_broadcast(ref)
+        keys = pd.Series(batch.column("o_custkey").to_numpy(zero_copy_only=False))
+        names_s = keys.map(lookup)
+        hit = names_s.notna().to_numpy()
+        if not hit.all():  # inner-join semantics on dirty keys
+            batch = batch.filter(pa.array(hit))
+            names_s = names_s[hit]
         return pa.table(
             {
                 "c_custkey": batch.column("o_custkey").cast(pa.int64()),
-                "c_name": pa.array(
-                    [lookup.get(c) for c in batch.column("o_custkey").to_pylist()],
-                    pa.string(),
-                ),
+                "c_name": pa.array(names_s, pa.string()),
                 "total_spent": pc.round(
                     pc.divide(batch.column("price_c").cast(pa.float64()), pa.scalar(100.0)),
                     ndigits=2,
@@ -224,10 +245,21 @@ def inactive_customer_orders(sf_dir: str) -> rd.Dataset:
     filter of it) and the filter runs inside ``map_batches`` — no shuffle
     for the anti-join itself.
     """
-    users = {
-        r["user_id"]
-        for r in sf_table(sf_dir, "events", columns=["user_id"]).take_all()
-    }
+    # distinct user_ids computed ON-CLUSTER (groupby-style aggregation inside
+    # Dataset.unique); only the already-distinct — much smaller — set reaches
+    # the driver for the broadcast.  NULL user_ids are dropped so the filter
+    # matches SQL NOT IN semantics on clean keys (documented assumption: a
+    # NULL in events.user_id would make SQL NOT IN return no rows at all).
+    users = np.sort(
+        np.array(
+            [
+                u
+                for u in sf_table(sf_dir, "events", columns=["user_id"]).unique("user_id")
+                if u is not None
+            ],
+            dtype=np.int64,
+        )
+    )
     seg_of = {
         r["c_custkey"]: r["c_mktsegment"]
         for r in sf_table(
@@ -237,16 +269,25 @@ def inactive_customer_orders(sf_dir: str) -> rd.Dataset:
     ref = ray.put((users, seg_of))
 
     def anti(batch: pa.Table) -> pa.Table:
-        user_set, segs = _get_broadcast(ref)
-        keys = batch.column("o_custkey").to_pylist()
-        keep = [k not in user_set for k in keys]
-        t = batch.filter(pa.array(keep))
+        user_arr, segs = _get_broadcast(ref)
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectorized anti-membership via binary search on the sorted id array
+        pos = np.searchsorted(user_arr, keys)
+        pos_c = np.minimum(pos, len(user_arr) - 1) if len(user_arr) else pos
+        is_member = (
+            (user_arr[pos_c] == keys) if len(user_arr) else np.zeros(len(keys), bool)
+        )
+        t = batch.filter(pa.array(~is_member))
+        seg_s = pd.Series(
+            t.column("o_custkey").to_numpy(zero_copy_only=False)
+        ).map(segs)
+        hit = seg_s.notna().to_numpy()
+        if not hit.all():  # inner-join semantics on the dim side
+            t = t.filter(pa.array(hit))
+            seg_s = seg_s[hit]
         return pa.table(
             {
-                "c_mktsegment": pa.array(
-                    [segs.get(k) for k in t.column("o_custkey").to_pylist()],
-                    pa.string(),
-                ),
+                "c_mktsegment": pa.array(seg_s, pa.string()),
                 "price_c": _cents(t.column("o_totalprice")),
             }
         )
@@ -313,8 +354,15 @@ def clicks_last_purchase(sf_dir: str, *, num_buckets: int = 16) -> rd.Dataset:
             .reset_index(drop=True)
         )
         if clicks.empty:
-            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                 "last_purchase_ts": pd.Series([], dtype="datetime64[us]")})
+            # typed empty frame matching the non-empty branch's schema exactly
+            # (dtypes taken from the group itself), so no RefBundle schema
+            # drift reaches downstream operators
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=group["event_id"].dtype),
+                    "last_purchase_ts": pd.Series([], dtype=group["ts"].dtype),
+                }
+            )
         j = pd.merge_asof(
             clicks[["event_id", "user_id", "ts"]],
             purch[["user_id", "ts"]].rename(columns={"ts": "last_purchase_ts"}),

@@ -18,10 +18,21 @@ from ..functions import textstats as ts
 from ..sources.tables import sf_table
 
 
+# Token = maximal run of RE2 non-whitespace.  pyarrow's regex kernels are
+# RE2-backed, so this is *bitwise* the same tokenizer as the DuckDB oracle's
+# ``regexp_extract_all(text, '\S+')`` (both ASCII '\s'; Unicode whitespace is
+# out of contract for the corpus).
+_TOKEN_RE = r"\S+"
+
+
+def _n_tokens(texts: pa.Array) -> pa.Array:
+    return pc.count_substring_regex(texts, _TOKEN_RE)
+
+
 def doc_stats_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text")
     # vectorized: whitespace token count + char count
-    n_tokens = pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts)))
+    n_tokens = _n_tokens(texts)
     n_chars = pc.utf8_length(texts)
     # per-row (compiled-regex) signals
     tl = texts.to_pylist()
@@ -53,13 +64,7 @@ def doc_core_stats(sf_dir: str) -> rd.Dataset:
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch.column("text")
-        n_tokens = pc.list_value_length(
-            pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
-        ).cast(pa.int64())
-        # "" splits to [""] (length 1) while the spec counts 0 tokens
-        n_tokens = pc.if_else(
-            pc.equal(pc.utf8_trim_whitespace(texts), ""), pa.scalar(0, pa.int64()), n_tokens
-        )
+        n_tokens = _n_tokens(texts).cast(pa.int64())
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -79,9 +84,7 @@ def token_totals_by_lang(sf_dir: str) -> rd.Dataset:
     ds = sf_table(sf_dir, "documents", columns=["lang", "text"])
 
     def counts(batch: pa.Table) -> pa.Table:
-        n = pc.list_value_length(
-            pc.utf8_split_whitespace(pc.utf8_trim_whitespace(batch.column("text")))
-        ).cast(pa.int64())
+        n = _n_tokens(batch.column("text")).cast(pa.int64())
         return pa.table({"lang": batch.column("lang"), "n_tokens": n})
 
     out = ds.map_batches(counts, batch_format="pyarrow")
@@ -120,9 +123,7 @@ def quality_by_source(sf_dir: str) -> rd.Dataset:
     def signals(batch: pa.Table) -> pa.Table:
         texts = batch.column("text")
         n_chars = pc.utf8_length(texts).cast(pa.float64())
-        n_tokens = pc.list_value_length(
-            pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
-        ).cast(pa.float64())
+        n_tokens = _n_tokens(texts).cast(pa.float64())
         return pa.table(
             {
                 "source": batch.column("source"),

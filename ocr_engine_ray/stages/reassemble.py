@@ -50,20 +50,34 @@ RESULT_SCHEMA = pa.schema(
 )
 
 
+_DOC_NUM_RE = r"^doc-\d{1,15}$"
+
+
 def add_bucket_batch(batch: pa.Table, *, num_buckets: int) -> pa.Table:
-    """Append a ``bucket = hash(doc_id) % num_buckets`` column (vectorized
-    fast path for ``doc-%08d`` ids; crc32 fallback for arbitrary ids)."""
+    """Append a ``bucket = hash(doc_id) % num_buckets`` column.
+
+    The bucket is a pure function of each doc_id VALUE (never of which batch
+    it arrived in): ids matching ``doc-<digits>`` take the vectorized Knuth
+    fast path, any other id hashes with crc32 — decided per value, so a
+    document whose rows straddle batches always lands in one bucket.
+    """
     doc_id = batch.column("doc_id")
-    try:
+    if isinstance(doc_id, pa.ChunkedArray):
+        doc_id = doc_id.combine_chunks()
+    ok = pc.match_substring_regex(doc_id, _DOC_NUM_RE).to_numpy(zero_copy_only=False)
+    if ok.all():
         nums = pc.cast(pc.utf8_slice_codeunits(doc_id, 4, 99), pa.int64())
         mixed = nums.to_numpy(zero_copy_only=False) * 2654435761 % (2 ** 32)
-        bucket = pa.array((mixed % num_buckets).astype(np.int32))
-    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-        bucket = pa.array(
-            [zlib.crc32(d.encode()) % num_buckets for d in doc_id.to_pylist()],
-            pa.int32(),
-        )
-    return batch.append_column("bucket", bucket)
+        bucket = (mixed % num_buckets).astype(np.int32)
+    else:
+        ids = doc_id.to_pylist()
+        bucket = np.empty(len(ids), dtype=np.int32)
+        for i, (d, is_num) in enumerate(zip(ids, ok)):
+            if is_num:
+                bucket[i] = (int(d[4:]) * 2654435761 % (2 ** 32)) % num_buckets
+            else:
+                bucket[i] = zlib.crc32(d.encode()) % num_buckets
+    return batch.append_column("bucket", pa.array(bucket))
 
 
 def reassemble_bucket(group: pa.Table) -> pa.Table:
