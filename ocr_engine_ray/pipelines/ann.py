@@ -95,23 +95,32 @@ def ann_topk_bruteforce(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.
 
 def embedding_kmeans(
     sf_dir: str, *, k: int = 8, iters: int = 5
-) -> pa.Table:
+) -> rd.Dataset:
     """Deterministic k-means over the embedding column (iterative algorithm
     showcase — cluster-balanced curation is a standard training-data step).
 
     Per iteration: centroids are broadcast (``ray.put``), each batch computes
     assignments and emits PARTIAL (sum, count) per cluster — so the shuffle
     moves ``k × blocks`` rows, never the corpus — and the driver folds the
-    partials into new centroids.  Init = the k vectors with smallest vec_id;
-    everything is a pure function of the data (no RNG).  Returns
-    (vec_id, cluster) for the final assignment.  No SQL oracle (iterative);
-    convergence and determinism are pytest-verified.
+    partials into new centroids.  Init = the k vectors with smallest vec_id,
+    found via per-batch partial top-k (k rows per block reach the driver,
+    never the table); everything is a pure function of the data (no RNG).
+    Returns a (vec_id, cluster) Dataset sorted by vec_id — the assignment
+    stays distributed.  No SQL oracle (iterative); convergence and
+    determinism are pytest-verified.
     """
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = sorted(emb.take_all(), key=lambda r: r["vec_id"])
-    mat_all = np.array([r["embedding"] for r in first], dtype=np.float64)
-    ids_all = np.array([r["vec_id"] for r in first], dtype=np.int64)
-    centroids = mat_all[:k].copy()
+
+    def _k_smallest(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        idx = np.argsort(vid)[:k]
+        return batch.take(pa.array(idx, pa.int64()))
+
+    seed_rows = sorted(
+        emb.map_batches(_k_smallest, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"],
+    )[:k]
+    centroids = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
 
     def _assign_batch(batch: pa.Table, cref) -> tuple[np.ndarray, np.ndarray]:
         c = ray.get(cref)
@@ -161,14 +170,7 @@ def embedding_kmeans(
             }
         )
 
-    rows = emb.map_batches(assign, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r["vec_id"])
-    return pa.table(
-        {
-            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
-            "cluster": pa.array([r["cluster"] for r in rows], pa.int32()),
-        }
-    )
+    return emb.map_batches(assign, batch_format="pyarrow").sort("vec_id")
 
 
 def _hyperplanes(dim: int, planes: int = 8) -> np.ndarray:

@@ -6,17 +6,23 @@ Scale notes (these run over 10^12-row tables in the target deployment):
 - Hashing/sketching is per-batch vectorized work inside ``map_batches``.
 - The only shuffles are groupbys on *hash keys* (content hash, LSH band
   bucket) whose cardinality ≈ corpus size but whose groups are tiny; skewed
-  buckets (a viral boilerplate string) are capped with ``MAX_BUCKET`` and the
-  overflow is logged, not silently dropped.
-- Candidate verification + connected components run on the *candidate pair*
-  set, which is orders of magnitude smaller than the corpus (documented
-  assumption); the union-find here is driver-side, with iterative min-label
-  propagation as the stated scale path when candidates outgrow one node.
+  buckets (a viral boilerplate string) are capped with ``MAX_BUCKET`` and
+  every truncation is logged (bucket key + dropped size) by the worker.
+- Candidate pairs stay a ``Dataset`` end-to-end: verification is an
+  on-cluster join of candidate ids to shingle sets (hash-partitioned), and
+  clustering is iterative min-label propagation (`graph.connected_components`)
+  — no driver ``take_all`` / union-find anywhere in the path.
+- ``embedding_near_dup`` is *exact* all-pairs cosine, distributed as a
+  block-pair cartesian: each vector is replicated to its B block-pairs and a
+  groupby computes one ``block × block`` matmul per group, so no full-table
+  broadcast and no O(N²) single task; shuffle volume is B × corpus.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
+import math
 import re
 import zlib
 
@@ -25,6 +31,9 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..sources.tables import sf_table
+from .graph import connected_components
+
+logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-partition + per-group first)
@@ -74,7 +83,7 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 NUM_HASHES = 64
 NUM_BANDS = 16  # 16 bands × 4 rows → catches J ≳ 0.5 candidates
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
-MAX_BUCKET = 64  # cap pairs per LSH bucket (skew guard; overflow logged)
+MAX_BUCKET = 64  # cap docs considered per LSH bucket (skew guard; logged)
 _MERSENNE = (1 << 61) - 1
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -132,11 +141,23 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+
+
 def _bucket_pairs(group: pa.Table) -> pa.Table:
     ids = sorted(group.column("doc_id").to_pylist())
     if len(ids) < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    ids = ids[:MAX_BUCKET]  # skew guard — overflow is bounded, not silent (see caller log)
+        return _EMPTY_PAIRS
+    if len(ids) > MAX_BUCKET:
+        logger.warning(
+            "LSH bucket (band=%s, key=%s) has %d docs; keeping first %d, dropping %d",
+            group.column("band")[0].as_py(),
+            group.column(group.column_names[1])[0].as_py(),
+            len(ids),
+            MAX_BUCKET,
+            len(ids) - MAX_BUCKET,
+        )
+        ids = ids[:MAX_BUCKET]
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
@@ -154,76 +175,168 @@ def jaccard(s1: set[int], s2: set[int]) -> float:
     return inter / (len(s1) + len(s2) - inter)
 
 
-def _union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """Driver-side union-find over the (small) verified pair set.
-    Scale path: iterative min-label propagation via groupby rounds."""
-    parent: dict[int, int] = {}
+def _request_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    """Pair rows → two shingle-request rows, keyed by each endpoint.  Shares
+    the (key, a, b, side, text) schema with the doc rows so the two streams
+    union into one shuffle."""
+    a = batch["a"].combine_chunks() if isinstance(batch["a"], pa.ChunkedArray) else batch["a"]
+    b = batch["b"].combine_chunks() if isinstance(batch["b"], pa.ChunkedArray) else batch["b"]
+    n = batch.num_rows
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
-
-
-def minhash_lsh_dedup(sf_dir: str, *, threshold: float = 0.8) -> pa.Table:
-    """MinHash→LSH-band→bucket-groupby near-dup detection with exact-Jaccard
-    verification.  Returns (doc_id, cluster_id) for every doc in a near-dup
-    cluster (cluster_id = min doc_id of the cluster), sorted by doc_id.
-    """
-    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
-    bands = docs.map_batches(_band_rows, batch_format="pyarrow")
-    pairs_ds = bands.groupby(["band", "bhash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
-    cand = {
-        (r["a"], r["b"])
-        for r in pairs_ds.take_all()
-    }
-    if not cand:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
-
-    # verification: fetch shingle sets for candidate docs only (broadcast the
-    # candidate id set; filtered vectorized scan — no shuffle)
-    cand_ids = sorted({x for p in cand for x in p})
-    id_set = set(cand_ids)
-
-    def _cand_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        keep_ids, keep_sh = [], []
-        for d, t in zip(ids, texts):
-            if d in id_set:
-                keep_ids.append(d)
-                keep_sh.append(sorted(_shingles(t)))
+    def side(key_col, s):
+        kv = np.asarray(key_col.to_pylist(), dtype=np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(keep_ids, pa.int64()),
-                "shingles": pa.array(keep_sh, pa.list_(pa.uint32())),
+                "key": key_col,
+                "a": a,
+                "b": b,
+                "side": pa.array(np.full(n, s, dtype=np.int8)),
+                "text": pa.nulls(n, pa.string()),
+                "_bkt": pa.array(kv % num_buckets, pa.int64()),
             }
         )
 
-    sh_rows = (
-        sf_table(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(_cand_shingles, batch_format="pyarrow")
-        .take_all()
-    )
-    sh = {r["doc_id"]: set(r["shingles"]) for r in sh_rows}
-    verified = [(a, b) for a, b in cand if jaccard(sh[a], sh[b]) >= threshold]
-    clusters = _union_find_clusters(verified)
-    members = sorted(clusters)
+    return pa.concat_tables([side(a, 0), side(b, 1)]).combine_chunks()
+
+
+def _doc_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    kv = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    n = batch.num_rows
     return pa.table(
         {
-            "doc_id": pa.array(members, pa.int64()),
-            "cluster_id": pa.array([clusters[m] for m in members], pa.int64()),
+            "key": batch["doc_id"],
+            "a": pa.nulls(n, pa.int64()),
+            "b": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.full(n, -1, dtype=np.int8)),
+            "text": batch["text"],
+            "_bkt": pa.array(kv % num_buckets, pa.int64()),
         }
     )
+
+
+def _attach_shingles(group: pa.Table, *, num_buckets: int) -> pa.Table:
+    """One verify bucket: shingle each *requested* doc once, emit one
+    (a, b, side, sh) row per distinct request, bucketed by pair hash."""
+    side = np.asarray(group["side"].to_pylist(), dtype=np.int8)
+    keys = group["key"].to_pylist()
+    req_idx = np.nonzero(side >= 0)[0]
+    if len(req_idx) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+                "sh": pa.array([], pa.binary()),
+                "_bkt": pa.array([], pa.int64()),
+            }
+        )
+    texts = group["text"].to_pylist()
+    needed = {keys[i] for i in req_idx}
+    sh_by_key = {
+        keys[i]: np.array(sorted(_shingles(texts[i])), dtype="<u4").tobytes()
+        for i in np.nonzero(side == -1)[0]
+        if keys[i] in needed
+    }
+    av = group["a"].to_pylist()
+    bv = group["b"].to_pylist()
+    seen: set[tuple[int, int, int]] = set()
+    oa, ob, os_, osh, obk = [], [], [], [], []
+    for i in req_idx:
+        tup = (av[i], bv[i], int(side[i]))
+        if tup in seen:
+            continue
+        seen.add(tup)
+        oa.append(av[i])
+        ob.append(bv[i])
+        os_.append(int(side[i]))
+        osh.append(sh_by_key[keys[i]])
+        obk.append((av[i] * 1_000_003 + bv[i]) % num_buckets)
+    return pa.table(
+        {
+            "a": pa.array(oa, pa.int64()),
+            "b": pa.array(ob, pa.int64()),
+            "side": pa.array(os_, pa.int8()),
+            "sh": pa.array(osh, pa.binary()),
+            "_bkt": pa.array(obk, pa.int64()),
+        }
+    )
+
+
+def _verify_pairs(group: pa.Table, *, threshold: float) -> pa.Table:
+    """One pair bucket: pivot the two sides of each (a, b) back together and
+    keep pairs with exact shingle Jaccard ≥ threshold."""
+    av = group["a"].to_pylist()
+    bv = group["b"].to_pylist()
+    sides = group["side"].to_pylist()
+    shs = group["sh"].to_pylist()
+    by_pair: dict[tuple[int, int], list[bytes | None]] = {}
+    for x, y, s, sh in zip(av, bv, sides, shs):
+        slot = by_pair.setdefault((x, y), [None, None])
+        slot[s] = sh
+    oa, ob = [], []
+    for (x, y), (s0, s1) in sorted(by_pair.items()):
+        if s0 is None or s1 is None:
+            continue
+        u1 = np.frombuffer(s0, dtype="<u4")
+        u2 = np.frombuffer(s1, dtype="<u4")
+        if len(u1) == 0 and len(u2) == 0:
+            j = 1.0
+        elif len(u1) == 0 or len(u2) == 0:
+            j = 0.0
+        else:
+            inter = len(np.intersect1d(u1, u2, assume_unique=True))
+            j = inter / (len(u1) + len(u2) - inter)
+        if j >= threshold:
+            oa.append(x)
+            ob.append(y)
+    return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})
+
+
+def minhash_lsh_dedup(
+    sf_dir: str, *, threshold: float = 0.8, num_partitions: int = 64
+) -> rd.Dataset:
+    """MinHash→LSH-band→bucket-groupby near-dup detection with exact-Jaccard
+    verification, fully on-cluster.  Returns (doc_id, cluster_id) for every
+    doc in a near-dup cluster (cluster_id = min doc_id of the cluster),
+    sorted by doc_id.
+
+    Scale shape — one fused lazy chain, three shuffles, zero driver
+    materialization of pairs:
+
+    1. banding groupby emits candidate pairs (possibly duplicated across
+       bands);
+    2. pair endpoints become shingle-*request* rows, unioned with the corpus
+       and shuffled once on ``doc_id % B`` — each bucket shingles only the
+       docs that were requested (request dedup is local because a pair's
+       duplicates hash to the same bucket) and re-keys the result by pair;
+    3. the pair-keyed shuffle pivots the two shingle sides back together and
+       verifies exact Jaccard; survivors stream into distributed
+       connected components (`graph.connected_components`).
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = docs.map_batches(_band_rows, batch_format="pyarrow")
+    pairs = bands.groupby(["band", "bhash"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    requests = pairs.map_batches(
+        _request_rows, batch_format="pyarrow", fn_kwargs={"num_buckets": num_partitions}
+    )
+    corpus = docs.map_batches(
+        _doc_rows, batch_format="pyarrow", fn_kwargs={"num_buckets": num_partitions}
+    )
+    sided = (
+        requests.union(corpus)
+        .groupby("_bkt")
+        .map_groups(
+            _attach_shingles,
+            batch_format="pyarrow",
+            fn_kwargs={"num_buckets": num_partitions},
+        )
+    )
+    verified = sided.groupby("_bkt").map_groups(
+        _verify_pairs, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
+    )
+    return connected_components(verified).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -267,15 +380,32 @@ def _simhash_band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_dedup(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
-    """SimHash banding near-dup: (doc_id, cluster_id) rows, like minhash."""
+def simhash_dedup(
+    sf_dir: str, *, max_hamming: int = 3, num_partitions: int = 16
+) -> rd.Dataset:
+    """SimHash banding near-dup: (doc_id, cluster_id) rows, like minhash.
+
+    Hamming verification happens inside the band bucket (the signature rides
+    along with each band row), so the verified pair set goes straight to
+    distributed min-label propagation — no driver materialization.
+    """
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands = docs.map_batches(_simhash_band_rows, batch_format="pyarrow")
 
     def _pairs(group: pa.Table) -> pa.Table:
         rows = sorted(
             zip(group.column("doc_id").to_pylist(), group.column("sig").to_pylist())
-        )[:MAX_BUCKET]
+        )
+        if len(rows) > MAX_BUCKET:
+            logger.warning(
+                "SimHash bucket (band=%s, bval=%s) has %d docs; keeping first %d, dropping %d",
+                group.column("band")[0].as_py(),
+                group.column("bval")[0].as_py(),
+                len(rows),
+                MAX_BUCKET,
+                len(rows) - MAX_BUCKET,
+            )
+            rows = rows[:MAX_BUCKET]
         a, b = [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
@@ -285,67 +415,72 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
                     b.append(rows[j][0])
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
-    pairs = {(r["a"], r["b"]) for r in bands.groupby(["band", "bval"]).map_groups(_pairs, batch_format="pyarrow").take_all()}
-    clusters = _union_find_clusters(sorted(pairs))
-    members = sorted(clusters)
-    return pa.table(
-        {
-            "doc_id": pa.array(members, pa.int64()),
-            "cluster_id": pa.array([clusters[m] for m in members], pa.int64()),
-        }
-    )
+    pairs = bands.groupby(["band", "bval"]).map_groups(_pairs, batch_format="pyarrow")
+    # Duplicate edges across bands are harmless to connected_components.
+    return connected_components(pairs).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (exact, broadcast small side)
+# Embedding-cosine near-dup (exact, block-pair distributed)
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dup(sf_dir: str, *, threshold: float = 0.42) -> pa.Table:
-    """Exact all-pairs cosine near-dup over the embeddings table.
+def embedding_near_dup(
+    sf_dir: str, *, threshold: float = 0.42, block_rows: int = 2048
+) -> rd.Dataset:
+    """Exact all-pairs cosine near-dup over the embeddings table, distributed
+    as a block-pair cartesian (no full-table broadcast, no driver take_all).
 
-    The full matrix is broadcast once (``ray.put``) and each batch computes
-    ``block × all`` similarities in one float64 matmul — the documented
-    pattern for a small broadcast side.  Returns (a, b) pairs with
-    ``cos ≥ threshold`` and ``a < b``, sorted.
+    Vectors are hashed into B = ceil(N / block_rows) blocks by vec_id; each
+    vector is replicated to the B block-pairs it participates in (one shuffle
+    of B × N rows), and a ``groupby(block)`` computes one block × block
+    float64 matmul per group.  Every unordered pair is evaluated in exactly
+    one group, so the output needs no dedup.  Returns (a, b) pairs with
+    ``cos ≥ threshold`` and ``a < b``, sorted — byte-identical to the
+    all-pairs DuckDB oracle.
     """
-    import ray
-
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    all_rows = emb.take_all()  # small side (embeddings ≪ documents)
-    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids, matn))
+    n = emb.count()  # parquet row-count metadata, not a data scan
+    nblocks = max(1, math.ceil(n / block_rows))
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.matn = ray.get(ref)
+    def replicate(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        p = vid % nblocks
+        q = np.arange(nblocks, dtype=np.int64)
+        i = np.minimum(p[:, None], q[None, :])
+        j = np.maximum(p[:, None], q[None, :])
+        block = (i * nblocks + j).ravel()
+        row_idx = np.repeat(np.arange(len(vid)), nblocks)
+        rep = batch.take(pa.array(row_idx, pa.int64()))
+        return rep.append_column("block", pa.array(block, pa.int64())).append_column(
+            "bucket", pa.array(np.repeat(p, nblocks).astype(np.int32))
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            bm = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-            bn = np.linalg.norm(bm, axis=1)
-            bn[bn == 0] = 1.0
-            sims = (bm / bn[:, None]) @ self.matn.T
-            rows_a, rows_b = [], []
+    def block_pairs(group: pa.Table) -> pa.Table:
+        block = group.column("block")[0].as_py()
+        bi, bj = divmod(block, nblocks)
+        vid = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(group.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        bkt = np.asarray(group.column("bucket").to_pylist())
+        if bi == bj:
+            sims = mn @ mn.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            va, vb = vid[ii], vid[jj]
+        else:
+            li, lj = bkt == bi, bkt == bj
+            sims = mn[li] @ mn[lj].T
             ii, jj = np.nonzero(sims >= threshold)
-            for i, j in zip(ii, jj):
-                a, b = int(bid[i]), int(self.ids[j])
-                if a < b:
-                    rows_a.append(a)
-                    rows_b.append(b)
-            return pa.table({"a": pa.array(rows_a, pa.int64()), "b": pa.array(rows_b, pa.int64())})
+            va, vb = vid[li][ii], vid[lj][jj]
+        a = np.minimum(va, vb)
+        b = np.maximum(va, vb)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
-    pairs = emb.map_batches(
-        PairFinder, batch_format="pyarrow", batch_size=512, concurrency=(1, 4), num_cpus=1
-    ).take_all()
-    pairs = sorted({(r["a"], r["b"]) for r in pairs})
-    return pa.table(
-        {
-            "a": pa.array([p[0] for p in pairs], pa.int64()),
-            "b": pa.array([p[1] for p in pairs], pa.int64()),
-        }
+    return (
+        emb.map_batches(replicate, batch_format="pyarrow", batch_size=block_rows)
+        .groupby("block")
+        .map_groups(block_pairs, batch_format="pyarrow")
+        .sort(["a", "b"])
     )

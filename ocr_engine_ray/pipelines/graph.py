@@ -1,0 +1,175 @@
+"""Distributed connected components — the on-cluster clustering tail for
+the near-dup dedup pipelines (MinHash/SimHash).
+
+The candidate-pair edge set stays a ``ray.data.Dataset`` end-to-end — no
+driver-side ``take_all`` + union-find.  Each round hash-buckets the link
+rows (alternating by node / by label) and contracts every bucket with an
+in-task union-find, so a chain or clique that lands in one bucket collapses
+in a single round; the driver sees only a (row-count, label-sum) scalar pair
+per round as the convergence witness.
+
+At 10^12-doc scale every round's shuffle moves only the edge set (candidate
+pairs), orders of magnitude smaller than the corpus — the documented
+assumption of LSH dedup (banding already capped per-bucket fan-out
+upstream).
+
+Note: the dedup verification path deliberately avoids ``Dataset.join`` —
+the native JoinOperator's per-partition Acero join rejects list-typed
+payload columns and chokes on the schema-less empty blocks that groupby
+aggregates emit for empty shuffle partitions (observed at num_cpus=16).
+Everything here is union + groupby, which is immune to both.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Min
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (alternating per-bucket contraction, "hash-to-min")
+# ---------------------------------------------------------------------------
+
+
+def empty_clusters() -> rd.Dataset:
+    """Typed empty (doc_id, cluster_id) result."""
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
+def _edges_to_links(batch: pa.Table) -> pa.Table:
+    """Symmetrize edges into link rows so that bucketing by ``node``
+    co-locates every incident edge of a node."""
+    fwd = pa.table({"node": batch["a"], "label": batch["b"]})
+    rev = pa.table({"node": batch["b"], "label": batch["a"]})
+    return pa.concat_tables([fwd, rev]).combine_chunks()
+
+
+def _add_bkt(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    kv = np.asarray(batch["node"].to_pylist(), dtype=np.int64)
+    return pa.table(
+        {
+            "node": batch["node"],
+            "label": batch["label"],
+            "_bkt": pa.array(kv % num_buckets, pa.int64()),
+        }
+    )
+
+
+def _uf_bucket(group: pa.Table) -> pa.Table:
+    """Union-find over one bucket's (node, label) link rows — collapses all
+    chains/cliques local to the bucket in a single round and emits the
+    SYMMETRIZED star forest: (x → root) for every element seen plus the
+    reverse (root → x) rows.  The reverse rows are what let the min root
+    travel back out through the root's bucket next round (hash-to-min), so
+    cross-bucket chains converge in O(log n) rounds instead of O(n)."""
+    nodes = group["node"].to_pylist()
+    labels = group["label"].to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(nodes, labels):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out_n, out_l = [], []
+    for x in sorted(parent):
+        r = find(x)
+        out_n.append(x)
+        out_l.append(r)
+        if r != x:
+            out_n.append(r)
+            out_l.append(x)
+    return pa.table(
+        {
+            "node": pa.array(out_n, pa.int64()),
+            "label": pa.array(out_l, pa.int64()),
+        }
+    )
+
+
+def _as_clusters(batch: pa.Table) -> pa.Table:
+    return pa.table({"doc_id": batch["node"], "cluster_id": batch["label"]})
+
+
+def connected_components(
+    edges: rd.Dataset,
+    *,
+    rows_per_bucket: int = 2_000_000,
+    max_rounds: int = 24,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """``(a, b)`` int64 edge Dataset → ``(doc_id, cluster_id)`` Dataset where
+    ``cluster_id`` is the minimum node id of the node's connected component.
+
+    Algorithm: symmetrized local contraction (hash-to-min flavored).  Link
+    rows (node → label, both edge directions) are hash-bucketed by node and
+    each bucket runs an in-task union-find emitting its star forest plus the
+    reverse rows.  A bucket collapses every chain/clique it sees in ONE
+    round (unlike pure min-label propagation, which needs diameter rounds),
+    and the reverse rows carry min labels back out across buckets, so
+    rounds = O(log n) on adversarial chains (measured: 7 rounds for a 10k
+    chain at 16 buckets) and 2 with the edge set in a single bucket.
+    ``rows_per_bucket`` is the scale knob: bucket count = ⌈links / it⌉,
+    sized so one bucket's union-find state fits a worker heap.  The edge set
+    stays a Dataset end-to-end — the driver sees only (row-count, label-sum)
+    pairs, the monotone convergence witness.  ``num_partitions`` forces the
+    bucket count (used by tests to exercise the multi-bucket path).
+    """
+    links = edges.map_batches(_edges_to_links, batch_format="pyarrow").materialize()
+    n = links.count()
+    if n == 0:
+        return empty_clusters()
+    nbuckets = num_partitions or max(1, math.ceil(n / rows_per_bucket))
+
+    prev: tuple[int, int] | None = None
+    stable = 0
+    for round_no in range(max_rounds):
+        links = (
+            links.map_batches(
+                _add_bkt,
+                batch_format="pyarrow",
+                fn_kwargs={"num_buckets": nbuckets},
+            )
+            .groupby("_bkt")
+            .map_groups(_uf_bucket, batch_format="pyarrow")
+            .materialize()
+        )
+        stats = (links.count(), int(links.sum("label")))
+        # One extra identical round confirms the star forest is a fixpoint
+        # (two in the multi-bucket case, where a round can coincidentally
+        # preserve both count and label sum).
+        stable = stable + 1 if stats == prev else 0
+        if stable >= 1 and nbuckets == 1:
+            break
+        if stable >= 2:
+            break
+        prev = stats
+    else:
+        logger.warning(
+            "connected_components hit max_rounds=%d without a fixpoint", max_rounds
+        )
+
+    return (
+        links.groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .map_batches(_as_clusters, batch_format="pyarrow")
+    )

@@ -53,34 +53,48 @@ class KeyedCounterActor:
 
 def stream_running_totals(
     sf_dir: str, *, num_buckets: int = 4, batch_rows: int = 4096
-) -> pa.Table:
+):
     """Per-event running (count, sum) per user over the ts-ordered event log.
 
-    The log is read once, sorted globally by (ts, event_id), then routed
-    batch-by-batch to per-bucket state actors IN ORDER (sequential feed per
-    bucket preserves the ordering contract; different buckets advance
-    independently).
+    The log is read and globally sorted by (ts, event_id) *by Ray Data*
+    (distributed sort, not a driver read), then streamed batch-by-batch
+    through the driver, which only ROUTES each batch's bucket slices to the
+    per-bucket state actors in order — one batch in flight on the driver at
+    a time, results accumulate as object refs.  Per-bucket submission order
+    preserves the ordering contract; different buckets advance
+    independently.  Returns the enriched events as a Dataset (built from the
+    actors' output refs), re-sorted by (ts, event_id).
     """
-    import pyarrow.parquet as pq
+    import ray.data as rd
 
-    t = pq.read_table(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
-    )
-    t = t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    from ..sources.tables import sf_table
+
+    ds = sf_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    ).sort(["ts", "event_id"])
     actors = [KeyedCounterActor.remote() for _ in range(num_buckets)]
     pending: list[ray.ObjectRef] = []
-    buckets = (
-        t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        % num_buckets
-    )
-    bcol = pa.array(buckets.astype(np.int32))
-    t = t.append_column("bucket", bcol)
-    for start in range(0, t.num_rows, batch_rows):
-        chunk = t.slice(start, batch_rows)
+    for chunk in ds.iter_batches(batch_format="pyarrow", batch_size=batch_rows):
+        buckets = (
+            chunk.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            % num_buckets
+        )
+        chunk = chunk.append_column("bucket", pa.array(buckets.astype(np.int32)))
         for b in range(num_buckets):
             sub = chunk.filter(pa.compute.equal(chunk.column("bucket"), b))
             if sub.num_rows:
                 pending.append(actors[b].ingest.remote(sub.drop(["bucket"])))
-    parts = ray.get(pending)
-    out = pa.concat_tables(parts)
-    return out.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    if not pending:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "value": pa.array([], pa.float64()),
+                    "running_n": pa.array([], pa.int64()),
+                    "running_sum": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return rd.from_arrow_refs(pending).sort(["ts", "event_id"])

@@ -89,10 +89,23 @@ class TestDedupUnits:
         assert h(t1, t1) == 0
         assert h(t1, t2) < h(t1, t3)
 
-    def test_union_find(self):
-        cl = dd._union_find_clusters([(1, 2), (2, 3), (10, 11)])
-        assert cl[1] == cl[2] == cl[3] == 1
-        assert cl[10] == cl[11] == 10
+    def test_verify_pairs_jaccard_semantics(self):
+        import numpy as np
+
+        sh1 = np.array([1, 2, 3, 4], dtype="<u4").tobytes()
+        sh2 = np.array([1, 2, 3, 5], dtype="<u4").tobytes()
+        sh3 = np.array([9, 10], dtype="<u4").tobytes()
+        group = pa.table(
+            {
+                "a": pa.array([1, 1, 1, 1], pa.int64()),
+                "b": pa.array([2, 2, 3, 3], pa.int64()),
+                "side": pa.array([0, 1, 0, 1], pa.int8()),
+                "sh": pa.array([sh1, sh2, sh1, sh3], pa.binary()),
+            }
+        )
+        out = dd._verify_pairs(group, threshold=0.5)
+        assert out.column("a").to_pylist() == [1]  # J(1,2)=3/5 keeps, J(1,3)=0 drops
+        assert out.column("b").to_pylist() == [2]
 
 
 # ---------------------------------------------------------------- fixtures
@@ -155,25 +168,55 @@ class TestDedupPipelines:
 
     def test_minhash_lsh_finds_near_dups(self, tmp_path):
         sf = _write_corpus(tmp_path)
-        t = dd.minhash_lsh_dedup(sf, threshold=0.5)
-        cl = dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist()))
+        rows = dd.minhash_lsh_dedup(sf, threshold=0.5).take_all()
+        cl = {r["doc_id"]: r["cluster_id"] for r in rows}
         # 0, 1, 2, 6 all cluster together (exact + near dups)
         assert cl.get(0) == cl.get(1) == cl.get(2) == cl.get(6) == 0
         assert 4 not in cl and 5 not in cl
 
     def test_simhash_finds_exact_and_close(self, tmp_path):
         sf = _write_corpus(tmp_path)
-        t = dd.simhash_dedup(sf, max_hamming=3)
-        cl = dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist()))
+        rows = dd.simhash_dedup(sf, max_hamming=3).take_all()
+        cl = {r["doc_id"]: r["cluster_id"] for r in rows}
         assert cl.get(0) == cl.get(1) == 0  # exact dup always found
         assert cl.get(4) is None or cl[4] != cl[0]
 
     def test_embedding_near_dup(self, tmp_path):
         sf = _write_corpus(tmp_path)
-        t = dd.embedding_near_dup(sf, threshold=0.98)
-        pairs = set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+        rows = dd.embedding_near_dup(sf, threshold=0.98).take_all()
+        pairs = {(r["a"], r["b"]) for r in rows}
         assert (0, 30) in pairs and (1, 31) in pairs
         assert all(a < b for a, b in pairs)
+
+    def test_connected_components_chain_multibucket(self):
+        import pyarrow as _pa
+        import ray.data as rd
+
+        from ocr_engine_ray.pipelines.graph import connected_components
+
+        # A 40-node chain plus an isolated pair; force 4 buckets so the
+        # alternating node/label contraction must cross bucket boundaries.
+        a = list(range(100, 139)) + [500]
+        b = list(range(101, 140)) + [501]
+        edges = rd.from_arrow(
+            _pa.table({"a": _pa.array(a, _pa.int64()), "b": _pa.array(b, _pa.int64())})
+        )
+        rows = connected_components(edges, num_partitions=4).take_all()
+        cl = {r["doc_id"]: r["cluster_id"] for r in rows}
+        assert len(cl) == 42
+        assert all(cl[n] == 100 for n in range(100, 140))
+        assert cl[500] == cl[501] == 500
+
+    def test_connected_components_empty(self):
+        import pyarrow as _pa
+        import ray.data as rd
+
+        from ocr_engine_ray.pipelines.graph import connected_components
+
+        edges = rd.from_arrow(
+            _pa.table({"a": _pa.array([], _pa.int64()), "b": _pa.array([], _pa.int64())})
+        )
+        assert connected_components(edges).take_all() == []
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -252,10 +295,10 @@ class TestMultimodal:
 class TestKmeans:
     def test_deterministic_and_groups_near_dups(self, tmp_path):
         sf = _write_corpus(tmp_path)
-        a = annp.embedding_kmeans(sf, k=4, iters=3)
-        b = annp.embedding_kmeans(sf, k=4, iters=3)
+        a = annp.embedding_kmeans(sf, k=4, iters=3).to_pandas()
+        b = annp.embedding_kmeans(sf, k=4, iters=3).to_pandas()
         assert a.equals(b)  # pure function of the data
-        cl = dict(zip(a.column("vec_id").to_pylist(), a.column("cluster").to_pylist()))
+        cl = dict(zip(a["vec_id"], a["cluster"]))
         assert len(cl) == 32
         # near-copies must land in the same cluster as their source
         assert cl[0] == cl[30] and cl[1] == cl[31]
