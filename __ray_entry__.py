@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_stats,
         interpret,
         joins,
+        modes,
         sampling,
     )
     from ocr_engine_ray.pipelines import textstats as tsp
@@ -66,6 +67,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": extract_stats.image_meta,
         "rich_fields": interpret.rich_fields,              # rows-only check
         "free_text": interpret.free_text,                  # rows-only check
+        "free_text_stats": interpret.free_text_stats,
+        # --- config modes (§2.7: redact / translate / vocabulary) ----------
+        "mode_translate_counts": modes.mode_translate_counts,
+        "mode_redact_inline": modes.mode_redact_inline,
+        "vocab_fields": modes.vocab_fields,                # rows-only check
+        "intake_vocabulary": modes.intake_vocabulary,
         # --- relational / windowed analytics -------------------------------
         "pricing_summary": analytics.pricing_summary,
         "events_hourly": analytics.events_hourly,
@@ -354,7 +361,56 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY source
         """,
+        "free_text_stats": f"""
+            SELECT doc_id, cnt::BIGINT AS n_blocks,
+                   (8*cnt + greatest(0, cnt-9) + greatest(0, cnt-99))::BIGINT
+                     AS header_chars,
+                   (CASE
+                      WHEN doc_id % 100 < 40
+                        THEN n_chars - (least(1 + doc_id % 3, {_NW}) - 1)
+                      WHEN doc_id % 100 < 65 THEN n_chars
+                      WHEN doc_id % 100 >= 90 AND doc_id % 100 < 94
+                        THEN n_chars - (least(2 + doc_id % 3, {_NW}) - 1)
+                      ELSE 0
+                    END)::BIGINT AS inline_chars
+            FROM (SELECT doc_id, text, n_chars,
+                         ({spec.OUT_SPAN_COUNT_SQL}) AS cnt
+                  FROM documents)
+        """,
+        "mode_translate_counts": f"""
+            WITH s AS (
+              SELECT count(*)::BIGINT AS n_docs, sum(cnt)::BIGINT AS n_spans
+              FROM (SELECT ({spec.OUT_SPAN_COUNT_SQL}) AS cnt FROM documents)
+            )
+            SELECT 'default' AS mode, n_docs, n_spans, 0::BIGINT AS n_translated FROM s
+            UNION ALL
+            SELECT 'lang_hi', n_docs, n_spans, n_spans FROM s
+            UNION ALL
+            SELECT 'translate_always', n_docs, n_spans, n_spans FROM s
+        """,
+        "mode_redact_inline": f"""
+            SELECT doc_id, 0::BIGINT AS n_redactions,
+                   (CASE WHEN doc_id % 100 < 40
+                         THEN n_chars - (least(1 + doc_id % 3, {_NW}) - 1)
+                         ELSE n_chars END)::BIGINT AS total_chars
+            FROM documents WHERE doc_id % 100 < 65
+        """,
+        "intake_vocabulary": """
+            SELECT * FROM (VALUES
+              ('applicant_name', 'Applicant Name'),
+              ('application_number', 'Application Number'),
+              ('loan_type', 'Loan Type'),
+              ('pin_code', 'PIN Code'),
+              ('plot_area', 'Plot Area'),
+              ('sanction_no', 'Sanction No')
+            ) AS t(key, label)
+        """,
         # minhash_lsh_dedup / simhash_dedup / ann_topk_lsh / langid_counts /
         # doc_stats: intentionally no SQL — sketch/heuristic ops; the driver
         # records the weaker rows-only check and pytest covers semantics.
+        # rich_fields / vocab_fields: field values derive from the media
+        # content streams (blake2b), which ANSI SQL cannot recompute — the
+        # JSON surfaces are pinned by pytest golden/equality tests instead;
+        # their SQL-visible projections are gated via free_text_stats /
+        # mode_redact_inline / intake_vocabulary.
     }

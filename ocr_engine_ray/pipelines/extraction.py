@@ -85,6 +85,7 @@ def extract_from_interleaved(
     extract_concurrency=None,
     giant_unit_threshold: int | None = None,
     compute: str = "tasks",
+    config=None,
 ) -> rd.Dataset:
     """Interleaved-doc Dataset → extracted (doc_id, spans, fields_json, …).
 
@@ -109,18 +110,31 @@ def extract_from_interleaved(
     two streaming plans carries real executor overhead — don't enable the
     split unless the giant tail's per-doc cost justifies it.
     """
-    from ..stages.doc_extract import DocExtractor, doc_extract_task, split_by_units
+    from ..stages.doc_extract import (
+        DocExtractor,
+        doc_extract_task,
+        make_doc_extract_task,
+        split_by_units,
+    )
     from ..stages.extract import span_extract_task
 
+    doc_kwargs = {}
     if compute == "actors":
         kwargs = {"num_cpus": 1}
         kwargs["concurrency"] = (
             extract_concurrency if extract_concurrency is not None else (2, 16)
         )
         span_fn, doc_fn = SpanExtractor, DocExtractor
+        if config is not None and config.extractors:
+            doc_kwargs = {"fn_constructor_kwargs": {"extractors": config.extractors}}
     else:  # "tasks": fuse with upstream, cache state per worker process
         kwargs = {}
-        span_fn, doc_fn = span_extract_task, doc_extract_task
+        span_fn = span_extract_task
+        doc_fn = (
+            make_doc_extract_task(config)
+            if config is not None and config.extractors
+            else doc_extract_task
+        )
 
     def giant_path(giant_ds: rd.Dataset) -> rd.Dataset:
         exploded = giant_ds.map_batches(explode_spans_batch, batch_format="pyarrow")
@@ -145,6 +159,7 @@ def extract_from_interleaved(
             batch_format="pyarrow",
             batch_size=extract_batch_size,
             **kwargs,
+            **doc_kwargs,
         )
 
     if giant_unit_threshold is None:

@@ -53,36 +53,97 @@ def _doc_free_text(spans: list[dict]) -> str:
     return "\n\n".join(blocks).strip()
 
 
+def _rich_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    rich = [_doc_rich_fields(d, s) for d, s in zip(ids, spans)]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "fields_rich_json": pa.array(rich, pa.string()),
+        }
+    )
+
+
+def _free_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    texts = [_doc_free_text(s) for s in spans]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def rich_fields_from_extraction(out: rd.Dataset) -> rd.Dataset:
+    return out.map_batches(_rich_batch, batch_format="pyarrow")
+
+
+def free_text_from_extraction(out: rd.Dataset) -> rd.Dataset:
+    return out.map_batches(_free_batch, batch_format="pyarrow")
+
+
 def rich_fields(sf_dir: str, **kwargs) -> rd.Dataset:
-    out = extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
-
-    def f(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        spans = batch.column("spans").to_pylist()
-        rich = [_doc_rich_fields(d, s) for d, s in zip(ids, spans)]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.string()),
-                "fields_rich_json": pa.array(rich, pa.string()),
-            }
-        )
-
-    return out.map_batches(f, batch_format="pyarrow")
+    return rich_fields_from_extraction(
+        extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
+    )
 
 
 def free_text(sf_dir: str, **kwargs) -> rd.Dataset:
+    return free_text_from_extraction(
+        extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
+    )
+
+
+def free_text_stats(sf_dir: str, **kwargs) -> rd.Dataset:
+    """The driver-gated projection of the free-text surface — per doc,
+    every structural quantity an ANSI-SQL oracle can recompute exactly:
+
+    - ``n_blocks``: one "[Page i]" block per extracted span (doc_id
+      arithmetic = OUT_SPAN_COUNT_SQL);
+    - ``header_chars``: Σ len(f"[Page {i}]") for i = 1..n_blocks
+      = 8B + max(0, B-9) + max(0, B-99) for B ≤ 999;
+    - ``inline_chars``: chars of spans whose text derives from the inline
+      document text (text / html_text kinds) — media-derived text (pdf
+      pages, image OCR, docx) is content-stream data SQL cannot see, so it
+      is excluded here and pinned by the pytest golden surface instead.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .. import spec
+
     out = extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
 
-    def f(batch: pa.Table) -> pa.Table:
+    def stats(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        spans = batch.column("spans").to_pylist()
-        texts = [_doc_free_text(s) for s in spans]
+        nums = np.array([int(d.rsplit("-", 1)[1]) for d in ids], dtype=np.int64)
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kinds = pc.struct_field(flat, "kind")
+        lens = pc.utf8_length(pc.struct_field(flat, "text")).to_numpy(
+            zero_copy_only=False
+        )
+        inline_mask = pc.is_in(
+            kinds, value_set=pa.array([spec.OUT_TEXT, spec.OUT_HTML_TEXT])
+        ).to_numpy(zero_copy_only=False)
+        inline = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(inline, parent[inline_mask], lens[inline_mask])
+        b = batch.column("n_spans").to_numpy(zero_copy_only=False).astype(np.int64)
+        header = 8 * b + np.maximum(0, b - 9) + np.maximum(0, b - 99)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.string()),
-                "text": pa.array(texts, pa.string()),
-                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                "doc_id": pa.array(nums, pa.int64()),
+                "n_blocks": pa.array(b, pa.int64()),
+                "header_chars": pa.array(header, pa.int64()),
+                "inline_chars": pa.array(inline, pa.int64()),
             }
         )
 
-    return out.map_batches(f, batch_format="pyarrow")
+    return out.map_batches(stats, batch_format="pyarrow")

@@ -71,7 +71,7 @@ def split_by_units(batch: pa.Table, *, threshold: int, keep_giant: bool) -> pa.T
     return batch.filter(pa.array(mask))
 
 
-_TASK_EXTRACTOR = None
+_TASK_EXTRACTORS: dict = {}
 
 
 def doc_extract_task(batch: pa.Table) -> pa.Table:
@@ -85,10 +85,23 @@ def doc_extract_task(batch: pa.Table) -> pa.Table:
     heavyweight model (GBs of weights, GPU), use the actor-pool mode
     (``compute='actors'``) instead.
     """
-    global _TASK_EXTRACTOR
-    if _TASK_EXTRACTOR is None:
-        _TASK_EXTRACTOR = DocExtractor()
-    return _TASK_EXTRACTOR(batch)
+    if None not in _TASK_EXTRACTORS:
+        _TASK_EXTRACTORS[None] = DocExtractor()
+    return _TASK_EXTRACTORS[None](batch)
+
+
+def make_doc_extract_task(config):
+    """Task-mode wrapper bound to a :class:`PipelineConfig` (custom extractor
+    registry); worker-side state cached per config fingerprint."""
+    key = config.fingerprint()
+    extractors = config.extractors
+
+    def task(batch: pa.Table) -> pa.Table:
+        if key not in _TASK_EXTRACTORS:
+            _TASK_EXTRACTORS[key] = DocExtractor(extractors=extractors)
+        return _TASK_EXTRACTORS[key](batch)
+
+    return task
 
 
 class DocExtractor:
@@ -98,12 +111,30 @@ class DocExtractor:
     bound once per actor; per-batch Arrow in/out) but operating per document.
     Semantics are identical to explode→extract→reassemble — asserted by the
     pipeline-vs-oracle equality tests, which run both paths.
+
+    Per-kind dispatch goes through the extractor registry
+    (stages/registry.py); pass ``extractors={...}`` to add or override kinds
+    (the §2.7 extension surface).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, extractors: dict | None = None) -> None:
+        from .registry import default_extractors, passthrough
+
         self._inner = SpanExtractor()  # shares the unit extractors + retry ladder
         self._html = fhtml.extract_main_text
         self._docx = flines.docx_to_text
+        self._extractors = {**default_extractors(), **(extractors or {})}
+        self._fallback = passthrough
+
+    # -- worker context exposed to registry extractors --------------------
+    def ocr_unit(self, ref: str, page_no: int) -> tuple[str, int]:
+        return self._inner._ocr_unit(ref, page_no)
+
+    def html_text(self, html: str) -> str:
+        return self._html(html)
+
+    def docx_text(self, paras, tables) -> str:
+        return self._docx(paras, tables)
 
     def _extract_doc(self, doc_spans: list[dict]) -> tuple[list, str, int, int]:
         # Null tolerance (spec, matches oracle): null offset → 0, strings → "".
@@ -120,26 +151,10 @@ class DocExtractor:
         out: list[tuple[str, str, str]] = []
         retries = 0
         for _, s in ordered:
-            kind, text, ref = s["kind"], s["text"], s["media_ref"]
-            if kind == spec.KIND_TEXT:
-                out.append((spec.OUT_TEXT, text or "", ""))
-            elif kind == spec.KIND_HTML:
-                out.append((spec.OUT_HTML_TEXT, self._html(text or ""), ""))
-            elif kind == spec.KIND_PDF_REF:
-                pages = synth.media_page_count(ref, spec.KIND_PDF_REF)
-                for p in range(1, pages + 1):
-                    t, r = self._inner._ocr_unit(ref, p)
-                    retries += r
-                    out.append((spec.OUT_PDF_PAGE, t, ref))
-            elif kind == spec.KIND_IMAGE_REF:
-                t, r = self._inner._ocr_unit(ref, 1)
-                retries += r
-                out.append((spec.OUT_IMAGE_TEXT, t, ref))
-            elif kind == spec.KIND_DOCX_REF:
-                paras, tables = synth.media_docx(ref)
-                out.append((spec.OUT_DOCX_TEXT, self._docx(paras, tables), ref))
-            else:
-                out.append((spec.OUT_TEXT, text or "", ref or ""))
+            fn = self._extractors.get(s["kind"], self._fallback)
+            units, r = fn(self, s["text"], s["media_ref"])
+            retries += r
+            out.extend(units)
         merged: dict[str, str] = {}
         total_chars = 0
         for _, t, _ in out:

@@ -56,3 +56,30 @@ class TestInterpret:
         # provenance repaired by substring search → page 2 holds the value
         assert obj["loan_type"]["source"] == "doc-90100000#page 2"
         assert ft.startswith("[Page 1]\nfiller page\n\n[Page 2]\n")
+
+    def test_sf0001_text_surface_goldens(self):
+        """Corpus-level golden hashes for the full rich/free TEXT surfaces
+        (content is media-stream-derived, so the driver gate can only see
+        structural projections — free_text_stats; these hashes pin the text
+        bytes against synth/oracle co-drift).  Regenerate ONLY for an
+        intentional spec change."""
+        import hashlib
+
+        from ocr_engine_ray.pipelines.interpret import free_text, rich_fields
+
+        rows = sorted(
+            (r["doc_id"], r["fields_rich_json"])
+            for r in rich_fields("/root/testdata/sf0.001", num_buckets=8).take_all()
+        )
+        assert (
+            hashlib.sha256(repr(rows).encode()).hexdigest()
+            == "9c2ec463e9d1bb6a812cce9d2654187a965d7eef82c0b0a446a43dcb65cd1c99"
+        )
+        rows2 = sorted(
+            (r["doc_id"], r["text"])
+            for r in free_text("/root/testdata/sf0.001", num_buckets=8).take_all()
+        )
+        assert (
+            hashlib.sha256(repr(rows2).encode()).hexdigest()
+            == "ffa995fb222ea2a22d25552f1fb988bdb7bb8dc5c4e2460047839f258735cf75"
+        )
