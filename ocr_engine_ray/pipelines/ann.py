@@ -22,9 +22,20 @@ from ..sources.tables import sf_table
 
 
 def _load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic query set: the embeddings with the smallest vec_ids."""
+    """Deterministic query set: the embeddings with the smallest vec_ids,
+    found via per-batch partial top-k — only ``num_queries × blocks`` rows
+    ever reach the driver, never the table."""
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])[:num_queries]
+
+    def _k_smallest(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        idx = np.argsort(vid)[:num_queries]
+        return batch.take(pa.array(idx, pa.int64()))
+
+    rows = sorted(
+        emb.map_batches(_k_smallest, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"],
+    )[:num_queries]
     qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     q = np.array([r["embedding"] for r in rows], dtype=np.float64)
     qn = np.linalg.norm(q, axis=1)

@@ -140,33 +140,38 @@ def connected_components(
         return empty_clusters()
     nbuckets = num_partitions or max(1, math.ceil(n / rows_per_bucket))
 
-    prev: tuple[int, int] | None = None
-    stable = 0
-    for round_no in range(max_rounds):
-        links = (
-            links.map_batches(
+    def contract(ds: rd.Dataset) -> rd.Dataset:
+        return (
+            ds.map_batches(
                 _add_bkt,
                 batch_format="pyarrow",
                 fn_kwargs={"num_buckets": nbuckets},
             )
             .groupby("_bkt")
             .map_groups(_uf_bucket, batch_format="pyarrow")
-            .materialize()
         )
-        stats = (links.count(), int(links.sum("label")))
-        # One extra identical round confirms the star forest is a fixpoint
-        # (two in the multi-bucket case, where a round can coincidentally
-        # preserve both count and label sum).
-        stable = stable + 1 if stats == prev else 0
-        if stable >= 1 and nbuckets == 1:
-            break
-        if stable >= 2:
-            break
-        prev = stats
+
+    if nbuckets == 1:
+        # One bucket sees every edge: a single union-find round IS the final
+        # star forest — no confirmation round, no convergence scalars.
+        links = contract(links)
     else:
-        logger.warning(
-            "connected_components hit max_rounds=%d without a fixpoint", max_rounds
-        )
+        prev: tuple[int, int] | None = None
+        stable = 0
+        for _ in range(max_rounds):
+            links = contract(links).materialize()
+            stats = (links.count(), int(links.sum("label")))
+            # Two identical rounds confirm the star forest is a fixpoint (a
+            # single round can coincidentally preserve count and label sum).
+            stable = stable + 1 if stats == prev else 0
+            if stable >= 2:
+                break
+            prev = stats
+        else:
+            logger.warning(
+                "connected_components hit max_rounds=%d without a fixpoint",
+                max_rounds,
+            )
 
     return (
         links.groupby("node")
