@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,       # rows-only check
         "simhash_dedup": dedup.simhash_dedup,               # rows-only check
         "embedding_near_dup": dedup.embedding_near_dup,
+        "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         # --- similarity search ---------------------------------------------
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
@@ -313,6 +314,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+        """,
+        # Transitive closure over the same cosine pairs — the SQL twin of
+        # graph.connected_components (cluster_id = min vec_id of component).
+        "embedding_near_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+            ),
+            edges AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs
+            ),
+            reach(node, other) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.node, e.v FROM reach r JOIN edges e ON r.other = e.u
+            )
+            SELECT node AS vec_id,
+                   least(node, min(other))::BIGINT AS cluster_id
+            FROM reach GROUP BY node
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings

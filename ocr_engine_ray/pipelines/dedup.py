@@ -9,9 +9,9 @@ Scale notes (these run over 10^12-row tables in the target deployment):
   buckets (a viral boilerplate string) are capped with ``MAX_BUCKET`` and
   every truncation is logged (bucket key + dropped size) by the worker.
 - Candidate pairs stay a ``Dataset`` end-to-end: verification is an
-  on-cluster join of candidate ids to shingle sets (hash-partitioned), and
-  clustering is iterative min-label propagation (`graph.connected_components`)
-  — no driver ``take_all`` / union-find anywhere in the path.
+  on-cluster union+groupby attach of shingle sets, and clustering is
+  distributed per-bucket contraction (`graph.connected_components`) — no
+  driver ``take_all`` / union-find anywhere in the path.
 - ``embedding_near_dup`` is *exact* all-pairs cosine, distributed as a
   block-pair cartesian: each vector is replicated to its B block-pairs and a
   groupby computes one ``block × block`` matmul per group, so no full-table
@@ -483,4 +483,30 @@ def embedding_near_dup(
         .groupby("block")
         .map_groups(block_pairs, batch_format="pyarrow")
         .sort(["a", "b"])
+    )
+
+
+def embedding_near_dup_clusters(
+    sf_dir: str, *, threshold: float = 0.42, block_rows: int = 2048
+) -> rd.Dataset:
+    """Near-dup *clusters* over the embeddings table: the exact block-pair
+    cosine pairs fed through distributed connected components.
+
+    Returns (vec_id, cluster_id) for every vector in a near-dup cluster,
+    cluster_id = min vec_id of the connected component, sorted by vec_id.
+    This is the driver-gated exactness proof for `graph.connected_components`
+    itself: the DuckDB twin recomputes the clusters with a recursive-CTE
+    transitive closure over the same cosine pairs.
+    """
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": batch["doc_id"], "cluster_id": batch["cluster_id"]}
+        )
+
+    pairs = embedding_near_dup(sf_dir, threshold=threshold, block_rows=block_rows)
+    return (
+        connected_components(pairs)
+        .map_batches(rename, batch_format="pyarrow")
+        .sort("vec_id")
     )

@@ -172,11 +172,17 @@ class TestModePipelines:
             )
         )
         cfg = PipelineConfig(extractors={"csv_ref": csv_extractor})
-        rows = extract_from_interleaved(ds, config=cfg).take_all()
-        got = [(s["kind"], s["text"]) for s in rows[0]["spans"]]
-        assert got == [
+        expected = [
             ("csv_row", "a"),
             ("csv_row", "b"),
             ("csv_row", "c"),
             ("text", "tail"),
         ]
+        rows = extract_from_interleaved(ds, config=cfg).take_all()
+        assert [(s["kind"], s["text"]) for s in rows[0]["spans"]] == expected
+        # actor-pool mode threads the registry via fn_constructor_kwargs
+        cfg_a = cfg.with_(compute="actors")
+        rows_a = extract_from_interleaved(
+            ds, config=cfg_a, compute="actors", extract_concurrency=(1, 2)
+        ).take_all()
+        assert [(s["kind"], s["text"]) for s in rows_a[0]["spans"]] == expected

@@ -188,6 +188,14 @@ class TestDedupPipelines:
         assert (0, 30) in pairs and (1, 31) in pairs
         assert all(a < b for a, b in pairs)
 
+    def test_embedding_near_dup_clusters(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        rows = dd.embedding_near_dup_clusters(sf, threshold=0.98).take_all()
+        cl = {r["vec_id"]: r["cluster_id"] for r in rows}
+        # planted near-copies (0,30) and (1,31) each form their own cluster
+        assert cl[0] == cl[30] == 0
+        assert cl[1] == cl[31] == 1
+
     def test_connected_components_chain_multibucket(self):
         import pyarrow as _pa
         import ray.data as rd
