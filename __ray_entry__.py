@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sampling,
     )
     from ocr_engine_ray.pipelines import textstats as tsp
+    from ocr_engine_ray.state.stream import (
+        stream_running_totals_query as _stream_running_totals_query,
+    )
 
     return {
         # --- joins (broadcast / bucketed hash / native hash / as-of) -------
@@ -98,8 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_stats": tsp.fingerprint_stats,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_texts": tsp.approx_distinct_texts,  # rows-only (sketch)
-        "langid_counts": tsp.langid_counts,                 # rows-only check
-        "doc_stats": tsp.doc_stats,                         # rows-only check
+        "stream_running_totals": _stream_running_totals_query,
+        "langid_counts": tsp.langid_counts,
+        "doc_stats": tsp.doc_stats,
     }
 
 
@@ -143,6 +147,57 @@ _TOK = "len(regexp_extract_all(text, '\\S+'))"
 # in functions/textstats.normalize_text (and DuckDB trim() strips spaces only,
 # like Python .strip(' ')).  Unicode whitespace is out of contract.
 _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+# --- langid / quality twins (functions/textstats.py) -----------------------
+# Normalized word list (normalize_text → split(" ")) and raw token list.
+_NORM_WORDS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_RAW_TOKS = "regexp_extract_all(text, '\\S+')"
+
+
+def _sw_list(lang: str) -> str:
+    from ocr_engine_ray.functions.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])) + "]"
+
+
+# Per-language stopword vote counts (computed once in a subquery).
+_LANG_SCORES = ", ".join(
+    f"len(list_filter({_NORM_WORDS}, w -> list_contains({_sw_list(l)}, w))) AS {l}_s"
+    for l in ("en", "de", "es", "fr")
+)
+
+# Fixed-order strict-improvement argmax (en → de → es → fr), script checks
+# first — mirrors functions/textstats.langid exactly.
+_LANGID = """
+CASE
+  WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+  WHEN regexp_matches(text, '[\\x{0900}-\\x{097F}]') THEN 'hi'
+  WHEN fr_s > greatest(en_s, de_s, es_s) THEN 'fr'
+  WHEN es_s > greatest(en_s, de_s) THEN 'es'
+  WHEN de_s > en_s THEN 'de'
+  ELSE 'en'
+END
+""".strip()
+
+_QUALITY_COUNTS = f"""
+    len({_RAW_TOKS}) AS q_nt,
+    length(text) AS q_nc,
+    len(list_filter({_RAW_TOKS}, w -> regexp_matches(w, '^[A-Za-z]+$'))) AS q_alpha,
+    len(list_filter({_RAW_TOKS}, w -> list_contains({_sw_list('en')}, lower(w)))) AS q_stop,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS q_punct,
+    len(regexp_extract_all(text, '[0-9]')) AS q_digit
+""".strip()
+
+_QUALITY_RAW = """
+0.35 * (least(1.0, q_nt / 20.0)
+        * (CASE WHEN q_nt <= 5000 THEN 1.0 ELSE 0.5 END))
++ 0.30 * (CASE WHEN q_nt > 0 THEN q_alpha / CAST(q_nt AS DOUBLE) ELSE 0.0 END)
++ 0.20 * least(1.0, (CASE WHEN q_nt > 0 THEN q_stop / CAST(q_nt AS DOUBLE)
+                          ELSE 0.0 END) * 4)
++ 0.15 * (1.0 - least(1.0,
+    (CASE WHEN q_nc > 0 THEN q_punct / CAST(q_nc AS DOUBLE) ELSE 0.0 END) * 5
+    + (CASE WHEN q_nc > 0 THEN q_digit / CAST(q_nc AS DOUBLE) ELSE 0.0 END) * 2))
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -418,6 +473,17 @@ def oracle_sql() -> dict[str, str]:
                          ELSE n_chars END)::BIGINT AS total_chars
             FROM documents WHERE doc_id % 100 < 65
         """,
+        # The stateful-streaming surface: per-event running totals per user,
+        # recomputed by an ordered window (cents-integer sums, order-exact).
+        "stream_running_totals": """
+            SELECT event_id, user_id, ts,
+                   (count(*) OVER w)::BIGINT AS running_n,
+                   (sum(coalesce(round(value * 100)::BIGINT, 0)) OVER w)::BIGINT
+                     AS running_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
         "intake_vocabulary": """
             SELECT * FROM (VALUES
               ('applicant_name', 'Applicant Name'),
@@ -428,9 +494,31 @@ def oracle_sql() -> dict[str, str]:
               ('sanction_no', 'Sanction No')
             ) AS t(key, label)
         """,
-        # minhash_lsh_dedup / simhash_dedup / ann_topk_lsh / langid_counts /
-        # doc_stats: intentionally no SQL — sketch/heuristic ops; the driver
-        # records the weaker rows-only check and pytest covers semantics.
+        # The langid heuristic (script regex → stopword voting, fixed-order
+        # strict-improvement ties) and the composite quality score are pure
+        # arithmetic — recomputed wholesale in SQL.  round_even = Python's
+        # banker's round.
+        "langid_counts": f"""
+            SELECT ({_LANGID}) AS lang_detected, count(*) AS n_docs
+            FROM (SELECT text, {_LANG_SCORES} FROM documents)
+            GROUP BY 1
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   {_TOK}::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+'))::BIGINT AS n_tokens_bpe,
+                   {_FP} AS fingerprint,
+                   ({_LANGID}) AS lang_detected,
+                   round_even(least(1.0, greatest(0.0, {_QUALITY_RAW})), 6)
+                     AS quality
+            FROM (SELECT doc_id, text, {_LANG_SCORES}, {_QUALITY_COUNTS}
+                  FROM documents)
+        """,
+        # minhash_lsh_dedup / simhash_dedup / ann_topk_lsh: intentionally no
+        # SQL — sketch/probabilistic ops; the driver records the weaker
+        # rows-only check and pytest covers semantics.
         # rich_fields / vocab_fields: field values derive from the media
         # content streams (blake2b), which ANSI SQL cannot recompute — the
         # JSON surfaces are pinned by pytest golden/equality tests instead;

@@ -232,8 +232,9 @@ def approx_distinct_texts(sf_dir: str) -> rd.Dataset:
 
 
 def langid_counts(sf_dir: str) -> rd.Dataset:
-    """Detected-language distribution (heuristic — no SQL oracle; verified
-    against the pure-python reference in pytest)."""
+    """Detected-language distribution.  The script-regex + stopword-voting
+    heuristic is pure arithmetic, so the DuckDB oracle recomputes it
+    wholesale (see __ray_entry__._LANGID)."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def det(batch: pa.Table) -> pa.Table:

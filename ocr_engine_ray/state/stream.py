@@ -27,24 +27,41 @@ import ray
 
 @ray.remote
 class KeyedCounterActor:
-    """Running (n_events, sum_value) per key, updated batch by batch."""
+    """Running (n_events, sum_cents) per key, updated batch by batch.
+
+    Money accumulates as exact integer *cents* (``round(value*100)``,
+    half-away like DuckDB's ``round``) so the running sums are
+    order-independent integers — hash-identical to the SQL window-function
+    oracle regardless of summation grouping."""
 
     def __init__(self) -> None:
         self.counts: dict[int, int] = {}
-        self.sums: dict[int, float] = {}
+        self.cents: dict[int, int] = {}
 
     def ingest(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         keys = batch.column("user_id").to_pylist()
-        vals = batch.column("value").to_pylist()
+        cents = (
+            pc.fill_null(
+                pc.round(
+                    pc.multiply(batch.column("value"), 100.0),
+                    round_mode="half_towards_infinity",
+                ),
+                0.0,
+            )
+            .cast(pa.int64())
+            .to_pylist()
+        )
         run_n = np.empty(len(keys), dtype=np.int64)
-        run_s = np.empty(len(keys), dtype=np.float64)
-        for i, (k, v) in enumerate(zip(keys, vals)):
+        run_c = np.empty(len(keys), dtype=np.int64)
+        for i, (k, c) in enumerate(zip(keys, cents)):
             self.counts[k] = self.counts.get(k, 0) + 1
-            self.sums[k] = self.sums.get(k, 0.0) + (v or 0.0)
+            self.cents[k] = self.cents.get(k, 0) + c
             run_n[i] = self.counts[k]
-            run_s[i] = self.sums[k]
+            run_c[i] = self.cents[k]
         return batch.append_column("running_n", pa.array(run_n)).append_column(
-            "running_sum", pa.array(np.round(run_s, 6))
+            "running_cents", pa.array(run_c)
         )
 
     def state_size(self) -> int:
@@ -93,8 +110,18 @@ def stream_running_totals(
                     "ts": pa.array([], pa.timestamp("us")),
                     "value": pa.array([], pa.float64()),
                     "running_n": pa.array([], pa.int64()),
-                    "running_sum": pa.array([], pa.float64()),
+                    "running_cents": pa.array([], pa.int64()),
                 }
             )
         )
     return rd.from_arrow_refs(pending).sort(["ts", "event_id"])
+
+
+def stream_running_totals_query(sf_dir: str):
+    """Driver-gated projection: drop the raw float ``value`` column so the
+    compared surface is integer/timestamp only (exact SQL window twin)."""
+    ds = stream_running_totals(sf_dir)
+    return ds.map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts", "running_n", "running_cents"]),
+        batch_format="pyarrow",
+    )
