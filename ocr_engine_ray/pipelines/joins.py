@@ -137,11 +137,25 @@ def brand_volume(sf_dir: str) -> rd.Dataset:
             }
         )
 
+    # Large fact-side batches so the map-side pre-aggregation actually
+    # shrinks the shuffle: at the default ~1k-row batches every key is near
+    # unique and the pre-agg is a no-op; at 64k rows/batch the shuffled rows
+    # collapse toward the distinct-partkey count.
     both = part.map_batches(part_side, batch_format="pyarrow").union(
-        line.map_batches(line_side, batch_format="pyarrow")
+        line.map_batches(line_side, batch_format="pyarrow", batch_size=65536)
+    )
+
+    _EMPTY_PARTIAL = pd.DataFrame(
+        {
+            "p_brand": pd.Series([], dtype="object"),
+            "qty_c": pd.Series([], dtype="int64"),
+            "n_items": pd.Series([], dtype="int64"),
+        }
     )
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or "qty_c" not in group.columns:
+            return _EMPTY_PARTIAL  # typed empty: no schema-drift RefBundles
         dim = group[group["qty_c"].isna()][["key", "p_brand"]]
         fact = group[group["p_brand"].isna()][["key", "qty_c", "n"]]
         j = fact.merge(dim, on="key", how="inner")
