@@ -215,6 +215,65 @@ class TestDedupPipelines:
         assert all(cl[n] == 100 for n in range(100, 140))
         assert cl[500] == cl[501] == 500
 
+    def test_sf0001_dedup_goldens(self):
+        """Round-1 outputs pinned byte-for-byte: the distributed tail must
+        keep producing exactly what the driver-side union-find produced.
+        Regenerate ONLY for an intentional spec change."""
+        import hashlib
+
+        for fn, n, h in [
+            (dd.minhash_lsh_dedup, 45,
+             "bc7e4ef89384a35581afe67f231eebde024e323488b822bfd456439e82fe61d5"),
+            (dd.simhash_dedup, 256,
+             "0a04d3a7bf9a432503826de00238d296a523a413775f7523c00e2d0611df248c"),
+        ]:
+            rows = fn("/root/testdata/sf0.001").take_all()
+            got = hashlib.sha256(
+                str([(r["doc_id"], r["cluster_id"]) for r in rows]).encode()
+            ).hexdigest()
+            assert (len(rows), got) == (n, h), fn.__name__
+
+    def test_connected_components_random_graphs(self):
+        """Multi-bucket CC vs an in-test union-find reference on seeded
+        random graphs (mix of chains, cliques, isolated pairs)."""
+        import numpy as np
+        import pyarrow as _pa
+        import ray.data as rd
+
+        from ocr_engine_ray.pipelines.graph import connected_components
+
+        rng = np.random.default_rng(7)
+        for trial in range(3):
+            n_nodes = 200
+            edges = rng.integers(0, n_nodes, size=(150, 2))
+            edges = edges[edges[:, 0] != edges[:, 1]]
+            a = edges[:, 0].astype("int64")
+            b = edges[:, 1].astype("int64")
+            # reference union-find
+            parent = list(range(n_nodes))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for x, y in zip(a, b):
+                rx, ry = find(int(x)), find(int(y))
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+            expected = {}
+            for x in set(a) | set(b):
+                expected[int(x)] = find(int(x))
+            ds = rd.from_arrow(
+                _pa.table({"a": _pa.array(a), "b": _pa.array(b)})
+            )
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in connected_components(ds, num_partitions=5).take_all()
+            }
+            assert got == expected, f"trial {trial}"
+
     def test_connected_components_empty(self):
         import pyarrow as _pa
         import ray.data as rd
