@@ -1,7 +1,7 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
 - ``ann_topk_bruteforce``: the exact baseline — broadcast query matrix
-  (``ray.put`` once, read in each actor's ``__init__``), per-batch float64
+  (``ray.put`` once, zero-copy ``ray.get`` per task), per-batch float64
   matmul, per-batch partial top-k, then one tiny groupby over partials for
   the global top-k.  The shuffle moves O(queries × k × blocks) rows, never
   the corpus.
@@ -50,38 +50,40 @@ def ann_topk_bruteforce(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.
     qids, qmat = _load_queries(sf_dir, num_queries)
     ref = ray.put((qids, qmat))
 
-    class Scorer:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(ref)  # broadcast read, once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1)
-            n[n == 0] = 1.0
-            sims = (m / n[:, None]) @ self.qmat.T  # (batch × queries)
-            q_out, v_out, s_out = [], [], []
-            topn = min(k, len(vid))
-            for qi in range(len(self.qids)):
-                col = sims[:, qi].copy()
-                col[vid == self.qids[qi]] = -np.inf  # exclude self
-                # partial top-k within the batch (vectorized argpartition)
-                idx = np.argpartition(-col, topn - 1)[:topn] if topn < len(col) else np.arange(len(col))
-                for i in idx:
-                    q_out.append(int(self.qids[qi]))
-                    v_out.append(int(vid[i]))
-                    s_out.append(float(col[i]))
-            return pa.table(
-                {
-                    "query_id": pa.array(q_out, pa.int64()),
-                    "vec_id": pa.array(v_out, pa.int64()),
-                    "score": pa.array(s_out, pa.float64()),
-                }
-            )
+    # Task-mode scorer: the broadcast query matrix travels as an ObjectRef in
+    # fn_kwargs and is `ray.get`-read per batch (plasma, zero-copy — free
+    # after the first touch per worker).  An actor pool here costs 2-6 s of
+    # ramp for a sub-second stage (measured: 5.8 s actors vs 1.25 s tasks at
+    # sf0.1); reserve actor pools for heavyweight model state.
+    def score(batch: pa.Table, *, ref) -> pa.Table:
+        bqids, bqmat = ray.get(ref)
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        sims = (m / n[:, None]) @ bqmat.T  # (batch × queries)
+        q_out, v_out, s_out = [], [], []
+        topn = min(k, len(vid))
+        for qi in range(len(bqids)):
+            col = sims[:, qi].copy()
+            col[vid == bqids[qi]] = -np.inf  # exclude self
+            # partial top-k within the batch (vectorized argpartition)
+            idx = np.argpartition(-col, topn - 1)[:topn] if topn < len(col) else np.arange(len(col))
+            for i in idx:
+                q_out.append(int(bqids[qi]))
+                v_out.append(int(vid[i]))
+                s_out.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, pa.int64()),
+                "vec_id": pa.array(v_out, pa.int64()),
+                "score": pa.array(s_out, pa.float64()),
+            }
+        )
 
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = emb.map_batches(
-        Scorer, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4), num_cpus=1
+        score, batch_format="pyarrow", batch_size=1024, fn_kwargs={"ref": ref}
     )
 
     def _final_topk(group: pa.Table) -> pa.Table:
@@ -207,36 +209,35 @@ def ann_topk_lsh(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
             probe.setdefault(bb, set()).add(qi)
     ref = ray.put((qids, qmat, planes, probe))
 
-    class BucketScorer:
-        def __init__(self):
-            self.qids, self.qmat, self.planes, self.probe = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1)
-            n[n == 0] = 1.0
-            mn = m / n[:, None]
-            buckets = _bucket_of(mn, self.planes)
-            q_out, v_out, s_out = [], [], []
-            for i, b in enumerate(buckets):
-                for qi in self.probe.get(int(b), ()):
-                    if vid[i] == self.qids[qi]:
-                        continue
-                    q_out.append(int(self.qids[qi]))
-                    v_out.append(int(vid[i]))
-                    s_out.append(float(mn[i] @ self.qmat[qi]))
-            return pa.table(
-                {
-                    "query_id": pa.array(q_out, pa.int64()),
-                    "vec_id": pa.array(v_out, pa.int64()),
-                    "score": pa.array(s_out, pa.float64()),
-                }
-            )
+    # Task-mode bucketed scorer (see ann_topk_bruteforce for the
+    # actors-vs-tasks rationale).
+    def bucket_score(batch: pa.Table, *, ref) -> pa.Table:
+        bqids, bqmat, bplanes, bprobe = ray.get(ref)
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        mn = m / n[:, None]
+        buckets = _bucket_of(mn, bplanes)
+        q_out, v_out, s_out = [], [], []
+        for i, b in enumerate(buckets):
+            for qi in bprobe.get(int(b), ()):
+                if vid[i] == bqids[qi]:
+                    continue
+                q_out.append(int(bqids[qi]))
+                v_out.append(int(vid[i]))
+                s_out.append(float(mn[i] @ bqmat[qi]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, pa.int64()),
+                "vec_id": pa.array(v_out, pa.int64()),
+                "score": pa.array(s_out, pa.float64()),
+            }
+        )
 
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = emb.map_batches(
-        BucketScorer, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4), num_cpus=1
+        bucket_score, batch_format="pyarrow", batch_size=1024, fn_kwargs={"ref": ref}
     )
 
     def _final_topk(group: pa.Table) -> pa.Table:
