@@ -1,0 +1,75 @@
+"""Dirty-input join semantics (ADVICE r1): orders with custkeys missing
+from customer must be DROPPED (inner-join), matching the SQL oracles even
+on referential-integrity violations."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def dirty_sf(tmp_path):
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_mktsegment": pa.array(["BUILDING", "AUTO", "AUTO"]),
+                "c_name": pa.array(["a", "b", "c"]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    # custkey 999 violates RI; customer 3 has no orders
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 2, 999], pa.int64()),
+                "o_totalprice": pa.array([10.0, 20.5, 7.25, 99.0]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    # user 2 has events → its orders are NOT "inactive"
+    pq.write_table(
+        pa.table({"user_id": pa.array([2, 2], pa.int64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _sql(sf: str, q: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("customer", "orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con.execute(q).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDirtyJoins:
+    def test_mktsegment_drops_orphan_orders(self, dirty_sf):
+        import __ray_entry__ as e
+        from ocr_engine_ray.pipelines.joins import mktsegment_revenue
+
+        got = _canon(mktsegment_revenue(dirty_sf).to_pandas())
+        exp = _canon(_sql(dirty_sf, e.oracle_sql()["mktsegment_revenue"]))
+        pd.testing.assert_frame_equal(got, exp)
+        assert 99.0 not in got["total_revenue"].values  # orphan dropped
+
+    def test_inactive_customers_anti_join(self, dirty_sf):
+        import __ray_entry__ as e
+        from ocr_engine_ray.pipelines.joins import inactive_customer_orders
+
+        got = _canon(inactive_customer_orders(dirty_sf).to_pandas())
+        exp = _canon(_sql(dirty_sf, e.oracle_sql()["inactive_customer_orders"]))
+        pd.testing.assert_frame_equal(got, exp)
