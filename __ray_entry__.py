@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": joins.top_customers,
         "inactive_customer_orders": joins.inactive_customer_orders,
         "clicks_last_purchase": joins.clicks_last_purchase,
+        "order_event_window_join": joins.order_event_window_join,
         # --- extraction family (north rule) --------------------------------
         "shape_counts": extract_stats.shape_counts,
         "input_span_counts": extract_stats.input_span_counts,
@@ -472,6 +473,17 @@ def oracle_sql() -> dict[str, str]:
                          THEN n_chars - (least(1 + doc_id % 3, {_NW}) - 1)
                          ELSE n_chars END)::BIGINT AS total_chars
             FROM documents WHERE doc_id % 100 < 65
+        """,
+        "order_event_window_join": """
+            SELECT o.o_orderkey,
+                   count(e.ts)::BIGINT AS n_events_7d,
+                   coalesce(sum(round(e.value * 100)::BIGINT), 0)::BIGINT
+                     AS value_cents_7d
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey
         """,
         # The stateful-streaming surface: per-event running totals per user,
         # recomputed by an ordered window (cents-integer sums, order-exact).

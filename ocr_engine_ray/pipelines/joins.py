@@ -16,6 +16,9 @@ The reference has no joins (SURVEY.md §2.6), but a training-data engine at
 - ``clicks_last_purchase`` — **as-of join**: per-user-bucket
   ``pd.merge_asof`` over ts-sorted groups (the Ray Data idiom for
   time-ordered joins); DuckDB's ``ASOF JOIN`` is the oracle.
+- ``order_event_window_join`` — **range (interval) join**: both sides
+  co-partitioned on ``user % B``, per-bucket vectorized merge + interval
+  filter; the oracle is a plain ``LEFT JOIN ... BETWEEN``.
 """
 
 from __future__ import annotations
@@ -390,3 +393,103 @@ def clicks_last_purchase(sf_dir: str, *, num_buckets: int = 16) -> rd.Dataset:
     return ev.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
         asof_bucket, batch_format="pandas"
     )
+
+
+def order_event_window_join(
+    sf_dir: str, *, days: int = 7, num_buckets: int = 16
+) -> rd.Dataset:
+    """Range join: per order, the count and cents-exact value sum of the
+    same user's events with ``ts ∈ [o_orderdate, o_orderdate + days)``.
+
+    Ray Data has no native interval join; the portable shape is the same
+    bucketed co-partition the as-of join uses — both sides keyed by
+    ``user % B``, one shuffle, then a vectorized pandas merge + interval
+    filter per bucket.  Partitioning assumption: per-user row counts are
+    bounded (events ~O(100)/user), so the in-bucket user cross product is
+    small; a hot user would need salting + a second reduce.  SQL twin:
+    ``LEFT JOIN ... ON user AND ts >= odate AND ts < odate + INTERVAL``.
+    """
+    orders = sf_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    events = sf_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        user = batch.column("o_custkey").cast(pa.int64())
+        b = user.to_numpy(zero_copy_only=False) % num_buckets
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(b.astype(np.int32)),
+                "user": user,
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "odate": batch.column("o_orderdate"),
+                "ts": pa.nulls(n, batch.column("o_orderdate").type),
+                "val_c": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def event_side(batch: pa.Table) -> pa.Table:
+        user = batch.column("user_id").cast(pa.int64())
+        b = user.to_numpy(zero_copy_only=False) % num_buckets
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(b.astype(np.int32)),
+                "user": user,
+                "okey": pa.nulls(n, pa.int64()),
+                "odate": pa.nulls(n, batch.column("ts").type),
+                "ts": batch.column("ts"),
+                "val_c": _cents(batch.column("value")),
+            }
+        )
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        events.map_batches(event_side, batch_format="pyarrow")
+    )
+
+    def window_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["okey"].notna()][["user", "okey", "odate"]]
+        e = group[group["okey"].isna()][["user", "ts", "val_c"]]
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "n_events_7d": pd.Series([], dtype="int64"),
+                "value_cents_7d": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(o) == 0:
+            return empty
+        if len(e) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": o["okey"].astype("int64"),
+                    "n_events_7d": 0,
+                    "value_cents_7d": 0,
+                }
+            ).astype({"n_events_7d": "int64", "value_cents_7d": "int64"})
+        m = o.merge(e, on="user", how="left")
+        in_win = (m["ts"] >= m["odate"]) & (
+            m["ts"] < m["odate"] + pd.Timedelta(days=days)
+        )
+        hits = m[in_win]
+        agg = hits.groupby("okey").agg(
+            n_events_7d=("ts", "count"), value_cents_7d=("val_c", "sum")
+        )
+        out = (
+            o[["okey"]]
+            .drop_duplicates()
+            .set_index("okey")
+            .join(agg)
+            .fillna(0)
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["okey"].astype("int64"),
+                "n_events_7d": out["n_events_7d"].astype("int64"),
+                "value_cents_7d": out["value_cents_7d"].astype("int64"),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(window_bucket, batch_format="pandas")
