@@ -154,12 +154,15 @@ def run_bench() -> dict:
         "sessionize": timed(analytics.sessionize),
         "exact_dedup": timed(dedup.exact_dedup),
         "minhash_lsh_dedup": timed(dedup.minhash_lsh_dedup),
+        "simhash_dedup": timed(dedup.simhash_dedup),
         "embedding_near_dup": timed(dedup.embedding_near_dup),
         "ann_topk": timed(ann.ann_topk_bruteforce),
         "doc_stats": timed(tsp.doc_stats),
         "mktsegment_revenue_join": timed(joins.mktsegment_revenue),
         "brand_volume_bucketed_join": timed(joins.brand_volume),
         "clicks_last_purchase_asof": timed(joins.clicks_last_purchase),
+        "order_event_window_join": timed(joins.order_event_window_join),
+        "stream_running_totals": timed(__import__("ocr_engine_ray.state.stream", fromlist=["x"]).stream_running_totals_query),
     }
 
     result = {

@@ -41,6 +41,15 @@ SUBSET = [
     "order_priority_counts",
     "top_customers",
     "clicks_last_purchase",
+    "order_event_window_join",
+    "stream_running_totals",
+    "free_text_stats",
+    "mode_translate_counts",
+    "mode_redact_inline",
+    "intake_vocabulary",
+    "embedding_near_dup_clusters",
+    "langid_counts",
+    "doc_stats",
 ]
 
 
