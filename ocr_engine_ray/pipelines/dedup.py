@@ -293,7 +293,11 @@ def _verify_pairs(group: pa.Table, *, threshold: float) -> pa.Table:
 
 
 def minhash_lsh_dedup(
-    sf_dir: str, *, threshold: float = 0.8, num_partitions: int = 64
+    sf_dir: str,
+    *,
+    threshold: float = 0.8,
+    num_partitions: int = 64,
+    cc_rows_per_bucket: int | None = None,
 ) -> rd.Dataset:
     """MinHash→LSH-band→bucket-groupby near-dup detection with exact-Jaccard
     verification, fully on-cluster.  Returns (doc_id, cluster_id) for every
@@ -336,7 +340,8 @@ def minhash_lsh_dedup(
     verified = sided.groupby("_bkt").map_groups(
         _verify_pairs, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
     )
-    return connected_components(verified).sort("doc_id")
+    cc_kw = {"rows_per_bucket": cc_rows_per_bucket} if cc_rows_per_bucket else {}
+    return connected_components(verified, **cc_kw).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +386,11 @@ def _simhash_band_rows(batch: pa.Table) -> pa.Table:
 
 
 def simhash_dedup(
-    sf_dir: str, *, max_hamming: int = 3, num_partitions: int = 16
+    sf_dir: str,
+    *,
+    max_hamming: int = 3,
+    num_partitions: int = 16,
+    cc_rows_per_bucket: int | None = None,
 ) -> rd.Dataset:
     """SimHash banding near-dup: (doc_id, cluster_id) rows, like minhash.
 
@@ -417,7 +426,8 @@ def simhash_dedup(
 
     pairs = bands.groupby(["band", "bval"]).map_groups(_pairs, batch_format="pyarrow")
     # Duplicate edges across bands are harmless to connected_components.
-    return connected_components(pairs).sort("doc_id")
+    cc_kw = {"rows_per_bucket": cc_rows_per_bucket} if cc_rows_per_bucket else {}
+    return connected_components(pairs, **cc_kw).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------

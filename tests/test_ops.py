@@ -215,6 +215,44 @@ class TestDedupPipelines:
         assert all(cl[n] == 100 for n in range(100, 140))
         assert cl[500] == cl[501] == 500
 
+    def test_minhash_multibucket_cc_identical(self, tmp_path):
+        """Forcing the multi-bucket CC path (tiny rows_per_bucket) must give
+        the identical clustering as the single-bucket fast path."""
+        sf = _write_corpus(tmp_path)
+        a = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.minhash_lsh_dedup(sf, threshold=0.5).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.minhash_lsh_dedup(
+                sf, threshold=0.5, cc_rows_per_bucket=4
+            ).take_all()
+        )
+        assert a == b and len(a) > 0
+
+    def test_minhash_no_duplicates_empty_result(self, tmp_path):
+        """A corpus with no near-dups flows through the whole verify chain
+        (empty pair groups, empty CC) and yields a typed empty result."""
+        import pyarrow.parquet as _pq
+
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(f"uniq{i}w{j}" for j in range(30)),
+                "lang": "en",
+                "source": "s",
+                "n_chars": 1,
+            }
+            for i in range(8)
+        ]
+        d = tmp_path / "uniq"
+        d.mkdir()
+        _pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = dd.minhash_lsh_dedup(str(d), threshold=0.5)
+        assert out.take_all() == []
+        assert dd.simhash_dedup(str(d), max_hamming=0).take_all() == []
+
     def test_sf0001_dedup_goldens(self):
         """Round-1 outputs pinned byte-for-byte: the distributed tail must
         keep producing exactly what the driver-side union-find produced.
