@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_engine_ray.pipelines import (
         analytics,
         ann,
+        curate,
         dedup,
         extract_stats,
         interpret,
@@ -105,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_running_totals": _stream_running_totals_query,
         "langid_counts": tsp.langid_counts,
         "doc_stats": tsp.doc_stats,
+        # --- end-to-end curation composition --------------------------------
+        "curate_corpus": curate.curate_corpus,
     }
 
 
@@ -473,6 +476,25 @@ def oracle_sql() -> dict[str, str]:
                          THEN n_chars - (least(1 + doc_id % 3, {_NW}) - 1)
                          ELSE n_chars END)::BIGINT AS total_chars
             FROM documents WHERE doc_id % 100 < 65
+        """,
+        # Curation composition: quality filter -> exact dedup keep-first ->
+        # per-source yield (same quality/tokens/dedup twins as the unit
+        # queries, composed).
+        "curate_corpus": f"""
+            WITH scored AS (
+              SELECT doc_id, text, source, {_TOK} AS n_tok,
+                     round_even(least(1.0, greatest(0.0, {_QUALITY_RAW})), 6)
+                       AS quality
+              FROM (SELECT doc_id, text, source, {_QUALITY_COUNTS}
+                    FROM documents)
+            ),
+            dedup AS (
+              SELECT source, n_tok,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM scored WHERE quality >= 0.8
+            )
+            SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+            FROM dedup WHERE rn = 1 GROUP BY source
         """,
         "order_event_window_join": """
             SELECT o.o_orderkey,

@@ -50,6 +50,7 @@ SUBSET = [
     "embedding_near_dup_clusters",
     "langid_counts",
     "doc_stats",
+    "curate_corpus",
 ]
 
 
