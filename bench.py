@@ -163,6 +163,7 @@ def run_bench() -> dict:
         "clicks_last_purchase_asof": timed(joins.clicks_last_purchase),
         "order_event_window_join": timed(joins.order_event_window_join),
         "stream_running_totals": timed(__import__("ocr_engine_ray.state.stream", fromlist=["x"]).stream_running_totals_query),
+        "curate_corpus": timed(__import__("ocr_engine_ray.pipelines.curate", fromlist=["x"]).curate_corpus),
     }
 
     result = {
