@@ -69,7 +69,7 @@ class KeyedCounterActor:
 
 
 def stream_running_totals(
-    sf_dir: str, *, num_buckets: int = 4, batch_rows: int = 4096
+    sf_dir: str, *, num_buckets: int = 4, batch_rows: int = 16384
 ):
     """Per-event running (count, sum) per user over the ts-ordered event log.
 
