@@ -89,10 +89,20 @@ class PipelineConfig:
         return {label_to_key(lbl): lbl for lbl in self.field_labels}
 
     def fingerprint(self) -> str:
-        """Stable per-worker cache key for task-mode extractor state."""
-        ex = (
-            tuple(sorted(self.extractors)) if self.extractors else ()
-        )
+        """Stable per-worker cache key for task-mode extractor state.  The
+        extractor registry is keyed by its pickled bytes, not just its kind
+        names — two configs carrying different functions under the same kind
+        must not share a worker-cached extractor."""
+        if self.extractors:
+            import hashlib
+
+            import ray.cloudpickle as cp
+
+            ex = hashlib.md5(
+                cp.dumps(sorted(self.extractors.items()))
+            ).hexdigest()
+        else:
+            ex = ""
         return repr(
             (self.lang, self.redact, self.translate_always, self.structured,
              self.field_labels, ex)
