@@ -488,8 +488,15 @@ def embedding_near_dup(
         b = np.maximum(va, vb)
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
+    # Input batch size shrinks with the replication factor so each output
+    # block stays ~block_rows rows (B × batch_size) regardless of corpus
+    # size — the replication never builds a multi-GB block in one task.
     return (
-        emb.map_batches(replicate, batch_format="pyarrow", batch_size=block_rows)
+        emb.map_batches(
+            replicate,
+            batch_format="pyarrow",
+            batch_size=max(64, block_rows // nblocks),
+        )
         .groupby("block")
         .map_groups(block_pairs, batch_format="pyarrow")
         .sort(["a", "b"])
