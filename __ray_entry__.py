@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,       # rows-only check
         "simhash_dedup": dedup.simhash_dedup,               # rows-only check
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         # --- similarity search ---------------------------------------------
@@ -367,6 +368,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
               FROM documents) WHERE rn = 1
+        """,
+        # Exact word-trigram Jaccard pairs; the size-ratio predicate is
+        # implied by J >= t, so both sides may prune on it freely.
+        "ngram_jaccard_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_distinct(
+                            list_transform(generate_series(1, len(w)-2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS g
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
+            WHERE len(list_intersect(a.g, b.g)) * 1.0
+                  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b

@@ -527,3 +527,108 @@ def embedding_near_dup_clusters(
         .map_batches(rename, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact all-pairs baseline, block-pair distributed)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SEP = "\x1f"
+
+
+def _trigram_set(text: str) -> set[str]:
+    """Raw word-trigram strings (no hashing — the SQL twin compares the same
+    strings, so no crc-collision daylight between the two sides)."""
+    words = _WORD_RE.findall((text or "").lower())
+    if not words:
+        return set()
+    if len(words) < 3:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, *, threshold: float = 0.8, block_rows: int = 1024
+) -> rd.Dataset:
+    """Exact all-pairs word-trigram Jaccard near-dup pairs (the n-gram dedup
+    baseline), distributed as the same block-pair cartesian as
+    ``embedding_near_dup``.
+
+    Each doc's trigram set rides through the one replication shuffle as a
+    single separator-joined string; within a block pair, candidates are
+    pruned by the size-ratio bound implied by the threshold
+    (``J ≥ t ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ t``, exactness-preserving)
+    before the exact set intersection.  Returns (a, b) with ``J ≥ t``,
+    ``a < b``, sorted — byte-identical to the DuckDB ``list_intersect``
+    twin.  Like the embedding baseline this is O(N²) *work* spread over
+    B² tasks: the exact small-side oracle twin; the scale path for unknown-N
+    corpora is ``minhash_lsh_dedup``.
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()
+    nblocks = max(1, math.ceil(n / block_rows))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        sh = [_SHINGLE_SEP.join(sorted(_trigram_set(t))) for t in texts]
+        p = ids % nblocks
+        q = np.arange(nblocks, dtype=np.int64)
+        i = np.minimum(p[:, None], q[None, :])
+        j = np.maximum(p[:, None], q[None, :])
+        block = (i * nblocks + j).ravel()
+        row_idx = np.repeat(np.arange(len(ids)), nblocks)
+        return pa.table(
+            {
+                "block": pa.array(block, pa.int64()),
+                "bucket": pa.array(np.repeat(p, nblocks).astype(np.int32)),
+                "doc_id": pa.array(ids[row_idx], pa.int64()),
+                "sh": pa.array([sh[r] for r in row_idx], pa.string()),
+            }
+        )
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        block = group.column("block")[0].as_py()
+        bi, bj = divmod(block, nblocks)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        shs = [
+            set(s.split(_SHINGLE_SEP)) if s else set()
+            for s in group.column("sh").to_pylist()
+        ]
+        sizes = np.array([len(s) for s in shs])
+        bkt = np.asarray(group.column("bucket").to_pylist())
+        if bi == bj:
+            li = np.arange(len(ids))
+            lj = li
+        else:
+            li = np.nonzero(bkt == bi)[0]
+            lj = np.nonzero(bkt == bj)[0]
+        oa, ob = [], []
+        for x in li:
+            for y in lj:
+                if bi == bj and y <= x:
+                    continue
+                sa, sb = sizes[x], sizes[y]
+                if sa == 0 and sb == 0:
+                    j = 1.0
+                elif min(sa, sb) < threshold * max(sa, sb):
+                    continue  # size-ratio prune (implied by J >= t)
+                else:
+                    inter = len(shs[x] & shs[y])
+                    j = inter / (sa + sb - inter)
+                if j >= threshold:
+                    a, b = (int(ids[x]), int(ids[y]))
+                    oa.append(min(a, b))
+                    ob.append(max(a, b))
+        return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})
+
+    return (
+        docs.map_batches(
+            replicate,
+            batch_format="pyarrow",
+            batch_size=max(64, block_rows // nblocks),
+        )
+        .groupby("block")
+        .map_groups(block_pairs, batch_format="pyarrow")
+        .sort(["a", "b"])
+    )

@@ -51,6 +51,7 @@ SUBSET = [
     "langid_counts",
     "doc_stats",
     "curate_corpus",
+    "ngram_jaccard_pairs",
 ]
 
 

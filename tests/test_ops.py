@@ -188,6 +188,13 @@ class TestDedupPipelines:
         assert (0, 30) in pairs and (1, 31) in pairs
         assert all(a < b for a, b in pairs)
 
+    def test_ngram_jaccard_pairs(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        rows = dd.ngram_jaccard_pairs(sf, threshold=0.9).take_all()
+        pairs = {(r["a"], r["b"]) for r in rows}
+        assert (0, 1) in pairs  # exact duplicate pair
+        assert all(a < b for a, b in pairs)
+
     def test_embedding_near_dup_clusters(self, tmp_path):
         sf = _write_corpus(tmp_path)
         rows = dd.embedding_near_dup_clusters(sf, threshold=0.98).take_all()
