@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---------------------------------------------
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
+        "ann_topk_ivf": ann.ann_topk_ivf,                   # rows-only check
         "embedding_kmeans": ann.embedding_kmeans,           # rows-only check
         # --- sampling -------------------------------------------------------
         "stratified_hash_sample": sampling.stratified_hash_sample,

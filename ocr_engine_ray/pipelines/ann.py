@@ -5,10 +5,13 @@
   matmul, per-batch partial top-k, then one tiny groupby over partials for
   the global top-k.  The shuffle moves O(queries × k × blocks) rows, never
   the corpus.
-- ``ann_topk_lsh``: the scale path — deterministic random-hyperplane LSH
+- ``ann_topk_lsh``: a scale path — deterministic random-hyperplane LSH
   (8 planes → 256 buckets); each query probes only its bucket (plus
   Hamming-1 neighbors), trading recall for a corpus-partitioned search.
   Recall vs the brute-force baseline is asserted in tests.
+- ``ann_topk_ivf``: the other scale path — IVF with a deterministic
+  k-means coarse quantizer; queries probe their nprobe nearest inverted
+  lists, vectors are scored only against the queries probing their list.
 """
 
 from __future__ import annotations
@@ -123,6 +126,33 @@ def embedding_kmeans(
     determinism are pytest-verified.
     """
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = _kmeans_centroids(emb, k=k, iters=iters)
+
+    # final assignment (one more broadcast pass)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        _, a = _assign_batch(batch, cref)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int32)),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+
+
+def _assign_batch(batch: pa.Table, cref) -> tuple[np.ndarray, np.ndarray]:
+    c = ray.get(cref)
+    m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    return m, d.argmin(axis=1)
+
+
+def _kmeans_centroids(emb: rd.Dataset, *, k: int, iters: int) -> np.ndarray:
+    """The deterministic broadcast/partial-aggregate k-means iteration; the
+    driver folds only ``k × blocks`` partial (sum, count) rows per round."""
 
     def _k_smallest(batch: pa.Table) -> pa.Table:
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -134,12 +164,6 @@ def embedding_kmeans(
         key=lambda r: r["vec_id"],
     )[:k]
     centroids = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
-
-    def _assign_batch(batch: pa.Table, cref) -> tuple[np.ndarray, np.ndarray]:
-        c = ray.get(cref)
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        return m, d.argmin(axis=1)
 
     for _ in range(iters):
         cref = ray.put(centroids)
@@ -171,19 +195,7 @@ def embedding_kmeans(
         nonzero = counts > 0
         centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
 
-    # final assignment (one more broadcast pass)
-    cref = ray.put(centroids)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        _, a = _assign_batch(batch, cref)
-        return pa.table(
-            {
-                "vec_id": batch.column("vec_id").cast(pa.int64()),
-                "cluster": pa.array(a.astype(np.int32)),
-            }
-        )
-
-    return emb.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+    return centroids
 
 
 def _hyperplanes(dim: int, planes: int = 8) -> np.ndarray:
@@ -238,6 +250,108 @@ def ann_topk_lsh(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = emb.map_batches(
         bucket_score, batch_format="pyarrow", batch_size=1024, fn_kwargs={"ref": ref}
+    )
+
+    def _final_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("score").to_pylist(), group.column("vec_id").to_pylist()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        qid = group.column("query_id")[0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "vec_id": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    *,
+    num_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+) -> rd.Dataset:
+    """IVF-bucketed ANN: a deterministic k-means coarse quantizer partitions
+    the corpus into inverted lists; each query scores only vectors whose
+    list is among its ``nprobe`` nearest centroids.
+
+    Scale shape: centroid training moves ``k × blocks`` partial rows per
+    iteration (never the corpus); the search is ONE corpus scan in which a
+    vector is scored against only the queries probing its list, and the
+    final top-k groupby moves O(queries × k × blocks) partials.  Approximate
+    — recall vs the brute-force baseline is asserted in tests (rows-only at
+    the driver gate, like ann_topk_lsh).
+    """
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = _kmeans_centroids(emb, k=n_centroids, iters=iters)
+    qids, qmat = _load_queries(sf_dir, num_queries)
+    # Probe selection must use the same (raw-vector L2) geometry as corpus
+    # assignment, so re-derive the raw query vectors from the normalized
+    # ones is not possible — fetch them the same pruned way.
+    raw = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(
+            lambda b: b.take(
+                pa.array(
+                    np.argsort(
+                        np.asarray(b.column("vec_id").to_pylist(), dtype=np.int64)
+                    )[:num_queries],
+                    pa.int64(),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    }
+    qraw = np.stack([raw[int(q)] for q in qids])
+    qd = ((qraw[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_of_list: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in np.argpartition(qd[qi], min(nprobe, len(centroids)) - 1)[:nprobe]:
+            probe_of_list.setdefault(int(c), []).append(qi)
+    ref = ray.put((qids, qmat, centroids, probe_of_list))
+
+    def ivf_score(batch: pa.Table, *, ref) -> pa.Table:
+        bqids, bqmat, cents, probes = ray.get(ref)
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lists = d.argmin(axis=1)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        mn = m / n[:, None]
+        q_out, v_out, s_out = [], [], []
+        for c in np.unique(lists):
+            qidx = probes.get(int(c), ())
+            if not qidx:
+                continue
+            rows = np.nonzero(lists == c)[0]
+            sims = mn[rows] @ bqmat[list(qidx)].T  # (rows × probing queries)
+            for jj, qi in enumerate(qidx):
+                for i, r in enumerate(rows):
+                    if vid[r] == bqids[qi]:
+                        continue
+                    q_out.append(int(bqids[qi]))
+                    v_out.append(int(vid[r]))
+                    s_out.append(float(sims[i, jj]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, pa.int64()),
+                "vec_id": pa.array(v_out, pa.int64()),
+                "score": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        ivf_score, batch_format="pyarrow", batch_size=1024, fn_kwargs={"ref": ref}
     )
 
     def _final_topk(group: pa.Table) -> pa.Table:

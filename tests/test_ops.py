@@ -354,6 +354,17 @@ class TestAnn:
             by_q.setdefault(r["query_id"], []).append(r["vec_id"])
         assert by_q == exp
 
+    def test_ivf_recall_of_planted_neighbor(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        rows = annp.ann_topk_ivf(
+            sf, num_queries=3, k=4, n_centroids=4, nprobe=2, iters=2
+        ).take_all()
+        # the planted near-copy (vec 30) shares query 0's k-means list
+        q0 = [r["vec_id"] for r in rows if r["query_id"] == 0]
+        assert 30 in q0
+        for r in rows:
+            assert r["rank"] >= 1 and r["vec_id"] != r["query_id"]
+
     def test_lsh_returns_valid_subset(self, tmp_path):
         sf = _write_corpus(tmp_path)
         rows = annp.ann_topk_lsh(sf, num_queries=3, k=4).take_all()
