@@ -32,14 +32,17 @@ def _quality_sha_batch(batch: pa.Table, *, min_quality: float) -> pa.Table:
     kept_texts = [x for x, k in zip(texts, keep) if k]
     sha = [hashlib.sha1((x or "").encode("utf-8")).hexdigest() for x in kept_texts]
     bucket = [int(x[:8], 16) % NUM_CURATE_BUCKETS for x in sha]
-    ntok = [ts.token_count_ws(x) for x in kept_texts]
+    # Token = RE2 '\S+' run (pyarrow's regex kernels are RE2-backed), the
+    # exact tokenizer of the oracle's _TOK — NOT Python str.split(), whose
+    # Unicode whitespace class drifts from SQL on \v / NBSP etc.
+    ntok = pc.count_substring_regex(t.column("text"), r"\S+").cast(pa.int64())
     return pa.table(
         {
             "doc_id": t.column("doc_id"),
             "source": t.column("source"),
             "text_sha1": pa.array(sha, pa.string()),
             "bucket": pa.array(bucket, pa.int32()),
-            "n_tokens": pa.array(ntok, pa.int64()),
+            "n_tokens": ntok,
         }
     )
 

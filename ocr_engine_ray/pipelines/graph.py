@@ -22,15 +22,12 @@ Everything here is union + groupby, which is immune to both.
 
 from __future__ import annotations
 
-import logging
 import math
 
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Min
-
-logger = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -98,12 +95,30 @@ def _uf_bucket(group: pa.Table) -> pa.Table:
         if r != x:
             out_n.append(r)
             out_l.append(x)
+    na = np.array(out_n, dtype=np.int64)
+    la = np.array(out_l, dtype=np.int64)
     return pa.table(
         {
-            "node": pa.array(out_n, pa.int64()),
-            "label": pa.array(out_l, pa.int64()),
+            "node": pa.array(na),
+            "label": pa.array(la),
+            "h": pa.array(_link_hash(na, la)),
         }
     )
+
+
+def _link_hash(node: np.ndarray, label: np.ndarray) -> np.ndarray:
+    """40-bit order-independent row hash for the convergence witness.  The
+    driver compares sum-of-hashes (+ row count) across rounds: a multiset
+    change that preserves both is a ~2^-40 accident, unlike the old
+    (count, label-sum) pair which distinct non-fixpoint link sets can share.
+    40 bits (not 64) so per-block int64 partial sums can never wrap — a wrap
+    in pyarrow but not in the Python combine would make the witness depend
+    on block boundaries."""
+    mixed = (node.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        label.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    )
+    mixed ^= mixed >> np.uint64(29)
+    return (mixed & np.uint64(0xFF_FFFF_FFFF)).astype(np.int64)
 
 
 def _as_clusters(batch: pa.Table) -> pa.Table:
@@ -157,20 +172,23 @@ def connected_components(
         links = contract(links)
     else:
         prev: tuple[int, int] | None = None
-        stable = 0
+        converged = False
         for _ in range(max_rounds):
             links = contract(links).materialize()
-            stats = (links.count(), int(links.sum("label")))
-            # Two identical rounds confirm the star forest is a fixpoint (a
-            # single round can coincidentally preserve count and label sum).
-            stable = stable + 1 if stats == prev else 0
-            if stable >= 2:
+            # Content witness: (row count, sum of per-row 40-bit hashes).
+            # Contraction is a deterministic function of the link multiset,
+            # so an unchanged multiset IS a fixpoint; count() on the
+            # materialized set is free (metadata), sum("h") is one pass.
+            stats = (links.count(), int(links.sum("h")))
+            if stats == prev:
+                converged = True
                 break
             prev = stats
-        else:
-            logger.warning(
-                "connected_components hit max_rounds=%d without a fixpoint",
-                max_rounds,
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not reach a fixpoint in "
+                f"{max_rounds} rounds (witness {prev}); raise max_rounds or "
+                f"lower rows_per_bucket"
             )
 
     return (

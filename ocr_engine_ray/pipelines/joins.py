@@ -124,9 +124,12 @@ def brand_volume(sf_dir: str) -> rd.Dataset:
             {
                 "key": batch.column("l_partkey").cast(pa.int64()),
                 "qty_c": _cents(batch.column("l_quantity")),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
             }
         )
-        agg = pa.TableGroupBy(t, "key").aggregate([("qty_c", "sum"), ("qty_c", "count")])
+        # Row count via sum(1), not ('qty_c','count'): pyarrow count skips
+        # null quantities but the oracle's count(*) does not.
+        agg = pa.TableGroupBy(t, "key").aggregate([("qty_c", "sum"), ("one", "sum")])
         keys = agg.column("key")
         return pa.table(
             {
@@ -136,7 +139,7 @@ def brand_volume(sf_dir: str) -> rd.Dataset:
                 "key": keys,
                 "p_brand": pa.nulls(agg.num_rows, pa.string()),
                 "qty_c": agg.column("qty_c_sum").cast(pa.int64()),
-                "n": agg.column("qty_c_count").cast(pa.int64()),
+                "n": agg.column("one_sum").cast(pa.int64()),
             }
         )
 
@@ -159,7 +162,10 @@ def brand_volume(sf_dir: str) -> rd.Dataset:
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 0 or "qty_c" not in group.columns:
             return _EMPTY_PARTIAL  # typed empty: no schema-drift RefBundles
-        dim = group[group["qty_c"].isna()][["key", "p_brand"]]
+        # Discriminate sides on p_brand (dim rows carry it, fact rows don't):
+        # qty_c can be legitimately null on a fact row whose quantities were
+        # all NULL, so it is not a side marker.
+        dim = group[group["p_brand"].notna()][["key", "p_brand"]]
         fact = group[group["p_brand"].isna()][["key", "qty_c", "n"]]
         j = fact.merge(dim, on="key", how="inner")
         out = j.groupby("p_brand", as_index=False).agg(
