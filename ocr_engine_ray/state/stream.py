@@ -1,65 +1,149 @@
-"""Stateful streaming: incremental per-key state in keyed actors.
+"""Stateful streaming: running per-key aggregates over an ordered log.
 
-Ray Data has no event-time/watermark machinery; when semantics genuinely
-need incremental cross-batch state (running aggregates over an ordered log),
-the idiom is **one actor per key-hash bucket, fed batches in time order**
-(ray_guide.md "Streaming-shaped workloads").  This module provides that
-primitive:
+Two implementations of the same semantics (per-event running (count, sum)
+per user, in (ts, event_id) order):
 
-- ``KeyedCounterActor`` — holds per-key running (count, sum) state;
-  ``ingest`` applies one Arrow batch and returns the batch enriched with
-  the running values *as of each row*.
-- ``stream_running_totals`` — drives a bucket-actor fleet over the events
-  table in global ts order and returns the per-event running totals.
+- ``stream_running_totals`` — the DISTRIBUTED path and the one the driver
+  gate runs: per-user cumulative sums need no global order, only per-user
+  order, so the log is hash-bucketed by ``user_id % B``, each bucket is
+  sorted in-task by ``(user_id, ts, event_id)``, and a vectorized pandas
+  groupby-cumsum produces the running values.  One shuffle, no driver on the
+  data path — this is the shape that survives 100 TB.
+- ``stream_running_totals_actors`` — the cross-batch streaming-STATE
+  primitive (``KeyedCounterActor``): one actor per key-hash bucket fed
+  batches in time order, for semantics that genuinely need incremental
+  state across an unbounded stream (Ray Data has no event-time/watermark
+  machinery; see ray_guide.md "Streaming-shaped workloads").  The driver
+  routes batch slices to bucket actors, which makes it a single-node funnel
+  on a bounded re-run — kept as the documented streaming primitive, not the
+  batch path.
 
-Ordering is the caller's contract (the log is read sorted by ts); state is
-partitioned by ``user_id % num_buckets`` so each actor owns a disjoint key
-range — the same partitioning assumption the sessionize/as-of operators
-document.
+Money accumulates as exact integer *cents* (``round(value*100)``, half-away
+like DuckDB ``round``) so running sums are order-independent integers —
+hash-identical to the SQL window-function oracle.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
+
+
+def _cents_i64(values: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.fill_null(
+        pc.round(pc.multiply(values, 100.0), round_mode="half_towards_infinity"),
+        0.0,
+    ).cast(pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Distributed path (the driver-gated query)
+# ---------------------------------------------------------------------------
+
+
+def stream_running_totals(sf_dir: str, *, num_buckets: int = 64):
+    """Per-event running (count, cents-sum) per user over the event log,
+    fully distributed.
+
+    Running totals are *order-local to the user*: row r's running values
+    depend only on earlier rows of the same ``user_id``.  So instead of a
+    global sort + stateful scan, hash-bucket by ``user_id % B`` (every row
+    of a user lands in one bucket), sort each bucket in-task by
+    ``(user_id, ts, event_id)`` and compute the per-user cumulative
+    count/sum with one vectorized pandas ``groupby(...).cumcount/cumsum``.
+    One all-to-all (the bucket groupby); the driver never touches row data.
+    ``num_buckets`` is the scale knob: size it so one user-bucket's rows fit
+    a worker heap (users are hash-spread, so bucket ≈ |events| / B rows).
+    Output order is unspecified (the driver compare is order-insensitive);
+    sort downstream if a global order is needed.
+    """
+    from ..sources.tables import sf_table
+
+    ds = sf_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        ).append_column("cents", _cents_i64(batch.column("value")))
+
+    def bucket_running(group: pa.Table) -> pa.Table:
+        df = group.select(
+            ["event_id", "user_id", "ts", "value", "cents"]
+        ).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        df["running_n"] = (g.cumcount() + 1).astype("int64")
+        df["running_cents"] = g["cents"].cumsum().astype("int64")
+        return pa.Table.from_pandas(
+            df[["event_id", "user_id", "ts", "value", "running_n", "running_cents"]],
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_running, batch_format="pyarrow")
+    )
+
+
+def stream_running_totals_query(sf_dir: str):
+    """Driver-gated projection: drop the raw float ``value`` column so the
+    compared surface is integer/timestamp only (exact SQL window twin)."""
+    ds = stream_running_totals(sf_dir)
+    return ds.map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts", "running_n", "running_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Actor-fleet streaming-state primitive
+# ---------------------------------------------------------------------------
 
 
 @ray.remote
 class KeyedCounterActor:
-    """Running (n_events, sum_cents) per key, updated batch by batch.
-
-    Money accumulates as exact integer *cents* (``round(value*100)``,
-    half-away like DuckDB's ``round``) so the running sums are
-    order-independent integers — hash-identical to the SQL window-function
-    oracle regardless of summation grouping."""
+    """Running (n_events, sum_cents) per key, updated batch by batch —
+    the cross-batch incremental-state primitive for genuinely unbounded
+    streams.  In-batch work is vectorized (pandas groupby cumsum); only the
+    per-key carry-in/out of the state dict is Python, so cost scales with
+    distinct keys per batch, not rows."""
 
     def __init__(self) -> None:
         self.counts: dict[int, int] = {}
         self.cents: dict[int, int] = {}
 
     def ingest(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keys = batch.column("user_id").to_pylist()
-        cents = (
-            pc.fill_null(
-                pc.round(
-                    pc.multiply(batch.column("value"), 100.0),
-                    round_mode="half_towards_infinity",
-                ),
-                0.0,
-            )
-            .cast(pa.int64())
-            .to_pylist()
+        df = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "cents": _cents_i64(batch.column("value")),
+            }
+        ).to_pandas()
+        g = df.groupby("user_id", sort=False)
+        run_n = g.cumcount().to_numpy() + 1
+        run_c = g["cents"].cumsum().to_numpy()
+        # per-key carry-in from previous batches (order within the batch is
+        # the arrival order — the caller's contract)
+        uids = df["user_id"].to_numpy()
+        carry_n = np.fromiter(
+            (self.counts.get(int(u), 0) for u in uids), dtype=np.int64, count=len(uids)
         )
-        run_n = np.empty(len(keys), dtype=np.int64)
-        run_c = np.empty(len(keys), dtype=np.int64)
-        for i, (k, c) in enumerate(zip(keys, cents)):
-            self.counts[k] = self.counts.get(k, 0) + 1
-            self.cents[k] = self.cents.get(k, 0) + c
-            run_n[i] = self.counts[k]
-            run_c[i] = self.cents[k]
+        carry_c = np.fromiter(
+            (self.cents.get(int(u), 0) for u in uids), dtype=np.int64, count=len(uids)
+        )
+        run_n = run_n + carry_n
+        run_c = run_c + carry_c
+        # carry-out: last row per key holds the new running state
+        last = g.tail(1).index.to_numpy()
+        for i in last:
+            self.counts[int(uids[i])] = int(run_n[i])
+            self.cents[int(uids[i])] = int(run_c[i])
         return batch.append_column("running_n", pa.array(run_n)).append_column(
             "running_cents", pa.array(run_c)
         )
@@ -68,19 +152,17 @@ class KeyedCounterActor:
         return len(self.counts)
 
 
-def stream_running_totals(
+def stream_running_totals_actors(
     sf_dir: str, *, num_buckets: int = 4, batch_rows: int = 16384
 ):
-    """Per-event running (count, sum) per user over the ts-ordered event log.
+    """Running totals via the keyed-actor fleet (streaming-state demo).
 
     The log is read and globally sorted by (ts, event_id) *by Ray Data*
-    (distributed sort, not a driver read), then streamed batch-by-batch
-    through the driver, which only ROUTES each batch's bucket slices to the
-    per-bucket state actors in order — one batch in flight on the driver at
-    a time, results accumulate as object refs.  Per-bucket submission order
-    preserves the ordering contract; different buckets advance
-    independently.  Returns the enriched events as a Dataset (built from the
-    actors' output refs), re-sorted by (ts, event_id).
+    (distributed sort), then streamed batch-by-batch through the driver,
+    which only ROUTES each batch's bucket slices to the per-bucket state
+    actors in order.  Correct, but the driver is on the data path — use
+    ``stream_running_totals`` for bounded re-runs; this exists for
+    unbounded-stream semantics that batch recomputation cannot express.
     """
     import ray.data as rd
 
@@ -115,13 +197,3 @@ def stream_running_totals(
             )
         )
     return rd.from_arrow_refs(pending).sort(["ts", "event_id"])
-
-
-def stream_running_totals_query(sf_dir: str):
-    """Driver-gated projection: drop the raw float ``value`` column so the
-    compared surface is integer/timestamp only (exact SQL window twin)."""
-    ds = stream_running_totals(sf_dir)
-    return ds.map_batches(
-        lambda b: b.select(["event_id", "user_id", "ts", "running_n", "running_cents"]),
-        batch_format="pyarrow",
-    )

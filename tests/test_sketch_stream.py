@@ -56,13 +56,20 @@ class TestApproxDistinct:
 
 @pytest.mark.usefixtures("ray_session")
 class TestStatefulStream:
-    def test_running_totals(self):
+    @pytest.mark.parametrize("path", ["distributed", "actors"])
+    def test_running_totals(self, path):
         import duckdb
 
-        from ocr_engine_ray.state.stream import stream_running_totals
+        from ocr_engine_ray.state.stream import (
+            stream_running_totals,
+            stream_running_totals_actors,
+        )
 
-        t = stream_running_totals(SF, num_buckets=4, batch_rows=128)
-        df = t.to_pandas()
+        if path == "distributed":
+            t = stream_running_totals(SF, num_buckets=4)
+        else:
+            t = stream_running_totals_actors(SF, num_buckets=4, batch_rows=128)
+        df = t.to_pandas().sort_values(["ts", "event_id"])
         assert len(df) == 1000
         final = df.groupby("user_id")["running_n"].max()
         exact = dict(
@@ -79,3 +86,53 @@ class TestStatefulStream:
             rn = g["running_n"].to_numpy()
             assert (np.diff(rn) == 1).all()
             assert rn[0] == 1
+
+    def test_paths_agree(self):
+        """The distributed bucket-cumsum path and the actor-fleet streaming
+        path compute byte-identical running totals."""
+        from ocr_engine_ray.state.stream import (
+            stream_running_totals,
+            stream_running_totals_actors,
+        )
+
+        cols = ["event_id", "user_id", "running_n", "running_cents"]
+        a = (
+            stream_running_totals(SF, num_buckets=3)
+            .to_pandas()
+            .sort_values("event_id")[cols]
+            .reset_index(drop=True)
+        )
+        b = (
+            stream_running_totals_actors(SF, num_buckets=2, batch_rows=77)
+            .to_pandas()
+            .sort_values("event_id")[cols]
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_actor_carry_across_batches(self):
+        """KeyedCounterActor's vectorized in-batch cumsum + per-key carry is
+        exact across arbitrary batch splits."""
+        import pyarrow as pa
+        import ray
+
+        from ocr_engine_ray.state.stream import KeyedCounterActor
+
+        actor = KeyedCounterActor.remote()
+        rows = [(7, 1.0), (8, 2.0), (7, 0.5), (7, -1.25), (8, 0.0), (9, 3.0)]
+        outs = []
+        # feed as uneven batches: [2, 1, 3]
+        for lo, hi in [(0, 2), (2, 3), (3, 6)]:
+            batch = pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows[lo:hi]], pa.int64()),
+                    "value": pa.array([r[1] for r in rows[lo:hi]], pa.float64()),
+                }
+            )
+            outs.append(ray.get(actor.ingest.remote(batch)))
+        got = pa.concat_tables(outs)
+        assert got.column("running_n").to_pylist() == [1, 1, 2, 3, 2, 1]
+        assert got.column("running_cents").to_pylist() == [
+            100, 200, 150, 25, 200, 300,
+        ]
+        assert ray.get(actor.state_size.remote()) == 3
