@@ -28,6 +28,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..sources.tables import sf_table
@@ -199,7 +200,17 @@ def _request_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
     return pa.concat_tables([side(a, 0), side(b, 1)]).combine_chunks()
 
 
-def _doc_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+def _doc_rows(batch: pa.Table, *, num_buckets: int, cand_ref=None) -> pa.Table:
+    """Corpus → shingle-source rows.  When ``cand_ref`` (a broadcast sorted
+    int64 array of candidate-pair endpoint ids) is given, the batch is
+    filtered to candidates FIRST, so the verify shuffle carries
+    O(candidates) text instead of a second all-to-all of the whole corpus.
+    At 10^12-doc scale the broadcast set becomes a Bloom filter (false
+    positives only cost a wasted shingle, never correctness)."""
+    if cand_ref is not None:
+        cand = ray.get(cand_ref)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        batch = batch.filter(pa.array(np.isin(ids, cand)))
     kv = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
     n = batch.num_rows
     return pa.table(
@@ -309,24 +320,48 @@ def minhash_lsh_dedup(
 
     1. banding groupby emits candidate pairs (possibly duplicated across
        bands);
-    2. pair endpoints become shingle-*request* rows, unioned with the corpus
-       and shuffled once on ``doc_id % B`` — each bucket shingles only the
-       docs that were requested (request dedup is local because a pair's
-       duplicates hash to the same bucket) and re-keys the result by pair;
-    3. the pair-keyed shuffle pivots the two shingle sides back together and
+    2. the distinct candidate endpoint ids (tiny vs corpus — O(pairs), and
+       pairs are already capped per bucket) are aggregated and broadcast via
+       ``ray.put``; the corpus stream is filtered to candidates BEFORE the
+       verify union, so the verify shuffle carries O(candidates) text, not a
+       second all-to-all of the whole corpus (at 10^12 docs the broadcast
+       set becomes a Bloom filter — false positives cost a wasted shingle,
+       never correctness);
+    3. pair endpoints become shingle-*request* rows, unioned with the
+       filtered corpus and shuffled once on ``doc_id % B`` — each bucket
+       shingles only the docs that were requested (request dedup is local
+       because a pair's duplicates hash to the same bucket) and re-keys the
+       result by pair;
+    4. the pair-keyed shuffle pivots the two shingle sides back together and
        verifies exact Jaccard; survivors stream into distributed
        connected components (`graph.connected_components`).
     """
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands = docs.map_batches(_band_rows, batch_format="pyarrow")
+    # materialize: the pair set (small) is consumed twice — once for the
+    # candidate-id broadcast, once as request rows — and must not recompute
+    # the banding chain.
     pairs = bands.groupby(["band", "bhash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
-    )
+    ).materialize()
+
+    def _endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": pa.concat_arrays(
+                [batch["a"].combine_chunks(), batch["b"].combine_chunks()]
+            )}
+        )
+
+    # unique() returns None for an empty pair set — no candidates at all.
+    cand_ids = pairs.map_batches(_endpoints, batch_format="pyarrow").unique("id") or []
+    cand_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
     requests = pairs.map_batches(
         _request_rows, batch_format="pyarrow", fn_kwargs={"num_buckets": num_partitions}
     )
     corpus = docs.map_batches(
-        _doc_rows, batch_format="pyarrow", fn_kwargs={"num_buckets": num_partitions}
+        _doc_rows,
+        batch_format="pyarrow",
+        fn_kwargs={"num_buckets": num_partitions, "cand_ref": cand_ref},
     )
     sided = (
         requests.union(corpus)
@@ -538,10 +573,10 @@ _SHINGLE_SEP = "\x1f"
 
 def _trigram_set(text: str) -> set[str]:
     """Raw word-trigram strings (no hashing — the SQL twin compares the same
-    strings, so no crc-collision daylight between the two sides)."""
+    strings, so no crc-collision daylight between the two sides).  A wordless
+    text yields ``{""}``, exactly like the SQL twin's
+    ``[array_to_string([], ' ')]`` branch."""
     words = _WORD_RE.findall((text or "").lower())
-    if not words:
-        return set()
     if len(words) < 3:
         return {" ".join(words)}
     return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
@@ -591,10 +626,9 @@ def ngram_jaccard_pairs(
         block = group.column("block")[0].as_py()
         bi, bj = divmod(block, nblocks)
         ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
-        shs = [
-            set(s.split(_SHINGLE_SEP)) if s else set()
-            for s in group.column("sh").to_pylist()
-        ]
+        # Unconditional split: the serialized form of the wordless-text set
+        # {""} is the empty string, which must round-trip back to {""}.
+        shs = [set(s.split(_SHINGLE_SEP)) for s in group.column("sh").to_pylist()]
         sizes = np.array([len(s) for s in shs])
         bkt = np.asarray(group.column("bucket").to_pylist())
         if bi == bj:
@@ -609,9 +643,7 @@ def ngram_jaccard_pairs(
                 if bi == bj and y <= x:
                     continue
                 sa, sb = sizes[x], sizes[y]
-                if sa == 0 and sb == 0:
-                    j = 1.0
-                elif min(sa, sb) < threshold * max(sa, sb):
+                if min(sa, sb) < threshold * max(sa, sb):
                     continue  # size-ratio prune (implied by J >= t)
                 else:
                     inter = len(shs[x] & shs[y])
