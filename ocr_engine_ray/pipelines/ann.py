@@ -65,22 +65,22 @@ def ann_topk_bruteforce(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.
         n = np.linalg.norm(m, axis=1)
         n[n == 0] = 1.0
         sims = (m / n[:, None]) @ bqmat.T  # (batch × queries)
-        q_out, v_out, s_out = [], [], []
+        sims[vid[:, None] == bqids[None, :]] = -np.inf  # exclude self
         topn = min(k, len(vid))
-        for qi in range(len(bqids)):
-            col = sims[:, qi].copy()
-            col[vid == bqids[qi]] = -np.inf  # exclude self
-            # partial top-k within the batch (vectorized argpartition)
-            idx = np.argpartition(-col, topn - 1)[:topn] if topn < len(col) else np.arange(len(col))
-            for i in idx:
-                q_out.append(int(bqids[qi]))
-                v_out.append(int(vid[i]))
-                s_out.append(float(col[i]))
+        # partial top-k per query, all queries at once (no per-row Python):
+        # part is (topn × Q); column qi holds query qi's candidate row idxs.
+        if topn < len(vid):
+            part = np.argpartition(-sims, topn - 1, axis=0)[:topn]
+        else:
+            part = np.tile(np.arange(len(vid))[:, None], (1, len(bqids)))
         return pa.table(
             {
-                "query_id": pa.array(q_out, pa.int64()),
-                "vec_id": pa.array(v_out, pa.int64()),
-                "score": pa.array(s_out, pa.float64()),
+                "query_id": pa.array(np.repeat(bqids, topn), pa.int64()),
+                "vec_id": pa.array(vid[part].ravel(order="F"), pa.int64()),
+                "score": pa.array(
+                    np.take_along_axis(sims, part, axis=0).ravel(order="F"),
+                    pa.float64(),
+                ),
             }
         )
 
@@ -231,19 +231,40 @@ def ann_topk_lsh(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
         n[n == 0] = 1.0
         mn = m / n[:, None]
         buckets = _bucket_of(mn, bplanes)
-        q_out, v_out, s_out = [], [], []
-        for i, b in enumerate(buckets):
-            for qi in bprobe.get(int(b), ()):
-                if vid[i] == bqids[qi]:
-                    continue
-                q_out.append(int(bqids[qi]))
-                v_out.append(int(vid[i]))
-                s_out.append(float(mn[i] @ bqmat[qi]))
+        # Group rows by bucket (one argsort), then one matmul + repeat/tile
+        # triple per probed bucket — no per-candidate Python.
+        chunks_q, chunks_v, chunks_s = [], [], []
+        order = np.argsort(buckets, kind="stable")
+        sb = buckets[order]
+        cuts = np.nonzero(np.diff(sb))[0] + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(sb)]]) if len(sb) else np.array([], dtype=int)
+        for s0, e0 in zip(starts, ends):
+            qidx = bprobe.get(int(sb[s0]), ())
+            if not qidx:
+                continue
+            rows = order[s0:e0]
+            qarr = np.fromiter(qidx, dtype=np.int64, count=len(qidx))
+            sims = mn[rows] @ bqmat[qarr].T  # (rows × probing queries)
+            v = np.repeat(vid[rows], len(qarr))
+            q = np.tile(bqids[qarr], len(rows))
+            keep = v != q  # exclude self
+            chunks_q.append(q[keep])
+            chunks_v.append(v[keep])
+            chunks_s.append(sims.ravel()[keep])
+        empty_i = np.array([], dtype=np.int64)
+        empty_f = np.array([], dtype=np.float64)
         return pa.table(
             {
-                "query_id": pa.array(q_out, pa.int64()),
-                "vec_id": pa.array(v_out, pa.int64()),
-                "score": pa.array(s_out, pa.float64()),
+                "query_id": pa.array(
+                    np.concatenate(chunks_q) if chunks_q else empty_i, pa.int64()
+                ),
+                "vec_id": pa.array(
+                    np.concatenate(chunks_v) if chunks_v else empty_i, pa.int64()
+                ),
+                "score": pa.array(
+                    np.concatenate(chunks_s) if chunks_s else empty_f, pa.float64()
+                ),
             }
         )
 
@@ -328,25 +349,35 @@ def ann_topk_ivf(
         n = np.linalg.norm(m, axis=1)
         n[n == 0] = 1.0
         mn = m / n[:, None]
-        q_out, v_out, s_out = [], [], []
+        # One matmul + repeat/tile triple per probed inverted list — no
+        # per-candidate Python.
+        chunks_q, chunks_v, chunks_s = [], [], []
         for c in np.unique(lists):
             qidx = probes.get(int(c), ())
             if not qidx:
                 continue
             rows = np.nonzero(lists == c)[0]
-            sims = mn[rows] @ bqmat[list(qidx)].T  # (rows × probing queries)
-            for jj, qi in enumerate(qidx):
-                for i, r in enumerate(rows):
-                    if vid[r] == bqids[qi]:
-                        continue
-                    q_out.append(int(bqids[qi]))
-                    v_out.append(int(vid[r]))
-                    s_out.append(float(sims[i, jj]))
+            qarr = np.asarray(qidx, dtype=np.int64)
+            sims = mn[rows] @ bqmat[qarr].T  # (rows × probing queries)
+            v = np.repeat(vid[rows], len(qarr))
+            q = np.tile(bqids[qarr], len(rows))
+            keep = v != q  # exclude self
+            chunks_q.append(q[keep])
+            chunks_v.append(v[keep])
+            chunks_s.append(sims.ravel()[keep])
+        empty_i = np.array([], dtype=np.int64)
+        empty_f = np.array([], dtype=np.float64)
         return pa.table(
             {
-                "query_id": pa.array(q_out, pa.int64()),
-                "vec_id": pa.array(v_out, pa.int64()),
-                "score": pa.array(s_out, pa.float64()),
+                "query_id": pa.array(
+                    np.concatenate(chunks_q) if chunks_q else empty_i, pa.int64()
+                ),
+                "vec_id": pa.array(
+                    np.concatenate(chunks_v) if chunks_v else empty_i, pa.int64()
+                ),
+                "score": pa.array(
+                    np.concatenate(chunks_s) if chunks_s else empty_f, pa.float64()
+                ),
             }
         )
 
