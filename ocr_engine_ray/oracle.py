@@ -203,6 +203,16 @@ def free_text_document(doc: dict) -> str:
     return "\n\n".join(texts).strip()
 
 
+def vocab_fields_document(doc: dict, vocab: dict[str, str]) -> str:
+    """Fixed-vocabulary structured fields for one doc: the folded fields
+    filtered to the requested keys (app.py:703-716 fields_to_extract /
+    ocr_any.py:78-123 INTAKE_FIELDS semantics) — the oracle twin of
+    ``pipelines.modes.vocab_fields``'s per-doc fields_json."""
+    fields = json.loads(extract_document(doc)["fields_json"] or "{}")
+    kept = {k: v for k, v in fields.items() if k in vocab}
+    return json.dumps(kept, sort_keys=True, ensure_ascii=False)
+
+
 def extract_document(doc: dict) -> dict:
     """Interleaved doc row → extracted row.
 

@@ -20,6 +20,7 @@ Both consume the flagship extraction output, so they are per-row transforms
 
 from __future__ import annotations
 
+import hashlib
 import json
 
 import pyarrow as pa
@@ -27,6 +28,38 @@ import ray.data as rd
 
 from ..functions.fields import normalize_rich_fields, parse_unit_fields
 from .extraction import extract_documents
+
+# Modulus for the corpus digests: sums stay exact int64 in every per-block
+# partial AND in the driver fold, at any corpus size.
+DIGEST_MOD = (1 << 61) - 1
+
+
+def row_digest(doc_id: str, payload: str) -> int:
+    """Per-row digest term: md5 over the framed (doc_id, payload) pair."""
+    h = hashlib.md5(f"{doc_id}\x1f{payload}".encode("utf-8")).digest()
+    return int.from_bytes(h, "big") % DIGEST_MOD
+
+
+def fold_digest(ds: rd.Dataset, payload_col: str) -> pa.Table:
+    """Order-independent corpus digest of a (doc_id, <payload_col>) surface:
+    sum of per-row md5 terms mod 2^61-1, as a 1-row ``{digest: int64}``.
+
+    Scale shape: one map pass emits ONE partial-sum row per block; only
+    block-count scalars reach the driver (no sort, no row data on the
+    driver).  Commutative addition makes the result independent of block
+    layout and row order."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = 0
+        for d, p in zip(
+            batch.column("doc_id").to_pylist(), batch.column(payload_col).to_pylist()
+        ):
+            s = (s + row_digest(str(d), p or "")) % DIGEST_MOD
+        return pa.table({"h": pa.array([s], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = sum(r["h"] for r in parts) % DIGEST_MOD
+    return pa.table({"digest": pa.array([total], pa.int64())})
 
 
 def _doc_rich_fields(doc_id: str, spans: list[dict]) -> str:
@@ -96,6 +129,19 @@ def free_text(sf_dir: str, **kwargs) -> rd.Dataset:
     return free_text_from_extraction(
         extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
     )
+
+
+def rich_fields_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Driver-gated golden digest of the rich-fields VALUE surface.
+
+    The per-doc field values derive from blake2b media content streams, so
+    ANSI SQL cannot recompute them — but their corpus digest is a constant,
+    so the SQL twin is the literal pinned from the ORACLE-side computation
+    (``oracle.rich_fields_document`` over the same table; see
+    ``scripts/gen_digest_oracle.py`` and ``tests/test_interpret.py``'s
+    literal-vs-oracle guard).  This flips the flagship interpretation
+    *values* from pytest-only to CORRECTNESS-gated."""
+    return fold_digest(rich_fields(sf_dir, **kwargs), "fields_rich_json")
 
 
 def free_text_stats(sf_dir: str, **kwargs) -> rd.Dataset:

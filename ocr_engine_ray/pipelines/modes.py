@@ -226,6 +226,15 @@ def vocab_fields(sf_dir: str) -> rd.Dataset:
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def vocab_fields_digest(sf_dir: str) -> pa.Table:
+    """Driver-gated golden digest of the fixed-vocabulary structured-field
+    VALUE surface (see ``interpret.rich_fields_digest`` for the scheme; the
+    SQL twin literal is pinned from ``oracle.vocab_fields_document``)."""
+    from .interpret import fold_digest
+
+    return fold_digest(vocab_fields(sf_dir), "fields_json")
+
+
 def intake_vocabulary(sf_dir: str) -> pa.Table:
     """The request-vocabulary → schema-key surface (app.py:193-212 /
     app.py:703-716) as data: (key, label) rows for the default vocabulary.

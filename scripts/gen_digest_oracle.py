@@ -1,0 +1,49 @@
+"""Generate the ORACLE-side corpus digests pinned as SQL literals for the
+`rich_fields_digest` / `vocab_fields_digest` driver queries.
+
+The digests are computed from the independent per-doc oracle
+(`ocr_engine_ray.oracle`), NOT from the Ray pipeline — so the pinned
+literal gates the pipeline against the oracle, exactly like every other
+CORRECTNESS row.  Run:
+
+    python scripts/gen_digest_oracle.py [sf_dir ...]
+
+and paste the printed numbers into `__ray_entry__.oracle_sql()`.
+`tests/test_interpret.py::test_digest_literals_match_oracle` re-derives the
+sf0.01 numbers on every pytest run and compares them to the literals, so
+the pin can never silently drift from the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow.parquet as pq
+
+from ocr_engine_ray import oracle, synth
+from ocr_engine_ray.config import DEFAULT_FIELD_LABELS, PipelineConfig
+from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+
+def oracle_digests(sf_dir: str) -> dict[str, int]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    vocab = PipelineConfig(field_labels=DEFAULT_FIELD_LABELS).vocabulary() or {}
+    rich = 0
+    voc = 0
+    for d, txt, lang in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("lang").to_pylist(),
+    ):
+        doc = synth.derive_doc(int(d), txt or "", lang or "")
+        rich = (rich + row_digest(doc["doc_id"], oracle.rich_fields_document(doc))) % DIGEST_MOD
+        voc = (voc + row_digest(doc["doc_id"], oracle.vocab_fields_document(doc, vocab))) % DIGEST_MOD
+    return {"rich_fields_digest": rich, "vocab_fields_digest": voc}
+
+
+if __name__ == "__main__":
+    for sf_dir in sys.argv[1:] or ["/root/testdata/sf0.01"]:
+        print(sf_dir, oracle_digests(sf_dir))

@@ -57,6 +57,42 @@ class TestInterpret:
         assert obj["loan_type"]["source"] == "doc-90100000#page 2"
         assert ft.startswith("[Page 1]\nfiller page\n\n[Page 2]\n")
 
+    def test_digest_literals_match_oracle(self):
+        """The SQL-literal digests pinned in __ray_entry__.oracle_sql() must
+        equal an oracle-side recomputation over the driver-gate table
+        (sf0.01 documents — same 500-row table as sf0.001).  This is the
+        guard that keeps the pinned literals honest: they come from the
+        independent per-doc oracle, not from the Ray pipeline."""
+        import re
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from scripts.gen_digest_oracle import oracle_digests
+
+        got = oracle_digests("/root/testdata/sf0.01")
+        sql = entry.oracle_sql()
+        for name, want in got.items():
+            m = re.search(r"SELECT (\d+)::BIGINT AS digest", sql[name])
+            assert m, name
+            assert int(m.group(1)) == want, name
+
+    def test_pipeline_digest_matches_literal(self):
+        """End-to-end: the Ray-side digest queries equal the oracle-pinned
+        literals (the same comparison the driver gate runs)."""
+        from ocr_engine_ray.pipelines.interpret import rich_fields_digest
+        from ocr_engine_ray.pipelines.modes import vocab_fields_digest
+        from scripts.gen_digest_oracle import oracle_digests
+
+        want = oracle_digests("/root/testdata/sf0.001")
+        sf = "/root/testdata/sf0.001"
+        assert rich_fields_digest(sf).column("digest").to_pylist() == [
+            want["rich_fields_digest"]
+        ]
+        assert vocab_fields_digest(sf).column("digest").to_pylist() == [
+            want["vocab_fields_digest"]
+        ]
+
     def test_sf0001_text_surface_goldens(self):
         """Corpus-level golden hashes for the full rich/free TEXT surfaces
         (content is media-stream-derived, so the driver gate can only see
