@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sampling,
     )
     from ocr_engine_ray.pipelines import textstats as tsp
+    from ocr_engine_ray.state.checkpoint import checkpointed_extract
     from ocr_engine_ray.state.stream import (
         stream_running_totals_query as _stream_running_totals_query,
     )
@@ -66,17 +67,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_counts": extract_stats.shape_counts,
         "input_span_counts": extract_stats.input_span_counts,
         "extract_span_counts": extract_stats.extract_span_counts,
+        "checkpointed_extract": checkpointed_extract,
         "extract_inline_chars": extract_stats.extract_inline_chars,
         "size_class_counts": extract_stats.size_class_counts,
         "lang_counts": extract_stats.lang_counts,
         "image_meta": extract_stats.image_meta,
         "rich_fields": interpret.rich_fields,              # rows-only check
+        "rich_fields_digest": interpret.rich_fields_digest,
         "free_text": interpret.free_text,                  # rows-only check
         "free_text_stats": interpret.free_text_stats,
         # --- config modes (§2.7: redact / translate / vocabulary) ----------
         "mode_translate_counts": modes.mode_translate_counts,
         "mode_redact_inline": modes.mode_redact_inline,
         "vocab_fields": modes.vocab_fields,                # rows-only check
+        "vocab_fields_digest": modes.vocab_fields_digest,
         "intake_vocabulary": modes.intake_vocabulary,
         # --- relational / windowed analytics -------------------------------
         "pricing_summary": analytics.pricing_summary,
@@ -273,6 +277,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ({spec.OUT_SPAN_COUNT_SQL})::BIGINT AS n_spans
             FROM documents
         """,
+        # The kill/resume composition must reproduce the plain extraction
+        # surface byte-for-byte — same twin as extract_span_counts.
+        "checkpointed_extract": f"""
+            SELECT doc_id, ({spec.OUT_SPAN_COUNT_SQL})::BIGINT AS n_spans
+            FROM documents
+        """,
         "extract_inline_chars": f"""
             SELECT shape, sum(inline_chars)::BIGINT AS total_inline_chars,
                    count(*) AS n_docs
@@ -371,7 +381,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) WHERE rn = 1
         """,
         # Exact word-trigram Jaccard pairs; the size-ratio predicate is
-        # implied by J >= t, so both sides may prune on it freely.
+        # implied by J >= t, so both sides may prune on it freely.  Tokenizer
+        # is regexp_extract_all '\\w+' — the same RE2 word class as the Ray
+        # side's _WORD_RE (ASCII \\w on this corpus), so punctuation/space
+        # runs can't make the two sides drift (they did under the old
+        # string_split-on-space formulation).
         "ngram_jaccard_pairs": """
             WITH sh AS (
               SELECT doc_id,
@@ -379,7 +393,7 @@ def oracle_sql() -> dict[str, str]:
                             list_transform(generate_series(1, len(w)-2),
                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
                           ELSE [array_to_string(w, ' ')] END AS g
-              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w
                     FROM documents)
             )
             SELECT a.doc_id AS a, b.doc_id AS b
@@ -569,6 +583,21 @@ def oracle_sql() -> dict[str, str]:
                      AS quality
             FROM (SELECT doc_id, text, {_LANG_SCORES}, {_QUALITY_COUNTS}
                   FROM documents)
+        """,
+        # Golden-digest gates for the rich-fields / vocab-fields VALUE
+        # surfaces: the per-doc field values derive from blake2b media
+        # content streams (not SQL-recomputable), but their corpus digest
+        # (order-independent sum of per-row md5 terms mod 2^61-1, see
+        # interpret.fold_digest) is a constant — pinned HERE from the
+        # independent per-doc oracle via scripts/gen_digest_oracle.py, and
+        # re-derived from the oracle on every pytest run
+        # (tests/test_interpret.py::test_digest_literals_match_oracle), so
+        # the literal can never drift from the oracle silently.
+        "rich_fields_digest": """
+            SELECT 2225045148653390986::BIGINT AS digest
+        """,
+        "vocab_fields_digest": """
+            SELECT 138020464335230667::BIGINT AS digest
         """,
         # minhash_lsh_dedup / simhash_dedup / ann_topk_lsh: intentionally no
         # SQL — sketch/probabilistic ops; the driver records the weaker

@@ -66,15 +66,36 @@ class MediaDecoder:
                 "this environment; construct MediaDecoder(use_fake=True)."
             )
 
-    def _decode_real(self, blob: bytes) -> tuple[int, int, str]:  # pragma: no cover
-        raise NotImplementedError("real decode path not exercised in this sandbox")
+    def _decode_real(self, blob: bytes) -> tuple[int, int, str]:
+        """Real PIL decode — env-gated (PIL absent in this container), but a
+        working implementation, activated the moment deps exist; exercised
+        by the ``pytest.importorskip("PIL")`` test in
+        tests/test_artifact_roundtrip.py."""
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(blob)) as im:
+            return int(im.width), int(im.height), (im.format or "unknown").lower()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         refs = batch.column("media_ref").to_pylist()
+        if self.use_fake:
+            blobs = [None] * len(refs)
+        else:
+            # Real decode consumes the opaque binary payload column.
+            if "media_blob" not in batch.column_names:
+                raise ValueError(
+                    "MediaDecoder(use_fake=False) requires a media_blob "
+                    "binary column carrying the image bytes"
+                )
+            blobs = batch.column("media_blob").to_pylist()
         w, h, fmt, mi = [], [], [], []
-        for ref in refs:
-            wi, hi, f = fake_image_meta(ref) if self.use_fake else self._decode_real(b"")
+        for ref, blob in zip(refs, blobs):
+            wi, hi, f = (
+                fake_image_meta(ref) if self.use_fake else self._decode_real(blob)
+            )
             w.append(wi)
             h.append(hi)
             fmt.append(f)

@@ -170,3 +170,57 @@ def run_checkpointed(
         completed_this_run += 1
 
     return [m for m in _read_manifest(out_dir) if m.get("event") == "done"]
+
+
+def checkpointed_extract(sf_dir: str, *, num_partitions: int = 8) -> rd.Dataset:
+    """Driver-gated end-to-end checkpoint/resume composition: the flagship
+    extraction run THROUGH the partition checkpoint layer, interrupted after
+    3 partitions and resumed to completion, with the result read back from
+    the checkpointed parquet partitions.
+
+    The compared surface is (doc_id, n_spans) — the same projection as
+    ``extract_span_counts``, so its exact SQL twin gates that the
+    kill/resume path produces byte-identical extraction output (no doc
+    lost, duplicated, or re-extracted differently across the interruption).
+    """
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    documents_path = f"{sf_dir}/documents.parquet"
+    out_dir = tempfile.mkdtemp(prefix="ckpt_extract_")
+    # Simulated kill: first invocation stops after 3 partitions; the second
+    # resumes from the manifest and completes the rest.
+    run_checkpointed(
+        documents_path, out_dir,
+        num_partitions=num_partitions, max_partitions_this_run=3,
+    )
+    manifest = run_checkpointed(
+        documents_path, out_dir, num_partitions=num_partitions
+    )
+    parts = sorted({m["partition"] for m in manifest})
+    # read_parquet treats list entries as files, not dirs — glob the shard
+    # files inside each completed partition directory.
+    import glob
+
+    files = sorted(
+        f
+        for k in parts
+        for f in glob.glob(os.path.join(out_dir, f"part={k}", "*.parquet"))
+    )
+    ds = rd.read_parquet(files, columns=["doc_id", "n_spans"])
+
+    def project(batch):
+        nums = np.array(
+            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(nums),
+                "n_spans": batch.column("n_spans").cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

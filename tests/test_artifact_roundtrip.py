@@ -60,3 +60,53 @@ class TestCheckpointDeterminism:
             rows = t.to_pylist()
             outs.append(_result_hash(rows))
         assert outs[0] == outs[1]
+
+
+class TestRealMediaDecode:
+    def test_real_decode_under_pil(self):
+        """Activate-on-deps seam: skipped where PIL is absent; the moment the
+        dep exists, MediaDecoder(use_fake=False)._decode_real is exercised
+        against a real in-memory PNG (so the seam is never dead code)."""
+        pytest.importorskip("PIL")
+        import io
+
+        import pyarrow as pa
+        from PIL import Image
+
+        from ocr_engine_ray.stages.multimodal import MediaDecoder
+
+        buf = io.BytesIO()
+        Image.new("RGB", (31, 17)).save(buf, format="PNG")
+        batch = pa.table(
+            {
+                "doc_id": pa.array(["doc-00000080"], pa.string()),
+                "media_ref": pa.array(["media://doc-00000080/0"], pa.string()),
+                "media_blob": pa.array([buf.getvalue()], pa.binary()),
+            }
+        )
+        out = MediaDecoder(use_fake=False)(batch)
+        assert out.column("width").to_pylist() == [31]
+        assert out.column("height").to_pylist() == [17]
+        assert out.column("format").to_pylist() == ["png"]
+        assert out.column("media_idx").to_pylist() == [0]
+
+    def test_real_decode_requires_blob_column(self):
+        """The use_fake=False path fails loudly (not silently fake) when the
+        binary payload column is missing or PIL is absent."""
+        from ocr_engine_ray.stages import multimodal
+
+        if not multimodal._HAVE_PIL:
+            with pytest.raises(NotImplementedError):
+                multimodal.MediaDecoder(use_fake=False)
+        else:
+            import pyarrow as pa
+
+            dec = multimodal.MediaDecoder(use_fake=False)
+            batch = pa.table(
+                {
+                    "doc_id": pa.array(["doc-00000080"], pa.string()),
+                    "media_ref": pa.array(["media://doc-00000080/0"], pa.string()),
+                }
+            )
+            with pytest.raises(ValueError):
+                dec(batch)

@@ -100,3 +100,23 @@ class TestKillResume:
         )
         with pytest.raises(ValueError, match="layout"):
             run_checkpointed(DOCS, out, num_partitions=4, num_buckets=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckpointedExtractQuery:
+    def test_matches_plain_extraction_surface(self):
+        """The driver-gated kill/resume composition reproduces the plain
+        extract_span_counts surface exactly."""
+        from ocr_engine_ray.pipelines.extract_stats import extract_span_counts
+        from ocr_engine_ray.state.checkpoint import checkpointed_extract
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["doc_id"]: r["n_spans"]
+            for r in checkpointed_extract(sf).take_all()
+        }
+        want = {
+            r["doc_id"]: r["n_spans"] for r in extract_span_counts(sf).take_all()
+        }
+        assert got == want
+        assert len(got) == 500
