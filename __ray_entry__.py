@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequencies": tsp.token_frequencies,
         "token_totals_by_lang": tsp.token_totals_by_lang,
         "fingerprint_stats": tsp.fingerprint_stats,
+        "tfidf_top_terms": tsp.tfidf_top_terms,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_texts": tsp.approx_distinct_texts,  # rows-only (sketch)
         "stream_running_totals": _stream_running_totals_query,
@@ -469,6 +470,30 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_stats": f"""
             SELECT source, count(DISTINCT {_FP}) AS n_unique
             FROM documents GROUP BY source
+        """,
+        # tf-idf = tf * ln(N/df); DuckDB ln and numpy log are the same libm
+        # call, so ordering AND the round_even(…,6) surface are bit-identical
+        # (the doc_stats wholesale-float-recompute contract).
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token,
+                     tf.tf * ln(n.n::DOUBLE / df.df) AS s
+              FROM tf JOIN df USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, rank, token, round_even(s, 6) AS score FROM (
+              SELECT doc_id, token, s,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, token) AS rank
+              FROM scored)
+            WHERE rank <= 3
         """,
         "quality_by_source": f"""
             SELECT source,

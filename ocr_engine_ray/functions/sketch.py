@@ -47,3 +47,69 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * M and zeros:
         est = M * np.log(M / zeros)  # linear counting for small cardinalities
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (vectorized membership for broadcast candidate sets)
+# ---------------------------------------------------------------------------
+
+
+class IntBloom:
+    """Fixed-size Bloom filter over int64 ids, numpy end-to-end.
+
+    The scale representation for broadcast candidate sets (e.g. the MinHash
+    verify prune): ~1.44·log2(1/fp) bits per element regardless of id width,
+    vs 8 bytes per element for the sorted-array set.  False positives only
+    admit extra rows into a downstream filter-by-request stage (wasted work,
+    never a correctness change); false negatives are impossible.
+
+    Hash family: double hashing h_i(x) = h1(x) + i·h2(x) (Kirsch &
+    Mitzenmacher 2006) over two splitmix64-style mixes — k probes from two
+    multiplies, fully vectorized over the query array.
+    """
+
+    _C1 = np.uint64(0x9E3779B97F4A7C15)
+    _C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def __init__(self, bits: np.ndarray, k: int):
+        self.bits = bits  # uint8 bit array, length m/8
+        self.k = k
+        self.m = np.uint64(len(bits) * 8)
+
+    @classmethod
+    def from_ids(cls, ids: np.ndarray, *, fp_rate: float = 1e-3) -> "IntBloom":
+        n = max(1, len(ids))
+        m = int(np.ceil(-n * np.log(fp_rate) / (np.log(2) ** 2)))
+        m = max(64, (m + 7) // 8 * 8)  # byte-align
+        k = max(1, round(m / n * np.log(2)))
+        bloom = cls(np.zeros(m // 8, dtype=np.uint8), k)
+        bloom._add(np.asarray(ids, dtype=np.int64))
+        return bloom
+
+    def _hashes(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        u = x.astype(np.uint64)
+        h1 = u * self._C1
+        h1 ^= h1 >> np.uint64(31)
+        h2 = (u ^ (u >> np.uint64(33))) * self._C2
+        h2 ^= h2 >> np.uint64(29)
+        h2 |= np.uint64(1)  # odd step → full-period probing
+        return h1, h2
+
+    def _positions(self, x: np.ndarray) -> np.ndarray:
+        h1, h2 = self._hashes(x)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % self.m  # (k × n)
+
+    def _add(self, x: np.ndarray) -> None:
+        pos = self._positions(x).ravel()
+        np.bitwise_or.at(self.bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
+
+    def contains(self, x: np.ndarray) -> np.ndarray:
+        """Vectorized membership mask for an int64 array (no false negatives)."""
+        x = np.asarray(x, dtype=np.int64)
+        if len(x) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(x)
+        byte = self.bits[(pos >> 3).astype(np.int64)]
+        hit = (byte >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0).astype(bool)

@@ -201,16 +201,20 @@ def _request_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
 
 
 def _doc_rows(batch: pa.Table, *, num_buckets: int, cand_ref=None) -> pa.Table:
-    """Corpus → shingle-source rows.  When ``cand_ref`` (a broadcast sorted
-    int64 array of candidate-pair endpoint ids) is given, the batch is
-    filtered to candidates FIRST, so the verify shuffle carries
-    O(candidates) text instead of a second all-to-all of the whole corpus.
-    At 10^12-doc scale the broadcast set becomes a Bloom filter (false
-    positives only cost a wasted shingle, never correctness)."""
+    """Corpus → shingle-source rows.  When ``cand_ref`` is given (a broadcast
+    sorted int64 array, or an ``IntBloom`` when the candidate set is too big
+    to ship exactly), the batch is filtered to candidates FIRST, so the
+    verify shuffle carries O(candidates) text instead of a second all-to-all
+    of the whole corpus.  Bloom false positives only admit rows that no
+    request will ever match in ``_attach_shingles`` — wasted shingling,
+    never a correctness change."""
     if cand_ref is not None:
+        from ..functions.sketch import IntBloom
+
         cand = ray.get(cand_ref)
         ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        batch = batch.filter(pa.array(np.isin(ids, cand)))
+        mask = cand.contains(ids) if isinstance(cand, IntBloom) else np.isin(ids, cand)
+        batch = batch.filter(pa.array(mask))
     kv = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
     n = batch.num_rows
     return pa.table(
@@ -309,6 +313,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     num_partitions: int = 64,
     cc_rows_per_bucket: int | None = None,
+    bloom_threshold: int = 2_000_000,
 ) -> rd.Dataset:
     """MinHash→LSH-band→bucket-groupby near-dup detection with exact-Jaccard
     verification, fully on-cluster.  Returns (doc_id, cluster_id) for every
@@ -354,7 +359,13 @@ def minhash_lsh_dedup(
 
     # unique() returns None for an empty pair set — no candidates at all.
     cand_ids = pairs.map_batches(_endpoints, batch_format="pyarrow").unique("id") or []
-    cand_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
+    cand_arr = np.array(sorted(cand_ids), dtype=np.int64)
+    if len(cand_arr) > bloom_threshold:
+        from ..functions.sketch import IntBloom
+
+        cand_ref = ray.put(IntBloom.from_ids(cand_arr))
+    else:
+        cand_ref = ray.put(cand_arr)
     requests = pairs.map_batches(
         _request_rows, batch_format="pyarrow", fn_kwargs={"num_buckets": num_partitions}
     )

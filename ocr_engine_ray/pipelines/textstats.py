@@ -249,3 +249,87 @@ def langid_counts(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(det, batch_format="pyarrow").groupby("lang_detected").aggregate(
         Count(alias_name="n_docs")
     )
+
+
+def tfidf_top_terms(sf_dir: str, *, k: int = 3) -> rd.Dataset:
+    """Per-document top-k tokens by tf-idf (vocabulary-weighted keyword
+    extraction — the classic corpus-curation signal).
+
+    Scale shape, two passes over the corpus and NO per-occurrence shuffle:
+
+    1. Document frequencies: each batch emits one (token, n) PARTIAL row per
+       distinct token (per-batch distinct-doc counting), the groupby sums
+       partials — the shuffle moves vocabulary-sized rows.  The resulting df
+       table is vocabulary-sized and is broadcast via ``ray.put`` (at
+       web-scale vocabularies, prune with min_df / top-V before broadcast,
+       or swap the broadcast for a token-bucketed join — the same trade
+       documented for the join family).
+    2. Scoring: one map pass computes per-doc tf, looks tf-idf up in the
+       broadcast df map and emits the top-k per doc locally — no groupby at
+       all (the per-doc top-k needs no cross-doc context).
+
+    score = tf · ln(N / df), rounded half-even to 6 for the compared
+    surface; ranking uses the unrounded float (DuckDB ``ln`` and numpy
+    ``log`` are the same libm call, so ordering is bit-identical — the same
+    wholesale-float-recompute contract as doc_stats' quality score).
+    Tokenizer = ``str.split()`` — the token_frequencies contract
+    (SQL ``regexp_split_to_array(trim(text), '\\s+')``).
+    """
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, not a scan
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            for tok in set((text or "").split()):
+                c[tok] += 1
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_rows = (
+        docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="df"))
+        .take_all()
+    )  # vocabulary-sized (see docstring for the web-scale variants)
+    idf = {r["token"]: math.log(n_docs / r["df"]) for r in df_rows}
+    ref = ray.put(idf)
+
+    def topk(batch: pa.Table, *, ref) -> pa.Table:
+        bidf = ray.get(ref)
+        out_doc, out_rank, out_tok, out_score = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tf = Counter((text or "").split())
+            if not tf:
+                continue
+            scored = sorted(
+                ((t, n * bidf[t]) for t, n in tf.items()),
+                key=lambda ts_: (-ts_[1], ts_[0]),
+            )[:k]
+            for rank, (tok, s) in enumerate(scored, start=1):
+                out_doc.append(doc_id)
+                out_rank.append(rank)
+                out_tok.append(tok)
+                out_score.append(round(s, 6))  # banker's, like SQL round_even
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(topk, batch_format="pyarrow", fn_kwargs={"ref": ref})

@@ -425,3 +425,47 @@ class TestKmeans:
         assert len(cl) == 32
         # near-copies must land in the same cluster as their source
         assert cl[0] == cl[30] and cl[1] == cl[31]
+
+
+class TestIntBloom:
+    def test_no_false_negatives_and_low_fp(self):
+        import numpy as np
+
+        from ocr_engine_ray.functions.sketch import IntBloom
+
+        rng = np.random.default_rng(7)
+        members = rng.choice(1 << 40, size=20_000, replace=False).astype(np.int64)
+        bloom = IntBloom.from_ids(members, fp_rate=1e-3)
+        assert bloom.contains(members).all()  # zero false negatives, always
+        probes = rng.choice(1 << 40, size=50_000, replace=False).astype(np.int64)
+        outsiders = probes[~np.isin(probes, members)]
+        fp = bloom.contains(outsiders).mean()
+        assert fp < 5e-3, fp
+
+    def test_empty_inputs(self):
+        import numpy as np
+
+        from ocr_engine_ray.functions.sketch import IntBloom
+
+        bloom = IntBloom.from_ids(np.array([1, 2, 3], dtype=np.int64))
+        assert bloom.contains(np.array([], dtype=np.int64)).shape == (0,)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashBloomPath:
+    def test_bloom_filtered_identical(self, tmp_path):
+        """Forcing the Bloom candidate representation (bloom_threshold=0)
+        must give the identical clustering as the exact-set broadcast —
+        false positives are wasted shingling, never output changes."""
+        sf = _write_corpus(tmp_path)
+        a = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.minhash_lsh_dedup(sf, threshold=0.5).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.minhash_lsh_dedup(
+                sf, threshold=0.5, bloom_threshold=0
+            ).take_all()
+        )
+        assert a == b and len(a) > 0
