@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": ann.embedding_kmeans,           # rows-only check
         # --- sampling -------------------------------------------------------
         "stratified_hash_sample": sampling.stratified_hash_sample,
+        "token_budget_sample": sampling.token_budget_sample,
         # --- text analysis --------------------------------------------------
         "doc_core_stats": tsp.doc_core_stats,
         "token_frequencies": tsp.token_frequencies,
@@ -455,6 +456,21 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM documents)
             WHERE rn <= 5
+        """,
+        # Per-source token-budget intake: running sum over the deterministic
+        # hash order, keep rows while the running total fits the budget.
+        "token_budget_sample": f"""
+            SELECT source, doc_id, n_tokens, cum_tokens FROM (
+              SELECT source, doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY sample_key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cum_tokens
+              FROM (SELECT source, doc_id, ({_TOK})::BIGINT AS n_tokens,
+                           md5(coalesce(text, '') || ':' || doc_id) AS sample_key
+                    FROM documents))
+            WHERE cum_tokens <= 1000
         """,
         "token_frequencies": """
             SELECT lang, token, count(*)::BIGINT AS n_occurrences

@@ -314,6 +314,7 @@ def minhash_lsh_dedup(
     num_partitions: int = 64,
     cc_rows_per_bucket: int | None = None,
     bloom_threshold: int = 2_000_000,
+    prune_candidates: bool = True,
 ) -> rd.Dataset:
     """MinHash→LSH-band→bucket-groupby near-dup detection with exact-Jaccard
     verification, fully on-cluster.  Returns (doc_id, cluster_id) for every
@@ -357,15 +358,25 @@ def minhash_lsh_dedup(
             )}
         )
 
-    # unique() returns None for an empty pair set — no candidates at all.
-    cand_ids = pairs.map_batches(_endpoints, batch_format="pyarrow").unique("id") or []
-    cand_arr = np.array(sorted(cand_ids), dtype=np.int64)
-    if len(cand_arr) > bloom_threshold:
-        from ..functions.sketch import IntBloom
+    if prune_candidates:
+        # unique() returns None for an empty pair set — no candidates at all.
+        cand_ids = (
+            pairs.map_batches(_endpoints, batch_format="pyarrow").unique("id") or []
+        )
+        cand_arr = np.array(sorted(cand_ids), dtype=np.int64)
+        if len(cand_arr) > bloom_threshold:
+            from ..functions.sketch import IntBloom
 
-        cand_ref = ray.put(IntBloom.from_ids(cand_arr))
+            cand_ref = ray.put(IntBloom.from_ids(cand_arr))
+        else:
+            cand_ref = ray.put(cand_arr)
     else:
-        cand_ref = ray.put(cand_arr)
+        # Escape hatch for candidate sets too large even for a driver-built
+        # Bloom: skip the broadcast entirely — the verify union/groupby is
+        # itself a semi-join (unrequested docs are never shingled), it just
+        # ships the whole corpus text through the shuffle again (the r2
+        # behavior).
+        cand_ref = None
     requests = pairs.map_batches(
         _request_rows, batch_format="pyarrow", fn_kwargs={"num_buckets": num_partitions}
     )

@@ -37,13 +37,20 @@ from .analytics import _cents
 # Per-worker-process cache of deserialized broadcast objects: ``ray.get`` of
 # a plain-Python object deserializes on every call, so task-mode lookups
 # cache by ObjectRef (actor-mode stages cache naturally in ``__init__``).
+# Bounded LRU (ordered dict, oldest evicted) so a long-lived worker running
+# many queries doesn't accumulate every broadcast it ever saw.
 _BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_MAX = 8
 
 
 def _get_broadcast(ref):
     key = ref.hex()
-    if key not in _BROADCAST_CACHE:
+    if key in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = _BROADCAST_CACHE.pop(key)  # refresh LRU order
+    else:
         _BROADCAST_CACHE[key] = ray.get(ref)
+        while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
     return _BROADCAST_CACHE[key]
 
 

@@ -52,6 +52,10 @@ SUBSET = [
     "doc_stats",
     "curate_corpus",
     "ngram_jaccard_pairs",
+    "rich_fields_digest",
+    "vocab_fields_digest",
+    "tfidf_top_terms",
+    "token_budget_sample",
 ]
 
 

@@ -469,3 +469,20 @@ class TestMinhashBloomPath:
             ).take_all()
         )
         assert a == b and len(a) > 0
+
+    def test_prune_off_identical(self, tmp_path):
+        """prune_candidates=False (the escape hatch for candidate sets too
+        large to broadcast: pure semi-join shuffle, r2 behavior) must give
+        the identical clustering."""
+        sf = _write_corpus(tmp_path)
+        a = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.minhash_lsh_dedup(sf, threshold=0.5).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.minhash_lsh_dedup(
+                sf, threshold=0.5, prune_candidates=False
+            ).take_all()
+        )
+        assert a == b and len(a) > 0
