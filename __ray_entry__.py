@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,       # rows-only check
         "simhash_dedup": dedup.simhash_dedup,               # rows-only check
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "winnow_near_dup": dedup.winnow_near_dup,            # rows-only check
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         # --- similarity search ---------------------------------------------
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals_by_lang": tsp.token_totals_by_lang,
         "fingerprint_stats": tsp.fingerprint_stats,
         "tfidf_top_terms": tsp.tfidf_top_terms,
+        "token_quantiles_by_source": tsp.token_quantiles_by_source,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_texts": tsp.approx_distinct_texts,  # rows-only (sketch)
         "stream_running_totals": _stream_running_totals_query,
@@ -487,6 +489,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(DISTINCT {_FP}) AS n_unique
             FROM documents GROUP BY source
         """,
+        # Exact type-7 quantiles at DYADIC fractions: position q*(n-1) and
+        # the interpolation between integer order stats are exact in binary
+        # float, so the histogram-based distributed computation is
+        # bit-identical to quantile_cont (no rounding needed).
+        "token_quantiles_by_source": f"""
+            WITH t AS (SELECT source, ({_TOK})::BIGINT AS tok FROM documents)
+            SELECT source, 0.25 AS q, quantile_cont(tok, 0.25) AS n_tokens_q
+            FROM t GROUP BY source
+            UNION ALL
+            SELECT source, 0.5, quantile_cont(tok, 0.5) FROM t GROUP BY source
+            UNION ALL
+            SELECT source, 0.75, quantile_cont(tok, 0.75) FROM t GROUP BY source
+        """,
         # tf-idf = tf * ln(N/df); DuckDB ln and numpy log are the same libm
         # call, so ordering AND the round_even(…,6) surface are bit-identical
         # (the doc_stats wholesale-float-recompute contract).
@@ -640,6 +655,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_fields_digest": """
             SELECT 138020464335230667::BIGINT AS digest
         """,
+        # winnow_near_dup: 64-bit polynomial rolling hashes are not
+        # reasonably ANSI-SQL-expressible — rows-only; pinned by the
+        # planted-containment pytest.
         # minhash_lsh_dedup / simhash_dedup / ann_topk_lsh: intentionally no
         # SQL — sketch/probabilistic ops; the driver records the weaker
         # rows-only check and pytest covers semantics.

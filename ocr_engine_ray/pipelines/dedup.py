@@ -686,3 +686,133 @@ def ngram_jaccard_pairs(
         .map_groups(block_pairs, batch_format="pyarrow")
         .sort(["a", "b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing near-dup (Schleimer et al., SIGMOD'03 — the MOSS approach)
+# ---------------------------------------------------------------------------
+
+
+def winnow_near_dup(
+    sf_dir: str,
+    *,
+    overlap: float = 0.5,
+    k: int = 8,
+    window: int = 16,
+    cc_rows_per_bucket: int | None = None,
+) -> rd.Dataset:
+    """Near-dup clusters via winnowed k-gram fingerprints: documents whose
+    shared winnowed hashes cover ≥ ``overlap`` of the SMALLER fingerprint
+    set are linked, links are clustered with distributed connected
+    components.  Returns (doc_id, cluster_id) sorted by doc_id.
+
+    Unlike MinHash (which estimates whole-document Jaccard), winnowing
+    guarantees detection of any shared run ≥ k + window - 1 chars — the
+    containment/plagiarism detector: a doc pasted INSIDE a larger one still
+    scores high against the smaller side's fingerprints.
+
+    Scale shape (all shuffles are fingerprint- or pair-sized, the corpus
+    text never leaves the first map):
+
+    1. one map pass emits (fp, doc_id, n_fp) rows — ~|text|/((window+1)/2)
+       winnowed hashes per doc;
+    2. groupby(fp) emits one (a, b, na, nb) row per shared hash per
+       co-bucketed pair (bucket capped at MAX_BUCKET, logged, like LSH);
+    3. groupby(a, b) counts shared hashes; pairs with
+       shared / min(na, nb) ≥ overlap become edges;
+    4. `graph.connected_components`.
+
+    Rows-only at the driver gate (a 64-bit rolling hash is not reasonably
+    ANSI-SQL-expressible); semantics pinned by the planted-containment
+    pytest.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.textstats import winnow_fingerprint
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        out_fp, out_doc, out_n = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            fps = set(winnow_fingerprint(t or "", k=k, window=window))
+            for fp in fps:
+                out_fp.append(fp)
+                out_doc.append(d)
+                out_n.append(len(fps))
+        return pa.table(
+            {
+                "fp": pa.array(out_fp, pa.uint64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_fp": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def shared_rows(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(), group.column("n_fp").to_pylist())
+        )
+        if len(rows) < 2:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                    "shared": pa.array([], pa.int64()),
+                }
+            )
+        if len(rows) > MAX_BUCKET:
+            logger.warning(
+                "winnow bucket (fp=%s) has %d docs; keeping first %d, dropping %d",
+                group.column("fp")[0].as_py(),
+                len(rows),
+                MAX_BUCKET,
+                len(rows) - MAX_BUCKET,
+            )
+            rows = rows[:MAX_BUCKET]
+        a, b, na, nb = [], [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a.append(rows[i][0])
+                b.append(rows[j][0])
+                na.append(rows[i][1])
+                nb.append(rows[j][1])
+        n = len(a)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "na": pa.array(na, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+                "shared": pa.array([1] * n, pa.int64()),
+            }
+        )
+
+    shared = (
+        docs.map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(shared_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            Sum("shared", alias_name="shared"),
+            Min("na", alias_name="na"),
+            Min("nb", alias_name="nb"),
+        )
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch.column("shared").to_pylist(), dtype=np.int64)
+        na = np.asarray(batch.column("na").to_pylist(), dtype=np.int64)
+        nb = np.asarray(batch.column("nb").to_pylist(), dtype=np.int64)
+        keep = sh >= overlap * np.minimum(na, nb)
+        t = batch.filter(pa.array(keep))
+        return pa.table({"a": t.column("a"), "b": t.column("b")})
+
+    cc_kw = {"rows_per_bucket": cc_rows_per_bucket} if cc_rows_per_bucket else {}
+    return (
+        connected_components(shared.map_batches(edges, batch_format="pyarrow"), **cc_kw)
+        .sort("doc_id")
+    )

@@ -333,3 +333,83 @@ def tfidf_top_terms(sf_dir: str, *, k: int = 3) -> rd.Dataset:
         )
 
     return docs.map_batches(topk, batch_format="pyarrow", fn_kwargs={"ref": ref})
+
+
+def token_quantiles_by_source(
+    sf_dir: str, *, quantiles: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> rd.Dataset:
+    """Exact per-source token-count quantiles (type-7 / ``quantile_cont``
+    interpolation), computed distributed via value histograms.
+
+    Scale shape: each batch emits (source, n_tokens, n_docs) PARTIAL
+    histogram rows; the groupby shuffle moves value-domain-sized rows, never
+    the corpus, and a second tiny groupby(source) turns each source's
+    cumulative histogram into its order statistics — no sort of the data
+    anywhere.
+
+    Exactness contract: quantiles here are DYADIC fractions (k/2^m).  The
+    type-7 position ``h = q·(n-1)`` and interpolation
+    ``lo + (hi-lo)·frac`` are then exact in binary floating point for
+    integer order statistics, so the result is BIT-identical to DuckDB's
+    ``quantile_cont`` regardless of either side's formula association.
+    Non-dyadic quantiles (0.9, 0.99) would make ``h`` itself inexact and
+    floor(h) platform-dependent at bin boundaries — use dyadic ladders
+    (0.875, 0.984375) at scale, same machinery.
+    """
+    import numpy as np
+
+    for q in quantiles:
+        f = q * 2**20
+        if f != int(f):
+            raise ValueError(f"quantile {q} is not dyadic (see docstring)")
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": _n_tokens(batch.column("text")).cast(pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["source", "n_tokens"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": agg.column("source"),
+                "n_tokens": agg.column("n_tokens"),
+                "n_docs": agg.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby(["source", "n_tokens"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def hist_quantiles(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
+        counts = np.asarray(group.column("n_docs").to_pylist(), dtype=np.int64)
+        order = np.argsort(vals)
+        vals, counts = vals[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        src = group.column("source")[0].as_py()
+        qs, out = [], []
+        for q in quantiles:
+            h = q * (n - 1)  # exact: q dyadic, n-1 integer
+            lo_i = int(np.floor(h))
+            frac = h - lo_i
+            lo = vals[np.searchsorted(cum, lo_i, side="right")]
+            hi = vals[np.searchsorted(cum, min(lo_i + 1, n - 1), side="right")]
+            qs.append(q)
+            out.append(float(lo) + (float(hi) - float(lo)) * frac)
+        return pa.table(
+            {
+                "source": pa.array([src] * len(qs), pa.string()),
+                "q": pa.array(qs, pa.float64()),
+                "n_tokens_q": pa.array(out, pa.float64()),
+            }
+        )
+
+    return hist.groupby("source").map_groups(hist_quantiles, batch_format="pyarrow")

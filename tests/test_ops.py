@@ -486,3 +486,62 @@ class TestMinhashBloomPath:
             ).take_all()
         )
         assert a == b and len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinnowNearDup:
+    def test_containment_and_exact_dup(self, tmp_path):
+        """Winnowing links exact dups AND containment (a doc pasted inside a
+        larger one) — the case MinHash whole-doc Jaccard misses."""
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        base = (
+            "the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun"
+        )
+        texts = [
+            base,                                    # 0
+            base,                                    # 1 exact dup of 0
+            base + " " + "totally different trailing content " * 12,  # 2 contains 0
+            "completely unrelated text about databases and query engines "
+            "optimizing distributed shuffles at scale every day",      # 3
+        ]
+        d = tmp_path / "winnow_sf"
+        d.mkdir()
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array(range(len(texts)), _pa.int64()),
+                    "text": _pa.array(texts, _pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        rows = dd.winnow_near_dup(str(d), overlap=0.5).take_all()
+        cl = {r["doc_id"]: r["cluster_id"] for r in rows}
+        assert cl.get(0) == cl.get(1) == cl.get(2) == 0
+        assert 3 not in cl
+
+    def test_no_dups_empty(self, tmp_path):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        d = tmp_path / "winnow_clean"
+        d.mkdir()
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([0, 1], _pa.int64()),
+                    "text": _pa.array(
+                        [
+                            "alpha beta gamma delta epsilon zeta eta theta",
+                            "one two three four five six seven eight nine",
+                        ],
+                        _pa.string(),
+                    ),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        assert dd.winnow_near_dup(str(d), overlap=0.5).count() == 0

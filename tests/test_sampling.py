@@ -43,3 +43,26 @@ class TestSampling:
         # genuinely shuffled (not in doc_id order on disk)
         raw = pq.read_table(out1).column("doc_id").to_pylist()
         assert raw != sorted(raw)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenBudgetSample:
+    def test_budget_monotone_prefix(self):
+        """A larger budget's per-source selection extends the smaller one
+        (same deterministic hash order), and every selection respects its
+        budget."""
+        from ocr_engine_ray.pipelines.sampling import token_budget_sample
+
+        sf = "/root/testdata/sf0.001"
+        small = token_budget_sample(sf, budget_tokens=300).to_pandas()
+        large = token_budget_sample(sf, budget_tokens=900).to_pandas()
+        assert (small["cum_tokens"] <= 300).all()
+        assert (large["cum_tokens"] <= 900).all()
+        small_ids = set(small["doc_id"])
+        assert small_ids <= set(large["doc_id"])
+        # within a source, the small selection is exactly the prefix of the
+        # large one up to the smaller budget
+        for src, g in large.groupby("source"):
+            want = set(g[g["cum_tokens"] <= 300]["doc_id"])
+            got = set(small[small["source"] == src]["doc_id"])
+            assert got == want, src
