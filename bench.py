@@ -38,7 +38,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    from ocr_engine_ray.pipelines import analytics, ann, dedup, joins
+    from ocr_engine_ray.pipelines import analytics, ann, dedup, joins, sampling
     from ocr_engine_ray.pipelines import textstats as tsp
     from ocr_engine_ray.pipelines.extraction import extract_documents
 
@@ -164,6 +164,10 @@ def run_bench() -> dict:
         "order_event_window_join": timed(joins.order_event_window_join),
         "stream_running_totals": timed(__import__("ocr_engine_ray.state.stream", fromlist=["x"]).stream_running_totals_query),
         "curate_corpus": timed(__import__("ocr_engine_ray.pipelines.curate", fromlist=["x"]).curate_corpus),
+        "tfidf_top_terms": timed(tsp.tfidf_top_terms),
+        "token_quantiles_by_source": timed(tsp.token_quantiles_by_source),
+        "token_budget_sample": timed(sampling.token_budget_sample),
+        "winnow_near_dup": timed(dedup.winnow_near_dup),
     }
 
     result = {
