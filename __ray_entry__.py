@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intake_vocabulary": modes.intake_vocabulary,
         # --- relational / windowed analytics -------------------------------
         "pricing_summary": analytics.pricing_summary,
+        "grouped_topk": analytics.grouped_topk,
+        "user_event_gaps": analytics.user_event_gaps,
         "events_hourly": analytics.events_hourly,
         "events_sliding": analytics.events_sliding,
         "sessionize": analytics.sessionize,
@@ -111,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_stats": tsp.fingerprint_stats,
         "tfidf_top_terms": tsp.tfidf_top_terms,
         "token_quantiles_by_source": tsp.token_quantiles_by_source,
+        "heavy_hitters": tsp.heavy_hitters,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_texts": tsp.approx_distinct_texts,  # rows-only (sketch)
         "stream_running_totals": _stream_running_totals_query,
@@ -525,6 +528,37 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY s DESC, token) AS rank
               FROM scored)
             WHERE rank <= 3
+        """,
+        # exact two-pass heavy hitters: the SQL twin recomputes the
+        # > N/capacity frequency filter wholesale (capacity=256)
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ), n AS (SELECT count(*)::DOUBLE AS n FROM toks)
+            SELECT token, count(*)::BIGINT AS n_occurrences
+            FROM toks CROSS JOIN n
+            GROUP BY token, n.n HAVING count(*) > any_value(n.n) / 256
+        """,
+        "grouped_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rk
+              FROM orders) WHERE rk <= 3
+        """,
+        "user_event_gaps": """
+            SELECT * FROM (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts,
+                     date_diff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                               ts)::BIGINT AS gap_us
+              FROM events)
+            WHERE prev_ts IS NOT NULL
         """,
         "quality_by_source": f"""
             SELECT source,

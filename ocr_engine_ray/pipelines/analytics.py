@@ -236,3 +236,92 @@ def top_sources(sf_dir: str, *, k: int = 5) -> rd.Dataset:
         Sum("n_chars", alias_name="total_chars"), Count(alias_name="n_docs")
     )
     return agg.sort(["total_chars", "source"], descending=[True, False]).limit(k)
+
+
+def grouped_topk(sf_dir: str, *, k: int = 3, num_buckets: int = 64) -> rd.Dataset:
+    """Top-k orders per customer by (o_totalprice DESC, o_orderkey ASC),
+    with the in-group rank — the distributed ``row_number() OVER
+    (PARTITION BY ...) <= k`` without a global sort.
+
+    Scale shape: each batch first prunes itself to <= k rows per customer
+    seen in the batch (vectorized pandas sort + groupby.head — a map-side
+    combiner, so the shuffle moves at most k rows per (customer, block)
+    pair, not the whole table); the survivors are hash-bucketed by
+    ``o_custkey % num_buckets`` and each bucket resolves its customers'
+    final top-k in ONE vectorized call (the coarse-bucket pattern — a
+    per-customer map_groups would be one Python call per customer).
+    """
+    ds = sf_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def _topk_frame(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = df.groupby("o_custkey", sort=False)
+        df["rk"] = (g.cumcount() + 1).astype("int64")
+        return df[df["rk"] <= k]
+
+    def partial_prune(batch: pa.Table) -> pa.Table:
+        df = _topk_frame(batch.to_pandas()).drop(columns=["rk"])
+        df["_bkt"] = (df["o_custkey"] % num_buckets).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        df = _topk_frame(group.to_pandas())
+        return pa.Table.from_pandas(
+            df[["o_custkey", "o_orderkey", "o_totalprice", "rk"]],
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partial_prune, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+    )
+
+
+def user_event_gaps(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Per-event previous-event timestamp and gap per user — the
+    distributed ``lag() OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)``.
+
+    Like ``stream_running_totals``: lag is order-local to the user, so a
+    ``user_id % B`` bucket shuffle + in-bucket sort + vectorized pandas
+    ``groupby.shift`` is exact with ONE all-to-all and no driver on the
+    data path.  The gap is integer microseconds; each user's FIRST event
+    (no predecessor) is dropped so the compared surface is null-free —
+    the SQL twin applies the same ``prev_ts IS NOT NULL`` qualify.
+    """
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def bucket_lag(group: pa.Table) -> pa.Table:
+        df = group.select(["event_id", "user_id", "ts"]).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        df["prev_ts"] = g["ts"].shift(1)
+        df = df[df["prev_ts"].notna()]
+        gap = (df["ts"] - df["prev_ts"]).dt.total_seconds() * 1_000_000
+        df = df.assign(gap_us=gap.round().astype("int64"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_lag, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["event_id", "user_id", "ts", "prev_ts", "gap_us"]),
+            batch_format="pyarrow",
+        )
+    )

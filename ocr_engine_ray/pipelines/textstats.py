@@ -413,3 +413,102 @@ def token_quantiles_by_source(
         )
 
     return hist.groupby("source").map_groups(hist_quantiles, batch_format="pyarrow")
+
+
+def heavy_hitters(sf_dir: str, *, capacity: int = 256) -> rd.Dataset:
+    """EXACT corpus-wide heavy hitters: every token whose total frequency
+    exceeds ``N / capacity`` (N = total token occurrences), via the
+    two-pass Misra–Gries / lossy-counting pattern (Misra & Gries '82,
+    Manku & Motwani VLDB'02 — public classics).
+
+    Pass 1 (candidates): each batch keeps only tokens whose *in-batch*
+    count exceeds ``batch_tokens / capacity``.  By the averaging argument
+    any token with global freq > N/capacity must clear that bar in at
+    least one batch, so the union of per-batch survivors is a SUPERSET of
+    the true heavy hitters — and each batch emits < capacity candidate
+    rows, so the candidate stream is ``blocks x capacity`` rows no matter
+    how large the corpus.  Distinct candidates are reduced ON-cluster
+    (groupby) before the small set is broadcast (at 10^12 docs: a Bloom
+    filter, like the MinHash verify prune).
+
+    Pass 2 (exact recount): the corpus streams once more counting ONLY
+    candidate tokens (set lookup inside the batch Counter), partials are
+    summed in one vocabulary-sized groupby, and the exact global
+    threshold ``> N/capacity`` filters the survivors.  Output is exact —
+    the DuckDB twin recomputes it wholesale — while only candidate-sized
+    state ever crosses the wire.
+
+    The reference has no corpus analytics (SURVEY.md S2.6); this is part
+    of the training-data layer (vocabulary pruning / stop-list mining).
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        n_batch = 0
+        for text in batch.column("text").to_pylist():
+            toks = (text or "").split()
+            n_batch += len(toks)
+            counts.update(toks)
+        bar = n_batch / capacity
+        keep = [t for t, c in counts.items() if c > bar]
+        # one marker row per batch carries the batch token total so N is
+        # aggregated on-cluster in the same stream ("" marks it — split()
+        # can never produce an empty token, and Ray groupby keys can't be
+        # null)
+        return pa.table(
+            {
+                "token": pa.array(keep + [""], pa.string()),
+                "n_batch": pa.array([0] * len(keep) + [n_batch], pa.int64()),
+            }
+        )
+
+    cand_stream = ds.map_batches(candidates, batch_format="pyarrow")
+    # distinct candidates + total N, both reduced on-cluster; only the
+    # (bounded) distinct candidate list reaches the driver for broadcast
+    agg = cand_stream.groupby("token").aggregate(Sum("n_batch", alias_name="n_b"))
+    total_n = 0
+    cand_set: set[str] = set()
+    for row in agg.take_all():
+        if row["token"] == "":
+            total_n = int(row["n_b"])
+        else:
+            cand_set.add(row["token"])
+    import ray
+
+    ref = ray.put(cand_set)
+    threshold = total_n / capacity
+
+    def recount(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from .joins import _get_broadcast
+
+        cand = _get_broadcast(ref)
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            for tok in (text or "").split():
+                if tok in cand:
+                    counts[tok] += 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+
+    def over_threshold(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("n_occurrences"), pa.scalar(threshold))
+        return batch.filter(keep)
+
+    return exact.map_batches(over_threshold, batch_format="pyarrow")

@@ -56,6 +56,9 @@ SUBSET = [
     "vocab_fields_digest",
     "tfidf_top_terms",
     "token_budget_sample",
+    "heavy_hitters",
+    "grouped_topk",
+    "user_event_gaps",
 ]
 
 
