@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,               # rows-only check
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "winnow_near_dup": dedup.winnow_near_dup,            # rows-only check
+        "semantic_dedup": dedup.semantic_dedup,              # rows-only check
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         # --- similarity search ---------------------------------------------
@@ -692,6 +693,9 @@ def oracle_sql() -> dict[str, str]:
         # winnow_near_dup: 64-bit polynomial rolling hashes are not
         # reasonably ANSI-SQL-expressible — rows-only; pinned by the
         # planted-containment pytest.
+        # semantic_dedup: iterative k-means upstream (not SQL-expressible)
+        # — rows-only; keep-first greedy semantics pinned by the
+        # planted-near-copy pytest (tests/test_ops.py::TestSemanticDedup).
         # minhash_lsh_dedup / simhash_dedup / ann_topk_lsh: intentionally no
         # SQL — sketch/probabilistic ops; the driver records the weaker
         # rows-only check and pytest covers semantics.

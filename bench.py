@@ -168,6 +168,10 @@ def run_bench() -> dict:
         "token_quantiles_by_source": timed(tsp.token_quantiles_by_source),
         "token_budget_sample": timed(sampling.token_budget_sample),
         "winnow_near_dup": timed(dedup.winnow_near_dup),
+        "semantic_dedup": timed(dedup.semantic_dedup),
+        "heavy_hitters": timed(tsp.heavy_hitters),
+        "grouped_topk": timed(analytics.grouped_topk),
+        "user_event_gaps": timed(analytics.user_event_gaps),
     }
 
     result = {

@@ -868,3 +868,102 @@ def winnow_near_dup(
 
     cc_kw = {"rows_per_bucket": cc_rows_per_bucket} if cc_rows_per_bucket else {}
     return connected_components(edge_ds, **cc_kw).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_MAX_CLUSTER = 4096
+
+
+def semantic_dedup(
+    sf_dir: str,
+    *,
+    threshold: float = 0.42,  # the synthetic corpus's near-dup regime,
+    # same default as embedding_near_dup (real text embeddings: ~0.95+)
+    num_clusters: int = 8,
+    iters: int = 4,
+) -> rd.Dataset:
+    """SemDeDup: k-means the embedding space, then within each cluster drop
+    every vector whose cosine similarity to an already-retained vector
+    (vec_id ascending — the deterministic keep-first policy, same as
+    ``exact_dedup``) exceeds ``threshold``.  Returns the RETAINED rows as
+    (vec_id, cluster), sorted by vec_id.
+
+    This is the scale path for embedding near-dup removal: the quadratic
+    similarity work is confined to clusters (the paper's core trick), so
+    total work is ``Σ |cluster|²`` instead of N².  Shape:
+
+    1. deterministic broadcast/partial-aggregate k-means
+       (`ann._kmeans_centroids` — driver folds k×blocks partials only);
+    2. one assignment pass attaches the cluster id (broadcast centroids);
+    3. ``groupby(cluster).map_groups`` runs the greedy keep-first scan per
+       cluster — the pairwise matrix is cluster-local, each retained row
+       eliminates all its later neighbors in one vectorized step.  Clusters
+       over ``SEMANTIC_MAX_CLUSTER`` rows are truncated and logged (at real
+       scale: raise ``num_clusters`` so E[|cluster|] = N/k stays bounded —
+       the paper uses k ≈ sqrt(N)).
+
+    Greedy keep-first (not connected components) is the paper's semantics:
+    a chain a~b~c with sim(a,c) < threshold keeps {a, c}, whereas
+    `embedding_near_dup_clusters` (transitive closure) would collapse it
+    to {a}.  No SQL oracle (iterative k-means upstream); determinism and
+    planted-duplicate recovery are pytest-verified.
+    """
+    from .ann import _assign_batch, _kmeans_centroids
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = _kmeans_centroids(emb, k=num_clusters, iters=iters)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        _, a = _assign_batch(batch, cref)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "embedding": batch.column("embedding"),
+                "cluster": pa.array(a.astype(np.int32)),
+            }
+        )
+
+    def cluster_dedup(group: pa.Table) -> pa.Table:
+        vid = group.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        m = np.array(group.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(vid)
+        vid, m = vid[order], m[order]
+        n = len(vid)
+        if n > SEMANTIC_MAX_CLUSTER:
+            logger.warning(
+                "semantic_dedup cluster %s has %d rows; keeping first %d, dropping %d",
+                group.column("cluster")[0].as_py(),
+                n,
+                SEMANTIC_MAX_CLUSTER,
+                n - SEMANTIC_MAX_CLUSTER,
+            )
+            vid, m, n = vid[:SEMANTIC_MAX_CLUSTER], m[:SEMANTIC_MAX_CLUSTER], SEMANTIC_MAX_CLUSTER
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        keep = np.ones(n, dtype=bool)
+        later = np.arange(n)
+        for i in range(n):
+            if keep[i]:
+                keep[(later > i) & (sims[i] > threshold)] = False
+        cl = group.column("cluster")[0].as_py() if n else None
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[keep]),
+                "cluster": pa.array(
+                    np.full(int(keep.sum()), cl, dtype=np.int32)
+                ),
+            }
+        )
+
+    return (
+        emb.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cluster_dedup, batch_format="pyarrow")
+        .sort("vec_id")
+    )

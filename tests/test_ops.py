@@ -545,3 +545,28 @@ class TestWinnowNearDup:
             str(d / "documents.parquet"),
         )
         assert dd.winnow_near_dup(str(d), overlap=0.5).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemanticDedup:
+    def test_planted_near_copies_dropped_keep_first(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        rows = dd.semantic_dedup(sf, threshold=0.95, num_clusters=3, iters=3).take_all()
+        kept = {r["vec_id"] for r in rows}
+        # vec 30 ≈ vec 0 and vec 31 ≈ vec 1 (cos ≈ 0.9999); keep-first
+        # retains the lower vec_id of each pair
+        assert 0 in kept and 1 in kept
+        assert 30 not in kept and 31 not in kept
+        # independent random unit vectors never reach cos 0.95
+        assert kept == set(range(30))
+
+    def test_threshold_above_one_keeps_all(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        rows = dd.semantic_dedup(sf, threshold=1.01, num_clusters=3, iters=2).take_all()
+        assert [r["vec_id"] for r in rows] == list(range(32))
+
+    def test_deterministic(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        a = dd.semantic_dedup(sf, threshold=0.95, num_clusters=3).take_all()
+        b = dd.semantic_dedup(sf, threshold=0.95, num_clusters=3).take_all()
+        assert a == b
