@@ -93,9 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ----------------------------------------------------------
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,       # rows-only check
+        "minhash_digest": dedup.minhash_digest,
         "simhash_dedup": dedup.simhash_dedup,               # rows-only check
+        "simhash_digest": dedup.simhash_digest,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "winnow_near_dup": dedup.winnow_near_dup,            # rows-only check
+        "winnow_digest": dedup.winnow_digest,
         "semantic_dedup": dedup.semantic_dedup,              # rows-only check
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
@@ -117,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": tsp.heavy_hitters,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_texts": tsp.approx_distinct_texts,  # rows-only (sketch)
+        "approx_distinct_digest": tsp.approx_distinct_digest,
         "stream_running_totals": _stream_running_totals_query,
         "langid_counts": tsp.langid_counts,
         "doc_stats": tsp.doc_stats,
@@ -690,15 +694,36 @@ def oracle_sql() -> dict[str, str]:
         "vocab_fields_digest": """
             SELECT 138020464335230667::BIGINT AS digest
         """,
-        # winnow_near_dup: 64-bit polynomial rolling hashes are not
-        # reasonably ANSI-SQL-expressible — rows-only; pinned by the
-        # planted-containment pytest.
+        # Same pinned-digest pattern for the sketch-based cluster surfaces
+        # (MinHash signatures / SimHash bits / 64-bit rolling hashes are not
+        # reasonably ANSI-SQL-expressible): the literals come from the
+        # INDEPENDENT sequential oracles in ocr_engine_ray/oracle_dedup.py
+        # (plain dict+union-find reimplementations of the spec, sharing no
+        # orchestration with the distributed pipelines), printed by
+        # scripts/gen_digest_oracle.py and re-derived on every pytest run
+        # (tests/test_digest_dedup.py), so a drift on either side fails
+        # loudly.  The full row surfaces stay registered as rows-only
+        # queries beside these gates.
+        "minhash_digest": """
+            SELECT 1555726988207594003::BIGINT AS digest
+        """,
+        "simhash_digest": """
+            SELECT 311662585135592587::BIGINT AS digest
+        """,
+        "winnow_digest": """
+            SELECT 595497846761617659::BIGINT AS digest
+        """,
+        "approx_distinct_digest": """
+            SELECT 887623493524140749::BIGINT AS digest
+        """,
+        # winnow_near_dup / minhash_lsh_dedup / simhash_dedup /
+        # approx_distinct_texts: full row surfaces rows-only; their value
+        # content is CORRECTNESS-gated through the *_digest queries above.
         # semantic_dedup: iterative k-means upstream (not SQL-expressible)
         # — rows-only; keep-first greedy semantics pinned by the
         # planted-near-copy pytest (tests/test_ops.py::TestSemanticDedup).
-        # minhash_lsh_dedup / simhash_dedup / ann_topk_lsh: intentionally no
-        # SQL — sketch/probabilistic ops; the driver records the weaker
-        # rows-only check and pytest covers semantics.
+        # ann_topk_lsh: intentionally no SQL — probabilistic op; the driver
+        # records the weaker rows-only check and pytest covers recall.
         # rich_fields / vocab_fields: field values derive from the media
         # content streams (blake2b), which ANSI SQL cannot recompute — the
         # JSON surfaces are pinned by pytest golden/equality tests instead;

@@ -1,0 +1,279 @@
+"""Independent single-process oracles for the sketch/dedup surfaces whose
+driver gates were rows-only (no ANSI-SQL twin exists for a 64-bit rolling
+hash or a MinHash signature).
+
+Like `ocr_engine_ray.oracle` (the per-doc extraction oracle), everything
+here is a from-scratch sequential reimplementation of the SPEC — plain
+dicts, union-find and per-doc loops — sharing no orchestration code with
+the distributed pipelines in `pipelines/dedup.py` / `pipelines/textstats.py`.
+The per-doc hash constants (crc32 trigram shingles, rng(42) minhash params,
+blake2b band hashes, base-1000003 rolling hash) are duplicated by value:
+they are the operator's definition, and a drift on either side breaks the
+pinned digests in `tests/test_digest_dedup.py` loudly.
+
+The corpus digests produced by `clusters_digest` are pinned as SQL literals
+in `__ray_entry__.oracle_sql()` (`minhash_digest` etc.), turning the
+rows-only surfaces into hash-gated CORRECTNESS rows — same pattern as
+`rich_fields_digest` (see pipelines/interpret.py:fold_digest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow.parquet as pq
+
+# --- shared spec constants (duplicated from the pipeline by definition) ----
+
+MERSENNE = (1 << 61) - 1
+WORD_RE = re.compile(r"\w+", re.UNICODE)
+WS_RE = re.compile(r"[ \t\n\f\r]+")
+DIGEST_MOD = (1 << 61) - 1
+
+
+def _load_docs(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return list(
+        zip(t.column("doc_id").to_pylist(), [x or "" for x in t.column("text").to_pylist()])
+    )
+
+
+# --- union-find + cluster emission ----------------------------------------
+
+
+class _UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            p = self.parent[x] = self.find(p)
+        return p
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def clusters_from_edges(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """(a, b) edges → sorted (doc_id, cluster_id=min id of component) rows,
+    one row per node that appears in any edge — the sequential twin of
+    `pipelines.graph.connected_components`."""
+    uf = _UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    return sorted((n, uf.find(n)) for n in uf.parent)
+
+
+def clusters_digest(rows: list[tuple[int, int]]) -> int:
+    """Order-independent corpus digest of (doc_id, cluster_id) rows — the
+    sequential twin of `pipelines.interpret.fold_digest` over the payload
+    str(cluster_id)."""
+    s = 0
+    for d, c in rows:
+        h = hashlib.md5(f"{d}\x1f{c}".encode("utf-8")).digest()
+        s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
+    return s
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+NUM_HASHES = 64
+NUM_BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+MAX_BUCKET = 64
+
+
+def shingle_set(text: str, n: int = 3) -> set[int]:
+    words = WORD_RE.findall((text or "").lower())
+    if len(words) < n:
+        return {zlib.crc32(" ".join(words).encode())} if words else set()
+    return {zlib.crc32(" ".join(words[i : i + n]).encode()) for i in range(len(words) - n + 1)}
+
+
+def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_clusters(sf_dir: str, *, threshold: float = 0.8) -> list[tuple[int, int]]:
+    """Sequential MinHash→LSH→exact-Jaccard-verify→union-find clustering."""
+    docs = _load_docs(sf_dir)
+    A, B = _minhash_params()
+    shingles: dict[int, set[int]] = {}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d, t in docs:
+        sh = shingle_set(t)
+        shingles[d] = sh
+        if not sh:
+            sig = np.full(NUM_HASHES, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            x = np.fromiter(sh, dtype=np.uint64)
+            sig = ((np.outer(A, x) + B[:, None]) % MERSENNE).min(axis=1)
+        for band in range(NUM_BANDS):
+            chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            buckets.setdefault((band, bh), []).append(d)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)[:MAX_BUCKET]  # same deterministic skew cap as the pipeline
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    edges = []
+    for a, b in sorted(pairs):
+        s1, s2 = shingles[a], shingles[b]
+        if not s1 and not s2:
+            j = 1.0
+        elif not s1 or not s2:
+            j = 0.0
+        else:
+            inter = len(s1 & s2)
+            j = inter / (len(s1) + len(s2) - inter)
+        if j >= threshold:
+            edges.append((a, b))
+    return clusters_from_edges(edges)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    words = WORD_RE.findall((text or "").lower())
+    if not words:
+        return 0
+    sig = 0
+    counts = [0] * 64
+    for w in set(words):
+        f = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        for bit in range(64):
+            counts[bit] += 1 if (f >> bit) & 1 else -1
+    for bit in range(64):
+        if counts[bit] > 0:
+            sig |= 1 << bit
+    return sig
+
+
+def simhash_clusters(sf_dir: str, *, max_hamming: int = 3) -> list[tuple[int, int]]:
+    docs = _load_docs(sf_dir)
+    sigs = {d: simhash64(t) for d, t in docs}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, s in sigs.items():
+        for band in range(4):
+            buckets.setdefault((band, (s >> (16 * band)) & 0xFFFF), []).append(d)
+    edges: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        rows = sorted((d, sigs[d]) for d in ids)[:MAX_BUCKET]
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
+                    edges.add((rows[i][0], rows[j][0]))
+    return clusters_from_edges(sorted(edges))
+
+
+# --- Winnowing --------------------------------------------------------------
+
+_B = 1000003
+_MASK = (1 << 64) - 1
+
+
+def _poly(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * _B + ord(ch)) & _MASK
+    return h
+
+
+def winnow_fps(text: str, k: int = 8, window: int = 16) -> set[int]:
+    s = WS_RE.sub(" ", (text or "").lower()).strip(" ")
+    if not s:
+        return set()
+    if len(s) < k:
+        return {_poly(s)}
+    hs = [_poly(s[: k])]
+    top = pow(_B, k - 1, 1 << 64)
+    for i in range(k, len(s)):
+        hs.append(((hs[-1] - ord(s[i - k]) * top) * _B + ord(s[i])) & _MASK)
+    if len(hs) <= window:
+        return {min(hs)}
+    out: set[int] = set()
+    last = -1
+    for i in range(len(hs) - window + 1):
+        w = hs[i : i + window]
+        m = min(w)
+        j = i + w.index(m)
+        if j != last:
+            out.add(m)
+            last = j
+    return out
+
+
+def winnow_clusters(
+    sf_dir: str, *, overlap: float = 0.5, k: int = 8, window: int = 16
+) -> list[tuple[int, int]]:
+    docs = _load_docs(sf_dir)
+    fps = {d: winnow_fps(t, k=k, window=window) for d, t in docs}
+    nfp = {d: len(s) for d, s in fps.items()}
+    by_fp: dict[int, list[int]] = {}
+    for d, s in fps.items():
+        for fp in s:
+            by_fp.setdefault(fp, []).append(d)
+    shared: dict[tuple[int, int], int] = {}
+    for ids in by_fp.values():
+        ids = sorted(ids)[:MAX_BUCKET]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                p = (ids[i], ids[j])
+                shared[p] = shared.get(p, 0) + 1
+    edges = [
+        (a, b) for (a, b), sh in sorted(shared.items()) if sh >= overlap * min(nfp[a], nfp[b])
+    ]
+    return clusters_from_edges(edges)
+
+
+# --- HyperLogLog distinct-by-source -----------------------------------------
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_distinct_by_source(sf_dir: str) -> list[tuple[str, int]]:
+    """Sequential HLL per source — the register max-fold is associative, so
+    one pass over all values equals any merge tree of per-batch sketches."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    regs: dict[str, list[int]] = {}
+    for s, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        r = regs.setdefault(s, [0] * HLL_M)
+        h = int.from_bytes(
+            hashlib.blake2b((txt or "").encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        idx = h >> (64 - HLL_P)
+        rest = h & ((1 << (64 - HLL_P)) - 1)
+        rank = (64 - HLL_P) - rest.bit_length() + 1
+        if rank > r[idx]:
+            r[idx] = rank
+    out = []
+    for s in sorted(regs):
+        r = np.array(regs[s], dtype=np.float64)
+        est = _HLL_ALPHA * HLL_M * HLL_M / np.power(2.0, -r).sum()
+        zeros = int((r == 0).sum())
+        if est <= 2.5 * HLL_M and zeros:
+            est = HLL_M * np.log(HLL_M / zeros)
+        out.append((s, int(round(float(est)))))
+    return out
+
+
+def hll_digest(rows: list[tuple[str, int]]) -> int:
+    s = 0
+    for src, n in rows:
+        h = hashlib.md5(f"{src}\x1f{n}".encode("utf-8")).digest()
+        s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
+    return s

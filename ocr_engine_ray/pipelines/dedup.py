@@ -967,3 +967,46 @@ def semantic_dedup(
         .map_groups(cluster_dedup, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+# ---------------------------------------------------------------------------
+# Corpus digests: hash-gating the sketch-based cluster surfaces
+# ---------------------------------------------------------------------------
+
+
+def _cluster_digest(ds: rd.Dataset) -> pa.Table:
+    """(doc_id, cluster_id) Dataset → 1-row order-independent corpus digest
+    (`interpret.fold_digest` over payload = str(cluster_id)).
+
+    The matching literal in `__ray_entry__.oracle_sql()` is pinned from the
+    independent sequential oracle (`ocr_engine_ray.oracle_dedup`), so these
+    turn the non-SQL-expressible cluster surfaces (64-bit rolling hashes,
+    MinHash signatures) into hash-gated CORRECTNESS rows — the same pattern
+    as `rich_fields_digest`."""
+    from .interpret import fold_digest
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(
+                    [str(c) for c in batch["cluster_id"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+
+
+def minhash_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `minhash_lsh_dedup` (oracle: oracle_dedup.minhash_clusters)."""
+    return _cluster_digest(minhash_lsh_dedup(sf_dir, **kwargs))
+
+
+def simhash_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `simhash_dedup` (oracle: oracle_dedup.simhash_clusters)."""
+    return _cluster_digest(simhash_dedup(sf_dir, **kwargs))
+
+
+def winnow_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `winnow_near_dup` (oracle: oracle_dedup.winnow_clusters)."""
+    return _cluster_digest(winnow_near_dup(sf_dir, **kwargs))

@@ -512,3 +512,28 @@ def heavy_hitters(sf_dir: str, *, capacity: int = 256) -> rd.Dataset:
         return batch.filter(keep)
 
     return exact.map_batches(over_threshold, batch_format="pyarrow")
+
+
+def approx_distinct_digest(sf_dir: str) -> "pa.Table":
+    """Digest gate over `approx_distinct_texts`: the HLL register max-fold is
+    associative/commutative, so the distributed estimate is deterministic and
+    a single-pass sequential HLL (`oracle_dedup.hll_distinct_by_source`)
+    reproduces it bit-for-bit — the pinned literal in
+    `__ray_entry__.oracle_sql()` comes from that oracle."""
+    from .interpret import fold_digest
+
+    ds = approx_distinct_texts(sf_dir)
+
+    def payload(batch):
+        import pyarrow as _pa
+
+        return _pa.table(
+            {
+                "doc_id": batch["source"],
+                "payload": _pa.array(
+                    [str(n) for n in batch["approx_unique"].to_pylist()], _pa.string()
+                ),
+            }
+        )
+
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")

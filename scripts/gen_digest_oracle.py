@@ -28,6 +28,19 @@ from ocr_engine_ray.config import DEFAULT_FIELD_LABELS, PipelineConfig
 from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
 
 
+def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
+    """Digests for the sketch/dedup surfaces, from the independent sequential
+    oracles in `ocr_engine_ray.oracle_dedup` (never the Ray pipelines)."""
+    from ocr_engine_ray import oracle_dedup as od
+
+    return {
+        "minhash_digest": od.clusters_digest(od.minhash_clusters(sf_dir)),
+        "simhash_digest": od.clusters_digest(od.simhash_clusters(sf_dir)),
+        "winnow_digest": od.clusters_digest(od.winnow_clusters(sf_dir)),
+        "approx_distinct_digest": od.hll_digest(od.hll_distinct_by_source(sf_dir)),
+    }
+
+
 def oracle_digests(sf_dir: str) -> dict[str, int]:
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     vocab = PipelineConfig(field_labels=DEFAULT_FIELD_LABELS).vocabulary() or {}
@@ -47,3 +60,4 @@ def oracle_digests(sf_dir: str) -> dict[str, int]:
 if __name__ == "__main__":
     for sf_dir in sys.argv[1:] or ["/root/testdata/sf0.01"]:
         print(sf_dir, oracle_digests(sf_dir))
+        print(sf_dir, dedup_oracle_digests(sf_dir))

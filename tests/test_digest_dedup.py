@@ -1,0 +1,88 @@
+"""Digest gates for the sketch-based cluster surfaces: the SQL literals in
+`__ray_entry__.oracle_sql()` are pinned from the INDEPENDENT sequential
+oracles (`ocr_engine_ray.oracle_dedup` — plain dict/union-find
+reimplementations), and the Ray pipelines must reproduce them bit-for-bit.
+
+Three layers, like test_interpret's rich-fields gate:
+  1. literal == oracle recomputation (keeps the pin honest),
+  2. Ray digest == literal (the exact comparison the driver gate runs),
+  3. Ray cluster ROWS == oracle rows (stronger diagnostics than a digest
+     mismatch when something drifts).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def _literal(name: str) -> int:
+    import __ray_entry__ as entry
+
+    sql = entry.oracle_sql()[name]
+    m = re.search(r"SELECT (\d+)::BIGINT AS digest", sql)
+    assert m, name
+    return int(m.group(1))
+
+
+class TestDedupDigestGates:
+    def test_literals_match_oracle(self):
+        from scripts.gen_digest_oracle import dedup_oracle_digests
+
+        got = dedup_oracle_digests(SF)
+        for name, want in got.items():
+            assert _literal(name) == want, name
+
+    @pytest.mark.parametrize(
+        "name",
+        ["minhash_digest", "simhash_digest", "winnow_digest", "approx_distinct_digest"],
+    )
+    def test_ray_digest_matches_literal(self, ray_session, name):
+        import __ray_entry__ as entry
+
+        t = entry.queries()[name](SF)
+        assert t.column("digest")[0].as_py() == _literal(name), name
+
+    def test_minhash_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import dedup
+
+        rows = [
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.minhash_lsh_dedup(SF).take_all()
+        ]
+        assert sorted(rows) == od.minhash_clusters(SF)
+
+    def test_simhash_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import dedup
+
+        rows = [
+            (r["doc_id"], r["cluster_id"]) for r in dedup.simhash_dedup(SF).take_all()
+        ]
+        assert sorted(rows) == od.simhash_clusters(SF)
+
+    def test_winnow_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import dedup
+
+        rows = [
+            (r["doc_id"], r["cluster_id"]) for r in dedup.winnow_near_dup(SF).take_all()
+        ]
+        assert sorted(rows) == od.winnow_clusters(SF)
+
+    def test_hll_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import textstats
+
+        rows = [
+            (r["source"], r["approx_unique"])
+            for r in textstats.approx_distinct_texts(SF).take_all()
+        ]
+        assert sorted(rows) == od.hll_distinct_by_source(SF)
