@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analytics,
         ann,
         curate,
+        decontam,
         dedup,
         extract_stats,
         interpret,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": dedup.winnow_near_dup,            # rows-only check
         "winnow_digest": dedup.winnow_digest,
         "semantic_dedup": dedup.semantic_dedup,              # rows-only check
+        "normalized_dedup": dedup.normalized_dedup,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         # --- similarity search ---------------------------------------------
@@ -124,6 +126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_running_totals": _stream_running_totals_query,
         "langid_counts": tsp.langid_counts,
         "doc_stats": tsp.doc_stats,
+        # --- corpus hygiene: decontamination + repetition flags -------------
+        "decontaminate": decontam.decontaminate,
+        "repetition_flags": decontam.repetition_flags,
+        # --- hierarchical rollup aggregate ----------------------------------
+        "rollup_pricing": analytics.rollup_pricing,
         # --- end-to-end curation composition --------------------------------
         "curate_corpus": curate.curate_corpus,
     }
@@ -605,6 +612,82 @@ def oracle_sql() -> dict[str, str]:
                          THEN n_chars - (least(1 + doc_id % 3, {_NW}) - 1)
                          ELSE n_chars END)::BIGINT AS total_chars
             FROM documents WHERE doc_id % 100 < 65
+        """,
+        # Benchmark decontamination: the SQL twin materializes the word
+        # 8-grams with list slices (the Ray side compares 64-bit gram
+        # hashes — the scale representation; a disagreement needs a
+        # blake2b-64 collision inside one benchmark's gram set).
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(coalesce(text,'')), '\w+') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, source, array_to_string(ws[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, source, ws,
+                           unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i
+                    FROM w)
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+            train AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0')
+            SELECT d.doc_id,
+                   count(b.gram)::BIGINT AS n_gram_hits,
+                   (count(b.gram) > 0) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+            LEFT JOIN train tr ON tr.doc_id = d.doc_id
+            LEFT JOIN bench b ON b.gram = tr.gram
+            GROUP BY d.doc_id
+        """,
+        # Gopher-style repetitiousness flags (duplicate-line fraction +
+        # top-word share), round_even(6) on both sides.
+        "repetition_flags": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(coalesce(text,''), chr(10)) AS lines,
+                     regexp_extract_all(lower(coalesce(text,'')), '\w+') AS ws
+              FROM documents
+            ),
+            topw AS (
+              SELECT doc_id, max(c) AS maxc, sum(c) AS nw FROM (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY 1, 2
+              ) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   round_even((len(lines) - len(list_distinct(lines)))
+                              / len(lines)::DOUBLE, 6) AS dup_line_frac,
+                   coalesce(round_even(t.maxc / t.nw::DOUBLE, 6), 0.0)
+                     AS top_word_frac,
+                   (round_even((len(lines) - len(list_distinct(lines)))
+                               / len(lines)::DOUBLE, 6) > 0.30
+                    OR coalesce(round_even(t.maxc / t.nw::DOUBLE, 6), 0.0) > 0.20)
+                     AS flagged
+            FROM base b LEFT JOIN topw t USING (doc_id)
+        """,
+        # CCNet-style normalize-then-dedup: both sides normalize with the
+        # same RE2 regex chain (pyarrow replace_substring_regex == DuckDB
+        # regexp_replace 'g'), then keep-first by doc_id.
+        "normalized_dedup": r"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY trim(regexp_replace(regexp_replace(
+                           lower(coalesce(text,'')),
+                           '[^\w \t\n\f\r]+', '', 'g'), '[ \t\n\f\r]+', ' ', 'g'), ' ')
+                       ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        # Hierarchical rollup: one distributed cents aggregation at the
+        # finest level; coarser levels derived from those k partial rows.
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                         / 100.0, 2) AS sum_disc_price,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         # Curation composition: quality filter -> exact dedup keep-first ->
         # per-source yield (same quality/tokens/dedup twins as the unit

@@ -325,3 +325,75 @@ def user_event_gaps(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def rollup_pricing(sf_dir: str) -> rd.Dataset:
+    """Hierarchical ROLLUP aggregate over lineitem: revenue and row counts at
+    (returnflag, linestatus), (returnflag), and grand-total levels — the
+    multi-granularity summary a reporting layer derives in one pass.
+
+    Scale shape: ONE distributed cents-integer aggregation at the finest
+    level (map-side pre-aggregated by Ray's groupby, like pricing_summary);
+    the coarser levels are derived from those k ≈ |flags|×|statuses| partial
+    rows in a single tiny task — never a second scan.  Integer cents make
+    every level's sum exact, so rounding at each level matches the SQL
+    ``GROUP BY ROLLUP`` twin bit-for-bit.  NULL dimension values mark
+    rolled-up levels, exactly like SQL.
+    """
+    ds = sf_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "rev_c": _cents(rev),
+            }
+        )
+
+    fine = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Count(alias_name="n_items"))
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        l1 = df.groupby("l_returnflag", as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_items=("n_items", "sum")
+        )
+        l1["l_linestatus"] = None
+        l0 = pd.DataFrame(
+            {
+                "l_returnflag": [None],
+                "l_linestatus": [None],
+                "rev_c": [df["rev_c"].sum()],
+                "n_items": [df["n_items"].sum()],
+            }
+        )
+        out = pd.concat([df, l1, l0], ignore_index=True)[
+            ["l_returnflag", "l_linestatus", "rev_c", "n_items"]
+        ]
+        out["sum_disc_price"] = (out["rev_c"] / 100.0).round(2)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+                "sum_disc_price": pa.array(out["sum_disc_price"], pa.float64()),
+                "n_items": pa.array(out["n_items"], pa.int64()),
+            }
+        )
+
+    # The finest aggregate is k rows (k = flag×status cardinality) — one
+    # block; the rollup derivation is a single small task, not a scan.
+    return fine.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", batch_size=None
+    )

@@ -1010,3 +1010,49 @@ def simhash_digest(sf_dir: str, **kwargs) -> pa.Table:
 def winnow_digest(sf_dir: str, **kwargs) -> pa.Table:
     """Digest gate over `winnow_near_dup` (oracle: oracle_dedup.winnow_clusters)."""
     return _cluster_digest(winnow_near_dup(sf_dir, **kwargs))
+
+
+# ---------------------------------------------------------------------------
+# Normalization + exact dedup (the CCNet-style "normalize then hash" pass)
+# ---------------------------------------------------------------------------
+
+
+def normalized_dedup(sf_dir: str) -> rd.Dataset:
+    """Exact dedup AFTER aggressive text normalization (lowercase, strip
+    punctuation, collapse whitespace) — the CCNet-style pass that catches
+    trivially-reformatted copies exact hashing misses.
+
+    Normalization runs entirely in RE2-backed pyarrow kernels
+    (`replace_substring_regex`) so it is bit-identical to the DuckDB twin's
+    ``regexp_replace(..., 'g')`` chain — no Python-regex/RE2 class drift
+    (the `\\s`-vs-`[ \\t\\n\\f\\r]` lesson from the token counters).  Then
+    the same sha1-bucket keep-first shuffle as `exact_dedup`.  Returns
+    surviving (doc_id, source), sorted by doc_id.
+    """
+    import pyarrow.compute as pc
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def norm_sha(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column("text"), "")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, r"[^\w \t\n\f\r]+", "")
+        t = pc.replace_substring_regex(t, r"[ \t\n\f\r]+", " ")
+        t = pc.utf8_trim(t, " ")
+        h = [hashlib.sha1(x.encode("utf-8")).hexdigest() for x in t.to_pylist()]
+        bucket = [int(x[:8], 16) % NUM_DEDUP_BUCKETS for x in h]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "text_sha1": pa.array(h, pa.string()),
+                "bucket": pa.array(bucket, pa.int32()),
+            }
+        )
+
+    return (
+        ds.map_batches(norm_sha, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_dedup_bucket, batch_format="pyarrow")
+        .sort("doc_id")
+    )

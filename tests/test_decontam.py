@@ -1,0 +1,147 @@
+"""Planted-corpus tests for the corpus-hygiene operators (decontaminate,
+repetition_flags, normalized_dedup, rollup_pricing) — the sf testdata has no
+normalized dups / duplicate lines, so these plant them explicitly."""
+
+from __future__ import annotations
+
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_engine_ray.pipelines import analytics, decontam
+from ocr_engine_ray.pipelines import dedup as dd
+
+BENCH_SENT = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+
+def _write(tmp_path) -> str:
+    texts = {
+        # benchmark (src0)
+        0: f"intro words then {BENCH_SENT} and some closing words",
+        1: "a benchmark doc with no overlap at all in its phrasing",
+        # training (src1): contaminated — contains the benchmark sentence
+        10: f"training doc copying {BENCH_SENT} straight from the eval set",
+        # training: clean
+        11: "a perfectly clean training document about something else entirely",
+        # training: too short for any 8-gram
+        12: "only five words right here",
+        # repetition cases
+        13: "repeat line\nrepeat line\nunique line",  # dup_line_frac = 1/3
+        14: "spam spam spam spam only one other word",  # top_word_frac = 0.5
+        # normalization dups
+        20: "Hello, World! This IS a Test.",
+        21: "hello world this is a test",
+        22: "hello   world\tthis is a test...",
+        23: "a genuinely different document",
+    }
+    rows = [
+        {
+            "doc_id": i,
+            "text": t,
+            "lang": "en",
+            "source": "src0" if i < 10 else "src1",
+            "n_chars": len(t),
+        }
+        for i, t in texts.items()
+    ]
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    li = [
+        {"l_returnflag": f, "l_linestatus": s, "l_extendedprice": p, "l_discount": dsc}
+        for f, s, p, dsc in [
+            ("A", "F", 100.0, 0.1),
+            ("A", "F", 50.0, 0.0),
+            ("A", "O", 10.0, 0.5),
+            ("R", "F", 200.0, 0.25),
+        ]
+    ]
+    pq.write_table(pa.Table.from_pylist(li), str(d / "lineitem.parquet"))
+    return str(d)
+
+
+class TestDecontaminate:
+    def test_planted_contamination(self, ray_session, tmp_path):
+        sf = _write(tmp_path)
+        rows = {r["doc_id"]: r for r in decontam.decontaminate(sf).take_all()}
+        assert set(rows) == {10, 11, 12, 13, 14, 20, 21, 22, 23}  # train side only
+        assert rows[10]["contaminated"]
+        # 10-word shared run inside differing contexts → 3 shared 8-grams
+        assert rows[10]["n_gram_hits"] == 3
+        assert not rows[11]["contaminated"] and rows[11]["n_gram_hits"] == 0
+        assert rows[12]["n_gram_hits"] == 0  # <8 words → no grams at all
+
+    def test_no_benchmark_grams(self, ray_session, tmp_path):
+        d = tmp_path / "c2"
+        d.mkdir()
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {"doc_id": 0, "text": "short bench", "lang": "en",
+                     "source": "src0", "n_chars": 11},
+                    {"doc_id": 1, "text": " ".join(["w%d" % i for i in range(20)]),
+                     "lang": "en", "source": "src1", "n_chars": 50},
+                ]
+            ),
+            str(d / "documents.parquet"),
+        )
+        rows = decontam.decontaminate(str(d)).take_all()
+        assert [(r["doc_id"], r["n_gram_hits"]) for r in rows] == [(1, 0)]
+
+
+class TestRepetitionFlags:
+    def test_planted_repetition(self, ray_session, tmp_path):
+        sf = _write(tmp_path)
+        rows = {r["doc_id"]: r for r in decontam.repetition_flags(sf).take_all()}
+        r13 = rows[13]
+        assert r13["dup_line_frac"] == pytest.approx(round(1 / 3, 6))
+        assert r13["flagged"]  # 0.333 > 0.30
+        r14 = rows[14]
+        assert r14["top_word_frac"] == 0.5 and r14["flagged"]
+        assert not rows[11]["flagged"]
+
+    def test_empty_text(self, ray_session, tmp_path):
+        d = tmp_path / "c3"
+        d.mkdir()
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": 0, "text": "", "lang": "en", "source": "s", "n_chars": 0}]
+            ),
+            str(d / "documents.parquet"),
+        )
+        (r,) = decontam.repetition_flags(str(d)).take_all()
+        assert r["dup_line_frac"] == 0.0 and r["top_word_frac"] == 0.0
+        assert not r["flagged"]
+
+
+class TestNormalizedDedup:
+    def test_reformatted_copies_collapse(self, ray_session, tmp_path):
+        sf = _write(tmp_path)
+        survivors = {r["doc_id"] for r in dd.normalized_dedup(sf).take_all()}
+        # 20/21/22 normalize to the same string -> keep-first 20 only
+        assert 20 in survivors
+        assert 21 not in survivors and 22 not in survivors
+        assert 23 in survivors
+        # everything else is unique post-normalization
+        assert survivors == {0, 1, 10, 11, 12, 13, 14, 20, 23}
+
+    def test_sorted_output(self, ray_session, tmp_path):
+        sf = _write(tmp_path)
+        ids = [r["doc_id"] for r in dd.normalized_dedup(sf).take_all()]
+        assert ids == sorted(ids)
+
+
+class TestRollupPricing:
+    def test_levels_exact(self, ray_session, tmp_path):
+        sf = _write(tmp_path)
+        rows = analytics.rollup_pricing(sf).take_all()
+        by_key = {(r["l_returnflag"], r["l_linestatus"]): r for r in rows}
+        assert by_key[("A", "F")]["sum_disc_price"] == pytest.approx(140.0)
+        assert by_key[("A", "F")]["n_items"] == 2
+        assert by_key[("A", "O")]["sum_disc_price"] == pytest.approx(5.0)
+        assert by_key[("A", None)]["sum_disc_price"] == pytest.approx(145.0)
+        assert by_key[("A", None)]["n_items"] == 3
+        assert by_key[(None, None)]["sum_disc_price"] == pytest.approx(295.0)
+        assert by_key[(None, None)]["n_items"] == 4
+        assert len(rows) == 3 + 2 + 1  # fine + per-flag + grand total
