@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         interpret,
         joins,
         modes,
+        packing,
         sampling,
     )
     from ocr_engine_ray.pipelines import textstats as tsp
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sampling -------------------------------------------------------
         "stratified_hash_sample": sampling.stratified_hash_sample,
         "token_budget_sample": sampling.token_budget_sample,
+        "pack_sequences": packing.pack_sequences,
         # --- text analysis --------------------------------------------------
         "doc_core_stats": tsp.doc_core_stats,
         "token_frequencies": tsp.token_frequencies,
@@ -688,6 +690,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # Sequence packing: the Ray side is a two-pass distributed prefix
+        # sum (range-bucket partials -> broadcast exclusive offsets ->
+        # in-bucket cumsum); the twin is the window cumsum it must equal.
+        "pack_sequences": r"""
+            SELECT doc_id, source, n_tokens, tok_offset,
+                   (tok_offset // 512)::BIGINT AS seq_id FROM (
+              SELECT doc_id, source, n_tokens,
+                     (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                      - n_tokens)::BIGINT AS tok_offset
+              FROM (SELECT doc_id, source,
+                           len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                    FROM documents)
+            )
         """,
         # Curation composition: quality filter -> exact dedup keep-first ->
         # per-source yield (same quality/tokens/dedup twins as the unit

@@ -172,6 +172,10 @@ def run_bench() -> dict:
         "heavy_hitters": timed(tsp.heavy_hitters),
         "grouped_topk": timed(analytics.grouped_topk),
         "user_event_gaps": timed(analytics.user_event_gaps),
+        "decontaminate": timed(__import__("ocr_engine_ray.pipelines.decontam", fromlist=["x"]).decontaminate),
+        "repetition_flags": timed(__import__("ocr_engine_ray.pipelines.decontam", fromlist=["x"]).repetition_flags),
+        "normalized_dedup": timed(dedup.normalized_dedup),
+        "rollup_pricing": timed(analytics.rollup_pricing),
     }
 
     result = {

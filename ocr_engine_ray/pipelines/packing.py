@@ -1,0 +1,113 @@
+"""Sequence packing — assign every document a global token offset and a
+fixed-budget training-sequence id, in (source, doc_id) scan order.
+
+This is the batch-prep step that turns a curated corpus into fixed-length
+training sequences (token-offset sharding: sequence k of a source holds the
+docs whose running token offset falls in [k*budget, (k+1)*budget)).
+
+The interesting part is the *distributed prefix sum*: a running cumsum over
+an entire source partition cannot be a single ``map_groups`` at 100 TB (one
+source may hold 10^10 docs).  Standard two-pass scan instead:
+
+1. one tokenize pass attaches ``n_tokens`` and an ORDER-PRESERVING range
+   bucket of ``doc_id`` (monotone float map over the [min, max] id span —
+   every doc in bucket b precedes every doc in bucket b+1), then the narrow
+   projection (ints + source only, text dropped) is materialized so
+   tokenization never runs twice;
+2. a ``groupby(source, bucket)`` partial-sum yields sources × num_buckets
+   rows — the ONLY thing the driver sees; exclusive per-source prefix
+   offsets over those partials are broadcast back via ``ray.put``;
+3. a second ``groupby(source, bucket)`` sorts each bucket by doc_id and adds
+   offset + vectorized cumsum — exact global offsets with no global sort and
+   no driver data path.
+
+``num_buckets`` is the scale knob (bucket rows ≈ corpus/num_buckets must fit
+a worker heap), same contract as connected_components' rows_per_bucket.
+
+Exact-SQL-gated: the DuckDB twin is a window cumsum
+``sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from ..sources.tables import sf_table
+
+_TOKEN_RE = r"\S+"  # RE2 token class, bitwise-equal to the SQL oracle's _TOK
+
+
+def pack_sequences(
+    sf_dir: str, *, budget: int = 512, num_buckets: int = 64
+) -> rd.Dataset:
+    """(doc_id, source, n_tokens, tok_offset, seq_id) for every doc:
+    ``tok_offset`` = exclusive running token sum within the source in doc_id
+    order, ``seq_id`` = tok_offset // budget.  Sorted by doc_id."""
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    bounds = docs.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
+    span = max(1, hi - lo + 1)
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        # monotone non-decreasing id -> bucket map (float mul/div are
+        # order-preserving for non-negative operands, so bucket order ==
+        # doc_id order even at int64-span corpora)
+        bkt = ((ids - lo).astype(np.float64) * num_buckets / span).astype(np.int64)
+        np.clip(bkt, 0, num_buckets - 1, out=bkt)
+        ntok = pc.count_substring_regex(batch.column("text"), _TOKEN_RE).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "bucket": pa.array(bkt),
+                "n_tokens": ntok,
+            }
+        )
+
+    # Tokenize ONCE; the materialized projection is 3 int columns + source
+    # (text dropped) — tiny next to the corpus, reused by both passes.
+    tok = docs.map_batches(tok_rows, batch_format="pyarrow").materialize()
+
+    # Pass 1: per-(source, bucket) token totals — sources × num_buckets rows
+    # are the only data the driver touches.
+    parts = tok.groupby(["source", "bucket"]).aggregate(
+        Sum("n_tokens", alias_name="tot")
+    ).take_all()
+    offsets: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(parts, key=lambda r: (r["source"], r["bucket"])):
+        offsets[(r["source"], r["bucket"])] = acc.get(r["source"], 0)
+        acc[r["source"]] = acc.get(r["source"], 0) + r["tot"]
+    off_ref = ray.put(offsets)
+
+    def pack(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        ids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ntok = group.column("n_tokens").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, ntok = ids[order], ntok[order]
+        src = group.column("source")[0].as_py()
+        base = off[(src, group.column("bucket")[0].as_py())]
+        tok_offset = base + np.cumsum(ntok) - ntok
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": pa.array(np.full(len(ids), src, dtype=object), pa.string()),
+                "n_tokens": pa.array(ntok),
+                "tok_offset": pa.array(tok_offset),
+                "seq_id": pa.array(tok_offset // budget),
+            }
+        )
+
+    return (
+        tok.groupby(["source", "bucket"])
+        .map_groups(pack, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -1,0 +1,69 @@
+"""Tests for pack_sequences: the two-pass distributed prefix sum must equal
+a sequential cumsum regardless of bucket count, including single-source
+corpora that span many buckets (the cross-bucket offset path)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_engine_ray.pipelines import packing
+
+
+def _write(tmp_path, n_docs: int, n_sources: int) -> tuple[str, list[dict]]:
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(n_docs):
+        nwords = int(rng.integers(1, 40))
+        rows.append(
+            {
+                "doc_id": i * 7 + 3,  # non-contiguous ids
+                "text": " ".join(f"w{j}" for j in range(nwords)),
+                "lang": "en",
+                "source": f"s{i % n_sources}",
+                "n_chars": 0,
+            }
+        )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    return str(d), rows
+
+
+def _expected(rows: list[dict], budget: int) -> dict[int, tuple[int, int]]:
+    acc: dict[str, int] = {}
+    out = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        n = len(r["text"].split())
+        off = acc.get(r["source"], 0)
+        out[r["doc_id"]] = (off, off // budget)
+        acc[r["source"]] = off + n
+    return out
+
+
+class TestPackSequences:
+    def test_matches_sequential_cumsum_multi_bucket(self, ray_session, tmp_path):
+        sf, rows = _write(tmp_path, 200, 3)
+        got = packing.pack_sequences(sf, budget=100, num_buckets=16).take_all()
+        want = _expected(rows, 100)
+        assert len(got) == 200
+        for g in got:
+            off, seq = want[g["doc_id"]]
+            assert (g["tok_offset"], g["seq_id"]) == (off, seq), g["doc_id"]
+
+    def test_single_source_spans_buckets(self, ray_session, tmp_path):
+        sf, rows = _write(tmp_path, 150, 1)
+        got = packing.pack_sequences(sf, budget=64, num_buckets=32).take_all()
+        want = _expected(rows, 64)
+        for g in got:
+            assert (g["tok_offset"], g["seq_id"]) == want[g["doc_id"]]
+        # offsets strictly increase in doc_id order within the one source
+        offs = [g["tok_offset"] for g in got]
+        assert offs == sorted(offs)
+
+    def test_bucket_count_invariance(self, ray_session, tmp_path):
+        sf, _ = _write(tmp_path, 80, 4)
+        a = packing.pack_sequences(sf, budget=50, num_buckets=1).take_all()
+        b = packing.pack_sequences(sf, budget=50, num_buckets=64).take_all()
+        assert a == b
