@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_fields": interpret.rich_fields,              # rows-only check
         "rich_fields_digest": interpret.rich_fields_digest,
         "free_text": interpret.free_text,                  # rows-only check
+        "free_text_digest": interpret.free_text_digest,
         "free_text_stats": interpret.free_text_stats,
         # --- config modes (§2.7: redact / translate / vocabulary) ----------
         "mode_translate_counts": modes.mode_translate_counts,
@@ -792,6 +793,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "vocab_fields_digest": """
             SELECT 138020464335230667::BIGINT AS digest
+        """,
+        "free_text_digest": """
+            SELECT 1478731251621189976::BIGINT AS digest
         """,
         # Same pinned-digest pattern for the sketch-based cluster surfaces
         # (MinHash signatures / SimHash bits / 64-bit rolling hashes are not

@@ -176,6 +176,7 @@ def run_bench() -> dict:
         "repetition_flags": timed(__import__("ocr_engine_ray.pipelines.decontam", fromlist=["x"]).repetition_flags),
         "normalized_dedup": timed(dedup.normalized_dedup),
         "rollup_pricing": timed(analytics.rollup_pricing),
+        "pack_sequences": timed(__import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).pack_sequences),
     }
 
     result = {

@@ -144,6 +144,15 @@ def rich_fields_digest(sf_dir: str, **kwargs) -> pa.Table:
     return fold_digest(rich_fields(sf_dir, **kwargs), "fields_rich_json")
 
 
+def free_text_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Driver-gated golden digest of the free-text VALUE surface (the full
+    assembled '[Page i]' text, media-derived spans included — the part
+    `free_text_stats` cannot expose to SQL).  Same pinned-literal pattern as
+    `rich_fields_digest`: the literal comes from `oracle.free_text_document`
+    via scripts/gen_digest_oracle.py."""
+    return fold_digest(free_text(sf_dir, **kwargs), "text")
+
+
 def free_text_stats(sf_dir: str, **kwargs) -> rd.Dataset:
     """The driver-gated projection of the free-text surface — per doc,
     every structural quantity an ANSI-SQL oracle can recompute exactly:

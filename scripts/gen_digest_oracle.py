@@ -46,6 +46,7 @@ def oracle_digests(sf_dir: str) -> dict[str, int]:
     vocab = PipelineConfig(field_labels=DEFAULT_FIELD_LABELS).vocabulary() or {}
     rich = 0
     voc = 0
+    free = 0
     for d, txt, lang in zip(
         t.column("doc_id").to_pylist(),
         t.column("text").to_pylist(),
@@ -54,7 +55,12 @@ def oracle_digests(sf_dir: str) -> dict[str, int]:
         doc = synth.derive_doc(int(d), txt or "", lang or "")
         rich = (rich + row_digest(doc["doc_id"], oracle.rich_fields_document(doc))) % DIGEST_MOD
         voc = (voc + row_digest(doc["doc_id"], oracle.vocab_fields_document(doc, vocab))) % DIGEST_MOD
-    return {"rich_fields_digest": rich, "vocab_fields_digest": voc}
+        free = (free + row_digest(doc["doc_id"], oracle.free_text_document(doc))) % DIGEST_MOD
+    return {
+        "rich_fields_digest": rich,
+        "vocab_fields_digest": voc,
+        "free_text_digest": free,
+    }
 
 
 if __name__ == "__main__":
