@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---------------------------------------------
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
+        "ann_lsh_digest": ann.ann_lsh_digest,
         "ann_topk_ivf": ann.ann_topk_ivf,                   # rows-only check
         "embedding_kmeans": ann.embedding_kmeans,           # rows-only check
         # --- sampling -------------------------------------------------------
@@ -818,6 +819,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct_digest": """
             SELECT 887623493524140749::BIGINT AS digest
+        """,
+        "ann_lsh_digest": """
+            SELECT 287382113437766496::BIGINT AS digest
         """,
         # winnow_near_dup / minhash_lsh_dedup / simhash_dedup /
         # approx_distinct_texts: full row surfaces rows-only; their value

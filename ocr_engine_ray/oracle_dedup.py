@@ -277,3 +277,54 @@ def hll_digest(rows: list[tuple[str, int]]) -> int:
         h = hashlib.md5(f"{src}\x1f{n}".encode("utf-8")).digest()
         s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
     return s
+
+
+# --- LSH-bucketed ANN top-k --------------------------------------------------
+
+LSH_PLANES = 8
+
+
+def ann_lsh_topk(
+    sf_dir: str, *, num_queries: int = 8, k: int = 5
+) -> list[tuple[int, int, int]]:
+    """Sequential twin of `pipelines.ann.ann_topk_lsh`: queries = the
+    ``num_queries`` smallest vec_ids, candidates = corpus vectors whose
+    hyperplane bucket is the query's bucket or any Hamming-1 probe of it,
+    ranked by (cosine desc, vec_id asc), self excluded.  Output rows
+    (query_id, rank, vec_id) — integers only, so the pinned digest is
+    immune to last-ulp float drift (the measured adjacent-score gap at
+    sf0.01 is ~8e-4, 12 orders of magnitude above BLAS summation noise)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    mn = m / n[:, None]
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((LSH_PLANES, m.shape[1]))
+    signs = (mn @ planes.T) > 0
+    buckets = (
+        signs.astype(np.uint32) << np.arange(LSH_PLANES, dtype=np.uint32)
+    ).sum(axis=1)
+    qpos = np.argsort(vid)[:num_queries]
+    out: list[tuple[int, int, int]] = []
+    for qi in qpos:
+        qb = int(buckets[qi])
+        probes = {qb} | {qb ^ (1 << p) for p in range(LSH_PLANES)}
+        cand = np.nonzero(np.isin(buckets, list(probes)))[0]
+        cand = cand[vid[cand] != vid[qi]]
+        sims = mn[cand] @ mn[qi]
+        ranked = sorted(zip(sims.tolist(), vid[cand].tolist()), key=lambda t: (-t[0], t[1]))
+        for rank, (_, v) in enumerate(ranked[:k], start=1):
+            out.append((int(vid[qi]), rank, int(v)))
+    return sorted(out)
+
+
+def topk_digest(rows: list[tuple[int, int, int]]) -> int:
+    """Digest of (query_id, rank, vec_id) rows: md5 terms keyed by query_id
+    with payload 'rank:vec_id' (matches pipelines.ann.ann_lsh_digest)."""
+    s = 0
+    for q, r, v in rows:
+        h = hashlib.md5(f"{q}\x1f{r}:{v}".encode("utf-8")).digest()
+        s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
+    return s

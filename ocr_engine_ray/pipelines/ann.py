@@ -400,3 +400,29 @@ def ann_topk_ivf(
         )
 
     return partials.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
+
+
+def ann_lsh_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `ann_topk_lsh`: its (query_id, rank, vec_id) output
+    is integer-only with deterministic (-score, vec_id) tie-breaks, and the
+    measured adjacent-score gap (~8e-4 at sf0.01) is 12 orders of magnitude
+    above BLAS summation noise — so the pinned literal (from the sequential
+    `oracle_dedup.ann_lsh_topk` twin) is stable across batchings and runs."""
+    from .interpret import fold_digest
+
+    res = ann_topk_lsh(sf_dir, **kwargs)
+
+    def payload(batch: pa.Table) -> pa.Table:
+        ranks = batch.column("rank").to_pylist()
+        vids = batch.column("vec_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("query_id"),
+                "payload": pa.array(
+                    [f"{r}:{v}" for r, v in zip(ranks, vids)], pa.string()
+                ),
+            }
+        )
+
+    ds = res if isinstance(res, rd.Dataset) else rd.from_arrow(res)
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")

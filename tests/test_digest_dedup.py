@@ -41,7 +41,13 @@ class TestDedupDigestGates:
 
     @pytest.mark.parametrize(
         "name",
-        ["minhash_digest", "simhash_digest", "winnow_digest", "approx_distinct_digest"],
+        [
+            "minhash_digest",
+            "simhash_digest",
+            "winnow_digest",
+            "approx_distinct_digest",
+            "ann_lsh_digest",
+        ],
     )
     def test_ray_digest_matches_literal(self, ray_session, name):
         import __ray_entry__ as entry
@@ -76,6 +82,16 @@ class TestDedupDigestGates:
             (r["doc_id"], r["cluster_id"]) for r in dedup.winnow_near_dup(SF).take_all()
         ]
         assert sorted(rows) == od.winnow_clusters(SF)
+
+    def test_ann_lsh_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import ann
+
+        rows = [
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in ann.ann_topk_lsh(SF).take_all()
+        ]
+        assert sorted(rows) == od.ann_lsh_topk(SF)
 
     def test_hll_rows_match_oracle(self, ray_session):
         from ocr_engine_ray import oracle_dedup as od
