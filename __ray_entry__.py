@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": sampling.stratified_hash_sample,
         "token_budget_sample": sampling.token_budget_sample,
         "pack_sequences": packing.pack_sequences,
+        "weighted_sample": sampling.weighted_sample,
+        "temperature_rebalance": sampling.temperature_rebalance,
         # --- text analysis --------------------------------------------------
         "doc_core_stats": tsp.doc_core_stats,
         "token_frequencies": tsp.token_frequencies,
@@ -692,6 +694,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # Weighted sampling without replacement (Efraimidis-Spirakis): both
+        # sides rank by u^(1/w) with the same md5-derived uniform, so the
+        # selected set is exactly comparable (the float key itself is not
+        # output — only integer/string columns are hashed).
+        "weighted_sample": r"""
+            SELECT doc_id, source, n_tokens FROM (
+              SELECT doc_id, source, n_tokens,
+                     pow( (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT + 1)
+                          / 4294967297.0,
+                          1.0 / (n_tokens + 1)) AS es_key
+              FROM (SELECT doc_id, source,
+                           len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                    FROM documents)
+            ) ORDER BY es_key DESC, doc_id LIMIT 100
+        """,
+        # Temperature source rebalancing: keep-probability (tok_s/tok_min)^(a-1)
+        # per source, deterministic per-doc hash coin on both sides.
+        "temperature_rebalance": r"""
+            WITH c AS (SELECT source,
+                              sum(len(regexp_extract_all(text, '\S+')))::DOUBLE AS w_s
+                       FROM documents GROUP BY source),
+                 m AS (SELECT min(w_s) AS w_min FROM c)
+            SELECT d.doc_id, d.source FROM documents d JOIN c USING (source), m
+            WHERE ((('0x' || substr(md5(d.doc_id::VARCHAR || ':t'), 1, 8))::UBIGINT + 1)
+                   / 4294967297.0)
+                  < pow(c.w_s / m.w_min, 0.5 - 1.0)
         """,
         # Sequence packing: the Ray side is a two-pass distributed prefix
         # sum (range-bucket partials -> broadcast exclusive offsets ->

@@ -127,3 +127,106 @@ def token_budget_sample(sf_dir: str, *, budget_tokens: int = 1000) -> rd.Dataset
         .groupby("source")
         .map_groups(per_source, batch_format="pandas")
     )
+
+
+def weighted_sample(sf_dir: str, *, n: int = 100) -> rd.Dataset:
+    """Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    every doc gets the key ``u ** (1/w)`` with ``w = n_tokens + 1`` and a
+    deterministic hash-uniform ``u = (md5_32(doc_id)+1) / (2^32+1)``; the
+    global top-``n`` keys ARE a weighted sample without replacement.
+
+    Determinism makes it exactly SQL-checkable AND cluster-shape-independent
+    (no RNG state, like `stratified_hash_sample`).  Scale shape: the key is
+    per-batch vectorized; each batch pre-prunes to its local top-n so the
+    final distributed sort+limit sees ≤ n rows per block, never the corpus.
+    Returns (doc_id, source, n_tokens) of the sample, sorted by key rank.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ntok = pc.count_substring_regex(batch.column("text"), r"\S+").cast(pa.int64())
+        u = np.array(
+            [
+                (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) + 1)
+                / 4294967297.0
+                for d in ids
+            ]
+        )
+        w = ntok.to_numpy(zero_copy_only=False).astype(np.float64) + 1.0
+        key = u ** (1.0 / w)
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": ntok,
+                "es_key": pa.array(key, pa.float64()),
+            }
+        )
+        # map-side prune: only a batch's top-n can make the global top-n
+        order = np.argsort(-key, kind="stable")[:n]
+        return t.take(pa.array(np.sort(order), pa.int64()))
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .sort(["es_key", "doc_id"], descending=[True, False])
+        .limit(n)
+        .select_columns(["doc_id", "source", "n_tokens"])
+    )
+
+
+def temperature_rebalance(sf_dir: str, *, alpha: float = 0.5) -> rd.Dataset:
+    """Temperature-based source rebalancing (the multilingual-LM sampling
+    trick, e.g. XLM-R): undersample token-heavy sources so source s keeps
+    each doc with probability ``(tok_s / tok_min) ** (alpha - 1)`` (the
+    smallest source keeps everything; a source with 4x the tokens keeps
+    1/2 at alpha=0.5).  Inclusion is a deterministic per-doc hash coin, so
+    the result is a pure function of the data and exactly SQL-checkable.
+
+    Scale shape: pass 1 is a per-source token-count aggregate (sources ×
+    blocks partial rows, the only driver data); the keep-probability table
+    broadcasts via ``ray.put``; pass 2 is a shuffle-free filtering
+    ``map_batches``.  Returns kept (doc_id, source), sorted by doc_id.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": pc.count_substring_regex(
+                    batch.column("text"), r"\S+"
+                ).cast(pa.int64()),
+            }
+        )
+
+    tok = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
+    parts = tok.groupby("source").aggregate(Sum("n_tokens", alias_name="w_s")).take_all()
+    w_min = min(r["w_s"] for r in parts)
+    p_keep = {r["source"]: (r["w_s"] / w_min) ** (alpha - 1.0) for r in parts}
+    p_ref = ray.put(p_keep)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        p = ray.get(p_ref)
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        u = np.array(
+            [
+                (int(hashlib.md5(f"{d}:t".encode()).hexdigest()[:8], 16) + 1)
+                / 4294967297.0
+                for d in ids
+            ]
+        )
+        thr = np.array([p[s] for s in srcs])
+        return batch.select(["doc_id", "source"]).filter(pa.array(u < thr))
+
+    return tok.map_batches(keep, batch_format="pyarrow").sort("doc_id")

@@ -66,3 +66,77 @@ class TestTokenBudgetSample:
             want = set(g[g["cum_tokens"] <= 300]["doc_id"])
             got = set(small[small["source"] == src]["doc_id"])
             assert got == want, src
+
+
+class TestWeightedSample:
+    def test_deterministic_and_sized(self, ray_session):
+        from ocr_engine_ray.pipelines.sampling import weighted_sample
+
+        sf = "/root/testdata/sf0.01"
+        a = weighted_sample(sf, n=50).take_all()
+        b = weighted_sample(sf, n=50).take_all()
+        assert a == b and len(a) == 50
+
+    def test_weights_bias_selection(self, ray_session, tmp_path):
+        """Heavy docs (many tokens) must be overrepresented vs light ones."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.sampling import weighted_sample
+
+        rows = []
+        for i in range(400):
+            heavy = i < 200
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": " ".join(["w"] * (200 if heavy else 2)),
+                    "lang": "en",
+                    "source": "heavy" if heavy else "light",
+                    "n_chars": 0,
+                }
+            )
+        d = tmp_path / "c"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = weighted_sample(str(d), n=100).take_all()
+        n_heavy = sum(1 for r in got if r["source"] == "heavy")
+        # E-S with w=201 vs w=3: heavy docs dominate the top keys
+        assert n_heavy > 75
+
+
+class TestTemperatureRebalance:
+    def test_smallest_source_kept_entirely(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.sampling import temperature_rebalance
+
+        rows = []
+        for i in range(330):
+            big = i < 300
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": "tok " * 10,
+                    "lang": "en",
+                    "source": "big" if big else "small",
+                    "n_chars": 0,
+                }
+            )
+        d = tmp_path / "c"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = temperature_rebalance(str(d), alpha=0.5).take_all()
+        kept = {"big": 0, "small": 0}
+        for r in got:
+            kept[r["source"]] += 1
+        assert kept["small"] == 30  # p = 1 for the smallest source
+        # big keeps ~ (10x tokens)^(-0.5) ≈ 31.6% of 300 ≈ 95 (hash coin)
+        assert 60 < kept["big"] < 135
+
+    def test_alpha_one_keeps_everything(self, ray_session):
+        from ocr_engine_ray.pipelines.sampling import temperature_rebalance
+
+        got = temperature_rebalance("/root/testdata/sf0.01", alpha=1.0).take_all()
+        assert len(got) == 500
