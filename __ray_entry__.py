@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": tsp.tfidf_top_terms,
         "token_quantiles_by_source": tsp.token_quantiles_by_source,
         "heavy_hitters": tsp.heavy_hitters,
+        "token_rarity_score": tsp.token_rarity_score,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_texts": tsp.approx_distinct_texts,  # rows-only (sketch)
         "approx_distinct_digest": tsp.approx_distinct_digest,
@@ -694,6 +695,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # Corpus-statistics rarity score: integer-exact (occurrence-weighted
+        # global token counts), token-bucket shuffle on the Ray side vs an
+        # unnest self-join in SQL.
+        "token_rarity_score": r"""
+            WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+                         FROM documents),
+                 c AS (SELECT token, count(*) AS ct FROM tok GROUP BY token)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(c.ct)::BIGINT AS freq_sum
+            FROM tok t JOIN c USING (token)
+            GROUP BY t.doc_id
         """,
         # Weighted sampling without replacement (Efraimidis-Spirakis): both
         # sides rank by u^(1/w) with the same md5-derived uniform, so the

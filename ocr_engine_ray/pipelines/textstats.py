@@ -537,3 +537,97 @@ def approx_distinct_digest(sf_dir: str) -> "pa.Table":
         )
 
     return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+
+
+def token_rarity_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Corpus-statistics quality signal: for every doc, the total corpus
+    frequency of its token occurrences (``freq_sum`` = Σ over occurrences of
+    the token's global count) plus ``n_tokens`` — low mean frequency marks
+    rare-vocabulary docs, high marks boilerplate.  Integer-exact end to end
+    (no float logprobs), so the SQL twin matches bit-for-bit.
+
+    Scale shape — the global vocabulary is NEVER broadcast and no join
+    infrastructure is needed; two shuffles do it:
+
+    1. a map pass explodes per-(doc, token) partial counts, keyed by
+       ``crc32(token) % num_buckets`` — every row of a given token lands in
+       one bucket, so the bucket can compute the token's GLOBAL count and
+       each doc's bucket-local contribution (Σ c_dt × C_t, via one lexsort +
+       reduceat per bucket) in the same pass;
+    2. a doc_id groupby sums the ≤ num_buckets partial rows per doc.
+
+    Docs with zero tokens produce no row (same as the SQL unnest twin).
+    """
+    import re
+    import zlib
+
+    import numpy as np
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_re = re.compile(r"[^ \t\n\f\r]+")  # RE2 \S+ twin (ASCII ws class)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_b, out_t, out_d, out_c = [], [], [], []
+        for d, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for tok, c in Counter(tok_re.findall(text or "")).items():
+                out_b.append(zlib.crc32(tok.encode()) % num_buckets)
+                out_t.append(tok)
+                out_d.append(d)
+                out_c.append(c)
+        return pa.table(
+            {
+                "bkt": pa.array(out_b, pa.int32()),
+                "token": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    def bucket_partial(group: pa.Table) -> pa.Table:
+        toks = np.asarray(group.column("token").to_pylist(), dtype=object)
+        docs = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        cs = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        # token ids via sorted runs (one argsort, no Python per-token loop)
+        order = np.argsort(toks, kind="stable")
+        st = toks[order]
+        new = np.concatenate([[True], st[1:] != st[:-1]]) if len(st) else np.array([], bool)
+        tid_sorted = np.cumsum(new) - 1
+        tid = np.empty(len(toks), dtype=np.int64)
+        tid[order] = tid_sorted
+        n_tok_ids = int(tid_sorted[-1]) + 1 if len(st) else 0
+        ct = np.bincount(tid, weights=cs, minlength=n_tok_ids).astype(np.int64)
+        contrib = cs * ct[tid]
+        # combine per doc within the bucket
+        dorder = np.argsort(docs, kind="stable")
+        sd = docs[dorder]
+        cuts = np.nonzero(np.diff(sd))[0] + 1
+        starts = np.concatenate([[0], cuts]).astype(np.int64) if len(sd) else np.array([], np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[starts] if len(sd) else sd),
+                "freq_sum": pa.array(
+                    np.add.reduceat(contrib[dorder], starts) if len(sd) else contrib
+                ),
+                "n_tokens": pa.array(
+                    np.add.reduceat(cs[dorder], starts) if len(sd) else cs
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(bucket_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("freq_sum", alias_name="freq_sum"),
+        )
+        .sort("doc_id")
+    )

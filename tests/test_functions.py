@@ -217,3 +217,44 @@ class TestFields:
     def test_normalize_rich_missing_value_defaults_page_1(self):
         out = normalize_rich_fields({"a": {"value": "absent", "conf": 0.2}}, "f", [(1, "x")])
         assert out["a"]["source"] == "f#page 1"
+
+
+class TestTokenRarityScore:
+    def test_planted_counts(self, ray_session, tmp_path):
+        """freq_sum = Σ over occurrences of the token's corpus count."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.textstats import token_rarity_score
+
+        rows = [
+            {"doc_id": 0, "text": "a a b", "lang": "en", "source": "s", "n_chars": 5},
+            {"doc_id": 1, "text": "a c", "lang": "en", "source": "s", "n_chars": 3},
+            {"doc_id": 2, "text": "", "lang": "en", "source": "s", "n_chars": 0},
+        ]
+        d = tmp_path / "c"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = {r["doc_id"]: r for r in token_rarity_score(str(d)).take_all()}
+        # corpus counts: a=3, b=1, c=1
+        assert got[0]["n_tokens"] == 3 and got[0]["freq_sum"] == 3 + 3 + 1
+        assert got[1]["n_tokens"] == 2 and got[1]["freq_sum"] == 3 + 1
+        assert 2 not in got  # tokenless doc emits no row (unnest twin)
+
+    def test_bucket_count_invariance(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.textstats import token_rarity_score
+
+        rows = [
+            {"doc_id": i, "text": f"tok{i % 5} common word{i % 3}", "lang": "en",
+             "source": "s", "n_chars": 1}
+            for i in range(60)
+        ]
+        d = tmp_path / "c"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        a = token_rarity_score(str(d), num_buckets=1).take_all()
+        b = token_rarity_score(str(d), num_buckets=97).take_all()
+        assert a == b
