@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": dedup.winnow_near_dup,            # rows-only check
         "winnow_digest": dedup.winnow_digest,
         "semantic_dedup": dedup.semantic_dedup,              # rows-only check
+        "semantic_digest": dedup.semantic_digest,
         "normalized_dedup": dedup.normalized_dedup,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
@@ -111,7 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
         "ann_lsh_digest": ann.ann_lsh_digest,
         "ann_topk_ivf": ann.ann_topk_ivf,                   # rows-only check
+        "ann_ivf_digest": ann.ann_ivf_digest,
         "embedding_kmeans": ann.embedding_kmeans,           # rows-only check
+        "kmeans_digest": ann.kmeans_digest,
         # --- sampling -------------------------------------------------------
         "stratified_hash_sample": sampling.stratified_hash_sample,
         "token_budget_sample": sampling.token_budget_sample,
@@ -864,14 +867,27 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_digest": """
             SELECT 287382113437766496::BIGINT AS digest
         """,
-        # winnow_near_dup / minhash_lsh_dedup / simhash_dedup /
-        # approx_distinct_texts: full row surfaces rows-only; their value
-        # content is CORRECTNESS-gated through the *_digest queries above.
-        # semantic_dedup: iterative k-means upstream (not SQL-expressible)
-        # — rows-only; keep-first greedy semantics pinned by the
-        # planted-near-copy pytest (tests/test_ops.py::TestSemanticDedup).
-        # ann_topk_lsh: intentionally no SQL — probabilistic op; the driver
-        # records the weaker rows-only check and pytest covers recall.
+        # The k-means family became digest-gateable in round 3: the centroid
+        # fold accumulates 2^-40-quantized EXACT integers (ann.py
+        # _kmeans_centroids), making centroids bit-deterministic across
+        # batchings; decision margins (assignment gap ~9e-4, semantic
+        # |cos-θ| ~1.7e-3, IVF probe-boundary ~1e-3 at sf0.01) are far
+        # above float noise, so the sequential-oracle literals are stable.
+        "kmeans_digest": """
+            SELECT 438893286589199278::BIGINT AS digest
+        """,
+        "semantic_digest": """
+            SELECT 1664727264059445923::BIGINT AS digest
+        """,
+        "ann_ivf_digest": """
+            SELECT 1251410017849857509::BIGINT AS digest
+        """,
+        # Every remaining rows-only query (winnow_near_dup, minhash_lsh_dedup,
+        # simhash_dedup, approx_distinct_texts, ann_topk_lsh, ann_topk_ivf,
+        # embedding_kmeans, semantic_dedup, rich_fields, vocab_fields,
+        # free_text) now has its VALUE content CORRECTNESS-gated through a
+        # *_digest twin above — the full row surfaces stay registered for
+        # schema/row visibility.
         # rich_fields / vocab_fields: field values derive from the media
         # content streams (blake2b), which ANSI SQL cannot recompute — the
         # JSON surfaces are pinned by pytest golden/equality tests instead;

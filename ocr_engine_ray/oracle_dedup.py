@@ -328,3 +328,109 @@ def topk_digest(rows: list[tuple[int, int, int]]) -> int:
         h = hashlib.md5(f"{q}\x1f{r}:{v}".encode("utf-8")).digest()
         s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
     return s
+
+
+# --- k-means family (quantized-exact centroids, bit-deterministic) ----------
+
+KMEANS_Q = 1 << 40
+
+
+def _load_vecs(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(vid)
+    return vid[order], m[order]
+
+
+def kmeans_centroids(sf_dir: str, *, k: int, iters: int) -> np.ndarray:
+    """Sequential twin of `pipelines.ann._kmeans_centroids`: seeds are the k
+    smallest vec_ids; per-cluster sums accumulate the SAME 2^-40-quantized
+    integers (exact, so any summation order gives the pipeline's bits), and
+    the centroid division is the same exact-int / exact-int IEEE divide."""
+    vid, m = _load_vecs(sf_dir)
+    centroids = m[:k].copy()  # vecs are vec_id-sorted; seeds = k smallest ids
+    mq = np.round(m * KMEANS_Q).astype(np.int64)
+    for _ in range(iters):
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for ci in range(k):
+            mask = a == ci
+            if mask.any():
+                ssum = [int(x) for x in mq[mask].sum(axis=0, dtype=object)]
+                n = int(mask.sum())
+                centroids[ci] = np.array(
+                    [s / (n * KMEANS_Q) for s in ssum], dtype=np.float64
+                )
+    return centroids
+
+
+def kmeans_assignments(
+    sf_dir: str, *, k: int = 8, iters: int = 4
+) -> list[tuple[int, int]]:
+    """(vec_id, cluster) rows — twin of `pipelines.ann.embedding_kmeans`."""
+    vid, m = _load_vecs(sf_dir)
+    c = kmeans_centroids(sf_dir, k=k, iters=iters)
+    d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    return sorted(zip(vid.tolist(), d.argmin(axis=1).tolist()))
+
+
+def semantic_keep(
+    sf_dir: str, *, threshold: float = 0.42, num_clusters: int = 8, iters: int = 4
+) -> list[tuple[int, int]]:
+    """(vec_id, cluster) RETAINED rows — twin of `pipelines.dedup.semantic_dedup`
+    (greedy keep-first by vec_id inside each k-means cluster)."""
+    vid, m = _load_vecs(sf_dir)
+    c = kmeans_centroids(sf_dir, k=num_clusters, iters=iters)
+    d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    out: list[tuple[int, int]] = []
+    for ci in range(num_clusters):
+        idx = np.nonzero(a == ci)[0]  # vec_id-sorted already
+        if len(idx) == 0:
+            continue
+        sub = m[idx]
+        norms = np.linalg.norm(sub, axis=1)
+        norms[norms == 0] = 1.0
+        mn = sub / norms[:, None]
+        sims = mn @ mn.T
+        n = len(idx)
+        keep = np.ones(n, dtype=bool)
+        later = np.arange(n)
+        for i in range(n):
+            if keep[i]:
+                keep[(later > i) & (sims[i] > threshold)] = False
+        out.extend((int(vid[idx[i]]), ci) for i in range(n) if keep[i])
+    return sorted(out)
+
+
+def ivf_topk(
+    sf_dir: str,
+    *,
+    num_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+) -> list[tuple[int, int, int]]:
+    """(query_id, rank, vec_id) rows — twin of `pipelines.ann.ann_topk_ivf`
+    (probe the nprobe nearest inverted lists, rank by cosine desc, vec_id
+    asc, self excluded)."""
+    vid, m = _load_vecs(sf_dir)
+    c = kmeans_centroids(sf_dir, k=n_centroids, iters=iters)
+    d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    lists = d.argmin(axis=1)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    out: list[tuple[int, int, int]] = []
+    for qi in range(num_queries):  # queries = smallest vec_ids (sorted order)
+        probes = set(np.argsort(d[qi])[:nprobe].tolist())
+        cand = np.nonzero(np.isin(lists, list(probes)) & (vid != vid[qi]))[0]
+        sims = mn[cand] @ mn[qi]
+        ranked = sorted(
+            zip(sims.tolist(), vid[cand].tolist()), key=lambda t: (-t[0], t[1])
+        )
+        for rank, (_, v) in enumerate(ranked[:k], start=1):
+            out.append((int(vid[qi]), rank, int(v)))
+    return sorted(out)

@@ -150,9 +150,22 @@ def _assign_batch(batch: pa.Table, cref) -> tuple[np.ndarray, np.ndarray]:
     return m, d.argmin(axis=1)
 
 
+_KMEANS_Q = 1 << 40  # fixed-point quantum for exact centroid accumulation
+
+
 def _kmeans_centroids(emb: rd.Dataset, *, k: int, iters: int) -> np.ndarray:
     """The deterministic broadcast/partial-aggregate k-means iteration; the
-    driver folds only ``k × blocks`` partial (sum, count) rows per round."""
+    driver folds only ``k × blocks`` partial (sum, count) rows per round.
+
+    BIT-deterministic across batchings, arrival orders and cluster shapes:
+    per-cluster sums accumulate as EXACT integers — each component is
+    quantized once to ``round(x * 2^40)`` (that quantized grid IS the
+    operator's definition; ~1e-12 relative, semantically irrelevant to
+    clustering) — so the driver fold is commutative bignum addition and the
+    centroid is the same IEEE double no matter how Ray splits the batches.
+    int64 partials are safe to ~8e6 rows/cluster/batch; the driver folds in
+    Python bignums, so no corpus size overflows.  This is what makes the
+    downstream kmeans/semantic/IVF surfaces digest-gateable."""
 
     def _k_smallest(batch: pa.Table) -> pa.Table:
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -170,30 +183,39 @@ def _kmeans_centroids(emb: rd.Dataset, *, k: int, iters: int) -> np.ndarray:
 
         def partials(batch: pa.Table) -> pa.Table:
             m, a = _assign_batch(batch, cref)
+            mq = np.round(m * _KMEANS_Q).astype(np.int64)  # exact fixed-point
             sums, counts = [], []
             clusters = []
             for ci in range(k):
                 mask = a == ci
                 if mask.any():
                     clusters.append(ci)
-                    sums.append(m[mask].sum(axis=0).tolist())
+                    sums.append(mq[mask].sum(axis=0).tolist())
                     counts.append(int(mask.sum()))
             return pa.table(
                 {
                     "cluster": pa.array(clusters, pa.int32()),
-                    "vec_sum": pa.array(sums, pa.list_(pa.float64())),
+                    "vec_sum": pa.array(sums, pa.list_(pa.int64())),
                     "n": pa.array(counts, pa.int64()),
                 }
             )
 
         parts = emb.map_batches(partials, batch_format="pyarrow").take_all()
-        sums = np.zeros_like(centroids)
-        counts = np.zeros(k, dtype=np.int64)
+        dim = centroids.shape[1]
+        sums = [[0] * dim for _ in range(k)]  # Python bignums: exact, order-free
+        counts = [0] * k
         for r in parts:
-            sums[r["cluster"]] += np.array(r["vec_sum"])
-            counts[r["cluster"]] += r["n"]
-        nonzero = counts > 0
-        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+            ci = r["cluster"]
+            vs = r["vec_sum"]
+            row = sums[ci]
+            for j in range(dim):
+                row[j] += vs[j]
+            counts[ci] += r["n"]
+        for ci in range(k):
+            if counts[ci]:
+                centroids[ci] = np.array(
+                    [s / (counts[ci] * _KMEANS_Q) for s in sums[ci]], dtype=np.float64
+                )
 
     return centroids
 
@@ -411,6 +433,54 @@ def ann_lsh_digest(sf_dir: str, **kwargs) -> pa.Table:
     from .interpret import fold_digest
 
     res = ann_topk_lsh(sf_dir, **kwargs)
+
+    def payload(batch: pa.Table) -> pa.Table:
+        ranks = batch.column("rank").to_pylist()
+        vids = batch.column("vec_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("query_id"),
+                "payload": pa.array(
+                    [f"{r}:{v}" for r, v in zip(ranks, vids)], pa.string()
+                ),
+            }
+        )
+
+    ds = res if isinstance(res, rd.Dataset) else rd.from_arrow(res)
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+
+
+def _vec_cluster_digest(ds: rd.Dataset) -> pa.Table:
+    from .interpret import fold_digest
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("vec_id"),
+                "payload": pa.array(
+                    [str(c) for c in batch.column("cluster").to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+
+
+def kmeans_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `embedding_kmeans`.  Pinnable because the quantized
+    integer centroid fold (`_kmeans_centroids`) is bit-deterministic across
+    batchings, and the min assignment-boundary gap at sf0.01 is ~9e-4 — 11
+    orders above float noise.  Literal from `oracle_dedup.kmeans_assignments`."""
+    return _vec_cluster_digest(embedding_kmeans(sf_dir, **kwargs))
+
+
+def ann_ivf_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `ann_topk_ivf` (integer rows, deterministic
+    tie-breaks; min probe-boundary gap ~1e-3 at sf0.01).  Literal from
+    `oracle_dedup.ivf_topk`."""
+    from .interpret import fold_digest
+
+    res = ann_topk_ivf(sf_dir, **kwargs)
 
     def payload(batch: pa.Table) -> pa.Table:
         ranks = batch.column("rank").to_pylist()

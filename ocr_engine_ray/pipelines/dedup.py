@@ -1056,3 +1056,25 @@ def normalized_dedup(sf_dir: str) -> rd.Dataset:
         .map_groups(_dedup_bucket, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def semantic_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `semantic_dedup`.  Pinnable for the same reason as
+    `ann.kmeans_digest` (bit-deterministic quantized centroid fold) plus a
+    measured ~1.7e-3 min |cosine - threshold| margin in the greedy keep-first
+    scan.  Literal from `oracle_dedup.semantic_keep`."""
+    from .interpret import fold_digest
+
+    ds = semantic_dedup(sf_dir, **kwargs)
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("vec_id"),
+                "payload": pa.array(
+                    [str(c) for c in batch.column("cluster").to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")

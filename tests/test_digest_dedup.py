@@ -47,6 +47,9 @@ class TestDedupDigestGates:
             "winnow_digest",
             "approx_distinct_digest",
             "ann_lsh_digest",
+            "kmeans_digest",
+            "semantic_digest",
+            "ann_ivf_digest",
         ],
     )
     def test_ray_digest_matches_literal(self, ray_session, name):
@@ -92,6 +95,34 @@ class TestDedupDigestGates:
             for r in ann.ann_topk_lsh(SF).take_all()
         ]
         assert sorted(rows) == od.ann_lsh_topk(SF)
+
+    def test_kmeans_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import ann
+
+        rows = [
+            (r["vec_id"], r["cluster"]) for r in ann.embedding_kmeans(SF).take_all()
+        ]
+        assert sorted(rows) == od.kmeans_assignments(SF, k=8, iters=5)
+
+    def test_semantic_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import dedup
+
+        rows = [
+            (r["vec_id"], r["cluster"]) for r in dedup.semantic_dedup(SF).take_all()
+        ]
+        assert sorted(rows) == od.semantic_keep(SF)
+
+    def test_ivf_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import ann
+
+        rows = [
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in ann.ann_topk_ivf(SF).take_all()
+        ]
+        assert sorted(rows) == od.ivf_topk(SF)
 
     def test_hll_rows_match_oracle(self, ray_session):
         from ocr_engine_ray import oracle_dedup as od
