@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": sampling.stratified_hash_sample,
         "token_budget_sample": sampling.token_budget_sample,
         "pack_sequences": packing.pack_sequences,
+        "rank_by_quality": packing.rank_by_quality,
         "weighted_sample": sampling.weighted_sample,
         "temperature_rebalance": sampling.temperature_rebalance,
         # --- text analysis --------------------------------------------------
@@ -709,6 +710,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(c.ct)::BIGINT AS freq_sum
             FROM tok t JOIN c USING (token)
             GROUP BY t.doc_id
+        """,
+        # Distributed row_number: two-pass prefix-sum ranking (quality
+        # buckets -> count offsets -> in-bucket sort), vs the window twin.
+        "rank_by_quality": f"""
+            SELECT doc_id, source, quality,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality, doc_id)::BIGINT
+                     AS rank_in_source
+            FROM (SELECT doc_id, source,
+                         round_even(least(1.0, greatest(0.0, {_QUALITY_RAW})), 6)
+                           AS quality
+                  FROM (SELECT doc_id, source, text, {_QUALITY_COUNTS}
+                        FROM documents))
         """,
         # Weighted sampling without replacement (Efraimidis-Spirakis): both
         # sides rank by u^(1/w) with the same md5-derived uniform, so the

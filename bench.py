@@ -180,6 +180,7 @@ def run_bench() -> dict:
         "weighted_sample": timed(sampling.weighted_sample),
         "temperature_rebalance": timed(sampling.temperature_rebalance),
         "token_rarity_score": timed(tsp.token_rarity_score),
+        "rank_by_quality": timed(__import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).rank_by_quality),
     }
 
     result = {

@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.tables import sf_table
 
@@ -109,5 +109,70 @@ def pack_sequences(
     return (
         tok.groupby(["source", "bucket"])
         .map_groups(pack, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def rank_by_quality(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Distributed ``row_number() OVER (PARTITION BY source ORDER BY quality,
+    doc_id)`` — global per-source ranking without a global sort.
+
+    Same two-pass prefix-sum shape as `pack_sequences`, but the scan order
+    is a FLOAT key: quality ∈ [0,1] buckets order-preservingly by
+    ``floor(q * B)``, per-(source, bucket) counts give exclusive rank
+    offsets, and each bucket sorts (quality, doc_id) locally.  Ranking /
+    percentile normalization is the standard prelude to quality-threshold
+    curation at a fixed keep-rate.  Returns (doc_id, source, quality,
+    rank_in_source) sorted by doc_id."""
+    from ..functions.textstats import quality_score
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = np.array(
+            [quality_score(t or "") for t in batch.column("text").to_pylist()]
+        )
+        bkt = np.clip((q * num_buckets).astype(np.int64), 0, num_buckets - 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "quality": pa.array(q, pa.float64()),
+                "bucket": pa.array(bkt),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow").materialize()
+    parts = scored.groupby(["source", "bucket"]).aggregate(
+        Count(alias_name="n")
+    ).take_all()
+    offsets: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(parts, key=lambda r: (r["source"], r["bucket"])):
+        offsets[(r["source"], r["bucket"])] = acc.get(r["source"], 0)
+        acc[r["source"]] = acc.get(r["source"], 0) + r["n"]
+    off_ref = ray.put(offsets)
+
+    def rank(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        ids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        q = group.column("quality").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, q))
+        src = group.column("source")[0].as_py()
+        base = off[(src, group.column("bucket")[0].as_py())]
+        rk = np.empty(len(ids), dtype=np.int64)
+        rk[order] = base + np.arange(1, len(ids) + 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": pa.array(np.full(len(ids), src, dtype=object), pa.string()),
+                "quality": pa.array(q),
+                "rank_in_source": pa.array(rk),
+            }
+        )
+
+    return (
+        scored.groupby(["source", "bucket"])
+        .map_groups(rank, batch_format="pyarrow")
         .sort("doc_id")
     )

@@ -67,3 +67,48 @@ class TestPackSequences:
         a = packing.pack_sequences(sf, budget=50, num_buckets=1).take_all()
         b = packing.pack_sequences(sf, budget=50, num_buckets=64).take_all()
         assert a == b
+
+
+class TestRankByQuality:
+    def test_matches_sequential_ranking(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.functions.textstats import quality_score
+
+        rng = np.random.default_rng(5)
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(
+                    rng.choice(["the", "alpha", "beta", "12", "!!"], size=int(rng.integers(1, 30)))
+                ),
+                "lang": "en",
+                "source": f"s{i % 3}",
+                "n_chars": 0,
+            }
+            for i in range(150)
+        ]
+        d = tmp_path / "c"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = packing.rank_by_quality(str(d), num_buckets=16).take_all()
+        # sequential expectation
+        per_src: dict[str, list] = {}
+        for r in rows:
+            per_src.setdefault(r["source"], []).append(
+                (quality_score(r["text"]), r["doc_id"])
+            )
+        want = {}
+        for src, lst in per_src.items():
+            for rank, (_, did) in enumerate(sorted(lst), start=1):
+                want[did] = rank
+        for g in got:
+            assert g["rank_in_source"] == want[g["doc_id"]], g["doc_id"]
+
+    def test_bucket_count_invariance(self, ray_session):
+        sf = "/root/testdata/sf0.01"
+        a = packing.rank_by_quality(sf, num_buckets=1).take_all()
+        b = packing.rank_by_quality(sf, num_buckets=256).take_all()
+        assert a == b
