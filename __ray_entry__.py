@@ -735,7 +735,7 @@ def oracle_sql() -> dict[str, str]:
                           / 4294967297.0,
                           1.0 / (n_tokens + 1)) AS es_key
               FROM (SELECT doc_id, source,
-                           len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                           len(regexp_extract_all(coalesce(text,''), '\S+'))::BIGINT AS n_tokens
                     FROM documents)
             ) ORDER BY es_key DESC, doc_id LIMIT 100
         """,
@@ -743,7 +743,7 @@ def oracle_sql() -> dict[str, str]:
         # per source, deterministic per-doc hash coin on both sides.
         "temperature_rebalance": r"""
             WITH c AS (SELECT source,
-                              sum(len(regexp_extract_all(text, '\S+')))::DOUBLE AS w_s
+                              sum(len(regexp_extract_all(coalesce(text,''), '\S+')))::DOUBLE AS w_s
                        FROM documents GROUP BY source),
                  m AS (SELECT min(w_s) AS w_min FROM c)
             SELECT d.doc_id, d.source FROM documents d JOIN c USING (source), m
@@ -761,7 +761,7 @@ def oracle_sql() -> dict[str, str]:
                      (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
                       - n_tokens)::BIGINT AS tok_offset
               FROM (SELECT doc_id, source,
-                           len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                           len(regexp_extract_all(coalesce(text,''), '\S+'))::BIGINT AS n_tokens
                     FROM documents)
             )
         """,

@@ -61,7 +61,9 @@ def pack_sequences(
         # doc_id order even at int64-span corpora)
         bkt = ((ids - lo).astype(np.float64) * num_buckets / span).astype(np.int64)
         np.clip(bkt, 0, num_buckets - 1, out=bkt)
-        ntok = pc.count_substring_regex(batch.column("text"), _TOKEN_RE).cast(pa.int64())
+        ntok = pc.count_substring_regex(
+            pc.fill_null(batch.column("text"), ""), _TOKEN_RE
+        ).cast(pa.int64())
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -111,7 +111,7 @@ def token_budget_sample(sf_dir: str, *, budget_tokens: int = 1000) -> rd.Dataset
                 "sample_key": pa.array(keys, pa.string()),
                 # RE2 '\S+' — the oracle's _TOK tokenizer
                 "n_tokens": pc.count_substring_regex(
-                    batch.column("text"), r"\S+"
+                    pc.fill_null(batch.column("text"), ""), r"\S+"
                 ).cast(pa.int64()),
             }
         )
@@ -148,7 +148,9 @@ def weighted_sample(sf_dir: str, *, n: int = 100) -> rd.Dataset:
 
     def add_key(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        ntok = pc.count_substring_regex(batch.column("text"), r"\S+").cast(pa.int64())
+        ntok = pc.count_substring_regex(
+            pc.fill_null(batch.column("text"), ""), r"\S+"
+        ).cast(pa.int64())
         u = np.array(
             [
                 (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) + 1)
@@ -204,7 +206,7 @@ def temperature_rebalance(sf_dir: str, *, alpha: float = 0.5) -> rd.Dataset:
                 "doc_id": batch.column("doc_id"),
                 "source": batch.column("source"),
                 "n_tokens": pc.count_substring_regex(
-                    batch.column("text"), r"\S+"
+                    pc.fill_null(batch.column("text"), ""), r"\S+"
                 ).cast(pa.int64()),
             }
         )
