@@ -393,7 +393,22 @@ def rollup_pricing(sf_dir: str) -> rd.Dataset:
         )
 
     # The finest aggregate is k rows (k = flag×status cardinality) — one
-    # block; the rollup derivation is a single small task, not a scan.
+    # block (materialized: count() below is then free metadata, no second
+    # execution); the rollup derivation is a single small task, not a scan.
+    fine = fine.materialize()
+    if fine.count() == 0:
+        # SQL ROLLUP over an empty table still emits the grand-total
+        # grouping set (one all-NULL row, count 0) — match it.
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "l_returnflag": pa.array([None], pa.string()),
+                    "l_linestatus": pa.array([None], pa.string()),
+                    "sum_disc_price": pa.array([None], pa.float64()),
+                    "n_items": pa.array([0], pa.int64()),
+                }
+            )
+        )
     return fine.repartition(1).map_batches(
         rollup, batch_format="pyarrow", batch_size=None
     )

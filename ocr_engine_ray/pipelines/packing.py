@@ -51,6 +51,18 @@ def pack_sequences(
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     bounds = docs.aggregate(Min("doc_id"), Max("doc_id"))
+    if not bounds or bounds.get("min(doc_id)") is None:  # empty corpus
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "tok_offset": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                }
+            )
+        )
     lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
     span = max(1, hi - lo + 1)
 

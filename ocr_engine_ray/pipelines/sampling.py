@@ -213,6 +213,10 @@ def temperature_rebalance(sf_dir: str, *, alpha: float = 0.5) -> rd.Dataset:
 
     tok = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
     parts = tok.groupby("source").aggregate(Sum("n_tokens", alias_name="w_s")).take_all()
+    if not parts:  # empty corpus
+        return tok.map_batches(
+            lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+        )
     w_min = min(r["w_s"] for r in parts)
     p_keep = {r["source"]: (r["w_s"] / w_min) ** (alpha - 1.0) for r in parts}
     p_ref = ray.put(p_keep)

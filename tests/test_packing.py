@@ -112,3 +112,52 @@ class TestRankByQuality:
         a = packing.rank_by_quality(sf, num_buckets=1).take_all()
         b = packing.rank_by_quality(sf, num_buckets=256).take_all()
         assert a == b
+
+
+class TestEmptyCorpusPaths:
+    def _empty(self, tmp_path) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "empty"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "l_extendedprice": pa.array([], pa.float64()),
+                    "l_discount": pa.array([], pa.float64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        return str(d)
+
+    def test_empty_inputs_match_sql_semantics(self, ray_session, tmp_path):
+        from ocr_engine_ray.pipelines import analytics, sampling
+
+        sf = self._empty(tmp_path)
+        assert packing.pack_sequences(sf).take_all() == []
+        assert packing.rank_by_quality(sf).take_all() == []
+        assert sampling.temperature_rebalance(sf).take_all() == []
+        # SQL ROLLUP over an empty table still emits the grand-total set
+        (row,) = analytics.rollup_pricing(sf).take_all()
+        assert row == {
+            "l_returnflag": None,
+            "l_linestatus": None,
+            "sum_disc_price": None,
+            "n_items": 0,
+        }
