@@ -168,8 +168,13 @@ def weighted_sample(sf_dir: str, *, n: int = 100) -> rd.Dataset:
                 "es_key": pa.array(key, pa.float64()),
             }
         )
-        # map-side prune: only a batch's top-n can make the global top-n
-        order = np.argsort(-key, kind="stable")[:n]
+        # map-side prune: only a batch's top-n can make the global top-n.
+        # Tie-break by doc_id like the final sort, so an exact key tie
+        # straddling the prune boundary (possible at scale: equal md5-32
+        # uniforms AND equal weights) keeps the same row the global order
+        # would.
+        ids_np = np.asarray(ids, dtype=np.int64)
+        order = np.lexsort((ids_np, -key))[:n]
         return t.take(pa.array(np.sort(order), pa.int64()))
 
     return (

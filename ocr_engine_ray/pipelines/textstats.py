@@ -598,8 +598,13 @@ def token_rarity_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         tid_sorted = np.cumsum(new) - 1
         tid = np.empty(len(toks), dtype=np.int64)
         tid[order] = tid_sorted
-        n_tok_ids = int(tid_sorted[-1]) + 1 if len(st) else 0
-        ct = np.bincount(tid, weights=cs, minlength=n_tok_ids).astype(np.int64)
+        # integer-exact per-token totals (bincount's float weights would
+        # round above 2^53 occurrences): reduceat over the sorted runs
+        run_starts = np.nonzero(new)[0]
+        ct_runs = (
+            np.add.reduceat(cs[order], run_starts) if len(st) else np.array([], np.int64)
+        )
+        ct = ct_runs  # indexed by tid (run order == tid order)
         contrib = cs * ct[tid]
         # combine per doc within the bucket
         dorder = np.argsort(docs, kind="stable")
