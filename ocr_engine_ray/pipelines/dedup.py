@@ -350,6 +350,13 @@ def minhash_lsh_dedup(
     pairs = bands.groupby(["band", "bhash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     ).materialize()
+    # Compact a SMALL pair set out of the banding groupby's block layout
+    # (one tiny block per sort partition): every downstream shuffle
+    # otherwise pays per-block fixed costs ~10x the data.  Count and
+    # num_blocks are metadata on the materialized set; the repartition is
+    # skipped entirely at scale (big pair sets keep their parallelism).
+    if pairs.count() < 1_000_000 and pairs.num_blocks() > 8:
+        pairs = pairs.repartition(4).materialize()
 
     def _endpoints(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -154,6 +154,12 @@ def connected_components(
     if n == 0:
         return empty_clusters()
     nbuckets = num_partitions or max(1, math.ceil(n / rows_per_bucket))
+    # Compact a small link set inherited as many near-empty blocks (one per
+    # upstream shuffle partition): each contraction round shuffles it again,
+    # and tiny blocks make the round's fixed cost dominate.  Metadata-only
+    # checks; skipped at scale.
+    if n < 1_000_000 and links.num_blocks() > max(8, 4 * nbuckets):
+        links = links.repartition(max(4, nbuckets)).materialize()
 
     def contract(ds: rd.Dataset) -> rd.Dataset:
         return (
