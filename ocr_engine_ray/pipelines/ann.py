@@ -167,6 +167,12 @@ def _kmeans_centroids(emb: rd.Dataset, *, k: int, iters: int) -> np.ndarray:
     Python bignums, so no corpus size overflows.  This is what makes the
     downstream kmeans/semantic/IVF surfaces digest-gateable."""
 
+    # Iterative algorithm: pin the (projected) input once so each of the
+    # `iters` passes reads plasma blocks instead of re-executing the read
+    # chain.  At 100-TB scale this is the standard iterate-on-cached-input
+    # shape; the object store spills cold blocks as needed.
+    emb = emb.materialize()
+
     def _k_smallest(batch: pa.Table) -> pa.Table:
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         idx = np.argsort(vid)[:k]
