@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_pricing": analytics.rollup_pricing,
         # --- end-to-end curation composition --------------------------------
         "curate_corpus": curate.curate_corpus,
+        "curate_training_mix": curate.curate_training_mix,
     }
 
 
@@ -783,6 +784,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens
             FROM dedup WHERE rn = 1 GROUP BY source
+        """,
+        # Full training-mix recipe: the five hygiene/packing operators
+        # composed in one chain; the twin chains their individual oracles
+        # as CTEs (flags -> decontaminate -> normalized dedup -> temperature
+        # coin -> window-cumsum packing).
+        "curate_training_mix": r"""
+            WITH base AS (
+              SELECT doc_id, source, coalesce(text,'') AS text FROM documents
+            ),
+            flagstats AS (
+              SELECT b.doc_id,
+                     round_even((len(lines) - len(list_distinct(lines)))
+                                / len(lines)::DOUBLE, 6) AS dup,
+                     coalesce(round_even(t.maxc / t.nw::DOUBLE, 6), 0.0) AS top
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM base) b
+              LEFT JOIN (
+                SELECT doc_id, max(c) AS maxc, sum(c) AS nw FROM (
+                  SELECT doc_id, w, count(*) AS c
+                  FROM (SELECT doc_id,
+                               unnest(regexp_extract_all(lower(text), '\w+')) AS w
+                        FROM base)
+                  GROUP BY 1, 2) GROUP BY doc_id
+              ) t USING (doc_id)
+            ),
+            grams AS (
+              SELECT doc_id, source, array_to_string(ws[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, source, ws,
+                           unnest(range(1, greatest(len(ws)-7,0)+1)) AS i
+                    FROM (SELECT doc_id, source,
+                                 regexp_extract_all(lower(text), '\w+') AS ws
+                          FROM base))
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+            contaminated AS (
+              SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram)
+              WHERE g.source <> 'src0'
+            ),
+            keep2 AS (
+              SELECT b.doc_id, b.source, b.text
+              FROM base b JOIN flagstats f USING (doc_id)
+              WHERE b.source <> 'src0' AND f.dup <= 0.30 AND f.top <= 0.20
+                AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            keep3 AS (
+              SELECT doc_id, source, text FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+                                 '[^\w \t\n\f\r]+', '', 'g'),
+                                 '[ \t\n\f\r]+', ' ', 'g'), ' ')
+                  ORDER BY doc_id) AS rn
+                FROM keep2) WHERE rn = 1
+            ),
+            tok AS (SELECT doc_id, source,
+                           len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                    FROM keep3),
+            c AS (SELECT source, sum(n_tokens)::DOUBLE AS w_s FROM tok GROUP BY source),
+            m AS (SELECT min(w_s) AS w_min FROM c),
+            keep4 AS (
+              SELECT t.* FROM tok t JOIN c USING (source), m
+              WHERE ((('0x' || substr(md5(t.doc_id::VARCHAR || ':t'), 1, 8))::UBIGINT
+                      + 1) / 4294967297.0)
+                    < pow(c.w_s / m.w_min, 0.5 - 1.0)
+            ),
+            final AS (
+              SELECT doc_id, source, n_tokens,
+                     (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                      - n_tokens)::BIGINT AS tok_offset
+              FROM keep4
+            )
+            SELECT doc_id, source, n_tokens, tok_offset,
+                   (tok_offset // 512)::BIGINT AS seq_id
+            FROM final
         """,
         "order_event_window_join": """
             SELECT o.o_orderkey,

@@ -164,6 +164,7 @@ def run_bench() -> dict:
         "order_event_window_join": timed(joins.order_event_window_join),
         "stream_running_totals": timed(__import__("ocr_engine_ray.state.stream", fromlist=["x"]).stream_running_totals_query),
         "curate_corpus": timed(__import__("ocr_engine_ray.pipelines.curate", fromlist=["x"]).curate_corpus),
+        "curate_training_mix": timed(__import__("ocr_engine_ray.pipelines.curate", fromlist=["x"]).curate_training_mix),
         "tfidf_top_terms": timed(tsp.tfidf_top_terms),
         "token_quantiles_by_source": timed(tsp.token_quantiles_by_source),
         "token_budget_sample": timed(sampling.token_budget_sample),

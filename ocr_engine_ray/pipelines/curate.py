@@ -85,3 +85,217 @@ def curate_corpus(sf_dir: str, *, min_quality: float = 0.8) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Full training-mix composition (the round-3 hygiene + packing stack, fused)
+# ---------------------------------------------------------------------------
+
+
+def curate_training_mix(
+    sf_dir: str,
+    *,
+    bench_source: str = "src0",
+    max_dup_line_frac: float = 0.30,
+    max_top_word_frac: float = 0.20,
+    alpha: float = 0.5,
+    budget: int = 512,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """The one-call training-data recipe a user of this engine runs:
+
+    1. drop repetition-flagged docs (Gopher dup-line / top-word signals);
+    2. drop benchmark docs AND train docs sharing any word 8-gram with the
+       benchmark (decontamination);
+    3. CCNet normalize-then-hash exact dedup (keep-first by doc_id);
+    4. temperature source rebalancing over the SURVIVORS' token mass
+       ((tok_s/tok_min)^(alpha-1) hash-coin per doc);
+    5. pack the final mix into fixed-budget training sequences
+       (two-pass distributed prefix sum).
+
+    Fusion shape: steps 1-3's per-doc work (flags, gram membership,
+    normalized sha1) happens in ONE ``map_batches`` pass after the tiny
+    benchmark-gram broadcast; the only corpus shuffles are the dedup bucket
+    groupby and the packing bucket groupby — everything between is
+    sources × buckets scalars through ``ray.put``.  Exact-SQL-gated by a
+    composed CTE twin that chains the five operators' individual oracles.
+
+    Returns (doc_id, source, n_tokens, tok_offset, seq_id), sorted.
+    """
+    import hashlib as _hl
+    import re as _re
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..sources.tables import sf_table
+    from .decontam import _gram_hashes
+
+    word_re = _re.compile(r"\w+", _re.UNICODE)
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    bench = docs.filter(expr=f"source == '{bench_source}'")
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        hs = [_gram_hashes(t) for t in batch.column("text").to_pylist()]
+        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(u)})
+
+    gram_rows = bench.map_batches(bench_grams, batch_format="pyarrow").unique("h") or []
+    bench_ref = ray.put(np.array(sorted(gram_rows), dtype=np.int64))
+
+    def hygiene(batch: pa.Table) -> pa.Table:
+        """Steps 1-3 per-doc work in one pass: repetition flags, benchmark
+        gram membership, CCNet-normalized sha1 + dedup bucket."""
+        from collections import Counter
+
+        bset = ray.get(bench_ref)
+        t = pc.fill_null(batch.column("text"), "")
+        norm = pc.utf8_lower(t)
+        norm = pc.replace_substring_regex(norm, r"[^\w \t\n\f\r]+", "")
+        norm = pc.replace_substring_regex(norm, r"[ \t\n\f\r]+", " ")
+        norm = pc.utf8_trim(norm, " ")
+        ntok = pc.count_substring_regex(t, r"\S+").cast(pa.int64())
+        keep, sha, bucket = [], [], []
+        for txt, nrm in zip(t.to_pylist(), norm.to_pylist()):
+            lines = txt.split("\n")
+            dup = round((len(lines) - len(set(lines))) / len(lines), 6)
+            words = word_re.findall(txt.lower())
+            top = (
+                round(Counter(words).most_common(1)[0][1] / len(words), 6)
+                if words
+                else 0.0
+            )
+            gh = _gram_hashes(txt)
+            contaminated = bool(np.isin(gh, bset).any()) if len(gh) else False
+            keep.append(
+                dup <= max_dup_line_frac
+                and top <= max_top_word_frac
+                and not contaminated
+            )
+            h = _hl.sha1(nrm.encode("utf-8")).hexdigest()
+            sha.append(h)
+            bucket.append(int(h[:8], 16) % NUM_CURATE_BUCKETS)
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": ntok,
+                "text_sha1": pa.array(sha, pa.string()),
+                "bucket": pa.array(bucket, pa.int32()),
+            }
+        )
+        mask = pa.array(keep)
+        return out.filter(mask)
+
+    train = docs.filter(expr=f"source != '{bench_source}'")
+    survivors = train.map_batches(hygiene, batch_format="pyarrow")
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F401
+
+        df = group.select(["doc_id", "source", "n_tokens", "text_sha1"]).to_pandas()
+        df = df.sort_values("doc_id").drop_duplicates("text_sha1", keep="first")
+        return pa.Table.from_pandas(
+            df[["doc_id", "source", "n_tokens"]], preserve_index=False
+        )
+
+    deduped = survivors.groupby("bucket").map_groups(
+        keep_first, batch_format="pyarrow"
+    ).materialize()
+
+    # step 4: temperature rebalance over the survivors' token mass
+    parts = deduped.groupby("source").aggregate(Sum("n_tokens", alias_name="w_s")).take_all()
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "tok_offset": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    w_min = min(r["w_s"] for r in parts)
+    p_keep = {r["source"]: (r["w_s"] / w_min) ** (alpha - 1.0) for r in parts}
+    p_ref = ray.put(p_keep)
+
+    def coin(batch: pa.Table) -> pa.Table:
+        p = ray.get(p_ref)
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        u = np.array(
+            [
+                (int(_hl.md5(f"{d}:t".encode()).hexdigest()[:8], 16) + 1) / 4294967297.0
+                for d in ids
+            ]
+        )
+        thr = np.array([p[s] for s in srcs])
+        return batch.filter(pa.array(u < thr))
+
+    mix = deduped.map_batches(coin, batch_format="pyarrow").materialize()
+
+    # step 5: pack into sequences (two-pass prefix sum over doc_id ranges)
+    bounds = mix.aggregate(Min("doc_id"), Max("doc_id"))
+    if not bounds or bounds.get("min(doc_id)") is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "tok_offset": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
+    span = max(1, hi - lo + 1)
+
+    def range_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = ((ids - lo).astype(_np.float64) * num_buckets / span).astype(_np.int64)
+        _np.clip(bkt, 0, num_buckets - 1, out=bkt)
+        return batch.append_column("rbkt", pa.array(bkt))
+
+    tok = mix.map_batches(range_bucket, batch_format="pyarrow").materialize()
+    parts2 = tok.groupby(["source", "rbkt"]).aggregate(Sum("n_tokens", alias_name="tot")).take_all()
+    offsets: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(parts2, key=lambda r: (r["source"], r["rbkt"])):
+        offsets[(r["source"], r["rbkt"])] = acc.get(r["source"], 0)
+        acc[r["source"]] = acc.get(r["source"], 0) + r["tot"]
+    off_ref = ray.put(offsets)
+
+    def pack(group: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        off = ray.get(off_ref)
+        ids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ntok = group.column("n_tokens").combine_chunks().to_numpy(zero_copy_only=False)
+        order = _np.argsort(ids)
+        ids, ntok = ids[order], ntok[order]
+        src = group.column("source")[0].as_py()
+        base = off[(src, group.column("rbkt")[0].as_py())]
+        tok_offset = base + _np.cumsum(ntok) - ntok
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": pa.array(_np.full(len(ids), src, dtype=object), pa.string()),
+                "n_tokens": pa.array(ntok),
+                "tok_offset": pa.array(tok_offset),
+                "seq_id": pa.array(tok_offset // budget),
+            }
+        )
+
+    return (
+        tok.groupby(["source", "rbkt"])
+        .map_groups(pack, batch_format="pyarrow")
+        .sort("doc_id")
+    )

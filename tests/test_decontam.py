@@ -145,3 +145,44 @@ class TestRollupPricing:
         assert by_key[(None, None)]["sum_disc_price"] == pytest.approx(295.0)
         assert by_key[(None, None)]["n_items"] == 4
         assert len(rows) == 3 + 2 + 1  # fine + per-flag + grand total
+
+
+class TestCurateTrainingMix:
+    def test_composition_semantics(self, ray_session, tmp_path):
+        """Each stage's effect is visible on the planted corpus: benchmark
+        docs gone, contaminated doc gone, flagged docs gone, reformatted
+        copies collapsed, survivors packed in doc_id order."""
+        from ocr_engine_ray.pipelines import curate
+
+        sf = _write(tmp_path)
+        rows = curate.curate_training_mix(sf, alpha=1.0).take_all()
+        ids = [r["doc_id"] for r in rows]
+        assert 0 not in ids and 1 not in ids      # benchmark side excluded
+        assert 10 not in ids                      # contaminated
+        assert 13 not in ids and 14 not in ids    # repetition-flagged
+        assert 21 not in ids and 22 not in ids    # normalized dups of 20
+        # 23 ("a genuinely different document") has 4 distinct words ->
+        # top_word_frac 0.25 > 0.20: legitimately repetition-flagged
+        assert ids == [11, 12, 20]
+        # alpha=1.0 -> no rebalance drop; offsets are per-source cumsums
+        by_src: dict[str, int] = {}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            assert r["tok_offset"] == by_src.get(r["source"], 0)
+            by_src[r["source"]] = r["tok_offset"] + r["n_tokens"]
+
+    def test_empty_benchmark_only_corpus(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines import curate
+
+        d = tmp_path / "b"
+        d.mkdir()
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": 0, "text": "only benchmark", "lang": "en",
+                  "source": "src0", "n_chars": 14}]
+            ),
+            str(d / "documents.parquet"),
+        )
+        assert curate.curate_training_mix(str(d)).take_all() == []
