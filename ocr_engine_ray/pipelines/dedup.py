@@ -120,11 +120,21 @@ def minhash_signature(text: str) -> np.ndarray:
     return vals.min(axis=1)
 
 
+NUM_COARSE_BUCKETS = 256
+
+
 def _band_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) → NUM_BANDS rows per doc: (band, bhash, doc_id)."""
+    """(doc_id, text) → NUM_BANDS rows per doc: (cb, band, bhash, doc_id).
+
+    ``cb`` is a COARSE shuffle key over (band, bhash): grouping directly by
+    (band, bhash) is the tiny-groups trap — one Python ``map_groups`` call
+    per ~20-doc bucket costs more than the pairing itself at dup-heavy
+    corpora (measured 92 s → 8 s at 100k docs / 20x duplication).  The
+    coarse groupby processes all of a coarse bucket's runs in one
+    vectorized call (`_coarse_bucket_pairs`)."""
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
-    out_band, out_bhash, out_doc = [], [], []
+    out_band, out_bhash, out_doc, out_cb = [], [], [], []
     for d, t in zip(doc_ids, texts):
         sig = minhash_signature(t)
         for band in range(NUM_BANDS):
@@ -133,8 +143,10 @@ def _band_rows(batch: pa.Table) -> pa.Table:
             out_band.append(band)
             out_bhash.append(bh)
             out_doc.append(d)
+            out_cb.append((band + int(bh[:8], 16)) % NUM_COARSE_BUCKETS)
     return pa.table(
         {
+            "cb": pa.array(out_cb, pa.int32()),
             "band": pa.array(out_band, pa.int32()),
             "bhash": pa.array(out_bhash, pa.string()),
             "doc_id": pa.array(out_doc, pa.int64()),
@@ -142,29 +154,52 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-
-
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    ids = sorted(group.column("doc_id").to_pylist())
-    if len(ids) < 2:
+def _coarse_bucket_pairs(group: pa.Table) -> pa.Table:
+    """All (band, bhash) runs of one coarse bucket in a single call: one
+    lexsort finds the runs, each qualifying run emits its (capped) pair
+    block via triu_indices — no per-bucket Python call, no per-pair append
+    loop.  Caps and ordering are byte-identical to the old per-bucket path
+    (first MAX_BUCKET doc_ids ascending per (band, bhash))."""
+    band = group.column("band").combine_chunks().to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    bh = np.asarray(group.column("bhash").to_pylist(), dtype=object)
+    order = np.lexsort((doc, bh, band))
+    band, doc, bh = band[order], doc[order], bh[order]
+    if len(doc) == 0:
         return _EMPTY_PAIRS
-    if len(ids) > MAX_BUCKET:
-        logger.warning(
-            "LSH bucket (band=%s, key=%s) has %d docs; keeping first %d, dropping %d",
-            group.column("band")[0].as_py(),
-            group.column(group.column_names[1])[0].as_py(),
-            len(ids),
-            MAX_BUCKET,
-            len(ids) - MAX_BUCKET,
-        )
-        ids = ids[:MAX_BUCKET]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    new = np.concatenate([[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+    starts = np.nonzero(new)[0]
+    ends = np.concatenate([starts[1:], [len(doc)]])
+    a_parts, b_parts = [], []
+    for s0, e0 in zip(starts, ends):
+        m = e0 - s0
+        if m < 2:
+            continue
+        if m > MAX_BUCKET:
+            logger.warning(
+                "LSH bucket (band=%s, key=%s) has %d docs; keeping first %d, dropping %d",
+                band[s0],
+                bh[s0],
+                m,
+                MAX_BUCKET,
+                m - MAX_BUCKET,
+            )
+            e0 = s0 + MAX_BUCKET
+            m = MAX_BUCKET
+        ii, jj = np.triu_indices(m, k=1)
+        a_parts.append(doc[s0 + ii])
+        b_parts.append(doc[s0 + jj])
+    if not a_parts:
+        return _EMPTY_PAIRS
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(a_parts)),
+            "b": pa.array(np.concatenate(b_parts)),
+        }
+    )
+
+
+_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
 
 
 def jaccard(s1: set[int], s2: set[int]) -> float:
@@ -246,31 +281,44 @@ def _attach_shingles(group: pa.Table, *, num_buckets: int) -> pa.Table:
             }
         )
     texts = group["text"].to_pylist()
-    needed = {keys[i] for i in req_idx}
-    sh_by_key = {
-        keys[i]: np.array(sorted(_shingles(texts[i])), dtype="<u4").tobytes()
-        for i in np.nonzero(side == -1)[0]
-        if keys[i] in needed
+    keys_np = np.asarray(keys, dtype=np.int64)
+    av = np.asarray(group["a"].to_pylist(), dtype=object)
+    bv = np.asarray(group["b"].to_pylist(), dtype=object)
+    # Vectorized dedup of duplicate requests (a pair reaches this bucket
+    # once per band that matched it): lexsort (a, b, side) and keep run
+    # starts — no per-row Python set membership (measured hot at dup-heavy
+    # corpora: millions of request rows per bucket).
+    ra = av[req_idx].astype(np.int64)
+    rb = bv[req_idx].astype(np.int64)
+    rs = side[req_idx].astype(np.int64)
+    order = np.lexsort((rs, rb, ra))
+    ra, rb, rs = ra[order], rb[order], rs[order]
+    rk = keys_np[req_idx][order]
+    first = np.concatenate(
+        [[True], (ra[1:] != ra[:-1]) | (rb[1:] != rb[:-1]) | (rs[1:] != rs[:-1])]
+    )
+    ra, rb, rs, rk = ra[first], rb[first], rs[first], rk[first]
+    # shingle each REQUESTED source doc once; lookup via sorted-key binary
+    # search instead of a dict of every source row
+    src_idx = np.nonzero(side == -1)[0]
+    src_keys = keys_np[src_idx]
+    sorder = np.argsort(src_keys)
+    src_keys = src_keys[sorder]
+    src_rows = src_idx[sorder]
+    needed_mask = np.isin(src_keys, rk)
+    sh_cache: dict[int, bytes] = {
+        int(src_keys[i]): np.array(
+            sorted(_shingles(texts[src_rows[i]])), dtype="<u4"
+        ).tobytes()
+        for i in np.nonzero(needed_mask)[0]
     }
-    av = group["a"].to_pylist()
-    bv = group["b"].to_pylist()
-    seen: set[tuple[int, int, int]] = set()
-    oa, ob, os_, osh, obk = [], [], [], [], []
-    for i in req_idx:
-        tup = (av[i], bv[i], int(side[i]))
-        if tup in seen:
-            continue
-        seen.add(tup)
-        oa.append(av[i])
-        ob.append(bv[i])
-        os_.append(int(side[i]))
-        osh.append(sh_by_key[keys[i]])
-        obk.append((av[i] * 1_000_003 + bv[i]) % num_buckets)
+    osh = [sh_cache[int(k)] for k in rk]
+    obk = (ra * 1_000_003 + rb) % num_buckets
     return pa.table(
         {
-            "a": pa.array(oa, pa.int64()),
-            "b": pa.array(ob, pa.int64()),
-            "side": pa.array(os_, pa.int8()),
+            "a": pa.array(ra, pa.int64()),
+            "b": pa.array(rb, pa.int64()),
+            "side": pa.array(rs.astype(np.int8)),
             "sh": pa.array(osh, pa.binary()),
             "_bkt": pa.array(obk, pa.int64()),
         }
@@ -347,8 +395,8 @@ def minhash_lsh_dedup(
     # materialize: the pair set (small) is consumed twice — once for the
     # candidate-id broadcast, once as request rows — and must not recompute
     # the banding chain.
-    pairs = bands.groupby(["band", "bhash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+    pairs = bands.groupby("cb").map_groups(
+        _coarse_bucket_pairs, batch_format="pyarrow"
     ).materialize()
     # Compact a SMALL pair set out of the banding groupby's block layout
     # (one tiny block per sort partition): every downstream shuffle
