@@ -81,6 +81,39 @@ class TestDedupUnits:
         assert abs(sim12 - true12) < 0.2
         assert sim13 < 0.1
 
+    def test_coarse_bucket_pairs_matches_naive_reference(self):
+        """The vectorized coarse-bucket pair generator must emit exactly the
+        pair set a naive per-(band, bhash) loop would: first MAX_BUCKET
+        doc_ids ascending per bucket, all unordered pairs among them —
+        across randomized dup-heavy band tables including over-cap runs."""
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            n = int(rng.integers(50, 400))
+            band = rng.integers(0, 4, size=n)
+            # few distinct hashes → many shared buckets, some over MAX_BUCKET
+            bh = np.array([f"h{v:02d}" for v in rng.integers(0, 6, size=n)])
+            doc = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+            tbl = pa.table(
+                {
+                    "band": pa.array(band, pa.int32()),
+                    "bhash": pa.array(bh.tolist(), pa.string()),
+                    "doc_id": pa.array(doc, pa.int64()),
+                }
+            )
+            got = dd._coarse_bucket_pairs(tbl)
+            got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+            want: set[tuple[int, int]] = set()
+            buckets: dict[tuple[int, str], list[int]] = {}
+            for b, h_, d in zip(band.tolist(), bh.tolist(), doc.tolist()):
+                buckets.setdefault((b, h_), []).append(d)
+            for ids in buckets.values():
+                ids = sorted(ids)[: dd.MAX_BUCKET]
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        want.add((ids[i], ids[j]))
+            assert got_pairs == want, f"trial {trial}"
+            assert len(got_pairs) == got.num_rows  # no duplicate emission
+
     def test_simhash_hamming(self):
         t1 = "the quick brown fox jumps over the lazy dog again and again"
         t2 = "the quick brown fox jumps over the lazy cat again and again"
