@@ -206,8 +206,20 @@ def curate_training_mix(
         keep_first, batch_format="pyarrow"
     ).materialize()
 
-    # step 4: temperature rebalance over the survivors' token mass
-    parts = deduped.groupby("source").aggregate(Sum("n_tokens", alias_name="w_s")).take_all()
+    # step 4: temperature rebalance over the survivors' token mass.  The
+    # same pass also carries per-source Min/Max(doc_id): packing's range
+    # buckets only need SOME monotone-in-doc_id covering split, so bounds
+    # from the pre-coin survivors are as good as bounds from the mix —
+    # and computing them here saves a dedicated full scan of the mix.
+    parts = (
+        deduped.groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="w_s"),
+            Min("doc_id", alias_name="id_lo"),
+            Max("doc_id", alias_name="id_hi"),
+        )
+        .take_all()
+    )
     if not parts:
         return rd.from_arrow(
             pa.table(
@@ -237,23 +249,14 @@ def curate_training_mix(
         thr = np.array([p[s] for s in srcs])
         return batch.filter(pa.array(u < thr))
 
-    mix = deduped.map_batches(coin, batch_format="pyarrow").materialize()
-
-    # step 5: pack into sequences (two-pass prefix sum over doc_id ranges)
-    bounds = mix.aggregate(Min("doc_id"), Max("doc_id"))
-    if not bounds or bounds.get("min(doc_id)") is None:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "source": pa.array([], pa.string()),
-                    "n_tokens": pa.array([], pa.int64()),
-                    "tok_offset": pa.array([], pa.int64()),
-                    "seq_id": pa.array([], pa.int64()),
-                }
-            )
-        )
-    lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
+    # step 5: pack into sequences (two-pass prefix sum over doc_id ranges).
+    # The coin filter and the range bucketing fuse into one pass over the
+    # survivors; no intermediate mix materialization.  lo/hi came with the
+    # rebalance aggregate above (coin only removes rows, and the min-weight
+    # source's keep-probability is exactly 1, so the mix is non-empty and
+    # covered whenever the survivors are).
+    lo = min(r["id_lo"] for r in parts)
+    hi = max(r["id_hi"] for r in parts)
     span = max(1, hi - lo + 1)
 
     def range_bucket(batch: pa.Table) -> pa.Table:
@@ -264,7 +267,11 @@ def curate_training_mix(
         _np.clip(bkt, 0, num_buckets - 1, out=bkt)
         return batch.append_column("rbkt", pa.array(bkt))
 
-    tok = mix.map_batches(range_bucket, batch_format="pyarrow").materialize()
+    tok = (
+        deduped.map_batches(coin, batch_format="pyarrow")
+        .map_batches(range_bucket, batch_format="pyarrow")
+        .materialize()
+    )
     parts2 = tok.groupby(["source", "rbkt"]).aggregate(Sum("n_tokens", alias_name="tot")).take_all()
     offsets: dict[tuple[str, int], int] = {}
     acc: dict[str, int] = {}
