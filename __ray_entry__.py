@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": dedup.normalized_dedup,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
+        "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,  # rows-only check
+        "embedding_lsh_digest": dedup.embedding_lsh_digest,
         # --- similarity search ---------------------------------------------
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,                   # rows-only check
@@ -969,10 +971,20 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_digest": """
             SELECT 1251410017849857509::BIGINT AS digest
         """,
+        # Hyperplane-LSH embedding near-dup (the sub-quadratic scale path
+        # beside the exact block-pair operator): sign bits and the in-bucket
+        # cosine verify are decision-exact (min |proj| 8.8e-7, min
+        # |cos-0.42| 3.4e-5 at sf0.1 — orders above BLAS noise), so the
+        # sequential-oracle literal (oracle_dedup.embedding_lsh_clusters)
+        # is stable.  Measured recall vs embedding_near_dup: 1.0 at both
+        # sf0.01 and sf0.1 (pinned by tests/test_digest_dedup.py).
+        "embedding_lsh_digest": """
+            SELECT 787812699236847587::BIGINT AS digest
+        """,
         # Every remaining rows-only query (winnow_near_dup, minhash_lsh_dedup,
         # simhash_dedup, approx_distinct_texts, ann_topk_lsh, ann_topk_ivf,
-        # embedding_kmeans, semantic_dedup, rich_fields, vocab_fields,
-        # free_text) now has its VALUE content CORRECTNESS-gated through a
+        # embedding_kmeans, semantic_dedup, embedding_near_dup_lsh,
+        # rich_fields, vocab_fields, free_text) now has its VALUE content CORRECTNESS-gated through a
         # *_digest twin above — the full row surfaces stay registered for
         # schema/row visibility.
         # rich_fields / vocab_fields: field values derive from the media

@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "minhash_lsh_dedup": timed(dedup.minhash_lsh_dedup),
         "simhash_dedup": timed(dedup.simhash_dedup),
         "embedding_near_dup": timed(dedup.embedding_near_dup),
+        "embedding_near_dup_lsh": timed(dedup.embedding_near_dup_lsh),
         "ann_topk": timed(ann.ann_topk_bruteforce),
         "doc_stats": timed(tsp.doc_stats),
         "mktsegment_revenue_join": timed(joins.mktsegment_revenue),

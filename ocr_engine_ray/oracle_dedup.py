@@ -434,3 +434,53 @@ def ivf_topk(
         for rank, (_, v) in enumerate(ranked[:k], start=1):
             out.append((int(vid[qi]), rank, int(v)))
     return sorted(out)
+
+
+# --- Embedding hyperplane-LSH near-dup --------------------------------------
+
+EMB_LSH_BANDS = 48
+EMB_LSH_BITS = 4
+EMB_LSH_SEED = 20260817
+EMB_LSH_MAX_BUCKET = 512
+
+
+def embedding_lsh_clusters(
+    sf_dir: str, *, threshold: float = 0.42
+) -> list[tuple[int, int]]:
+    """Sequential twin of `pipelines.dedup.embedding_near_dup_lsh`:
+    48 bands x 4 sign bits of seeded random hyperplanes; within each band
+    bucket (vec_id-sorted, capped at 512), exact float64 cosine verify at
+    ``threshold``; union-find over surviving pairs -> sorted
+    (vec_id, cluster_id=min id) rows.
+
+    Digest-pinnable despite floats: measured at sf0.01/sf0.1, the nearest
+    |cos - threshold| over all pairs is 3.4e-5 and the nearest hyperplane
+    projection to zero is 8.8e-7 — both orders of magnitude above dgemm-vs-
+    ddot summation noise (~1e-13 at dim 64), so every sign bit and every
+    verify decision is identical between the bucket-matmul pipeline and this
+    per-pair scan."""
+    vid, m = _load_vecs(sf_dir)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    planes = np.random.default_rng(EMB_LSH_SEED).standard_normal(
+        (EMB_LSH_BANDS * EMB_LSH_BITS, m.shape[1])
+    )
+    bits = (mn @ planes.T) > 0
+    edges: list[tuple[int, int]] = []
+    for b in range(EMB_LSH_BANDS):
+        bb = bits[:, b * EMB_LSH_BITS : (b + 1) * EMB_LSH_BITS]
+        bv = (bb.astype(np.int64) << np.arange(EMB_LSH_BITS)).sum(axis=1)
+        buckets: dict[int, list[int]] = {}
+        for i, v in enumerate(bv):
+            buckets.setdefault(int(v), []).append(i)
+        for idxs in buckets.values():
+            if len(idxs) < 2:
+                continue
+            idxs = sorted(idxs, key=lambda i: vid[i])[:EMB_LSH_MAX_BUCKET]
+            for x in range(len(idxs)):
+                for y in range(x + 1, len(idxs)):
+                    i, j = idxs[x], idxs[y]
+                    if float(mn[i] @ mn[j]) >= threshold:
+                        edges.append((int(vid[i]), int(vid[j])))
+    return clusters_from_edges(edges)

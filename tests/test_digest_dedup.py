@@ -50,6 +50,7 @@ class TestDedupDigestGates:
             "kmeans_digest",
             "semantic_digest",
             "ann_ivf_digest",
+            "embedding_lsh_digest",
         ],
     )
     def test_ray_digest_matches_literal(self, ray_session, name):
@@ -133,3 +134,31 @@ class TestDedupDigestGates:
             for r in textstats.approx_distinct_texts(SF).take_all()
         ]
         assert sorted(rows) == od.hll_distinct_by_source(SF)
+
+    def test_embedding_lsh_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import dedup
+
+        rows = [
+            (r["vec_id"], r["cluster_id"])
+            for r in dedup.embedding_near_dup_lsh(SF).take_all()
+        ]
+        assert sorted(rows) == od.embedding_lsh_clusters(SF)
+
+    def test_embedding_lsh_full_recall_vs_exact(self, ray_session):
+        """At the gate threshold/params, the LSH path finds every exact
+        near-dup cluster (measured recall 1.0 at sf0.01 AND sf0.1, pinned
+        here at sf0.01): its clusters coincide with the exact block-pair
+        operator's.  Precision is 1.0 by construction (in-bucket exact
+        cosine verify), so equality — not just subset — is the right pin."""
+        from ocr_engine_ray.pipelines import dedup
+
+        lsh = [
+            (r["vec_id"], r["cluster_id"])
+            for r in dedup.embedding_near_dup_lsh(SF).take_all()
+        ]
+        exact = [
+            (r["vec_id"], r["cluster_id"])
+            for r in dedup.embedding_near_dup_clusters(SF).take_all()
+        ]
+        assert sorted(lsh) == sorted(exact)
