@@ -162,3 +162,31 @@ class TestDedupDigestGates:
             for r in dedup.embedding_near_dup_clusters(SF).take_all()
         ]
         assert sorted(lsh) == sorted(exact)
+
+    def test_emb_band_rows_batching_invariant(self):
+        """The digest pin assumes banding is batching-independent: splitting
+        a batch anywhere yields the same (vec_id, bkt) rows.  Per-row
+        normalize/project plus margin-checked sign decisions guarantee it;
+        this pins the claim without Ray in the loop."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.dedup import _emb_band_rows
+
+        t = pq.read_table(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        kw = {"num_bands": 48, "band_bits": 4, "seed": 20260817}
+        whole = _emb_band_rows(t, **kw)
+        rng = np.random.default_rng(7)
+        cuts = sorted(rng.choice(np.arange(1, t.num_rows), size=5, replace=False))
+        parts = []
+        prev = 0
+        for c in list(cuts) + [t.num_rows]:
+            parts.append(_emb_band_rows(t.slice(prev, c - prev), **kw))
+            prev = c
+        import pyarrow as pa
+
+        split = pa.concat_tables(parts)
+        assert whole.column("vec_id").to_pylist() == split.column("vec_id").to_pylist()
+        assert whole.column("bkt").to_pylist() == split.column("bkt").to_pylist()
