@@ -748,9 +748,10 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT source,
                               sum(len(regexp_extract_all(coalesce(text,''), '\S+')))::DOUBLE AS w_s
                        FROM documents GROUP BY source),
-                 m AS (SELECT min(w_s) AS w_min FROM c)
+                 m AS (SELECT min(w_s) AS w_min FROM c WHERE w_s > 0)
             SELECT d.doc_id, d.source FROM documents d JOIN c USING (source), m
-            WHERE ((('0x' || substr(md5(d.doc_id::VARCHAR || ':t'), 1, 8))::UBIGINT + 1)
+            WHERE c.w_s = 0
+               OR ((('0x' || substr(md5(d.doc_id::VARCHAR || ':t'), 1, 8))::UBIGINT + 1)
                    / 4294967297.0)
                   < pow(c.w_s / m.w_min, 0.5 - 1.0)
         """,
@@ -842,10 +843,11 @@ def oracle_sql() -> dict[str, str]:
                            len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
                     FROM keep3),
             c AS (SELECT source, sum(n_tokens)::DOUBLE AS w_s FROM tok GROUP BY source),
-            m AS (SELECT min(w_s) AS w_min FROM c),
+            m AS (SELECT min(w_s) AS w_min FROM c WHERE w_s > 0),
             keep4 AS (
               SELECT t.* FROM tok t JOIN c USING (source), m
-              WHERE ((('0x' || substr(md5(t.doc_id::VARCHAR || ':t'), 1, 8))::UBIGINT
+              WHERE c.w_s = 0
+                 OR ((('0x' || substr(md5(t.doc_id::VARCHAR || ':t'), 1, 8))::UBIGINT
                       + 1) / 4294967297.0)
                     < pow(c.w_s / m.w_min, 0.5 - 1.0)
             ),

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 # --- shared spec constants (duplicated from the pipeline by definition) ----
 
 MERSENNE = (1 << 61) - 1
-WORD_RE = re.compile(r"\w+", re.UNICODE)
+WORD_RE = re.compile(r"[0-9A-Za-z_]+")  # ASCII class, in lockstep with pipelines
 WS_RE = re.compile(r"[ \t\n\f\r]+")
 DIGEST_MOD = (1 << 61) - 1
 

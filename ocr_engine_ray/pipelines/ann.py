@@ -125,7 +125,10 @@ def embedding_kmeans(
     stays distributed.  No SQL oracle (iterative); convergence and
     determinism are pytest-verified.
     """
-    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # Materialize HERE (not just inside the centroid loop) so the final
+    # assignment pass below also reads the pinned blocks instead of
+    # re-executing the parquet read chain.
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     centroids = _kmeans_centroids(emb, k=k, iters=iters)
 
     # final assignment (one more broadcast pass)
@@ -170,8 +173,13 @@ def _kmeans_centroids(emb: rd.Dataset, *, k: int, iters: int) -> np.ndarray:
     # Iterative algorithm: pin the (projected) input once so each of the
     # `iters` passes reads plasma blocks instead of re-executing the read
     # chain.  At 100-TB scale this is the standard iterate-on-cached-input
-    # shape; the object store spills cold blocks as needed.
-    emb = emb.materialize()
+    # shape; the object store spills cold blocks as needed.  Callers that
+    # scan the input again after this returns should pass a materialized
+    # dataset so their pass reuses the same pinned blocks.
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(emb, MaterializedDataset):
+        emb = emb.materialize()
 
     def _k_smallest(batch: pa.Table) -> pa.Table:
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -338,7 +346,7 @@ def ann_topk_ivf(
     — recall vs the brute-force baseline is asserted in tests (rows-only at
     the driver gate, like ann_topk_lsh).
     """
-    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     centroids = _kmeans_centroids(emb, k=n_centroids, iters=iters)
     qids, qmat = _load_queries(sf_dir, num_queries)
     # Probe selection must use the same (raw-vector L2) geometry as corpus

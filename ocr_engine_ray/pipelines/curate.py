@@ -123,28 +123,17 @@ def curate_training_mix(
     Returns (doc_id, source, n_tokens, tok_offset, seq_id), sorted.
     """
     import hashlib as _hl
-    import re as _re
 
     import numpy as np
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
     from ..sources.tables import sf_table
-    from .decontam import _gram_hashes
-
-    word_re = _re.compile(r"\w+", _re.UNICODE)
+    from .decontam import _WORD_RE as word_re  # ASCII class == RE2/DuckDB \w
+    from .decontam import _gram_hashes, bench_gram_ref
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
-
-    bench = docs.filter(expr=f"source == '{bench_source}'")
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        hs = [_gram_hashes(t) for t in batch.column("text").to_pylist()]
-        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
-        return pa.table({"h": pa.array(u)})
-
-    gram_rows = bench.map_batches(bench_grams, batch_format="pyarrow").unique("h") or []
-    bench_ref = ray.put(np.array(sorted(gram_rows), dtype=np.int64))
+    bench_ref = bench_gram_ref(docs, bench_source=bench_source)
 
     def hygiene(batch: pa.Table) -> pa.Table:
         """Steps 1-3 per-doc work in one pass: repetition flags, benchmark
@@ -232,20 +221,14 @@ def curate_training_mix(
                 }
             )
         )
-    w_min = min(r["w_s"] for r in parts)
-    p_keep = {r["source"]: (r["w_s"] / w_min) ** (alpha - 1.0) for r in parts}
-    p_ref = ray.put(p_keep)
+    from .sampling import source_keep_probs, temperature_coin
+
+    p_ref = ray.put(source_keep_probs(parts, alpha))
 
     def coin(batch: pa.Table) -> pa.Table:
         p = ray.get(p_ref)
-        ids = batch.column("doc_id").to_pylist()
         srcs = batch.column("source").to_pylist()
-        u = np.array(
-            [
-                (int(_hl.md5(f"{d}:t".encode()).hexdigest()[:8], 16) + 1) / 4294967297.0
-                for d in ids
-            ]
-        )
+        u = temperature_coin(batch.column("doc_id").to_pylist())
         thr = np.array([p[s] for s in srcs])
         return batch.filter(pa.array(u < thr))
 
@@ -272,37 +255,6 @@ def curate_training_mix(
         .map_batches(range_bucket, batch_format="pyarrow")
         .materialize()
     )
-    parts2 = tok.groupby(["source", "rbkt"]).aggregate(Sum("n_tokens", alias_name="tot")).take_all()
-    offsets: dict[tuple[str, int], int] = {}
-    acc: dict[str, int] = {}
-    for r in sorted(parts2, key=lambda r: (r["source"], r["rbkt"])):
-        offsets[(r["source"], r["rbkt"])] = acc.get(r["source"], 0)
-        acc[r["source"]] = acc.get(r["source"], 0) + r["tot"]
-    off_ref = ray.put(offsets)
+    from .packing import pack_token_stream
 
-    def pack(group: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        off = ray.get(off_ref)
-        ids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
-        ntok = group.column("n_tokens").combine_chunks().to_numpy(zero_copy_only=False)
-        order = _np.argsort(ids)
-        ids, ntok = ids[order], ntok[order]
-        src = group.column("source")[0].as_py()
-        base = off[(src, group.column("rbkt")[0].as_py())]
-        tok_offset = base + _np.cumsum(ntok) - ntok
-        return pa.table(
-            {
-                "doc_id": pa.array(ids),
-                "source": pa.array(_np.full(len(ids), src, dtype=object), pa.string()),
-                "n_tokens": pa.array(ntok),
-                "tok_offset": pa.array(tok_offset),
-                "seq_id": pa.array(tok_offset // budget),
-            }
-        )
-
-    return (
-        tok.groupby(["source", "rbkt"])
-        .map_groups(pack, batch_format="pyarrow")
-        .sort("doc_id")
-    )
+    return pack_token_stream(tok, budget=budget, bucket_col="rbkt")

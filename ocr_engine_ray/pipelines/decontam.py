@@ -33,7 +33,9 @@ import ray.data as rd
 
 from ..sources.tables import sf_table
 
-_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII word class == RE2/DuckDB `\w` (Python's `\w` is Unicode-wide);
+# see pipelines/dedup.py for the rationale.
+_WORD_RE = re.compile(r"[0-9A-Za-z_]+")
 
 BENCH_SOURCE = "src0"  # the synthetic corpus's stand-in for the eval suite
 NGRAM = 8
@@ -56,6 +58,27 @@ def _gram_hashes(text: str, n: int = NGRAM) -> np.ndarray:
     ).view(np.int64)
 
 
+def bench_gram_ref(
+    docs: rd.Dataset, *, bench_source: str = BENCH_SOURCE, n: int = NGRAM
+) -> "ray.ObjectRef":
+    """Aggregate the benchmark's distinct gram hashes on-cluster and
+    broadcast them once (``ray.put`` of a sorted int64 array; empty array
+    when the benchmark has no grams).  The benchmark gram set is the small
+    side by construction.  Shared by `decontaminate` and
+    `curate.curate_training_mix` so the contamination definition cannot
+    drift between the two gated surfaces.  ``docs`` must carry
+    (text, source) columns."""
+    bench = docs.filter(expr=f"source == '{bench_source}'")
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        hs = [_gram_hashes(t, n) for t in batch.column("text").to_pylist()]
+        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(u)})
+
+    gram_rows = bench.map_batches(bench_grams, batch_format="pyarrow").unique("h") or []
+    return ray.put(np.array(sorted(gram_rows), dtype=np.int64))
+
+
 def decontaminate(
     sf_dir: str, *, bench_source: str = BENCH_SOURCE, n: int = NGRAM
 ) -> rd.Dataset:
@@ -69,20 +92,7 @@ def decontaminate(
     collision inside one benchmark (~1e-13 at 10^5 grams).
     """
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
-
-    bench = docs.filter(expr=f"source == '{bench_source}'")
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        hs = [_gram_hashes(t, n) for t in batch.column("text").to_pylist()]
-        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
-        return pa.table({"h": pa.array(u)})
-
-    # The benchmark gram set is the small side by construction — aggregate
-    # its per-batch uniques and broadcast once (None when the benchmark has
-    # no grams at all).
-    gram_rows = bench.map_batches(bench_grams, batch_format="pyarrow").unique("h") or []
-    bench_ref = ray.put(np.array(sorted(gram_rows), dtype=np.int64))
-
+    bench_ref = bench_gram_ref(docs, bench_source=bench_source, n=n)
     train = docs.filter(expr=f"source != '{bench_source}'")
 
     def hits(batch: pa.Table) -> pa.Table:

@@ -86,7 +86,10 @@ NUM_BANDS = 16  # 16 bands × 4 rows → catches J ≳ 0.5 candidates
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 MAX_BUCKET = 64  # cap docs considered per LSH bucket (skew guard; logged)
 _MERSENNE = (1 << 61) - 1
-_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII word class, matching RE2's `\w` as DuckDB evaluates it — keeps
+# every regexp_extract_all-based SQL twin byte-identical on non-ASCII
+# text too (Python `\w` is Unicode-wide; RE2's is [0-9A-Za-z_]).
+_WORD_RE = re.compile(r"[0-9A-Za-z_]+")
 
 
 def _shingles(text: str, n: int = 3) -> set[int]:
@@ -655,7 +658,8 @@ _EMB_PLANES_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
 
 def _emb_lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Seeded hyperplanes, regenerated deterministically in every worker
-    process (96 × dim floats — cheaper to recompute than to broadcast)."""
+    process (n_planes × dim floats, 192×64 at the defaults — cheaper to
+    recompute than to broadcast)."""
     key = (dim, n_planes, seed)
     if key not in _EMB_PLANES_CACHE:
         _EMB_PLANES_CACHE[key] = np.random.default_rng(seed).standard_normal(
@@ -673,6 +677,10 @@ def _emb_band_rows(
     corpus pass; all arithmetic (normalize → project → sign) is float64 and
     batching-independent (per-row ops + a margin-checked sign decision)."""
     vid_col = batch.column("vec_id")
+    if len(vid_col) == 0:
+        return batch.select(["vec_id", "embedding"]).append_column(
+            "bkt", pa.array([], pa.int32())
+        )
     m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
@@ -1121,7 +1129,9 @@ def semantic_dedup(
     """
     from .ann import _assign_batch, _kmeans_centroids
 
-    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # Materialized so the assignment scan below reuses the pinned blocks
+    # the centroid iterations already built (see _kmeans_centroids).
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     centroids = _kmeans_centroids(emb, k=num_clusters, iters=iters)
     cref = ray.put(centroids)
 

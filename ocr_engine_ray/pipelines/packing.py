@@ -42,6 +42,55 @@ from ..sources.tables import sf_table
 _TOKEN_RE = r"\S+"  # RE2 token class, bitwise-equal to the SQL oracle's _TOK
 
 
+def pack_token_stream(
+    tok: rd.Dataset, *, budget: int, bucket_col: str = "bucket"
+) -> rd.Dataset:
+    """The two-pass distributed prefix sum over a (doc_id, source, n_tokens,
+    ``bucket_col``) token stream: per-(source, bucket) partial sums →
+    broadcast exclusive offsets → in-bucket doc_id sort + vectorized cumsum.
+    Returns (doc_id, source, n_tokens, tok_offset, seq_id) sorted by doc_id.
+
+    ``tok`` is consumed twice (partials, then pack), so pass it
+    MATERIALIZED.  The bucket column must be an order-preserving partition
+    of doc_id within each source (every row of bucket b precedes bucket
+    b+1).  Shared by `pack_sequences` and `curate.curate_training_mix` so
+    the packing semantics cannot drift between the two gated surfaces."""
+    parts = tok.groupby(["source", bucket_col]).aggregate(
+        Sum("n_tokens", alias_name="tot")
+    ).take_all()
+    offsets: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(parts, key=lambda r: (r["source"], r[bucket_col])):
+        offsets[(r["source"], r[bucket_col])] = acc.get(r["source"], 0)
+        acc[r["source"]] = acc.get(r["source"], 0) + r["tot"]
+    off_ref = ray.put(offsets)
+
+    def pack(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        ids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ntok = group.column("n_tokens").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, ntok = ids[order], ntok[order]
+        src = group.column("source")[0].as_py()
+        base = off[(src, group.column(bucket_col)[0].as_py())]
+        tok_offset = base + np.cumsum(ntok) - ntok
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": pa.array(np.full(len(ids), src, dtype=object), pa.string()),
+                "n_tokens": pa.array(ntok),
+                "tok_offset": pa.array(tok_offset),
+                "seq_id": pa.array(tok_offset // budget),
+            }
+        )
+
+    return (
+        tok.groupby(["source", bucket_col])
+        .map_groups(pack, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def pack_sequences(
     sf_dir: str, *, budget: int = 512, num_buckets: int = 64
 ) -> rd.Dataset:
@@ -88,43 +137,7 @@ def pack_sequences(
     # Tokenize ONCE; the materialized projection is 3 int columns + source
     # (text dropped) — tiny next to the corpus, reused by both passes.
     tok = docs.map_batches(tok_rows, batch_format="pyarrow").materialize()
-
-    # Pass 1: per-(source, bucket) token totals — sources × num_buckets rows
-    # are the only data the driver touches.
-    parts = tok.groupby(["source", "bucket"]).aggregate(
-        Sum("n_tokens", alias_name="tot")
-    ).take_all()
-    offsets: dict[tuple[str, int], int] = {}
-    acc: dict[str, int] = {}
-    for r in sorted(parts, key=lambda r: (r["source"], r["bucket"])):
-        offsets[(r["source"], r["bucket"])] = acc.get(r["source"], 0)
-        acc[r["source"]] = acc.get(r["source"], 0) + r["tot"]
-    off_ref = ray.put(offsets)
-
-    def pack(group: pa.Table) -> pa.Table:
-        off = ray.get(off_ref)
-        ids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
-        ntok = group.column("n_tokens").combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids, ntok = ids[order], ntok[order]
-        src = group.column("source")[0].as_py()
-        base = off[(src, group.column("bucket")[0].as_py())]
-        tok_offset = base + np.cumsum(ntok) - ntok
-        return pa.table(
-            {
-                "doc_id": pa.array(ids),
-                "source": pa.array(np.full(len(ids), src, dtype=object), pa.string()),
-                "n_tokens": pa.array(ntok),
-                "tok_offset": pa.array(tok_offset),
-                "seq_id": pa.array(tok_offset // budget),
-            }
-        )
-
-    return (
-        tok.groupby(["source", "bucket"])
-        .map_groups(pack, batch_format="pyarrow")
-        .sort("doc_id")
-    )
+    return pack_token_stream(tok, budget=budget)
 
 
 def rank_by_quality(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:

@@ -23,6 +23,37 @@ import ray.data as rd
 from ..sources.tables import sf_table
 
 
+def source_keep_probs(parts, alpha: float) -> dict[str, float]:
+    """Per-source temperature keep-probabilities from ``(source, w_s)``
+    token-mass aggregate rows: ``(w_s / w_min) ** (alpha - 1)`` with
+    zero-mass sources keeping everything and excluded from ``w_min``
+    (division guard; the SQL twins mirror both choices).  Shared by
+    `temperature_rebalance` and `curate.curate_training_mix` so the two
+    driver-gated surfaces cannot drift."""
+    pos = [r["w_s"] for r in parts if r["w_s"] > 0]
+    w_min = min(pos) if pos else 1.0
+    return {
+        r["source"]: 1.0 if r["w_s"] == 0 else (r["w_s"] / w_min) ** (alpha - 1.0)
+        for r in parts
+    }
+
+
+def temperature_coin(doc_ids) -> "np.ndarray":
+    """The deterministic per-doc uniform in (0, 1): first 8 hex digits of
+    ``md5(doc_id || ':t')`` as a 32-bit integer, shifted off zero.  Must
+    stay byte-identical to the SQL twins' ``('0x' || substr(md5(...),1,8))
+    ::UBIGINT + 1) / 4294967297.0``."""
+    import numpy as np
+
+    return np.array(
+        [
+            (int(hashlib.md5(f"{d}:t".encode()).hexdigest()[:8], 16) + 1)
+            / 4294967297.0
+            for d in doc_ids
+        ]
+    )
+
+
 def stratified_hash_sample(sf_dir: str, *, k: int = 5) -> rd.Dataset:
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
@@ -222,21 +253,12 @@ def temperature_rebalance(sf_dir: str, *, alpha: float = 0.5) -> rd.Dataset:
         return tok.map_batches(
             lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
         )
-    w_min = min(r["w_s"] for r in parts)
-    p_keep = {r["source"]: (r["w_s"] / w_min) ** (alpha - 1.0) for r in parts}
-    p_ref = ray.put(p_keep)
+    p_ref = ray.put(source_keep_probs(parts, alpha))
 
     def keep(batch: pa.Table) -> pa.Table:
         p = ray.get(p_ref)
-        ids = batch.column("doc_id").to_pylist()
         srcs = batch.column("source").to_pylist()
-        u = np.array(
-            [
-                (int(hashlib.md5(f"{d}:t".encode()).hexdigest()[:8], 16) + 1)
-                / 4294967297.0
-                for d in ids
-            ]
-        )
+        u = temperature_coin(batch.column("doc_id").to_pylist())
         thr = np.array([p[s] for s in srcs])
         return batch.select(["doc_id", "source"]).filter(pa.array(u < thr))
 

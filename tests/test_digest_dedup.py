@@ -190,3 +190,20 @@ class TestDedupDigestGates:
         split = pa.concat_tables(parts)
         assert whole.column("vec_id").to_pylist() == split.column("vec_id").to_pylist()
         assert whole.column("bkt").to_pylist() == split.column("bkt").to_pylist()
+
+    def test_emb_band_rows_empty_batch(self):
+        """Zero-row batches (empty table / empty block) must pass through
+        with the right schema instead of crashing on a 1-D empty array."""
+        import pyarrow as pa
+
+        from ocr_engine_ray.pipelines.dedup import _emb_band_rows
+
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+        out = _emb_band_rows(empty, num_bands=48, band_bits=4, seed=20260817)
+        assert out.num_rows == 0
+        assert out.column_names == ["vec_id", "embedding", "bkt"]

@@ -140,3 +140,50 @@ class TestTemperatureRebalance:
 
         got = temperature_rebalance("/root/testdata/sf0.01", alpha=1.0).take_all()
         assert len(got) == 500
+
+    def test_zero_token_source_keeps_all_and_matches_sql(
+        self, ray_session, tmp_path
+    ):
+        """A source whose every doc is whitespace-only has token mass 0:
+        it must keep everything (not crash on w_s/w_min) and the SQL twin
+        must agree row-for-row (regression: ZeroDivisionError on the Ray
+        side vs NULL-division row-drop in DuckDB)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.sampling import temperature_rebalance
+
+        rows = []
+        for i in range(40):
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": "   \t " if i < 10 else "tok " * 5,
+                    "lang": "en",
+                    "source": "empty" if i < 10 else "full",
+                    "n_chars": 0,
+                }
+            )
+        d = tmp_path / "z"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = sorted(
+            (r["doc_id"], r["source"])
+            for r in temperature_rebalance(str(d), alpha=0.5).take_all()
+        )
+        assert [g for g in got if g[1] == "empty"] == [(i, "empty") for i in range(10)]
+
+        import __ray_entry__ as entry
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = sorted(
+            (int(r[0]), r[1])
+            for r in con.execute(
+                entry.oracle_sql()["temperature_rebalance"]
+            ).fetchall()
+        )
+        assert got == want
