@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": sampling.stratified_hash_sample,
         "token_budget_sample": sampling.token_budget_sample,
         "pack_sequences": packing.pack_sequences,
+        "chunk_token_windows": packing.chunk_token_windows,
         "rank_by_quality": packing.rank_by_quality,
         "weighted_sample": sampling.weighted_sample,
         "temperature_rebalance": sampling.temperature_rebalance,
@@ -716,6 +717,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Distributed row_number: two-pass prefix-sum ranking (quality
         # buckets -> count offsets -> in-bucket sort), vs the window twin.
+        # Overlapping token-window chunking: every chunk re-derived in SQL
+        # with regexp_extract_all + range(0, n, stride) + 1-based slicing
+        # (ws[i+1 : i+m] == Python ws[i : i+m]); 0-token docs chunk to
+        # nothing on both sides (range(0,0,s) = []).
+        "chunk_token_windows": r"""
+            SELECT doc_id,
+                   (i // 48)::BIGINT AS chunk_id,
+                   i::BIGINT AS tok_start,
+                   least(64, n - i)::BIGINT AS n_tok_chunk,
+                   array_to_string(ws[i + 1 : i + least(64, n - i)], ' ')
+                     AS chunk_text
+            FROM (SELECT doc_id, ws, len(ws) AS n,
+                         unnest(range(0, len(ws), 48)) AS i
+                  FROM (SELECT doc_id,
+                               regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+                        FROM documents))
+        """,
         "rank_by_quality": f"""
             SELECT doc_id, source, quality,
                    row_number() OVER (PARTITION BY source

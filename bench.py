@@ -179,6 +179,7 @@ def run_bench() -> dict:
         "normalized_dedup": timed(dedup.normalized_dedup),
         "rollup_pricing": timed(analytics.rollup_pricing),
         "pack_sequences": timed(__import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).pack_sequences),
+        "chunk_token_windows": timed(__import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).chunk_token_windows),
         "weighted_sample": timed(sampling.weighted_sample),
         "temperature_rebalance": timed(sampling.temperature_rebalance),
         "token_rarity_score": timed(tsp.token_rarity_score),

@@ -203,3 +203,68 @@ def rank_by_quality(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         .map_groups(rank, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+# RE2's `\S` is the ASCII complement [^ \t\n\r\f\v]; spelled out so the
+# Python side can never drift from the DuckDB twin on Unicode whitespace
+# (Python's \S is Unicode-wide — the same lesson as the \w tokenizers).
+_TOKEN_SPLIT_RE = None  # built lazily; module import stays regex-compile free
+
+
+def _tokens(text: str) -> list[str]:
+    global _TOKEN_SPLIT_RE
+    if _TOKEN_SPLIT_RE is None:
+        import re
+
+        _TOKEN_SPLIT_RE = re.compile(r"[^ \t\n\r\f\v]+")
+    return _TOKEN_SPLIT_RE.findall(text or "")
+
+
+def chunk_token_windows(
+    sf_dir: str, *, window: int = 64, stride: int = 48
+) -> rd.Dataset:
+    """Split every document into overlapping token windows — the
+    context-window prep step (RAG / embedding corpora): chunk ``k`` of a
+    doc covers tokens ``[k*stride, k*stride + window)``; the tail chunk is
+    shorter; a 0-token doc yields no chunks.
+
+    Returns (doc_id, chunk_id, tok_start, n_tok_chunk, chunk_text), one row
+    per chunk, sorted by (doc_id, chunk_id).  Pure per-batch flat
+    expansion — zero shuffles except the final deterministic sort (drop the
+    sort at scale and stream chunks straight to the sink).  Exact-SQL-gated:
+    the DuckDB twin re-derives every chunk with ``regexp_extract_all`` +
+    ``range(0, n, stride)`` + 1-based list slicing.
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        cid_out: list[int] = []
+        start_out: list[int] = []
+        len_out: list[int] = []
+        text_out: list[str] = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = _tokens(t)
+            n = len(ws)
+            for k, s in enumerate(range(0, n, stride)):
+                m = min(window, n - s)
+                ids_out.append(d)
+                cid_out.append(k)
+                start_out.append(s)
+                len_out.append(m)
+                text_out.append(" ".join(ws[s : s + m]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "chunk_id": pa.array(cid_out, pa.int64()),
+                "tok_start": pa.array(start_out, pa.int64()),
+                "n_tok_chunk": pa.array(len_out, pa.int64()),
+                "chunk_text": pa.array(text_out, pa.string()),
+            }
+        )
+
+    return docs.map_batches(expand, batch_format="pyarrow").sort(
+        ["doc_id", "chunk_id"]
+    )

@@ -161,3 +161,56 @@ class TestEmptyCorpusPaths:
             "sum_disc_price": None,
             "n_items": 0,
         }
+
+
+class TestChunkTokenWindows:
+    def test_boundaries(self, ray_session, tmp_path):
+        """0-token doc -> no chunks; n < window -> one short chunk; exact
+        stride multiples -> tail chunk of window-stride tokens."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.packing import chunk_token_windows
+
+        rows = [
+            {"doc_id": 0, "text": "   ", "lang": "en", "source": "s", "n_chars": 0},
+            {"doc_id": 1, "text": "a b c", "lang": "en", "source": "s", "n_chars": 0},
+            # 96 tokens = 2*stride at stride 48: chunks at 0 (64 toks) and 48 (48 toks)
+            {"doc_id": 2, "text": " ".join(f"t{i}" for i in range(96)),
+             "lang": "en", "source": "s", "n_chars": 0},
+        ]
+        d = tmp_path / "c"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = chunk_token_windows(str(d)).take_all()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert 0 not in by_doc
+        assert [r["n_tok_chunk"] for r in by_doc[1]] == [3]
+        assert by_doc[1][0]["chunk_text"] == "a b c"
+        assert [(r["tok_start"], r["n_tok_chunk"]) for r in by_doc[2]] == [
+            (0, 64),
+            (48, 48),
+        ]
+        # overlap: chunk 1 starts at token 48
+        assert by_doc[2][1]["chunk_text"].split(" ")[0] == "t48"
+
+    def test_coverage_and_overlap_invariant(self, ray_session):
+        """Every token index of every doc is covered by >=1 chunk and chunk
+        starts advance by exactly the stride."""
+        from ocr_engine_ray.pipelines.packing import chunk_token_windows
+
+        got = chunk_token_windows("/root/testdata/sf0.01").take_all()
+        per_doc = {}
+        for r in got:
+            per_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["tok_start"], r["n_tok_chunk"])
+            )
+        for chunks in per_doc.values():
+            chunks.sort()
+            covered_to = 0
+            for k, (cid, s, m) in enumerate(chunks):
+                assert cid == k and s == k * 48 and m >= 1
+                assert s <= covered_to  # no gap
+                covered_to = max(covered_to, s + m)
