@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_by_quality": packing.rank_by_quality,
         "weighted_sample": sampling.weighted_sample,
         "temperature_rebalance": sampling.temperature_rebalance,
+        "hash_split": sampling.hash_split,
         # --- text analysis --------------------------------------------------
         "doc_core_stats": tsp.doc_core_stats,
         "token_frequencies": tsp.token_frequencies,
@@ -762,6 +763,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Temperature source rebalancing: keep-probability (tok_s/tok_min)^(a-1)
         # per source, deterministic per-doc hash coin on both sides.
+        # Deterministic train/val/test split: both sides compare the same
+        # md5 float64 coin against the same literal boundaries, so the
+        # assignment is bit-identical.
+        "hash_split": r"""
+            SELECT doc_id, source,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         ((('0x' || substr(md5(doc_id::VARCHAR || ':s'), 1, 8))
+                           ::UBIGINT + 1) / 4294967297.0) AS u
+                  FROM documents)
+        """,
         "temperature_rebalance": r"""
             WITH c AS (SELECT source,
                               sum(len(regexp_extract_all(coalesce(text,''), '\S+')))::DOUBLE AS w_s

@@ -38,20 +38,53 @@ def source_keep_probs(parts, alpha: float) -> dict[str, float]:
     }
 
 
-def temperature_coin(doc_ids) -> "np.ndarray":
+def temperature_coin(doc_ids, salt: str = "t") -> "np.ndarray":
     """The deterministic per-doc uniform in (0, 1): first 8 hex digits of
-    ``md5(doc_id || ':t')`` as a 32-bit integer, shifted off zero.  Must
-    stay byte-identical to the SQL twins' ``('0x' || substr(md5(...),1,8))
-    ::UBIGINT + 1) / 4294967297.0``."""
+    ``md5(doc_id || ':' || salt)`` as a 32-bit integer, shifted off zero.
+    Must stay byte-identical to the SQL twins' ``('0x' ||
+    substr(md5(...),1,8))::UBIGINT + 1) / 4294967297.0``.  Distinct salts
+    make distinct operators' coins independent (rebalance uses 't',
+    hash_split uses 's')."""
     import numpy as np
 
     return np.array(
         [
-            (int(hashlib.md5(f"{d}:t".encode()).hexdigest()[:8], 16) + 1)
+            (int(hashlib.md5(f"{d}:{salt}".encode()).hexdigest()[:8], 16) + 1)
             / 4294967297.0
             for d in doc_ids
         ]
     )
+
+
+def hash_split(
+    sf_dir: str, *, val_frac: float = 0.05, test_frac: float = 0.05
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment: the per-doc hash coin
+    (salt 's') against cumulative fraction boundaries —
+    ``u < 1-val-test → train``, ``u < 1-test → val``, else ``test``.
+    A pure function of doc_id (reshuffling, re-sharding or re-running the
+    corpus never moves a document across splits — the property a training
+    pipeline needs for decontamination-stable eval sets).
+
+    Shuffle-free single pass; returns (doc_id, source, split), sorted by
+    doc_id.  Exact-SQL-gated: the twin recomputes the identical coin and
+    CASE boundaries in DuckDB (both sides compare the same float64 against
+    the same literals, so assignments are bit-identical)."""
+    import numpy as np
+
+    # NB association: 1.0 - (v + t) reproduces the SQL twin's literal 0.9
+    # exactly; 1.0 - v - t is one ulp below it (a real, if astronomically
+    # unlikely, divergence window for the coin).
+    train_hi = 1.0 - (val_frac + test_frac)
+    val_hi = 1.0 - test_frac
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        u = temperature_coin(batch.column("doc_id").to_pylist(), salt="s")
+        split = np.where(u < train_hi, "train", np.where(u < val_hi, "val", "test"))
+        return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
 
 
 def stratified_hash_sample(sf_dir: str, *, k: int = 5) -> rd.Dataset:

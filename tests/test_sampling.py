@@ -187,3 +187,40 @@ class TestTemperatureRebalance:
             ).fetchall()
         )
         assert got == want
+
+
+class TestHashSplit:
+    def test_fractions_and_determinism(self, ray_session):
+        from ocr_engine_ray.pipelines.sampling import hash_split
+
+        got = hash_split("/root/testdata/sf0.01").take_all()
+        assert len(got) == 500
+        counts = {"train": 0, "val": 0, "test": 0}
+        for r in got:
+            counts[r["split"]] += 1
+        # 500 docs at 90/5/5: generous binomial bands
+        assert 420 <= counts["train"] <= 480
+        assert 5 <= counts["val"] <= 55
+        assert 5 <= counts["test"] <= 55
+        again = hash_split("/root/testdata/sf0.01").take_all()
+        assert got == again
+
+    def test_split_stable_across_corpus_subsets(self, ray_session, tmp_path):
+        """Removing documents never moves a surviving doc across splits
+        (the decontamination-stability property)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.sampling import hash_split
+
+        full = {
+            r["doc_id"]: r["split"]
+            for r in hash_split("/root/testdata/sf0.01").take_all()
+        }
+        t = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+        half = t.slice(0, 250)
+        d = tmp_path / "h"
+        d.mkdir()
+        pq.write_table(half, str(d / "documents.parquet"))
+        for r in hash_split(str(d)).take_all():
+            assert full[r["doc_id"]] == r["split"]
