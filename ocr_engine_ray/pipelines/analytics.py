@@ -18,16 +18,6 @@ from ray.data.aggregate import Count, Sum
 from ..sources.tables import sf_table
 
 
-def _round_cols(ds: rd.Dataset, cols: list[str], ndigits: int = 2) -> rd.Dataset:
-    def f(batch: pa.Table) -> pa.Table:
-        for c in cols:
-            batch = batch.set_column(
-                batch.schema.get_field_index(c), c, pc.round(batch.column(c), ndigits=ndigits)
-            )
-        return batch
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
 
 _HALF_AWAY = pc.RoundOptions(round_mode="half_towards_infinity")
 
@@ -89,7 +79,15 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
                 "sum_disc_price": pc.round(
                     pc.divide(batch.column("disc_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
                 ),
-                "avg_qty": pc.round(pc.divide(sum_qty, cnt), ndigits=2),
+                # half-away, like DuckDB round(): the quotient CAN sit on a
+                # binary midpoint (e.g. 25.0/8 = 3.125), where pc.round's
+                # default half-to-even diverges; the cents/100 sites above
+                # are immune (≤2 decimals exact) and keep the default.
+                "avg_qty": pc.round(
+                    pc.divide(sum_qty, cnt),
+                    ndigits=2,
+                    round_mode="half_towards_infinity",
+                ),
                 "count_order": batch.column("count_order"),
             }
         )

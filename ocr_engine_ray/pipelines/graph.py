@@ -56,7 +56,7 @@ def _edges_to_links(batch: pa.Table) -> pa.Table:
 
 
 def _add_bkt(batch: pa.Table, *, num_buckets: int) -> pa.Table:
-    kv = np.asarray(batch["node"].to_pylist(), dtype=np.int64)
+    kv = batch["node"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table(
         {
             "node": batch["node"],

@@ -140,9 +140,16 @@ def quality_by_source(sf_dir: str) -> rd.Dataset:
     )
 
     def rnd(batch: pa.Table) -> pa.Table:
+        # half-away, like the oracle's round(avg(...), 4): an average of
+        # ints over a power-of-two count can sit exactly on a binary
+        # midpoint, where pc.round's default half-to-even diverges.
         for c in ("avg_chars", "avg_tokens"):
             batch = batch.set_column(
-                batch.schema.get_field_index(c), c, pc.round(batch.column(c), ndigits=4)
+                batch.schema.get_field_index(c),
+                c,
+                pc.round(
+                    batch.column(c), ndigits=4, round_mode="half_towards_infinity"
+                ),
             )
         return batch
 
@@ -306,7 +313,9 @@ def tfidf_top_terms(sf_dir: str, *, k: int = 3) -> rd.Dataset:
     ref = ray.put(idf)
 
     def topk(batch: pa.Table, *, ref) -> pa.Table:
-        bidf = ray.get(ref)
+        from .joins import _get_broadcast
+
+        bidf = _get_broadcast(ref)  # per-worker LRU — no per-batch re-deserialize
         out_doc, out_rank, out_tok, out_score = [], [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()

