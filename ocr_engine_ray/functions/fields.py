@@ -33,6 +33,19 @@ def parse_unit_fields(text: str) -> dict[str, str]:
     return out
 
 
+def fold_unit_text(merged: dict[str, str], text: str) -> None:
+    """In-place merge_keep_longer fold of ONE unit text's parsed fields into
+    ``merged`` — the single definition of the per-unit fold used by all
+    three extraction surfaces (reassemble, doc_extract, interpret), so the
+    tie semantics (first-seen wins on equal length, falsy values skipped)
+    cannot drift between paths."""
+    if ":" not in (text or ""):
+        return
+    for k, v in parse_unit_fields(text).items():
+        if v and (k not in merged or len(str(v)) > len(str(merged[k]))):
+            merged[k] = v
+
+
 def fold_fields(unit_dicts: list[dict[str, str]]) -> dict[str, str]:
     merged: dict[str, str] = {}
     for d in unit_dicts:

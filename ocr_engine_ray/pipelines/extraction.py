@@ -49,12 +49,18 @@ def interleaved_from_documents(
     """Driver ``documents`` table → deterministic interleaved-doc Dataset.
 
     ``replicate=R`` expands the corpus R× for benchmarking: replica r of doc d
-    gets ``doc_id = d + r*1_000_000`` — the offset is a multiple of 100, so
-    the shape distribution (doc_id % 100) is preserved while every replica
-    derives distinct deterministic content (offsets/media hashes differ).
+    gets ``doc_id = d + r*stride`` where the stride is a multiple of 100 at
+    least max(doc_id)+1 (row-group stats, no data scan) — replica ids can
+    never collide with base ids, the shape distribution (doc_id % 100) is
+    preserved, and every replica derives distinct deterministic content
+    (offsets/media hashes differ).
     """
     ds = read_table(documents_path, columns=["doc_id", "text", "lang"], **read_kwargs)
     if replicate > 1:
+        from ..state.checkpoint import doc_id_range
+
+        _, hi = doc_id_range(documents_path)
+        stride = max(1_000_000, -(-(hi + 1) // 100) * 100)
 
         def rep(batch: "pa.Table") -> "pa.Table":
             import pyarrow as pa
@@ -65,7 +71,7 @@ def interleaved_from_documents(
                 parts.append(
                     pa.table(
                         {
-                            "doc_id": pc.add(batch.column("doc_id"), r * 1_000_000),
+                            "doc_id": pc.add(batch.column("doc_id"), r * stride),
                             "text": batch.column("text"),
                             "lang": batch.column("lang"),
                         }
@@ -116,25 +122,32 @@ def extract_from_interleaved(
         make_doc_extract_task,
         split_by_units,
     )
-    from ..stages.extract import span_extract_task
+    from ..stages.extract import make_span_extract_task, span_extract_task
 
     doc_kwargs = {}
+    span_kwargs = {}
+    has_custom = config is not None and config.extractors
     if compute == "actors":
         kwargs = {"num_cpus": 1}
         kwargs["concurrency"] = (
             extract_concurrency if extract_concurrency is not None else (2, 16)
         )
         span_fn, doc_fn = SpanExtractor, DocExtractor
-        if config is not None and config.extractors:
+        if has_custom:
             doc_kwargs = {"fn_constructor_kwargs": {"extractors": config.extractors}}
+            span_kwargs = {"fn_constructor_kwargs": {"extractors": config.extractors}}
     else:  # "tasks": fuse with upstream, cache state per worker process
-        kwargs = {}
-        span_fn = span_extract_task
-        doc_fn = (
-            make_doc_extract_task(config)
-            if config is not None and config.extractors
-            else doc_extract_task
-        )
+        # concurrency bounds task parallelism too (per-worker cached model
+        # state has a memory footprint the caller may need to cap); tasks
+        # take a single max bound, so an actor-style (lo, hi) maps to hi.
+        if extract_concurrency is None:
+            kwargs = {}
+        elif isinstance(extract_concurrency, tuple):
+            kwargs = {"concurrency": extract_concurrency[1]}
+        else:
+            kwargs = {"concurrency": extract_concurrency}
+        span_fn = make_span_extract_task(config) if has_custom else span_extract_task
+        doc_fn = make_doc_extract_task(config) if has_custom else doc_extract_task
 
     def giant_path(giant_ds: rd.Dataset) -> rd.Dataset:
         exploded = giant_ds.map_batches(explode_spans_batch, batch_format="pyarrow")
@@ -143,6 +156,7 @@ def extract_from_interleaved(
             batch_format="pyarrow",
             batch_size=extract_batch_size,
             **kwargs,
+            **span_kwargs,
         )
         bucketed = extracted.map_batches(
             add_bucket_batch,

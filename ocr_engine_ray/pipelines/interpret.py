@@ -26,7 +26,7 @@ import json
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.fields import normalize_rich_fields, parse_unit_fields
+from ..functions.fields import fold_unit_text, normalize_rich_fields
 from .extraction import extract_documents
 
 # Modulus for the corpus digests: sums stay exact int64 in every per-block
@@ -62,14 +62,20 @@ def fold_digest(ds: rd.Dataset, payload_col: str) -> pa.Table:
     return pa.table({"digest": pa.array([total], pa.int64())})
 
 
-def _doc_rich_fields(doc_id: str, spans: list[dict]) -> str:
+def _doc_rich_fields(
+    doc_id: str, spans: list[dict], fields_json: str | None = None
+) -> str:
     pages = [(s["order"] + 1, s["text"]) for s in spans]
-    raw: dict[str, str] = {}
-    for _, text in pages:
-        if ":" in (text or ""):
-            for k, v in parse_unit_fields(text).items():
-                if v and (k not in raw or len(str(v)) > len(str(raw[k]))):
-                    raw[k] = v
+    # The extraction row already carries the identical merge_keep_longer
+    # fold in fields_json (same fold_unit_text over the same unit texts in
+    # the same order) — reuse it instead of re-parsing every span text;
+    # only the provenance repair below genuinely needs the pages.
+    if fields_json is not None:
+        raw: dict[str, str] = json.loads(fields_json)
+    else:
+        raw = {}
+        for _, text in pages:
+            fold_unit_text(raw, text)
     # Stand-in "model output": {value, conf} records with no source — the
     # normalization pass (M4/M12) clamps conf and repairs provenance by
     # substring-searching the doc's own pages.
@@ -89,7 +95,12 @@ def _doc_free_text(spans: list[dict]) -> str:
 def _rich_batch(batch: pa.Table) -> pa.Table:
     ids = batch.column("doc_id").to_pylist()
     spans = batch.column("spans").to_pylist()
-    rich = [_doc_rich_fields(d, s) for d, s in zip(ids, spans)]
+    fjs = (
+        batch.column("fields_json").to_pylist()
+        if "fields_json" in batch.column_names
+        else [None] * len(ids)
+    )
+    rich = [_doc_rich_fields(d, s, f) for d, s, f in zip(ids, spans, fjs)]
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.string()),

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 from .. import spec, synth
 from ..functions import html as fhtml
 from ..functions import lines as flines
-from ..functions.fields import parse_unit_fields
+from ..functions.fields import fold_unit_text
 from .extract import SpanExtractor
 from .reassemble import RESULT_SCHEMA
 
@@ -159,10 +159,7 @@ class DocExtractor:
         total_chars = 0
         for _, t, _ in out:
             total_chars += len(t)
-            if ":" in t:
-                for k, v in parse_unit_fields(t).items():
-                    if v and (k not in merged or len(str(v)) > len(str(merged[k]))):
-                        merged[k] = v
+            fold_unit_text(merged, t)
         return out, json.dumps(merged, sort_keys=True, ensure_ascii=False), total_chars, retries
 
     def __call__(self, batch: pa.Table) -> pa.Table:

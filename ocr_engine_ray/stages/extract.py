@@ -53,29 +53,62 @@ class TransientOCRError(RuntimeError):
     """Simulated transient model fault (primary attempt only)."""
 
 
-_TASK_SPAN_EXTRACTOR = None
+_TASK_SPAN_EXTRACTORS: dict = {}
 
 
 def span_extract_task(batch: pa.Table) -> pa.Table:
     """Task-mode wrapper around :class:`SpanExtractor` — state cached once
     per worker process (see doc_extract.doc_extract_task for the rationale)."""
-    global _TASK_SPAN_EXTRACTOR
-    if _TASK_SPAN_EXTRACTOR is None:
-        _TASK_SPAN_EXTRACTOR = SpanExtractor()
-    return _TASK_SPAN_EXTRACTOR(batch)
+    if None not in _TASK_SPAN_EXTRACTORS:
+        _TASK_SPAN_EXTRACTORS[None] = SpanExtractor()
+    return _TASK_SPAN_EXTRACTORS[None](batch)
+
+
+def make_span_extract_task(config):
+    """Task-mode wrapper bound to a :class:`PipelineConfig` (custom extractor
+    registry) — the giant-path twin of doc_extract.make_doc_extract_task, so
+    a custom-kind span inside a giant document extracts identically on both
+    routing paths."""
+    key = config.fingerprint()
+    extractors = config.extractors
+
+    def task(batch: pa.Table) -> pa.Table:
+        if key not in _TASK_SPAN_EXTRACTORS:
+            _TASK_SPAN_EXTRACTORS[key] = SpanExtractor(extractors=extractors)
+        return _TASK_SPAN_EXTRACTORS[key](batch)
+
+    return task
 
 
 class SpanExtractor:
-    """Stateful extraction worker (one per actor in the pool)."""
+    """Stateful extraction worker (one per actor in the pool).
+
+    ``extractors`` (kind → registry fn, see stages/registry.py) overrides
+    or extends the built-in per-kind routing — the same §2.7 extension
+    surface DocExtractor exposes, so custom kinds behave identically when a
+    giant document routes through the distributed explode path.  Overridden
+    kinds dispatch through the registry fn; un-overridden kinds keep the
+    hardcoded fast paths (semantically the default registry)."""
 
     FAIL_MOD = 997  # ~0.1% of media units fail the primary attempt
 
-    def __init__(self) -> None:
+    def __init__(self, extractors: dict | None = None) -> None:
         # "Model load": bind the stand-in OCR + compiled extractors once.
         self._page_text = flines.page_to_text
         self._docx_text = flines.docx_to_text
         self._html_text = fhtml.extract_main_text
+        self._custom = dict(extractors or {})
         self.total_retries = 0
+
+    # -- worker context exposed to registry extractors (ctx contract) -----
+    def ocr_unit(self, ref: str, page_no: int) -> tuple[str, int]:
+        return self._ocr_unit(ref, page_no)
+
+    def html_text(self, html: str) -> str:
+        return self._html_text(html)
+
+    def docx_text(self, paras, tables) -> str:
+        return self._docx_text(paras, tables)
 
     # -- the retry ladder (C4 analog) ------------------------------------
     def _ocr_unit(self, ref: str, page_no: int) -> tuple[str, int]:
@@ -91,7 +124,12 @@ class SpanExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kind = batch.column("kind")
-        is_text = pc.equal(kind, spec.KIND_TEXT)
+        # The vectorized text fast-path only applies while 'text' keeps its
+        # default semantics; an override routes text through the registry.
+        if spec.KIND_TEXT in self._custom:
+            is_text = pc.equal(kind, "\x00never")
+        else:
+            is_text = pc.equal(kind, spec.KIND_TEXT)
 
         parts: list[pa.Table] = []
 
@@ -140,7 +178,19 @@ class SpanExtractor:
                 rest.column("page_lo").to_pylist(),
                 rest.column("page_hi").to_pylist(),
             ):
-                if k == spec.KIND_HTML:
+                if k in self._custom:
+                    # Exactly-once dispatch: if the user overrode the
+                    # (sharded) pdf kind, explode still emits page shards —
+                    # run the fn on the first shard only, with the full ref.
+                    # Overriding a sharded built-in therefore trades its
+                    # page-level fan-out for registry semantics.
+                    if lo is not None and lo > 1:
+                        continue
+                    units, r = self._custom[k](self, txt or "", ref or "")
+                    self.total_retries += r
+                    for i, (okind, otext, oref) in enumerate(units):
+                        emit(d, off, sidx, i, okind, otext, oref, r if i == 0 else 0)
+                elif k == spec.KIND_HTML:
                     emit(d, off, sidx, 0, spec.OUT_HTML_TEXT, self._html_text(txt or ""), "", 0)
                 elif k == spec.KIND_PDF_REF:
                     for p in range(lo, hi + 1):

@@ -178,7 +178,11 @@ def doc_size_class_batch(batch: pa.Table) -> pa.Table:
     spans = batch.column("spans").combine_chunks()
     parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(spans)
-    text_len = pc.utf8_length(pc.struct_field(flat, "text")).to_numpy(zero_copy_only=False)
+    # fill_null BEFORE to_numpy: a null span text otherwise becomes NaN in a
+    # float64 array and astype(int64) turns it into int64-min garbage.
+    text_len = pc.fill_null(
+        pc.utf8_length(pc.struct_field(flat, "text")), 0
+    ).to_numpy(zero_copy_only=False)
     kind = pc.struct_field(flat, "kind").to_pylist()
     refs = pc.struct_field(flat, "media_ref").to_pylist()
     pages = np.array(

@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import spec
-from ..functions.fields import parse_unit_fields
+from ..functions.fields import fold_unit_text
 
 OUT_SPAN_STRUCT = pa.struct(
     [
@@ -154,9 +154,7 @@ def reassemble_bucket(group: pa.Table) -> pa.Table:
             continue
         merged: dict[str, str] = {}
         for i in range(lo, hi):
-            for k, v in parse_unit_fields(colon_texts[i]).items():
-                if v and (k not in merged or len(str(v)) > len(str(merged[k]))):
-                    merged[k] = v
+            fold_unit_text(merged, colon_texts[i])
         fields_json.append(json.dumps(merged, sort_keys=True, ensure_ascii=False))
 
     chars = pc.utf8_length(text_col).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -48,17 +48,25 @@ def _append_manifest(out_dir: str, row: dict) -> None:
 
 
 def doc_id_range(documents_path: str) -> tuple[int, int]:
-    """Min/max doc_id from parquet row-group stats (no data scan)."""
+    """Min/max doc_id from parquet row-group stats (no data scan).
+
+    EVERY row group must carry usable min/max stats for the metadata path
+    to be trusted — a single stats-less row group (written by a tool with
+    statistics disabled) could hold ids outside the others' range, and a
+    partial answer would silently exclude those docs from every partition.
+    Any gap ⟹ fall back to scanning the one column."""
     f = pq.ParquetFile(documents_path)
     idx = f.schema_arrow.get_field_index("doc_id")
     lo, hi = None, None
+    complete = True
     for rg in range(f.metadata.num_row_groups):
         st = f.metadata.row_group(rg).column(idx).statistics
-        if st is None:
-            continue
+        if st is None or not st.has_min_max:
+            complete = False
+            break
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
-    if lo is None:  # no stats: fall back to a scan of the one column
+    if not complete or lo is None:
         col = pq.read_table(documents_path, columns=["doc_id"]).column("doc_id")
         lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
     return int(lo), int(hi)
@@ -103,7 +111,8 @@ def run_checkpointed(
         "doc_lo": lo,
         "doc_hi": hi,
     }
-    prior = [m for m in _read_manifest(out_dir) if m.get("event") == "layout"]
+    manifest = _read_manifest(out_dir)
+    prior = [m for m in manifest if m.get("event") == "layout"]
     if prior:
         if prior[0] != layout:
             raise ValueError(
@@ -113,9 +122,9 @@ def run_checkpointed(
     else:
         _append_manifest(out_dir, layout)
 
-    done = {m["partition"] for m in _read_manifest(out_dir) if m.get("event") == "done"}
+    done = {m["partition"] for m in manifest if m.get("event") == "done"}
     starts: dict[int, int] = {}
-    for m in _read_manifest(out_dir):
+    for m in manifest:
         if m.get("event") == "start":
             starts[m["partition"]] = starts.get(m["partition"], 0) + 1
 
@@ -144,8 +153,21 @@ def run_checkpointed(
         shutil.rmtree(tmp, ignore_errors=True)
         result.write_parquet(tmp)
 
-        # partition metrics from the written files (no extra pipeline pass)
-        t = pq.read_table(tmp, columns=["n_spans", "total_chars", "ocr_retries"])
+        # partition metrics from the written files (no extra pipeline pass).
+        # Ray creates NO output directory for a 0-row dataset — an empty
+        # partition (sparse doc_id range) is still a completed partition,
+        # not a crash-loop.
+        if os.path.isdir(tmp):
+            t = pq.read_table(tmp, columns=["n_spans", "total_chars", "ocr_retries"])
+            metrics = {
+                "docs": t.num_rows,
+                "spans": int(pc.sum(t.column("n_spans")).as_py() or 0),
+                "total_chars": int(pc.sum(t.column("total_chars")).as_py() or 0),
+                "ocr_retries": int(pc.sum(t.column("ocr_retries")).as_py() or 0),
+            }
+        else:
+            os.makedirs(tmp, exist_ok=True)
+            metrics = {"docs": 0, "spans": 0, "total_chars": 0, "ocr_retries": 0}
         wall = time.monotonic() - t0
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
@@ -158,12 +180,11 @@ def run_checkpointed(
                 "input": documents_path,
                 "doc_lo": a,
                 "doc_hi": b,
-                "docs": t.num_rows,
-                "spans": int(pc.sum(t.column("n_spans")).as_py() or 0),
-                "total_chars": int(pc.sum(t.column("total_chars")).as_py() or 0),
-                "ocr_retries": int(pc.sum(t.column("ocr_retries")).as_py() or 0),
+                **metrics,
                 "wall_sec": round(wall, 3),
-                "docs_per_sec": round(t.num_rows / wall, 2) if wall > 0 else None,
+                "docs_per_sec": (
+                    round(metrics["docs"] / wall, 2) if wall > 0 else None
+                ),
             },
         )
         done.add(k)

@@ -120,3 +120,30 @@ class TestCheckpointedExtractQuery:
         }
         assert got == want
         assert len(got) == 500
+
+
+class TestSparsePartitions:
+    def test_empty_partition_completes_and_resumes(self, ray_session, tmp_path):
+        """A doc_id range with gaps yields partitions containing zero docs;
+        those must complete (Ray writes no directory for a 0-row dataset)
+        and be skipped on resume, not crash-loop on a missing metrics file."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.state.checkpoint import run_checkpointed
+
+        rows = [
+            {"doc_id": d, "text": f"doc {d} body text", "lang": "en"}
+            for d in [0, 1, 2, 9000, 9001]
+        ]
+        src = tmp_path / "documents.parquet"
+        pq.write_table(pa.Table.from_pylist(rows), str(src))
+        out = tmp_path / "ckpt"
+        manifest = run_checkpointed(str(src), str(out), num_partitions=6)
+        assert len(manifest) == 6
+        assert sum(m["docs"] for m in manifest) == 5
+        assert any(m["docs"] == 0 for m in manifest)  # the gap partitions
+        # resume is a no-op (everything done)
+        again = run_checkpointed(str(src), str(out), num_partitions=6)
+        assert len(again) == 6
+        assert sum(1 for m in again if m["attempt"] > 1) == 0

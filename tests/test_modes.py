@@ -186,3 +186,51 @@ class TestModePipelines:
             ds, config=cfg_a, compute="actors", extract_concurrency=(1, 2)
         ).take_all()
         assert [(s["kind"], s["text"]) for s in rows_a[0]["spans"]] == expected
+
+    def test_custom_extractor_on_giant_path(self, ray_session):
+        """Regression: custom kinds used to fall into the unknown-kind
+        passthrough on the distributed explode path, so the same doc
+        produced different spans depending on routing.  Both paths must now
+        dispatch the registry identically (giant_unit_threshold=0 forces
+        the explode path for everything)."""
+        import ray.data as rd
+
+        from ocr_engine_ray.pipelines.extraction import extract_from_interleaved
+
+        def csv_extractor(ctx, text, ref):
+            return [("csv_row", c, "") for c in (text or "").split(",")], 0
+
+        span_t = pa.array(
+            [
+                [
+                    {"kind": "csv_ref", "text": "a,b,c", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": "tail", "media_ref": "", "offset": 4},
+                ]
+            ]
+        )
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(["doc-00000000"], pa.string()),
+                    "lang": pa.array(["en"], pa.string()),
+                    "spans": span_t,
+                }
+            )
+        )
+        cfg = PipelineConfig(extractors={"csv_ref": csv_extractor})
+        expected = [
+            ("csv_row", "a"),
+            ("csv_row", "b"),
+            ("csv_row", "c"),
+            ("text", "tail"),
+        ]
+        for compute in ("tasks", "actors"):
+            rows = extract_from_interleaved(
+                ds,
+                config=cfg,
+                compute=compute,
+                giant_unit_threshold=0,
+                num_buckets=2,
+                **({"extract_concurrency": (1, 2)} if compute == "actors" else {}),
+            ).take_all()
+            assert [(s["kind"], s["text"]) for s in rows[0]["spans"]] == expected, compute
