@@ -8,7 +8,9 @@ extracted unit text:
 
 - any whitespace-delimited token containing ≥ 4 digits is treated as a
   sensitive number and masked to ``X`` everywhere except its last 4
-  characters (length-preserving, like the reference's example);
+  characters (length-preserving, like the reference's example); tokens of
+  ≤ 4 characters are masked ENTIRELY — "keep the last 4" would leave a
+  bare 4-digit number fully visible, defeating the redaction;
 - PAN-pattern tokens (``AAAAA9999A``) are masked as ``XXXXX<digits>X``
   exactly as the guide specifies.
 

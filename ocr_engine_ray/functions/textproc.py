@@ -65,10 +65,7 @@ def detect_type(filename: str, head: bytes = b"") -> str:
         return "pdf"
     if ext == ".docx" or mimetypes.guess_type(filename)[0] == _DOCX_MIME:
         return "docx"
-    mime, _ = mimetypes.guess_type(filename)
-    if mime and mime.startswith("image/"):
-        return "image"
-    return "image"
+    return "image"  # image/* MIME and the reference's default both land here
 
 
 def normalize_lang(lang: str) -> str:

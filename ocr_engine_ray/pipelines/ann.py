@@ -24,11 +24,17 @@ import ray.data as rd
 from ..sources.tables import sf_table
 
 
-def _load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
+def _load_queries(
+    sf_dir: str, num_queries: int, *, emb: rd.Dataset | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Deterministic query set: the embeddings with the smallest vec_ids,
     found via per-batch partial top-k — only ``num_queries × blocks`` rows
-    ever reach the driver, never the table."""
-    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ever reach the driver, never the table.  Returns (qids, normalized,
+    raw); pass a (materialized) ``emb`` to reuse pinned blocks instead of
+    re-reading the table.  Raw vectors ride along so IVF probe selection
+    (raw-vector L2 geometry) needs no second fetch."""
+    if emb is None:
+        emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def _k_smallest(batch: pa.Table) -> pa.Table:
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -43,14 +49,14 @@ def _load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray
     q = np.array([r["embedding"] for r in rows], dtype=np.float64)
     qn = np.linalg.norm(q, axis=1)
     qn[qn == 0] = 1.0
-    return qids, q / qn[:, None]
+    return qids, q / qn[:, None], q
 
 
 def ann_topk_bruteforce(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
     """Exact cosine top-k per query.  Returns (query_id, rank, vec_id) with
     rank 1..k ordered by similarity desc, vec_id asc on ties; the query
     vector itself is excluded from its own result."""
-    qids, qmat = _load_queries(sf_dir, num_queries)
+    qids, qmat, _ = _load_queries(sf_dir, num_queries)
     ref = ray.put((qids, qmat))
 
     # Task-mode scorer: the broadcast query matrix travels as an ObjectRef in
@@ -59,6 +65,15 @@ def ann_topk_bruteforce(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.
     # ramp for a sub-second stage (measured: 5.8 s actors vs 1.25 s tasks at
     # sf0.1); reserve actor pools for heavyweight model state.
     def score(batch: pa.Table, *, ref) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
         bqids, bqmat = ray.get(ref)
         vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
@@ -67,20 +82,26 @@ def ann_topk_bruteforce(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.
         sims = (m / n[:, None]) @ bqmat.T  # (batch × queries)
         sims[vid[:, None] == bqids[None, :]] = -np.inf  # exclude self
         topn = min(k, len(vid))
-        # partial top-k per query, all queries at once (no per-row Python):
-        # part is (topn × Q); column qi holds query qi's candidate row idxs.
-        if topn < len(vid):
-            part = np.argpartition(-sims, topn - 1, axis=0)[:topn]
-        else:
-            part = np.tile(np.arange(len(vid))[:, None], (1, len(bqids)))
+        # Partial top-k per query with the (score desc, vec_id asc)
+        # TIE-BREAK: a bare argpartition keeps an arbitrary member of a
+        # score tie straddling the cut, which breaks both the documented
+        # contract and batching-invariance on duplicate vectors.  lexsort
+        # is O(n log n) per query, and queries are few by design.
+        qp, vp, sp = [], [], []
+        for qi in range(len(bqids)):
+            order = np.lexsort((vid, -sims[:, qi]))[:topn]
+            s = sims[order, qi]
+            keep = np.isfinite(s)  # drop the self row entirely
+            qp.append(np.full(int(keep.sum()), bqids[qi], dtype=np.int64))
+            vp.append(vid[order][keep])
+            sp.append(s[keep])
+        if not qp:
+            return empty
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(bqids, topn), pa.int64()),
-                "vec_id": pa.array(vid[part].ravel(order="F"), pa.int64()),
-                "score": pa.array(
-                    np.take_along_axis(sims, part, axis=0).ravel(order="F"),
-                    pa.float64(),
-                ),
+                "query_id": pa.array(np.concatenate(qp), pa.int64()),
+                "vec_id": pa.array(np.concatenate(vp), pa.int64()),
+                "score": pa.array(np.concatenate(sp), pa.float64()),
             }
         )
 
@@ -148,6 +169,11 @@ def embedding_kmeans(
 
 def _assign_batch(batch: pa.Table, cref) -> tuple[np.ndarray, np.ndarray]:
     c = ray.get(cref)
+    if batch.num_rows == 0:  # empty block: 1-D empty m breaks the distance kernel
+        return (
+            np.empty((0, c.shape[1]), dtype=np.float64),
+            np.empty(0, dtype=np.int64),
+        )
     m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
     d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
     return m, d.argmin(axis=1)
@@ -247,7 +273,7 @@ def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
 def ann_topk_lsh(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
     """LSH-bucketed ANN: search only the query's hyperplane bucket (plus
     Hamming-1 probes).  Approximate — validated by recall tests."""
-    qids, qmat = _load_queries(sf_dir, num_queries)
+    qids, qmat, _ = _load_queries(sf_dir, num_queries)
     planes = _hyperplanes(qmat.shape[1])
     qbuckets = _bucket_of(qmat, planes)
     probe: dict[int, set[int]] = {}
@@ -260,6 +286,14 @@ def ann_topk_lsh(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
     # Task-mode bucketed scorer (see ann_topk_bruteforce for the
     # actors-vs-tasks rationale).
     def bucket_score(batch: pa.Table, *, ref) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: 1-D empty m breaks norm/axis=1
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         bqids, bqmat, bplanes, bprobe = ray.get(ref)
         vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
@@ -348,27 +382,10 @@ def ann_topk_ivf(
     """
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     centroids = _kmeans_centroids(emb, k=n_centroids, iters=iters)
-    qids, qmat = _load_queries(sf_dir, num_queries)
-    # Probe selection must use the same (raw-vector L2) geometry as corpus
-    # assignment, so re-derive the raw query vectors from the normalized
-    # ones is not possible — fetch them the same pruned way.
-    raw = {
-        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
-        for r in sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .map_batches(
-            lambda b: b.take(
-                pa.array(
-                    np.argsort(
-                        np.asarray(b.column("vec_id").to_pylist(), dtype=np.int64)
-                    )[:num_queries],
-                    pa.int64(),
-                )
-            ),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    }
-    qraw = np.stack([raw[int(q)] for q in qids])
+    # Reuses the materialized emb (no extra table scan); raw vectors come
+    # back alongside the normalized ones because probe selection must use
+    # the same (raw-vector L2) geometry as corpus assignment.
+    qids, qmat, qraw = _load_queries(sf_dir, num_queries, emb=emb)
     qd = ((qraw[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     probe_of_list: dict[int, list[int]] = {}
     for qi in range(len(qids)):
@@ -377,6 +394,14 @@ def ann_topk_ivf(
     ref = ray.put((qids, qmat, centroids, probe_of_list))
 
     def ivf_score(batch: pa.Table, *, ref) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: 1-D empty m breaks the kernels
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         bqids, bqmat, cents, probes = ray.get(ref)
         vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)

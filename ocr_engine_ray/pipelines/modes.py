@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import DEFAULT_FIELD_LABELS, PipelineConfig
-from ..functions.fields import parse_unit_fields
+from ..functions.fields import fold_unit_text
 from ..functions.redact import mask_sensitive
 from ..stages.reassemble import RESULT_SCHEMA
 from .extraction import extract_documents
@@ -66,7 +66,11 @@ def apply_modes_batch(batch: pa.Table, *, config: PipelineConfig) -> pa.Table:
         spans = spans or []
         red = 0
         chars = 0
-        if config.redact:
+        # Reference dispatch parity (ocr_any.py ocr_image_dataurl_text):
+        # OCR_TRANSLATE_ALWAYS replaces the system prompt entirely, so the
+        # model never sees the redaction guide when both are set —
+        # translate_always therefore OVERRIDES redact here too.
+        if config.redact and not translate_all:
             masked_spans = []
             for s in spans:
                 t, n = mask_sensitive(s["text"] or "")
@@ -75,14 +79,11 @@ def apply_modes_batch(batch: pa.Table, *, config: PipelineConfig) -> pa.Table:
                 masked_spans.append({**s, "text": t})
             spans = masked_spans
             # Re-fold fields from the masked text (the reference's model
-            # would only ever have seen masked text).
+            # would only ever have seen masked text) — the shared fold, so
+            # tie semantics can't drift from the extraction surfaces.
             merged: dict[str, str] = {}
             for s in spans:
-                t = s["text"]
-                if ":" in t:
-                    for k, v in parse_unit_fields(t).items():
-                        if v and (k not in merged or len(str(v)) > len(str(merged[k]))):
-                            merged[k] = v
+                fold_unit_text(merged, s["text"])
         else:
             chars = sum(len(s["text"] or "") for s in spans)
             merged = json.loads(fields_json or "{}")

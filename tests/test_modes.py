@@ -234,3 +234,40 @@ class TestModePipelines:
                 **({"extract_concurrency": (1, 2)} if compute == "actors" else {}),
             ).take_all()
             assert [(s["kind"], s["text"]) for s in rows[0]["spans"]] == expected, compute
+
+    def test_translate_always_overrides_redact(self, ray_session, tmp_path):
+        """Reference dispatch parity: OCR_TRANSLATE_ALWAYS replaces the
+        system prompt entirely, so the model never sees the redaction guide
+        when both switches are on — the combined config must translate
+        without masking."""
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.modes import extract_with_config
+
+        rows = [
+            {
+                "doc_id": 0,
+                "text": "account 12345678 flagged",
+                "lang": "en",
+                "source": "s",
+                "n_chars": 0,
+            }
+        ]
+        d = tmp_path / "m"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+        both = extract_with_config(
+            str(d), PipelineConfig(redact=True, translate_always=True)
+        ).take_all()
+        assert all(r["n_redactions"] == 0 for r in both)
+        assert all(r["n_translated"] == r["n_spans"] for r in both)
+        joined = " ".join(s["text"] for r in both for s in r["spans"])
+        assert "12345678" in joined  # untouched by the redaction guide
+
+        red_only = extract_with_config(
+            str(d), PipelineConfig(redact=True)
+        ).take_all()
+        assert sum(r["n_redactions"] for r in red_only) > 0
+        joined_r = " ".join(s["text"] for r in red_only for s in r["spans"])
+        assert "XXXX5678" in joined_r
