@@ -36,7 +36,7 @@ Plus the Ray-side tuning knobs that were loose kwargs in round 1.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Callable
 
 from .functions.textproc import label_to_key

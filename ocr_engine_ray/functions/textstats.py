@@ -12,15 +12,16 @@ from __future__ import annotations
 import hashlib
 import re
 
-# BPE-ish pre-tokenizer (GPT-2 style word/number/punct split, simplified to
-# stdlib `re`: no unicode property classes).
-BPE_ISH_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
-# Whitespace class harmonized with the DuckDB oracle: RE2's '\s' is exactly
-# [\t\n\f\r ] (ASCII), while Python's '\s' is Unicode — fingerprints must
-# normalize identically on both sides, so use the RE2 class explicitly.
+# ALL classes here are spelled out in ASCII to match how DuckDB's RE2
+# evaluates them ('\s' = [\t\n\f\r ], '\d' = [0-9], '\w' = [0-9A-Za-z_]);
+# Python's are Unicode-wide, and every one of these feeds a hash-compared
+# SQL twin (fingerprints, doc_stats, quality) — same lesson as WS_RE.
+# BPE-ish pre-tokenizer (GPT-2 style word/number/punct split, simplified):
+BPE_ISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^ \t\n\f\rA-Za-z0-9]+")
 WS_RE = re.compile(r"[ \t\n\f\r]+")
-PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
-DIGIT_RE = re.compile(r"\d")
+PUNCT_RE = re.compile(r"[^0-9A-Za-z_ \t\n\f\r]")  # RE2 [^\w\s]
+DIGIT_RE = re.compile(r"[0-9]")
+_ALPHA_TOKEN_RE = re.compile(r"[A-Za-z]+")  # SQL '^[A-Za-z]+$' via fullmatch
 
 # Tiny deterministic stopword profiles (enough to separate the driver corpus
 # labels; NOT a general langid — the scale path would load fastText-style
@@ -80,9 +81,11 @@ def quality_signals(text: str) -> dict:
     """Quality-scoring signals (length / punct / stopword ratios)."""
     t = text or ""
     n_chars = len(t)
-    toks = t.split()
+    # RE2-\S tokenization and ASCII-alpha test, matching the SQL twin's
+    # regexp_extract_all(text, '\S+') / '^[A-Za-z]+$' exactly.
+    toks = [w for w in WS_RE.split(t) if w]
     n_tokens = len(toks)
-    n_alpha_tokens = sum(1 for w in toks if w.isalpha())
+    n_alpha_tokens = sum(1 for w in toks if _ALPHA_TOKEN_RE.fullmatch(w))
     sw = STOPWORDS["en"]
     n_stop = sum(1 for w in toks if w.lower() in sw)
     n_punct = len(PUNCT_RE.findall(t))

@@ -91,8 +91,11 @@ def docx_flatten(paragraphs: list[str], tables: list[list[list[str]]]) -> str:
 # ---------------------------------------------------------------------------
 
 _RM_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+# The opening tag MUST be terminated with [^>]*> — same as the pipeline's
+# _CONTAINER_RE; a laxer `.*?` diverges on malformed markup (an unterminated
+# '<nav foo </nav>' would swallow following content on one side only).
 _RM_CONTAINERS = re.compile(
-    r"<(script|style|head|nav|header|footer|aside)\b.*?</\1\s*>",
+    r"<(script|style|head|nav|header|footer|aside)\b[^>]*>.*?</\1\s*>",
     re.DOTALL | re.IGNORECASE,
 )
 _BLOCK_TAG = re.compile(
@@ -176,9 +179,9 @@ def rich_fields_document(doc: dict) -> str:
     extracted = extract_document(doc)
     doc_id = doc["doc_id"]
     pages = [(s["order"] + 1, s["text"]) for s in extracted["spans"]]
-    raw: dict[str, str] = {}
-    for _, text in pages:
-        raw = merge_keep_longer(raw, unit_fields(text))
+    # extract_document already computed the identical merge_keep_longer
+    # fold — reuse it (the pipeline twin does the same via fields_json).
+    raw: dict[str, str] = json.loads(extracted["fields_json"] or "{}")
     out: dict[str, dict] = {}
     for k, v in raw.items():
         guess = 1

@@ -25,10 +25,14 @@ def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> rd.D
     if _is_lance(path):
         try:
             import lance  # noqa: F401
-
-            return rd.read_lance(path, columns=columns, **kwargs)
-        except ImportError:
-            pass  # fall through to parquet
+        except ImportError as e:
+            # Falling through to read_parquet on a Lance directory would
+            # surface as an opaque 'invalid parquet file' — fail clearly.
+            raise ImportError(
+                f"{path} is a Lance dataset but the 'lance' package is not "
+                "installed; install pylance or point at the Parquet copy"
+            ) from e
+        return rd.read_lance(path, columns=columns, **kwargs)
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 

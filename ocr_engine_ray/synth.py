@@ -297,7 +297,7 @@ def derive_spans(doc_num: int, text: str) -> list[dict]:
         mi = 0
         for i in range(max(t, g)):
             if i < t:
-                merged.append((spec.KIND_TEXT, chunks[i] if i < len(chunks) else "", ""))
+                merged.append((spec.KIND_TEXT, chunks[i], ""))  # padded to t above
             if i < g:
                 merged.append((spec.KIND_IMAGE_REF, "", make_media_ref(doc_id, mi)))
                 mi += 1
@@ -316,8 +316,10 @@ def derive_spans(doc_num: int, text: str) -> list[dict]:
 
 def derive_doc(doc_num: int, text: str, lang: str) -> dict:
     """documents row → interleaved-doc row (north-rule input shape)."""
+    from .functions.textproc import normalize_lang
+
     return {
         "doc_id": make_doc_id(doc_num),
-        "lang": lang if lang in spec.VALID_LANGS else spec.DEFAULT_LANG,
+        "lang": normalize_lang(lang),
         "spans": derive_spans(doc_num, text),
     }

@@ -63,3 +63,36 @@ class TestHtmlExtract:
         ]
         for raw in cases:
             assert extract_main_text(raw) == oracle.html_extract(raw), raw
+
+
+class TestMalformedMarkupParity:
+    def test_unterminated_container_tag(self):
+        """Regression: the oracle's container regex lacked the [^>]*>
+        opening-tag terminator the pipeline requires, so malformed markup
+        ('<nav foo </nav>') removed different ranges on the two sides."""
+        from ocr_engine_ray.functions.html import extract_main_text
+
+        cases = [
+            "<nav foo </nav> CONTENT <nav>x</nav>",
+            "<script no-close> a </script>b<style media </style>c",
+            "<aside <aside> inner </aside> tail",
+            "< notatag > but < still >",
+        ]
+        for c in cases:
+            assert oracle.html_extract(c) == extract_main_text(c), c
+
+    def test_fuzz_parity_on_taggy_text(self):
+        """Randomized tag soup: both sides must agree byte-for-byte."""
+        import random
+
+        from ocr_engine_ray.functions.html import extract_main_text
+
+        rng = random.Random(20260817)
+        frags = [
+            "<nav>", "</nav>", "<nav ", "<p>", "</p>", "<script>", "</script>",
+            "text", "more words", "<a href='x'>", "</a>", "<!-- c -->", "<",
+            ">", "<div class='y'>", "</div>", "&amp;", "\n",
+        ]
+        for _ in range(200):
+            doc = " ".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))
+            assert oracle.html_extract(doc) == extract_main_text(doc), doc
