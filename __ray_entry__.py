@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": packing.pack_sequences,
         "chunk_token_windows": packing.chunk_token_windows,
         "rank_by_quality": packing.rank_by_quality,
+        "top_quality_fraction": packing.top_quality_fraction,
         "weighted_sample": sampling.weighted_sample,
         "temperature_rebalance": sampling.temperature_rebalance,
         "hash_split": sampling.hash_split,
@@ -745,6 +746,23 @@ def oracle_sql() -> dict[str, str]:
                            AS quality
                   FROM (SELECT doc_id, source, text, {_QUALITY_COUNTS}
                         FROM documents))
+        """,
+        # Fixed keep-rate curation on top of the same ranking: keep each
+        # source's top 25% by (quality, doc_id); the integer cutoff
+        # n - (n*25)//100 is exact on both sides.
+        "top_quality_fraction": f"""
+            SELECT doc_id, source, quality, rank_in_source FROM (
+              SELECT doc_id, source, quality,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY quality, doc_id)::BIGINT
+                       AS rank_in_source,
+                     count(*) OVER (PARTITION BY source) AS n_s
+              FROM (SELECT doc_id, source,
+                           round_even(least(1.0, greatest(0.0, {_QUALITY_RAW})), 6)
+                             AS quality
+                    FROM (SELECT doc_id, source, text, {_QUALITY_COUNTS}
+                          FROM documents)))
+            WHERE rank_in_source > n_s - (n_s * 25) // 100
         """,
         # Weighted sampling without replacement (Efraimidis-Spirakis): both
         # sides rank by u^(1/w) with the same md5-derived uniform, so the

@@ -268,3 +268,35 @@ def chunk_token_windows(
     return docs.map_batches(expand, batch_format="pyarrow").sort(
         ["doc_id", "chunk_id"]
     )
+
+
+def top_quality_fraction(sf_dir: str, *, percent: int = 25) -> rd.Dataset:
+    """Per-source fixed keep-rate quality curation: keep each source's top
+    ``percent``% of documents by (quality, doc_id) rank — the standard
+    "keep the best quarter of every domain" filter, with the cutoff
+    computed in exact integer arithmetic (``k_s = n_s * percent // 100``)
+    so the SQL twin's window functions reproduce it bit-for-bit.
+
+    Built on the distributed two-pass ranking (`rank_by_quality` — no
+    global sort); per-source totals are sources-sized scalars broadcast
+    via ``ray.put``.  Returns the kept (doc_id, source, quality,
+    rank_in_source), sorted by doc_id."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ranked = rank_by_quality(sf_dir).materialize()
+    parts = ranked.groupby("source").aggregate(Count(alias_name="n")).take_all()
+    cutoff = {r["source"]: r["n"] - (r["n"] * percent) // 100 for r in parts}
+    cut_ref = ray.put(cutoff)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cut = ray.get(cut_ref)
+        thr = np.array(
+            [cut[s] for s in batch.column("source").to_pylist()], dtype=np.int64
+        )
+        rk = batch.column("rank_in_source").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(rk > thr))
+
+    return ranked.map_batches(keep, batch_format="pyarrow")

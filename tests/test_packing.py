@@ -214,3 +214,30 @@ class TestChunkTokenWindows:
                 assert cid == k and s == k * 48 and m >= 1
                 assert s <= covered_to  # no gap
                 covered_to = max(covered_to, s + m)
+
+
+class TestTopQualityFraction:
+    def test_keep_rate_per_source(self, ray_session):
+        from ray.data.aggregate import Count
+
+        from ocr_engine_ray.pipelines.packing import (
+            rank_by_quality,
+            top_quality_fraction,
+        )
+
+        ranked = rank_by_quality("/root/testdata/sf0.01")
+        totals = {
+            r["source"]: r["n"]
+            for r in ranked.groupby("source").aggregate(Count(alias_name="n")).take_all()
+        }
+        kept = top_quality_fraction("/root/testdata/sf0.01").take_all()
+        per_src: dict = {}
+        for r in kept:
+            per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+        for s, n in totals.items():
+            assert per_src.get(s, 0) == (n * 25) // 100, s
+        # kept docs are exactly the top ranks of each source
+        for r in kept:
+            assert r["rank_in_source"] > totals[r["source"]] - (
+                totals[r["source"]] * 25
+            ) // 100
