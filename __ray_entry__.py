@@ -349,7 +349,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY size_class
         """,
         "lang_counts": """
-            SELECT CASE WHEN lang IN ('en', 'hi') THEN lang ELSE 'en' END AS lang,
+            SELECT CASE WHEN lower(trim(lang)) IN ('en', 'hi')
+                        THEN lower(trim(lang)) ELSE 'en' END AS lang,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,

@@ -77,7 +77,10 @@ def run_bench() -> dict:
     )
     from ocr_engine_ray.sources.tables import read_table
 
-    cache_key = _hl.md5(f"{sf_dir}:{replicate}".encode()).hexdigest()[:10]
+    st = os.stat(docs_path)  # regenerated corpus => new key, no stale cache
+    cache_key = _hl.md5(
+        f"{sf_dir}:{replicate}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
     inter_dir = f"/dev/shm/bench_interleaved_{cache_key}"
     if not os.path.isdir(inter_dir):
         materialize_interleaved(docs_path, inter_dir, replicate=replicate)

@@ -70,7 +70,10 @@ def normalize_rich_fields(
         src = obj.get("source")
         if not isinstance(src, str) or "#page" not in src:
             guess = 1
-            val = (obj.get("value") or "").strip()
+            # model JSON routinely carries numeric values — coerce before
+            # strip/substring search (str values pass through unchanged)
+            v = obj.get("value")
+            val = ("" if v is None else str(v)).strip()
             if val:
                 for pno, txt in pages:
                     if val in (txt or ""):

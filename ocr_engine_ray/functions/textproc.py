@@ -53,6 +53,8 @@ def clamp_conf(x) -> float:
         v = float(x)
     except (TypeError, ValueError):
         return 0.5
+    if v != v:  # NaN fails both comparisons below and would escape the clamp
+        return 0.5
     return 0.0 if v < 0 else 1.0 if v > 1 else v
 
 

@@ -47,6 +47,19 @@ def shape_counts(sf_dir: str) -> rd.Dataset:
     )
 
 
+def doc_nums(col) -> "np.ndarray":
+    """Vectorized ``synth.make_doc_id`` inverse for a doc_id column:
+    'doc-00000123' → 123 via an Arrow slice+cast (one kernel call instead
+    of a per-row Python split in every map_batches over the corpus).
+    The 4-char prefix is the single source of truth in synth.make_doc_id."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return (
+        pc.cast(pc.utf8_slice_codeunits(col, 4, 32), pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+
+
 def input_span_counts(sf_dir: str) -> rd.Dataset:
     """Total *input* spans per shape over the derived interleaved table."""
     ds = interleaved_from_documents(f"{sf_dir}/documents.parquet")
@@ -56,10 +69,7 @@ def input_span_counts(sf_dir: str) -> rd.Dataset:
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
         n = pc.list_value_length(spans).cast(pa.int64())
-        nums = pa.array(
-            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
-            pa.int64(),
-        )
+        nums = pa.array(doc_nums(batch.column("doc_id")), pa.int64())
         return pa.table({"shape": _shape_col(nums), "n_spans": n})
 
     return (
@@ -79,10 +89,7 @@ def extract_span_counts(sf_dir: str, **kwargs) -> rd.Dataset:
     out = extract_documents(f"{sf_dir}/documents.parquet", **kwargs)
 
     def f(batch: pa.Table) -> pa.Table:
-        nums = pa.array(
-            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
-            pa.int64(),
-        )
+        nums = pa.array(doc_nums(batch.column("doc_id")), pa.int64())
         return pa.table(
             {"doc_id": nums, "n_spans": batch.column("n_spans").cast(pa.int64())}
         )
@@ -111,10 +118,7 @@ def extract_inline_chars(sf_dir: str, **kwargs) -> rd.Dataset:
         )
         per_doc = np.zeros(batch.num_rows, dtype=np.int64)
         np.add.at(per_doc, parent.to_numpy(zero_copy_only=False), chars.to_numpy(zero_copy_only=False))
-        nums = pa.array(
-            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
-            pa.int64(),
-        )
+        nums = pa.array(doc_nums(batch.column("doc_id")), pa.int64())
         return pa.table({"shape": _shape_col(nums), "inline_chars": pa.array(per_doc)})
 
     per_doc = out.map_batches(f, batch_format="pyarrow")
@@ -171,9 +175,7 @@ def image_meta(sf_dir: str) -> rd.Dataset:
         kinds = pc.struct_field(flat, "kind")
         refs = pc.struct_field(flat, "media_ref")
         doc_ids = pc.take(batch.column("doc_id"), parent)
-        nums = np.array(
-            [int(d.rsplit("-", 1)[1]) for d in doc_ids.to_pylist()], dtype=np.int64
-        )
+        nums = doc_nums(doc_ids)
         keep = pc.and_(
             pc.equal(kinds, spec.KIND_IMAGE_REF),
             pa.array((nums % 100 >= 80) & (nums % 100 < 90)),
@@ -186,10 +188,7 @@ def image_meta(sf_dir: str) -> rd.Dataset:
     )
 
     def project(batch: pa.Table) -> pa.Table:
-        nums = pa.array(
-            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
-            pa.int64(),
-        )
+        nums = pa.array(doc_nums(batch.column("doc_id")), pa.int64())
         return pa.table(
             {
                 "doc_id": nums,

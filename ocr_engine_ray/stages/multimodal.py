@@ -125,6 +125,8 @@ def thumbnail_dims(width: int, height: int, max_side: int = 256) -> tuple[int, i
 def frame_sample_plan(n_frames: int, fps_in: float, fps_out: float) -> np.ndarray:
     """Deterministic frame-sampling plan for a video stage: indices of frames
     to keep when resampling fps_in → fps_out."""
+    if fps_out <= 0 or fps_in <= 0:
+        raise ValueError(f"fps must be positive (fps_in={fps_in}, fps_out={fps_out})")
     if fps_out >= fps_in or n_frames == 0:
         return np.arange(n_frames)
     step = fps_in / fps_out

@@ -233,13 +233,11 @@ def checkpointed_extract(sf_dir: str, *, num_partitions: int = 8) -> rd.Dataset:
     ds = rd.read_parquet(files, columns=["doc_id", "n_spans"])
 
     def project(batch):
-        nums = np.array(
-            [int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()],
-            dtype=np.int64,
-        )
+        from ..pipelines.extract_stats import doc_nums
+
         return pa.table(
             {
-                "doc_id": pa.array(nums),
+                "doc_id": pa.array(doc_nums(batch.column("doc_id")), pa.int64()),
                 "n_spans": batch.column("n_spans").cast(pa.int64()),
             }
         )
