@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus hygiene: decontamination + repetition flags -------------
         "decontaminate": decontam.decontaminate,
         "repetition_flags": decontam.repetition_flags,
+        "duplicate_ngram_spans": decontam.duplicate_ngram_spans,
         # --- hierarchical rollup aggregate ----------------------------------
         "rollup_pricing": analytics.rollup_pricing,
         # --- end-to-end curation composition --------------------------------
@@ -656,6 +657,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN train tr ON tr.doc_id = d.doc_id
             LEFT JOIN bench b ON b.gram = tr.gram
             GROUP BY d.doc_id
+        """,
+        # Cross-doc duplicated n-gram positions (exact-substring dedup
+        # signal): per doc, the count of word 8-gram positions whose gram
+        # occurs in >= 2 distinct docs.  Ray groups 64-bit gram hashes; the
+        # twin groups raw gram strings (same collision argument as
+        # decontaminate).
+        "duplicate_ngram_spans": r"""
+            WITH g AS (
+              SELECT doc_id, array_to_string(ws[i : i + 7], ' ') AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i
+                    FROM (SELECT doc_id,
+                                 regexp_extract_all(lower(coalesce(text, '')),
+                                                    '\w+') AS ws
+                          FROM documents))
+            ),
+            dup AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_dup_positions
+            FROM g JOIN dup USING (gram)
+            GROUP BY doc_id
         """,
         # Gopher-style repetitiousness flags (duplicate-line fraction +
         # top-word share), round_even(6) on both sides.

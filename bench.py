@@ -179,6 +179,7 @@ def run_bench() -> dict:
         "user_event_gaps": timed(analytics.user_event_gaps),
         "decontaminate": timed(__import__("ocr_engine_ray.pipelines.decontam", fromlist=["x"]).decontaminate),
         "repetition_flags": timed(__import__("ocr_engine_ray.pipelines.decontam", fromlist=["x"]).repetition_flags),
+        "duplicate_ngram_spans": timed(__import__("ocr_engine_ray.pipelines.decontam", fromlist=["x"]).duplicate_ngram_spans),
         "normalized_dedup": timed(dedup.normalized_dedup),
         "rollup_pricing": timed(analytics.rollup_pricing),
         "pack_sequences": timed(__import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).pack_sequences),

@@ -147,3 +147,121 @@ def repetition_flags(
         )
 
     return docs.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def _gram_hashes_all(text: str, n: int = NGRAM) -> np.ndarray:
+    """ALL word n-gram positions of a doc (not deduped) as 64-bit blake2b
+    int64 views — the positional variant of `_gram_hashes`."""
+    words = _WORD_RE.findall((text or "").lower())
+    if len(words) < n:
+        return np.empty(0, dtype=np.int64)
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
+    ).view(np.int64)
+
+
+def duplicate_ngram_spans(
+    sf_dir: str, *, n: int = NGRAM, min_docs: int = 2
+) -> rd.Dataset:
+    """Cross-document duplicated n-gram detection — the positional signal
+    behind exact-substring dedup (Lee et al. 2022): for every doc, how many
+    of its word ``n``-gram positions carry a gram that also occurs in at
+    least ``min_docs`` distinct documents (boilerplate/licence spans,
+    copy-pasted passages).
+
+    Scale shape: one map pass pre-aggregates (gram, doc) position counts
+    inside each batch (map-side combine), ONE gram-keyed shuffle computes
+    each gram's distinct-doc count and re-emits the per-doc counts of
+    qualifying grams, and a doc-keyed aggregate sums them.  The shuffle
+    carries one row per distinct (gram, doc) — the same volume the
+    suffix-array approach's sort would move, expressed as a groupby.
+
+    Returns (doc_id, n_dup_positions) for docs with ≥1 duplicated
+    position, sorted.  Gram identity is by 64-bit hash on the Ray side vs
+    raw strings in the SQL twin (same collision argument as
+    `decontaminate`).
+    """
+    from ray.data.aggregate import Sum
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_doc_counts(batch: pa.Table) -> pa.Table:
+        g_out: list[np.ndarray] = []
+        d_out: list[np.ndarray] = []
+        c_out: list[np.ndarray] = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            gh = _gram_hashes_all(t, n)
+            if not len(gh):
+                continue
+            uniq, counts = np.unique(gh, return_counts=True)
+            g_out.append(uniq)
+            d_out.append(np.full(len(uniq), d, dtype=np.int64))
+            c_out.append(counts.astype(np.int64))
+        if not g_out:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_pos": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate(g_out), pa.int64()),
+                "doc_id": pa.array(np.concatenate(d_out), pa.int64()),
+                "n_pos": pa.array(np.concatenate(c_out), pa.int64()),
+            }
+        )
+
+    def dup_grams(group: pa.Table) -> pa.Table:
+        """One gram's (doc, n_pos) rows → the same rows iff the gram spans
+        ≥ min_docs distinct docs, else nothing.  Runs per gram-hash group;
+        vectorized run detection over the whole group block."""
+        g = group.column("gram").combine_chunks().to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        c = group.column("n_pos").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        g, d, c = g[order], d[order], c[order]
+        new = np.concatenate([[True], g[1:] != g[:-1]]) if len(g) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        ends = np.concatenate([starts[1:], [len(g)]]) if len(starts) else starts
+        keep = np.zeros(len(g), dtype=bool)
+        for s0, e0 in zip(starts, ends):
+            # (gram, doc) rows are distinct per doc by construction, so the
+            # run length IS the distinct-doc count.
+            if e0 - s0 >= min_docs:
+                keep[s0:e0] = True
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "n_pos": pa.array(c[keep], pa.int64()),
+            }
+        )
+
+    # Coarse-bucket the gram groupby (the tiny-groups lesson from MinHash):
+    # group on gram % B and process all gram runs of a bucket in one call.
+    def add_cb(batch: pa.Table) -> pa.Table:
+        g = batch.column("gram").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cb", pa.array((g % 256).astype(np.int32))
+        )
+
+    pairs = (
+        docs.map_batches(gram_doc_counts, batch_format="pyarrow")
+        .map_batches(add_cb, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(dup_grams, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby("doc_id")
+        .aggregate(Sum("n_pos", alias_name="n_dup_positions"))
+        .sort("doc_id")
+    )

@@ -186,3 +186,35 @@ class TestCurateTrainingMix:
             str(d / "documents.parquet"),
         )
         assert curate.curate_training_mix(str(d)).take_all() == []
+
+
+class TestDuplicateNgramSpans:
+    def test_planted_boilerplate(self, ray_session, tmp_path):
+        """Docs sharing a licence-style 8-gram block are counted position-
+        exactly; unique docs and repeated-within-one-doc grams don't fire."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.decontam import duplicate_ngram_spans
+
+        boiler = "this content is licensed under creative commons attribution terms"
+        rows = [
+            {"doc_id": 0, "text": f"{boiler} alpha beta", "lang": "en",
+             "source": "s", "n_chars": 0},
+            {"doc_id": 1, "text": f"intro words {boiler}", "lang": "en",
+             "source": "s", "n_chars": 0},
+            # unique doc: no cross-doc grams
+            {"doc_id": 2, "text": "completely unrelated text with many words "
+                                  "that never repeat elsewhere at all today",
+             "lang": "en", "source": "s", "n_chars": 0},
+            # repeats WITHIN one doc only: count(DISTINCT doc) == 1, no fire
+            {"doc_id": 3, "text": ("w1 w2 w3 w4 w5 w6 w7 w8 " * 3).strip(),
+             "lang": "en", "source": "s", "n_chars": 0},
+        ]
+        d = tmp_path / "dup"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = {r["doc_id"]: r["n_dup_positions"]
+               for r in duplicate_ngram_spans(str(d)).take_all()}
+        # boiler = 9 words -> 2 grams per doc; both docs' 2 positions fire
+        assert got == {0: 2, 1: 2}
