@@ -233,12 +233,15 @@ def duplicate_ngram_spans(
         new = np.concatenate([[True], g[1:] != g[:-1]]) if len(g) else np.array([], bool)
         starts = np.nonzero(new)[0]
         ends = np.concatenate([starts[1:], [len(g)]]) if len(starts) else starts
-        keep = np.zeros(len(g), dtype=bool)
-        for s0, e0 in zip(starts, ends):
-            # (gram, doc) rows are distinct per doc by construction, so the
-            # run length IS the distinct-doc count.
-            if e0 - s0 >= min_docs:
-                keep[s0:e0] = True
+        # (gram, doc) rows are distinct per doc by construction, so the run
+        # length IS the distinct-doc count; expand the per-run verdict back
+        # to rows with one repeat — no per-run Python.
+        lens = ends - starts
+        keep = (
+            np.repeat(lens >= min_docs, lens)
+            if len(lens)
+            else np.zeros(0, dtype=bool)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(d[keep], pa.int64()),
