@@ -132,3 +132,29 @@ def frame_sample_plan(n_frames: int, fps_in: float, fps_out: float) -> np.ndarra
     step = fps_in / fps_out
     idx = np.round(np.arange(0, n_frames, step)).astype(np.int64)
     return idx[idx < n_frames]
+
+
+def audio_window_plan(
+    n_samples: int, sample_rate: int, *, win_ms: int = 25, hop_ms: int = 10
+) -> np.ndarray:
+    """Deterministic STFT/fbank framing plan for an audio feature stage:
+    (start, length) sample offsets of every analysis window — the windowing
+    arithmetic a real frontend (kaldi/torchaudio fbank) applies before the
+    FFT, kept as exact integers so the plan is unit-testable without any
+    audio lib.  Frames are emitted while the window START is inside the
+    signal; the tail window is truncated to the remaining samples (the
+    'center=False, pad=False with partial tail' convention).
+
+    Returns an (n_frames, 2) int64 array of (start, length)."""
+    if sample_rate <= 0 or win_ms <= 0 or hop_ms <= 0:
+        raise ValueError(
+            f"positive rate/window/hop required (rate={sample_rate}, "
+            f"win_ms={win_ms}, hop_ms={hop_ms})"
+        )
+    if n_samples <= 0:
+        return np.empty((0, 2), dtype=np.int64)
+    win = max(1, sample_rate * win_ms // 1000)
+    hop = max(1, sample_rate * hop_ms // 1000)
+    starts = np.arange(0, n_samples, hop, dtype=np.int64)
+    lengths = np.minimum(win, n_samples - starts)
+    return np.stack([starts, lengths], axis=1)

@@ -689,3 +689,33 @@ class TestMidpointRounding:
         want = con.execute(entry.oracle_sql()["quality_by_source"]).fetchone()
         assert got[0]["avg_tokens"] == want[2]
         assert got[0]["avg_chars"] == want[1]
+
+
+class TestAudioWindowPlan:
+    def test_framing_arithmetic(self):
+        import numpy as np
+
+        from ocr_engine_ray.stages.multimodal import audio_window_plan
+
+        # 1 s @16 kHz, 25 ms / 10 ms -> win 400, hop 160, 100 frames
+        plan = audio_window_plan(16000, 16000)
+        assert plan.shape[1] == 2 and len(plan) == 100
+        assert plan[0].tolist() == [0, 400]
+        assert plan[1].tolist() == [160, 400]
+        # tail windows truncate instead of over-running the signal
+        assert (plan[:, 0] + plan[:, 1] <= 16000).all()
+        assert plan[-1, 1] < 400
+        # full coverage, hop-regular starts
+        assert (np.diff(plan[:, 0]) == 160).all()
+
+    def test_edges(self):
+        import pytest
+
+        from ocr_engine_ray.stages.multimodal import audio_window_plan
+
+        assert len(audio_window_plan(0, 16000)) == 0
+        assert audio_window_plan(10, 16000)[0].tolist() == [0, 10]  # shorter than one window
+        with pytest.raises(ValueError):
+            audio_window_plan(100, 0)
+        with pytest.raises(ValueError):
+            audio_window_plan(100, 16000, hop_ms=0)
