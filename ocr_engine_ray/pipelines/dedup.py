@@ -698,7 +698,11 @@ def _emb_band_rows(
     rep = batch.select(["vec_id", "embedding"]).take(
         pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands))
     )
-    return rep.append_column("bkt", pa.array(bkt.astype(np.int32)))
+    # Drop the parquet-origin pandas metadata: the shuffle's schema-dedup
+    # can't hash it and logs a warning per reduce task otherwise.
+    return rep.replace_schema_metadata(None).append_column(
+        "bkt", pa.array(bkt.astype(np.int32))
+    )
 
 
 def _emb_bucket_pairs(
