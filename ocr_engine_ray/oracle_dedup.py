@@ -387,6 +387,12 @@ def semantic_keep(
     out: list[tuple[int, int]] = []
     for ci in range(num_clusters):
         idx = np.nonzero(a == ci)[0]  # vec_id-sorted already
+        # same size cap as the pipeline (dedup.SEMANTIC_MAX_CLUSTER = 4096,
+        # restated as a literal to keep the oracle independent): rows past
+        # the cap are dropped entirely — absent from the output and from
+        # the suppression matrix — so both sides agree on oversized clusters
+        # instead of the pinned digest failing loudly.
+        idx = idx[:4096]
         if len(idx) == 0:
             continue
         sub = m[idx]

@@ -310,8 +310,10 @@ def user_event_gaps(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         g = df.groupby("user_id", sort=False)
         df["prev_ts"] = g["ts"].shift(1)
         df = df[df["prev_ts"].notna()]
-        gap = (df["ts"] - df["prev_ts"]).dt.total_seconds() * 1_000_000
-        df = df.assign(gap_us=gap.round().astype("int64"))
+        # exact integer microseconds, like DuckDB date_diff('microsecond'):
+        # the float total_seconds() path loses ulps past ~104-day gaps
+        gap = (df["ts"] - df["prev_ts"]).astype("timedelta64[us]").astype("int64")
+        df = df.assign(gap_us=gap)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (

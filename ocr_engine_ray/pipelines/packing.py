@@ -205,9 +205,11 @@ def rank_by_quality(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
     )
 
 
-# RE2's `\S` is the ASCII complement [^ \t\n\r\f\v]; spelled out so the
-# Python side can never drift from the DuckDB twin on Unicode whitespace
-# (Python's \S is Unicode-wide — the same lesson as the \w tokenizers).
+# RE2's `\S` is the ASCII complement [^ \t\n\f\r] — NO \v: RE2/DuckDB `\s`
+# is [\t\n\f\r ] only.  Spelled out so the Python side can never drift from
+# the DuckDB twin on Unicode (or \v) whitespace — same class as
+# functions/textstats.WS_RE (Python's \S is Unicode-wide, the same lesson
+# as the \w tokenizers).
 _TOKEN_SPLIT_RE = None  # built lazily; module import stays regex-compile free
 
 
@@ -216,7 +218,7 @@ def _tokens(text: str) -> list[str]:
     if _TOKEN_SPLIT_RE is None:
         import re
 
-        _TOKEN_SPLIT_RE = re.compile(r"[^ \t\n\r\f\v]+")
+        _TOKEN_SPLIT_RE = re.compile(r"[^ \t\n\f\r]+")
     return _TOKEN_SPLIT_RE.findall(text or "")
 
 

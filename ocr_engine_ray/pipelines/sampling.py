@@ -139,25 +139,46 @@ def shuffled_shard_export(
     }
 
 
-def token_budget_sample(sf_dir: str, *, budget_tokens: int = 1000) -> rd.Dataset:
+def token_budget_sample(
+    sf_dir: str, *, budget_tokens: int = 1000, num_buckets: int = 64
+) -> rd.Dataset:
     """Per-source token-budget sampling: keep documents, in deterministic
     hash order, until each source's cumulative token count would exceed the
     budget — the standard way to cap a source's contribution to a training
     mix without an RNG.
 
-    Distributed exactly like ``stream_running_totals``: the cumulative sum
-    is order-local to the source, so one groupby(source) shuffle, an
-    in-group sort by ``(sample_key, doc_id)`` and a vectorized pandas
-    cumsum decide membership — no global sort, no driver data path.  The
-    hash order makes the selection a pure function of the data, and gives
-    the exact SQL twin (a window-function running sum over the same
-    ordering).  Emitted ``cum_tokens`` is the running total INCLUDING the
-    row, so the kept set is every prefix row with ``cum_tokens ≤ budget``
-    (a doc bigger than the remaining budget ends its source's intake —
-    "take until full", not "skip and continue": the skip variant has no
-    per-row SQL twin and complicates nothing else).
+    Distributed as a TWO-PASS prefix sum (the `packing.pack_token_stream`
+    shape — the round-3 ``groupby(source).map_groups`` variant materialized
+    an entire source in one pandas task, which at 100 TB with a handful of
+    sources is a single-task corpus):
+
+    1. the tokenize + key pass attaches ``sample_key = md5(text||':'||doc_id)``
+       and an ORDER-PRESERVING range bucket of the key (its first two hex
+       chars scaled to ``num_buckets`` — lowercase-hex lexicographic order
+       IS numeric order, so every row of bucket b precedes bucket b+1 in
+       (sample_key, doc_id) scan order); the narrow projection is
+       materialized so tokenization never runs twice;
+    2. a ``groupby(source, bucket)`` partial-sum yields sources×buckets rows
+       (the ONLY driver data); exclusive per-source prefix offsets broadcast
+       back via ``ray.put``; buckets whose base offset already exceeds the
+       budget return empty without sorting (at web scale virtually every
+       bucket takes this exit — the budget is tiny next to the corpus);
+    3. a second ``groupby(source, bucket)`` sorts each bucket by
+       (sample_key, doc_id) — keys compared as two uint64 halves, exactly
+       the hex-string order — and a vectorized cumsum + base decides
+       membership.
+
+    Emitted ``cum_tokens`` is the running total INCLUDING the row, so the
+    kept set is every prefix row with ``cum_tokens ≤ budget`` (a doc bigger
+    than the remaining budget ends its source's intake — "take until full",
+    not "skip and continue": the skip variant has no per-row SQL twin).
+    Exact SQL twin: a window running sum over the same ordering.  Bucket
+    count cannot change the result (bucket-invariance pytest).
     """
+    import numpy as np
     import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
@@ -168,11 +189,13 @@ def token_budget_sample(sf_dir: str, *, budget_tokens: int = 1000) -> rd.Dataset
                 batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
             )
         ]
+        bkt = [int(k[:2], 16) * num_buckets // 256 for k in keys]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "source": batch.column("source"),
                 "sample_key": pa.array(keys, pa.string()),
+                "bucket": pa.array(bkt, pa.int32()),
                 # RE2 '\S+' — the oracle's _TOK tokenizer
                 "n_tokens": pc.count_substring_regex(
                     pc.fill_null(batch.column("text"), ""), r"\S+"
@@ -180,17 +203,54 @@ def token_budget_sample(sf_dir: str, *, budget_tokens: int = 1000) -> rd.Dataset
             }
         )
 
-    def per_source(g) -> "pa.Table":
-        g = g.sort_values(["sample_key", "doc_id"], kind="mergesort")
-        g["cum_tokens"] = g["n_tokens"].cumsum().astype("int64")
-        g = g[g["cum_tokens"] <= budget_tokens]
-        return g[["source", "doc_id", "n_tokens", "cum_tokens"]]
-
-    return (
-        ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("source")
-        .map_groups(per_source, batch_format="pandas")
+    tok = ds.map_batches(add_key, batch_format="pyarrow").materialize()
+    parts = (
+        tok.groupby(["source", "bucket"])
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .take_all()
     )
+    offsets: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(parts, key=lambda r: (r["source"], r["bucket"])):
+        offsets[(r["source"], r["bucket"])] = acc.get(r["source"], 0)
+        acc[r["source"]] = acc.get(r["source"], 0) + r["tot"]
+    off_ref = ray.put(offsets)
+
+    _empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def take(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        src = group.column("source")[0].as_py()
+        base = off[(src, group.column("bucket")[0].as_py())]
+        if base > budget_tokens:  # the whole bucket sits past the budget
+            return _empty
+        keys = group.column("sample_key").to_pylist()
+        hi = np.array([int(k[:16], 16) for k in keys], dtype=np.uint64)
+        lo = np.array([int(k[16:], 16) for k in keys], dtype=np.uint64)
+        ids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ntok = group.column("n_tokens").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, lo, hi))
+        cum = base + np.cumsum(ntok[order])
+        keep = cum <= budget_tokens
+        return pa.table(
+            {
+                "source": pa.array(
+                    np.full(int(keep.sum()), src, dtype=object), pa.string()
+                ),
+                "doc_id": pa.array(ids[order][keep]),
+                "n_tokens": pa.array(ntok[order][keep]),
+                "cum_tokens": pa.array(cum[keep]),
+            }
+        )
+
+    return tok.groupby(["source", "bucket"]).map_groups(take, batch_format="pyarrow")
 
 
 def weighted_sample(sf_dir: str, *, n: int = 100) -> rd.Dataset:

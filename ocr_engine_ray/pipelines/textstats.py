@@ -24,6 +24,19 @@ from ..sources.tables import sf_table
 # out of contract for the corpus).
 _TOKEN_RE = r"\S+"
 
+# The same token class for PYTHON-side tokenization (Counter paths): RE2's
+# \s is exactly [\t\n\f\r ] (no \v, no Unicode), so Python ``str.split()``
+# — Unicode-wide, \v-splitting — would drift from the SQL twins' RE2
+# '\s+' split on exotic whitespace.  One compiled class, shared by every
+# Counter tokenizer in this module (same convention as WS_RE / packing).
+import re as _pyre
+
+_ASCII_TOK_RE = _pyre.compile(r"[^ \t\n\f\r]+")
+
+
+def _py_tokens(text: str | None) -> list[str]:
+    return _ASCII_TOK_RE.findall(text or "")
+
 
 def _n_tokens(texts: pa.Array) -> pa.Array:
     return pc.count_substring_regex(texts, _TOKEN_RE)
@@ -173,7 +186,7 @@ def token_frequencies(sf_dir: str) -> rd.Dataset:
         for lang, text in zip(
             batch.column("lang").to_pylist(), batch.column("text").to_pylist()
         ):
-            for tok in (text or "").split():
+            for tok in _py_tokens(text):
                 counts[(lang, tok)] += 1
         langs, toks, ns = [], [], []
         for (lang, tok), n in counts.items():
@@ -258,90 +271,122 @@ def langid_counts(sf_dir: str) -> rd.Dataset:
     )
 
 
-def tfidf_top_terms(sf_dir: str, *, k: int = 3) -> rd.Dataset:
+def _doc_topk_mask(
+    docs: "np.ndarray", s: "np.ndarray", tok_ids: "np.ndarray", k: int
+):
+    """Vectorized per-doc top-k selection by (score DESC, token ASC): returns
+    (keep_mask, rank) where rank is 1-based within the doc for kept rows.
+    ``tok_ids`` must order like the token strings (np.unique inverse)."""
+    import numpy as np
+
+    order = np.lexsort((tok_ids, -s, docs))
+    sd = docs[order]
+    new = np.concatenate([[True], sd[1:] != sd[:-1]]) if len(sd) else np.array([], bool)
+    run_id = np.cumsum(new) - 1
+    run_starts = np.nonzero(new)[0]
+    rank_sorted = np.arange(len(sd)) - run_starts[run_id] + 1
+    keep = np.zeros(len(sd), dtype=bool)
+    rank = np.zeros(len(sd), dtype=np.int64)
+    keep[order] = rank_sorted <= k
+    rank[order] = rank_sorted
+    return keep, rank
+
+
+def tfidf_top_terms(sf_dir: str, *, k: int = 3, num_buckets: int = 64) -> rd.Dataset:
     """Per-document top-k tokens by tf-idf (vocabulary-weighted keyword
     extraction — the classic corpus-curation signal).
 
-    Scale shape, two passes over the corpus and NO per-occurrence shuffle:
+    Scale shape — token-bucketed df join, NO vocabulary-sized driver state
+    (the round-3 broadcast-df variant pulled the whole df table through
+    ``take_all()``; at web-scale vocabularies that is driver OOM):
 
-    1. Document frequencies: each batch emits one (token, n) PARTIAL row per
-       distinct token (per-batch distinct-doc counting), the groupby sums
-       partials — the shuffle moves vocabulary-sized rows.  The resulting df
-       table is vocabulary-sized and is broadcast via ``ray.put`` (at
-       web-scale vocabularies, prune with min_df / top-V before broadcast,
-       or swap the broadcast for a token-bucketed join — the same trade
-       documented for the join family).
-    2. Scoring: one map pass computes per-doc tf, looks tf-idf up in the
-       broadcast df map and emits the top-k per doc locally — no groupby at
-       all (the per-doc top-k needs no cross-doc context).
+    1. explode: one (crc32-token-bucket, token, doc_id, tf) row per distinct
+       token per doc — per-doc partial counting inside the batch, so the
+       shuffle moves distinct-(doc,token) rows, never raw occurrences;
+    2. ``groupby(bkt)``: every occurrence row of a token lands in ONE bucket
+       (token-function key), so the bucket computes the token's GLOBAL df
+       (one np.unique) and each row's score tf·ln(N/df) in the same pass,
+       then prunes to each doc's in-bucket top-k — only a doc's bucket-local
+       top-k can reach its global top-k, so ≤ k rows per (doc, bucket)
+       survive to the second shuffle;
+    3. ``groupby(doc-hash-bucket)``: vectorized final per-doc top-k + rank
+       (many docs per group — no per-doc Python task).
 
     score = tf · ln(N / df), rounded half-even to 6 for the compared
     surface; ranking uses the unrounded float (DuckDB ``ln`` and numpy
     ``log`` are the same libm call, so ordering is bit-identical — the same
     wholesale-float-recompute contract as doc_stats' quality score).
-    Tokenizer = ``str.split()`` — the token_frequencies contract
-    (SQL ``regexp_split_to_array(trim(text), '\\s+')``).
+    Tokenizer = `_py_tokens` (RE2-ASCII '\\S+', the token_frequencies /
+    SQL ``regexp_split_to_array(trim(text), '\\s+')`` contract).
     """
-    import math
+    import zlib
     from collections import Counter
 
     import numpy as np
-    import ray
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()  # parquet metadata, not a scan
 
-    def partial_df(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in batch.column("text").to_pylist():
-            for tok in set((text or "").split()):
-                c[tok] += 1
-        return pa.table(
-            {
-                "token": pa.array(list(c.keys()), pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
-    df_rows = (
-        docs.map_batches(partial_df, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="df"))
-        .take_all()
-    )  # vocabulary-sized (see docstring for the web-scale variants)
-    idf = {r["token"]: math.log(n_docs / r["df"]) for r in df_rows}
-    ref = ray.put(idf)
-
-    def topk(batch: pa.Table, *, ref) -> pa.Table:
-        from .joins import _get_broadcast
-
-        bidf = _get_broadcast(ref)  # per-worker LRU — no per-batch re-deserialize
-        out_doc, out_rank, out_tok, out_score = [], [], [], []
-        for doc_id, text in zip(
+    def explode(batch: pa.Table) -> pa.Table:
+        out_b, out_t, out_d, out_c = [], [], [], []
+        for d, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            tf = Counter((text or "").split())
-            if not tf:
-                continue
-            scored = sorted(
-                ((t, n * bidf[t]) for t, n in tf.items()),
-                key=lambda ts_: (-ts_[1], ts_[0]),
-            )[:k]
-            for rank, (tok, s) in enumerate(scored, start=1):
-                out_doc.append(doc_id)
-                out_rank.append(rank)
-                out_tok.append(tok)
-                out_score.append(round(s, 6))  # banker's, like SQL round_even
+            for tok, c in Counter(_py_tokens(text)).items():
+                out_b.append(zlib.crc32(tok.encode()) % num_buckets)
+                out_t.append(tok)
+                out_d.append(d)
+                out_c.append(c)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "rank": pa.array(out_rank, pa.int64()),
-                "token": pa.array(out_tok, pa.string()),
-                "score": pa.array(out_score, pa.float64()),
+                "bkt": pa.array(out_b, pa.int32()),
+                "token": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tf": pa.array(out_c, pa.int64()),
             }
         )
 
-    return docs.map_batches(topk, batch_format="pyarrow", fn_kwargs={"ref": ref})
+    def bucket_score(group: pa.Table) -> pa.Table:
+        toks = np.asarray(group.column("token").to_pylist(), dtype=object)
+        dids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        tf = group.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        df = np.bincount(inv)  # rows are distinct (doc, token): count == df
+        s = tf * np.log(np.float64(n_docs) / df[inv])
+        keep, _ = _doc_topk_mask(dids, s, inv, k)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids[keep]),
+                "dbkt": pa.array((dids[keep] % num_buckets).astype(np.int32)),
+                "token": pa.array(toks[keep].tolist(), pa.string()),
+                "s": pa.array(s[keep], pa.float64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        toks = np.asarray(group.column("token").to_pylist(), dtype=object)
+        dids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        s = group.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        _, inv = np.unique(toks, return_inverse=True)
+        keep, rank = _doc_topk_mask(dids, s, inv, k)
+        # banker's rounding, like the twin's round_even(s, 6)
+        score = np.array([round(x, 6) for x in s[keep]], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids[keep]),
+                "rank": pa.array(rank[keep]),
+                "token": pa.array(toks[keep].tolist(), pa.string()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(bucket_score, batch_format="pyarrow")
+        .groupby("dbkt")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
 
 
 def token_quantiles_by_source(
@@ -460,15 +505,15 @@ def heavy_hitters(sf_dir: str, *, capacity: int = 256) -> rd.Dataset:
         counts: Counter = Counter()
         n_batch = 0
         for text in batch.column("text").to_pylist():
-            toks = (text or "").split()
+            toks = _py_tokens(text)
             n_batch += len(toks)
             counts.update(toks)
         bar = n_batch / capacity
         keep = [t for t, c in counts.items() if c > bar]
         # one marker row per batch carries the batch token total so N is
-        # aggregated on-cluster in the same stream ("" marks it — split()
-        # can never produce an empty token, and Ray groupby keys can't be
-        # null)
+        # aggregated on-cluster in the same stream ("" marks it — the
+        # tokenizer can never produce an empty token, and Ray groupby keys
+        # can't be null)
         return pa.table(
             {
                 "token": pa.array(keep + [""], pa.string()),
@@ -500,7 +545,7 @@ def heavy_hitters(sf_dir: str, *, capacity: int = 256) -> rd.Dataset:
         cand = _get_broadcast(ref)
         counts: Counter = Counter()
         for text in batch.column("text").to_pylist():
-            for tok in (text or "").split():
+            for tok in _py_tokens(text):
                 if tok in cand:
                     counts[tok] += 1
         return pa.table(

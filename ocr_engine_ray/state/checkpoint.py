@@ -242,4 +242,9 @@ def checkpointed_extract(sf_dir: str, *, num_partitions: int = 8) -> rd.Dataset:
             }
         )
 
-    return ds.map_batches(project, batch_format="pyarrow")
+    # Materialize the narrow (doc_id, n_spans) projection so the scratch
+    # checkpoint directory can be removed immediately — repeated driver /
+    # bench invocations must not accumulate orphaned /tmp extraction trees.
+    result = ds.map_batches(project, batch_format="pyarrow").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result

@@ -67,6 +67,23 @@ class TestTokenBudgetSample:
             got = set(small[small["source"] == src]["doc_id"])
             assert got == want, src
 
+    def test_bucket_invariance(self):
+        """The two-pass prefix sum is exact for ANY range-bucket count —
+        num_buckets is a pure parallelism knob, never a semantics knob."""
+        from ocr_engine_ray.pipelines.sampling import token_budget_sample
+
+        sf = "/root/testdata/sf0.001"
+        frames = [
+            token_budget_sample(sf, budget_tokens=700, num_buckets=b)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+            for b in (1, 7, 64)
+        ]
+        assert len(frames[0]) > 0
+        for f in frames[1:]:
+            assert f.equals(frames[0])
+
 
 class TestWeightedSample:
     def test_deterministic_and_sized(self, ray_session):
