@@ -76,29 +76,40 @@ class IntBloom:
         self.k = k
         self.m = np.uint64(len(bits) * 8)
 
-    @classmethod
-    def from_ids(cls, ids: np.ndarray, *, fp_rate: float = 1e-3) -> "IntBloom":
-        n = max(1, len(ids))
+    @staticmethod
+    def sized_for(n: int, *, fp_rate: float = 1e-3) -> tuple[int, int]:
+        """(m_bits, k) for an expected ``n`` elements — shared by the local
+        `from_ids` build and the distributed chunked-OR build (which sizes
+        from an n UPPER BOUND, e.g. 2×pairs; oversizing only lowers the
+        false-positive rate)."""
+        n = max(1, n)
         m = int(np.ceil(-n * np.log(fp_rate) / (np.log(2) ** 2)))
         m = max(64, (m + 7) // 8 * 8)  # byte-align
         k = max(1, round(m / n * np.log(2)))
+        return m, k
+
+    @classmethod
+    def from_ids(cls, ids: np.ndarray, *, fp_rate: float = 1e-3) -> "IntBloom":
+        m, k = cls.sized_for(len(ids), fp_rate=fp_rate)
         bloom = cls(np.zeros(m // 8, dtype=np.uint8), k)
         bloom._add(np.asarray(ids, dtype=np.int64))
         return bloom
 
-    def _hashes(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        u = x.astype(np.uint64)
-        h1 = u * self._C1
+    @staticmethod
+    def positions_for(x: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+        """(k × n) bit positions for int64 ids — pure function of (m, k), so
+        distributed partial builds and the final broadcast filter agree."""
+        u = np.asarray(x, dtype=np.int64).astype(np.uint64)
+        h1 = u * IntBloom._C1
         h1 ^= h1 >> np.uint64(31)
-        h2 = (u ^ (u >> np.uint64(33))) * self._C2
+        h2 = (u ^ (u >> np.uint64(33))) * IntBloom._C2
         h2 ^= h2 >> np.uint64(29)
         h2 |= np.uint64(1)  # odd step → full-period probing
-        return h1, h2
+        i = np.arange(k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
 
     def _positions(self, x: np.ndarray) -> np.ndarray:
-        h1, h2 = self._hashes(x)
-        i = np.arange(self.k, dtype=np.uint64)[:, None]
-        return (h1[None, :] + i * h2[None, :]) % self.m  # (k × n)
+        return self.positions_for(x, int(self.m), self.k)
 
     def _add(self, x: np.ndarray) -> None:
         pos = self._positions(x).ravel()

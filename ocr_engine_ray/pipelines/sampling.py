@@ -139,6 +139,43 @@ def shuffled_shard_export(
     }
 
 
+def shuffled_export_digest(sf_dir: str) -> pa.Table:
+    """Exactly-once coverage gate for `shuffled_shard_export`: export to a
+    scratch dir, read the shards BACK from disk, and fold them into the
+    order-independent corpus digest (`interpret.fold_digest` over
+    payload=text).  A row lost, duplicated or corrupted anywhere in the
+    shuffle → repartition → parquet-write → read-back path changes the
+    digest; the permutation itself cannot (the fold is commutative).  The
+    SQL twin computes the SAME md5 fold directly over ``documents`` as a
+    HUGEINT expression — an exact twin at any scale, not a pinned literal.
+    """
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from .interpret import fold_digest
+
+    out = tempfile.mkdtemp(prefix="shard_export_")
+    try:
+        shuffled_shard_export(sf_dir, out)
+        ds = rd.read_parquet(out, columns=["doc_id", "text"])
+
+        def payload(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "payload": pc.fill_null(batch.column("text"), ""),
+                }
+            )
+
+        # fold_digest consumes the dataset (take_all of 1-row partials), so
+        # the scratch export is safe to remove in the finally.
+        return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def token_budget_sample(
     sf_dir: str, *, budget_tokens: int = 1000, num_buckets: int = 64
 ) -> rd.Dataset:
