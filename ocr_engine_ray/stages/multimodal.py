@@ -40,6 +40,102 @@ try:  # pragma: no cover - PIL absent in this container
 except ImportError:
     _HAVE_PIL = False
 
+try:  # pragma: no cover - PyMuPDF absent in this container
+    import fitz  # noqa: F401
+
+    _HAVE_FITZ = True
+except ImportError:
+    _HAVE_FITZ = False
+
+try:  # pragma: no cover - python-docx absent in this container
+    import docx  # noqa: F401
+
+    _HAVE_DOCX = True
+except ImportError:
+    _HAVE_DOCX = False
+
+
+def rasterize_pdf_pages(blob: bytes, *, zoom: float = 2.5) -> list[dict]:
+    """Env-gated REAL PDF rasterization — the kernel a `MediaDecoder`-style
+    actor pool would run per PDF payload.  Matches the reference semantics
+    (ocr_any.py:308-320): open the document, render every page through a
+    ``fitz.Matrix(zoom, zoom)`` pixmap with ``alpha=False`` (RGB8), pages
+    numbered from 1.  Returns one dict per page:
+    ``{page, width, height, rgb}`` where ``rgb`` is the raw RGB byte
+    buffer (len == width*height*3) ready for a downstream OCR model stage.
+
+    Raises ``NotImplementedError`` when PyMuPDF is absent (this container);
+    exercised by the ``pytest.importorskip("fitz")`` test, which activates
+    the moment the dependency exists."""
+    if not _HAVE_FITZ:
+        raise NotImplementedError(
+            "Real PDF rasterization requires PyMuPDF (fitz), which is not "
+            "available in this environment; the pipelines use the "
+            "deterministic media_page stand-in instead."
+        )
+    import fitz
+
+    doc = fitz.open(stream=blob, filetype="pdf")
+    try:
+        mat = fitz.Matrix(zoom, zoom)
+        pages = []
+        for i, page in enumerate(doc, start=1):
+            pix = page.get_pixmap(matrix=mat, alpha=False)
+            pages.append(
+                {
+                    "page": i,
+                    "width": int(pix.width),
+                    "height": int(pix.height),
+                    "rgb": bytes(pix.samples),
+                }
+            )
+        return pages
+    finally:
+        doc.close()
+
+
+def docx_image_parts(blob: bytes) -> list[dict]:
+    """Env-gated REAL DOCX embedded-image extraction — the OPC
+    image-relationship walk of the reference (ocr_any.py:361-385): iterate
+    the document part's relationships, keep ``RELATIONSHIP_TYPE.IMAGE``
+    targets, and surface each image part's bytes with its extension-derived
+    MIME (`functions.model.mime_from_docx_ext` — the same ext→MIME table the
+    reference spells inline).  Returns one dict per image relationship, in
+    relationship order: ``{idx, ext, mime, blob}``.
+
+    Raises ``NotImplementedError`` when python-docx is absent (this
+    container); exercised by the ``pytest.importorskip("docx")`` test."""
+    if not _HAVE_DOCX:
+        raise NotImplementedError(
+            "Real DOCX image extraction requires python-docx, which is not "
+            "available in this environment; the pipelines use the "
+            "deterministic media_docx stand-in instead."
+        )
+    import io
+
+    from docx import Document
+    from docx.opc.constants import RELATIONSHIP_TYPE as RT
+
+    from ..functions.model import mime_from_docx_ext
+
+    d = Document(io.BytesIO(blob))
+    out = []
+    idx = 0
+    for rel in d.part.rels.values():
+        if rel.reltype == RT.IMAGE:
+            part = rel.target_part
+            ext = (part.partname.ext or "").lower().lstrip(".")
+            out.append(
+                {
+                    "idx": idx,
+                    "ext": ext,
+                    "mime": mime_from_docx_ext(ext),
+                    "blob": part.blob,
+                }
+            )
+            idx += 1
+    return out
+
 
 def fake_image_meta(media_ref: str) -> tuple[int, int, str]:
     """Deterministic stand-in image metadata (arithmetic in doc_num —

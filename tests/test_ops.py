@@ -483,6 +483,30 @@ class TestIntBloom:
         bloom = IntBloom.from_ids(np.array([1, 2, 3], dtype=np.int64))
         assert bloom.contains(np.array([], dtype=np.int64)).shape == (0,)
 
+    def test_distributed_build_bit_identical(self, ray_session):
+        """The on-cluster chunked-OR build produces the SAME bitmap as the
+        local from_ids build when sized identically: positions are a pure
+        function of (m, k) and OR is order-independent, so block layout
+        cannot change a single bit."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_engine_ray.functions.sketch import IntBloom
+        from ocr_engine_ray.pipelines.dedup import _distributed_bloom
+
+        rng = np.random.default_rng(11)
+        a = rng.choice(1 << 40, size=3_000, replace=False).astype(np.int64)
+        b = rng.choice(1 << 40, size=3_000, replace=False).astype(np.int64)
+        pairs = rd.from_arrow(
+            pa.table({"a": pa.array(a), "b": pa.array(b)})
+        ).repartition(7)
+        ids = np.unique(np.concatenate([a, b]))
+        dist = _distributed_bloom(pairs, n_bound=len(ids))
+        local = IntBloom.from_ids(ids)
+        assert dist.k == local.k and dist.m == local.m
+        assert np.array_equal(dist.bits, local.bits)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMinhashBloomPath:
