@@ -551,24 +551,67 @@ def simhash64(text: str) -> int:
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash_batch(texts: list[str | None]) -> np.ndarray:
+    """Batch SimHash, byte-identical to per-doc `simhash64` (equality
+    property-tested): one blake2b per DISTINCT word per batch (words repeat
+    heavily across documents, so the cross-doc cache removes most hash
+    calls) and ONE vectorized bit-majority over the concatenated feature
+    array (`np.add.reduceat` per doc segment) instead of a per-doc matrix.
+    Integer sums are order-independent, so the result is exactly
+    `[simhash64(t) for t in texts]` at a fraction of the per-doc cost."""
+    word_idx: dict[str, int] = {}
+    hashes: list[int] = []
+    feat_idx: list[int] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        for w in set(_WORD_RE.findall((t or "").lower())):
+            j = word_idx.get(w)
+            if j is None:
+                j = word_idx[w] = len(hashes)
+                hashes.append(
+                    int.from_bytes(
+                        hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                    )
+                )
+            feat_idx.append(j)
+            counts[i] += 1
+    sigs = np.zeros(len(texts), dtype=np.uint64)
+    if feat_idx:
+        uniq = np.array(hashes, dtype=np.uint64)
+        # ±1 bit matrix computed ONCE per distinct word (int8), then gathered
+        pm_u = (
+            2
+            * ((uniq[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int8
+            )
+            - 1
+        )
+        nz = np.nonzero(counts)[0]
+        starts = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+        gathered = pm_u[np.array(feat_idx, dtype=np.int64)].astype(np.int32)
+        v = np.add.reduceat(gathered, starts, axis=0)  # (len(nz), 64)
+        sigs[nz] = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1
+        )
+    return sigs
+
+
 def _simhash_band_rows(batch: pa.Table) -> pa.Table:
     """4 bands × 16 bits: hamming ≤ 3 ⟹ at least one identical band."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    band, bval, doc, sig = [], [], [], []
-    for d, t in zip(doc_ids, texts):
-        s = simhash64(t)
-        for b in range(4):
-            band.append(b)
-            bval.append((s >> (16 * b)) & 0xFFFF)
-            doc.append(d)
-            sig.append(s)
+    doc_ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    sigs = simhash_batch(batch.column("text").to_pylist())
+    n = len(doc_ids)
+    bands = np.repeat(np.arange(4, dtype=np.int32), n)
+    sig4 = np.tile(sigs, 4)
+    bval = ((sig4 >> (16 * bands.astype(np.uint64))) & np.uint64(0xFFFF)).astype(
+        np.int32
+    )
     return pa.table(
         {
-            "band": pa.array(band, pa.int32()),
-            "bval": pa.array(bval, pa.int32()),
-            "doc_id": pa.array(doc, pa.int64()),
-            "sig": pa.array(sig, pa.uint64()),
+            "band": pa.array(bands),
+            "bval": pa.array(bval),
+            "doc_id": pa.array(np.tile(doc_ids, 4)),
+            "sig": pa.array(sig4),
         }
     )
 

@@ -354,22 +354,25 @@ def temperature_rebalance(sf_dir: str, *, alpha: float = 0.5) -> rd.Dataset:
     1/2 at alpha=0.5).  Inclusion is a deterministic per-doc hash coin, so
     the result is a pure function of the data and exactly SQL-checkable.
 
-    Scale shape: pass 1 is a per-source token-count aggregate (sources ×
-    blocks partial rows, the only driver data); the keep-probability table
-    broadcasts via ``ray.put``; pass 2 is a shuffle-free filtering
-    ``map_batches``.  Returns kept (doc_id, source), sorted by doc_id.
+    Scale shape: pass 1 streams a per-source token-count aggregate (sources
+    × blocks partial rows, the only driver data) — nothing is materialized
+    (the r3 variant pinned a corpus-sized narrow projection in the object
+    store; at 10^12 docs that is ~25 TB of pinned blocks for no reuse);
+    the keep-probability table broadcasts via ``ray.put``; pass 2 is a
+    shuffle-free filtering ``map_batches`` over a FRESH column-pruned read
+    of (doc_id, source) only — the text column never leaves storage twice.
+    Returns kept (doc_id, source), sorted by doc_id.
     """
     import numpy as np
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
 
-    ds = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
 
     def tok_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
                 "source": batch.column("source"),
                 "n_tokens": pc.count_substring_regex(
                     pc.fill_null(batch.column("text"), ""), r"\S+"
@@ -377,12 +380,15 @@ def temperature_rebalance(sf_dir: str, *, alpha: float = 0.5) -> rd.Dataset:
             }
         )
 
-    tok = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
-    parts = tok.groupby("source").aggregate(Sum("n_tokens", alias_name="w_s")).take_all()
+    parts = (
+        ds.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tokens", alias_name="w_s"))
+        .take_all()
+    )
+    slim = sf_table(sf_dir, "documents", columns=["doc_id", "source"])
     if not parts:  # empty corpus
-        return tok.map_batches(
-            lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
-        )
+        return slim
     p_ref = ray.put(source_keep_probs(parts, alpha))
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -392,4 +398,4 @@ def temperature_rebalance(sf_dir: str, *, alpha: float = 0.5) -> rd.Dataset:
         thr = np.array([p[s] for s in srcs])
         return batch.select(["doc_id", "source"]).filter(pa.array(u < thr))
 
-    return tok.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    return slim.map_batches(keep, batch_format="pyarrow").sort("doc_id")

@@ -122,6 +122,28 @@ class TestDedupUnits:
         assert h(t1, t1) == 0
         assert h(t1, t2) < h(t1, t3)
 
+    def test_simhash_batch_byte_identical(self):
+        """The vectorized batch SimHash (cross-doc word-hash cache + one
+        reduceat bit-majority) must equal per-doc simhash64 exactly,
+        including empty/None/whitespace-only/unicode edges."""
+        import numpy as np
+
+        texts = [
+            "",
+            None,
+            "   ",
+            "one",
+            "a b c a b",
+            "\t\n",
+            "Ünïcode wörds 123_abc",
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "words repeat words repeat words repeat across docs",
+        ] * 7  # repeats exercise the cross-doc cache path
+        got = dd.simhash_batch(texts)
+        want = np.array([dd.simhash64(t) for t in texts], dtype=np.uint64)
+        assert np.array_equal(got, want)
+
     def test_verify_pairs_jaccard_semantics(self):
         import numpy as np
 
