@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------- 50-query gate cut -------------------------
         "semantic_digest": dedup.semantic_digest,
         "normalized_dedup": dedup.normalized_dedup,
+        "paragraph_dedup": dedup.paragraph_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
@@ -736,6 +737,27 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn = 1
+        """,
+        # Paragraph-level keep-first dedup (CCNet/RefinedWeb sub-document
+        # pass): both sides split on "\n\n" and rank each paragraph's
+        # instances by (doc_id, position); the Ray side shuffles 20-byte
+        # sha1 keys instead of paragraph text.
+        "paragraph_dedup": """
+            WITH paras AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10)||chr(10))) AS para,
+                     unnest(range(1, len(string_split(text, chr(10)||chr(10))) + 1)) AS ord
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, ord, para,
+                     row_number() OVER (PARTITION BY para ORDER BY doc_id, ord) AS rn
+              FROM paras
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_paras,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END)::BIGINT AS kept_chars
+            FROM ranked GROUP BY doc_id ORDER BY doc_id
         """,
         # Hierarchical rollup: one distributed cents aggregation at the
         # finest level; coarser levels derived from those k partial rows.

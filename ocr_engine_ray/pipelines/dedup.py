@@ -126,6 +126,40 @@ def minhash_signature(text: str) -> np.ndarray:
 NUM_COARSE_BUCKETS = 256
 
 
+def minhash_signature_batch(texts: list[str | None]) -> np.ndarray:
+    """Batch MinHash, byte-identical to per-doc ``minhash_signature``
+    (equality property-tested): all shingle values of the batch are
+    concatenated once, then each of the NUM_HASHES permutations runs ONE
+    vectorized ``(a*x + b) % p`` + segmented ``np.minimum.reduceat`` over
+    the whole batch — no per-doc ``np.outer`` dispatch.  Min is
+    order-independent, so the result is exactly
+    ``np.stack([minhash_signature(t) for t in texts])``.
+
+    Returns an ``(len(texts), NUM_HASHES)`` uint64 matrix."""
+    umax = np.iinfo(np.uint64).max
+    sigs = np.full((len(texts), NUM_HASHES), umax, dtype=np.uint64)
+    parts: list[np.ndarray] = []
+    counts: list[int] = []
+    rows: list[int] = []
+    for i, t in enumerate(texts):
+        sh = _shingles(t)
+        if not sh:
+            continue
+        parts.append(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+        counts.append(len(sh))
+        rows.append(i)
+    if not parts:
+        return sigs
+    x = np.concatenate(parts)
+    starts = np.concatenate([[0], np.cumsum(counts[:-1])]).astype(np.int64)
+    out = np.empty((NUM_HASHES, len(rows)), dtype=np.uint64)
+    for h in range(NUM_HASHES):
+        # same uint64 wraparound arithmetic as minhash_signature's np.outer
+        out[h] = np.minimum.reduceat((_A[h] * x + _B_[h]) % _MERSENNE, starts)
+    sigs[np.array(rows, dtype=np.int64)] = out.T
+    return sigs
+
+
 def _band_rows(batch: pa.Table) -> pa.Table:
     """(doc_id, text) → NUM_BANDS rows per doc: (cb, band, bhash, doc_id).
 
@@ -134,25 +168,31 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     per ~20-doc bucket costs more than the pairing itself at dup-heavy
     corpora (measured 92 s → 8 s at 100k docs / 20x duplication).  The
     coarse groupby processes all of a coarse bucket's runs in one
-    vectorized call (`_coarse_bucket_pairs`)."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    out_band, out_bhash, out_doc, out_cb = [], [], [], []
-    for d, t in zip(doc_ids, texts):
-        sig = minhash_signature(t)
-        for band in range(NUM_BANDS):
-            chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            out_band.append(band)
-            out_bhash.append(bh)
-            out_doc.append(d)
-            out_cb.append((band + int(bh[:8], 16)) % NUM_COARSE_BUCKETS)
+    vectorized call (`_coarse_bucket_pairs`).
+
+    Signatures come from the batch-vectorized ``minhash_signature_batch``;
+    only the NUM_BANDS blake2b bucket keys per doc remain per-row work
+    (they define bucket identity and the pinned digest depends on them).
+    Row order (doc-major, band-minor) matches the historical per-doc loop."""
+    doc_ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    sigs = minhash_signature_batch(batch.column("text").to_pylist())
+    n = len(doc_ids)
+    sb = sigs.tobytes()  # C-contiguous (n, NUM_HASHES) uint64 → 8B/value
+    chunk_bytes = ROWS_PER_BAND * 8
+    bhashes = [
+        hashlib.blake2b(sb[off : off + chunk_bytes], digest_size=8).hexdigest()
+        for off in range(0, n * NUM_HASHES * 8, chunk_bytes)
+    ]
+    bands = np.tile(np.arange(NUM_BANDS, dtype=np.int32), n)
+    cb = (
+        bands + np.array([int(bh[:8], 16) for bh in bhashes], dtype=np.int64)
+    ) % NUM_COARSE_BUCKETS
     return pa.table(
         {
-            "cb": pa.array(out_cb, pa.int32()),
-            "band": pa.array(out_band, pa.int32()),
-            "bhash": pa.array(out_bhash, pa.string()),
-            "doc_id": pa.array(out_doc, pa.int64()),
+            "cb": pa.array(cb.astype(np.int32)),
+            "band": pa.array(bands),
+            "bhash": pa.array(bhashes, pa.string()),
+            "doc_id": pa.array(np.repeat(doc_ids, NUM_BANDS), pa.int64()),
         }
     )
 
@@ -1416,3 +1456,106 @@ def semantic_digest(sf_dir: str, **kwargs) -> pa.Table:
         )
 
     return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (the CCNet / RefinedWeb sub-document pass)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Corpus-wide paragraph-level exact dedup, keep-first: every
+    ``"\\n\\n"``-separated paragraph survives only at its first occurrence
+    across the whole corpus (first by ``(doc_id, position)``); later copies
+    — licence blocks, boilerplate headers, navigation chrome — are dropped.
+    This is the sub-document granularity pass of CCNet/RefinedWeb-style
+    curation, distinct from doc-level `exact_dedup`/`normalized_dedup` and
+    from the positional gram signal of `duplicate_ngram_spans`.
+
+    Returns the per-doc reconstruction stats a downstream filter consumes:
+    ``(doc_id, n_paras, n_kept, kept_chars)`` sorted by doc_id.
+
+    Scale shape — two shuffles, both pre-aggregated map-side:
+
+    1. explode pass: ``(bkt, sha, doc_id, ord, plen)`` rows where ``sha`` is
+       the paragraph's sha1 and ``bkt = int(sha[:8], 16) % num_buckets`` —
+       the paragraph TEXT never crosses the wire, only its 20-byte hash;
+    2. per-bucket winner pass: one lexsort over (sha, doc_id, ord) finds
+       each paragraph's first instance (run starts), then per-doc PARTIAL
+       sums collapse the bucket to ≤ one row per (bucket, doc) for the
+    3. final doc_id groupby, which sums ≤ ``num_buckets`` partials per doc.
+
+    SQL twin (exact): unnest-with-ordinality + ``row_number() OVER
+    (PARTITION BY para ORDER BY doc_id, ord) = 1``, grouped by doc —
+    sha1 equality is paragraph equality for gate purposes.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_b, out_s, out_d, out_o, out_l = [], [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for i, para in enumerate((t or "").split("\n\n"), start=1):
+                h = hashlib.sha1(para.encode("utf-8")).hexdigest()
+                out_b.append(int(h[:8], 16) % num_buckets)
+                out_s.append(h)
+                out_d.append(d)
+                out_o.append(i)
+                out_l.append(len(para))
+        return pa.table(
+            {
+                "bkt": pa.array(out_b, pa.int32()),
+                "sha": pa.array(out_s, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "ord": pa.array(out_o, pa.int64()),
+                "plen": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    def bucket_winners(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        doc = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ordv = group.column("ord").combine_chunks().to_numpy(zero_copy_only=False)
+        plen = group.column("plen").combine_chunks().to_numpy(zero_copy_only=False)
+        sha = np.asarray(group.column("sha").to_pylist(), dtype=object)
+        order = np.lexsort((ordv, doc, sha))
+        sha_s, doc_s, plen_s = sha[order], doc[order], plen[order]
+        kept = np.concatenate([[True], sha_s[1:] != sha_s[:-1]])
+        df = pd.DataFrame(
+            {
+                "doc_id": doc_s,
+                "n_p": np.ones(len(doc_s), dtype=np.int64),
+                "k_p": kept.astype(np.int64),
+                "kc_p": plen_s * kept,
+            }
+        )
+        g = df.groupby("doc_id", sort=False, as_index=False).sum()
+        # drop the from_pandas metadata dict — it breaks block schema hashing
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    partials = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(bucket_winners, batch_format="pyarrow")
+    )
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("n_p", alias_name="n_paras"),
+        Sum("k_p", alias_name="n_kept"),
+        Sum("kc_p", alias_name="kept_chars"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_paras": batch.column("n_paras").cast(pa.int64()),
+                "n_kept": batch.column("n_kept").cast(pa.int64()),
+                "kept_chars": batch.column("kept_chars").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")

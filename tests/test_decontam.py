@@ -218,3 +218,62 @@ class TestDuplicateNgramSpans:
                for r in duplicate_ngram_spans(str(d)).take_all()}
         # boiler = 9 words -> 2 grams per doc; both docs' 2 positions fire
         assert got == {0: 2, 1: 2}
+
+
+class TestParagraphDedup:
+    def test_planted_paragraph_dups(self, ray_session, tmp_path):
+        """Corpus-wide keep-first at paragraph granularity: a licence block
+        shared by four docs survives only in the earliest (doc_id, position)
+        instance; within-doc repeats and empty-paragraph dups also drop.
+        Pinned by hand AND against the DuckDB unnest twin (the sf testdata
+        is single-paragraph, so this planted corpus is what actually
+        exercises the sub-document path)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+        from ocr_engine_ray.pipelines import dedup as dd
+
+        texts = {
+            0: "unique intro\n\nSHARED LICENCE BLOCK\n\nbody zero",
+            1: "SHARED LICENCE BLOCK\n\nbody one",
+            2: "body two\n\nSHARED LICENCE BLOCK",
+            3: "SHARED LICENCE BLOCK",          # whole doc is a dup
+            4: "body two\n\nbody two",          # cross-doc AND within-doc dup
+            5: "",                               # first empty paragraph: kept
+            6: "",                               # empty dup: dropped
+            7: "a\n\n\n\nb",                     # middle "" dups doc 5's
+        }
+        rows = [
+            {"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)}
+            for i, t in texts.items()
+        ]
+        d = tmp_path / "paras"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+        got = dd.paragraph_dedup(str(d)).take_all()
+        by_doc = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_chars"]) for r in got}
+        assert by_doc == {
+            0: (3, 3, 12 + 20 + 9),
+            1: (2, 1, len("body one")),
+            2: (2, 1, len("body two")),
+            3: (1, 0, 0),
+            4: (2, 0, 0),
+            5: (1, 1, 0),
+            6: (1, 0, 0),
+            7: (3, 2, 2),
+        }
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(entry.oracle_sql()["paragraph_dedup"]).fetch_arrow_table()
+        assert [
+            (r["doc_id"], r["n_paras"], r["n_kept"], r["kept_chars"]) for r in got
+        ] == list(
+            zip(*(want.column(c).to_pylist() for c in
+                  ("doc_id", "n_paras", "n_kept", "kept_chars")))
+        )
