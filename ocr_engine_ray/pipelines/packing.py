@@ -99,7 +99,11 @@ def pack_sequences(
     order, ``seq_id`` = tok_offset // budget.  Sorted by doc_id."""
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
-    bounds = docs.aggregate(Min("doc_id"), Max("doc_id"))
+    # bounds from a doc_id-only scan: the 3-column `docs` projection would
+    # drag the whole text column through an aggregate that needs one int
+    bounds = sf_table(sf_dir, "documents", columns=["doc_id"]).aggregate(
+        Min("doc_id"), Max("doc_id")
+    )
     if not bounds or bounds.get("min(doc_id)") is None:  # empty corpus
         return rd.from_arrow(
             pa.table(
