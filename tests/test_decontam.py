@@ -277,3 +277,22 @@ class TestParagraphDedup:
             zip(*(want.column(c).to_pylist() for c in
                   ("doc_id", "n_paras", "n_kept", "kept_chars")))
         )
+
+    def test_bucket_count_invariance(self, ray_session, tmp_path):
+        """Results are a pure function of the corpus, not of num_buckets."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines import dedup as dd
+
+        rows = [
+            {"doc_id": i, "text": f"shared\n\nbody {i % 3}", "lang": "en",
+             "source": "s", "n_chars": 0}
+            for i in range(12)
+        ]
+        d = tmp_path / "inv"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        a = dd.paragraph_dedup(str(d), num_buckets=3).take_all()
+        b = dd.paragraph_dedup(str(d), num_buckets=64).take_all()
+        assert a == b and len(a) == 12
