@@ -745,8 +745,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": """
             WITH paras AS (
               SELECT doc_id,
-                     unnest(string_split(text, chr(10)||chr(10))) AS para,
-                     unnest(range(1, len(string_split(text, chr(10)||chr(10))) + 1)) AS ord
+                     unnest(string_split(coalesce(text,''), chr(10)||chr(10))) AS para,
+                     unnest(range(1, len(string_split(coalesce(text,''), chr(10)||chr(10))) + 1)) AS ord
               FROM documents
             ), ranked AS (
               SELECT doc_id, ord, para,

@@ -245,6 +245,22 @@ def _coarse_bucket_pairs(group: pa.Table) -> pa.Table:
 _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
 
 
+def _dedupe_pair_group(group: pa.Table) -> pa.Table:
+    """Collapse duplicate (a, b) rows within one endpoint-`a` group.  The
+    banding stage emits the same pair once per matching band (up to
+    NUM_BANDS copies, possibly in different coarse buckets); grouping on
+    `a` co-locates all copies, so a per-group np.unique is a global exact
+    dedupe."""
+    a = group["a"].combine_chunks().to_numpy(zero_copy_only=False)
+    b = group["b"].combine_chunks().to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return _EMPTY_PAIRS
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pa.table(
+        {"a": pa.array(uniq[:, 0], pa.int64()), "b": pa.array(uniq[:, 1], pa.int64())}
+    )
+
+
 def jaccard(s1: set[int], s2: set[int]) -> float:
     if not s1 and not s2:
         return 1.0
@@ -506,10 +522,18 @@ def minhash_lsh_dedup(
     bands = docs.map_batches(_band_rows, batch_format="pyarrow")
     # materialize: the pair set (small) is consumed twice — once for the
     # candidate-id broadcast, once as request rows — and must not recompute
-    # the banding chain.
-    pairs = bands.groupby("cb").map_groups(
-        _coarse_bucket_pairs, batch_format="pyarrow"
-    ).materialize()
+    # the banding chain.  The interposed dedupe matters for both consumers:
+    # a pair matching in k bands is emitted k times by the banding stage, so
+    # without it `pairs.count()` over-states the candidate bound (mis-sizing
+    # the Bloom / abandoning the exact-array path early) and every duplicate
+    # ships two redundant shingle-request rows through the verify shuffle.
+    pairs = (
+        bands.groupby("cb")
+        .map_groups(_coarse_bucket_pairs, batch_format="pyarrow")
+        .groupby("a")
+        .map_groups(_dedupe_pair_group, batch_format="pyarrow")
+        .materialize()
+    )
     # Compact a SMALL pair set out of the banding groupby's block layout
     # (one tiny block per sort partition): every downstream shuffle
     # otherwise pays per-block fixed costs ~10x the data.  Count and

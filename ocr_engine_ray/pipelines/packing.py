@@ -210,20 +210,14 @@ def rank_by_quality(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
 
 
 # RE2's `\S` is the ASCII complement [^ \t\n\f\r] — NO \v: RE2/DuckDB `\s`
-# is [\t\n\f\r ] only.  Spelled out so the Python side can never drift from
-# the DuckDB twin on Unicode (or \v) whitespace — same class as
-# functions/textstats.WS_RE (Python's \S is Unicode-wide, the same lesson
-# as the \w tokenizers).
-_TOKEN_SPLIT_RE = None  # built lazily; module import stays regex-compile free
-
-
+# is [\t\n\f\r ] only.  One canonical compiled class lives in
+# textstats._ASCII_TOK_RE (Python's \S is Unicode-wide, the same lesson as
+# the \w tokenizers); delegating keeps exactly one copy to fix when the
+# RE2-alignment contract next changes.
 def _tokens(text: str) -> list[str]:
-    global _TOKEN_SPLIT_RE
-    if _TOKEN_SPLIT_RE is None:
-        import re
+    from .textstats import _py_tokens
 
-        _TOKEN_SPLIT_RE = re.compile(r"[^ \t\n\f\r]+")
-    return _TOKEN_SPLIT_RE.findall(text or "")
+    return _py_tokens(text)
 
 
 def chunk_token_windows(

@@ -612,13 +612,11 @@ def token_rarity_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
 
     Docs with zero tokens produce no row (same as the SQL unnest twin).
     """
-    import re
     import zlib
 
     import numpy as np
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
-    tok_re = re.compile(r"[^ \t\n\f\r]+")  # RE2 \S+ twin (ASCII ws class)
 
     def explode(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -627,7 +625,7 @@ def token_rarity_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         for d, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            for tok, c in Counter(tok_re.findall(text or "")).items():
+            for tok, c in Counter(_py_tokens(text)).items():
                 out_b.append(zlib.crc32(tok.encode()) % num_buckets)
                 out_t.append(tok)
                 out_d.append(d)

@@ -123,6 +123,10 @@ def docx_image_parts(blob: bytes) -> list[dict]:
     idx = 0
     for rel in d.part.rels.values():
         if rel.reltype == RT.IMAGE:
+            # Externally-linked pictures (INCLUDEPICTURE) have no target
+            # part to dereference — target_part raises for external mode.
+            if rel.is_external:
+                continue
             part = rel.target_part
             ext = (part.partname.ext or "").lower().lstrip(".")
             out.append(
