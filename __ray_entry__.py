@@ -108,7 +108,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checkpointed_extract": checkpointed_extract,
         "extract_inline_chars": extract_stats.extract_inline_chars,
         "size_class_counts": extract_stats.size_class_counts,
-        "lang_counts": extract_stats.lang_counts,
         "image_meta": extract_stats.image_meta,
         "rich_fields_digest": interpret.rich_fields_digest,
         "free_text_digest": interpret.free_text_digest,
@@ -123,10 +122,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_digest": dedup.minhash_digest,
         "simhash_digest": dedup.simhash_digest,
         "winnow_digest": dedup.winnow_digest,
+        # paragraph_dedup is new in round 4 (never driver-gated): it takes
+        # the slot of lang_counts, which is green in both r02 and r03.
+        "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "lang_counts": extract_stats.lang_counts,
         "semantic_digest": dedup.semantic_digest,
         "normalized_dedup": dedup.normalized_dedup,
-        "paragraph_dedup": dedup.paragraph_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
