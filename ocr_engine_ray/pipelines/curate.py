@@ -129,7 +129,6 @@ def curate_training_mix(
     from ray.data.aggregate import Max, Min, Sum
 
     from ..sources.tables import sf_table
-    from .decontam import _WORD_RE as word_re  # ASCII class == RE2/DuckDB \w
     from .decontam import _gram_hashes, bench_gram_ref
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
@@ -137,8 +136,11 @@ def curate_training_mix(
 
     def hygiene(batch: pa.Table) -> pa.Table:
         """Steps 1-3 per-doc work in one pass: repetition flags, benchmark
-        gram membership, CCNet-normalized sha1 + dedup bucket."""
-        from collections import Counter
+        gram membership, CCNet-normalized sha1 + dedup bucket.  The
+        line/word repetition counts come from the batch-vectorized
+        `line_word_stats_batch` (value-identical to the historical per-doc
+        split/Counter loop); only the gram hashing and sha1 remain per-doc."""
+        from .decontam import line_word_stats_batch
 
         bset = ray.get(bench_ref)
         t = pc.fill_null(batch.column("text"), "")
@@ -147,16 +149,14 @@ def curate_training_mix(
         norm = pc.replace_substring_regex(norm, r"[ \t\n\f\r]+", " ")
         norm = pc.utf8_trim(norm, " ")
         ntok = pc.count_substring_regex(t, r"\S+").cast(pa.int64())
+        texts = t.to_pylist()
+        nl, nu, nw, tc = line_word_stats_batch(texts)
         keep, sha, bucket = [], [], []
-        for txt, nrm in zip(t.to_pylist(), norm.to_pylist()):
-            lines = txt.split("\n")
-            dup = round((len(lines) - len(set(lines))) / len(lines), 6)
-            words = word_re.findall(txt.lower())
-            top = (
-                round(Counter(words).most_common(1)[0][1] / len(words), 6)
-                if words
-                else 0.0
-            )
+        for txt, nrm, l, u, w_, c in zip(
+            texts, norm.to_pylist(), nl.tolist(), nu.tolist(), nw.tolist(), tc.tolist()
+        ):
+            dup = round((l - u) / l, 6)
+            top = round(c / w_, 6) if w_ else 0.0
             gh = _gram_hashes(txt)
             contaminated = bool(np.isin(gh, bset).any()) if len(gh) else False
             keep.append(

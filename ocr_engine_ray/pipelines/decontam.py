@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -39,6 +38,70 @@ _WORD_RE = re.compile(r"[0-9A-Za-z_]+")
 
 BENCH_SOURCE = "src0"  # the synthetic corpus's stand-in for the eval suite
 NGRAM = 8
+
+
+def line_word_stats_batch(
+    texts: list[str | None],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch repetition counts, value-identical to the per-doc
+    split/Counter path (property-tested in tests/test_decontam.py):
+    returns int64 arrays ``(n_lines, n_uniq_lines, n_words,
+    top_word_count)`` per text.  Callers apply Python ``round()`` to the
+    ratios so the 6-dp half-even decimals stay bit-equal to the DuckDB
+    twins (np.round's scale-and-rint shortcut is NOT correctly-rounded
+    decimal rounding).
+
+    Hot path is Arrow/numpy end to end: ONE ``split_pattern`` /
+    ``split_pattern_regex`` + ``dictionary_encode`` per batch (C speed),
+    then ``np.unique`` over (row, code) pairs for per-row distinct counts
+    and max multiplicities — no per-doc Counter, no per-token Python.
+    The word split (RE2 ``[^0-9A-Za-z_]+`` + empty-string drop) is exactly
+    ``_WORD_RE.findall`` (verified: splitting on non-word runs yields the
+    word runs plus '' at the edges); lowercase happens in Python
+    ``str.lower`` so exotic-Unicode case folding cannot drift from the
+    historical per-doc loop."""
+    import pyarrow.compute as _pc
+
+    n = len(texts)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+    orig = pa.array([(t or "") for t in texts], pa.string())
+    low = pa.array([(t or "").lower() for t in texts], pa.string())
+
+    def per_row(
+        list_arr: pa.ListArray, *, drop_empty: bool
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        lens = np.asarray(_pc.list_value_length(list_arr), dtype=np.int64)
+        flat = _pc.list_flatten(list_arr)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        codes = np.asarray(
+            _pc.dictionary_encode(flat).indices, dtype=np.int64
+        )
+        if drop_empty:
+            keep = np.asarray(_pc.not_equal(flat, ""), dtype=bool)
+            rows, codes = rows[keep], codes[keep]
+            total = np.bincount(rows, minlength=n).astype(np.int64)
+        else:
+            total = lens
+        if len(rows) == 0:
+            return total, np.zeros(n, np.int64), np.zeros(n, np.int64)
+        ncodes = int(codes.max()) + 1
+        ucomb, ucounts = np.unique(rows * ncodes + codes, return_counts=True)
+        urows = ucomb // ncodes
+        uniq = np.bincount(urows, minlength=n).astype(np.int64)
+        starts = np.nonzero(np.concatenate([[True], urows[1:] != urows[:-1]]))[0]
+        maxc = np.zeros(n, np.int64)
+        maxc[urows[starts]] = np.maximum.reduceat(ucounts, starts)
+        return total, uniq, maxc
+
+    n_lines, n_uniq_lines, _ = per_row(
+        _pc.split_pattern(orig, "\n"), drop_empty=False
+    )
+    n_words, _, top_count = per_row(
+        _pc.split_pattern_regex(low, "[^0-9A-Za-z_]+"), drop_empty=True
+    )
+    return n_lines, n_uniq_lines, n_words, top_count
 
 
 def _gram_hashes(text: str, n: int = NGRAM) -> np.ndarray:
@@ -127,13 +190,11 @@ def repetition_flags(
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
+        nl, nu, nw, tc = line_word_stats_batch(batch.column("text").to_pylist())
         dup, top, flag = [], [], []
-        for t in batch.column("text").to_pylist():
-            t = t or ""
-            lines = t.split("\n")
-            d = round((len(lines) - len(set(lines))) / len(lines), 6)
-            words = _WORD_RE.findall(t.lower())
-            w = round(Counter(words).most_common(1)[0][1] / len(words), 6) if words else 0.0
+        for l, u, w_, c in zip(nl.tolist(), nu.tolist(), nw.tolist(), tc.tolist()):
+            d = round((l - u) / l, 6)
+            w = round(c / w_, 6) if w_ else 0.0
             dup.append(d)
             top.append(w)
             flag.append(d > max_dup_line_frac or w > max_top_word_frac)

@@ -296,3 +296,63 @@ class TestParagraphDedup:
         a = dd.paragraph_dedup(str(d), num_buckets=3).take_all()
         b = dd.paragraph_dedup(str(d), num_buckets=64).take_all()
         assert a == b and len(a) == 12
+
+
+class TestLineWordStatsBatch:
+    """`line_word_stats_batch` must be value-identical to the historical
+    per-doc split/Counter loop it replaced in repetition_flags and
+    curate_training_mix's hygiene pass."""
+
+    @staticmethod
+    def _naive(texts):
+        import re
+        from collections import Counter
+
+        wr = re.compile(r"[0-9A-Za-z_]+")
+        out = []
+        for t in texts:
+            t = t or ""
+            lines = t.split("\n")
+            words = wr.findall(t.lower())
+            top = Counter(words).most_common(1)[0][1] if words else 0
+            out.append((len(lines), len(set(lines)), len(words), top))
+        return out
+
+    def test_handwritten_edges(self):
+        texts = [
+            "", None, "\n", "\n\n", "a\nb\na", "a a a b", "..!!", "_1 _1",
+            "x" * 5, "line\nline\nline", "é ø_1 _1", "tab\tsep words words",
+        ]
+        nl, nu, nw, tc = decontam.line_word_stats_batch(texts)
+        got = list(zip(nl.tolist(), nu.tolist(), nw.tolist(), tc.tolist()))
+        assert got == self._naive(texts)
+
+    def test_empty_batch(self):
+        nl, nu, nw, tc = decontam.line_word_stats_batch([])
+        assert len(nl) == len(nu) == len(nw) == len(tc) == 0
+
+    def test_hypothesis_agreement(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.text(
+                        alphabet=st.characters(
+                            codec="utf-8", exclude_characters=["\x00"]
+                        ),
+                        max_size=80,
+                    ),
+                ),
+                max_size=12,
+            )
+        )
+        def check(texts):
+            nl, nu, nw, tc = decontam.line_word_stats_batch(texts)
+            got = list(zip(nl.tolist(), nu.tolist(), nw.tolist(), tc.tolist()))
+            assert got == self._naive(texts)
+
+        check()
