@@ -129,7 +129,7 @@ def curate_training_mix(
     from ray.data.aggregate import Max, Min, Sum
 
     from ..sources.tables import sf_table
-    from .decontam import _gram_hashes, bench_gram_ref
+    from .decontam import bench_gram_ref, gram_rows_batch
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
     bench_ref = bench_gram_ref(docs, bench_source=bench_source)
@@ -151,18 +151,20 @@ def curate_training_mix(
         ntok = pc.count_substring_regex(t, r"\S+").cast(pa.int64())
         texts = t.to_pylist()
         nl, nu, nw, tc = line_word_stats_batch(texts)
+        grows, ghash, _ = gram_rows_batch(texts)
+        contam = np.zeros(len(texts), dtype=bool)
+        if len(ghash):
+            contam[grows[np.isin(ghash, bset)]] = True
         keep, sha, bucket = [], [], []
-        for txt, nrm, l, u, w_, c in zip(
-            texts, norm.to_pylist(), nl.tolist(), nu.tolist(), nw.tolist(), tc.tolist()
+        for i, (nrm, l, u, w_, c) in enumerate(
+            zip(norm.to_pylist(), nl.tolist(), nu.tolist(), nw.tolist(), tc.tolist())
         ):
             dup = round((l - u) / l, 6)
             top = round(c / w_, 6) if w_ else 0.0
-            gh = _gram_hashes(txt)
-            contaminated = bool(np.isin(gh, bset).any()) if len(gh) else False
             keep.append(
                 dup <= max_dup_line_frac
                 and top <= max_top_word_frac
-                and not contaminated
+                and not bool(contam[i])
             )
             h = _hl.sha1(nrm.encode("utf-8")).hexdigest()
             sha.append(h)

@@ -104,9 +104,94 @@ def line_word_stats_batch(
     return n_lines, n_uniq_lines, n_words, top_count
 
 
+# Vectorized gram identity: blake2b per DISTINCT word (cached per batch via
+# dictionary_encode), then one polynomial mix over each n-window of word
+# hashes — G = Σ_k wh[i+k]·M^k in uint64 wraparound arithmetic.  Gram-hash
+# VALUES never surface in any gated output (only membership counts and
+# flags), so the identity function may differ from the per-doc blake2b
+# string hash as long as every consumer (bench_gram_ref, decontaminate,
+# curate hygiene, duplicate_ngram_spans) uses the same one and it stays
+# injective w.h.p. on the realized gram sets (~2^-64 per pair for
+# blake2b-uniform word hashes; ≤1e-6 corpus-wide at bench scale).
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)
+_GRAM_POWS: dict[int, np.ndarray] = {}
+
+
+def _gram_pows(n: int) -> np.ndarray:
+    p = _GRAM_POWS.get(n)
+    if p is None:
+        p = np.empty(n, dtype=np.uint64)
+        p[0] = 1
+        for k in range(1, n):
+            p[k] = p[k - 1] * _GRAM_MULT  # uint64 wraparound
+        _GRAM_POWS[n] = p
+    return p
+
+
+def gram_rows_batch(
+    texts: list[str | None], n: int = NGRAM
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All DISTINCT word ``n``-grams of a batch as ``(row_idx, gram_hash,
+    n_positions)`` int64 arrays, sorted by (row, hash) — the batched,
+    vectorized replacement for per-doc `_gram_hashes` /
+    `_gram_hashes_all` loops (gram-set equivalence property-tested
+    against them in tests/test_decontam.py).
+
+    Hot path: ONE RE2 word split + ``dictionary_encode`` per batch, ONE
+    blake2b per distinct word (words repeat heavily across docs), then
+    ``n`` vectorized multiply-adds for the window mix and a lexsort for
+    per-row dedup — no per-doc Python, no per-gram string join/hash."""
+    import pyarrow.compute as _pc
+
+    m = len(texts)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    if m == 0:
+        return empty
+    low = pa.array([(t or "").lower() for t in texts], pa.string())
+    words = _pc.split_pattern_regex(low, "[^0-9A-Za-z_]+")
+    lens = np.asarray(_pc.list_value_length(words), dtype=np.int64)
+    flat = _pc.list_flatten(words)
+    enc = _pc.dictionary_encode(flat)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    keep = np.asarray(_pc.not_equal(flat, ""), dtype=bool)
+    rows, codes = rows[keep], codes[keep]
+    total = len(codes)
+    if total < n:
+        return empty
+    dict_words = enc.dictionary.to_pylist()
+    wh = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            for w in dict_words
+        ),
+        dtype=np.uint64,
+        count=len(dict_words),
+    )
+    x = wh[codes]
+    w_cnt = total - n + 1
+    pows = _gram_pows(n)
+    g = np.zeros(w_cnt, dtype=np.uint64)
+    for k in range(n):
+        g += x[k : w_cnt + k] * pows[k]
+    # a window is a real gram iff it does not cross a doc boundary
+    valid = rows[:w_cnt] == rows[n - 1 :]
+    grows, g = rows[:w_cnt][valid], g[valid]
+    if len(g) == 0:
+        return empty
+    order = np.lexsort((g, grows))
+    r, gs = grows[order], g[order]
+    first = np.concatenate([[True], (r[1:] != r[:-1]) | (gs[1:] != gs[:-1])])
+    idx = np.nonzero(first)[0]
+    counts = np.diff(np.concatenate([idx, [len(r)]]))
+    return r[idx], gs[idx].view(np.int64), counts.astype(np.int64)
+
+
 def _gram_hashes(text: str, n: int = NGRAM) -> np.ndarray:
-    """Distinct word n-grams of a doc as 64-bit blake2b hashes, reinterpreted
-    as int64 (bijective view — Arrow-native, equality-preserving)."""
+    """Distinct word n-grams of a doc as 64-bit blake2b STRING hashes —
+    the per-doc reference implementation `gram_rows_batch` is
+    equivalence-tested against (the batch path is what the pipelines
+    run)."""
     words = _WORD_RE.findall((text or "").lower())
     if len(words) < n:
         return np.empty(0, dtype=np.int64)
@@ -134,9 +219,8 @@ def bench_gram_ref(
     bench = docs.filter(expr=f"source == '{bench_source}'")
 
     def bench_grams(batch: pa.Table) -> pa.Table:
-        hs = [_gram_hashes(t, n) for t in batch.column("text").to_pylist()]
-        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
-        return pa.table({"h": pa.array(u)})
+        _, g, _ = gram_rows_batch(batch.column("text").to_pylist(), n)
+        return pa.table({"h": pa.array(np.unique(g))})
 
     gram_rows = bench.map_batches(bench_grams, batch_format="pyarrow").unique("h") or []
     return ray.put(np.array(sorted(gram_rows), dtype=np.int64))
@@ -161,10 +245,10 @@ def decontaminate(
     def hits(batch: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)
         ids = batch.column("doc_id")
-        counts = np.empty(batch.num_rows, dtype=np.int64)
-        for i, t in enumerate(batch.column("text").to_pylist()):
-            gh = _gram_hashes(t, n)
-            counts[i] = int(np.isin(gh, bset).sum()) if len(gh) else 0
+        rows, g, _ = gram_rows_batch(batch.column("text").to_pylist(), n)
+        counts = np.bincount(
+            rows[np.isin(g, bset)], minlength=batch.num_rows
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": ids,
@@ -253,32 +337,13 @@ def duplicate_ngram_spans(
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def gram_doc_counts(batch: pa.Table) -> pa.Table:
-        g_out: list[np.ndarray] = []
-        d_out: list[np.ndarray] = []
-        c_out: list[np.ndarray] = []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            gh = _gram_hashes_all(t, n)
-            if not len(gh):
-                continue
-            uniq, counts = np.unique(gh, return_counts=True)
-            g_out.append(uniq)
-            d_out.append(np.full(len(uniq), d, dtype=np.int64))
-            c_out.append(counts.astype(np.int64))
-        if not g_out:
-            return pa.table(
-                {
-                    "gram": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "n_pos": pa.array([], pa.int64()),
-                }
-            )
+        ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        rows, g, cnt = gram_rows_batch(batch.column("text").to_pylist(), n)
         return pa.table(
             {
-                "gram": pa.array(np.concatenate(g_out), pa.int64()),
-                "doc_id": pa.array(np.concatenate(d_out), pa.int64()),
-                "n_pos": pa.array(np.concatenate(c_out), pa.int64()),
+                "gram": pa.array(g, pa.int64()),
+                "doc_id": pa.array(ids[rows], pa.int64()),
+                "n_pos": pa.array(cnt, pa.int64()),
             }
         )
 

@@ -356,3 +356,64 @@ class TestLineWordStatsBatch:
             assert got == self._naive(texts)
 
         check()
+
+
+class TestGramRowsBatch:
+    """`gram_rows_batch` must induce the same gram IDENTITY as the per-doc
+    string-hash reference (`_gram_hashes` / `_gram_hashes_all`): same
+    distinct-gram count and positional multiplicities per doc, and the same
+    cross-doc gram-set intersections (hash VALUES differ by design — they
+    never surface in gated outputs)."""
+
+    @staticmethod
+    def _naive_grams(t, n):
+        import re
+
+        wr = re.compile(r"[0-9A-Za-z_]+")
+        words = wr.findall((t or "").lower())
+        return [
+            " ".join(words[i : i + n]) for i in range(max(0, len(words) - n + 1))
+        ]
+
+    def _check(self, texts, n):
+        from collections import Counter
+
+        rows, g, cnt = decontam.gram_rows_batch(texts, n)
+        got = {i: {} for i in range(len(texts))}
+        for r, h, c in zip(rows.tolist(), g.tolist(), cnt.tolist()):
+            got[r][h] = c
+        # per-doc multiplicity multisets match the string reference
+        str_grams = [Counter(self._naive_grams(t, n)) for t in texts]
+        h2s: dict[tuple[int, int], str] = {}
+        for i, sc in enumerate(str_grams):
+            assert sorted(got[i].values()) == sorted(sc.values()), (i, texts[i])
+        # cross-doc intersections match (hash identity == string identity)
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                want = len(set(str_grams[i]) & set(str_grams[j]))
+                have = len(set(got[i]) & set(got[j]))
+                assert want == have, (i, j, texts[i], texts[j])
+
+    def test_handwritten(self):
+        texts = [
+            "a b c d e", "a b c d e", "a b c d e f", "b c d e a",
+            "", None, "one two", "a a a a a", "x Y z w X y Z W",
+        ]
+        self._check(texts, 4)
+
+    def test_hypothesis_agreement(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        words = st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "Zz", "_1", "é"]),
+            max_size=14,
+        ).map(" ".join)
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(st.one_of(st.none(), words), max_size=8),
+               st.integers(min_value=2, max_value=4))
+        def check(texts, n):
+            self._check(texts, n)
+
+        check()
