@@ -9,6 +9,7 @@ compiled patterns (the langid profile loading would move to an actor
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -36,6 +37,46 @@ _ASCII_TOK_RE = _pyre.compile(r"[^ \t\n\f\r]+")
 
 def _py_tokens(text: str | None) -> list[str]:
     return _ASCII_TOK_RE.findall(text or "")
+
+
+def _token_occurrences(
+    texts: list[str | None],
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Occurrence-level tokens of a whole batch as ``(row_idx, dict_code,
+    dictionary)`` — the vectorized primitive behind every Counter-style
+    tokenize loop in this module (value-identical to per-doc
+    ``_py_tokens``, property-tested in tests/test_ops.py): one RE2
+    whitespace split + ``dictionary_encode`` per batch (splitting '\\S+'
+    runs on the ASCII class and dropping the '' edge artifacts IS the
+    findall), so per-token Python work — including crc/bucket hashing —
+    happens once per DISTINCT token via the dictionary, never per
+    occurrence."""
+    n = len(texts)
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), pa.array([], pa.string())
+    arr = pa.array([(t or "") for t in texts], pa.string())
+    toks = pc.split_pattern_regex(arr, "[ \t\n\f\r]+")
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = pc.list_flatten(toks)
+    enc = pc.dictionary_encode(flat)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = np.asarray(pc.not_equal(flat, ""), dtype=bool)
+    return rows[keep], codes[keep], enc.dictionary
+
+
+def doc_token_counts_batch(
+    texts: list[str | None],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
+    """Distinct (row, token) pairs of a batch with multiplicities:
+    ``(rows, tok_codes, counts, dictionary)``, sorted by (row, code) —
+    the batched form of ``Counter(_py_tokens(t))`` per doc."""
+    rows, codes, dic = _token_occurrences(texts)
+    if not len(rows):
+        return rows, codes, np.empty(0, np.int64), dic
+    ucomb, cnt = np.unique(rows * len(dic) + codes, return_counts=True)
+    return ucomb // len(dic), ucomb % len(dic), cnt.astype(np.int64), dic
 
 
 def _n_tokens(texts: pa.Array) -> pa.Array:
@@ -180,24 +221,23 @@ def token_frequencies(sf_dir: str) -> rd.Dataset:
     ds = sf_table(sf_dir, "documents", columns=["lang", "text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        counts: Counter = Counter()
-        for lang, text in zip(
-            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for tok in _py_tokens(text):
-                counts[(lang, tok)] += 1
-        langs, toks, ns = [], [], []
-        for (lang, tok), n in counts.items():
-            langs.append(lang)
-            toks.append(tok)
-            ns.append(n)
+        lenc = pc.dictionary_encode(batch.column("lang").combine_chunks())
+        lrow = np.asarray(lenc.indices, dtype=np.int64)
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        if not len(rows):
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ucomb, cnt = np.unique(lrow[rows] * len(dic) + codes, return_counts=True)
         return pa.table(
             {
-                "lang": pa.array(langs, pa.string()),
-                "token": pa.array(toks, pa.string()),
-                "n": pa.array(ns, pa.int64()),
+                "lang": pc.take(lenc.dictionary, pa.array(ucomb // len(dic))),
+                "token": pc.take(dic, pa.array(ucomb % len(dic))),
+                "n": pa.array(cnt.astype(np.int64)),
             }
         )
 
@@ -320,29 +360,27 @@ def tfidf_top_terms(sf_dir: str, *, k: int = 3, num_buckets: int = 64) -> rd.Dat
     SQL ``regexp_split_to_array(trim(text), '\\s+')`` contract).
     """
     import zlib
-    from collections import Counter
-
-    import numpy as np
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()  # parquet metadata, not a scan
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_b, out_t, out_d, out_c = [], [], [], []
-        for d, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for tok, c in Counter(_py_tokens(text)).items():
-                out_b.append(zlib.crc32(tok.encode()) % num_buckets)
-                out_t.append(tok)
-                out_d.append(d)
-                out_c.append(c)
+        dids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        rows, codes, cnt, dic = doc_token_counts_batch(
+            batch.column("text").to_pylist()
+        )
+        # crc/bucket once per DISTINCT token via the dictionary, then a gather
+        crc = np.fromiter(
+            (zlib.crc32(t.encode()) % num_buckets for t in dic.to_pylist()),
+            dtype=np.int32,
+            count=len(dic),
+        )
         return pa.table(
             {
-                "bkt": pa.array(out_b, pa.int32()),
-                "token": pa.array(out_t, pa.string()),
-                "doc_id": pa.array(out_d, pa.int64()),
-                "tf": pa.array(out_c, pa.int64()),
+                "bkt": pa.array(crc[codes] if len(codes) else crc[:0]),
+                "token": pc.take(dic, pa.array(codes)),
+                "doc_id": pa.array(dids[rows], pa.int64()),
+                "tf": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -500,16 +538,11 @@ def heavy_hitters(sf_dir: str, *, capacity: int = 256) -> rd.Dataset:
     ds = sf_table(sf_dir, "documents", columns=["text"])
 
     def candidates(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        counts: Counter = Counter()
-        n_batch = 0
-        for text in batch.column("text").to_pylist():
-            toks = _py_tokens(text)
-            n_batch += len(toks)
-            counts.update(toks)
+        _, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        n_batch = int(len(codes))
+        cnts = np.bincount(codes, minlength=len(dic))
         bar = n_batch / capacity
-        keep = [t for t, c in counts.items() if c > bar]
+        keep = [t for t, c in zip(dic.to_pylist(), cnts.tolist()) if c > bar]
         # one marker row per batch carries the batch token total so N is
         # aggregated on-cluster in the same stream ("" marks it — the
         # tokenizer can never produce an empty token, and Ray groupby keys
@@ -538,20 +571,18 @@ def heavy_hitters(sf_dir: str, *, capacity: int = 256) -> rd.Dataset:
     threshold = total_n / capacity
 
     def recount(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
         from .joins import _get_broadcast
 
         cand = _get_broadcast(ref)
-        counts: Counter = Counter()
-        for text in batch.column("text").to_pylist():
-            for tok in _py_tokens(text):
-                if tok in cand:
-                    counts[tok] += 1
+        _, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        cnts = np.bincount(codes, minlength=len(dic))
+        toks = dic.to_pylist()
+        # membership test once per DISTINCT token, not per occurrence
+        mask = np.fromiter((t in cand for t in toks), dtype=bool, count=len(toks))
         return pa.table(
             {
-                "token": pa.array(list(counts.keys()), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
+                "token": pa.array([t for t, m in zip(toks, mask) if m], pa.string()),
+                "n": pa.array(cnts[mask].astype(np.int64)),
             }
         )
 
@@ -619,23 +650,21 @@ def token_rarity_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        out_b, out_t, out_d, out_c = [], [], [], []
-        for d, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for tok, c in Counter(_py_tokens(text)).items():
-                out_b.append(zlib.crc32(tok.encode()) % num_buckets)
-                out_t.append(tok)
-                out_d.append(d)
-                out_c.append(c)
+        dids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        rows, codes, cnt, dic = doc_token_counts_batch(
+            batch.column("text").to_pylist()
+        )
+        crc = np.fromiter(
+            (zlib.crc32(t.encode()) % num_buckets for t in dic.to_pylist()),
+            dtype=np.int32,
+            count=len(dic),
+        )
         return pa.table(
             {
-                "bkt": pa.array(out_b, pa.int32()),
-                "token": pa.array(out_t, pa.string()),
-                "doc_id": pa.array(out_d, pa.int64()),
-                "c": pa.array(out_c, pa.int64()),
+                "bkt": pa.array(crc[codes] if len(codes) else crc[:0]),
+                "token": pc.take(dic, pa.array(codes)),
+                "doc_id": pa.array(dids[rows], pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
             }
         )
 

@@ -829,3 +829,48 @@ class TestAudioWindowPlan:
             audio_window_plan(100, 0)
         with pytest.raises(ValueError):
             audio_window_plan(100, 16000, hop_ms=0)
+
+
+class TestTokenOccurrences:
+    """The vectorized `_token_occurrences` / `doc_token_counts_batch`
+    primitives must be value-identical to per-doc `_py_tokens` /
+    `Counter(_py_tokens(t))` — they replaced those loops in
+    token_frequencies, tfidf_top_terms, token_rarity_score and
+    heavy_hitters."""
+
+    def test_hypothesis_counter_equivalence(self):
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ocr_engine_ray.pipelines import textstats as T
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.text(
+                        alphabet=st.characters(
+                            codec="utf-8", exclude_characters=["\x00"]
+                        ),
+                        max_size=60,
+                    ),
+                ),
+                max_size=10,
+            )
+        )
+        def check(texts):
+            rows, codes, cnt, dic = T.doc_token_counts_batch(texts)
+            toks = dic.to_pylist()
+            for i, t in enumerate(texts):
+                want = dict(Counter(T._py_tokens(t)))
+                got = {
+                    toks[c]: n
+                    for r, c, n in zip(rows.tolist(), codes.tolist(), cnt.tolist())
+                    if r == i
+                }
+                assert got == want, (i, t)
+
+        check()
