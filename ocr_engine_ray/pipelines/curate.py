@@ -25,8 +25,10 @@ NUM_CURATE_BUCKETS = 64
 
 def _quality_sha_batch(batch: pa.Table, *, min_quality: float) -> pa.Table:
     """Filter by quality score, then attach dedup keys + token counts."""
+    from .textstats import quality_scores_batch
+
     texts = batch.column("text").to_pylist()
-    q = np.array([ts.quality_score(t) for t in texts])
+    q = np.array(quality_scores_batch(texts))
     keep = q >= min_quality
     t = batch.filter(pa.array(keep))
     kept_texts = [x for x, k in zip(texts, keep) if k]

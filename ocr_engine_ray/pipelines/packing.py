@@ -155,14 +155,12 @@ def rank_by_quality(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
     percentile normalization is the standard prelude to quality-threshold
     curation at a fixed keep-rate.  Returns (doc_id, source, quality,
     rank_in_source) sorted by doc_id."""
-    from ..functions.textstats import quality_score
-
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        q = np.array(
-            [quality_score(t or "") for t in batch.column("text").to_pylist()]
-        )
+        from .textstats import quality_scores_batch
+
+        q = np.array(quality_scores_batch(batch.column("text").to_pylist()))
         bkt = np.clip((q * num_buckets).astype(np.int64), 0, num_buckets - 1)
         return pa.table(
             {

@@ -83,23 +83,123 @@ def _n_tokens(texts: pa.Array) -> pa.Array:
     return pc.count_substring_regex(texts, _TOKEN_RE)
 
 
+def quality_scores_batch(texts: list[str | None]) -> list[float]:
+    """Batch `functions.textstats.quality_score` — bit-identical
+    (hypothesis-tested: same ints, same float expression order, Python
+    ``round`` at the end), with the per-token work vectorized: RE2 kernels
+    for the punct/digit counts and the ASCII-alpha fullmatch (anchored RE2,
+    per DISTINCT token via the dictionary), Python ``str.lower`` per
+    distinct token for the stopword test (utf8proc case folding could
+    drift on exotic Unicode)."""
+    n = len(texts)
+    if n == 0:
+        return []
+    arr = pa.array([(t or "") for t in texts], pa.string())
+    n_chars = np.asarray(pc.utf8_length(arr), dtype=np.int64)
+    rows, codes, dic = _token_occurrences(texts)
+    n_tokens = np.bincount(rows, minlength=n).astype(np.int64)
+    if len(dic):
+        alpha = np.asarray(
+            pc.match_substring_regex(dic, r"^[A-Za-z]+$"), dtype=bool
+        )
+        sw = ts.STOPWORDS["en"]
+        stop = np.fromiter(
+            ((w.lower() in sw) for w in dic.to_pylist()), dtype=bool, count=len(dic)
+        )
+        n_alpha = np.bincount(rows, weights=alpha[codes].astype(np.float64), minlength=n)
+        n_stop = np.bincount(rows, weights=stop[codes].astype(np.float64), minlength=n)
+    else:
+        n_alpha = np.zeros(n, np.float64)
+        n_stop = np.zeros(n, np.float64)
+    n_punct = np.asarray(
+        pc.count_substring_regex(arr, r"[^0-9A-Za-z_ \t\n\f\r]"), dtype=np.int64
+    )
+    n_digit = np.asarray(pc.count_substring_regex(arr, r"[0-9]"), dtype=np.int64)
+    nt = n_tokens.astype(np.float64)
+    has_t = n_tokens > 0
+    safe_nt = np.where(has_t, nt, 1.0)
+    alpha_ratio = np.where(has_t, n_alpha / safe_nt, 0.0)
+    stop_ratio = np.where(has_t, n_stop / safe_nt, 0.0)
+    has_c = n_chars > 0
+    safe_nc = np.where(has_c, n_chars.astype(np.float64), 1.0)
+    punct_ratio = np.where(has_c, n_punct / safe_nc, 0.0)
+    digit_ratio = np.where(has_c, n_digit / safe_nc, 0.0)
+    # same expression order as the scalar quality_score — IEEE ops are
+    # deterministic, so elementwise float64 here == per-doc Python floats
+    length_ok = np.minimum(1.0, nt / 20.0) * np.where(n_tokens <= 5000, 1.0, 0.5)
+    score = (
+        0.35 * length_ok
+        + 0.30 * alpha_ratio
+        + 0.20 * np.minimum(1.0, stop_ratio * 4)
+        + 0.15 * (1.0 - np.minimum(1.0, punct_ratio * 5 + digit_ratio * 2))
+    )
+    clipped = np.minimum(1.0, np.maximum(0.0, score))
+    return [round(x, 6) for x in clipped.tolist()]
+
+
+def langid_batch(texts: list[str | None]) -> list[str]:
+    """Batch `functions.textstats.langid` — identical output
+    (hypothesis-tested): script checks via vectorized RE2 searches,
+    stopword voting via one space-split + dictionary membership per
+    DISTINCT normalized word; ``np.argmax`` keeps the scalar's
+    first-max-wins / all-zero→'en' tie semantics (fixed column order)."""
+    n = len(texts)
+    if n == 0:
+        return []
+    arr = pa.array([(t or "") for t in texts], pa.string())
+    zh = np.asarray(pc.match_substring_regex(arr, "[一-鿿]"), dtype=bool)
+    hi = np.asarray(pc.match_substring_regex(arr, "[ऀ-ॿ]"), dtype=bool)
+    # normalize in Python (str.lower — same exotic-Unicode caution as above)
+    normed = pa.array([ts.normalize_text(t or "") for t in texts], pa.string())
+    words = pc.split_pattern(normed, " ")
+    lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+    enc = pc.dictionary_encode(pc.list_flatten(words))
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    dic_list = enc.dictionary.to_pylist()
+    langs = ("en", "de", "es", "fr")
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        sw = ts.STOPWORDS[lang]
+        member = np.fromiter(
+            ((w in sw) for w in dic_list), dtype=bool, count=len(dic_list)
+        )
+        if member.any():
+            scores[:, li] = np.bincount(
+                rows[member[codes]], minlength=n
+            )
+    vote = np.argmax(scores, axis=1)
+    out = []
+    for i in range(n):
+        if zh[i]:
+            out.append("zh")
+        elif hi[i]:
+            out.append("hi")
+        else:
+            out.append(langs[vote[i]])
+    return out
+
+
 def doc_stats_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text")
     # vectorized: whitespace token count + char count
     n_tokens = _n_tokens(texts)
     n_chars = pc.utf8_length(texts)
-    # per-row (compiled-regex) signals
     tl = texts.to_pylist()
-    bpe = [ts.token_count_bpe_ish(t) for t in tl]
-    fp = [ts.fingerprint_md5(t) for t in tl]
-    lang = [ts.langid(t) for t in tl]
-    q = [ts.quality_score(t) for t in tl]
+    filled = pc.fill_null(
+        texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts, ""
+    )
+    # BPE-ish pre-token count: same disjoint-class alternation in RE2
+    bpe = pc.count_substring_regex(filled, ts.BPE_ISH_RE.pattern).cast(pa.int64())
+    fp = [ts.fingerprint_md5(t) for t in tl]  # md5 is per-doc by nature
+    lang = langid_batch(tl)
+    q = quality_scores_batch(tl)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "n_chars": n_chars.cast(pa.int64()),
             "n_tokens": n_tokens.cast(pa.int64()),
-            "n_tokens_bpe": pa.array(bpe, pa.int64()),
+            "n_tokens_bpe": bpe,
             "fingerprint": pa.array(fp, pa.string()),
             "lang_detected": pa.array(lang, pa.string()),
             "quality": pa.array(q, pa.float64()),
@@ -301,7 +401,7 @@ def langid_counts(sf_dir: str) -> rd.Dataset:
         return pa.table(
             {
                 "lang_detected": pa.array(
-                    [ts.langid(t) for t in batch.column("text").to_pylist()], pa.string()
+                    langid_batch(batch.column("text").to_pylist()), pa.string()
                 )
             }
         )

@@ -874,3 +874,64 @@ class TestTokenOccurrences:
                 assert got == want, (i, t)
 
         check()
+
+
+class TestBatchSignals:
+    """quality_scores_batch / langid_batch must be bit-identical to the
+    scalar functions they replaced in doc_stats, rank_by_quality,
+    curate_corpus and langid_counts."""
+
+    def test_hypothesis_quality_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ocr_engine_ray.functions import textstats as fts
+        from ocr_engine_ray.pipelines import textstats as T
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.text(
+                        alphabet=st.characters(
+                            codec="utf-8", exclude_characters=["\x00"]
+                        ),
+                        max_size=80,
+                    ),
+                    st.sampled_from([
+                        "the quick fox", "der und das ist", "el la de que",
+                        "一 two", "क ख", "a" * 30, "1 2 3 !!!",
+                    ]),
+                ),
+                max_size=10,
+            )
+        )
+        def check(texts):
+            got_q = T.quality_scores_batch(texts)
+            want_q = [fts.quality_score(t or "") for t in texts]
+            assert got_q == want_q
+            got_l = T.langid_batch(texts)
+            want_l = [fts.langid(t or "") for t in texts]
+            assert got_l == want_l
+
+        check()
+
+    def test_bpe_count_kernel_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ocr_engine_ray.functions import textstats as fts
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(st.text(max_size=60), max_size=8))
+        def check(texts):
+            arr = pa.array(texts, pa.string())
+            got = pc.count_substring_regex(arr, fts.BPE_ISH_RE.pattern).to_pylist()
+            want = [fts.token_count_bpe_ish(t) for t in texts]
+            assert got == want
+
+        check()
