@@ -891,14 +891,45 @@ def simhash_dedup(
     max_hamming: int = 3,
     num_partitions: int = 16,
     cc_rows_per_bucket: int | None = None,
+    collapse_exact: bool = False,
 ) -> rd.Dataset:
     """SimHash banding near-dup: (doc_id, cluster_id) rows, like minhash.
 
     Hamming verification happens inside the band bucket (the signature rides
     along with each band row), so the verified pair set goes straight to
     distributed min-label propagation — no driver materialization.
+
+    ``collapse_exact=True`` is the same crawl-scale path as
+    `minhash_lsh_dedup`'s: sha1-collapse exact duplicates first (identical
+    texts have identical signatures, so exact groups always band together
+    at Hamming 0), run the banding over distinct texts, expand labels back
+    through the groups — byte-identical when bucket caps don't bite,
+    strictly better recall when they do.
     """
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if collapse_exact:
+        reps, mapping = _exact_collapse(docs)
+        clusters = _simhash_clusters_over(
+            reps,
+            max_hamming=max_hamming,
+            cc_rows_per_bucket=cc_rows_per_bucket,
+        )
+        return _expand_exact_groups(clusters, mapping, num_partitions).sort(
+            "doc_id"
+        )
+    return _simhash_clusters_over(
+        docs, max_hamming=max_hamming, cc_rows_per_bucket=cc_rows_per_bucket
+    ).sort("doc_id")
+
+
+def _simhash_clusters_over(
+    docs: rd.Dataset,
+    *,
+    max_hamming: int,
+    cc_rows_per_bucket: int | None,
+) -> rd.Dataset:
+    """The banding→Hamming-verify→CC core of `simhash_dedup` over an
+    arbitrary (doc_id, text) dataset; returns UNSORTED (doc_id, cluster_id)."""
     bands = docs.map_batches(_simhash_band_rows, batch_format="pyarrow")
 
     def _pairs(group: pa.Table) -> pa.Table:
@@ -927,7 +958,7 @@ def simhash_dedup(
     pairs = bands.groupby(["band", "bval"]).map_groups(_pairs, batch_format="pyarrow")
     # Duplicate edges across bands are harmless to connected_components.
     cc_kw = {"rows_per_bucket": cc_rows_per_bucket} if cc_rows_per_bucket else {}
-    return connected_components(pairs, **cc_kw).sort("doc_id")
+    return connected_components(pairs, **cc_kw)
 
 
 # ---------------------------------------------------------------------------

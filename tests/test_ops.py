@@ -995,3 +995,18 @@ class TestMinhashExactCollapse:
         assert cl[30] == cl[0] == 0
         # an exact-only group (base[1]'s copies) clusters on its rep
         assert cl[1] == cl[7] == cl[13] == cl[19] == cl[25] == 1
+
+    def test_simhash_collapse_byte_identical(self, tmp_path):
+        sf, lone = self._corpus(tmp_path)
+        a = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.simhash_dedup(sf, max_hamming=3).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.simhash_dedup(
+                sf, max_hamming=3, collapse_exact=True
+            ).take_all()
+        )
+        assert a == b and len(a) >= 30  # every exact group clusters
+        assert lone not in {x for x, _ in b}
