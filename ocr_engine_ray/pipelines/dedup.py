@@ -1336,6 +1336,7 @@ def winnow_near_dup(
     k: int = 8,
     window: int = 16,
     cc_rows_per_bucket: int | None = None,
+    collapse_exact: bool = False,
 ) -> rd.Dataset:
     """Near-dup clusters via winnowed k-gram fingerprints: documents whose
     shared winnowed hashes cover ≥ ``overlap`` of the SMALLER fingerprint
@@ -1367,10 +1368,17 @@ def winnow_near_dup(
     Rows-only at the driver gate (a 64-bit rolling hash is not reasonably
     ANSI-SQL-expressible); semantics pinned by the planted-containment
     pytest.
+
+    ``collapse_exact=True``: same crawl-scale exact-dup pre-collapse as
+    the MinHash/SimHash paths (identical texts have identical winnowed
+    fingerprint sets, so exact groups always link at overlap 1.0).
     """
     from ..functions.textstats import winnow_fingerprint
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    mapping = None
+    if collapse_exact:
+        docs, mapping = _exact_collapse(docs)
 
     num_fp_buckets = 256
 
@@ -1503,7 +1511,10 @@ def winnow_near_dup(
     )
 
     cc_kw = {"rows_per_bucket": cc_rows_per_bucket} if cc_rows_per_bucket else {}
-    return connected_components(edge_ds, **cc_kw).sort("doc_id")
+    cc = connected_components(edge_ds, **cc_kw)
+    if mapping is not None:
+        return _expand_exact_groups(cc, mapping, NUM_EXACT_BUCKETS).sort("doc_id")
+    return cc.sort("doc_id")
 
 
 # ---------------------------------------------------------------------------

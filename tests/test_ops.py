@@ -1010,3 +1010,16 @@ class TestMinhashExactCollapse:
         )
         assert a == b and len(a) >= 30  # every exact group clusters
         assert lone not in {x for x, _ in b}
+
+    def test_winnow_collapse_byte_identical(self, tmp_path):
+        sf, lone = self._corpus(tmp_path)
+        a = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.winnow_near_dup(sf).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.winnow_near_dup(sf, collapse_exact=True).take_all()
+        )
+        assert a == b and len(a) >= 30
+        assert lone not in {x for x, _ in b}
