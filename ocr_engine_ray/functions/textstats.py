@@ -163,3 +163,59 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
             out.append(m)
             last = j
     return out
+
+
+def _poly_pows(k: int) -> "object":
+    import numpy as np
+
+    p = np.empty(k, dtype=np.uint64)
+    b = 1
+    for i in range(k):  # exact Python ints masked — no scalar-overflow warning
+        p[i] = b
+        b = (b * _B) & _MASK
+    return p
+
+
+def rolling_hashes_np(text: str, k: int = 8) -> "object":
+    """`rolling_hashes` vectorized — value-identical (property-tested):
+    H_i = Σ_j ord(s[i+j])·B^{k-1-j} mod 2^64, evaluated directly with k
+    shifted multiply-adds in uint64 wraparound arithmetic instead of the
+    per-char rolling recurrence (same value mod 2^64 by construction).
+    Returns a uint64 numpy array."""
+    import numpy as np
+
+    s = normalize_text(text)
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if n < k:
+        pows = _poly_pows(n)
+        return np.array([(c * pows[::-1]).sum()], dtype=np.uint64)
+    w = n - k + 1
+    pows = _poly_pows(k)
+    h = np.zeros(w, dtype=np.uint64)
+    for j in range(k):
+        h += c[j : w + j] * pows[k - 1 - j]
+    return h
+
+
+def winnow_fingerprint_np(text: str, k: int = 8, window: int = 16) -> "object":
+    """`winnow_fingerprint` vectorized — value-identical (property-tested):
+    sliding-window leftmost argmin via one stride-tricks view; the
+    keep-if-position-changed dedupe becomes a run mask because the leftmost
+    minimum position is non-decreasing as the window slides.  Returns a
+    uint64 numpy array (order preserved)."""
+    import numpy as np
+
+    hs = rolling_hashes_np(text, k)
+    if not len(hs):
+        return hs
+    if len(hs) <= window:
+        return np.array([hs.min()], dtype=np.uint64)
+    v = np.lib.stride_tricks.sliding_window_view(hs, window)
+    jrel = np.argmin(v, axis=1)  # first occurrence == leftmost tie-break
+    j = jrel + np.arange(len(v), dtype=np.int64)
+    m = v[np.arange(len(v)), jrel]
+    mask = np.concatenate([[True], j[1:] != j[:-1]])
+    return m[mask]

@@ -1373,7 +1373,7 @@ def winnow_near_dup(
     the MinHash/SimHash paths (identical texts have identical winnowed
     fingerprint sets, so exact groups always link at overlap 1.0).
     """
-    from ..functions.textstats import winnow_fingerprint
+    from ..functions.textstats import winnow_fingerprint_np
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     mapping = None
@@ -1383,16 +1383,21 @@ def winnow_near_dup(
     num_fp_buckets = 256
 
     def fp_rows(batch: pa.Table) -> pa.Table:
-        out_fp, out_doc, out_n = [], [], []
+        # winnow_fingerprint_np: vectorized rolling hash + sliding argmin
+        # (value-identical to the scalar reference, property-tested); the
+        # remaining per-doc work is one np.unique per doc.
+        parts, out_doc, out_n = [], [], []
         for d, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            fps = set(winnow_fingerprint(t or "", k=k, window=window))
-            for fp in fps:
-                out_fp.append(fp)
-                out_doc.append(d)
-                out_n.append(len(fps))
-        fpa = np.array(out_fp, dtype=np.uint64)
+            fps = np.unique(winnow_fingerprint_np(t or "", k=k, window=window))
+            if len(fps):
+                parts.append(fps)
+                out_doc.extend([d] * len(fps))
+                out_n.extend([len(fps)] * len(fps))
+        fpa = (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+        )
         return pa.table(
             {
                 "fp": pa.array(fpa),

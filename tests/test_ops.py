@@ -1023,3 +1023,23 @@ class TestMinhashExactCollapse:
         )
         assert a == b and len(a) >= 30
         assert lone not in {x for x, _ in b}
+
+
+class TestWinnowVectorized:
+    """winnow_fingerprint_np / rolling_hashes_np must be value-identical to
+    the scalar references they replaced in winnow_near_dup's fp map."""
+
+    def test_hypothesis_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(max_size=200), st.integers(2, 10), st.integers(2, 24))
+        def check(t, k, w):
+            assert (
+                ts.winnow_fingerprint_np(t, k=k, window=w).tolist()
+                == ts.winnow_fingerprint(t, k=k, window=w)
+            )
+            assert ts.rolling_hashes_np(t, k).tolist() == ts.rolling_hashes(t, k)
+
+        check()
