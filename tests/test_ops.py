@@ -1043,3 +1043,20 @@ class TestWinnowVectorized:
             assert ts.rolling_hashes_np(t, k).tolist() == ts.rolling_hashes(t, k)
 
         check()
+
+    def test_collapse_no_duplicates_empty_result(self, tmp_path):
+        """collapse_exact on a corpus with neither exact nor near dups must
+        flow an EMPTY cluster side through the expand join and yield a
+        typed empty result, like the direct path."""
+        import pyarrow.parquet as _pq
+
+        rows = [
+            {"doc_id": i, "text": " ".join(f"uniq{i}w{j}" for j in range(30)),
+             "lang": "en", "source": "s", "n_chars": 1}
+            for i in range(8)
+        ]
+        d = tmp_path / "nodup"
+        d.mkdir()
+        _pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = dd.minhash_lsh_dedup(str(d), collapse_exact=True).take_all()
+        assert out == []
