@@ -188,7 +188,11 @@ def rolling_hashes_np(text: str, k: int = 8) -> "object":
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    # surrogatepass: lone surrogates still have an ord(); the scalar
+    # reference hashes them, so the vectorized path must not raise
+    c = np.frombuffer(
+        s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    ).astype(np.uint64)
     if n < k:
         pows = _poly_pows(n)
         return np.array([(c * pows[::-1]).sum()], dtype=np.uint64)

@@ -142,6 +142,7 @@ def curate_training_mix(
         line/word repetition counts come from the batch-vectorized
         `line_word_stats_batch` (value-identical to the historical per-doc
         split/Counter loop); only the gram hashing and sha1 remain per-doc."""
+        from ..functions.tokenize import WORD_SPLIT, explode_tokens
         from .decontam import line_word_stats_batch
 
         bset = ray.get(bench_ref)
@@ -152,8 +153,11 @@ def curate_training_mix(
         norm = pc.utf8_trim(norm, " ")
         ntok = pc.count_substring_regex(t, r"\S+").cast(pa.int64())
         texts = t.to_pylist()
-        nl, nu, nw, tc = line_word_stats_batch(texts)
-        grows, ghash, _ = gram_rows_batch(texts)
+        # one word tokenization per batch, shared by the repetition stats
+        # and the gram hashing
+        occ = explode_tokens(texts, pattern=WORD_SPLIT, lower=True)
+        nl, nu, nw, tc = line_word_stats_batch(texts, word_occ=occ)
+        grows, ghash, _ = gram_rows_batch(texts, occ=occ)
         contam = np.zeros(len(texts), dtype=bool)
         if len(ghash):
             contam[grows[np.isin(ghash, bset)]] = True

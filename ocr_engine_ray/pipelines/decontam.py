@@ -42,6 +42,8 @@ NGRAM = 8
 
 def line_word_stats_batch(
     texts: list[str | None],
+    *,
+    word_occ: tuple[np.ndarray, np.ndarray, pa.Array] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Batch repetition counts, value-identical to the per-doc
     split/Counter path (property-tested in tests/test_decontam.py):
@@ -59,31 +61,24 @@ def line_word_stats_batch(
     ``_WORD_RE.findall`` (verified: splitting on non-word runs yields the
     word runs plus '' at the edges); lowercase happens in Python
     ``str.lower`` so exotic-Unicode case folding cannot drift from the
-    historical per-doc loop."""
+    historical per-doc loop.
+
+    ``word_occ``: optional precomputed ``explode_tokens(texts,
+    pattern=WORD_SPLIT, lower=True)`` triple — pass it when the caller
+    (curate's hygiene) also gram-hashes the same batch, so the word
+    tokenization runs once, not twice."""
     import pyarrow.compute as _pc
+
+    from ..functions.tokenize import WORD_SPLIT, explode_tokens
 
     n = len(texts)
     if n == 0:
         z = np.zeros(0, np.int64)
         return z, z.copy(), z.copy(), z.copy()
-    orig = pa.array([(t or "") for t in texts], pa.string())
-    low = pa.array([(t or "").lower() for t in texts], pa.string())
 
-    def per_row(
-        list_arr: pa.ListArray, *, drop_empty: bool
+    def per_row_stats(
+        rows: np.ndarray, codes: np.ndarray, total: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        lens = np.asarray(_pc.list_value_length(list_arr), dtype=np.int64)
-        flat = _pc.list_flatten(list_arr)
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-        codes = np.asarray(
-            _pc.dictionary_encode(flat).indices, dtype=np.int64
-        )
-        if drop_empty:
-            keep = np.asarray(_pc.not_equal(flat, ""), dtype=bool)
-            rows, codes = rows[keep], codes[keep]
-            total = np.bincount(rows, minlength=n).astype(np.int64)
-        else:
-            total = lens
         if len(rows) == 0:
             return total, np.zeros(n, np.int64), np.zeros(n, np.int64)
         ncodes = int(codes.max()) + 1
@@ -95,12 +90,21 @@ def line_word_stats_batch(
         maxc[urows[starts]] = np.maximum.reduceat(ucounts, starts)
         return total, uniq, maxc
 
-    n_lines, n_uniq_lines, _ = per_row(
-        _pc.split_pattern(orig, "\n"), drop_empty=False
+    # lines: plain split on "\n", '' elements kept ("".split("\n") == [""])
+    orig = pa.array([(t or "") for t in texts], pa.string())
+    line_list = _pc.split_pattern(orig, "\n")
+    line_lens = np.asarray(_pc.list_value_length(line_list), dtype=np.int64)
+    line_rows = np.repeat(np.arange(n, dtype=np.int64), line_lens)
+    line_codes = np.asarray(
+        _pc.dictionary_encode(_pc.list_flatten(line_list)).indices, dtype=np.int64
     )
-    n_words, _, top_count = per_row(
-        _pc.split_pattern_regex(low, "[^0-9A-Za-z_]+"), drop_empty=True
+    n_lines, n_uniq_lines, _ = per_row_stats(line_rows, line_codes, line_lens)
+
+    wrows, wcodes, _wdic = word_occ if word_occ is not None else explode_tokens(
+        texts, pattern=WORD_SPLIT, lower=True
     )
+    n_words = np.bincount(wrows, minlength=n).astype(np.int64)
+    _, _, top_count = per_row_stats(wrows, wcodes, n_words)
     return n_lines, n_uniq_lines, n_words, top_count
 
 
@@ -129,7 +133,10 @@ def _gram_pows(n: int) -> np.ndarray:
 
 
 def gram_rows_batch(
-    texts: list[str | None], n: int = NGRAM
+    texts: list[str | None],
+    n: int = NGRAM,
+    *,
+    occ: "tuple[np.ndarray, np.ndarray, pa.Array] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All DISTINCT word ``n``-grams of a batch as ``(row_idx, gram_hash,
     n_positions)`` int64 arrays, sorted by (row, hash) — the batched,
@@ -140,26 +147,25 @@ def gram_rows_batch(
     Hot path: ONE RE2 word split + ``dictionary_encode`` per batch, ONE
     blake2b per distinct word (words repeat heavily across docs), then
     ``n`` vectorized multiply-adds for the window mix and a lexsort for
-    per-row dedup — no per-doc Python, no per-gram string join/hash."""
-    import pyarrow.compute as _pc
+    per-row dedup — no per-doc Python, no per-gram string join/hash.
+
+    ``occ``: optional precomputed ``explode_tokens(texts,
+    pattern=WORD_SPLIT, lower=True)`` triple — pass it when the caller
+    (curate's hygiene) also computes repetition stats on the same batch,
+    so the word tokenization runs once, not twice."""
+    from ..functions.tokenize import WORD_SPLIT, explode_tokens
 
     m = len(texts)
     empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
     if m == 0:
         return empty
-    low = pa.array([(t or "").lower() for t in texts], pa.string())
-    words = _pc.split_pattern_regex(low, "[^0-9A-Za-z_]+")
-    lens = np.asarray(_pc.list_value_length(words), dtype=np.int64)
-    flat = _pc.list_flatten(words)
-    enc = _pc.dictionary_encode(flat)
-    codes = np.asarray(enc.indices, dtype=np.int64)
-    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
-    keep = np.asarray(_pc.not_equal(flat, ""), dtype=bool)
-    rows, codes = rows[keep], codes[keep]
+    rows, codes, dic = occ if occ is not None else explode_tokens(
+        texts, pattern=WORD_SPLIT, lower=True
+    )
     total = len(codes)
     if total < n:
         return empty
-    dict_words = enc.dictionary.to_pylist()
+    dict_words = dic.to_pylist()
     wh = np.fromiter(
         (
             int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")

@@ -526,7 +526,7 @@ def minhash_lsh_dedup(
     and cluster labels propagate back through the exact groups
     (`_expand_exact_groups`).  A corpus with duplication factor k pays
     1/k of the banding/verify/CC work plus one narrow sha shuffle —
-    measured 56 s → 9 s end-to-end on a 100k-doc / 20×-duplication
+    measured 56 s → 6.3 s end-to-end on a 100k-doc / 20×-duplication
     stress.  Output is identical to the direct path whenever the
     per-bucket candidate cap does not bite (identical texts band
     identically, so exact groups always verify at J=1.0 and share their
@@ -650,13 +650,21 @@ def _minhash_clusters_over(
 NUM_EXACT_BUCKETS = 64
 
 
-def _exact_collapse(docs: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
+def _exact_collapse(
+    docs: rd.Dataset, *, twin_if=None
+) -> tuple[rd.Dataset, rd.Dataset]:
     """Collapse exact duplicates (sha1 of the raw text, nulls as ''):
     returns ``(reps, mapping)`` — reps: one (doc_id, text) row per distinct
     text (the group's minimum doc_id); mapping: (doc_id, rep, twin) for
     EVERY doc, twin = the doc's exact group has ≥ 2 members.  One
     corpus-text shuffle keyed on sha-derived buckets (the same shape as
-    `exact_dedup`), vectorized keep-first inside each bucket."""
+    `exact_dedup`), vectorized keep-first inside each bucket.
+
+    ``twin_if(text_array) -> bool ndarray``: optional extra per-doc
+    condition AND-ed into ``twin`` — a sketch whose "identical texts
+    always link" guarantee has exceptions (winnowing: a text that
+    normalizes to '' has an EMPTY fingerprint set and can never link, so
+    its exact group must not self-cluster) masks those docs out here."""
 
     def sha_rows(batch: pa.Table) -> pa.Table:
         t = pc.fill_null(batch.column("text"), "")
@@ -687,6 +695,8 @@ def _exact_collapse(docs: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
         twin = np.empty(len(doc), dtype=bool)
         rep[order] = rep_first[gid]
         twin[order] = (sizes > 1)[gid]
+        if twin_if is not None:
+            twin &= twin_if(group.column("text").combine_chunks())
         return pa.table(
             {
                 "doc_id": group.column("doc_id"),
@@ -820,30 +830,22 @@ def simhash_batch(texts: list[str | None]) -> np.ndarray:
     per doc segment) instead of a per-doc matrix.  Integer sums are
     order-independent, so the result is exactly
     `[simhash64(t) for t in texts]` at a fraction of the per-doc cost."""
-    import pyarrow.compute as _pc
+    from ..functions.tokenize import WORD_SPLIT, explode_tokens
 
     n = len(texts)
     sigs = np.zeros(n, dtype=np.uint64)
     if n == 0:
         return sigs
-    low = pa.array([(t or "").lower() for t in texts], pa.string())
-    words = _pc.split_pattern_regex(low, "[^0-9A-Za-z_]+")
-    lens = np.asarray(_pc.list_value_length(words), dtype=np.int64)
-    flat = _pc.list_flatten(words)
-    enc = _pc.dictionary_encode(flat)
-    codes = np.asarray(enc.indices, dtype=np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-    keep = np.asarray(_pc.not_equal(flat, ""), dtype=bool)
-    rows, codes = rows[keep], codes[keep]
+    rows, codes, dic = explode_tokens(texts, pattern=WORD_SPLIT, lower=True)
     if not len(rows):
         return sigs
-    ndic = len(enc.dictionary)
+    ndic = len(dic)
     ucomb = np.unique(rows * ndic + codes)  # distinct (doc, word) features
     frows, fcodes = ucomb // ndic, ucomb % ndic
     wh = np.fromiter(
         (
             int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            for w in enc.dictionary.to_pylist()
+            for w in dic.to_pylist()
         ),
         dtype=np.uint64,
         count=ndic,
@@ -1371,14 +1373,24 @@ def winnow_near_dup(
 
     ``collapse_exact=True``: same crawl-scale exact-dup pre-collapse as
     the MinHash/SimHash paths (identical texts have identical winnowed
-    fingerprint sets, so exact groups always link at overlap 1.0).
+    fingerprint sets, so exact groups link at overlap 1.0 — except texts
+    that normalize to '', whose fingerprint set is EMPTY; those are masked
+    out of the twin fallback so the collapsed path stays byte-identical to
+    the direct one, which never emits them).
     """
     from ..functions.textstats import winnow_fingerprint_np
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     mapping = None
     if collapse_exact:
-        docs, mapping = _exact_collapse(docs)
+        # A text that normalizes to '' has an EMPTY winnowed fingerprint set
+        # and can never link — its exact group must not self-cluster (the
+        # direct path never emits such docs).
+        def _has_fp(texts: pa.Array) -> np.ndarray:
+            trimmed = pc.utf8_trim(texts, " \t\n\f\r")
+            return np.asarray(pc.not_equal(trimmed, ""), dtype=bool)
+
+        docs, mapping = _exact_collapse(docs, twin_if=_has_fp)
 
     num_fp_buckets = 256
 

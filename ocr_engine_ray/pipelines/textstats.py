@@ -51,19 +51,9 @@ def _token_occurrences(
     findall), so per-token Python work — including crc/bucket hashing —
     happens once per DISTINCT token via the dictionary, never per
     occurrence."""
-    n = len(texts)
-    if n == 0:
-        e = np.empty(0, np.int64)
-        return e, e.copy(), pa.array([], pa.string())
-    arr = pa.array([(t or "") for t in texts], pa.string())
-    toks = pc.split_pattern_regex(arr, "[ \t\n\f\r]+")
-    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-    flat = pc.list_flatten(toks)
-    enc = pc.dictionary_encode(flat)
-    codes = np.asarray(enc.indices, dtype=np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-    keep = np.asarray(pc.not_equal(flat, ""), dtype=bool)
-    return rows[keep], codes[keep], enc.dictionary
+    from ..functions.tokenize import WS_SPLIT, explode_tokens
+
+    return explode_tokens(texts, pattern=WS_SPLIT, lower=False)
 
 
 def doc_token_counts_batch(
@@ -321,7 +311,15 @@ def token_frequencies(sf_dir: str) -> rd.Dataset:
     ds = sf_table(sf_dir, "documents", columns=["lang", "text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        lenc = pc.dictionary_encode(batch.column("lang").combine_chunks())
+        # Null lang handling: Ray's groupby cannot sort null keys, and the
+        # default dictionary_encode null_encoding="mask" would turn a null
+        # into a garbage int64 key (silent wrong rows).  Encode null as a
+        # NUL-byte sentinel here (a NUL can't appear in a real lang code)
+        # and restore it to null after the shuffle — NULL stays its own
+        # group, matching the SQL twin's GROUP BY semantics.
+        lenc = pc.dictionary_encode(
+            pc.fill_null(batch.column("lang").combine_chunks(), "\x00")
+        )
         lrow = np.asarray(lenc.indices, dtype=np.int64)
         rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
         if not len(rows):
@@ -341,9 +339,24 @@ def token_frequencies(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return ds.map_batches(partial_counts, batch_format="pyarrow").groupby(
-        ["lang", "token"]
-    ).aggregate(Sum("n", alias_name="n_occurrences"))
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+
+    def restore_null_lang(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        mask = pc.equal(lang, "\x00")
+        if not pc.any(mask).as_py():
+            return batch
+        return batch.set_column(
+            batch.schema.get_field_index("lang"),
+            "lang",
+            pc.if_else(mask, pa.nulls(batch.num_rows, pa.string()), lang),
+        )
+
+    return agg.map_batches(restore_null_lang, batch_format="pyarrow")
 
 
 def approx_distinct_texts(sf_dir: str) -> rd.Dataset:

@@ -1060,3 +1060,74 @@ class TestWinnowVectorized:
         _pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
         out = dd.minhash_lsh_dedup(str(d), collapse_exact=True).take_all()
         assert out == []
+
+    def test_winnow_collapse_empty_text_dups_not_emitted(self, tmp_path):
+        """Duplicated texts that normalize to '' have EMPTY fingerprint
+        sets: the direct path never emits them, so the collapse path's
+        twin fallback must mask them out (byte-identical contract)."""
+        import pyarrow.parquet as _pq
+
+        rows = [
+            {"doc_id": 0, "text": "", "lang": "en", "source": "s", "n_chars": 0},
+            {"doc_id": 1, "text": "", "lang": "en", "source": "s", "n_chars": 0},
+            {"doc_id": 2, "text": " \t\n", "lang": "en", "source": "s", "n_chars": 3},
+            {"doc_id": 3, "text": " \t\n", "lang": "en", "source": "s", "n_chars": 3},
+            {"doc_id": 4, "text": "real content words here", "lang": "en",
+             "source": "s", "n_chars": 23},
+            {"doc_id": 5, "text": "real content words here", "lang": "en",
+             "source": "s", "n_chars": 23},
+        ]
+        d = tmp_path / "emptywin"
+        d.mkdir()
+        _pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        a = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.winnow_near_dup(str(d)).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dd.winnow_near_dup(str(d), collapse_exact=True).take_all()
+        )
+        assert a == b == [(4, 4), (5, 4)]
+        # minhash/simhash DO emit empty-text dup clusters on both paths
+        for fn in (dd.minhash_lsh_dedup, dd.simhash_dedup):
+            x = sorted((r["doc_id"], r["cluster_id"]) for r in fn(str(d)).take_all())
+            y = sorted(
+                (r["doc_id"], r["cluster_id"])
+                for r in fn(str(d), collapse_exact=True).take_all()
+            )
+            assert x == y and (0, 0) in x and (1, 0) in x
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNullLangTokenFrequencies:
+    def test_null_lang_row_survives(self, tmp_path):
+        """A null lang must become its own (NULL, token) group like the old
+        Counter path — not a garbage int64 key from a masked null index."""
+        import pyarrow.parquet as _pq
+
+        from ocr_engine_ray.pipelines import textstats as T
+
+        rows = [
+            {"doc_id": 0, "text": "aa bb", "lang": "en", "source": "s", "n_chars": 5},
+            {"doc_id": 1, "text": "aa", "lang": None, "source": "s", "n_chars": 2},
+        ]
+        d = tmp_path / "nulllang"
+        d.mkdir()
+        _pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = [
+            (r["lang"], r["token"], r["n_occurrences"])
+            for r in T.token_frequencies(str(d)).take_all()
+        ]
+        assert (None, "aa", 1) in got
+        assert ("en", "aa", 1) in got and ("en", "bb", 1) in got
+
+    def test_lone_surrogate_parity(self):
+        """The scalar reference hashes lone surrogates (ord() is defined);
+        the vectorized path must not raise on them (utf-32 surrogatepass)."""
+        t = "ab\ud800cd efgh more text"
+        assert ts.rolling_hashes_np(t, 4).tolist() == ts.rolling_hashes(t, 4)
+        assert (
+            ts.winnow_fingerprint_np(t, 4, 6).tolist()
+            == ts.winnow_fingerprint(t, 4, 6)
+        )
