@@ -1,0 +1,222 @@
+"""Service-mode HTTP surface — the reference's request/response contract
+(`app.py:663-750` ``POST /parse``, `app.py:157-178` API-key auth,
+`app.py:739-750` ``GET /health``) over this engine's per-document
+extraction path, on the standard library only (no FastAPI in this
+environment).
+
+Scope and honesty:
+
+- The request contract is a full mirror: multipart ``files`` +
+  ``langs`` + ``fields_to_extract`` form fields with the reference's
+  normalization rules (single ``langs`` value splits on ``[,\\s]+`` and
+  pads with ``en``; ``fields_to_extract`` splits on ``[,\\n;]+``; invalid
+  langs → 400; missing fields → 400), API key via ``X-API-Key`` or
+  ``Authorization: Bearer`` against ``SECRET_API_KEY`` (unset → 503,
+  wrong → 401), and the response is ``{filename: minified-fields-JSON}``.
+- Text-bearing uploads (``.txt`` / ``.html``) run the REAL engine path:
+  the span assembly + interpretation of `oracle.extract_document`, with
+  the requested labels applied as a field vocabulary
+  (`oracle.vocab_fields_document` — the same semantics the gated
+  ``vocab_fields_digest`` query pins).
+- Media uploads (pdf / image / docx) need an OCR backend the sandbox does
+  not ship; rather than return the deterministic stand-in for a REAL
+  user file, those respond 501 with the reason.  The env-gated real
+  decode kernels (`stages.multimodal.rasterize_pdf_pages` /
+  `docx_image_parts`) are the integration point when the deps exist.
+
+The batch engine (``__ray_entry__`` / the pipelines) is the scale path;
+this module exists for request/response parity and never touches Ray.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from email.parser import BytesParser
+from email.policy import default as _email_policy
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from . import oracle, spec
+from .functions.textproc import detect_type, label_to_key
+
+_VALID_LANGS = {"en", "hi"}
+
+
+def _split_fields(values: list[str]) -> list[str]:
+    """app.py:703-716: each value splits on commas/newlines/semicolons."""
+    labels: list[str] = []
+    for item in values:
+        labels.extend(s.strip() for s in re.split(r"[,\n;]+", item) if s.strip())
+    return labels
+
+
+def _normalize_langs(values: list[str], n_files: int) -> list[str]:
+    """app.py:689-699: a single value splits on [,\\s]+; pad 'en'; truncate."""
+    if len(values) == 1:
+        values = [s.strip() for s in re.split(r"[,\s]+", values[0]) if s.strip()]
+    langs = [v.strip().lower() for v in values if v and v.strip()]
+    if len(langs) < n_files:
+        langs += ["en"] * (n_files - len(langs))
+    return langs[:n_files]
+
+
+def _upload_kind(filename: str, blob: bytes) -> str:
+    """Text-bearing extensions route to the inline-span kinds; everything
+    else through the reference's pdf/docx/image classifier."""
+    ext = filename.rsplit(".", 1)[-1].lower() if "." in filename else ""
+    if ext in ("txt", "text", "md"):
+        return spec.KIND_TEXT
+    if ext in ("htm", "html"):
+        return spec.KIND_HTML
+    return detect_type(filename, blob[:8])
+
+
+def parse_upload(filename: str, blob: bytes, lang: str, fields: list[str]) -> dict:
+    """The `parse_file` analog (app.py:647-659): classify → extract →
+    interpret with the requested labels as the field vocabulary.  Raises
+    NotImplementedError for media kinds that need a real OCR backend."""
+    kind = _upload_kind(filename, blob)
+    if kind not in spec.INLINE_KINDS:
+        raise NotImplementedError(
+            f"{kind} uploads need an OCR backend (Vision/PIL/fitz) that this "
+            "environment does not ship; text/html uploads run the full "
+            "extraction path."
+        )
+    text = blob.decode("utf-8", errors="replace")
+    doc = {
+        "doc_id": filename,
+        "spans": [{"kind": kind, "text": text, "media_ref": None, "offset": 0}],
+    }
+    vocab = {label_to_key(lbl): lbl for lbl in fields}
+    return json.loads(oracle.vocab_fields_document(doc, vocab))
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "ocr-engine-ray/1.0"
+
+    def log_message(self, fmt, *args):  # quiet by default; tests capture codes
+        pass
+
+    # ------------------------------------------------------------- helpers
+    def _send_json(self, code: int, obj) -> None:
+        body = json.dumps(obj, ensure_ascii=False).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _auth(self) -> bool:
+        """app.py:157-178: 503 when the server has no key, 401 on mismatch."""
+        secret = os.environ.get("SECRET_API_KEY", "")
+        supplied = (self.headers.get("X-API-Key") or "").strip()
+        if not supplied:
+            bearer = (self.headers.get("Authorization") or "").strip()
+            if bearer.lower().startswith("bearer "):
+                supplied = bearer[7:].strip()
+        if not secret:
+            self._send_json(503, {"detail": "Server not configured with SECRET_API_KEY"})
+            return False
+        if not supplied or supplied != secret:
+            self._send_json(401, {"detail": "Invalid or missing API key"})
+            return False
+        return True
+
+    # -------------------------------------------------------------- routes
+    def do_GET(self) -> None:
+        if self.path != "/health":
+            self._send_json(404, {"detail": "Not found"})
+            return
+        from .stages import multimodal as mm
+
+        self._send_json(
+            200,
+            {
+                "ok": bool(os.environ.get("SECRET_API_KEY")),
+                "auth": bool(os.environ.get("SECRET_API_KEY")),
+                "engine": "ray-data",
+                "decode": {
+                    "pil": mm._HAVE_PIL,
+                    "fitz": mm._HAVE_FITZ,
+                    "docx": mm._HAVE_DOCX,
+                },
+            },
+        )
+
+    def do_POST(self) -> None:
+        if self.path != "/parse":
+            self._send_json(404, {"detail": "Not found"})
+            return
+        if not self._auth():
+            return
+        req_id = str(uuid.uuid4())[:8]
+        ctype = self.headers.get("Content-Type", "")
+        if "multipart/form-data" not in ctype:
+            self._send_json(400, {"detail": "Expected multipart/form-data"})
+            return
+        length = int(self.headers.get("Content-Length", "0"))
+        raw = self.rfile.read(length)
+        msg = BytesParser(policy=_email_policy).parsebytes(
+            b"Content-Type: " + ctype.encode("latin-1") + b"\r\n\r\n" + raw
+        )
+        files: list[tuple[str, bytes]] = []
+        langs_raw: list[str] = []
+        fields_raw: list[str] = []
+        for part in msg.iter_parts():
+            name = part.get_param("name", header="content-disposition")
+            filename = part.get_filename()
+            payload = part.get_payload(decode=True) or b""
+            if name == "files" and filename:
+                files.append((filename, payload))
+            elif name == "langs":
+                langs_raw.append(payload.decode("utf-8", errors="replace"))
+            elif name == "fields_to_extract":
+                fields_raw.append(payload.decode("utf-8", errors="replace"))
+
+        langs = _normalize_langs(langs_raw, len(files))
+        bad = [l for l in langs if l not in _VALID_LANGS]
+        if bad:
+            self._send_json(
+                400, {"detail": f"Invalid language(s): {bad}. Use 'en' or 'hi'."}
+            )
+            return
+        fields = _split_fields(fields_raw)
+        if not fields:
+            self._send_json(
+                400,
+                {"detail": "fields_to_extract must contain at least one non-empty label."},
+            )
+            return
+
+        result: dict[str, str] = {}
+        for (filename, blob), lang in zip(files, langs):
+            try:
+                parsed = parse_upload(filename, blob, lang, fields)
+            except NotImplementedError as e:
+                self._send_json(501, {"detail": str(e), "req_id": req_id})
+                return
+            result[filename] = json.dumps(parsed, ensure_ascii=False)
+        self._send_json(200, result)
+
+
+def serve(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (but do not run) the server; ``port=0`` picks a free port.
+    Call ``serve_forever()`` on the result, or drive it from a thread in
+    tests via ``handle_request`` / ``serve_forever`` + ``shutdown``."""
+    return ThreadingHTTPServer((host, port), _Handler)
+
+
+def main() -> None:  # pragma: no cover — manual entry point
+    port = int(os.environ.get("PORT", "8080"))
+    httpd = serve(port=port)
+    print(f"ocr-engine-ray service on :{httpd.server_address[1]}")
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
