@@ -86,8 +86,28 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--num-cpus", type=int, default=None)
     pq.set_defaults(fn=cmd_query)
 
+    ps = sub.add_parser(
+        "serve", help="service-mode HTTP surface (POST /parse, GET /health)"
+    )
+    ps.add_argument("--port", type=int, default=8080)
+    ps.set_defaults(fn=cmd_serve)
+
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+def cmd_serve(args) -> int:
+    from .serve import serve
+
+    httpd = serve(port=args.port)
+    print(f"ocr-engine-ray service on :{httpd.server_address[1]}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return 0
 
 
 if __name__ == "__main__":
