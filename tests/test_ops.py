@@ -1131,3 +1131,47 @@ class TestNullLangTokenFrequencies:
             ts.winnow_fingerprint_np(t, 4, 6).tolist()
             == ts.winnow_fingerprint(t, 4, 6)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExpandExactGroups:
+    def test_randomized_vs_naive(self):
+        """_expand_exact_groups must equal the obvious per-row rule on
+        randomized group structures: label = cc_label(rep) if the rep is
+        clustered, else rep if the doc's group is a twin group, else drop."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        for trial in range(3):
+            n_groups = int(rng.integers(3, 30))
+            mapping_rows, cluster_rows = [], []
+            next_doc = 0
+            want = []
+            for g in range(n_groups):
+                size = int(rng.integers(1, 5))
+                ids = list(range(next_doc, next_doc + size))
+                next_doc += size + int(rng.integers(0, 3))
+                rep = ids[0]
+                twin = size >= 2
+                clustered = bool(rng.integers(0, 2))
+                label = rep - int(rng.integers(0, 2)) if clustered else None
+                if clustered:
+                    cluster_rows.append({"doc_id": rep, "cluster_id": label})
+                for d in ids:
+                    mapping_rows.append({"doc_id": d, "rep": rep, "twin": twin})
+                    if clustered:
+                        want.append((d, label))
+                    elif twin:
+                        want.append((d, rep))
+            clusters = rd.from_items(cluster_rows) if cluster_rows else rd.from_arrow(
+                pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "cluster_id": pa.array([], pa.int64())}
+                )
+            )
+            mapping = rd.from_items(mapping_rows)
+            got = sorted(
+                (r["doc_id"], r["cluster_id"])
+                for r in dd._expand_exact_groups(clusters, mapping, 8).take_all()
+            )
+            assert got == sorted(want), f"trial {trial}"
