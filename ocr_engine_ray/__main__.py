@@ -89,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser(
         "serve", help="service-mode HTTP surface (POST /parse, GET /health)"
     )
+    ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8080)
     ps.set_defaults(fn=cmd_serve)
 
@@ -99,8 +100,8 @@ def main(argv: list[str] | None = None) -> int:
 def cmd_serve(args) -> int:
     from .serve import serve
 
-    httpd = serve(port=args.port)
-    print(f"ocr-engine-ray service on :{httpd.server_address[1]}")
+    httpd = serve(host=args.host, port=args.port)
+    print(f"ocr-engine-ray service on {args.host}:{httpd.server_address[1]}")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -30,35 +30,32 @@ this module exists for request/response parity and never touches Ray.
 
 from __future__ import annotations
 
+import hmac
 import json
 import os
-import re
 import uuid
 from email.parser import BytesParser
 from email.policy import default as _email_policy
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from . import oracle, spec
-from .functions.textproc import detect_type, label_to_key
-
-_VALID_LANGS = {"en", "hi"}
-
-
-def _split_fields(values: list[str]) -> list[str]:
-    """app.py:703-716: each value splits on commas/newlines/semicolons."""
-    labels: list[str] = []
-    for item in values:
-        labels.extend(s.strip() for s in re.split(r"[,\n;]+", item) if s.strip())
-    return labels
+from .functions.textproc import (
+    detect_type,
+    label_to_key,
+    split_field_labels,
+    split_langs,
+)
 
 
 def _normalize_langs(values: list[str], n_files: int) -> list[str]:
-    """app.py:689-699: a single value splits on [,\\s]+; pad 'en'; truncate."""
+    """app.py:689-699 — one shared rule with the batch pipelines: a single
+    value splits via `textproc.split_langs`; repeated values lowercase,
+    pad with the default lang, truncate."""
     if len(values) == 1:
-        values = [s.strip() for s in re.split(r"[,\s]+", values[0]) if s.strip()]
+        return split_langs(values[0], n_files)
     langs = [v.strip().lower() for v in values if v and v.strip()]
     if len(langs) < n_files:
-        langs += ["en"] * (n_files - len(langs))
+        langs += [spec.DEFAULT_LANG] * (n_files - len(langs))
     return langs[:n_files]
 
 
@@ -119,7 +116,7 @@ class _Handler(BaseHTTPRequestHandler):
         if not secret:
             self._send_json(503, {"detail": "Server not configured with SECRET_API_KEY"})
             return False
-        if not supplied or supplied != secret:
+        if not supplied or not hmac.compare_digest(supplied, secret):
             self._send_json(401, {"detail": "Invalid or missing API key"})
             return False
         return True
@@ -156,11 +153,17 @@ class _Handler(BaseHTTPRequestHandler):
         if "multipart/form-data" not in ctype:
             self._send_json(400, {"detail": "Expected multipart/form-data"})
             return
-        length = int(self.headers.get("Content-Length", "0"))
-        raw = self.rfile.read(length)
-        msg = BytesParser(policy=_email_policy).parsebytes(
-            b"Content-Type: " + ctype.encode("latin-1") + b"\r\n\r\n" + raw
-        )
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            raw = self.rfile.read(length)
+            msg = BytesParser(policy=_email_policy).parsebytes(
+                b"Content-Type: " + ctype.encode("latin-1") + b"\r\n\r\n" + raw
+            )
+        except (ValueError, UnicodeEncodeError) as e:
+            # a malformed Content-Length / Content-Type must answer 400,
+            # not drop the connection with a traceback
+            self._send_json(400, {"detail": f"Malformed request: {e}"})
+            return
         files: list[tuple[str, bytes]] = []
         langs_raw: list[str] = []
         fields_raw: list[str] = []
@@ -175,14 +178,19 @@ class _Handler(BaseHTTPRequestHandler):
             elif name == "fields_to_extract":
                 fields_raw.append(payload.decode("utf-8", errors="replace"))
 
+        if not files:
+            # FastAPI's required `files` list answers 422 on absence
+            # (app.py:666-670); mirror with a 400-class error, not 200 {}
+            self._send_json(400, {"detail": "files is required and cannot be empty."})
+            return
         langs = _normalize_langs(langs_raw, len(files))
-        bad = [l for l in langs if l not in _VALID_LANGS]
+        bad = [l for l in langs if l not in spec.VALID_LANGS]
         if bad:
             self._send_json(
                 400, {"detail": f"Invalid language(s): {bad}. Use 'en' or 'hi'."}
             )
             return
-        fields = _split_fields(fields_raw)
+        fields = split_field_labels(fields_raw)
         if not fields:
             self._send_json(
                 400,
@@ -195,7 +203,12 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 parsed = parse_upload(filename, blob, lang, fields)
             except NotImplementedError as e:
-                self._send_json(501, {"detail": str(e), "req_id": req_id})
+                # the reference also aborts the request on a per-file parse
+                # error (app.py:728-731 re-raises); name the file so the
+                # client knows which upload sank the batch
+                self._send_json(
+                    501, {"detail": str(e), "file": filename, "req_id": req_id}
+                )
                 return
             result[filename] = json.dumps(parsed, ensure_ascii=False)
         self._send_json(200, result)
@@ -204,19 +217,7 @@ class _Handler(BaseHTTPRequestHandler):
 def serve(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
     """Build (but do not run) the server; ``port=0`` picks a free port.
     Call ``serve_forever()`` on the result, or drive it from a thread in
-    tests via ``handle_request`` / ``serve_forever`` + ``shutdown``."""
+    tests via ``handle_request`` / ``serve_forever`` + ``shutdown``.
+    The one runnable entry point is the CLI: ``python -m ocr_engine_ray
+    serve [--host H] [--port P]``."""
     return ThreadingHTTPServer((host, port), _Handler)
-
-
-def main() -> None:  # pragma: no cover — manual entry point
-    port = int(os.environ.get("PORT", "8080"))
-    httpd = serve(port=port)
-    print(f"ocr-engine-ray service on :{httpd.server_address[1]}")
-    try:
-        httpd.serve_forever()
-    finally:
-        httpd.server_close()
-
-
-if __name__ == "__main__":  # pragma: no cover
-    main()

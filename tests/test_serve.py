@@ -134,3 +134,39 @@ class TestServe:
         # sanity: the txt doc actually extracted the requested fields
         got = json.loads(out["a.txt"])
         assert got.get("customer_name") == "Alice Smith"
+
+    def test_no_files_400(self, server):
+        body, ctype = _multipart(
+            [("langs", None, b"en"), ("fields_to_extract", None, b"name")]
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, body, ctype)
+        assert e.value.code == 400
+
+    def test_malformed_content_length_400_not_reset(self, server):
+        import http.client
+
+        host, port = server.replace("http://", "").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=5)
+        conn.putrequest("POST", "/parse", skip_host=False)
+        conn.putheader("X-API-Key", API_KEY)
+        conn.putheader("Content-Type", "multipart/form-data; boundary=b")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        conn.close()
+
+    def test_media_501_names_the_file(self, server):
+        body, ctype = _multipart(
+            [
+                ("files", "ok.txt", b"Name: X"),
+                ("files", "scan.pdf", b"%PDF-1.4"),
+                ("langs", None, b"en,en"),
+                ("fields_to_extract", None, b"name"),
+            ]
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, body, ctype)
+        assert e.value.code == 501
+        assert json.loads(e.value.read())["file"] == "scan.pdf"
