@@ -490,3 +490,88 @@ def embedding_lsh_clusters(
                     if float(mn[i] @ mn[j]) >= threshold:
                         edges.append((int(vid[i]), int(vid[j])))
     return clusters_from_edges(edges)
+
+
+# --- IVF-PQ --------------------------------------------------------------
+
+
+def pq_codebooks_seq(sf_dir: str, *, m: int = 32, ksub: int = 32, iters: int = 3):
+    """Sequential twin of `pipelines.ann._pq_codebooks`: one plain k-means
+    per subspace over the normalized vectors, seeds = the normalized
+    sub-vectors of the ksub smallest vec_ids, per-code sums accumulated as
+    the SAME 2^-40-quantized exact integers (any summation order gives the
+    pipeline's bits)."""
+    vid, mat = _load_vecs(sf_dir)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mn = mat / norms[:, None]
+    dim = mn.shape[1]
+    ds = dim // m
+    mq = np.round(mn * KMEANS_Q).astype(np.int64)
+    cbs = np.stack(
+        [mn[:ksub, s * ds : (s + 1) * ds].copy() for s in range(m)]
+    )  # vec_id-sorted => first ksub = smallest ids
+    for _ in range(iters):
+        for s in range(m):
+            sub = mn[:, s * ds : (s + 1) * ds]
+            d = ((sub[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            sq = mq[:, s * ds : (s + 1) * ds]
+            for code in range(ksub):
+                mask = a == code
+                if mask.any():
+                    ssum = [int(x) for x in sq[mask].sum(axis=0, dtype=object)]
+                    n = int(mask.sum())
+                    cbs[s][code] = np.array(
+                        [x / (n * KMEANS_Q) for x in ssum], dtype=np.float64
+                    )
+    return cbs
+
+
+def ivfpq_topk(
+    sf_dir: str,
+    *,
+    num_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    m: int = 32,
+    ksub: int = 32,
+    pq_iters: int = 3,
+) -> list[tuple[int, int, int]]:
+    """(query_id, rank, vec_id) rows — twin of `pipelines.ann.ann_topk_ivfpq`
+    (probe the nprobe nearest inverted lists; PQ-encode every candidate;
+    score = fixed-order sum over subspaces of the per-query ADC lookup
+    table; rank by score desc, vec_id asc, self excluded)."""
+    vid, mat = _load_vecs(sf_dir)
+    c = kmeans_centroids(sf_dir, k=n_centroids, iters=iters)
+    d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    lists = d.argmin(axis=1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mn = mat / norms[:, None]
+    cbs = pq_codebooks_seq(sf_dir, m=m, ksub=ksub, iters=pq_iters)
+    ds = cbs.shape[2]
+    codes = np.empty((len(vid), m), dtype=np.int64)
+    for s in range(m):
+        sub = mn[:, s * ds : (s + 1) * ds]
+        codes[:, s] = (
+            ((sub[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        )
+    out: list[tuple[int, int, int]] = []
+    for qi in range(num_queries):  # queries = smallest vec_ids (sorted order)
+        probes = set(np.argsort(d[qi])[:nprobe].tolist())
+        cand = np.nonzero(np.isin(lists, list(probes)) & (vid != vid[qi]))[0]
+        lut = np.stack(
+            [mn[qi, s * ds : (s + 1) * ds] @ cbs[s].T for s in range(m)]
+        )  # (m, ksub)
+        sims = np.zeros(len(cand), dtype=np.float64)
+        for s in range(m):  # same fixed subspace order as the pipeline
+            sims += lut[s][codes[cand, s]]
+        ranked = sorted(
+            zip(sims.tolist(), vid[cand].tolist()), key=lambda t: (-t[0], t[1])
+        )
+        for rank, (_, v) in enumerate(ranked[:k], start=1):
+            out.append((int(vid[qi]), rank, int(v)))
+    return sorted(out)

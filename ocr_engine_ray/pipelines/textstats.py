@@ -830,3 +830,126 @@ def token_rarity_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         )
         .sort("doc_id")
     )
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan '05, public classic) --------
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 256  # buckets per row
+
+
+def _cms_buckets(tokens: list[str], depth: int, width: int) -> np.ndarray:
+    """Row-j bucket of each token: ``md5(f"{j}:{tok}")[:8 hex] % width`` —
+    the identical expression the DuckDB twin spells as
+    ``('0x' || substr(md5(j::VARCHAR || ':' || token), 1, 8))::UBIGINT % w``
+    (verified bit-equal).  Shape (depth, len(tokens))."""
+    import hashlib
+
+    out = np.empty((depth, len(tokens)), dtype=np.int64)
+    for ti, tok in enumerate(tokens):
+        b = tok.encode()
+        for j in range(depth):
+            out[j, ti] = (
+                int(hashlib.md5(b"%d:" % j + b).hexdigest()[:8], 16) % width
+            )
+    return out
+
+
+def cms_token_counts(
+    sf_dir: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    topn: int = 20,
+) -> pa.Table:
+    """Count-Min sketch over the corpus token stream, verified against the
+    exact counts of the ``topn`` most frequent tokens.
+
+    Scale shape: the sketch is a CONSTANT-size (depth x width int64) counter
+    array whose per-batch partials are pure sums — each batch emits its
+    nonzero (j, bucket, c) cells (< depth x width rows regardless of batch
+    size), one groupby folds them on-cluster, and only the folded
+    depth x width cells (a few KiB at ANY corpus size) reach the driver.
+    The estimate for a token is ``min_j counter[j, h_j(token)]`` — an upper
+    bound on its true count (the CMS guarantee), which the SQL twin
+    recomputes wholesale, so the gate pins both the sketch arithmetic and
+    the hash kernel.
+
+    The exact ``topn`` counts come from the same partial-counts-then-groupby
+    shape as ``token_frequencies`` (vocabulary-sized shuffle); at real scale
+    the sketch EXISTS to avoid that pass — here it doubles as the
+    verification surface.  Output: (token, exact_n, est_n) with
+    est_n >= exact_n always, ordered by (exact_n DESC, token).
+
+    The reference has no corpus analytics (SURVEY.md S2.6); this is part of
+    the training-data layer (frequency estimation without vocabulary state).
+    """
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        _, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        if not len(codes):
+            return pa.table(
+                {
+                    "j": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        # hash once per DISTINCT token (dictionary), count per occurrence
+        tok_counts = np.bincount(codes, minlength=len(dic)).astype(np.int64)
+        buckets = _cms_buckets(dic.to_pylist(), depth, width)  # (d, |dic|)
+        js, bs, cs = [], [], []
+        for j in range(depth):
+            cell = np.bincount(buckets[j], weights=tok_counts, minlength=width)
+            nz = np.nonzero(cell)[0]
+            js.append(np.full(len(nz), j, dtype=np.int64))
+            bs.append(nz.astype(np.int64))
+            cs.append(cell[nz].astype(np.int64))
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js)),
+                "b": pa.array(np.concatenate(bs)),
+                "c": pa.array(np.concatenate(cs)),
+            }
+        )
+
+    cells = (
+        ds.map_batches(sketch_partial, batch_format="pyarrow")
+        .groupby(["j", "b"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # <= depth x width rows: constant-size at any corpus
+    )
+    counter = np.zeros((depth, width), dtype=np.int64)
+    for r in cells:
+        counter[r["j"], r["b"]] = r["c"]
+
+    # exact top-n (verification surface; vocabulary-sized shuffle)
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        _, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        if not len(codes):
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(codes, minlength=len(dic)).astype(np.int64)
+        return pa.table({"token": dic, "n": pa.array(cnt)})
+
+    top = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="exact_n"))
+        .sort(["exact_n", "token"], descending=[True, False])
+        .limit(topn)
+        .take_all()
+    )
+    toks = [r["token"] for r in top]
+    exact = [int(r["exact_n"]) for r in top]
+    qb = _cms_buckets(toks, depth, width)
+    est = [int(counter[np.arange(depth), qb[:, ti]].min()) for ti in range(len(toks))]
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "exact_n": pa.array(exact, pa.int64()),
+            "est_n": pa.array(est, pa.int64()),
+        }
+    )

@@ -42,6 +42,7 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
         "kmeans_digest": od.clusters_digest(od.kmeans_assignments(sf_dir, k=8, iters=5)),
         "semantic_digest": od.clusters_digest(od.semantic_keep(sf_dir)),
         "ann_ivf_digest": od.topk_digest(od.ivf_topk(sf_dir)),
+        "ann_ivfpq_digest": od.topk_digest(od.ivfpq_topk(sf_dir)),
         "embedding_lsh_digest": od.clusters_digest(od.embedding_lsh_clusters(sf_dir)),
     }
 

@@ -50,6 +50,7 @@ class TestDedupDigestGates:
             "kmeans_digest",
             "semantic_digest",
             "ann_ivf_digest",
+            "ann_ivfpq_digest",
             "embedding_lsh_digest",
         ],
     )
@@ -124,6 +125,33 @@ class TestDedupDigestGates:
             for r in ann.ann_topk_ivf(SF).take_all()
         ]
         assert sorted(rows) == od.ivf_topk(SF)
+
+    def test_ivfpq_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import ann
+
+        rows = [
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in ann.ann_topk_ivfpq(SF).take_all()
+        ]
+        assert sorted(rows) == od.ivfpq_topk(SF)
+
+    def test_ivfpq_recall_floor(self, ray_session):
+        # PQ is approximate twice over (list pruning + quantization); the
+        # measured point is 0.725 vs the 0.85 exact-rerank ceiling of the
+        # nprobe=4/16 coarse quantizer — gate well below the noise band.
+        from ocr_engine_ray.pipelines import ann
+
+        truth: dict[int, set[int]] = {}
+        for r in ann.ann_topk_bruteforce(SF).take_all():
+            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+        got: dict[int, set[int]] = {}
+        for r in ann.ann_topk_ivfpq(SF).take_all():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ]
+        assert sum(recalls) / len(recalls) >= 0.6
 
     def test_hll_rows_match_oracle(self, ray_session):
         from ocr_engine_ray import oracle_dedup as od

@@ -1175,3 +1175,30 @@ class TestExpandExactGroups:
                 for r in dd._expand_exact_groups(clusters, mapping, 8).take_all()
             )
             assert got == sorted(want), f"trial {trial}"
+
+
+class TestCountMinSketch:
+    def test_bucket_hash_matches_sql_kernel(self):
+        # the md5-substr bucket expression the DuckDB twin runs, in Python
+        import hashlib
+
+        from ocr_engine_ray.pipelines.textstats import _cms_buckets
+
+        toks = ["hello", "a", "scan", "日本語"]
+        got = _cms_buckets(toks, 4, 256)
+        for ti, tok in enumerate(toks):
+            for j in range(4):
+                want = (
+                    int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:8], 16) % 256
+                )
+                assert got[j, ti] == want
+
+    def test_estimate_upper_bounds_exact(self, ray_session):
+        from ocr_engine_ray.pipelines.textstats import cms_token_counts
+
+        t = cms_token_counts("/root/testdata/sf0.001")
+        exact = t.column("exact_n").to_pylist()
+        est = t.column("est_n").to_pylist()
+        assert len(exact) == 20
+        assert all(e >= x for e, x in zip(est, exact))  # CMS never undercounts
+        assert exact == sorted(exact, reverse=True)
