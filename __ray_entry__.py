@@ -109,8 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_span_counts": extract_stats.extract_span_counts,
         "checkpointed_extract": checkpointed_extract,
         "extract_inline_chars": extract_stats.extract_inline_chars,
-        "size_class_counts": extract_stats.size_class_counts,
         "image_meta": extract_stats.image_meta,
+        "audio_frame_stats": extract_stats.audio_frame_stats,
         "rich_fields_digest": interpret.rich_fields_digest,
         "free_text_stats": interpret.free_text_stats,
         # --- config modes (§2.7: redact / translate / vocabulary) -----------
@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r03 with unchanged code (replayable via compare_oracle.py).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "size_class_counts": extract_stats.size_class_counts,
         "free_text_digest": interpret.free_text_digest,
         "vocab_fields_digest": modes.vocab_fields_digest,
         "lang_counts": extract_stats.lang_counts,
@@ -366,6 +367,27 @@ def oracle_sql() -> dict[str, str]:
                    (240 + {_h32('doc_id + i', 177)} % 800)::BIGINT AS height
             FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(i)
             WHERE doc_id % 100 BETWEEN 80 AND 89
+        """,
+        # Audio framing overlay: stand-in sample count is h32 arithmetic in
+        # doc_id; frames start every hop=160 samples while start < n, the
+        # tail window truncates to the remaining samples (win=400) — the
+        # unnest recomputes the whole per-frame plan wholesale.
+        "audio_frame_stats": f"""
+            WITH a AS (
+              SELECT doc_id,
+                     (8000 + {_h32('doc_id', 501)} % 160000)::BIGINT AS n_samples
+              FROM documents WHERE doc_id % 100 < 10
+            ),
+            f AS (
+              SELECT doc_id, n_samples, i * 160 AS start
+              FROM a, unnest(generate_series(0, (n_samples - 1) // 160)) AS t(i)
+            )
+            SELECT doc_id,
+                   any_value(n_samples) AS n_samples,
+                   16000::BIGINT AS sample_rate,
+                   count(*)::BIGINT AS n_frames,
+                   sum(least(400, n_samples - start))::BIGINT AS framed_samples
+            FROM f GROUP BY doc_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

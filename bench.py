@@ -205,6 +205,8 @@ def run_bench() -> dict:
         "temperature_rebalance": timed(sampling.temperature_rebalance),
         "token_rarity_score": timed(tsp.token_rarity_score),
         "rank_by_quality": timed(__import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).rank_by_quality),
+        "ann_topk_ivfpq": timed(ann.ann_topk_ivfpq),
+        "cms_token_counts": timed(tsp.cms_token_counts),
     }
 
     result = {

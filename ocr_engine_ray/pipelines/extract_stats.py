@@ -199,3 +199,37 @@ def image_meta(sf_dir: str) -> rd.Dataset:
         )
 
     return meta.map_batches(project, batch_format="pyarrow")
+
+
+def audio_frame_stats(sf_dir: str) -> rd.Dataset:
+    """Audio feature-framing metadata for the audio-sidecar docs (an
+    independent overlay: every doc with ``doc_id % 100 < 10`` carries one
+    audio attachment) — the multimodal actor-pool stage for the audio
+    modality, SQL-reproducible like `image_meta`.
+
+    The column-pruned read ships ONLY doc_id (the stand-in decode is
+    arithmetic); a real deployment reads the binary payload column and
+    `AudioFramer(use_fake=False)` parses it (stdlib WAV decode is live and
+    tested).  Per doc: sample count, rate, and the STFT/fbank framing plan
+    totals (25 ms window / 10 ms hop)."""
+    from ..stages.multimodal import AudioFramer
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        # doc_id % 100 < 10 (audio overlay band); doc_id >= 0 so the
+        # truncated integer divide is the modulo
+        m = pc.cast(batch.column("doc_id"), pa.int64())
+        keep = pc.less(
+            pc.subtract(m, pc.multiply(pc.divide(m, 100), 100)), pa.scalar(10)
+        )
+        return batch.filter(keep)
+
+    audio_docs = ds.map_batches(band, batch_format="pyarrow")
+    return audio_docs.map_batches(
+        AudioFramer,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).sort("doc_id")

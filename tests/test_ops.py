@@ -1202,3 +1202,58 @@ class TestCountMinSketch:
         assert len(exact) == 20
         assert all(e >= x for e, x in zip(est, exact))  # CMS never undercounts
         assert exact == sorted(exact, reverse=True)
+
+
+class TestAudioFramer:
+    def test_real_wav_decode_through_actor_stage(self, ray_session):
+        # the REAL decode path is live in this container (stdlib wave):
+        # synthesize WAV payloads, run them through the map_batches stage
+        import io
+        import struct
+        import wave
+
+        import ray.data as rd
+
+        from ocr_engine_ray.stages.multimodal import AudioFramer, audio_window_plan
+
+        def wav_bytes(n_samples: int, rate: int) -> bytes:
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(struct.pack(f"<{n_samples}h", *([0] * n_samples)))
+            return buf.getvalue()
+
+        rows = [
+            {"doc_id": 1, "media_blob": wav_bytes(16000, 16000)},  # 1 s
+            {"doc_id": 2, "media_blob": wav_bytes(123, 8000)},  # sub-window
+            {"doc_id": 3, "media_blob": wav_bytes(4001, 16000)},  # ragged tail
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in rd.from_items(rows)
+            .map_batches(
+                lambda b: AudioFramer(use_fake=False)(b), batch_format="pyarrow"
+            )
+            .take_all()
+        }
+        assert out[1]["n_samples"] == 16000 and out[1]["sample_rate"] == 16000
+        assert out[1]["n_frames"] == len(audio_window_plan(16000, 16000))
+        assert out[2]["n_samples"] == 123 and out[2]["sample_rate"] == 8000
+        plan2 = audio_window_plan(123, 8000)  # win=200 > signal, hop=80: 2 frames
+        assert out[2]["n_frames"] == len(plan2) == 2
+        assert out[2]["framed_samples"] == int(plan2[:, 1].sum()) == 123 + 43
+        # ragged tail: last window truncated, totals add up
+        plan = audio_window_plan(4001, 16000)
+        assert out[3]["n_frames"] == len(plan)
+        assert out[3]["framed_samples"] == int(plan[:, 1].sum())
+
+    def test_fake_matches_sql_arithmetic(self):
+        from ocr_engine_ray import spec
+        from ocr_engine_ray.stages.multimodal import fake_audio_samples
+
+        for num in (0, 7, 99, 12345):
+            want = 8000 + ((num + 501) * 2654435761) % 4294967296 % 160000
+            assert fake_audio_samples(num) == want
+            assert fake_audio_samples(num) == 8000 + spec.h32(num, 501) % 160000
