@@ -108,9 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "input_span_counts": extract_stats.input_span_counts,
         "extract_span_counts": extract_stats.extract_span_counts,
         "checkpointed_extract": checkpointed_extract,
-        "extract_inline_chars": extract_stats.extract_inline_chars,
         "image_meta": extract_stats.image_meta,
         "audio_frame_stats": extract_stats.audio_frame_stats,
+        "video_frame_stats": extract_stats.video_frame_stats,
         "rich_fields_digest": interpret.rich_fields_digest,
         "free_text_stats": interpret.free_text_stats,
         # --- config modes (§2.7: redact / translate / vocabulary) -----------
@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r03 with unchanged code (replayable via compare_oracle.py).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "extract_inline_chars": extract_stats.extract_inline_chars,
         "size_class_counts": extract_stats.size_class_counts,
         "free_text_digest": interpret.free_text_digest,
         "vocab_fields_digest": modes.vocab_fields_digest,
@@ -388,6 +389,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_frames,
                    sum(least(400, n_samples - start))::BIGINT AS framed_samples
             FROM f GROUP BY doc_id
+        """,
+        # Video decimation overlay: the 30->4 fps resample keeps frame
+        # round_even(i*7.5) for every i with i*7.5 < n_frames (step 7.5 is
+        # exact binary, so round_even == np.round bit-for-bit), then drops
+        # indices rounded up to n_frames — recomputed wholesale per frame.
+        "video_frame_stats": f"""
+            WITH v AS (
+              SELECT doc_id,
+                     (24 + {_h32('doc_id', 601)} % 976)::BIGINT AS n_frames
+              FROM documents WHERE doc_id % 100 >= 10 AND doc_id % 100 < 20
+            ),
+            i AS (
+              SELECT doc_id, n_frames, round_even(i * 7.5, 0)::BIGINT AS idx
+              FROM v, unnest(generate_series(0, (2 * n_frames - 1) // 15)) AS t(i)
+              WHERE 15 * i < 2 * n_frames
+            )
+            SELECT doc_id,
+                   any_value(n_frames) AS n_frames,
+                   30.0::DOUBLE AS fps_in,
+                   count(*) FILTER (WHERE idx < n_frames)::BIGINT AS n_kept,
+                   min(idx) FILTER (WHERE idx < n_frames)::BIGINT AS first_kept,
+                   max(idx) FILTER (WHERE idx < n_frames)::BIGINT AS last_kept
+            FROM i GROUP BY doc_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -233,3 +233,30 @@ def audio_frame_stats(sf_dir: str) -> rd.Dataset:
         concurrency=(1, 4),
         num_cpus=1,
     ).sort("doc_id")
+
+
+def video_frame_stats(sf_dir: str) -> rd.Dataset:
+    """Frame-sampling metadata for the video-sidecar docs (overlay band
+    ``10 <= doc_id % 100 < 20``): how many of each attachment's frames
+    survive the 30 -> 4 fps decimation (`frame_sample_plan`) — the video
+    analog of `audio_frame_stats`, same actor-pool shape, SQL-reproducible
+    (step 7.5 is exact binary, so the twin's round_even is bit-identical
+    to np.round)."""
+    from ..stages.multimodal import VideoFrameSampler
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        m = pc.cast(batch.column("doc_id"), pa.int64())
+        r = pc.subtract(m, pc.multiply(pc.divide(m, 100), 100))
+        keep = pc.and_(pc.greater_equal(r, pa.scalar(10)), pc.less(r, pa.scalar(20)))
+        return batch.filter(keep)
+
+    video_docs = ds.map_batches(band, batch_format="pyarrow")
+    return video_docs.map_batches(
+        VideoFrameSampler,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).sort("doc_id")

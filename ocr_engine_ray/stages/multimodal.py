@@ -345,3 +345,92 @@ class AudioFramer:
             },
             schema=AUDIO_META_SCHEMA,
         )
+
+
+VIDEO_META_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_frames", pa.int64()),
+        ("fps_in", pa.float64()),
+        ("n_kept", pa.int64()),
+        ("first_kept", pa.int64()),
+        ("last_kept", pa.int64()),
+    ]
+)
+
+VIDEO_FAKE_FPS = 30.0
+VIDEO_FAKE_SALT = 601
+VIDEO_FAKE_BASE = 24  # >= 0.8 s of 30 fps video
+VIDEO_FAKE_SPAN = 976  # up to ~33 s
+VIDEO_TARGET_FPS = 4.0  # step 7.5 — exact in binary, so the SQL twin's
+#                         round_even(i * 7.5) is bit-identical to np.round
+
+
+def fake_video_frames(doc_num: int) -> int:
+    """Deterministic stand-in video frame count (SQL-reproducible h32
+    arithmetic, like `fake_audio_samples`)."""
+    return VIDEO_FAKE_BASE + spec.h32(doc_num, VIDEO_FAKE_SALT) % VIDEO_FAKE_SPAN
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sampling stage: ``map_batches(VideoFrameSampler,
+    concurrency=N)`` — computes the `frame_sample_plan` resample (which
+    frame indices survive an fps_in -> fps_out decimation) per video
+    attachment and emits the plan totals.
+
+    A real deployment would pass ``use_fake=False`` plus a container
+    prober in ``_probe_real`` (ffprobe/pyav — not in this container, so
+    that seam raises ``NotImplementedError`` honestly); the plan
+    arithmetic, batching and output schema — the Ray-side plumbing — are
+    identical on both paths and are what this stage pins down.
+    """
+
+    def __init__(
+        self,
+        use_fake: bool = True,
+        *,
+        fps_out: float = VIDEO_TARGET_FPS,
+    ):
+        self.use_fake = use_fake
+        self.fps_out = fps_out
+
+    @staticmethod
+    def _probe_real(blob: bytes) -> tuple[int, float]:
+        """(n_frames, fps) of a real container — needs pyav/ffprobe."""
+        raise NotImplementedError(
+            "Real video probing needs pyav/ffprobe, which this container "
+            "does not ship; construct VideoFrameSampler(use_fake=True)."
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        if self.use_fake:
+            probed = [(fake_video_frames(d), VIDEO_FAKE_FPS) for d in doc_ids]
+        else:
+            if "media_blob" not in batch.column_names:
+                raise ValueError(
+                    "VideoFrameSampler(use_fake=False) requires a media_blob "
+                    "binary column carrying the video bytes"
+                )
+            probed = [
+                self._probe_real(b) for b in batch.column("media_blob").to_pylist()
+            ]
+        nf, fps, nk, fk, lk = [], [], [], [], []
+        for n_frames, fps_in in probed:
+            idx = frame_sample_plan(n_frames, fps_in, self.fps_out)
+            nf.append(n_frames)
+            fps.append(fps_in)
+            nk.append(len(idx))
+            fk.append(int(idx[0]) if len(idx) else -1)
+            lk.append(int(idx[-1]) if len(idx) else -1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_frames": pa.array(nf, pa.int64()),
+                "fps_in": pa.array(fps, pa.float64()),
+                "n_kept": pa.array(nk, pa.int64()),
+                "first_kept": pa.array(fk, pa.int64()),
+                "last_kept": pa.array(lk, pa.int64()),
+            },
+            schema=VIDEO_META_SCHEMA,
+        )

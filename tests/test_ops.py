@@ -1257,3 +1257,40 @@ class TestAudioFramer:
             want = 8000 + ((num + 501) * 2654435761) % 4294967296 % 160000
             assert fake_audio_samples(num) == want
             assert fake_audio_samples(num) == 8000 + spec.h32(num, 501) % 160000
+
+
+class TestVideoFrameSampler:
+    def test_plan_totals_through_actor_stage(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_engine_ray.stages.multimodal import (
+            VideoFrameSampler,
+            fake_video_frames,
+            frame_sample_plan,
+        )
+
+        rows = [{"doc_id": d} for d in (10, 113, 9917)]
+        out = {
+            r["doc_id"]: r
+            for r in rd.from_items(rows)
+            .map_batches(VideoFrameSampler, batch_format="pyarrow", concurrency=1)
+            .take_all()
+        }
+        for d in (10, 113, 9917):
+            n = fake_video_frames(d)
+            idx = frame_sample_plan(n, 30.0, 4.0)
+            assert out[d]["n_frames"] == n
+            assert out[d]["n_kept"] == len(idx)
+            assert out[d]["first_kept"] == int(idx[0])
+            assert out[d]["last_kept"] == int(idx[-1])
+            # decimation keeps ~4/30 of frames
+            assert abs(len(idx) - n * 4 / 30) <= 1
+
+    def test_real_probe_is_an_honest_seam(self):
+        import pytest as _pytest
+
+        from ocr_engine_ray.stages.multimodal import VideoFrameSampler
+
+        with _pytest.raises(NotImplementedError):
+            VideoFrameSampler._probe_real(b"\x00\x00")
