@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_stats,
         interpret,
         joins,
+        lm,
         modes,
         packing,
         sampling,
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": tsp.heavy_hitters,
         "cms_token_counts": tsp.cms_token_counts,
         "token_rarity_score": tsp.token_rarity_score,
+        "bigram_logprob_score": lm.bigram_logprob_score,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_digest": tsp.approx_distinct_digest,
         "langid_counts": tsp.langid_counts,
@@ -121,7 +123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_digest": dedup.minhash_digest,
         "simhash_digest": dedup.simhash_digest,
-        "winnow_digest": dedup.winnow_digest,
         # paragraph_dedup is new in round 4 (never driver-gated): it takes
         # the slot of lang_counts, which is green in both r02 and r03.
         # cms_token_counts and ann_ivfpq_digest (new this round) take the
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r03 with unchanged code (replayable via compare_oracle.py).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "winnow_digest": dedup.winnow_digest,
         "extract_inline_chars": extract_stats.extract_inline_chars,
         "size_class_counts": extract_stats.size_class_counts,
         "free_text_digest": interpret.free_text_digest,
@@ -640,6 +642,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*)::BIGINT AS n_occurrences
             FROM toks CROSS JOIN n
             GROUP BY token, n.n HAVING count(*) > any_value(n.n) / 256
+        """,
+        # Bigram LM scoring, recomputed WHOLESALE in SQL: all counts are
+        # integers; the only float is ln(p), and each distinct (w1,w2) term
+        # is quantized ONCE to round_even(ln(p)*2^40) — DuckDB ln == numpy
+        # log (same libm, the tfidf contract), the 2^40 scale is a power of
+        # two, and round_even == np.round — so per-doc scores are exact
+        # integer sums, bit-identical to the bucketed distributed pass.
+        "bigram_logprob_score": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents WHERE trim(text) <> ''
+            ),
+            big AS (
+              SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+              FROM toks, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+              WHERE len(arr) >= 2
+            ),
+            c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM big GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT token)::BIGINT AS v
+              FROM (SELECT unnest(arr) AS token FROM toks)
+            ),
+            term AS (
+              SELECT w1, w2,
+                     round_even(
+                       ln((c12 + 1)::DOUBLE / (c1.c1 + v.v)) * 1099511627776.0, 0
+                     )::BIGINT AS q
+              FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+            )
+            SELECT b.doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   sum(t.q)::BIGINT AS logprob_q,
+                   round_even(
+                     sum(t.q)::DOUBLE / count(*) / 1099511627776.0, 6
+                   ) AS avg_logprob
+            FROM big b JOIN term t USING (w1, w2)
+            GROUP BY b.doc_id
         """,
         # Count-Min sketch, recomputed WHOLESALE in SQL: every (row j,
         # bucket) counter cell is a pure sum over the token stream with the

@@ -207,6 +207,9 @@ def run_bench() -> dict:
         "rank_by_quality": timed(__import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).rank_by_quality),
         "ann_topk_ivfpq": timed(ann.ann_topk_ivfpq),
         "cms_token_counts": timed(tsp.cms_token_counts),
+        "bigram_logprob_score": timed(
+            __import__("ocr_engine_ray.pipelines.lm", fromlist=["x"]).bigram_logprob_score
+        ),
     }
 
     result = {

@@ -1,0 +1,207 @@
+"""N-gram language-model scoring over the ``documents`` table.
+
+Perplexity-style LM filtering is a standard web-corpus curation step (CCNet,
+Wenzek et al. 2020, trains a 5-gram KenLM and buckets documents by
+perplexity; Gopher/RefinedWeb apply the same shape).  This module implements
+the distributed version with a self-trained add-one-smoothed bigram model:
+
+    score(doc) = sum over adjacent token pairs of ln P(w2 | w1)
+    P(w2 | w1) = (c(w1,w2) + 1) / (c(w1,*) + V)
+
+Everything is count arithmetic except the ``ln`` — and each distinct
+(w1, w2) term is quantized ONCE to ``round_even(ln(p) * 2^40)`` int64, so
+per-doc scores are EXACT integer sums (order-free, batch-independent) and
+the DuckDB twin reproduces them bit-for-bit (DuckDB ``ln`` and numpy
+``log`` are the same libm call — the tfidf wholesale-float contract — and
+the 2^40 scale is a power of two, so the quantization grid is identical).
+
+Scale shape — the model is never materialized on the driver:
+
+1. one vocabulary pass for V (exact distinct tokens; at 10^12 docs this
+   becomes the HLL estimate — the smoothing denominator tolerates it);
+2. one corpus pass explodes per-(doc, w1, w2) bigram multiplicities keyed
+   by ``crc32(w1) % num_buckets`` — every bigram of a given context lands
+   in one bucket, so the bucket computes c(w1,w2), c(w1,*) AND each doc's
+   bucket-local quantized log-prob partial in the same group (the
+   `token_rarity_score` pattern: counts and contributions co-located, no
+   vocabulary broadcast, no join infrastructure);
+3. a doc_id groupby sums the <= num_buckets partials per doc.
+
+A pathologically hot context (one w1 owning most bigrams) concentrates its
+bucket; at web scale that bucket splits into a two-level combine keyed by
+(w1, w2-range) — same trick as the salted hot keys in the joins module.
+Documents with fewer than two tokens produce no row (no bigrams), matching
+the SQL twin.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..sources.tables import sf_table
+from .textstats import _token_occurrences
+
+LM_Q = float(1 << 40)  # fixed-point quantum for the per-term ln values
+
+
+def _vocab_size(ds: rd.Dataset) -> int:
+    """Exact distinct-token count (the smoothing denominator V)."""
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        _, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        return pa.table({"token": dic if len(codes) else dic[:0]})
+
+    return (
+        ds.map_batches(distinct_tokens, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="_n"))
+        .count()
+    )
+
+
+def bigram_logprob_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Per-doc add-one-smoothed bigram log-probability (LM quality signal).
+
+    Returns (doc_id, n_bigrams, logprob_q, avg_logprob) sorted by doc_id,
+    where ``logprob_q`` is the exact integer sum of 2^-40-quantized
+    ln-probability terms and ``avg_logprob`` its rounded float surface.
+    """
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab_v = _vocab_size(ds)
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int32()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if len(rows) < 2:
+            return empty
+        adj = rows[1:] == rows[:-1]  # consecutive occurrences in the same doc
+        if not adj.any():
+            return empty
+        w1c = codes[:-1][adj]
+        w2c = codes[1:][adj]
+        drow = rows[:-1][adj]
+        # compress per-(doc, w1, w2) multiplicities before the shuffle
+        nd = len(dic)
+        key = (drow.astype(np.int64) * nd + w1c) * nd + w2c
+        ukey, cnt = np.unique(key, return_counts=True)
+        uw2 = (ukey % nd).astype(np.int64)
+        uw1 = ((ukey // nd) % nd).astype(np.int64)
+        urow = (ukey // (nd * nd)).astype(np.int64)
+        crc = np.fromiter(
+            (zlib.crc32(t.encode()) % num_buckets for t in dic.to_pylist()),
+            dtype=np.int32,
+            count=nd,
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(crc[uw1]),
+                "w1": pc.take(dic, pa.array(uw1)),
+                "w2": pc.take(dic, pa.array(uw2)),
+                "doc_id": pa.array(dids[urow], pa.int64()),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def bucket_score(group: pa.Table) -> pa.Table:
+        w1 = np.asarray(group.column("w1").to_pylist(), dtype=object)
+        w2 = np.asarray(group.column("w2").to_pylist(), dtype=object)
+        docs = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        cs = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        # id-encode (w1, w2) pairs and w1 contexts via one stable lexsort
+        pair = np.array([a + "\x1f" + b for a, b in zip(w1, w2)], dtype=object)
+        order = np.argsort(pair, kind="stable")
+        sp = pair[order]
+        new = (
+            np.concatenate([[True], sp[1:] != sp[:-1]])
+            if len(sp)
+            else np.array([], bool)
+        )
+        pid_sorted = np.cumsum(new) - 1
+        pid = np.empty(len(pair), dtype=np.int64)
+        pid[order] = pid_sorted
+        starts = np.nonzero(new)[0]
+        c12 = np.add.reduceat(cs[order], starts)  # per distinct pair, pid order
+        # context totals c(w1,*): sum c12 over pairs sharing w1
+        w1_of_pair = w1[order][starts]
+        o1 = np.argsort(w1_of_pair, kind="stable")
+        s1 = w1_of_pair[o1]
+        new1 = (
+            np.concatenate([[True], s1[1:] != s1[:-1]])
+            if len(s1)
+            else np.array([], bool)
+        )
+        ctx_sorted = np.cumsum(new1) - 1
+        ctx_of_pair = np.empty(len(w1_of_pair), dtype=np.int64)
+        ctx_of_pair[o1] = ctx_sorted
+        c1 = np.zeros(int(ctx_sorted[-1]) + 1 if len(s1) else 0, dtype=np.int64)
+        np.add.at(c1, ctx_of_pair, c12)
+        # quantized term per distinct pair: round_even(ln((c12+1)/(c1+V))*2^40)
+        q = np.round(
+            np.log((c12 + 1.0) / (c1[ctx_of_pair] + float(vocab_v))) * LM_Q
+        ).astype(np.int64)
+        contrib = cs * q[pid]
+        # per-doc bucket partials
+        dorder = np.argsort(docs, kind="stable")
+        sd = docs[dorder]
+        cuts = np.nonzero(np.diff(sd))[0] + 1
+        dstarts = (
+            np.concatenate([[0], cuts]).astype(np.int64)
+            if len(sd)
+            else np.array([], np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[dstarts] if len(sd) else sd),
+                "logprob_q": pa.array(
+                    np.add.reduceat(contrib[dorder], dstarts)
+                    if len(sd)
+                    else contrib
+                ),
+                "n_bigrams": pa.array(
+                    np.add.reduceat(cs[dorder], dstarts) if len(sd) else cs
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(explode_bigrams, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(bucket_score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("logprob_q", alias_name="logprob_q"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lq = batch.column("logprob_q").combine_chunks().to_numpy(zero_copy_only=False)
+        nb = batch.column("n_bigrams").combine_chunks().to_numpy(zero_copy_only=False)
+        # int64 -> float64 conversion and the two divides are single IEEE
+        # operations (exact-same in DuckDB); round half-to-even == round_even
+        avg = [round(float(a) / float(b) / LM_Q, 6) for a, b in zip(lq, nb)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": batch.column("n_bigrams").cast(pa.int64()),
+                "logprob_q": batch.column("logprob_q").cast(pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")

@@ -1294,3 +1294,57 @@ class TestVideoFrameSampler:
 
         with _pytest.raises(NotImplementedError):
             VideoFrameSampler._probe_real(b"\x00\x00")
+
+
+class TestBigramLogprob:
+    def test_bucket_count_invariance(self, ray_session):
+        # the w1-bucket shuffle must not affect the exact integer scores
+        from ocr_engine_ray.pipelines.lm import bigram_logprob_score
+
+        a = {
+            r["doc_id"]: (r["n_bigrams"], r["logprob_q"], r["avg_logprob"])
+            for r in bigram_logprob_score(
+                "/root/testdata/sf0.001", num_buckets=3
+            ).take_all()
+        }
+        b = {
+            r["doc_id"]: (r["n_bigrams"], r["logprob_q"], r["avg_logprob"])
+            for r in bigram_logprob_score(
+                "/root/testdata/sf0.001", num_buckets=64
+            ).take_all()
+        }
+        assert a == b and len(a) == 500
+
+    def test_hand_computed_micro_corpus(self, ray_session, tmp_path):
+        # corpus: "a b a b" and "a c" -> bigrams (a,b)x2, (b,a)x1, (a,c)x1
+        # V=3; c(a,*)=3, c(b,*)=1
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.lm import LM_Q, bigram_logprob_score
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a b a b", "a c"], pa.string()),
+                    "lang": pa.array(["en", "en"], pa.string()),
+                    "source": pa.array(["s", "s"], pa.string()),
+                    "n_chars": pa.array([7, 3], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        out = {r["doc_id"]: r for r in bigram_logprob_score(str(d)).take_all()}
+        q_ab = round(math.log((2 + 1) / (3 + 3)) * LM_Q)
+        q_ba = round(math.log((1 + 1) / (1 + 3)) * LM_Q)
+        q_ac = round(math.log((1 + 1) / (3 + 3)) * LM_Q)
+        assert out[1]["n_bigrams"] == 3
+        assert out[1]["logprob_q"] == 2 * q_ab + q_ba
+        assert out[2]["n_bigrams"] == 1
+        assert out[2]["logprob_q"] == q_ac
+        assert out[2]["avg_logprob"] == round(q_ac / 1 / LM_Q, 6)
