@@ -182,7 +182,25 @@ def _assign_batch(batch: pa.Table, cref) -> tuple[np.ndarray, np.ndarray]:
 _KMEANS_Q = 1 << 40  # fixed-point quantum for exact centroid accumulation
 
 
-def _kmeans_centroids(emb: rd.Dataset, *, k: int, iters: int) -> np.ndarray:
+
+def _smallest_rows(emb: rd.Dataset, n: int) -> list[dict]:
+    """The n rows with the smallest vec_ids via per-batch partial top-n —
+    only ``n x blocks`` rows reach the driver.  Shared by the k-means /
+    PQ seed selection and the deterministic query set so callers fetch
+    the prefix ONCE per pipeline instead of once per consumer."""
+
+    def _k_smallest(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        idx = np.argsort(vid)[:n]
+        return batch.take(pa.array(idx, pa.int64()))
+
+    return sorted(
+        emb.map_batches(_k_smallest, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"],
+    )[:n]
+
+
+def _kmeans_centroids(emb: rd.Dataset, *, k: int, iters: int, seed_rows: list[dict] | None = None) -> np.ndarray:
     """The deterministic broadcast/partial-aggregate k-means iteration; the
     driver folds only ``k × blocks`` partial (sum, count) rows per round.
 
@@ -207,16 +225,11 @@ def _kmeans_centroids(emb: rd.Dataset, *, k: int, iters: int) -> np.ndarray:
     if not isinstance(emb, MaterializedDataset):
         emb = emb.materialize()
 
-    def _k_smallest(batch: pa.Table) -> pa.Table:
-        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        idx = np.argsort(vid)[:k]
-        return batch.take(pa.array(idx, pa.int64()))
-
-    seed_rows = sorted(
-        emb.map_batches(_k_smallest, batch_format="pyarrow").take_all(),
-        key=lambda r: r["vec_id"],
-    )[:k]
-    centroids = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    if seed_rows is None:
+        seed_rows = _smallest_rows(emb, k)
+    centroids = np.array(
+        [r["embedding"] for r in seed_rows[:k]], dtype=np.float64
+    )
 
     for _ in range(iters):
         cref = ray.put(centroids)
@@ -546,7 +559,12 @@ PQ_KSUB = 32  # codes per subspace
 
 
 def _pq_codebooks(
-    emb: rd.Dataset, *, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 3
+    emb: rd.Dataset,
+    *,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 3,
+    seed_rows: list[dict] | None = None,
 ) -> np.ndarray:
     """Product-quantizer codebooks over the NORMALIZED vectors: one
     deterministic k-means per subspace, all ``m`` trained in the same
@@ -565,16 +583,9 @@ def _pq_codebooks(
     if not isinstance(emb, MaterializedDataset):
         emb = emb.materialize()
 
-    def _k_smallest(batch: pa.Table) -> pa.Table:
-        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        idx = np.argsort(vid)[:ksub]
-        return batch.take(pa.array(idx, pa.int64()))
-
-    seed_rows = sorted(
-        emb.map_batches(_k_smallest, batch_format="pyarrow").take_all(),
-        key=lambda r: r["vec_id"],
-    )[:ksub]
-    seed = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    if seed_rows is None:
+        seed_rows = _smallest_rows(emb, ksub)
+    seed = np.array([r["embedding"] for r in seed_rows[:ksub]], dtype=np.float64)
     sn = np.linalg.norm(seed, axis=1)
     sn[sn == 0] = 1.0
     seed = seed / sn[:, None]
@@ -677,10 +688,18 @@ def ann_topk_ivfpq(
     fixed-order sum of ``m`` LUT floats, ties rank by vec_id.
     """
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
-    coarse = _kmeans_centroids(emb, k=n_centroids, iters=iters)
-    cbs = _pq_codebooks(emb, m=m, ksub=ksub, iters=pq_iters)
+    # ONE partial-top-n prefix fetch feeds the coarse seeds, the PQ seeds
+    # and the query set (all are smallest-vec_id prefixes)
+    prefix = _smallest_rows(emb, max(n_centroids, ksub, num_queries))
+    coarse = _kmeans_centroids(emb, k=n_centroids, iters=iters, seed_rows=prefix)
+    cbs = _pq_codebooks(emb, m=m, ksub=ksub, iters=pq_iters, seed_rows=prefix)
     ds_ = cbs.shape[2]
-    qids, qmat, qraw = _load_queries(sf_dir, num_queries, emb=emb)
+    qrows = prefix[:num_queries]
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qraw = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qraw, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qraw / qn[:, None]
     qd = ((qraw[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
     probe_of_list: dict[int, list[int]] = {}
     for qi in range(len(qids)):
