@@ -122,33 +122,27 @@ def bigram_logprob_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         w2 = np.asarray(group.column("w2").to_pylist(), dtype=object)
         docs = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
         cs = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
-        # id-encode (w1, w2) pairs and w1 contexts via one stable lexsort
-        pair = np.array([a + "\x1f" + b for a, b in zip(w1, w2)], dtype=object)
-        order = np.argsort(pair, kind="stable")
-        sp = pair[order]
+        # id-encode w1/w2 separately, pair key = integer composite (a string
+        # join key would be ambiguous: tokens may contain any non-whitespace
+        # byte, including a would-be separator)
+        uw1, iw1 = np.unique(w1, return_inverse=True)
+        uw2, iw2 = np.unique(w2, return_inverse=True)
+        pkey = iw1.astype(np.int64) * max(len(uw2), 1) + iw2
+        order = np.argsort(pkey, kind="stable")
+        sp = pkey[order]
         new = (
             np.concatenate([[True], sp[1:] != sp[:-1]])
             if len(sp)
             else np.array([], bool)
         )
         pid_sorted = np.cumsum(new) - 1
-        pid = np.empty(len(pair), dtype=np.int64)
+        pid = np.empty(len(pkey), dtype=np.int64)
         pid[order] = pid_sorted
         starts = np.nonzero(new)[0]
         c12 = np.add.reduceat(cs[order], starts)  # per distinct pair, pid order
         # context totals c(w1,*): sum c12 over pairs sharing w1
-        w1_of_pair = w1[order][starts]
-        o1 = np.argsort(w1_of_pair, kind="stable")
-        s1 = w1_of_pair[o1]
-        new1 = (
-            np.concatenate([[True], s1[1:] != s1[:-1]])
-            if len(s1)
-            else np.array([], bool)
-        )
-        ctx_sorted = np.cumsum(new1) - 1
-        ctx_of_pair = np.empty(len(w1_of_pair), dtype=np.int64)
-        ctx_of_pair[o1] = ctx_sorted
-        c1 = np.zeros(int(ctx_sorted[-1]) + 1 if len(s1) else 0, dtype=np.int64)
+        ctx_of_pair = (sp[starts] // max(len(uw2), 1)).astype(np.int64)
+        c1 = np.zeros(len(uw1), dtype=np.int64)
         np.add.at(c1, ctx_of_pair, c12)
         # quantized term per distinct pair: round_even(ln((c12+1)/(c1+V))*2^40)
         q = np.round(

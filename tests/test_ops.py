@@ -1348,3 +1348,34 @@ class TestBigramLogprob:
         assert out[2]["n_bigrams"] == 1
         assert out[2]["logprob_q"] == q_ac
         assert out[2]["avg_logprob"] == round(q_ac / 1 / LM_Q, 6)
+
+    def test_control_char_tokens_stay_distinct_pairs(self, ray_session, tmp_path):
+        # \x1f is NOT RE2 whitespace, so tokens can contain it; the pairs
+        # ("a\x1f","b") and ("a","\x1fb") must not merge (a string-joined
+        # pair key would collide — regression for the integer pair encoding)
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_engine_ray.pipelines.lm import LM_Q, bigram_logprob_score
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a\x1f b", "a \x1fb"], pa.string()),
+                    "lang": pa.array(["en", "en"], pa.string()),
+                    "source": pa.array(["s", "s"], pa.string()),
+                    "n_chars": pa.array([4, 4], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        out = {r["doc_id"]: r for r in bigram_logprob_score(str(d)).take_all()}
+        # V=4 distinct tokens; each bigram unique: c12=1, c(w1,*)=1
+        q = round(math.log((1 + 1) / (1 + 4)) * LM_Q)
+        assert out[1]["logprob_q"] == q
+        assert out[2]["logprob_q"] == q
