@@ -125,9 +125,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_digest": dedup.simhash_digest,
         # paragraph_dedup is new in round 4 (never driver-gated): it takes
         # the slot of lang_counts, which is green in both r02 and r03.
-        # cms_token_counts and ann_ivfpq_digest (new this round) take the
-        # slots of free_text_digest and vocab_fields_digest, both green in
-        # r03 with unchanged code (replayable via compare_oracle.py).
+        # The five other round-4 queries (cms_token_counts, ann_ivfpq_digest,
+        # audio_frame_stats, video_frame_stats, bigram_logprob_score) take
+        # the slots of free_text_digest, vocab_fields_digest,
+        # size_class_counts, extract_inline_chars and winnow_digest — all
+        # green in r03 with unchanged code (replayable via
+        # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "winnow_digest": dedup.winnow_digest,
