@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": tsp.cms_token_counts,
         "token_rarity_score": tsp.token_rarity_score,
         "bigram_logprob_score": lm.bigram_logprob_score,
+        "perplexity_buckets": lm.perplexity_buckets,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_digest": tsp.approx_distinct_digest,
         "langid_counts": tsp.langid_counts,
@@ -120,7 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_redact_inline": modes.mode_redact_inline,
         "intake_vocabulary": modes.intake_vocabulary,
         # --- dedup digests ----------------------------------------------------
-        "exact_dedup": dedup.exact_dedup,
         "minhash_digest": dedup.minhash_digest,
         "simhash_digest": dedup.simhash_digest,
         # paragraph_dedup is new in round 4 (never driver-gated): it takes
@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "exact_dedup": dedup.exact_dedup,
         "winnow_digest": dedup.winnow_digest,
         "extract_inline_chars": extract_stats.extract_inline_chars,
         "size_class_counts": extract_stats.size_class_counts,
@@ -683,6 +684,56 @@ def oracle_sql() -> dict[str, str]:
                    ) AS avg_logprob
             FROM big b JOIN term t USING (w1, w2)
             GROUP BY b.doc_id
+        """,
+        # CCNet head/middle/tail perplexity bucketing: the scoring CTEs are
+        # the bigram_logprob_score twin verbatim; the split is rank
+        # arithmetic (row_number + integer thirds), so only the already-
+        # gated avg_logprob floats enter the ORDER BY (doc_id tie-break).
+        "perplexity_buckets": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents WHERE trim(text) <> ''
+            ),
+            big AS (
+              SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+              FROM toks, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+              WHERE len(arr) >= 2
+            ),
+            c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM big GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT token)::BIGINT AS v
+              FROM (SELECT unnest(arr) AS token FROM toks)
+            ),
+            term AS (
+              SELECT w1, w2,
+                     round_even(
+                       ln((c12 + 1)::DOUBLE / (c1.c1 + v.v)) * 1099511627776.0, 0
+                     )::BIGINT AS q
+              FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+            ),
+            score AS (
+              SELECT b.doc_id,
+                     round_even(
+                       sum(t.q)::DOUBLE / count(*) / 1099511627776.0, 6
+                     ) AS avg_logprob
+              FROM big b JOIN term t USING (w1, w2)
+              GROUP BY b.doc_id
+            ),
+            r AS (
+              SELECT s.doc_id, d.source, s.avg_logprob,
+                     row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY s.avg_logprob DESC, s.doc_id
+                     ) AS rank_in_source,
+                     count(*) OVER (PARTITION BY d.source) AS n
+              FROM score s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, source, avg_logprob, rank_in_source,
+                   CASE WHEN 3 * (rank_in_source - 1) < n THEN 'head'
+                        WHEN 3 * (rank_in_source - 1) < 2 * n THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM r
         """,
         # Count-Min sketch, recomputed WHOLESALE in SQL: every (row j,
         # bucket) counter cell is a pure sum over the token stream with the

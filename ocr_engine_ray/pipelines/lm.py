@@ -65,13 +65,9 @@ def _vocab_size(ds: rd.Dataset) -> int:
     )
 
 
-def bigram_logprob_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
-    """Per-doc add-one-smoothed bigram log-probability (LM quality signal).
-
-    Returns (doc_id, n_bigrams, logprob_q, avg_logprob) sorted by doc_id,
-    where ``logprob_q`` is the exact integer sum of 2^-40-quantized
-    ln-probability terms and ``avg_logprob`` its rounded float surface.
-    """
+def _score_dataset(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """(doc_id, n_bigrams, logprob_q, avg_logprob), UNSORTED — the shared
+    core of `bigram_logprob_score` and `perplexity_buckets`."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     vocab_v = _vocab_size(ds)
 
@@ -198,4 +194,105 @@ def bigram_logprob_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bigram_logprob_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Per-doc add-one-smoothed bigram log-probability (LM quality signal).
+
+    Returns (doc_id, n_bigrams, logprob_q, avg_logprob) sorted by doc_id,
+    where ``logprob_q`` is the exact integer sum of 2^-40-quantized
+    ln-probability terms and ``avg_logprob`` its rounded float surface.
+    """
+    return _score_dataset(sf_dir, num_buckets=num_buckets).sort("doc_id")
+
+
+PPL_RANK_BUCKETS = 64
+PPL_RANGE = 20.0  # |avg ln p| support for the order-preserving rank buckets
+
+
+def perplexity_buckets(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """CCNet head/middle/tail split: rank every doc within its source by
+    LM score (best = most probable text first) and label the top / middle /
+    bottom thirds — the bucketing CCNet (Wenzek et al. 2020) uses to select
+    training data by LM perplexity.
+
+    Scale shape: the scores come from `_score_dataset` (one bucketed
+    shuffle), sources attach via ONE hash-partitioned `Dataset.join` on
+    doc_id (both sides narrow projections), and the per-source rank is the
+    same two-pass prefix-sum as `rank_by_quality` — per-(source, scorebucket)
+    counts give exclusive offsets, each bucket sorts locally; no global
+    sort, no corpus on the driver.  Docs with fewer than two tokens carry
+    no score and are absent (as in the SQL twin).
+
+    Returns (doc_id, source, avg_logprob, rank_in_source, ppl_bucket)
+    sorted by doc_id.
+    """
+    scores = _score_dataset(sf_dir, num_buckets=num_buckets)
+    srcs = sf_table(sf_dir, "documents", columns=["doc_id", "source"])
+    joined = scores.join(
+        srcs,
+        join_type="inner",
+        num_partitions=16,
+        on=("doc_id",),
+        validate_schemas=True,
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        avg = batch.column("avg_logprob").combine_chunks().to_numpy(zero_copy_only=False)
+        # order-preserving coarse key for DESCENDING avg_logprob: -avg is
+        # ascending; clip to the [0, PPL_RANGE) support
+        bkt = np.clip(
+            (-avg * (PPL_RANK_BUCKETS / PPL_RANGE)).astype(np.int64),
+            0,
+            PPL_RANK_BUCKETS - 1,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "avg_logprob": batch.column("avg_logprob"),
+                "rbkt": pa.array(bkt),
+            }
+        )
+
+    keyed_ds = joined.map_batches(keyed, batch_format="pyarrow").materialize()
+    parts = (
+        keyed_ds.groupby(["source", "rbkt"]).aggregate(Count(alias_name="n")).take_all()
+    )
+    offsets: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for r in sorted(parts, key=lambda r: (r["source"], r["rbkt"])):
+        offsets[(r["source"], r["rbkt"])] = totals.get(r["source"], 0)
+        totals[r["source"]] = totals.get(r["source"], 0) + r["n"]
+    import ray
+
+    ref = ray.put((offsets, totals))
+
+    def rank(group: pa.Table) -> pa.Table:
+        offs, tots = ray.get(ref)
+        ids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        avg = group.column("avg_logprob").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -avg))  # avg DESC, doc_id ASC
+        src = group.column("source")[0].as_py()
+        base = offs[(src, group.column("rbkt")[0].as_py())]
+        n = tots[src]
+        rk = np.empty(len(ids), dtype=np.int64)
+        rk[order] = base + np.arange(1, len(ids) + 1)
+        third = 3 * (rk - 1)
+        label = np.where(third < n, "head", np.where(third < 2 * n, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": pa.array(np.full(len(ids), src, dtype=object), pa.string()),
+                "avg_logprob": pa.array(avg),
+                "rank_in_source": pa.array(rk),
+                "ppl_bucket": pa.array(label.astype(object), pa.string()),
+            }
+        )
+
+    return (
+        keyed_ds.groupby(["source", "rbkt"])
+        .map_groups(rank, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -1379,3 +1379,23 @@ class TestBigramLogprob:
         q = round(math.log((1 + 1) / (1 + 4)) * LM_Q)
         assert out[1]["logprob_q"] == q
         assert out[2]["logprob_q"] == q
+
+    def test_perplexity_buckets_are_balanced_thirds(self, ray_session):
+        from collections import Counter
+
+        from ocr_engine_ray.pipelines.lm import perplexity_buckets
+
+        rows = perplexity_buckets("/root/testdata/sf0.001").take_all()
+        assert len(rows) == 500
+        per_src: dict[str, Counter] = {}
+        ranks: dict[str, list[int]] = {}
+        for r in rows:
+            per_src.setdefault(r["source"], Counter())[r["ppl_bucket"]] += 1
+            ranks.setdefault(r["source"], []).append(r["rank_in_source"])
+        for src, c in per_src.items():
+            n = sum(c.values())
+            # integer thirds: each bucket holds floor/ceil(n/3)
+            assert set(c) <= {"head", "middle", "tail"}
+            assert max(c.values()) - min(c.values()) <= 1
+            # ranks are a permutation of 1..n (the prefix-sum rank is dense)
+            assert sorted(ranks[src]) == list(range(1, n + 1))
