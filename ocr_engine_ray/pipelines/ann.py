@@ -812,3 +812,163 @@ def ann_ivfpq_digest(sf_dir: str, **kwargs) -> pa.Table:
 
     ds = res if isinstance(res, rd.Dataset) else rd.from_arrow(res)
     return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+
+
+def pq_encode(
+    sf_dir: str,
+    *,
+    n_centroids: int = 16,
+    iters: int = 3,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iters: int = 3,
+) -> tuple[rd.Dataset, np.ndarray, np.ndarray]:
+    """Encode the corpus once into its at-scale ANN layout: a codes table
+    (vec_id, list_id, codes uint8[m]) plus the small model (coarse
+    centroids, PQ codebooks).  At 100 TB this is the persisted artifact —
+    vectors are encoded once and every subsequent query set searches the
+    8x-smaller codes table (`ann_search_codes`) without touching the raw
+    embeddings.  Returns (codes_dataset, coarse, codebooks)."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    prefix = _smallest_rows(emb, max(n_centroids, ksub))
+    coarse = _kmeans_centroids(emb, k=n_centroids, iters=iters, seed_rows=prefix)
+    cbs = _pq_codebooks(emb, m=m, ksub=ksub, iters=pq_iters, seed_rows=prefix)
+    ds_ = cbs.shape[2]
+    ref = ray.put((coarse, cbs))
+
+    def encode(batch: pa.Table, *, ref) -> pa.Table:
+        cents, bcbs = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "list_id": pa.array([], pa.int32()),
+                    "codes": pa.array([], pa.list_(pa.uint8())),
+                }
+            )
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lists = d.argmin(axis=1).astype(np.int32)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mn = mat / norms[:, None]
+        codes = np.empty((len(vid), len(bcbs)), dtype=np.uint8)
+        for s in range(len(bcbs)):
+            sub = mn[:, s * ds_ : (s + 1) * ds_]
+            codes[:, s] = (
+                ((sub[:, None, :] - bcbs[s][None, :, :]) ** 2)
+                .sum(axis=2)
+                .argmin(axis=1)
+                .astype(np.uint8)
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "list_id": pa.array(lists, pa.int32()),
+                "codes": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    codes_ds = emb.map_batches(
+        encode, batch_format="pyarrow", batch_size=1024, fn_kwargs={"ref": ref}
+    )
+    return codes_ds, coarse, cbs
+
+
+def ann_search_codes(
+    codes_ds: rd.Dataset,
+    coarse: np.ndarray,
+    cbs: np.ndarray,
+    qids: np.ndarray,
+    qraw: np.ndarray,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+) -> rd.Dataset:
+    """ADC top-k over a persisted codes table — the query-time half of the
+    decoupled IVF-PQ layout: the corpus scan touches ONLY (vec_id, list_id,
+    codes); raw vectors never move.  Scores are the same fixed-order LUT
+    sums as `ann_topk_ivfpq` (the fused variant), so both give identical
+    results for the same model — pinned by the equality test."""
+    m = cbs.shape[0]
+    ds_ = cbs.shape[2]
+    qn = np.linalg.norm(qraw, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qraw / qn[:, None]
+    qd = ((qraw[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    probe_of_list: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in np.argpartition(qd[qi], min(nprobe, len(coarse)) - 1)[:nprobe]:
+            probe_of_list.setdefault(int(c), []).append(qi)
+    lut = np.stack(
+        [qmat[:, s * ds_ : (s + 1) * ds_] @ cbs[s].T for s in range(m)], axis=1
+    )
+    ref = ray.put((qids, lut, probe_of_list))
+
+    def score_codes(batch: pa.Table, *, ref) -> pa.Table:
+        empty_i = np.array([], dtype=np.int64)
+        empty_f = np.array([], dtype=np.float64)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array(empty_i, pa.int64()),
+                    "vec_id": pa.array(empty_i, pa.int64()),
+                    "score": pa.array(empty_f, pa.float64()),
+                }
+            )
+        bqids, blut, probes = ray.get(ref)
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        lists = np.array(batch.column("list_id").to_pylist(), dtype=np.int64)
+        codes = np.array(batch.column("codes").to_pylist(), dtype=np.int64)
+        chunks_q, chunks_v, chunks_s = [], [], []
+        for c in np.unique(lists):
+            qidx = probes.get(int(c), ())
+            if not qidx:
+                continue
+            rows = np.nonzero(lists == c)[0]
+            qarr = np.asarray(qidx, dtype=np.int64)
+            t = blut[qarr]
+            cr = codes[rows]
+            acc = np.zeros((len(rows), len(qarr)), dtype=np.float64)
+            for s in range(t.shape[1]):  # fixed subspace order
+                acc += t[:, s, :][:, cr[:, s]].T
+            v = np.repeat(vid[rows], len(qarr))
+            q = np.tile(bqids[qarr], len(rows))
+            keep = v != q
+            chunks_q.append(q[keep])
+            chunks_v.append(v[keep])
+            chunks_s.append(acc.ravel()[keep])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.concatenate(chunks_q) if chunks_q else empty_i, pa.int64()
+                ),
+                "vec_id": pa.array(
+                    np.concatenate(chunks_v) if chunks_v else empty_i, pa.int64()
+                ),
+                "score": pa.array(
+                    np.concatenate(chunks_s) if chunks_s else empty_f, pa.float64()
+                ),
+            }
+        )
+
+    partials = codes_ds.map_batches(
+        score_codes, batch_format="pyarrow", batch_size=4096, fn_kwargs={"ref": ref}
+    )
+
+    def _final_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("score").to_pylist(), group.column("vec_id").to_pylist()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        qid = group.column("query_id")[0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "vec_id": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")

@@ -1399,3 +1399,41 @@ class TestBigramLogprob:
             assert max(c.values()) - min(c.values()) <= 1
             # ranks are a permutation of 1..n (the prefix-sum rank is dense)
             assert sorted(ranks[src]) == list(range(1, n + 1))
+
+
+class TestPersistedPQCodes:
+    def test_decoupled_search_equals_fused_pipeline(self, ray_session, tmp_path):
+        # encode once -> write codes parquet -> search FROM the codes table;
+        # must equal the fused encode-and-search operator exactly
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_engine_ray.pipelines.ann import (
+            _smallest_rows,
+            ann_search_codes,
+            ann_topk_ivfpq,
+            pq_encode,
+        )
+        from ocr_engine_ray.sources.tables import sf_table
+
+        sf = "/root/testdata/sf0.001"
+        codes_ds, coarse, cbs = pq_encode(sf)
+        out = str(tmp_path / "codes")
+        codes_ds.write_parquet(out)  # the persisted at-scale artifact
+
+        emb = sf_table(sf, "embeddings", columns=["vec_id", "embedding"])
+        qrows = _smallest_rows(emb.materialize(), 8)
+        qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        qraw = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+
+        got = sorted(
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in ann_search_codes(
+                rd.read_parquet(out), coarse, cbs, qids, qraw
+            ).take_all()
+        )
+        want = sorted(
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in ann_topk_ivfpq(sf).take_all()
+        )
+        assert got == want and len(got) == 40
