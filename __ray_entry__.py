@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_span_counts": extract_stats.extract_span_counts,
         "checkpointed_extract": checkpointed_extract,
         "image_meta": extract_stats.image_meta,
+        "image_thumbnail_plan": extract_stats.image_thumbnail_plan,
         "audio_frame_stats": extract_stats.audio_frame_stats,
         "video_frame_stats": extract_stats.video_frame_stats,
         "rich_fields_digest": interpret.rich_fields_digest,
@@ -122,7 +123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intake_vocabulary": modes.intake_vocabulary,
         # --- dedup digests ----------------------------------------------------
         "minhash_digest": dedup.minhash_digest,
-        "simhash_digest": dedup.simhash_digest,
         # paragraph_dedup is new in round 4 (never driver-gated): it takes
         # the slot of lang_counts, which is green in both r02 and r03.
         # The five other round-4 queries (cms_token_counts, ann_ivfpq_digest,
@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "simhash_digest": dedup.simhash_digest,
         "exact_dedup": dedup.exact_dedup,
         "winnow_digest": dedup.winnow_digest,
         "extract_inline_chars": extract_stats.extract_inline_chars,
@@ -374,6 +375,29 @@ def oracle_sql() -> dict[str, str]:
                    (240 + {_h32('doc_id + i', 177)} % 800)::BIGINT AS height
             FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(i)
             WHERE doc_id % 100 BETWEEN 80 AND 89
+        """,
+        # Resize plan over the decoded image metadata: Python round is
+        # banker's == round_even, and h*256/w is one IEEE divide of exact
+        # ints on both sides.
+        "image_thumbnail_plan": f"""
+            SELECT doc_id, media_idx, width, height,
+                   CASE WHEN width <= 256 AND height <= 256 THEN width
+                        WHEN width >= height THEN 256
+                        ELSE greatest(
+                          1, round_even(width * 256.0 / height, 0)::BIGINT
+                        ) END AS thumb_w,
+                   CASE WHEN width <= 256 AND height <= 256 THEN height
+                        WHEN width >= height THEN greatest(
+                          1, round_even(height * 256.0 / width, 0)::BIGINT
+                        )
+                        ELSE 256 END AS thumb_h
+            FROM (
+              SELECT doc_id, i AS media_idx,
+                     (320 + {_h32('doc_id + i', 77)} % 1280)::BIGINT AS width,
+                     (240 + {_h32('doc_id + i', 177)} % 800)::BIGINT AS height
+              FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(i)
+              WHERE doc_id % 100 BETWEEN 80 AND 89
+            )
         """,
         # Audio framing overlay: stand-in sample count is h32 arithmetic in
         # doc_id; frames start every hop=160 samples while start < n, the

@@ -260,3 +260,31 @@ def video_frame_stats(sf_dir: str) -> rd.Dataset:
         concurrency=(1, 4),
         num_cpus=1,
     ).sort("doc_id")
+
+
+def image_thumbnail_plan(sf_dir: str) -> rd.Dataset:
+    """Resize plan for every decoded image (the image-resize stage of the
+    multimodal layer): target dims at max side 256, aspect preserved —
+    `thumbnail_dims` arithmetic over the `image_meta` actor-pool output,
+    SQL-reproducible (Python round is banker's == DuckDB round_even; the
+    int*256/int divide is the same single IEEE operation on both sides)."""
+    from ..stages.multimodal import thumbnail_dims
+
+    meta = image_meta(sf_dir)
+
+    def plan(batch: pa.Table) -> pa.Table:
+        w = batch.column("width").combine_chunks().to_numpy(zero_copy_only=False)
+        h = batch.column("height").combine_chunks().to_numpy(zero_copy_only=False)
+        dims = [thumbnail_dims(int(a), int(b)) for a, b in zip(w, h)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_idx": batch.column("media_idx"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "thumb_w": pa.array([d[0] for d in dims], pa.int64()),
+                "thumb_h": pa.array([d[1] for d in dims], pa.int64()),
+            }
+        )
+
+    return meta.map_batches(plan, batch_format="pyarrow")
