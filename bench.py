@@ -210,6 +210,9 @@ def run_bench() -> dict:
         "bigram_logprob_score": timed(
             __import__("ocr_engine_ray.pipelines.lm", fromlist=["x"]).bigram_logprob_score
         ),
+        "perplexity_buckets": timed(
+            __import__("ocr_engine_ray.pipelines.lm", fromlist=["x"]).perplexity_buckets
+        ),
     }
 
     result = {

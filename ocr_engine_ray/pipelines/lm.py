@@ -169,7 +169,9 @@ def _score_dataset(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         )
 
     agg = (
-        ds.map_batches(explode_bigrams, batch_format="pyarrow")
+        # explicit batch_size bounds the (doc, w1, w2) composite key at
+        # B * nd^2 (nd = distinct tokens per batch) well inside int64
+        ds.map_batches(explode_bigrams, batch_format="pyarrow", batch_size=4096)
         .groupby("bkt")
         .map_groups(bucket_score, batch_format="pyarrow")
         .groupby("doc_id")
