@@ -65,6 +65,65 @@ def _vocab_size(ds: rd.Dataset) -> int:
     )
 
 
+def bucket_score_kernel(group: pa.Table, *, vocab_v: int) -> pa.Table:
+    """Per-bucket LM scoring kernel (module-level so the naive-reference
+    property test exercises the REAL code): distinct-pair counts, context
+    totals, quantized ln terms and per-doc partials in one vectorized
+    pass over a w1-bucket group."""
+    w1 = np.asarray(group.column("w1").to_pylist(), dtype=object)
+    w2 = np.asarray(group.column("w2").to_pylist(), dtype=object)
+    docs = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    cs = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+    # id-encode w1/w2 separately, pair key = integer composite (a string
+    # join key would be ambiguous: tokens may contain any non-whitespace
+    # byte, including a would-be separator)
+    uw1, iw1 = np.unique(w1, return_inverse=True)
+    uw2, iw2 = np.unique(w2, return_inverse=True)
+    pkey = iw1.astype(np.int64) * max(len(uw2), 1) + iw2
+    order = np.argsort(pkey, kind="stable")
+    sp = pkey[order]
+    new = (
+        np.concatenate([[True], sp[1:] != sp[:-1]])
+        if len(sp)
+        else np.array([], bool)
+    )
+    pid_sorted = np.cumsum(new) - 1
+    pid = np.empty(len(pkey), dtype=np.int64)
+    pid[order] = pid_sorted
+    starts = np.nonzero(new)[0]
+    c12 = np.add.reduceat(cs[order], starts)  # per distinct pair, pid order
+    # context totals c(w1,*): sum c12 over pairs sharing w1
+    ctx_of_pair = (sp[starts] // max(len(uw2), 1)).astype(np.int64)
+    c1 = np.zeros(len(uw1), dtype=np.int64)
+    np.add.at(c1, ctx_of_pair, c12)
+    # quantized term per distinct pair: round_even(ln((c12+1)/(c1+V))*2^40)
+    q = np.round(
+        np.log((c12 + 1.0) / (c1[ctx_of_pair] + float(vocab_v))) * LM_Q
+    ).astype(np.int64)
+    contrib = cs * q[pid]
+    # per-doc bucket partials
+    dorder = np.argsort(docs, kind="stable")
+    sd = docs[dorder]
+    cuts = np.nonzero(np.diff(sd))[0] + 1
+    dstarts = (
+        np.concatenate([[0], cuts]).astype(np.int64)
+        if len(sd)
+        else np.array([], np.int64)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(sd[dstarts] if len(sd) else sd),
+            "logprob_q": pa.array(
+                np.add.reduceat(contrib[dorder], dstarts)
+                if len(sd)
+                else contrib
+            ),
+            "n_bigrams": pa.array(
+                np.add.reduceat(cs[dorder], dstarts) if len(sd) else cs
+            ),
+        }
+    )
+
 def _score_dataset(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
     """(doc_id, n_bigrams, logprob_q, avg_logprob), UNSORTED — the shared
     core of `bigram_logprob_score` and `perplexity_buckets`."""
@@ -113,67 +172,15 @@ def _score_dataset(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             }
         )
 
-    def bucket_score(group: pa.Table) -> pa.Table:
-        w1 = np.asarray(group.column("w1").to_pylist(), dtype=object)
-        w2 = np.asarray(group.column("w2").to_pylist(), dtype=object)
-        docs = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
-        cs = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
-        # id-encode w1/w2 separately, pair key = integer composite (a string
-        # join key would be ambiguous: tokens may contain any non-whitespace
-        # byte, including a would-be separator)
-        uw1, iw1 = np.unique(w1, return_inverse=True)
-        uw2, iw2 = np.unique(w2, return_inverse=True)
-        pkey = iw1.astype(np.int64) * max(len(uw2), 1) + iw2
-        order = np.argsort(pkey, kind="stable")
-        sp = pkey[order]
-        new = (
-            np.concatenate([[True], sp[1:] != sp[:-1]])
-            if len(sp)
-            else np.array([], bool)
-        )
-        pid_sorted = np.cumsum(new) - 1
-        pid = np.empty(len(pkey), dtype=np.int64)
-        pid[order] = pid_sorted
-        starts = np.nonzero(new)[0]
-        c12 = np.add.reduceat(cs[order], starts)  # per distinct pair, pid order
-        # context totals c(w1,*): sum c12 over pairs sharing w1
-        ctx_of_pair = (sp[starts] // max(len(uw2), 1)).astype(np.int64)
-        c1 = np.zeros(len(uw1), dtype=np.int64)
-        np.add.at(c1, ctx_of_pair, c12)
-        # quantized term per distinct pair: round_even(ln((c12+1)/(c1+V))*2^40)
-        q = np.round(
-            np.log((c12 + 1.0) / (c1[ctx_of_pair] + float(vocab_v))) * LM_Q
-        ).astype(np.int64)
-        contrib = cs * q[pid]
-        # per-doc bucket partials
-        dorder = np.argsort(docs, kind="stable")
-        sd = docs[dorder]
-        cuts = np.nonzero(np.diff(sd))[0] + 1
-        dstarts = (
-            np.concatenate([[0], cuts]).astype(np.int64)
-            if len(sd)
-            else np.array([], np.int64)
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(sd[dstarts] if len(sd) else sd),
-                "logprob_q": pa.array(
-                    np.add.reduceat(contrib[dorder], dstarts)
-                    if len(sd)
-                    else contrib
-                ),
-                "n_bigrams": pa.array(
-                    np.add.reduceat(cs[dorder], dstarts) if len(sd) else cs
-                ),
-            }
-        )
-
     agg = (
         # explicit batch_size bounds the (doc, w1, w2) composite key at
         # B * nd^2 (nd = distinct tokens per batch) well inside int64
         ds.map_batches(explode_bigrams, batch_format="pyarrow", batch_size=4096)
         .groupby("bkt")
-        .map_groups(bucket_score, batch_format="pyarrow")
+        .map_groups(
+            lambda g: bucket_score_kernel(g, vocab_v=vocab_v),
+            batch_format="pyarrow",
+        )
         .groupby("doc_id")
         .aggregate(
             Sum("n_bigrams", alias_name="n_bigrams"),

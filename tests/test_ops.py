@@ -1437,3 +1437,60 @@ class TestPersistedPQCodes:
             for r in ann_topk_ivfpq(sf).take_all()
         )
         assert got == want and len(got) == 40
+
+
+
+class TestBucketScoreKernel:
+    def test_matches_naive_dict_reference(self):
+        # the REAL reduceat/np.unique kernel vs a plain dict reimplementation,
+        # over randomized dup-heavy bucket tables (incl. control-char tokens)
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_engine_ray.pipelines.lm import LM_Q, bucket_score_kernel
+
+        rng = np.random.default_rng(11)
+        for trial in range(6):
+            n = int(rng.integers(5, 200))
+            vocab = [f"w{i}" for i in range(int(rng.integers(2, 12)))] + ["x\x1fy"]
+            w1 = rng.choice(vocab, size=n)
+            w2 = rng.choice(vocab, size=n)
+            docs = rng.integers(0, 9, size=n).astype(np.int64)
+            cs = rng.integers(1, 5, size=n).astype(np.int64)
+            # collapse duplicate (doc, w1, w2) rows like the explode stage does
+            agg: dict[tuple[int, str, str], int] = {}
+            for d, a, b, c in zip(docs.tolist(), w1.tolist(), w2.tolist(), cs.tolist()):
+                agg[(d, a, b)] = agg.get((d, a, b), 0) + c
+            rows = sorted(agg.items())
+            group = pa.table(
+                {
+                    "bkt": pa.array([0] * len(rows), pa.int32()),
+                    "w1": pa.array([k[1] for k, _ in rows], pa.string()),
+                    "w2": pa.array([k[2] for k, _ in rows], pa.string()),
+                    "doc_id": pa.array([k[0] for k, _ in rows], pa.int64()),
+                    "c": pa.array([v for _, v in rows], pa.int64()),
+                }
+            )
+            V = 7
+            c12: dict[tuple[str, str], int] = {}
+            c1: dict[str, int] = {}
+            for (d, a, b), c in agg.items():
+                c12[(a, b)] = c12.get((a, b), 0) + c
+                c1[a] = c1.get(a, 0) + c
+            want: dict[int, tuple[int, int]] = {}
+            for (d, a, b), c in agg.items():
+                q = round(math.log((c12[(a, b)] + 1) / (c1[a] + V)) * LM_Q)
+                lq, nb = want.get(d, (0, 0))
+                want[d] = (lq + c * q, nb + c)
+            out = bucket_score_kernel(group, vocab_v=V)
+            got = {
+                d: (lq, nb)
+                for d, lq, nb in zip(
+                    out.column("doc_id").to_pylist(),
+                    out.column("logprob_q").to_pylist(),
+                    out.column("n_bigrams").to_pylist(),
+                )
+            }
+            assert got == want, f"trial {trial}"
