@@ -395,8 +395,13 @@ def duplicate_ngram_spans(
         .groupby("cb")
         .map_groups(dup_grams, batch_format="pyarrow")
     )
+    from .fold import fold_int_sums_by_key
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "n_dup_positions"])
+
     return (
-        pairs.groupby("doc_id")
-        .aggregate(Sum("n_pos", alias_name="n_dup_positions"))
+        fold_int_sums_by_key(pairs.map_batches(rename, batch_format="pyarrow"),
+                             cols=["n_dup_positions"])
         .sort("doc_id")
     )

@@ -1830,10 +1830,16 @@ def paragraph_dedup(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         .groupby("bkt")
         .map_groups(bucket_winners, batch_format="pyarrow")
     )
-    agg = partials.groupby("doc_id").aggregate(
-        Sum("n_p", alias_name="n_paras"),
-        Sum("k_p", alias_name="n_kept"),
-        Sum("kc_p", alias_name="kept_chars"),
+    from .fold import fold_int_sums_by_key
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "n_paras", "n_kept", "kept_chars"])
+
+    # exact int sums per doc via the shared hash-bucket reduceat fold
+    # (identical to groupby("doc_id").aggregate(Sum) — see fold.py)
+    agg = fold_int_sums_by_key(
+        partials.map_batches(_rename, batch_format="pyarrow"),
+        cols=["n_paras", "n_kept", "kept_chars"],
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -42,7 +42,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from ..sources.tables import sf_table
 from .textstats import _token_occurrences
@@ -70,16 +70,21 @@ def bucket_score_kernel(group: pa.Table, *, vocab_v: int) -> pa.Table:
     property test exercises the REAL code): distinct-pair counts, context
     totals, quantized ln terms and per-doc partials in one vectorized
     pass over a w1-bucket group."""
-    w1 = np.asarray(group.column("w1").to_pylist(), dtype=object)
-    w2 = np.asarray(group.column("w2").to_pylist(), dtype=object)
     docs = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
     cs = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
-    # id-encode w1/w2 separately, pair key = integer composite (a string
-    # join key would be ambiguous: tokens may contain any non-whitespace
-    # byte, including a would-be separator)
-    uw1, iw1 = np.unique(w1, return_inverse=True)
-    uw2, iw2 = np.unique(w2, return_inverse=True)
-    pkey = iw1.astype(np.int64) * max(len(uw2), 1) + iw2
+    # id-encode w1/w2 separately via Arrow dictionary_encode (C++ hashing —
+    # np.unique over object arrays was the measured kernel hotspot at 1M
+    # docs); the pair key is an integer composite (a string join key would
+    # be ambiguous: tokens may contain any non-whitespace byte, including a
+    # would-be separator).  Only count totals per id matter, so the
+    # first-occurrence code order is as good as np.unique's sorted order.
+    w1enc = pc.dictionary_encode(group.column("w1").combine_chunks())
+    w2enc = pc.dictionary_encode(group.column("w2").combine_chunks())
+    iw1 = np.asarray(w1enc.indices, dtype=np.int64)
+    iw2 = np.asarray(w2enc.indices, dtype=np.int64)
+    n1 = len(w1enc.dictionary)
+    n2 = len(w2enc.dictionary)
+    pkey = iw1 * max(n2, 1) + iw2
     order = np.argsort(pkey, kind="stable")
     sp = pkey[order]
     new = (
@@ -93,8 +98,8 @@ def bucket_score_kernel(group: pa.Table, *, vocab_v: int) -> pa.Table:
     starts = np.nonzero(new)[0]
     c12 = np.add.reduceat(cs[order], starts)  # per distinct pair, pid order
     # context totals c(w1,*): sum c12 over pairs sharing w1
-    ctx_of_pair = (sp[starts] // max(len(uw2), 1)).astype(np.int64)
-    c1 = np.zeros(len(uw1), dtype=np.int64)
+    ctx_of_pair = (sp[starts] // max(n2, 1)).astype(np.int64)
+    c1 = np.zeros(n1, dtype=np.int64)
     np.add.at(c1, ctx_of_pair, c12)
     # quantized term per distinct pair: round_even(ln((c12+1)/(c1+V))*2^40)
     q = np.round(
@@ -172,7 +177,7 @@ def _score_dataset(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             }
         )
 
-    agg = (
+    partials = (
         # explicit batch_size bounds the (doc, w1, w2) composite key at
         # B * nd^2 (nd = distinct tokens per batch) well inside int64
         ds.map_batches(explode_bigrams, batch_format="pyarrow", batch_size=4096)
@@ -181,12 +186,14 @@ def _score_dataset(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             lambda g: bucket_score_kernel(g, vocab_v=vocab_v),
             batch_format="pyarrow",
         )
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_bigrams", alias_name="n_bigrams"),
-            Sum("logprob_q", alias_name="logprob_q"),
-        )
     )
+
+    # Per-doc fold: exact int sums via the shared hash-bucket reduceat
+    # fold (fold.py — groupby("doc_id").aggregate(Sum) measured 13.1 s vs
+    # 0.3 s for 2M partials at 100k docs, identical results)
+    from .fold import fold_int_sums_by_key
+
+    agg = fold_int_sums_by_key(partials, cols=["logprob_q", "n_bigrams"])
 
     def finish(batch: pa.Table) -> pa.Table:
         lq = batch.column("logprob_q").combine_chunks().to_numpy(zero_copy_only=False)

@@ -817,17 +817,17 @@ def token_rarity_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             }
         )
 
-    from ray.data.aggregate import Sum
+    from .fold import fold_int_sums_by_key
 
-    return (
+    partials = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("bkt")
         .map_groups(bucket_partial, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_tokens", alias_name="n_tokens"),
-            Sum("freq_sum", alias_name="freq_sum"),
-        )
+    )
+    # exact int sums per doc via the shared hash-bucket reduceat fold
+    # (identical to groupby("doc_id").aggregate(Sum) — see fold.py)
+    return (
+        fold_int_sums_by_key(partials, cols=["n_tokens", "freq_sum"])
         .sort("doc_id")
     )
 
