@@ -782,23 +782,25 @@ def token_rarity_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         )
 
     def bucket_partial(group: pa.Table) -> pa.Table:
-        toks = np.asarray(group.column("token").to_pylist(), dtype=object)
         docs = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
         cs = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
-        # token ids via sorted runs (one argsort, no Python per-token loop)
-        order = np.argsort(toks, kind="stable")
-        st = toks[order]
-        new = np.concatenate([[True], st[1:] != st[:-1]]) if len(st) else np.array([], bool)
-        tid_sorted = np.cumsum(new) - 1
-        tid = np.empty(len(toks), dtype=np.int64)
-        tid[order] = tid_sorted
+        # token ids via Arrow dictionary_encode (C++ hashing — argsorting
+        # object arrays was the measured kernel hotspot at 1M docs; totals
+        # are id-order-invariant), then an int argsort + reduceat for the
         # integer-exact per-token totals (bincount's float weights would
-        # round above 2^53 occurrences): reduceat over the sorted runs
+        # round above 2^53 occurrences)
+        tenc = pc.dictionary_encode(group.column("token").combine_chunks())
+        tid = np.asarray(tenc.indices, dtype=np.int64)
+        order = np.argsort(tid, kind="stable")
+        st = tid[order]
+        new = np.concatenate([[True], st[1:] != st[:-1]]) if len(st) else np.array([], bool)
         run_starts = np.nonzero(new)[0]
         ct_runs = (
             np.add.reduceat(cs[order], run_starts) if len(st) else np.array([], np.int64)
         )
-        ct = ct_runs  # indexed by tid (run order == tid order)
+        ct = np.zeros(len(tenc.dictionary), dtype=np.int64)
+        if len(st):
+            ct[st[run_starts]] = ct_runs
         contrib = cs * ct[tid]
         # combine per doc within the bucket
         dorder = np.argsort(docs, kind="stable")
