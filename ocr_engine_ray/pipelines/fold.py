@@ -14,21 +14,28 @@ import numpy as np
 import pyarrow as pa
 
 
-def fold_int_sums_by_key(
+_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
+def fold_by_key(
     ds,
     *,
     key: str = "doc_id",
     cols: list[str],
+    ops: list[str] | None = None,
     num_buckets: int = 64,
 ):
-    """Fold ``ds`` to one row per ``key`` with exact int64 sums of ``cols``.
+    """Fold ``ds`` to one row per ``key``, reducing each of ``cols`` with
+    the matching op ('sum' default; 'min'/'max' for label folds).
 
     Shuffle volume is the input partial rows (unchanged vs groupby); the
     sort key is the ``num_buckets``-way hash bucket, and the per-key
-    combine is one argsort + ``np.add.reduceat`` per group — commutative
-    exact integer addition, so results are identical to
-    ``groupby(key).aggregate(Sum, ...)`` for any batching.
+    combine is one argsort + ``ufunc.reduceat`` per group — commutative
+    exact integer reduction, so results are identical to
+    ``groupby(key).aggregate(...)`` for any batching.
     """
+    ops = ops or ["sum"] * len(cols)
+    ufuncs = [_UFUNC[o] for o in ops]
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(key).combine_chunks().to_numpy(zero_copy_only=False)
@@ -48,9 +55,9 @@ def fold_int_sums_by_key(
         cuts = np.nonzero(np.diff(sk))[0] + 1
         starts = np.concatenate([[0], cuts]).astype(np.int64)
         out = {key: pa.array(sk[starts])}
-        for c in cols:
+        for c, uf in zip(cols, ufuncs):
             v = group.column(c).combine_chunks().to_numpy(zero_copy_only=False)
-            out[c] = pa.array(np.add.reduceat(v[order], starts))
+            out[c] = pa.array(uf.reduceat(v[order], starts))
         return pa.table(out)
 
     return (
@@ -58,3 +65,8 @@ def fold_int_sums_by_key(
         .groupby("_fold_bkt")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+def fold_int_sums_by_key(ds, *, key: str = "doc_id", cols: list[str], num_buckets: int = 64):
+    """Sum-only convenience wrapper over `fold_by_key`."""
+    return fold_by_key(ds, key=key, cols=cols, num_buckets=num_buckets)

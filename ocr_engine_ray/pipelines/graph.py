@@ -27,7 +27,6 @@ import math
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Min
 
 
 # ---------------------------------------------------------------------------
@@ -197,8 +196,12 @@ def connected_components(
                 f"lower rows_per_bucket"
             )
 
-    return (
-        links.groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .map_batches(_as_clusters, batch_format="pyarrow")
-    )
+    # per-node label fold via the shared hash-bucket reduceat fold: Ray's
+    # per-key Min aggregate pays per-distinct-node machinery (the measured
+    # 40x doc-fold hotspot, fold.py); min is the same commutative exact
+    # integer reduction whichever path.
+    from .fold import fold_by_key
+
+    return fold_by_key(
+        links, key="node", cols=["label"], ops=["min"]
+    ).map_batches(_as_clusters, batch_format="pyarrow")
