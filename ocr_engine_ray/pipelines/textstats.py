@@ -242,22 +242,50 @@ def fingerprint_stats(sf_dir: str) -> rd.Dataset:
     a fully SQL-reproducible key)."""
     ds = sf_table(sf_dir, "documents", columns=["source", "text"])
 
+    import zlib
+
     def fp(batch: pa.Table) -> pa.Table:
+        fps = [ts.fingerprint_md5(t) for t in batch.column("text").to_pylist()]
+        # map-side dedup: distinct (source, fp) pairs per batch
+        seen = sorted({(s, f) for s, f in zip(batch.column("source").to_pylist(), fps)})
         return pa.table(
             {
-                "source": batch.column("source"),
-                "fingerprint": pa.array(
-                    [ts.fingerprint_md5(t) for t in batch.column("text").to_pylist()],
-                    pa.string(),
+                "source": pa.array([s for s, _ in seen], pa.string()),
+                "fingerprint": pa.array([f for _, f in seen], pa.string()),
+                # a (source, fp) pair lands wholly in one hash bucket, so
+                # per-bucket distinct counts sum exactly
+                "fbkt": pa.array(
+                    [zlib.crc32(f"{s}\x1f{f}".encode()) % 64 for s, f in seen],
+                    pa.int64(),
                 ),
             }
         )
 
-    dsf = ds.map_batches(fp, batch_format="pyarrow")
-    # distinct (source, fingerprint) → count per source (two small shuffles;
-    # partial dedup happens map-side inside the groupby implementation)
-    distinct = dsf.groupby(["source", "fingerprint"]).aggregate(Count(alias_name="_n"))
-    return distinct.groupby("source").aggregate(Count(alias_name="n_unique"))
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        # distinct (source, fp) pairs of the bucket -> per-source counts
+        # (Ray's groupby([source, fingerprint]) paid per-DISTINCT-PAIR
+        # aggregate machinery — doc-cardinality, the fold.py hotspot)
+        senc = pc.dictionary_encode(group.column("source").combine_chunks())
+        fenc = pc.dictionary_encode(group.column("fingerprint").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)
+        fi = np.asarray(fenc.indices, dtype=np.int64)
+        pair = np.unique(si * max(len(fenc.dictionary), 1) + fi)
+        src_of_pair = (pair // max(len(fenc.dictionary), 1)).astype(np.int64)
+        cnt = np.bincount(src_of_pair, minlength=len(senc.dictionary)).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "source": pc.take(senc.dictionary, pa.array(nz)),
+                "n_part": pa.array(cnt[nz]),
+            }
+        )
+
+    partials = (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("fbkt")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+    return partials.groupby("source").aggregate(Sum("n_part", alias_name="n_unique"))
 
 
 def quality_by_source(sf_dir: str) -> rd.Dataset:
