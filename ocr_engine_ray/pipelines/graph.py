@@ -66,36 +66,63 @@ def _add_bkt(batch: pa.Table, *, num_buckets: int) -> pa.Table:
 
 
 def _uf_bucket(group: pa.Table) -> pa.Table:
-    """Union-find over one bucket's (node, label) link rows — collapses all
-    chains/cliques local to the bucket in a single round and emits the
-    SYMMETRIZED star forest: (x → root) for every element seen plus the
-    reverse (root → x) rows.  The reverse rows are what let the min root
-    travel back out through the root's bucket next round (hash-to-min), so
-    cross-bucket chains converge in O(log n) rounds instead of O(n)."""
-    nodes = group["node"].to_pylist()
-    labels = group["label"].to_pylist()
-    parent: dict[int, int] = {}
+    """Contract one bucket's (node, label) link rows to its star forest —
+    root = MIN id of the bucket-local component — and emit it SYMMETRIZED:
+    (x → root) for every element seen plus the reverse (root → x) rows.
+    The reverse rows are what let the min root travel back out through the
+    root's bucket next round (hash-to-min), so cross-bucket chains converge
+    in O(log n) rounds instead of O(n).
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(nodes, labels):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    out_n, out_l = [], []
-    for x in sorted(parent):
-        r = find(x)
-        out_n.append(x)
-        out_l.append(r)
-        if r != x:
-            out_n.append(r)
-            out_l.append(x)
-    na = np.array(out_n, dtype=np.int64)
-    la = np.array(out_l, dtype=np.int64)
+    Fully vectorized (the per-row Python union-find was the last per-row
+    loop in a contraction kernel): ids localize via np.unique, then
+    alternating edge-relax (``np.minimum.at`` of each endpoint's current
+    label onto the other) and pointer-doubling sweeps run O(E) numpy work
+    per sweep and converge in O(log n) sweeps for any topology — the same
+    canonical min-root forest the union-find produced, verified by the
+    equality property test and the pinned cluster digests."""
+    na_in = group["node"].combine_chunks().to_numpy(zero_copy_only=False)
+    la_in = group["label"].combine_chunks().to_numpy(zero_copy_only=False)
+    ids = np.unique(np.concatenate([na_in, la_in]))
+    n = len(ids)
+    if n == 0:
+        na = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.array(na),
+                "label": pa.array(na),
+                "h": pa.array(_link_hash(na, na)),
+            }
+        )
+    ei = np.searchsorted(ids, na_in)
+    ej = np.searchsorted(ids, la_in)
+    parent = np.arange(n, dtype=np.int64)
+    while True:
+        prev = parent
+        parent = parent.copy()
+        # edge relax: each endpoint adopts the other's current label if lower
+        np.minimum.at(parent, ei, prev[ej])
+        np.minimum.at(parent, ej, prev[ei])
+        # pointer doubling: labels jump toward their component minimum
+        parent = np.minimum(parent, parent[parent])
+        parent = np.minimum(parent, parent[parent])
+        if np.array_equal(parent, prev):
+            break
+    roots = ids[parent]
+    rev = roots != ids  # reverse rows for non-root members
+    na = np.concatenate([ids, roots[rev]])
+    la = np.concatenate([roots, ids[rev]])
+    # interleave to match the canonical (x→root, then root→x) row order per
+    # sorted x — the digest witness is order-independent, but keep the
+    # output deterministic anyway: sort rows by (node-position) via one
+    # lexsort on (reverse-flag, x)
+    order = np.lexsort(
+        (
+            np.concatenate([np.zeros(n, np.int64), np.ones(int(rev.sum()), np.int64)]),
+            np.concatenate([ids, ids[rev]]),
+        )
+    )
+    na = na[order]
+    la = la[order]
     return pa.table(
         {
             "node": pa.array(na),

@@ -75,3 +75,59 @@ class TestFoldByKey:
             for nb in (1, 3, 64)
         ]
         assert outs[0] == outs[1] == outs[2]
+
+
+class TestVectorizedContraction:
+    def test_matches_union_find_reference(self, ray_session):
+        # the vectorized min-label contraction vs a plain dict union-find,
+        # over random graphs: identical canonical star forests (rows AND order)
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_engine_ray.pipelines.graph import _uf_bucket
+
+        def reference(nodes, labels):
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(nodes, labels):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            out = []
+            for x in sorted(parent):
+                r = find(x)
+                out.append((x, r))
+                if r != x:
+                    out.append((r, x))
+            return out
+
+        rng = np.random.default_rng(13)
+        for trial in range(8):
+            n_edges = int(rng.integers(1, 400))
+            hi = int(rng.integers(4, 1000))
+            a = rng.integers(0, hi, size=n_edges).astype(np.int64)
+            b = rng.integers(0, hi, size=n_edges).astype(np.int64)
+            group = pa.table(
+                {"node": pa.array(a), "label": pa.array(b), "_bkt": pa.array(np.zeros(n_edges, np.int64))}
+            )
+            out = _uf_bucket(group)
+            got = list(zip(out.column("node").to_pylist(), out.column("label").to_pylist()))
+            assert got == reference(a.tolist(), b.tolist()), f"trial {trial}"
+
+        # adversarial: long chain collapses in one bucket call
+        chain_n = 2000
+        a = np.arange(chain_n - 1, dtype=np.int64)
+        b = a + 1
+        out = _uf_bucket(pa.table({"node": pa.array(a), "label": pa.array(b)}))
+        roots = {
+            r["node"]: r["label"]
+            for r in out.to_pylist()
+            if r["node"] != 0 and r["label"] == 0
+        }
+        assert len(roots) == chain_n - 1  # every member points at root 0
