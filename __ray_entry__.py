@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curate,
         decontam,
         dedup,
+        dsir,
         extract_stats,
         interpret,
         joins,
@@ -77,6 +78,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontam.decontaminate,
         "repetition_flags": decontam.repetition_flags,
         "duplicate_ngram_spans": decontam.duplicate_ngram_spans,
+        # gram_novelty / gopher_quality_flags / dsir_select are new in this
+        # round-4 continuation (never driver-gated): they take the slots of
+        # shape_counts, input_span_counts and image_meta — all green in r03
+        # with unchanged code, still pytest-pinned and replayable via
+        # scripts/compare_oracle.py.
+        "gram_novelty": decontam.gram_novelty,
+        "gopher_quality_flags": decontam.gopher_quality_flags,
+        "dsir_select": dsir.dsir_select,
         # --- sampling --------------------------------------------------------
         "stratified_hash_sample": sampling.stratified_hash_sample,
         "token_budget_sample": sampling.token_budget_sample,
@@ -107,11 +116,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_digest": ann.ann_ivf_digest,
         "ann_ivfpq_digest": ann.ann_ivfpq_digest,
         # --- extraction family (north rule) ----------------------------------
-        "shape_counts": extract_stats.shape_counts,
-        "input_span_counts": extract_stats.input_span_counts,
+        # shape_counts / input_span_counts / image_meta moved past the cut
+        # this session (green in r02+r03; their slots fund gram_novelty /
+        # gopher_quality_flags / dsir_select above); extract_span_counts +
+        # checkpointed_extract keep carrying the north-rule gate signal.
         "extract_span_counts": extract_stats.extract_span_counts,
         "checkpointed_extract": checkpointed_extract,
-        "image_meta": extract_stats.image_meta,
         "image_thumbnail_plan": extract_stats.image_thumbnail_plan,
         "audio_frame_stats": extract_stats.audio_frame_stats,
         "video_frame_stats": extract_stats.video_frame_stats,
@@ -133,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "shape_counts": extract_stats.shape_counts,
+        "input_span_counts": extract_stats.input_span_counts,
+        "image_meta": extract_stats.image_meta,
         "simhash_digest": dedup.simhash_digest,
         "exact_dedup": dedup.exact_dedup,
         "winnow_digest": dedup.winnow_digest,
@@ -899,6 +912,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_dup_positions
             FROM g JOIN dup USING (gram)
             GROUP BY doc_id
+        """,
+        # First-occurrence gram novelty: distinct word 8-grams per doc, the
+        # gram's earliest doc via min(doc_id), fraction round_even(6).  Gram
+        # identity is raw strings here vs 64-bit hashes on the Ray side
+        # (the decontaminate collision argument).
+        "gram_novelty": r"""
+            WITH g AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i : i + 7], ' ') AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i
+                    FROM (SELECT doc_id,
+                                 regexp_extract_all(lower(coalesce(text, '')),
+                                                    '\w+') AS ws
+                          FROM documents))
+            ),
+            m AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+                     AS n_novel,
+                   round_even(
+                     sum(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*), 6
+                   ) AS novelty
+            FROM g JOIN m USING (gram)
+            GROUP BY g.doc_id
+        """,
+        # Full Gopher rule bundle: every count is an integer over the '\S+'
+        # tokens; ratios round_even(6) and the pass flag compares the
+        # ROUNDED values on both sides.
+        "gopher_quality_flags": r"""
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS arr
+              FROM documents
+            ),
+            agg AS (
+              SELECT doc_id,
+                     count(*)::BIGINT AS n_words,
+                     sum(length(word))::BIGINT AS sum_len,
+                     sum(CASE WHEN regexp_matches(word, '[A-Za-z]')
+                              THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+                     sum(CASE WHEN list_contains(
+                                ['the','be','to','of','and','that','have','with'],
+                                lower(word))
+                              THEN 1 ELSE 0 END)::BIGINT AS n_stop
+              FROM (SELECT doc_id, unnest(arr) AS word FROM t WHERE len(arr) > 0)
+              GROUP BY doc_id
+            ),
+            sym AS (
+              SELECT doc_id,
+                     (length(text) - length(replace(text, '#', ''))
+                      + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_sym
+              FROM t WHERE len(arr) > 0
+            )
+            SELECT a.doc_id, a.n_words,
+                   round_even(a.sum_len::DOUBLE / a.n_words, 6) AS mean_word_len,
+                   round_even(a.n_alpha::DOUBLE / a.n_words, 6) AS alpha_word_frac,
+                   round_even(s.n_sym::DOUBLE / a.n_words, 6) AS symbol_ratio,
+                   a.n_stop AS stopword_count,
+                   (a.n_words BETWEEN 50 AND 100000
+                    AND round_even(a.sum_len::DOUBLE / a.n_words, 6)
+                          BETWEEN 3.0 AND 10.0
+                    AND round_even(a.n_alpha::DOUBLE / a.n_words, 6) >= 0.8
+                    AND round_even(s.n_sym::DOUBLE / a.n_words, 6) <= 0.1
+                    AND a.n_stop >= 2) AS gopher_pass
+            FROM agg a JOIN sym s USING (doc_id)
+        """,
+        # DSIR importance selection, recomputed WHOLESALE in SQL: hashed
+        # unigram+bigram feature counts are integers; each bucket's
+        # log-ratio term is quantized ONCE to round_even((ln pt - ln pr)
+        # * 2^40) — DuckDB ln == numpy log, round_even == np.round, and the
+        # md5-prefix bucket hash is the verified cms_token_counts kernel —
+        # so per-doc scores are exact integer sums and the top-k boundary
+        # is a deterministic integer order (doc_id tie-break).
+        "dsir_select": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS arr
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(feat), 1, 8))::UBIGINT % 4096 AS b
+              FROM (
+                SELECT doc_id, source, 'u:' || unnest(arr) AS feat FROM toks
+                UNION ALL
+                SELECT doc_id, source, 'b:' || arr[i] || ' ' || arr[i + 1] AS feat
+                FROM toks, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+                WHERE len(arr) >= 2
+              )
+            ),
+            tot AS (
+              SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT
+                       AS ct_tot,
+                     sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)::BIGINT
+                       AS cr_tot
+              FROM feats
+            ),
+            cnts AS (
+              SELECT b,
+                     sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ct,
+                     sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)::BIGINT AS cr
+              FROM feats GROUP BY b
+            ),
+            lam AS (
+              SELECT b,
+                     round_even((ln((ct + 1)::DOUBLE / (ct_tot + 4096))
+                                 - ln((cr + 1)::DOUBLE / (cr_tot + 4096)))
+                                * 1099511627776.0, 0)::BIGINT AS q
+              FROM cnts CROSS JOIN tot
+            )
+            SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+                   sum(l.q)::BIGINT AS logw_q
+            FROM feats f JOIN lam l USING (b)
+            WHERE f.source <> 'src0'
+            GROUP BY f.doc_id
+            ORDER BY logw_q DESC, doc_id
+            LIMIT 50
         """,
         # Gopher-style repetitiousness flags (duplicate-line fraction +
         # top-word share), round_even(6) on both sides.

@@ -213,6 +213,15 @@ def run_bench() -> dict:
         "perplexity_buckets": timed(
             __import__("ocr_engine_ray.pipelines.lm", fromlist=["x"]).perplexity_buckets
         ),
+        "gram_novelty": timed(
+            __import__("ocr_engine_ray.pipelines.decontam", fromlist=["x"]).gram_novelty
+        ),
+        "gopher_quality_flags": timed(
+            __import__("ocr_engine_ray.pipelines.decontam", fromlist=["x"]).gopher_quality_flags
+        ),
+        "dsir_select": timed(
+            __import__("ocr_engine_ray.pipelines.dsir", fromlist=["x"]).dsir_select
+        ),
     }
 
     result = {

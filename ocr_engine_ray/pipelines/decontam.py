@@ -317,6 +317,218 @@ def _gram_hashes_all(text: str, n: int = NGRAM) -> np.ndarray:
     ).view(np.int64)
 
 
+def gram_novelty(sf_dir: str, *, n: int = NGRAM, num_buckets: int = 64) -> rd.Dataset:
+    """First-occurrence novelty score per doc: the fraction of a doc's
+    DISTINCT word ``n``-grams whose earliest corpus occurrence (minimum
+    doc_id over all docs containing the gram) is this doc.  Docs that
+    mostly restate earlier content score near 0; fresh content scores near
+    1 — the "new information" curation signal dual to
+    `duplicate_ngram_spans`' positional boilerplate count.
+
+    Scale shape: one map pass emits the distinct (gram, doc) pairs of each
+    batch (`gram_rows_batch` — one RE2 split + one blake2b per distinct
+    word), ONE gram-keyed shuffle (coarse gram-hash buckets, all runs of a
+    bucket processed in one vectorized call) computes each gram's earliest
+    doc and re-emits per-doc (n_grams, n_novel) bucket partials, and the
+    shared hash-bucket fold sums the ≤ ``num_buckets`` partials per doc.
+    The shuffle carries one row per distinct (gram, doc) — the same volume
+    as `duplicate_ngram_spans`.
+
+    Returns (doc_id, n_grams, n_novel, novelty) for docs with ≥ ``n``
+    words, sorted by doc_id; ``novelty`` rounds half-even to 6 places so
+    the floats are bit-equal to the DuckDB twin.  Gram identity is by
+    64-bit hash on the Ray side vs raw strings in the SQL twin (same
+    collision argument as `decontaminate`).
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        rows, g, _ = gram_rows_batch(batch.column("text").to_pylist(), n)
+        return pa.table(
+            {
+                "cb": pa.array((g % num_buckets).astype(np.int32)),
+                "gram": pa.array(g, pa.int64()),
+                "doc_id": pa.array(ids[rows], pa.int64()),
+            }
+        )
+
+    def bucket_partial(group: pa.Table) -> pa.Table:
+        """All gram runs of one coarse bucket: the first row of each
+        (gram-sorted, doc-ascending) run is the gram's earliest doc."""
+        g = group.column("gram").combine_chunks().to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(g):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((d, g))
+        sg, sd = g[order], d[order]
+        new = np.concatenate([[True], sg[1:] != sg[:-1]])
+        starts = np.nonzero(new)[0]
+        run_id = np.cumsum(new) - 1
+        novel = (sd == sd[starts][run_id]).astype(np.int64)
+        # per-doc bucket partials
+        dorder = np.argsort(sd, kind="stable")
+        dd_ = sd[dorder]
+        dnew = np.concatenate([[True], dd_[1:] != dd_[:-1]])
+        dstarts = np.nonzero(dnew)[0]
+        return pa.table(
+            {
+                "doc_id": pa.array(dd_[dstarts]),
+                "n_grams": pa.array(np.diff(np.concatenate([dstarts, [len(dd_)]]))
+                                    .astype(np.int64)),
+                "n_novel": pa.array(np.add.reduceat(novel[dorder], dstarts)),
+            }
+        )
+
+    from .fold import fold_int_sums_by_key
+
+    partials = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(bucket_partial, batch_format="pyarrow")
+    )
+    agg = fold_int_sums_by_key(partials, cols=["n_grams", "n_novel"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_grams").combine_chunks().to_numpy(zero_copy_only=False)
+        nv = batch.column("n_novel").combine_chunks().to_numpy(zero_copy_only=False)
+        # Python round == round_even; int->float conversions and the divide
+        # are single IEEE ops, identical in the DuckDB twin
+        frac = [round(float(v) / float(g), 6) for v, g in zip(nv, ng)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": batch.column("n_grams").cast(pa.int64()),
+                "n_novel": batch.column("n_novel").cast(pa.int64()),
+                "novelty": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+# --- Gopher quality rules (Rae et al. 2021, Table A1 — public) --------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 2
+# the paper's fixed stop list (§A1.1): ≥2 occurrences required
+GOPHER_STOPWORDS = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_ELLIPSIS_RE = re.compile(r"\.\.\.")
+
+
+def gopher_quality_signals_batch(
+    texts: list[str | None],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-text int64 arrays (n_words, sum_word_len, n_alpha_words,
+    n_stopwords, n_symbols) over the ASCII ``\\S+`` tokens — the Gopher
+    rule inputs, batched: ONE RE2 split + ``dictionary_encode`` per batch,
+    one regex/length/membership evaluation per DISTINCT token, then
+    integer bincounts back to rows (property-tested against the per-doc
+    reference in tests/test_decontam.py)."""
+    from ..functions.tokenize import WS_SPLIT, explode_tokens
+
+    m = len(texts)
+    z = np.zeros(m, np.int64)
+    if m == 0:
+        return z, z.copy(), z.copy(), z.copy(), z.copy()
+    rows, codes, dic = explode_tokens(texts, pattern=WS_SPLIT, lower=False)
+    words = dic.to_pylist()
+    wlen = np.fromiter((len(w) for w in words), np.int64, count=len(words))
+    walpha = np.fromiter(
+        (1 if _ALPHA_RE.search(w) else 0 for w in words), np.int64, count=len(words)
+    )
+    wstop = np.fromiter(
+        (1 if w.lower() in GOPHER_STOPWORDS else 0 for w in words),
+        np.int64,
+        count=len(words),
+    )
+    n_words = np.bincount(rows, minlength=m).astype(np.int64)
+    # bincount weights are float64 — exact here (per-doc sums << 2^53)
+    sum_len = np.bincount(rows, weights=wlen[codes], minlength=m).astype(np.int64)
+    n_alpha = np.bincount(rows, weights=walpha[codes], minlength=m).astype(np.int64)
+    n_stop = np.bincount(rows, weights=wstop[codes], minlength=m).astype(np.int64)
+    n_sym = np.fromiter(
+        (
+            (t or "").count("#") + len(_ELLIPSIS_RE.findall(t or ""))
+            for t in texts
+        ),
+        np.int64,
+        count=m,
+    )
+    return n_words, sum_len, n_alpha, n_stop, n_sym
+
+
+def gopher_quality_flags(sf_dir: str) -> rd.Dataset:
+    """The full Gopher document-quality rule bundle (Rae et al. 2021 §A1.1,
+    as also applied by RefinedWeb/Dolma): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (``#`` and ``...``), fraction of words with
+    ≥1 alphabetic character, and the ≥2-stopword requirement.  Pure
+    per-batch map over the corpus — no shuffle; at 10^12 docs this stage
+    fuses into the read.
+
+    Returns (doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+    stopword_count, gopher_pass) for docs with ≥1 token, sorted by doc_id.
+    Ratios round half-even to 6 places and the pass flag is computed FROM
+    the rounded values on both sides, so the DuckDB twin matches
+    bit-for-bit.
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        nw, sl, na, ns, sym = gopher_quality_signals_batch(
+            batch.column("text").to_pylist()
+        )
+        keep = nw > 0
+        out_ids, nw, sl, na, ns, sym = (
+            a[keep] for a in (ids, nw, sl, na, ns, sym)
+        )
+        mean_len, alpha_frac, sym_ratio, ok = [], [], [], []
+        for w, s, a, st, sy in zip(
+            nw.tolist(), sl.tolist(), na.tolist(), ns.tolist(), sym.tolist()
+        ):
+            ml = round(float(s) / float(w), 6)
+            af = round(float(a) / float(w), 6)
+            sr = round(float(sy) / float(w), 6)
+            mean_len.append(ml)
+            alpha_frac.append(af)
+            sym_ratio.append(sr)
+            ok.append(
+                GOPHER_MIN_WORDS <= w <= GOPHER_MAX_WORDS
+                and GOPHER_MIN_MEAN_WORD_LEN <= ml <= GOPHER_MAX_MEAN_WORD_LEN
+                and af >= GOPHER_MIN_ALPHA_FRAC
+                and sr <= GOPHER_MAX_SYMBOL_RATIO
+                and st >= GOPHER_MIN_STOPWORDS
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "mean_word_len": pa.array(mean_len, pa.float64()),
+                "alpha_word_frac": pa.array(alpha_frac, pa.float64()),
+                "symbol_ratio": pa.array(sym_ratio, pa.float64()),
+                "stopword_count": pa.array(ns, pa.int64()),
+                "gopher_pass": pa.array(ok),
+            }
+        )
+
+    return docs.map_batches(flags, batch_format="pyarrow").sort("doc_id")
+
+
 def duplicate_ngram_spans(
     sf_dir: str, *, n: int = NGRAM, min_docs: int = 2
 ) -> rd.Dataset:

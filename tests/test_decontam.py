@@ -417,3 +417,163 @@ class TestGramRowsBatch:
             self._check(texts, n)
 
         check()
+
+
+class TestGramNovelty:
+    def _write(self, tmp_path, texts: dict[int, str]) -> str:
+        rows = [
+            {"doc_id": i, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)}
+            for i, t in texts.items()
+        ]
+        d = tmp_path / "novelty"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        return str(d)
+
+    _SENT = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+    def test_planted_novelty(self, ray_session, tmp_path):
+        sf = self._write(
+            tmp_path,
+            {
+                0: self._SENT,                       # first occurrence: all novel
+                1: self._SENT,                       # verbatim restatement: 0 novel
+                2: "one two three four five six seven eight nine ten",  # fresh
+                3: "too short for an eight gram",    # < 8 words: no row
+            },
+        )
+        got = {r["doc_id"]: r for r in decontam.gram_novelty(sf).take_all()}
+        assert set(got) == {0, 1, 2}
+        assert got[0]["novelty"] == 1.0 and got[0]["n_grams"] == 3
+        assert got[1]["novelty"] == 0.0 and got[1]["n_novel"] == 0
+        assert got[2]["novelty"] == 1.0
+
+    def test_matches_duckdb_twin(self, ray_session, tmp_path):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = self._write(
+            tmp_path,
+            {
+                0: self._SENT + " closing words here",
+                1: "prefix words then " + self._SENT,
+                2: "one two three four five six seven eight nine",
+                5: "Mixed CASE tokens one two three four five six seven",
+            },
+        )
+        got = decontam.gram_novelty(sf).take_all()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            entry.oracle_sql()["gram_novelty"] + " ORDER BY doc_id"
+        ).fetchall()
+        assert [
+            (r["doc_id"], r["n_grams"], r["n_novel"], r["novelty"]) for r in got
+        ] == [tuple(w) for w in want]
+
+    def test_bucket_count_invariance(self, ray_session, tmp_path):
+        sf = self._write(
+            tmp_path,
+            {i: self._SENT + f" tail{i % 2}" for i in range(10)},
+        )
+        a = decontam.gram_novelty(sf, num_buckets=3).take_all()
+        b = decontam.gram_novelty(sf, num_buckets=64).take_all()
+        assert a == b
+
+
+class TestGopherQualityFlags:
+    def _naive(self, text: str):
+        import re
+
+        toks = re.findall(r"[^ \t\n\f\r]+", text or "")
+        if not toks:
+            return None
+        nw = len(toks)
+        sl = sum(len(t) for t in toks)
+        na = sum(1 for t in toks if re.search(r"[A-Za-z]", t))
+        ns = sum(1 for t in toks if t.lower() in decontam.GOPHER_STOPWORDS)
+        sym = (text or "").count("#") + len(re.findall(r"\.\.\.", text or ""))
+        return nw, sl, na, ns, sym
+
+    def test_signals_match_naive(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.text(
+                        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                        max_size=40,
+                    ),
+                    st.sampled_from(
+                        ["the cat and ### dog...", "  ", "a\tb\nc", "x...y...z"]
+                    ),
+                ),
+                max_size=8,
+            )
+        )
+        def check(texts):
+            nw, sl, na, ns, sym = decontam.gopher_quality_signals_batch(texts)
+            for i, t in enumerate(texts):
+                want = self._naive(t or "")
+                got = (nw[i], sl[i], na[i], ns[i], sym[i])
+                if want is None:
+                    assert got[0] == 0
+                else:
+                    assert got == want, (t, got, want)
+
+        check()
+
+    def test_planted_flags(self, ray_session, tmp_path):
+        good = ("the quick brown fox jumps over the lazy dog and that "
+                "pack of zebras went to be with all of those other fine "
+                "animals that have come along with the caravan to see "
+                "the wide river of the southern valley and the hills "
+                "where the herd waits beside the old stone bridge that "
+                "spans the slow water")  # 57 words, mean len ~4, 25 stopwords
+        rows = [
+            {"doc_id": 0, "text": good, "lang": "en", "source": "s",
+             "n_chars": len(good)},
+            {"doc_id": 1, "text": "way too short", "lang": "en", "source": "s",
+             "n_chars": 13},   # word-count floor
+            {"doc_id": 2, "text": "### " * 60, "lang": "en", "source": "s",
+             "n_chars": 240},  # symbol ratio + no alpha
+            {"doc_id": 3, "text": "", "lang": "en", "source": "s",
+             "n_chars": 0},    # tokenless: no row
+        ]
+        d = tmp_path / "gopher"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = {r["doc_id"]: r
+               for r in decontam.gopher_quality_flags(str(d)).take_all()}
+        assert set(got) == {0, 1, 2}
+        assert got[0]["gopher_pass"] and got[0]["stopword_count"] >= 2
+        assert not got[1]["gopher_pass"]
+        assert not got[2]["gopher_pass"]
+        assert got[2]["alpha_word_frac"] == 0.0
+
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(
+            entry.oracle_sql()["gopher_quality_flags"] + " ORDER BY doc_id"
+        ).fetchall()
+        assert [
+            (r["doc_id"], r["n_words"], r["mean_word_len"], r["alpha_word_frac"],
+             r["symbol_ratio"], r["stopword_count"], r["gopher_pass"])
+            for r in sorted(got.values(), key=lambda r: r["doc_id"])
+        ] == [tuple(w) for w in want]
