@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sampling,
     )
     from ocr_engine_ray.pipelines import textstats as tsp
+    from ocr_engine_ray.sources import formats
     from ocr_engine_ray.state.checkpoint import checkpointed_extract
     from ocr_engine_ray.state.stream import (
         stream_running_totals_query as _stream_running_totals_query,
@@ -93,6 +94,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_rebalance": sampling.temperature_rebalance,
         "hash_split": sampling.hash_split,
         "shuffled_export_digest": sampling.shuffled_export_digest,
+        # --- interchange formats (NDJSON / CSV export→ingest round-trips);
+        # new in the round-4 continuation — they take the gate slots of
+        # mode_translate_counts / mode_redact_inline (green r02+r03;
+        # intake_vocabulary keeps carrying the §2.7 config-mode signal).
+        "jsonl_roundtrip_digest": formats.jsonl_roundtrip_digest,
+        "csv_roundtrip_digest": formats.csv_roundtrip_digest,
         # --- text analysis ---------------------------------------------------
         "doc_core_stats": tsp.doc_core_stats,
         "doc_stats": tsp.doc_stats,
@@ -128,8 +135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_fields_digest": interpret.rich_fields_digest,
         "free_text_stats": interpret.free_text_stats,
         # --- config modes (§2.7: redact / translate / vocabulary) -----------
-        "mode_translate_counts": modes.mode_translate_counts,
-        "mode_redact_inline": modes.mode_redact_inline,
         "intake_vocabulary": modes.intake_vocabulary,
         # --- dedup digests ----------------------------------------------------
         "minhash_digest": dedup.minhash_digest,
@@ -143,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "mode_translate_counts": modes.mode_translate_counts,
+        "mode_redact_inline": modes.mode_redact_inline,
         "shape_counts": extract_stats.shape_counts,
         "input_span_counts": extract_stats.input_span_counts,
         "image_meta": extract_stats.image_meta,
@@ -582,6 +589,38 @@ def oracle_sql() -> dict[str, str]:
         # mod 2^61-1, via two UBIGINT halves: 2^64 ≡ 8 (mod 2^61-1)) over
         # the source table — equal iff every row survived exactly once.
         "shuffled_export_digest": """
+            WITH t AS (
+              SELECT md5(doc_id::VARCHAR || chr(31) || coalesce(text, '')) AS h
+              FROM documents
+            ), terms AS (
+              SELECT ((('0x' || substr(h, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(h, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM t
+            )
+            SELECT (sum(term) % 2305843009213693951)::BIGINT AS digest FROM terms
+        """,
+        # The format round-trips fold the identical (doc_id, text) surface,
+        # so their exact twins are the same HUGEINT md5-fold expression —
+        # each gate pins a different serialize→shard→parse path (NDJSON,
+        # CSV) against the same corpus-content invariant.
+        "jsonl_roundtrip_digest": """
+            WITH t AS (
+              SELECT md5(doc_id::VARCHAR || chr(31) || coalesce(text, '')) AS h
+              FROM documents
+            ), terms AS (
+              SELECT ((('0x' || substr(h, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(h, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM t
+            )
+            SELECT (sum(term) % 2305843009213693951)::BIGINT AS digest FROM terms
+        """,
+        "csv_roundtrip_digest": """
             WITH t AS (
               SELECT md5(doc_id::VARCHAR || chr(31) || coalesce(text, '')) AS h
               FROM documents
