@@ -27,6 +27,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -317,30 +318,11 @@ def _gram_hashes_all(text: str, n: int = NGRAM) -> np.ndarray:
     ).view(np.int64)
 
 
-def gram_novelty(sf_dir: str, *, n: int = NGRAM, num_buckets: int = 64) -> rd.Dataset:
-    """First-occurrence novelty score per doc: the fraction of a doc's
-    DISTINCT word ``n``-grams whose earliest corpus occurrence (minimum
-    doc_id over all docs containing the gram) is this doc.  Docs that
-    mostly restate earlier content score near 0; fresh content scores near
-    1 — the "new information" curation signal dual to
-    `duplicate_ngram_spans`' positional boilerplate count.
-
-    Scale shape: one map pass emits the distinct (gram, doc) pairs of each
-    batch (`gram_rows_batch` — one RE2 split + one blake2b per distinct
-    word), ONE gram-keyed shuffle (coarse gram-hash buckets, all runs of a
-    bucket processed in one vectorized call) computes each gram's earliest
-    doc and re-emits per-doc (n_grams, n_novel) bucket partials, and the
-    shared hash-bucket fold sums the ≤ ``num_buckets`` partials per doc.
-    The shuffle carries one row per distinct (gram, doc) — the same volume
-    as `duplicate_ngram_spans`.
-
-    Returns (doc_id, n_grams, n_novel, novelty) for docs with ≥ ``n``
-    words, sorted by doc_id; ``novelty`` rounds half-even to 6 places so
-    the floats are bit-equal to the DuckDB twin.  Gram identity is by
-    64-bit hash on the Ray side vs raw strings in the SQL twin (same
-    collision argument as `decontaminate`).
-    """
-    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+def _novelty_partials(
+    docs: rd.Dataset, n: int, num_buckets: int
+) -> rd.Dataset:
+    """(doc_id, n_grams, n_novel) per doc with ≥ ``n`` words, UNSORTED —
+    the shared core of `gram_novelty`'s direct and collapsed paths."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
@@ -393,7 +375,124 @@ def gram_novelty(sf_dir: str, *, n: int = NGRAM, num_buckets: int = 64) -> rd.Da
         .groupby("cb")
         .map_groups(bucket_partial, batch_format="pyarrow")
     )
-    agg = fold_int_sums_by_key(partials, cols=["n_grams", "n_novel"])
+    return fold_int_sums_by_key(partials, cols=["n_grams", "n_novel"])
+
+
+def _expand_novelty_groups(
+    scores: rd.Dataset, mapping: rd.Dataset, num_buckets: int
+) -> rd.Dataset:
+    """Propagate representative-level (n_grams, n_novel) back to every
+    member of each exact group — a bucketed hash-join on ``rep`` (no
+    driver state).  Every member inherits the rep's gram count; only the
+    rep itself can own first occurrences (any gram of a non-rep member
+    also occurs in its rep, whose doc_id is the group minimum), so members
+    get ``n_novel = 0``.  Reps with no score row (texts under ``n`` words)
+    contribute nothing — exactly as their members would."""
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        rep = batch.column("doc_id").combine_chunks()
+        rv = rep.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rep": rep,
+                "doc_id": pa.nulls(batch.num_rows, pa.int64()),
+                "n_grams": batch.column("n_grams").cast(pa.int64()),
+                "n_novel": batch.column("n_novel").cast(pa.int64()),
+                "_bkt": pa.array(rv % num_buckets, pa.int64()),
+            }
+        )
+
+    def tag_mapping(batch: pa.Table) -> pa.Table:
+        rep = batch.column("rep").combine_chunks()
+        rv = rep.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rep": rep,
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_grams": pa.nulls(batch.num_rows, pa.int64()),
+                "n_novel": pa.nulls(batch.num_rows, pa.int64()),
+                "_bkt": pa.array(rv % num_buckets, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side_score = pc.is_null(group.column("doc_id"))
+        sc = group.filter(side_score)
+        mp = group.filter(pc.invert(side_score))
+        srep = sc.column("rep").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(srep, kind="stable")
+        srep = srep[order]
+        sng = sc.column("n_grams").combine_chunks().to_numpy(zero_copy_only=False)[order]
+        snv = sc.column("n_novel").combine_chunks().to_numpy(zero_copy_only=False)[order]
+        mrep = mp.column("rep").combine_chunks().to_numpy(zero_copy_only=False)
+        mdoc = mp.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(srep, mrep)
+        found = (pos < len(srep)) & (srep[np.minimum(pos, max(len(srep) - 1, 0))] == mrep) if len(srep) else np.zeros(len(mrep), bool)
+        pos, mrep, mdoc = pos[found], mrep[found], mdoc[found]
+        return pa.table(
+            {
+                "doc_id": pa.array(mdoc, pa.int64()),
+                "n_grams": pa.array(sng[pos], pa.int64()),
+                "n_novel": pa.array(
+                    np.where(mdoc == mrep, snv[pos], 0), pa.int64()
+                ),
+            }
+        )
+
+    tagged = scores.map_batches(tag_scores, batch_format="pyarrow").union(
+        mapping.map_batches(tag_mapping, batch_format="pyarrow")
+    )
+    return tagged.groupby("_bkt").map_groups(merge, batch_format="pyarrow")
+
+
+def gram_novelty(
+    sf_dir: str,
+    *,
+    n: int = NGRAM,
+    num_buckets: int = 64,
+    collapse_exact: bool = False,
+) -> rd.Dataset:
+    """First-occurrence novelty score per doc: the fraction of a doc's
+    DISTINCT word ``n``-grams whose earliest corpus occurrence (minimum
+    doc_id over all docs containing the gram) is this doc.  Docs that
+    mostly restate earlier content score near 0; fresh content scores near
+    1 — the "new information" curation signal dual to
+    `duplicate_ngram_spans`' positional boilerplate count.
+
+    Scale shape: one map pass emits the distinct (gram, doc) pairs of each
+    batch (`gram_rows_batch` — one RE2 split + one blake2b per distinct
+    word), ONE gram-keyed shuffle (coarse gram-hash buckets, all runs of a
+    bucket processed in one vectorized call) computes each gram's earliest
+    doc and re-emits per-doc (n_grams, n_novel) bucket partials, and the
+    shared hash-bucket fold sums the ≤ ``num_buckets`` partials per doc.
+    The shuffle carries one row per distinct (gram, doc) — the same volume
+    as `duplicate_ngram_spans`.
+
+    ``collapse_exact=True`` is the crawl-scale path (the dedup-family
+    trick): sha1-collapse exact duplicate texts first (one hash shuffle),
+    run the gram shuffle over DISTINCT texts only, then expand through the
+    exact groups — a member's grams all occur in its representative (the
+    group's minimum doc_id), so members inherit the rep's ``n_grams`` with
+    ``n_novel = 0`` and the rep keeps the group's first occurrences.
+    Byte-identical to the direct path (pytest-pinned); on duplicate-heavy
+    corpora the (gram, doc) shuffle shrinks by the duplication factor.
+
+    Returns (doc_id, n_grams, n_novel, novelty) for docs with ≥ ``n``
+    words, sorted by doc_id; ``novelty`` rounds half-even to 6 places so
+    the floats are bit-equal to the DuckDB twin.  Gram identity is by
+    64-bit hash on the Ray side vs raw strings in the SQL twin (same
+    collision argument as `decontaminate`).
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if collapse_exact:
+        from .dedup import _exact_collapse
+
+        reps, mapping = _exact_collapse(docs)
+        agg = _expand_novelty_groups(
+            _novelty_partials(reps, n, num_buckets), mapping, num_buckets
+        )
+    else:
+        agg = _novelty_partials(docs, n, num_buckets)
 
     def finish(batch: pa.Table) -> pa.Table:
         ng = batch.column("n_grams").combine_chunks().to_numpy(zero_copy_only=False)

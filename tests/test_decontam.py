@@ -577,3 +577,27 @@ class TestGopherQualityFlags:
              r["symbol_ratio"], r["stopword_count"], r["gopher_pass"])
             for r in sorted(got.values(), key=lambda r: r["doc_id"])
         ] == [tuple(w) for w in want]
+
+def test_novelty_collapse_exact_byte_identical(ray_session, tmp_path):
+    """The crawl-scale collapsed gram_novelty path must equal the direct
+    path on a duplicate-heavy corpus (groups of identical texts, a fresh
+    doc, partial restatements, and sub-8-word texts)."""
+    texts = {}
+    base = TestGramNovelty._SENT
+    for i in range(6):
+        texts[i] = base              # one big exact group
+    texts[6] = base + " extra closing words"   # near-dup, not exact
+    texts[7] = "one two three four five six seven eight nine ten"
+    texts[8] = texts[7]              # second exact group
+    texts[9] = "short text"          # no grams (and an exact twin below)
+    texts[10] = "short text"
+    texts[11] = "prefix words then " + base    # shares grams with group 1
+    sf = TestGramNovelty()._write(tmp_path, texts)
+    direct = decontam.gram_novelty(sf).take_all()
+    collapsed = decontam.gram_novelty(sf, collapse_exact=True).take_all()
+    assert direct == collapsed
+    # and the first member of each exact group owns the novelty
+    by_doc = {r["doc_id"]: r for r in collapsed}
+    assert by_doc[0]["novelty"] == 1.0
+    assert all(by_doc[i]["novelty"] == 0.0 for i in range(1, 6))
+    assert 9 not in by_doc and 10 not in by_doc
