@@ -59,6 +59,11 @@ SUBSET = [
     "heavy_hitters",
     "grouped_topk",
     "user_event_gaps",
+    "gram_novelty",
+    "gopher_quality_flags",
+    "dsir_select",
+    "jsonl_roundtrip_digest",
+    "csv_roundtrip_digest",
 ]
 
 

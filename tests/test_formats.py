@@ -68,3 +68,17 @@ def test_scratch_dir_cleaned(ray_session, tmp_path, monkeypatch):
         assert glob.glob(str(tmp_path / "jsonl_export_*")) == []
     finally:
         tempfile.tempdir = None
+
+
+def test_empty_corpus_digest_zero(ray_session, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+         "lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
+         "n_chars": pa.array([], pa.int64())}
+    )
+    pq.write_table(empty, str(d / "documents.parquet"))
+    for fmt in ("jsonl", "csv"):
+        fn = getattr(formats, f"{fmt}_roundtrip_digest")
+        assert fn(str(d)).column("digest")[0].as_py() == 0
