@@ -133,7 +133,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frame_stats": extract_stats.audio_frame_stats,
         "video_frame_stats": extract_stats.video_frame_stats,
         "rich_fields_digest": interpret.rich_fields_digest,
-        "free_text_stats": interpret.free_text_stats,
+        # event_funnel is new in the round-4 continuation (never gated): it
+        # takes the slot of free_text_stats (green r02+r03; the free-text
+        # surface stays pinned by free_text_digest, replayable past the cut).
+        "event_funnel": analytics.event_funnel,
         # --- config modes (§2.7: redact / translate / vocabulary) -----------
         "intake_vocabulary": modes.intake_vocabulary,
         # --- dedup digests ----------------------------------------------------
@@ -148,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "free_text_stats": interpret.free_text_stats,
         "mode_translate_counts": modes.mode_translate_counts,
         "mode_redact_inline": modes.mode_redact_inline,
         "shape_counts": extract_stats.shape_counts,
@@ -849,6 +853,33 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC,
                                                  o_orderkey) AS rk
               FROM orders) WHERE rk <= 3
+        """,
+        # Ordered funnel: chained min-after-join per stage — exactly the
+        # greedy first-occurrence walk the bucketed kernel computes.
+        "event_funnel": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN t1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > t1.t_view
+              GROUP BY 1
+            ),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN t2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+              GROUP BY 1
+            )
+            SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+                   (CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+                         WHEN t2.t_click IS NOT NULL THEN 2
+                         ELSE 1 END)::BIGINT AS stages_completed
+            FROM t1
+            LEFT JOIN t2 USING (user_id)
+            LEFT JOIN t3 USING (user_id)
         """,
         "user_event_gaps": """
             SELECT * FROM (

@@ -222,6 +222,7 @@ def run_bench() -> dict:
         "dsir_select": timed(
             __import__("ocr_engine_ray.pipelines.dsir", fromlist=["x"]).dsir_select
         ),
+        "event_funnel": timed(analytics.event_funnel),
     }
 
     result = {

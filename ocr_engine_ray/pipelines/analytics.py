@@ -412,3 +412,106 @@ def rollup_pricing(sf_dir: str) -> rd.Dataset:
     return fine.repartition(1).map_batches(
         rollup, batch_format="pyarrow", batch_size=None
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(
+    sf_dir: str,
+    *,
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Ordered funnel analysis (product-analytics classic): for every user
+    with at least one ``stages[0]`` event, the greedy first-occurrence walk
+    through the stage sequence — ``t1 = min ts of stage 1``, ``t_k = min ts
+    of stage k strictly after t_{k-1}`` — plus how many stages the user
+    completed.  Strictly ordered (a click BEFORE the first view does not
+    count), which is exactly what the chained min-after-join SQL twin
+    expresses.
+
+    Scale shape: the funnel is order-local to the user, so ONE
+    ``user_id % B`` bucket shuffle of the narrow (user_id, ts, event_type)
+    projection — events of other types are dropped BEFORE the shuffle —
+    then a vectorized per-bucket kernel: sort by (user, ts), one
+    ``np.minimum.reduceat`` per stage over a sentinel-masked timestamp
+    array.  No driver on the data path; same shape as `user_event_gaps`.
+
+    Returns (user_id, t_view, t_click, t_purchase, stages_completed)
+    sorted by user_id; missing stages are NULL timestamps.
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    stage_list = list(stages)
+    _INF = np.int64(2**62)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"), value_set=pa.array(stage_list)
+        )
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def bucket_funnel(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        tsv = (
+            group.column("ts").combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        enc = pc.dictionary_encode(group.column("event_type").combine_chunks())
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        code_of = {t: i for i, t in enumerate(enc.dictionary.to_pylist())}
+        order = np.lexsort((tsv, uid))
+        uid, tsv, codes = uid[order], tsv[order], codes[order]
+        new = (
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+            if len(uid)
+            else np.array([], bool)
+        )
+        starts = np.nonzero(new)[0]
+        run_id = np.cumsum(new) - 1
+        users = uid[starts]
+        n_users = len(users)
+        prev = np.full(n_users, -_INF, dtype=np.int64)  # stage-0 threshold
+        stage_times: list[np.ndarray] = []
+        for k, st in enumerate(stage_list):
+            sc = code_of.get(st, -1)
+            cand = np.where(
+                (codes == sc) & (tsv > prev[run_id]), tsv, _INF
+            )
+            tk = (
+                np.minimum.reduceat(cand, starts)
+                if len(starts)
+                else np.empty(0, np.int64)
+            )
+            stage_times.append(tk)
+            prev = tk  # users that missed stage k carry _INF: nothing later
+        found1 = stage_times[0] < _INF
+        users = users[found1]
+        cols: dict[str, pa.Array] = {"user_id": pa.array(users, pa.int64())}
+        completed = np.zeros(len(users), dtype=np.int64)
+        for k, st in enumerate(stage_list):
+            tk = stage_times[k][found1]
+            ok = tk < _INF
+            completed += ok
+            cols[f"t_{st}"] = pa.array(
+                np.where(ok, tk, 0), pa.int64()
+            ).cast(pa.timestamp("us"))
+            # null out the missing stages
+            cols[f"t_{st}"] = pc.if_else(
+                pa.array(ok), cols[f"t_{st}"], pa.nulls(len(users), pa.timestamp("us"))
+            )
+        cols["stages_completed"] = pa.array(completed, pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_funnel, batch_format="pyarrow")
+        .sort("user_id")
+    )
