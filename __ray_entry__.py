@@ -137,10 +137,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # takes the slot of free_text_stats (green r02+r03; the free-text
         # surface stays pinned by free_text_digest, replayable past the cut).
         "event_funnel": analytics.event_funnel,
+        # cohort_retention is new in the round-4 continuation (never gated):
+        # it takes the slot of minhash_digest (green r02+r03; the MinHash
+        # surface stays pinned by its literal twin, replayable past the cut).
+        "cohort_retention": analytics.cohort_retention,
         # --- config modes (§2.7: redact / translate / vocabulary) -----------
         "intake_vocabulary": modes.intake_vocabulary,
         # --- dedup digests ----------------------------------------------------
-        "minhash_digest": dedup.minhash_digest,
         # paragraph_dedup is new in round 4 (never driver-gated): it takes
         # the slot of lang_counts, which is green in both r02 and r03.
         # The five other round-4 queries (cms_token_counts, ann_ivfpq_digest,
@@ -151,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "minhash_digest": dedup.minhash_digest,
         "free_text_stats": interpret.free_text_stats,
         "mode_translate_counts": modes.mode_translate_counts,
         "mode_redact_inline": modes.mode_redact_inline,
@@ -880,6 +884,21 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
+        """,
+        # Weekly cohort retention: date_trunc('week') cohorts, distinct
+        # (user, week) activity, week_offset via date_diff over the
+        # already-truncated pair.
+        "cohort_retention": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM events GROUP BY 1
+            ),
+            a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+            SELECT f.cohort_week::TIMESTAMP AS cohort_week,
+                   date_diff('week', f.cohort_week, a.w)::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "user_event_gaps": """
             SELECT * FROM (

@@ -223,6 +223,7 @@ def run_bench() -> dict:
             __import__("ocr_engine_ray.pipelines.dsir", fromlist=["x"]).dsir_select
         ),
         "event_funnel": timed(analytics.event_funnel),
+        "cohort_retention": timed(analytics.cohort_retention),
     }
 
     result = {

@@ -515,3 +515,88 @@ def event_funnel(
         .map_groups(bucket_funnel, batch_format="pyarrow")
         .sort("user_id")
     )
+
+
+def cohort_retention(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Weekly cohort retention (the analytics classic paired with
+    `event_funnel`): users are cohorted by the ISO week of their FIRST
+    event; for every (cohort_week, week_offset) cell, how many cohort
+    members were active that many weeks later.
+
+    Scale shape: per-batch map-side distinct of the narrow (user, week)
+    projection, ONE ``user_id % B`` bucket shuffle (first-week and active
+    weeks are user-local), per-bucket vectorized cell partials, then a
+    cells-sized groupby sum (weeks x offsets — tiny at any corpus).
+
+    Week truncation is DuckDB's ``date_trunc('week', ts)`` — Monday 00:00
+    — computed in integer day arithmetic (1970-01-01 was a Thursday), so
+    the twin matches exactly.  Returns (cohort_week, week_offset, n_users)
+    sorted by (cohort_week, week_offset).
+    """
+    import numpy as np
+
+    US_PER_DAY = 86_400_000_000
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def user_weeks(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        tsv = batch.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = np.floor_divide(tsv, US_PER_DAY)
+        monday = day - (day + 3) % 7  # 1970-01-01 = Thursday; Monday-trunc
+        wk = monday * US_PER_DAY
+        # 2-column unique keeps the pair exact at any week range (a scalar
+        # composite key would need week-index bounds)
+        pairs = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0]),
+                "wk": pa.array(pairs[:, 1]),
+                "_bkt": pa.array((pairs[:, 0] % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def bucket_cells(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        wk = group.column("wk").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        # distinct (user, wk) pairs may repeat across input batches
+        keep = np.concatenate([[True], (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])]) if len(uid) else np.array([], bool)
+        uid, wk = uid[keep], wk[keep]
+        new = np.concatenate([[True], uid[1:] != uid[:-1]]) if len(uid) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        run_id = np.cumsum(new) - 1
+        cohort = wk[starts][run_id]  # first (minimum) week per user
+        offset = (wk - cohort) // (7 * US_PER_DAY)
+        cell, cnt = np.unique(np.stack([cohort, offset], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_us": pa.array(cell[:, 0]),
+                "week_offset": pa.array(cell[:, 1]),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        ds.map_batches(user_weeks, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_cells, batch_format="pyarrow")
+        .groupby(["cohort_us", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_us").cast(pa.timestamp("us")),
+                "week_offset": batch.column("week_offset").cast(pa.int64()),
+                "n_users": batch.column("n_users").cast(pa.int64()),
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow").sort(
+        ["cohort_week", "week_offset"]
+    )

@@ -85,3 +85,43 @@ def test_bucket_count_invariance(ray_session, tmp_path):
     a = analytics.event_funnel(sf, num_buckets=2).take_all()
     b = analytics.event_funnel(sf, num_buckets=64).take_all()
     assert a == b
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    """Hand-pinned cohorts: Mondays are 2026-01-05 / 12 / 19.  User 1
+    cohorts in week 0 and returns in weeks 0 and 2 (gap week skipped);
+    user 2 cohorts in week 0 (via a SUNDAY event — Monday truncation);
+    user 3 cohorts in week 1."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    events = [
+        (1, dt.datetime(2026, 1, 5, 10)),    # Monday wk0
+        (1, dt.datetime(2026, 1, 6, 10)),    # same week -> one activity row
+        (1, dt.datetime(2026, 1, 19, 10)),   # wk2
+        (2, dt.datetime(2026, 1, 11, 23)),   # SUNDAY of wk0
+        (3, dt.datetime(2026, 1, 12, 0)),    # Monday wk1
+    ]
+    rows = [
+        {"event_id": i, "user_id": u, "ts": t, "event_type": "view",
+         "value": 0.0, "props": "{}"}
+        for i, (u, t) in enumerate(events)
+    ]
+    d = tmp_path / "cohorts"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+    got = [
+        (r["cohort_week"], r["week_offset"], r["n_users"])
+        for r in analytics.cohort_retention(str(d)).take_all()
+    ]
+    wk0, wk1 = dt.datetime(2026, 1, 5), dt.datetime(2026, 1, 12)
+    assert got == [(wk0, 0, 2), (wk0, 2, 1), (wk1, 0, 1)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(
+        entry.oracle_sql()["cohort_retention"] + " ORDER BY cohort_week, week_offset"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
