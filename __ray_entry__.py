@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_engine_ray.pipelines import (
         analytics,
         ann,
+        bpe,
         curate,
         decontam,
         dedup,
@@ -142,7 +143,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # surface stays pinned by its literal twin, replayable past the cut).
         "cohort_retention": analytics.cohort_retention,
         # --- config modes (§2.7: redact / translate / vocabulary) -----------
-        "intake_vocabulary": modes.intake_vocabulary,
+        # bpe_digest is new in the round-4 continuation (never gated): it
+        # takes the slot of intake_vocabulary (green r02+r03, replayable
+        # past the cut).
+        "bpe_digest": bpe.bpe_digest,
         # --- dedup digests ----------------------------------------------------
         # paragraph_dedup is new in round 4 (never driver-gated): it takes
         # the slot of lang_counts, which is green in both r02 and r03.
@@ -154,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "intake_vocabulary": modes.intake_vocabulary,
         "minhash_digest": dedup.minhash_digest,
         "free_text_stats": interpret.free_text_stats,
         "mode_translate_counts": modes.mode_translate_counts,
@@ -899,6 +904,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_users
             FROM a JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # BPE merge-list digest: pinned literal from the INDEPENDENT
+        # sequential trainer (oracle_dedup.bpe_merges — per-doc Counter +
+        # naive merge recount); re-derived on every pytest run by
+        # tests/test_digest_dedup.py.  Pure integer/string surface.
+        "bpe_digest": """
+            SELECT 1290789620711035751::BIGINT AS digest
         """,
         "user_event_gaps": """
             SELECT * FROM (

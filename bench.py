@@ -224,6 +224,9 @@ def run_bench() -> dict:
         ),
         "event_funnel": timed(analytics.event_funnel),
         "cohort_retention": timed(analytics.cohort_retention),
+        "bpe_train": timed(
+            __import__("ocr_engine_ray.pipelines.bpe", fromlist=["x"]).bpe_train
+        ),
     }
 
     result = {

@@ -575,3 +575,56 @@ def ivfpq_topk(
         for rank, (_, v) in enumerate(ranked[:k], start=1):
             out.append((int(vid[qi]), rank, int(v)))
     return sorted(out)
+
+
+# --- BPE merge training (Sennrich et al. 2016) ------------------------------
+
+
+def bpe_merges(
+    sf_dir: str, num_merges: int = 40, max_vocab_words: int = 65536
+) -> list[tuple[int, str, str, int]]:
+    """Naive from-scratch BPE trainer: per-doc Counter over the lowercased
+    ASCII word tokens of the raw texts, top-``max_vocab_words`` words by
+    (freq DESC, word ASC), then the textbook greedy merge loop with full
+    pair recount per iteration (tie-break: count DESC, (left, right) ASC).
+    Returns (rank, left, right, pair_count) rows."""
+    from collections import Counter
+
+    freqs: Counter[str] = Counter()
+    for _, text in _load_docs(sf_dir):
+        freqs.update(WORD_RE.findall(text.lower()))
+    top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab_words]
+    vocab = {tuple(w) + ("</w>",): f for w, f in top}
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for seq, f in vocab.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += f
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for seq, f in vocab.items():
+            s: list[str] = []
+            i = 0
+            while i < len(seq):
+                if i < len(seq) - 1 and seq[i] == left and seq[i + 1] == right:
+                    s.append(merged)
+                    i += 2
+                else:
+                    s.append(seq[i])
+                    i += 1
+            new_vocab[tuple(s)] = new_vocab.get(tuple(s), 0) + f
+        vocab = new_vocab
+        out.append((rank, left, right, int(cnt)))
+    return out
+
+
+def bpe_digest(rows: list[tuple[int, str, str, int]]) -> int:
+    s = 0
+    for rank, left, right, cnt in rows:
+        h = hashlib.md5(f"{rank}\x1f{left}|{right}:{cnt}".encode("utf-8")).digest()
+        s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
+    return s

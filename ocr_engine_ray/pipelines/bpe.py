@@ -1,0 +1,164 @@
+"""Distributed BPE vocabulary training (Sennrich et al. 2016 — public).
+
+The classic subword-vocabulary trainer: pre-tokenize the corpus into words,
+count word frequencies, then greedily merge the most frequent adjacent
+symbol pair ``num_merges`` times, starting from characters plus an
+end-of-word marker.  The merge list IS the tokenizer.
+
+Scale shape — exactly how reference trainers (subword-nmt, HuggingFace
+tokenizers) split the work:
+
+1. the ONLY corpus-sized stage is the word-frequency count: per-batch
+   partial counts (one RE2 split + ``dictionary_encode``), one
+   vocabulary-keyed groupby, then a map-side top-``max_vocab_words`` prune
+   (block-local top-V is a superset of the global top-V) + sort + limit —
+   the driver receives a BOUNDED table (top-V by (count DESC, word ASC))
+   no matter the corpus size;
+2. the merge loop runs on that bounded word-frequency table — per-word
+   Python over V entries × num_merges, corpus-independent (the same
+   frequency-floor bound every practical BPE trainer applies).
+
+Fully deterministic: counts are integers, the merge argmax tie-breaks by
+(count DESC, (left, right) ASC).  Gated by a pinned-literal digest from an
+INDEPENDENT sequential oracle (`oracle_dedup.bpe_merges` — per-doc Counter
+over the raw texts, naive merge loop), the `kmeans_digest` pattern.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..sources.tables import sf_table
+
+BPE_MERGES = 40
+BPE_MAX_VOCAB = 65536
+BPE_EOW = "</w>"
+
+
+def merge_loop(
+    word_freqs: list[tuple[str, int]], num_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Greedy BPE merges over a (word, freq) table — shared by the pipeline
+    and (deliberately NOT by the oracle, which reimplements it naively) the
+    `bpe_train` driver step.  Returns (rank, left, right, merged,
+    pair_count) rows; stops early when no adjacent pair remains."""
+    seqs: list[list[str]] = [list(w) + [BPE_EOW] for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for seq, f in zip(seqs, freqs):
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merged = left + right
+        for seq in seqs:
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == left and seq[i + 1] == right:
+                    seq[i : i + 2] = [merged]
+                else:
+                    i += 1
+        out.append((rank, left, right, merged, int(cnt)))
+    return out
+
+
+def _word_freq_table(
+    sf_dir: str, *, max_vocab_words: int
+) -> list[tuple[str, int]]:
+    """Top-``max_vocab_words`` (word, count) by (count DESC, word ASC) —
+    one corpus pass, bounded driver state."""
+    from ..functions.tokenize import WORD_SPLIT, explode_tokens
+
+    docs = sf_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows, codes, dic = explode_tokens(
+            batch.column("text").to_pylist(), pattern=WORD_SPLIT, lower=True
+        )
+        if not len(codes):
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(codes, minlength=len(dic)).astype(np.int64)
+        return pa.table({"word": dic, "n": pa.array(cnt)})
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= max_vocab_words:
+            return batch
+        n = batch.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        words = np.asarray(batch.column("word").to_pylist(), dtype=object)
+        order = np.lexsort((words, -n))[:max_vocab_words]
+        return batch.take(pa.array(np.sort(order)))
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(prune, batch_format="pyarrow")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(max_vocab_words)
+        .take_all()
+    )
+    return [(r["word"], int(r["n"])) for r in rows]
+
+
+def bpe_train(
+    sf_dir: str,
+    *,
+    num_merges: int = BPE_MERGES,
+    max_vocab_words: int = BPE_MAX_VOCAB,
+) -> pa.Table:
+    """Train a BPE merge list over the corpus.  Returns (rank, left, right,
+    merged, pair_count) — ``num_merges`` rows (fewer if pairs run out)."""
+    merges = merge_loop(
+        _word_freq_table(sf_dir, max_vocab_words=max_vocab_words), num_merges
+    )
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "merged": pa.array([m[3] for m in merges], pa.string()),
+            "pair_count": pa.array([m[4] for m in merges], pa.int64()),
+        }
+    )
+
+
+def bpe_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `bpe_train` (pure integer/string surface — no
+    float anywhere, so the pin needs no margin check).  Literal from the
+    independent `oracle_dedup.bpe_merges`."""
+    from .interpret import fold_digest
+
+    t = bpe_train(sf_dir, **kwargs)
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("rank"),
+                "payload": pa.array(
+                    [
+                        f"{l}|{r}:{c}"
+                        for l, r, c in zip(
+                            batch.column("left").to_pylist(),
+                            batch.column("right").to_pylist(),
+                            batch.column("pair_count").to_pylist(),
+                        )
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return fold_digest(
+        rd.from_arrow(t).map_batches(payload, batch_format="pyarrow"), "payload"
+    )

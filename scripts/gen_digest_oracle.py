@@ -44,6 +44,7 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
         "ann_ivf_digest": od.topk_digest(od.ivf_topk(sf_dir)),
         "ann_ivfpq_digest": od.topk_digest(od.ivfpq_topk(sf_dir)),
         "embedding_lsh_digest": od.clusters_digest(od.embedding_lsh_clusters(sf_dir)),
+        "bpe_digest": od.bpe_digest(od.bpe_merges(sf_dir)),
     }
 
 

@@ -52,6 +52,7 @@ class TestDedupDigestGates:
             "ann_ivf_digest",
             "ann_ivfpq_digest",
             "embedding_lsh_digest",
+            "bpe_digest",
         ],
     )
     def test_ray_digest_matches_literal(self, ray_session, name):
