@@ -47,27 +47,49 @@ def merge_loop(
     and (deliberately NOT by the oracle, which reimplements it naively) the
     `bpe_train` driver step.  Returns (rank, left, right, merged,
     pair_count) rows; stops early when no adjacent pair remains."""
+    from collections import defaultdict
+
     seqs: list[list[str]] = [list(w) + [BPE_EOW] for w, _ in word_freqs]
     freqs = [f for _, f in word_freqs]
+    # incremental pair bookkeeping (the subword-nmt trick): counts once up
+    # front, then per merge only the words CONTAINING the merged pair are
+    # rescanned — value-identical to the full recount (argmax over the same
+    # positive counts; pinned by the oracle-equality and hand-merge tests),
+    # but O(affected words) instead of O(V) per merge.
+    pairs: Counter[tuple[str, str]] = Counter()
+    occ: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (seq, f) in enumerate(zip(seqs, freqs)):
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] += f
+            occ[(a, b)].add(idx)
     out: list[tuple[int, str, str, str, int]] = []
     for rank in range(num_merges):
-        pairs: Counter[tuple[str, str]] = Counter()
-        for seq, f in zip(seqs, freqs):
-            for a, b in zip(seq, seq[1:]):
-                pairs[(a, b)] += f
-        if not pairs:
+        best: tuple[str, str] | None = None
+        best_cnt = 0
+        for p, c in pairs.items():
+            if c > 0 and (
+                best is None or (-c, p) < (-best_cnt, best)
+            ):
+                best, best_cnt = p, c
+        if best is None:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        (left, right), cnt = best
+        left, right = best
         merged = left + right
-        for seq in seqs:
+        for idx in list(occ.get(best, ())):
+            seq, f = seqs[idx], freqs[idx]
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] -= f
+                occ[(a, b)].discard(idx)
             i = 0
             while i < len(seq) - 1:
                 if seq[i] == left and seq[i + 1] == right:
                     seq[i : i + 2] = [merged]
                 else:
                     i += 1
-        out.append((rank, left, right, merged, int(cnt)))
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += f
+                occ[(a, b)].add(idx)
+        out.append((rank, left, right, merged, int(best_cnt)))
     return out
 
 
