@@ -448,8 +448,14 @@ def event_funnel(
     _INF = np.int64(2**62)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(
-            batch.column("event_type"), value_set=pa.array(stage_list)
+        # contract: rows with null user/ts are ignored (is_in also drops
+        # null event_type — its result is null there and filter drops it)
+        keep = pc.and_(
+            pc.is_in(batch.column("event_type"), value_set=pa.array(stage_list)),
+            pc.and_(
+                pc.is_valid(batch.column("user_id")),
+                pc.is_valid(batch.column("ts")),
+            ),
         )
         batch = batch.filter(keep)
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
@@ -540,6 +546,13 @@ def cohort_retention(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
     ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
 
     def user_weeks(batch: pa.Table) -> pa.Table:
+        # contract: rows with null user/ts are ignored
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("user_id")),
+                pc.is_valid(batch.column("ts")),
+            )
+        )
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
         tsv = batch.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False

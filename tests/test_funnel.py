@@ -125,3 +125,31 @@ def test_cohort_retention_planted(ray_session, tmp_path):
         entry.oracle_sql()["cohort_retention"] + " ORDER BY cohort_week, week_offset"
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_dirty_events_ignored(ray_session, tmp_path):
+    """Null user_id / ts / event_type rows are ignored by contract (and the
+    float-NaN cast path a null int64 column would otherwise take cannot
+    corrupt the timestamps)."""
+    rows = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, None, 2, 1], pa.int64()),
+        "ts": pa.array([dt.datetime(2026, 1, 5), None, dt.datetime(2026, 1, 6),
+                        dt.datetime(2026, 1, 7), dt.datetime(2026, 1, 8)],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["view", "click", None, "view", "click"],
+                               pa.string()),
+        "value": pa.array([0.0] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5, pa.string()),
+    })
+    d = tmp_path / "dirty"
+    d.mkdir()
+    pq.write_table(rows, str(d / "events.parquet"))
+    got = {r["user_id"]: r for r in analytics.event_funnel(str(d)).take_all()}
+    # user 1: the null-ts click is ignored, the Jan-8 click counts
+    assert got[1]["stages_completed"] == 2
+    assert got[1]["t_click"] == dt.datetime(2026, 1, 8)
+    assert got[2]["stages_completed"] == 1
+    ret = analytics.cohort_retention(str(d)).take_all()
+    # users 1 and 2 cohort in the week of Jan 5 (Monday); null rows ignored
+    assert [(r["week_offset"], r["n_users"]) for r in ret] == [(0, 2)]
