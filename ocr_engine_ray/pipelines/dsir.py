@@ -120,14 +120,22 @@ def _lambda_ref(
         r, b, c = doc_feature_counts_batch(
             batch.column("text").to_pylist(), num_buckets
         )
+        # null-source docs count in NEITHER model (the SQL twin's
+        # `source = 'src0'` / `source <> 'src0'` are both NULL-false there)
         is_t = np.fromiter(
             (s == target_source for s in srcs), dtype=bool, count=len(srcs)
         )
+        is_r = np.fromiter(
+            (s is not None and s != target_source for s in srcs),
+            dtype=bool,
+            count=len(srcs),
+        )
         tm = is_t[r] if len(r) else np.zeros(0, bool)
+        rm = is_r[r] if len(r) else np.zeros(0, bool)
         ct = np.zeros(num_buckets, np.int64)
         cr = np.zeros(num_buckets, np.int64)
         np.add.at(ct, b[tm], c[tm])
-        np.add.at(cr, b[~tm], c[~tm])
+        np.add.at(cr, b[rm], c[rm])
         nz = np.nonzero(ct | cr)[0]
         return pa.table(
             {

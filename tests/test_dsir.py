@@ -141,3 +141,34 @@ class TestDsirSelect:
             for r in dsir.dsir_select(sf, k=4, num_buckets=8192).take_all()
         ]
         assert set(a[:2]) == set(b[:2]) == {100, 101}
+
+
+def test_null_source_rows_ignored(ray_session, tmp_path):
+    """Null-source docs count in NEITHER model and are never selected —
+    exactly the SQL twin's NULL-false comparisons."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    rows = [
+        {"doc_id": 0, "text": _TARGET[0], "lang": "en", "source": "src0",
+         "n_chars": 1},
+        {"doc_id": 1, "text": _ON_DOMAIN[0], "lang": "en", "source": "src1",
+         "n_chars": 1},
+        {"doc_id": 2, "text": _OFF_DOMAIN[0], "lang": "en", "source": None,
+         "n_chars": 1},
+    ]
+    d = tmp_path / "nullsrc"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    got = dsir.dsir_select(str(d), k=50).take_all()
+    assert [r["doc_id"] for r in got] == [1]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(entry.oracle_sql()["dsir_select"]).fetchall()
+    assert [(r["doc_id"], r["n_feats"], r["logw_q"]) for r in got] == [
+        tuple(w) for w in want
+    ]
