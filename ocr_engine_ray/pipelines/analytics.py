@@ -560,14 +560,22 @@ def cohort_retention(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         day = np.floor_divide(tsv, US_PER_DAY)
         monday = day - (day + 3) % 7  # 1970-01-01 = Thursday; Monday-trunc
         wk = monday * US_PER_DAY
-        # 2-column unique keeps the pair exact at any week range (a scalar
-        # composite key would need week-index bounds)
-        pairs = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        # distinct (user, wk) via lexsort + adjacent mask — exact at any
+        # week range (a scalar composite key would need week-index bounds)
+        # and measurably faster than np.unique(axis=0)'s row-view sort
+        order = np.lexsort((wk, uid))
+        su, sw = uid[order], wk[order]
+        first = (
+            np.concatenate([[True], (su[1:] != su[:-1]) | (sw[1:] != sw[:-1])])
+            if len(su)
+            else np.array([], bool)
+        )
+        su, sw = su[first], sw[first]
         return pa.table(
             {
-                "user_id": pa.array(pairs[:, 0]),
-                "wk": pa.array(pairs[:, 1]),
-                "_bkt": pa.array((pairs[:, 0] % num_buckets).astype(np.int32)),
+                "user_id": pa.array(su),
+                "wk": pa.array(sw),
+                "_bkt": pa.array((su % num_buckets).astype(np.int32)),
             }
         )
 
@@ -584,18 +592,40 @@ def cohort_retention(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         run_id = np.cumsum(new) - 1
         cohort = wk[starts][run_id]  # first (minimum) week per user
         offset = (wk - cohort) // (7 * US_PER_DAY)
-        cell, cnt = np.unique(np.stack([cohort, offset], axis=1), axis=0, return_counts=True)
+        # cell counts via lexsort + reduceat (the shared fold idiom)
+        corder = np.lexsort((offset, cohort))
+        sc, so = cohort[corder], offset[corder]
+        cfirst = (
+            np.concatenate([[True], (sc[1:] != sc[:-1]) | (so[1:] != so[:-1])])
+            if len(sc)
+            else np.array([], bool)
+        )
+        cstarts = np.nonzero(cfirst)[0]
+        cnt = (
+            np.diff(np.concatenate([cstarts, [len(sc)]]))
+            if len(sc)
+            else np.empty(0, np.int64)
+        )
         return pa.table(
             {
-                "cohort_us": pa.array(cell[:, 0]),
-                "week_offset": pa.array(cell[:, 1]),
+                "cohort_us": pa.array(sc[cstarts] if len(sc) else sc),
+                "week_offset": pa.array(so[cstarts] if len(so) else so),
                 "n": pa.array(cnt.astype(np.int64)),
             }
         )
 
+    pairs = ds.map_batches(user_weeks, batch_format="pyarrow").materialize()
+    # Compact a SMALL distinct-(user, week) set out of the read's block
+    # layout before the two groupby shuffles — the dedup-module lesson:
+    # hundreds of tiny blocks pay per-block fixed costs ~10x the data
+    # (measured at 10M events: groupby over 312 tiny blocks 6.3 s vs
+    # 1.4 s over 8; the downstream cells groupby inherits the narrow
+    # layout too).  4M rows x 3 int64 cols < 100 MB — trivially
+    # repartitionable; bigger pair sets keep their parallelism.
+    if pairs.count() < 4_000_000 and pairs.num_blocks() > 8:
+        pairs = pairs.repartition(8).materialize()
     cells = (
-        ds.map_batches(user_weeks, batch_format="pyarrow")
-        .groupby("_bkt")
+        pairs.groupby("_bkt")
         .map_groups(bucket_cells, batch_format="pyarrow")
         .groupby(["cohort_us", "week_offset"])
         .aggregate(Sum("n", alias_name="n_users"))
