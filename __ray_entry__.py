@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analytics,
         ann,
         bpe,
+        colloc,
         curate,
         decontam,
         dedup,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lm,
         modes,
         packing,
+        pca,
         sampling,
     )
     from ocr_engine_ray.pipelines import textstats as tsp
@@ -100,10 +102,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mode_translate_counts / mode_redact_inline (green r02+r03;
         # intake_vocabulary keeps carrying the §2.7 config-mode signal).
         "jsonl_roundtrip_digest": formats.jsonl_roundtrip_digest,
-        "csv_roundtrip_digest": formats.csv_roundtrip_digest,
         # --- text analysis ---------------------------------------------------
-        "doc_core_stats": tsp.doc_core_stats,
+        # lexical_diversity / pmi_collocations / embedding_gram are new in
+        # this (third) round-4 continuation, never driver-gated: they take
+        # the slots of doc_core_stats (a strict column-subset of doc_stats,
+        # which stays gated), csv_roundtrip_digest (same md5-fold twin
+        # expression as jsonl_roundtrip_digest, which stays gated) and
+        # rich_fields_digest (green r03 with unchanged code) — all three
+        # demoted queries stay replayable via scripts/compare_oracle.py.
         "doc_stats": tsp.doc_stats,
+        "lexical_diversity": tsp.lexical_diversity,
         "token_frequencies": tsp.token_frequencies,
         "token_totals_by_lang": tsp.token_totals_by_lang,
         "fingerprint_stats": tsp.fingerprint_stats,
@@ -114,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rarity_score": tsp.token_rarity_score,
         "bigram_logprob_score": lm.bigram_logprob_score,
         "perplexity_buckets": lm.perplexity_buckets,
+        "pmi_collocations": colloc.pmi_collocations,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_digest": tsp.approx_distinct_digest,
         "langid_counts": tsp.langid_counts,
@@ -123,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_digest": ann.kmeans_digest,
         "ann_ivf_digest": ann.ann_ivf_digest,
         "ann_ivfpq_digest": ann.ann_ivfpq_digest,
+        "embedding_gram": pca.embedding_gram,
         # --- extraction family (north rule) ----------------------------------
         # shape_counts / input_span_counts / image_meta moved past the cut
         # this session (green in r02+r03; their slots fund gram_novelty /
@@ -133,7 +143,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnail_plan": extract_stats.image_thumbnail_plan,
         "audio_frame_stats": extract_stats.audio_frame_stats,
         "video_frame_stats": extract_stats.video_frame_stats,
-        "rich_fields_digest": interpret.rich_fields_digest,
         # event_funnel is new in the round-4 continuation (never gated): it
         # takes the slot of free_text_stats (green r02+r03; the free-text
         # surface stays pinned by free_text_digest, replayable past the cut).
@@ -158,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "doc_core_stats": tsp.doc_core_stats,
+        "csv_roundtrip_digest": formats.csv_roundtrip_digest,
+        "rich_fields_digest": interpret.rich_fields_digest,
         "intake_vocabulary": modes.intake_vocabulary,
         "minhash_digest": dedup.minhash_digest,
         "free_text_stats": interpret.free_text_stats,
@@ -823,6 +835,88 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 3 * (rank_in_source - 1) < 2 * n THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM r
+        """,
+        # PMI collocations: all counts and the top-k cut are exact integers;
+        # the single float is ln(c12*T / (c1*c2)), quantized ONCE per pair to
+        # round_even(ln(x)*2^40) with the SAME association as the numpy
+        # kernel ((c12*T)::DOUBLE / (c1*c2)::DOUBLE — exact int64 products,
+        # one divide, one ln), so ordering ties are impossible to misorder:
+        # (pmi_q DESC, w1, w2) is a total order on both sides.  Marginals
+        # sum over the UNFILTERED pair table (min_count applies at the end),
+        # matching the pipeline's attach-then-filter order.
+        "pmi_collocations": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr
+              FROM documents
+            ),
+            big AS (
+              SELECT arr[i] AS w1, arr[i + 1] AS w2
+              FROM toks, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+              WHERE len(arr) >= 2
+            ),
+            c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+            c2 AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM c12 GROUP BY 1),
+            tt AS (SELECT sum(c12)::BIGINT AS t FROM c12),
+            term AS (
+              SELECT c12.w1, c12.w2, c12.c12,
+                     round_even(
+                       ln((c12.c12 * tt.t)::DOUBLE / (c1.c1 * c2.c2)::DOUBLE)
+                       * 1099511627776.0, 0
+                     )::BIGINT AS pmi_q
+              FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tt
+              WHERE c12.c12 >= 3
+            )
+            SELECT w1, w2, c12, pmi_q,
+                   round_even(pmi_q::DOUBLE / 1099511627776.0, 6) AS pmi
+            FROM term
+            ORDER BY pmi_q DESC, w1, w2 LIMIT 50
+        """,
+        # Lexical diversity: pure count arithmetic; the one float is the
+        # final distinct/total divide, rounded half-even on both sides.
+        "lexical_diversity": """
+            WITH toks AS (
+              SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents
+            )
+            SELECT source,
+                   count(*)::BIGINT AS n_tokens,
+                   count(DISTINCT tok)::BIGINT AS n_unique_tokens,
+                   round_even(count(DISTINCT tok)::DOUBLE / count(*)::DOUBLE, 6) AS ttr
+            FROM toks GROUP BY source
+        """,
+        # Exact quantized embedding moments: q = round_even(x * 2^20)::BIGINT
+        # (float32→double promotion is exact, the scale a power of two, and
+        # DuckDB round_even == np.round), after which every output value is
+        # a commutative int64 sum — bit-identical to the distributed fold
+        # under any batching.  dims are 1-based; (i, -1) rows carry Σ q_i
+        # and (-1, -1) the row count.
+        "embedding_gram": """
+            WITH q AS (
+              SELECT vec_id, i,
+                     round_even(embedding[i] * 1048576.0, 0)::BIGINT AS q
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS t(i)
+            ),
+            gram AS (
+              SELECT a.i::BIGINT AS dim_i, b.i::BIGINT AS dim_j,
+                     sum(a.q * b.q)::BIGINT AS s
+              FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+              GROUP BY 1, 2
+            ),
+            sums AS (
+              SELECT i::BIGINT AS dim_i, CAST(-1 AS BIGINT) AS dim_j,
+                     sum(q)::BIGINT AS s
+              FROM q GROUP BY 1
+            ),
+            cnt AS (
+              SELECT CAST(-1 AS BIGINT) AS dim_i, CAST(-1 AS BIGINT) AS dim_j,
+                     count(*)::BIGINT AS s
+              FROM embeddings
+            )
+            SELECT * FROM gram
+            UNION ALL SELECT * FROM sums
+            UNION ALL SELECT * FROM cnt
         """,
         # Count-Min sketch, recomputed WHOLESALE in SQL: every (row j,
         # bucket) counter cell is a pure sum over the token stream with the

@@ -288,6 +288,115 @@ def fingerprint_stats(sf_dir: str) -> rd.Dataset:
     return partials.groupby("source").aggregate(Sum("n_part", alias_name="n_unique"))
 
 
+def lexical_diversity(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Per-source lexical diversity: token total, distinct-token count and
+    type-token ratio (TTR) — the standard vocabulary-richness signal when
+    comparing corpus slices before mixing.
+
+    Scale shape (the `fingerprint_stats` distinct-pair pattern): one corpus
+    pass emits per-batch DISTINCT (source, token) rows with their in-batch
+    multiplicities, keyed by ``crc32(source \\x1f token) % B`` — a pair
+    lands wholly in one bucket, so the bucket's distinct count and
+    multiplicity sum are exact partials; a tiny source-keyed aggregate
+    folds the ≤ B×sources partials.  No vocabulary ever sits on the
+    driver.  TTR is one int64→float divide rounded half-even, identical
+    in the SQL twin; sources whose texts hold no tokens are absent on
+    both sides.
+    """
+    import zlib
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "lbkt": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if not len(rows):
+            return empty
+        senc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)[rows]
+        nd = len(dic)
+        ukey, cnt = np.unique(si * nd + codes, return_counts=True)
+        us = (ukey // nd).astype(np.int64)
+        ut = (ukey % nd).astype(np.int64)
+        sdic = senc.dictionary.to_pylist()
+        tdic = dic.to_pylist()
+        bkt = np.fromiter(
+            (
+                zlib.crc32(f"{sdic[a]}\x1f{tdic[b]}".encode()) % num_buckets
+                for a, b in zip(us, ut)
+            ),
+            dtype=np.int64,
+            count=len(ukey),
+        )
+        return pa.table(
+            {
+                "lbkt": pa.array(bkt),
+                "source": pc.take(senc.dictionary, pa.array(us)),
+                "token": pc.take(dic, pa.array(ut)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        # exact per-source partials of this bucket: distinct tokens + totals
+        senc = pc.dictionary_encode(group.column("source").combine_chunks())
+        tenc = pc.dictionary_encode(group.column("token").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)
+        ti = np.asarray(tenc.indices, dtype=np.int64)
+        c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        nt = max(len(tenc.dictionary), 1)
+        pair = si * nt + ti
+        order = np.argsort(pair, kind="stable")
+        sp = pair[order]
+        new = np.concatenate([[True], sp[1:] != sp[:-1]]) if len(sp) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        src_of_pair = (sp[starts] // nt).astype(np.int64)
+        ns = len(senc.dictionary)
+        n_unique = np.bincount(src_of_pair, minlength=ns).astype(np.int64)
+        n_tok = np.zeros(ns, dtype=np.int64)
+        np.add.at(n_tok, si, c)
+        return pa.table(
+            {
+                "source": senc.dictionary,
+                "u_part": pa.array(n_unique),
+                "t_part": pa.array(n_tok),
+            }
+        )
+
+    agg = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("lbkt")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("t_part", alias_name="n_tokens"),
+            Sum("u_part", alias_name="n_unique_tokens"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        u = batch.column("n_unique_tokens").combine_chunks().to_numpy(zero_copy_only=False)
+        t = batch.column("n_tokens").combine_chunks().to_numpy(zero_copy_only=False)
+        ttr = [round(float(a) / float(b), 6) for a, b in zip(u, t)]
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+                "n_unique_tokens": batch.column("n_unique_tokens").cast(pa.int64()),
+                "ttr": pa.array(ttr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
 def quality_by_source(sf_dir: str) -> rd.Dataset:
     """Mean SQL-expressible quality components per source."""
     ds = sf_table(sf_dir, "documents", columns=["source", "text"])
