@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lm,
         modes,
         packing,
+        pagerank,
         pca,
         sampling,
     )
@@ -78,7 +79,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": packing.pack_sequences,
         "chunk_token_windows": packing.chunk_token_windows,
         "rank_by_quality": packing.rank_by_quality,
-        "top_quality_fraction": packing.top_quality_fraction,
         "decontaminate": decontam.decontaminate,
         "repetition_flags": decontam.repetition_flags,
         "duplicate_ngram_spans": decontam.duplicate_ngram_spans,
@@ -133,6 +133,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_digest": ann.ann_ivf_digest,
         "ann_ivfpq_digest": ann.ann_ivfpq_digest,
         "embedding_gram": pca.embedding_gram,
+        # trade_pagerank is new in this (third) round-4 continuation: the
+        # iterative graph-centrality operator (exact-integer PageRank over
+        # the customer↔supplier graph, one co-partition shuffle per round).
+        # Its slot comes from top_quality_fraction, whose thresholding rides
+        # the same distributed ranking machinery as rank_by_quality (which
+        # stays gated); both remain replayable via compare_oracle.
+        "trade_pagerank": pagerank.trade_pagerank,
         # --- extraction family (north rule) ----------------------------------
         # shape_counts / input_span_counts / image_meta moved past the cut
         # this session (green in r02+r03; their slots fund gram_novelty /
@@ -167,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "top_quality_fraction": packing.top_quality_fraction,
         "doc_core_stats": tsp.doc_core_stats,
         "csv_roundtrip_digest": formats.csv_roundtrip_digest,
         "rich_fields_digest": interpret.rich_fields_digest,
@@ -293,6 +301,49 @@ _QUALITY_COUNTS = f"""
     len(regexp_extract_all(text, '[^\\w\\s]')) AS q_punct,
     len(regexp_extract_all(text, '[0-9]')) AS q_digit
 """.strip()
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled exact-integer PageRank twin: one CTE per round.  Standard
+    SQL forbids aggregation over the recursive reference, so the fixed
+    ``iters`` rounds unroll — every value is BIGINT arithmetic (``//`` is
+    floor division on both sides; all scores positive), so the twin is
+    bit-identical to the bucketed distributed rounds under any batching."""
+    start = 1 << 40
+    base = (3 * start) // 20
+    rounds = []
+    prev = "s0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""s{i} AS (
+              SELECT e.dst AS node,
+                     CAST({base} AS BIGINT)
+                       + (17 * sum(sc.s // dg.d)::BIGINT) // 20 AS s
+              FROM edges e
+              JOIN {prev} sc ON e.src = sc.node
+              JOIN deg dg ON dg.src = e.src
+              GROUP BY e.dst
+            )"""
+        )
+        prev = f"s{i}"
+    joined = ",\n            ".join(rounds)
+    return f"""
+            WITH pairs AS (
+              SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            edges AS (
+              SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+              UNION ALL
+              SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+            ),
+            deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+            s0 AS (SELECT src AS node, CAST({start} AS BIGINT) AS s FROM deg),
+            {joined}
+            SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+                   node // 2 AS node_key, s AS score
+            FROM {prev}
+    """
+
 
 _QUALITY_RAW = """
 0.35 * (least(1.0, q_nt / 20.0)
@@ -918,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM sums
             UNION ALL SELECT * FROM cnt
         """,
+        "trade_pagerank": _pagerank_sql(),
         # Count-Min sketch, recomputed WHOLESALE in SQL: every (row j,
         # bucket) counter cell is a pure sum over the token stream with the
         # same md5 bucket hash (verified bit-equal to the Python kernel),

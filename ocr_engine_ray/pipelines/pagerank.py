@@ -1,0 +1,263 @@
+"""Distributed PageRank over the customer↔supplier trade graph.
+
+PageRank (Page et al. 1999) is the canonical iterative message-passing
+algorithm — the shape every link-analysis / graph-centrality job takes on
+a data engine.  The graph here: customers and suppliers are nodes, with an
+edge wherever a lineitem connects them (via its order); edges run BOTH
+directions, so the walk has no dangling nodes and every node keeps an
+in-edge (node ids: ``2·custkey`` for customers, ``2·suppkey + 1`` for
+suppliers).
+
+Everything is EXACT int64 arithmetic, so the result is bit-identical
+under any batching/bucketing and has an exact unrolled-CTE SQL twin:
+
+    s_0(v)     = 2^40
+    s_{i+1}(v) = BASE + (17 · Σ_{u→v} s_i(u) // deg(u)) // 20
+
+with ``//`` floor division (all values positive, so trunc == floor on
+both sides) and ``BASE = (3 · 2^40) // 20`` — α = 17/20 = 0.85, the
+classic damping.  Fixed ``iters`` rounds, no float anywhere.  Overflow
+bound: total walk mass is N·2^40, so a single int64 cell is safe while
+N < 2^22; at web-scale node counts the start score scales down
+(S0 ≈ 2^62 / N) — same grid contract, smaller quantum.
+
+Scale shape (Pregel-style, per round: one co-partition shuffle + one
+fold — NO ``Dataset.join``, which chokes on empty shuffle partitions):
+
+1. edge build: lineitem and orders are bucketed by ``orderkey % B``,
+   unioned, and merged per bucket (sorted-side searchsorted), emitting
+   distinct (cust, supp) pairs; a second hash-bucket pass dedups pairs
+   globally and symmetrizes — the edge table is materialized ONCE and
+   re-read every round;
+2. each round is ONE co-partition shuffle: edge rows and incoming score
+   rows share the ``src % B`` bucket key, so the bucket kernel resolves
+   its nodes' scores (summing the previous round's contribution partials
+   — the fold is FUSED into the round, not a separate shuffle), computes
+   out-degrees and per-edge contributions vectorized, and emits
+   bucket-combined partials keyed for the NEXT round's buckets;
+3. the whole ``iters``-round chain stays lazy — one streaming execution
+   end-to-end, each round's blocks consumed as the next round's input
+   (per-shuffle fixed cost ~1-3 s on this host dominates small inputs,
+   so rounds are kept to one exchange each).
+
+Reference seam: the reference engine has no graph operator — this module
+extends the engine the way `graph.py` (connected components) does, with
+the same bucket-contraction discipline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..sources.tables import sf_table
+
+PR_S0 = 1 << 40
+PR_ALPHA_NUM = 17
+PR_ALPHA_DEN = 20
+PR_BASE = ((PR_ALPHA_DEN - PR_ALPHA_NUM) * PR_S0) // PR_ALPHA_DEN
+PR_ITERS = 5
+_PARTIAL_DST = -1  # dst sentinel: row carries a contribution partial for src
+_LITERAL_DST = -2  # dst sentinel: row carries a literal (round-0) score for src
+
+
+def _trade_edges(sf_dir: str, *, num_buckets: int) -> rd.Dataset:
+    """Distinct symmetrized (sbkt, src, dst) edges of the trade graph."""
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "obkt": pa.array((ok % num_buckets).astype(np.int64)),
+                "okey": pa.array(ok.astype(np.int64)),
+                "cust": pa.array(np.full(len(ok), -1, np.int64)),
+                "supp": batch.column("l_suppkey").cast(pa.int64()),
+            }
+        )
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "obkt": pa.array((ok % num_buckets).astype(np.int64)),
+                "okey": pa.array(ok.astype(np.int64)),
+                "cust": batch.column("o_custkey").cast(pa.int64()),
+                "supp": pa.array(np.full(len(ok), -1, np.int64)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cust = group.column("cust").combine_chunks().to_numpy(zero_copy_only=False)
+        supp = group.column("supp").combine_chunks().to_numpy(zero_copy_only=False)
+        okey = group.column("okey").combine_chunks().to_numpy(zero_copy_only=False)
+        is_ord = supp == -1
+        o_k, o_c = okey[is_ord], cust[is_ord]
+        l_k, l_s = okey[~is_ord], supp[~is_ord]
+        if not len(o_k):
+            if len(l_k):
+                raise ValueError("lineitem rows with no matching order")
+            return pa.table({"c": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+        order = np.argsort(o_k, kind="stable")
+        o_k, o_c = o_k[order], o_c[order]
+        pos = np.searchsorted(o_k, l_k)
+        ok = (pos < len(o_k)) & (o_k[np.minimum(pos, len(o_k) - 1)] == l_k)
+        if not ok.all():
+            raise ValueError("lineitem row with no matching order")
+        pair = np.unique(
+            np.stack([o_c[pos], l_s], axis=1), axis=0
+        )  # distinct (cust, supp) of this order bucket
+        return pa.table(
+            {"c": pa.array(pair[:, 0]), "s": pa.array(pair[:, 1])}
+        )
+
+    pairs = (
+        li.map_batches(li_side, batch_format="pyarrow")
+        .union(orders.map_batches(ord_side, batch_format="pyarrow"))
+        .groupby("obkt")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        s = batch.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        src = np.concatenate([2 * c, 2 * s + 1])
+        dst = np.concatenate([2 * s + 1, 2 * c])
+        pbkt = ((src * np.int64(1_000_003) + dst) % num_buckets).astype(np.int64)
+        return pa.table({"pbkt": pa.array(pbkt), "src": pa.array(src), "dst": pa.array(dst)})
+
+    def distinct(group: pa.Table) -> pa.Table:
+        src = group.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        dst = group.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        e = np.unique(np.stack([src, dst], axis=1), axis=0)
+        return pa.table(
+            {
+                "sbkt": pa.array((e[:, 0] % num_buckets).astype(np.int64)),
+                "src": pa.array(e[:, 0]),
+                "dst": pa.array(e[:, 1]),
+                "s": pa.array(np.zeros(len(e), np.int64)),
+            }
+        )
+
+    return (
+        pairs.map_batches(symmetrize, batch_format="pyarrow")
+        .groupby("pbkt")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
+def trade_pagerank(
+    sf_dir: str, *, iters: int = PR_ITERS, num_buckets: int = 32
+) -> rd.Dataset:
+    """``iters`` exact-integer PageRank rounds over the trade graph.
+
+    Returns every node as (kind, node_key, score) — kind ∈ {customer,
+    supplier}, score the int64 fixed-point rank — sorted by (kind,
+    node_key).  Bit-identical for any ``num_buckets``.
+    """
+    edges = _trade_edges(sf_dir, num_buckets=num_buckets).materialize()
+    # post-groupby blocks are bucket-count tiny shards; every round re-reads
+    # this set, so pay one metadata-cheap compaction up front (the
+    # graph.py / dedup.py small-links pattern)
+    if edges.count() < 2_000_000:
+        edges = edges.repartition(4).materialize()
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        # per-block distinct srcs as LITERAL score rows; a node seen in
+        # several blocks emits duplicate literals — the round kernel
+        # dedups them (same value by construction)
+        src = np.unique(batch.column("src").combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "sbkt": pa.array((src % num_buckets).astype(np.int64)),
+                "src": pa.array(src),
+                "dst": pa.array(np.full(len(src), _LITERAL_DST, np.int64)),
+                "s": pa.array(np.full(len(src), PR_S0, np.int64)),
+            }
+        )
+
+    scores = edges.map_batches(init_scores, batch_format="pyarrow")
+
+    def _resolve(group: pa.Table):
+        """Split a bucket group into (edge arrays, resolved per-node scores).
+
+        Score resolution: literal rows win (round 0; duplicates carry the
+        same value); otherwise a node's score is BASE + (17·Σ partials)//20
+        — the fused fold."""
+        src = group.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        dst = group.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        s = group.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        is_lit = dst == _LITERAL_DST
+        is_part = dst == _PARTIAL_DST
+        is_edge = ~(is_lit | is_part)
+        if is_lit.any():
+            sn, first = np.unique(src[is_lit], return_index=True)
+            sv = s[is_lit][first]
+        else:
+            pn, pv = src[is_part], s[is_part]
+            order = np.argsort(pn, kind="stable")
+            spn = pn[order]
+            new = np.concatenate([[True], spn[1:] != spn[:-1]]) if len(spn) else np.array([], bool)
+            starts = np.nonzero(new)[0]
+            sn = spn[starts]
+            tot = np.add.reduceat(pv[order], starts) if len(starts) else pv
+            sv = PR_BASE + (PR_ALPHA_NUM * tot) // PR_ALPHA_DEN
+        return src[is_edge], dst[is_edge], sn, sv
+
+    def round_kernel(group: pa.Table) -> pa.Table:
+        esrc, edst, sn, sv = _resolve(group)
+        if not len(esrc):
+            return pa.table(
+                {
+                    "sbkt": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.searchsorted(sn, esrc)
+        if (pos >= len(sn)).any() or (sn[pos] != esrc).any():
+            raise ValueError("edge source without a score row in its bucket")
+        # out-degree per distinct src (all out-edges co-located here)
+        _, inv, cnt = np.unique(esrc, return_inverse=True, return_counts=True)
+        contrib = sv[pos] // cnt[inv]
+        # bucket-combine partials per destination before the shuffle
+        order = np.argsort(edst, kind="stable")
+        sd = edst[order]
+        new = np.concatenate([[True], sd[1:] != sd[:-1]])
+        starts = np.nonzero(new)[0]
+        node = sd[starts]
+        tot = np.add.reduceat(contrib[order], starts)
+        return pa.table(
+            {
+                "sbkt": pa.array((node % num_buckets).astype(np.int64)),
+                "src": pa.array(node),
+                "dst": pa.array(np.full(len(node), _PARTIAL_DST, np.int64)),
+                "s": pa.array(tot),
+            }
+        )
+
+    for _ in range(iters):
+        scores = (
+            edges.union(scores).groupby("sbkt").map_groups(round_kernel, batch_format="pyarrow")
+        )
+
+    def present(group: pa.Table) -> pa.Table:
+        _, _, sn, sv = _resolve(group)
+        kind = np.where(sn % 2 == 0, "customer", "supplier")
+        return pa.table(
+            {
+                "kind": pa.array(kind.astype(object), pa.string()),
+                "node_key": pa.array(sn // 2),
+                "score": pa.array(sv),
+            }
+        )
+
+    # partials already carry their node's bucket — no edges needed to resolve
+    return (
+        scores.groupby("sbkt")
+        .map_groups(present, batch_format="pyarrow")
+        .sort(["kind", "node_key"])
+    )
