@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_engine_ray.pipelines import (
         analytics,
         ann,
+        basket,
         bpe,
         colloc,
         curate,
@@ -113,7 +114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": tsp.doc_stats,
         "lexical_diversity": tsp.lexical_diversity,
         "token_frequencies": tsp.token_frequencies,
-        "token_totals_by_lang": tsp.token_totals_by_lang,
         "fingerprint_stats": tsp.fingerprint_stats,
         "tfidf_top_terms": tsp.tfidf_top_terms,
         "token_quantiles_by_source": tsp.token_quantiles_by_source,
@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same distributed ranking machinery as rank_by_quality (which
         # stays gated); both remain replayable via compare_oracle.
         "trade_pagerank": pagerank.trade_pagerank,
+        # copurchase_pairs is new in this continuation (never gated): its
+        # slot comes from token_totals_by_lang, whose per-lang totals are
+        # the column sums of the still-gated token_frequencies output.
+        "copurchase_pairs": basket.copurchase_pairs,
         # --- extraction family (north rule) ----------------------------------
         # shape_counts / input_span_counts / image_meta moved past the cut
         # this session (green in r02+r03; their slots fund gram_novelty /
@@ -174,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "token_totals_by_lang": tsp.token_totals_by_lang,
         "top_quality_fraction": packing.top_quality_fraction,
         "doc_core_stats": tsp.doc_core_stats,
         "csv_roundtrip_digest": formats.csv_roundtrip_digest,
@@ -970,6 +975,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM cnt
         """,
         "trade_pagerank": _pagerank_sql(),
+        # Market-basket support counting: the self-join convention (every
+        # same-order row pair with p1 < p2 counts once) — pure exact int64
+        # counts, (n DESC, p1, p2) a total order, so the top-k cut is
+        # deterministic on both sides.
+        "copurchase_pairs": """
+            WITH pc AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                     count(*)::BIGINT AS n
+              FROM lineitem a
+              JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            )
+            SELECT p1, p2, n FROM pc WHERE n >= 2
+            ORDER BY n DESC, p1, p2 LIMIT 50
+        """,
         # Count-Min sketch, recomputed WHOLESALE in SQL: every (row j,
         # bucket) counter cell is a pure sum over the token stream with the
         # same md5 bucket hash (verified bit-equal to the Python kernel),
