@@ -227,6 +227,19 @@ def run_bench() -> dict:
         "bpe_train": timed(
             __import__("ocr_engine_ray.pipelines.bpe", fromlist=["x"]).bpe_train
         ),
+        "pmi_collocations": timed(
+            __import__("ocr_engine_ray.pipelines.colloc", fromlist=["x"]).pmi_collocations
+        ),
+        "lexical_diversity": timed(tsp.lexical_diversity),
+        "embedding_gram": timed(
+            __import__("ocr_engine_ray.pipelines.pca", fromlist=["x"]).embedding_gram
+        ),
+        "trade_pagerank": timed(
+            __import__("ocr_engine_ray.pipelines.pagerank", fromlist=["x"]).trade_pagerank
+        ),
+        "copurchase_pairs": timed(
+            __import__("ocr_engine_ray.pipelines.basket", fromlist=["x"]).copurchase_pairs
+        ),
     }
 
     result = {
