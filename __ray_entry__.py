@@ -121,8 +121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": tsp.cms_token_counts,
         "token_rarity_score": tsp.token_rarity_score,
         "bigram_logprob_score": lm.bigram_logprob_score,
-        "perplexity_buckets": lm.perplexity_buckets,
         "pmi_collocations": colloc.pmi_collocations,
+        # source_vocab_overlap is new in this continuation (never gated):
+        # its slot comes from perplexity_buckets, whose LM-scoring core
+        # stays gated via bigram_logprob_score (the ranking machinery is
+        # separately gated via rank_by_quality); replayable past the cut.
+        "source_vocab_overlap": tsp.source_vocab_overlap,
         "quality_by_source": tsp.quality_by_source,
         "approx_distinct_digest": tsp.approx_distinct_digest,
         "langid_counts": tsp.langid_counts,
@@ -178,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        "perplexity_buckets": lm.perplexity_buckets,
         "token_totals_by_lang": tsp.token_totals_by_lang,
         "top_quality_fraction": packing.top_quality_fraction,
         "doc_core_stats": tsp.doc_core_stats,
@@ -927,6 +932,31 @@ def oracle_sql() -> dict[str, str]:
                    round_even(pmi_q::DOUBLE / 1099511627776.0, 6) AS pmi
             FROM term
             ORDER BY pmi_q DESC, w1, w2 LIMIT 50
+        """,
+        # Set-similarity join over corpus slices: intersection and vocab
+        # sizes are exact distinct counts; the one float is the final
+        # Jaccard divide, rounded half-even on both sides.
+        "source_vocab_overlap": """
+            WITH st AS (
+              SELECT DISTINCT source, tok FROM (
+                SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                FROM documents
+              )
+            ),
+            v AS (SELECT source, count(*)::BIGINT AS nv FROM st GROUP BY 1),
+            inter AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     count(*)::BIGINT AS n_common
+              FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, n_common,
+                   round_even(
+                     n_common::DOUBLE / (va.nv + vb.nv - n_common)::DOUBLE, 6
+                   ) AS jaccard
+            FROM inter
+            JOIN v va ON va.source = src_a
+            JOIN v vb ON vb.source = src_b
         """,
         # Lexical diversity: pure count arithmetic; the one float is the
         # final distinct/total divide, rounded half-even on both sides.

@@ -397,6 +397,139 @@ def lexical_diversity(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow").sort("source")
 
 
+def source_vocab_overlap(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Pairwise vocabulary Jaccard between sources — the set-similarity
+    join over corpus slices (which feeds mixing decisions: near-identical
+    slices waste budget, disjoint ones need separate quality models).
+
+    Scale shape: ONE corpus pass emits per-batch distinct (source, token)
+    pairs keyed by ``crc32(token) % B`` — every source holding a token
+    co-locates in that token's bucket, so the bucket emits BOTH per-source
+    partial vocabulary counts and per-source-PAIR partial intersection
+    counts (pair expansion vectorized by token run-size class, the basket
+    triu pattern).  Fan-out is sources² per token: fine for corpus slices
+    (dozens of sources), NOT for doc-level similarity — that's what the
+    MinHash/SimHash LSH operators are for.  The final combine is
+    sources²-sized (scale-free), the legitimate small result.
+
+    Returns (src_a, src_b, n_common, jaccard) for ``src_a < src_b`` with a
+    non-empty intersection, sorted by (src_a, src_b).
+    """
+    import zlib
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "tbkt": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+        if not len(rows):
+            return empty
+        senc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)[rows]
+        nd = len(dic)
+        ukey = np.unique(si * nd + codes)
+        us = (ukey // nd).astype(np.int64)
+        ut = (ukey % nd).astype(np.int64)
+        crc = np.fromiter(
+            (zlib.crc32(t.encode()) % num_buckets for t in dic.to_pylist()),
+            dtype=np.int64,
+            count=nd,
+        )
+        return pa.table(
+            {
+                "tbkt": pa.array(crc[ut]),
+                "token": pc.take(dic, pa.array(ut)),
+                "source": pc.take(senc.dictionary, pa.array(us)),
+            }
+        )
+
+    def bucket_partials(group: pa.Table) -> pa.Table:
+        # distinct (token, source) of the bucket → vocab partials per
+        # source + intersection partials per ordered source pair
+        tenc = pc.dictionary_encode(group.column("token").combine_chunks())
+        senc = pc.dictionary_encode(group.column("source").combine_chunks())
+        ti = np.asarray(tenc.indices, dtype=np.int64)
+        si = np.asarray(senc.indices, dtype=np.int64)
+        ns = max(len(senc.dictionary), 1)
+        pair = np.unique(ti * ns + si)
+        d_ti = pair // ns
+        d_si = pair % ns
+        sdic = senc.dictionary.to_pylist()
+        # source order must be LEXICOGRAPHIC for src_a < src_b, not
+        # first-occurrence dictionary order
+        rank = np.argsort(np.argsort(np.array(sdic, dtype=object), kind="stable"))
+        d_sr = rank[d_si]
+        order = np.lexsort((d_sr, d_ti))
+        d_ti, d_sr = d_ti[order], d_sr[order]
+        srt = np.array(sdic, dtype=object)[np.argsort(np.array(sdic, dtype=object), kind="stable")]
+        out_a: list = []
+        out_b: list = []
+        out_n: list = []
+        # vocab partials: one row per source, src_b = "" sentinel
+        vs, vc = np.unique(d_sr, return_counts=True)
+        out_a.extend(srt[vs].tolist())
+        out_b.extend([""] * len(vs))
+        out_n.extend(vc.astype(np.int64).tolist())
+        # intersection partials, vectorized by token run-size class
+        toks, m = np.unique(d_ti, return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+        for msize in np.unique(m):
+            if msize < 2:
+                continue
+            sel = np.nonzero(m == msize)[0]
+            idx = starts[sel][:, None] + np.arange(msize)[None, :]
+            sr = d_sr[idx]  # (n_tokens, msize), source-rank ascending
+            iu, ju = np.triu_indices(int(msize), 1)
+            a = sr[:, iu].ravel()
+            b = sr[:, ju].ravel()
+            pk, cnt = np.unique(a * ns + b, return_counts=True)
+            out_a.extend(srt[(pk // ns)].tolist())
+            out_b.extend(srt[(pk % ns)].tolist())
+            out_n.extend(cnt.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "src_a": pa.array(out_a, pa.string()),
+                "src_b": pa.array(out_b, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("tbkt")
+        .map_groups(bucket_partials, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("n", alias_name="n_common"))
+    ).take_all()  # sources²-sized: the legitimate small result
+
+    vocab = {r["src_a"]: r["n_common"] for r in agg if r["src_b"] == ""}
+    rows = sorted(
+        (r["src_a"], r["src_b"], r["n_common"]) for r in agg if r["src_b"] != ""
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src_a": pa.array([a for a, _, _ in rows], pa.string()),
+                "src_b": pa.array([b for _, b, _ in rows], pa.string()),
+                "n_common": pa.array([n for _, _, n in rows], pa.int64()),
+                "jaccard": pa.array(
+                    [
+                        round(float(n) / float(vocab[a] + vocab[b] - n), 6)
+                        for a, b, n in rows
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
 def quality_by_source(sf_dir: str) -> rd.Dataset:
     """Mean SQL-expressible quality components per source."""
     ds = sf_table(sf_dir, "documents", columns=["source", "text"])

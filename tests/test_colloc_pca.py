@@ -150,3 +150,55 @@ class TestEmbeddingGram:
             [r["projection"] for r in pca_project(SF, n_components=3).take_all()]
         )
         assert np.allclose(proj.var(axis=0), vals, rtol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceVocabOverlap:
+    def test_matches_naive_reference(self):
+        from itertools import combinations
+
+        from ocr_engine_ray.pipelines.textstats import source_vocab_overlap
+
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["source", "text"]
+        ).to_pylist()
+        vocab: dict[str, set] = {}
+        for r in docs:
+            vocab.setdefault(r["source"], set()).update(_TOK.findall(r["text"] or ""))
+        want = []
+        for a, b in combinations(sorted(vocab), 2):
+            n = len(vocab[a] & vocab[b])
+            if n:
+                want.append((a, b, n, round(n / (len(vocab[a]) + len(vocab[b]) - n), 6)))
+        got = [
+            (r["src_a"], r["src_b"], r["n_common"], r["jaccard"])
+            for r in source_vocab_overlap(SF).take_all()
+        ]
+        assert got == want
+
+    def test_planted_diverse_vocabularies(self, tmp_path):
+        # the driver corpus shares one vocabulary (jaccard ~1 everywhere);
+        # this planted corpus pins partial and zero overlaps
+        from ocr_engine_ray.pipelines.textstats import source_vocab_overlap
+
+        d = tmp_path / "ov"
+        d.mkdir()
+        rows = [
+            {"doc_id": 0, "source": "a", "text": "x y z"},
+            {"doc_id": 1, "source": "b", "text": "y z w"},
+            {"doc_id": 2, "source": "c", "text": "p q"},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = [
+            (r["src_a"], r["src_b"], r["n_common"], r["jaccard"])
+            for r in source_vocab_overlap(str(d)).take_all()
+        ]
+        # a∩b = {y,z} → 2/(3+3-2); c is disjoint → absent
+        assert got == [("a", "b", 2, 0.5)]
+
+    def test_bucket_invariance(self):
+        from ocr_engine_ray.pipelines.textstats import source_vocab_overlap
+
+        x = [tuple(r.values()) for r in source_vocab_overlap(SF, num_buckets=5).take_all()]
+        y = [tuple(r.values()) for r in source_vocab_overlap(SF, num_buckets=64).take_all()]
+        assert x == y
