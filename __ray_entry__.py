@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_stats,
         interpret,
         joins,
+        knn,
         lm,
         modes,
         packing,
@@ -98,11 +99,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_rebalance": sampling.temperature_rebalance,
         "hash_split": sampling.hash_split,
         "shuffled_export_digest": sampling.shuffled_export_digest,
-        # --- interchange formats (NDJSON / CSV export→ingest round-trips);
-        # new in the round-4 continuation — they take the gate slots of
-        # mode_translate_counts / mode_redact_inline (green r02+r03;
-        # intake_vocabulary keeps carrying the §2.7 config-mode signal).
-        "jsonl_roundtrip_digest": formats.jsonl_roundtrip_digest,
+        # knn_graph is new in this (fourth) round-4 continuation, never
+        # driver-gated: the exact k-nearest-neighbor graph over embeddings
+        # (block-pair GEMM on the quantized-integer grid, partial top-k per
+        # pair, global top-k per vector).  Its slot comes from
+        # jsonl_roundtrip_digest, whose md5-fold twin expression is
+        # identical to the still-gated shuffled_export_digest (csv/jsonl
+        # both stay replayable via scripts/compare_oracle.py).
+        "knn_graph": knn.knn_graph,
         # --- text analysis ---------------------------------------------------
         # lexical_diversity / pmi_collocations / embedding_gram are new in
         # this (third) round-4 continuation, never driver-gated: they take
@@ -187,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_fraction": packing.top_quality_fraction,
         "doc_core_stats": tsp.doc_core_stats,
         "csv_roundtrip_digest": formats.csv_roundtrip_digest,
+        "jsonl_roundtrip_digest": formats.jsonl_roundtrip_digest,
         "rich_fields_digest": interpret.rich_fields_digest,
         "intake_vocabulary": modes.intake_vocabulary,
         "minhash_digest": dedup.minhash_digest,
@@ -1003,6 +1008,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM gram
             UNION ALL SELECT * FROM sums
             UNION ALL SELECT * FROM cnt
+        """,
+        # Exact kNN graph: same round_even(x * 2^20) grid as embedding_gram;
+        # every dot is an exact int64 (|q| < 2^20, 64-dim sums < 2^47), so
+        # the (dot DESC, neighbor_id) ranking is a float-free total order.
+        "knn_graph": """
+            WITH q AS (
+              SELECT vec_id, i,
+                     round_even(embedding[i] * 1048576.0, 0)::BIGINT AS q
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS t(i)
+            ),
+            dots AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     sum(a.q * b.q)::BIGINT AS dot
+              FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT vec_id, neighbor_id, dot,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY dot DESC, neighbor_id
+                     ) AS rank
+              FROM dots
+            )
+            SELECT vec_id, rank, neighbor_id, dot
+            FROM ranked WHERE rank <= 5
         """,
         "trade_pagerank": _pagerank_sql(),
         # Market-basket support counting: the self-join convention (every

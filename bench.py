@@ -240,6 +240,9 @@ def run_bench() -> dict:
         "copurchase_pairs": timed(
             __import__("ocr_engine_ray.pipelines.basket", fromlist=["x"]).copurchase_pairs
         ),
+        "knn_graph": timed(
+            __import__("ocr_engine_ray.pipelines.knn", fromlist=["x"]).knn_graph
+        ),
     }
 
     result = {
