@@ -117,7 +117,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # demoted queries stay replayable via scripts/compare_oracle.py.
         "doc_stats": tsp.doc_stats,
         "lexical_diversity": tsp.lexical_diversity,
-        "token_frequencies": tsp.token_frequencies,
+        # event_transitions is new in this (fourth) round-4 continuation,
+        # never driver-gated: the per-user Markov transition matrix over the
+        # event stream.  Its slot comes from token_frequencies, whose exact
+        # token counts are independently recomputed wholesale by the
+        # still-gated cms_token_counts twin (and exercised by heavy_hitters
+        # / token_rarity_score); replayable past the cut.
+        "event_transitions": analytics.event_transitions,
         "fingerprint_stats": tsp.fingerprint_stats,
         "tfidf_top_terms": tsp.tfidf_top_terms,
         "token_quantiles_by_source": tsp.token_quantiles_by_source,
@@ -187,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "token_frequencies": tsp.token_frequencies,
         "token_totals_by_lang": tsp.token_totals_by_lang,
         "top_quality_fraction": packing.top_quality_fraction,
         "doc_core_stats": tsp.doc_core_stats,
@@ -1118,6 +1125,30 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
+        """,
+        # Markov transition matrix: lead() over the same (ts, event_id)
+        # per-user order as the bucketed kernel; probability as exact
+        # integer ppm (positive ints, so DuckDB // == Python //); the
+        # window sum over BIGINT returns HUGEINT — cast both derived
+        # columns back for dtype parity.
+        "event_transitions": """
+            WITH ordered AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS next_type
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            pairs AS (
+              SELECT event_type AS prev_type, next_type,
+                     count(*)::BIGINT AS n
+              FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT prev_type, next_type, n,
+                   (sum(n) OVER (PARTITION BY prev_type))::BIGINT AS out_total,
+                   ((n * 1000000) // sum(n) OVER (PARTITION BY prev_type))::BIGINT
+                     AS p_ppm
+            FROM pairs ORDER BY prev_type, next_type
         """,
         # Weekly cohort retention: date_trunc('week') cohorts, distinct
         # (user, week) activity, week_offset via date_diff over the

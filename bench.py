@@ -243,6 +243,7 @@ def run_bench() -> dict:
         "knn_graph": timed(
             __import__("ocr_engine_ray.pipelines.knn", fromlist=["x"]).knn_graph
         ),
+        "event_transitions": timed(analytics.event_transitions),
     }
 
     result = {

@@ -643,3 +643,75 @@ def cohort_retention(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
     return cells.map_batches(finish, batch_format="pyarrow").sort(
         ["cohort_week", "week_offset"]
     )
+
+
+def event_transitions(sf_dir: str, *, num_buckets: int = 64) -> pa.Table:
+    """Per-user event-type transition matrix — the Markov-chain view of the
+    event stream (next-action modeling, funnel-drop diagnosis, anomalous-
+    sequence mining): for every ordered (prev_type -> next_type) pair of
+    CONSECUTIVE events of one user (order = ``ts, event_id``), the global
+    transition count, the prev-type outgoing total, and the transition
+    probability in exact integer parts-per-million (``n * 1e6 //
+    out_total`` — integer floor on both sides, no float anywhere).
+
+    Scale shape: transitions are user-local, so ONE ``user_id % B`` bucket
+    shuffle co-locates each user's stream; per-bucket vectorized
+    sort + shift produces pair PARTIALS (<= |types|^2 rows per bucket — the
+    map-side combine), and a tiny global groupby sums them.  The final
+    probability join runs on the driver over the |types|^2-sized result —
+    constant-size at any corpus, the `source_vocab_overlap` convention.
+
+    Returns (prev_type, next_type, n, out_total, p_ppm) sorted by
+    (prev_type, next_type); rows with null user/ts are ignored (none in the
+    driver tables — defensive, same contract as `cohort_retention`).
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch.column("user_id")), pc.is_valid(batch.column("ts")))
+        )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        df = group.select(["event_id", "user_id", "ts", "event_type"]).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = df.groupby("user_id", sort=False)["event_type"].shift(-1)
+        ok = nxt.notna()
+        part = (
+            pd.DataFrame({"prev_type": df["event_type"][ok], "next_type": nxt[ok]})
+            .groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = sorted(
+        ((r["prev_type"], r["next_type"], int(r["n"])) for r in agg.take_all())
+    )
+    out_tot: dict[str, int] = {}
+    for p, _, n in rows:
+        out_tot[p] = out_tot.get(p, 0) + n
+    return pa.table(
+        {
+            "prev_type": pa.array([r[0] for r in rows], pa.string()),
+            "next_type": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "out_total": pa.array([out_tot[r[0]] for r in rows], pa.int64()),
+            "p_ppm": pa.array(
+                [r[2] * 1_000_000 // out_tot[r[0]] for r in rows], pa.int64()
+            ),
+        }
+    )

@@ -1,0 +1,86 @@
+"""Planted-event tests for the per-user transition matrix: consecutive-pair
+semantics (user-local, ts/event_id order), exact ppm arithmetic, the DuckDB
+lead() twin, and bucket invariance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_engine_ray.pipelines import analytics
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2026, 2, 1, 9, minute, 0)
+
+
+def _write(tmp_path) -> str:
+    events = [
+        # user 1: view -> click -> view -> purchase (3 transitions)
+        (1, "view", 0), (1, "click", 1), (1, "view", 2), (1, "purchase", 3),
+        # user 2: single event -> NO transition
+        (2, "view", 0),
+        # user 3: two simultaneous events — order falls to event_id
+        # (ids ascend with list position): error then click
+        (3, "error", 5), (3, "click", 5),
+        # user 4: view -> view self-transition
+        (4, "view", 1), (4, "view", 2),
+    ]
+    rows = [
+        {"event_id": i, "user_id": u, "ts": _ts(m), "event_type": t,
+         "value": 1.0, "props": "{}"}
+        for i, (u, t, m) in enumerate(events)
+    ]
+    d = tmp_path / "trans"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+    return str(d)
+
+
+def test_planted_transitions(ray_session, tmp_path):
+    sf = _write(tmp_path)
+    t = analytics.event_transitions(sf)
+    got = {(r["prev_type"], r["next_type"]): (r["n"], r["out_total"], r["p_ppm"])
+           for r in t.to_pylist()}
+    assert got == {
+        ("view", "click"): (1, 3, 333333),       # 3 outgoing views total
+        ("view", "purchase"): (1, 3, 333333),
+        ("view", "view"): (1, 3, 333333),
+        ("click", "view"): (1, 1, 1000000),
+        ("error", "click"): (1, 1, 1000000),      # event_id breaks the ts tie
+    }
+    # sorted (prev_type, next_type) output order
+    keys = list(zip(t.column("prev_type").to_pylist(),
+                    t.column("next_type").to_pylist()))
+    assert keys == sorted(keys)
+
+
+def test_matches_duckdb_twin(ray_session, tmp_path):
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    sf = _write(tmp_path)
+    got = analytics.event_transitions(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(entry.oracle_sql()["event_transitions"]).fetchall()
+    assert [
+        (r["prev_type"], r["next_type"], r["n"], r["out_total"], r["p_ppm"])
+        for r in got.to_pylist()
+    ] == [tuple(w) for w in want]
+
+
+def test_bucket_invariance_and_mass(ray_session):
+    sf = "/root/testdata/sf0.001"
+    a = analytics.event_transitions(sf, num_buckets=3)
+    b = analytics.event_transitions(sf, num_buckets=64)
+    assert a.equals(b)
+    # every user with k events contributes exactly k-1 transitions
+    t = pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+    per_user = t.column("user_id").to_pandas().value_counts()
+    assert sum(a.column("n").to_pylist()) == int((per_user - 1).sum())
