@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_stats,
         interpret,
         joins,
+        index,
         knn,
         lm,
         modes,
@@ -137,7 +138,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays gated via bigram_logprob_score (the ranking machinery is
         # separately gated via rank_by_quality); replayable past the cut.
         "source_vocab_overlap": tsp.source_vocab_overlap,
-        "quality_by_source": tsp.quality_by_source,
+        # phrase_search is new in this (fourth) round-4 continuation, never
+        # driver-gated: positional exact-phrase retrieval (the scan twin of
+        # the hive-partitioned inverted index in pipelines/index.py, whose
+        # index path is pytest-pinned equal to this scan).  Its slot comes
+        # from quality_by_source, whose quality heuristics are recomputed
+        # wholesale by the still-gated doc_stats / gopher_quality_flags /
+        # rank_by_quality; replayable past the cut.
+        "phrase_search": index.phrase_search,
         "approx_distinct_digest": tsp.approx_distinct_digest,
         "langid_counts": tsp.langid_counts,
         "stream_running_totals": _stream_running_totals_query,
@@ -193,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "quality_by_source": tsp.quality_by_source,
         "token_frequencies": tsp.token_frequencies,
         "token_totals_by_lang": tsp.token_totals_by_lang,
         "top_quality_fraction": packing.top_quality_fraction,
@@ -380,7 +389,13 @@ _QUALITY_RAW = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_engine_ray.pipelines.index import phrase_search_sql
+
     return {
+        # Positional phrase retrieval: zipped-unnest token positions + one
+        # positional self-join per extra phrase token (generated by the
+        # same function the tests replay with other phrases).
+        "phrase_search": phrase_search_sql("sort query"),
         "mktsegment_revenue": """
             SELECT c_mktsegment,
                    round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS total_revenue,

@@ -244,6 +244,9 @@ def run_bench() -> dict:
             __import__("ocr_engine_ray.pipelines.knn", fromlist=["x"]).knn_graph
         ),
         "event_transitions": timed(analytics.event_transitions),
+        "phrase_search": timed(
+            __import__("ocr_engine_ray.pipelines.index", fromlist=["x"]).phrase_search
+        ),
     }
 
     result = {

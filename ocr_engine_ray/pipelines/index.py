@@ -1,0 +1,297 @@
+"""Inverted index build + positional phrase search over the corpus.
+
+The retrieval side of a training-data engine (exact-match decontamination
+audits, attribution queries "which documents contain this quote", corpus
+conditioning): build a token -> (doc_id, position) postings table once,
+hash-partitioned by token so a query touches only its tokens' shards, and
+answer phrase queries either from the index (``search_index``) or with a
+single streaming corpus scan (``phrase_search`` — the gated surface, exact
+against a zipped-unnest self-join SQL twin).
+
+Scale shape:
+
+- **build**: one corpus pass tokenizes each batch with the shared Arrow
+  explode primitive (`functions.tokenize.explode_tokens` — positions fall
+  out of the row-major order for free), then ONE ``crc32(token) % B``
+  bucket shuffle co-locates each token's postings; the sink is
+  hive-partitioned parquet (``bucket=<b>/``), so the index is resumable
+  per-bucket and a reader prunes at the directory level.
+- **search**: only the phrase tokens' bucket directories are read (<=
+  len(phrase) of B shards); each posting row fans out to the phrase slots
+  it could anchor (``start = pos - j``), and a doc-bucket groupby counts
+  starts covered by ALL slots — candidate rows are postings of the phrase
+  tokens only, never the corpus.
+- **scan**: phrase occurrence counting is batch-local (a document lives in
+  one row), so the gated query is a shuffle-free map + sort.
+
+Positions are 1-based over the RE2 ``\\S+`` token sequence — identical to
+the SQL twin's ``unnest(regexp_extract_all(text, '\\S+'))`` zipped with
+``unnest(range(1, len+1))`` (the established zipped-unnest convention).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.tokenize import WS_SPLIT, explode_tokens
+from ..sources.tables import sf_table
+
+
+def _postings_batch(batch: pa.Table) -> pa.Table:
+    """(token, doc_id, pos) occurrence rows of one batch; pos is 1-based
+    within each document's token sequence."""
+    texts = batch.column("text").to_pylist()
+    rows, codes, dic = explode_tokens(texts, pattern=WS_SPLIT, lower=False)
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype("int64")
+    if not len(rows):
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+    # rows is ascending (row-major explode): per-row 1-based positions
+    new = np.concatenate([[True], rows[1:] != rows[:-1]])
+    starts = np.nonzero(new)[0]
+    pos = np.arange(len(rows), dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+    return pa.table(
+        {
+            "token": pc.take(dic, pa.array(codes)),
+            "doc_id": pa.array(did[rows]),
+            "pos": pa.array(pos),
+        }
+    )
+
+
+def _token_bucket(tokens: pa.Array, num_buckets: int) -> np.ndarray:
+    """crc32(token) % B — computed once per DISTINCT token via the
+    dictionary, and recomputable by a reader from the token alone."""
+    enc = pc.dictionary_encode(tokens.combine_chunks())
+    per_tok = np.array(
+        [zlib.crc32(t.encode("utf-8")) % num_buckets for t in enc.dictionary.to_pylist()],
+        dtype=np.int32,
+    )
+    if not len(per_tok):
+        return np.empty(0, np.int32)
+    return per_tok[np.asarray(enc.indices, dtype=np.int64)]
+
+
+def build_inverted_index(
+    sf_dir: str, out_dir: str, *, num_buckets: int = 32
+) -> str:
+    """Materialize the positional inverted index as hive-partitioned parquet
+    (``out_dir/bucket=<b>/*.parquet``).  Returns ``out_dir``."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        post = _postings_batch(batch)
+        return post.append_column(
+            "bucket", pa.array(_token_bucket(post.column("token"), num_buckets))
+        )
+
+    (
+        # sort co-locates each bucket's postings (range partition — the
+        # keyed repartition needs the opt-in HASH_SHUFFLE DataContext),
+        # so the hive write emits contiguous per-bucket files instead of
+        # blocks x buckets fragments
+        ds.map_batches(with_bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .write_parquet(out_dir, partition_cols=["bucket"])
+    )
+    return out_dir
+
+
+def search_index(
+    index_dir: str, phrase: str, *, num_buckets: int = 32
+) -> pa.Table:
+    """Phrase occurrence counts per document from a built index:
+    (doc_id, n_matches) for every document containing the exact consecutive
+    token sequence, sorted by doc_id.  Reads ONLY the phrase tokens'
+    bucket partitions."""
+    words = [w for w in phrase.split() if w]
+    if not words:
+        raise ValueError("empty phrase")
+    k = len(words)
+    need = sorted({zlib.crc32(w.encode("utf-8")) % num_buckets for w in words})
+    files = [
+        f
+        for b in need
+        for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+    ]
+    if not files:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_matches": pa.array([], pa.int64())}
+        )
+    ds = rd.read_parquet(files, columns=["token", "doc_id", "pos"])
+    wset = sorted(set(words))
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column("token"), pa.array(wset)))
+        tok = batch.column("token")
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype("int64")
+        pos = batch.column("pos").to_numpy(zero_copy_only=False).astype("int64")
+        out_d, out_s, out_j = [], [], []
+        for j in range(k):
+            sel = np.asarray(pc.equal(tok, words[j]), dtype=bool)
+            if sel.any():
+                st = pos[sel] - j
+                ok = st >= 1
+                out_d.append(did[sel][ok])
+                out_s.append(st[ok])
+                out_j.append(np.full(int(ok.sum()), j, dtype=np.int64))
+        if not out_d:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "start": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "start": pa.array(np.concatenate(out_s)),
+                "j": pa.array(np.concatenate(out_j)),
+            }
+        )
+
+    def count_full(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        per_start = df.groupby(["doc_id", "start"], sort=False)["j"].size()
+        full = per_start[per_start == k]
+        if full.empty:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_matches": pa.array([], pa.int64()),
+                }
+            )
+        out = (
+            full.reset_index()
+            .groupby("doc_id")
+            .size()
+            .reset_index(name="n_matches")
+            .astype({"doc_id": "int64", "n_matches": "int64"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def dbkt(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column("_dbkt", pa.array((did % 64).astype(np.int32)))
+
+    res = (
+        ds.map_batches(anchors, batch_format="pyarrow")
+        .map_batches(dbkt, batch_format="pyarrow")
+        .groupby("_dbkt")
+        .map_groups(count_full, batch_format="pyarrow")
+        .sort("doc_id")
+        .take_all()
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in res], pa.int64()),
+            "n_matches": pa.array([r["n_matches"] for r in res], pa.int64()),
+        }
+    )
+
+
+def phrase_search(
+    sf_dir: str, *, phrase: str = "sort query"
+) -> rd.Dataset:
+    """Gated surface: per-document occurrence counts of the exact
+    consecutive token phrase, by direct corpus scan — (doc_id, n_matches)
+    with n_matches >= 1, sorted by doc_id.  Occurrences may overlap (every
+    start position counts), exactly like the twin's positional self-join.
+
+    Shuffle-free: a document's token sequence is local to its batch row, so
+    counting is one vectorized window-compare per batch (token codes from
+    the batch dictionary; adjacency in the row-major explode IS positional
+    adjacency), followed by a tiny sort of matching docs only.
+    """
+    words = [w for w in phrase.split() if w]
+    if not words:
+        raise ValueError("empty phrase")
+    k = len(words)
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        rows, codes, dic = explode_tokens(texts, pattern=WS_SPLIT, lower=False)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
+            }
+        )
+        n = len(rows)
+        if n < k:
+            return empty
+        # phrase words -> this batch's dictionary codes (missing word ->
+        # no match anywhere in the batch)
+        wc = pc.index_in(pa.array(words), value_set=dic)
+        if wc.null_count:
+            return empty
+        wcodes = np.asarray(wc, dtype=np.int64)
+        m = n - k + 1
+        ok = codes[:m] == wcodes[0]
+        for j in range(1, k):
+            ok &= codes[j : m + j] == wcodes[j]
+        if k > 1:
+            ok &= rows[:m] == rows[k - 1 :]
+        if not ok.any():
+            return empty
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype("int64")
+        hit_rows, counts = np.unique(rows[:m][ok], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[hit_rows]),
+                "n_matches": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(count_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def phrase_search_sql(phrase: str) -> str:
+    """The ANSI-SQL twin: zipped-unnest token positions + one positional
+    self-join per extra phrase token (generated, the unrolled-twin
+    convention)."""
+    words = [w for w in phrase.split() if w]
+    k = len(words)
+
+    def q(w: str) -> str:
+        assert "'" not in w
+        return f"'{w}'"
+
+    joins = "\n".join(
+        f"            JOIN t t{j} ON t{j}.doc_id = t0.doc_id"
+        f" AND t{j}.i = t0.i + {j} AND t{j}.tok = {q(words[j])}"
+        for j in range(1, k)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+        ),
+        t AS (
+          SELECT doc_id, unnest(ts) AS tok,
+                 unnest(range(1, len(ts) + 1)) AS i
+          FROM d
+        )
+        SELECT t0.doc_id, count(*)::BIGINT AS n_matches
+        FROM t t0
+{joins}
+        WHERE t0.tok = {q(words[0])}
+        GROUP BY 1 ORDER BY 1
+    """
