@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         joins,
         index,
         knn,
+        layout,
         lm,
         modes,
         packing,
@@ -173,7 +174,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checkpointed_extract keep carrying the north-rule gate signal.
         "extract_span_counts": extract_stats.extract_span_counts,
         "checkpointed_extract": checkpointed_extract,
-        "image_thumbnail_plan": extract_stats.image_thumbnail_plan,
+        # zorder_layout is new in this (fourth) round-4 continuation, never
+        # driver-gated: the Morton-curve data-layout optimizer + per-file
+        # pruning manifest.  Its slot comes from image_thumbnail_plan, whose
+        # media-plan arithmetic family stays gated via audio_frame_stats /
+        # video_frame_stats; replayable past the cut.
+        "zorder_layout": layout.zorder_layout,
         "audio_frame_stats": extract_stats.audio_frame_stats,
         "video_frame_stats": extract_stats.video_frame_stats,
         # event_funnel is new in the round-4 continuation (never gated): it
@@ -201,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "image_thumbnail_plan": extract_stats.image_thumbnail_plan,
         "quality_by_source": tsp.quality_by_source,
         "token_frequencies": tsp.token_frequencies,
         "token_totals_by_lang": tsp.token_totals_by_lang,
@@ -390,8 +397,13 @@ _QUALITY_RAW = """
 
 def oracle_sql() -> dict[str, str]:
     from ocr_engine_ray.pipelines.index import phrase_search_sql
+    from ocr_engine_ray.pipelines.layout import zorder_sql
 
     return {
+        # Morton-curve layout manifest: same exact-integer 16-bit grid and
+        # unrolled 16-step bit interleave, row_number in (z, event_id)
+        # order, file grouping (generated twin).
+        "zorder_layout": zorder_sql(),
         # Positional phrase retrieval: zipped-unnest token positions + one
         # positional self-join per extra phrase token (generated by the
         # same function the tests replay with other phrases).

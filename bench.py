@@ -247,6 +247,9 @@ def run_bench() -> dict:
         "phrase_search": timed(
             __import__("ocr_engine_ray.pipelines.index", fromlist=["x"]).phrase_search
         ),
+        "zorder_layout": timed(
+            __import__("ocr_engine_ray.pipelines.layout", fromlist=["x"]).zorder_layout
+        ),
     }
 
     result = {
