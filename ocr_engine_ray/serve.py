@@ -75,13 +75,36 @@ def parse_upload(filename: str, blob: bytes, lang: str, fields: list[str]) -> di
     interpret with the requested labels as the field vocabulary.  Raises
     NotImplementedError for media kinds that need a real OCR backend."""
     kind = _upload_kind(filename, blob)
-    if kind not in spec.INLINE_KINDS:
+    if kind == "docx":
+        # REAL DOCX intake (process_docx_structured, ocr_any.py:386-400):
+        # the stdlib OPC parser flattens selectable text, which runs the
+        # same vocab-fields interpretation as inline text.  Embedded
+        # images would additionally be OCR'd and merged in the reference
+        # (ocr_any.py:361-385) — that needs a vision backend this
+        # environment does not ship, so a docx WITH images is refused
+        # honestly rather than answered partially.
+        from .stages.multimodal import docx_parse_opc
+
+        from .functions.lines import docx_to_text
+
+        d = docx_parse_opc(blob)
+        if d["images"]:
+            raise NotImplementedError(
+                f"{filename}: docx contains {len(d['images'])} embedded "
+                "image(s); merging their fields needs the vision OCR "
+                "backend this environment does not ship (text-only docx "
+                "parses fully)."
+            )
+        text = docx_to_text(d["paragraphs"], d["tables"])
+        kind = spec.KIND_TEXT
+    elif kind not in spec.INLINE_KINDS:
         raise NotImplementedError(
             f"{kind} uploads need an OCR backend (Vision/PIL/fitz) that this "
-            "environment does not ship; text/html uploads run the full "
+            "environment does not ship; text/html/docx uploads run the full "
             "extraction path."
         )
-    text = blob.decode("utf-8", errors="replace")
+    else:
+        text = blob.decode("utf-8", errors="replace")
     doc = {
         "doc_id": filename,
         "spans": [{"kind": kind, "text": text, "media_ref": None, "offset": 0}],

@@ -141,6 +141,112 @@ def docx_image_parts(blob: bytes) -> list[dict]:
     return out
 
 
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_IMAGE_RELTYPE = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships/image"
+)
+
+
+def _opc_para_text(p) -> str:
+    """Visible text of one ``w:p``: all ``w:t`` runs concatenated, ``w:tab``
+    as a tab, ``w:br``/``w:cr`` as a newline (python-docx run semantics,
+    hyperlink runs included)."""
+    out: list[str] = []
+    for node in p.iter():
+        tag = node.tag
+        if tag == _W_NS + "t":
+            out.append(node.text or "")
+        elif tag == _W_NS + "tab":
+            out.append("\t")
+        elif tag in (_W_NS + "br", _W_NS + "cr"):
+            out.append("\n")
+    return "".join(out)
+
+
+def docx_parse_opc(blob: bytes) -> dict:
+    """REAL DOCX parsing on the stdlib only (zipfile + ElementTree — a
+    .docx is a zip of OPC XML parts, so no python-docx is needed), LIVE in
+    this container: the working counterpart of the env-gated
+    `docx_image_parts`, with the reference's structure (ocr_any.py:349-359
+    text walk, ocr_any.py:361-385 image-relationship walk):
+
+    - ``paragraphs``: body-level ``w:p`` text in document order (table
+      cells excluded, as in ``Document.paragraphs``);
+    - ``tables``: body-level ``w:tbl`` as rows x cells, each cell the
+      ``"\\n"``-join of its paragraphs (``Cell.text`` semantics; nested
+      content flattens into its cell);
+    - ``images``: the document part's image relationships in rels-XML
+      order, external-target (INCLUDEPICTURE) entries skipped, each as
+      ``{idx, ext, mime, blob}`` with the same ext→MIME table as the
+      reference (`functions.model.mime_from_docx_ext`).
+
+    Feed the text parts to `functions.lines.docx_to_text` for the
+    reference's flatten.
+    """
+    import io
+    import posixpath
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from ..functions.model import mime_from_docx_ext
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        body = ET.fromstring(zf.read("word/document.xml")).find(_W_NS + "body")
+        paragraphs: list[str] = []
+        tables: list[list[list[str]]] = []
+        if body is not None:
+            for child in body:
+                if child.tag == _W_NS + "p":
+                    paragraphs.append(_opc_para_text(child))
+                elif child.tag == _W_NS + "tbl":
+                    tables.append(
+                        [
+                            [
+                                "\n".join(
+                                    _opc_para_text(p)
+                                    for p in tc.iter(_W_NS + "p")
+                                )
+                                for tc in tr.findall(_W_NS + "tc")
+                            ]
+                            for tr in child.findall(_W_NS + "tr")
+                        ]
+                    )
+        images: list[dict] = []
+        rels_name = "word/_rels/document.xml.rels"
+        if rels_name in zf.namelist():
+            idx = 0
+            for rel in ET.fromstring(zf.read(rels_name)).findall(
+                _REL_NS + "Relationship"
+            ):
+                if rel.get("Type") != _IMAGE_RELTYPE:
+                    continue
+                if (rel.get("TargetMode") or "").lower() == "external":
+                    continue
+                target = rel.get("Target") or ""
+                part = posixpath.normpath(posixpath.join("word", target))
+                ext = posixpath.splitext(part)[1].lower().lstrip(".")
+                images.append(
+                    {
+                        "idx": idx,
+                        "ext": ext,
+                        "mime": mime_from_docx_ext(ext),
+                        "blob": zf.read(part),
+                    }
+                )
+                idx += 1
+    return {"paragraphs": paragraphs, "tables": tables, "images": images}
+
+
+def docx_extract_text(blob: bytes) -> str:
+    """Reference-flattened text of real DOCX bytes: `docx_parse_opc` +
+    `functions.lines.docx_to_text` (ocr_any.py:349-359)."""
+    from ..functions.lines import docx_to_text
+
+    d = docx_parse_opc(blob)
+    return docx_to_text(d["paragraphs"], d["tables"])
+
+
 def fake_image_meta(media_ref: str) -> tuple[int, int, str]:
     """Deterministic stand-in image metadata (arithmetic in doc_num —
     reproducible in ANSI SQL)."""

@@ -170,3 +170,58 @@ class TestServe:
             _post(server, body, ctype)
         assert e.value.code == 501
         assert json.loads(e.value.read())["file"] == "scan.pdf"
+
+    def test_parse_real_docx_matches_oracle(self, server):
+        """A genuine .docx zip package (built by the OPC test helpers) runs
+        the REAL stdlib parse + the same vocab-fields path as inline text."""
+        from tests.test_docx_opc import _build_docx, _p, _t
+
+        W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        body_xml = (
+            _p(_t("Customer Name: Carol Jones"))
+            + f'<w:tbl xmlns:w="{W}"><w:tr>'
+            + "<w:tc>" + _p(_t("Total")) + "</w:tc>"
+            + "<w:tc>" + _p(_t("123")) + "</w:tc></w:tr></w:tbl>"
+        )
+        blob = _build_docx(body_xml)
+        body, ctype = _multipart(
+            [
+                ("files", "c.docx", blob),
+                ("langs", None, b"en"),
+                ("fields_to_extract", None, b"Customer Name, Total"),
+            ]
+        )
+        with _post(server, body, ctype) as r:
+            out = json.loads(r.read())
+        labels = ["Customer Name", "Total"]
+        vocab = {label_to_key(lbl): lbl for lbl in labels}
+        flat = "Customer Name: Carol Jones\nTotal | 123"
+        doc = {
+            "doc_id": "c.docx",
+            "spans": [
+                {"kind": "text", "text": flat, "media_ref": None, "offset": 0}
+            ],
+        }
+        want = json.loads(oracle.vocab_fields_document(doc, vocab))
+        assert json.loads(out["c.docx"]) == want
+        assert json.loads(out["c.docx"]).get("customer_name") == "Carol Jones"
+
+    def test_docx_with_images_501(self, server):
+        from tests.test_docx_opc import _build_docx, _p, _t
+
+        rels = (
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/image" Target="media/i.png"/>'
+        )
+        blob = _build_docx(_p(_t("x")), rels, {"word/media/i.png": b"png"})
+        body, ctype = _multipart(
+            [
+                ("files", "d.docx", blob),
+                ("fields_to_extract", None, b"name"),
+            ]
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, body, ctype)
+        assert e.value.code == 501
+        detail = json.loads(e.value.read())
+        assert "image" in detail["detail"]
