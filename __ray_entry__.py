@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_stats,
         interpret,
         joins,
+        diagnostics,
         index,
         knn,
         layout,
@@ -95,7 +96,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": decontam.gopher_quality_flags,
         "dsir_select": dsir.dsir_select,
         # --- sampling --------------------------------------------------------
-        "stratified_hash_sample": sampling.stratified_hash_sample,
+        # skew_report is new in this (fourth) round-4 continuation, never
+        # driver-gated: the shuffle-planning key-skew diagnostic (exact
+        # per-key counts + salt-factor recommendation).  Its slot comes
+        # from stratified_hash_sample, whose hash-order sampling family
+        # keeps three gated members (hash_split / weighted_sample /
+        # token_budget_sample); replayable past the cut.
+        "skew_report": diagnostics.skew_report,
         "token_budget_sample": sampling.token_budget_sample,
         "weighted_sample": sampling.weighted_sample,
         "temperature_rebalance": sampling.temperature_rebalance,
@@ -207,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "stratified_hash_sample": sampling.stratified_hash_sample,
         "image_thumbnail_plan": extract_stats.image_thumbnail_plan,
         "quality_by_source": tsp.quality_by_source,
         "token_frequencies": tsp.token_frequencies,
@@ -396,10 +404,14 @@ _QUALITY_RAW = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_engine_ray.pipelines.diagnostics import skew_report_sql
     from ocr_engine_ray.pipelines.index import phrase_search_sql
     from ocr_engine_ray.pipelines.layout import zorder_sql
 
     return {
+        # Key-skew head: per-key counts, scalar cross join, row_number
+        # head, ceil/floor integer salt arithmetic (generated twin).
+        "skew_report": skew_report_sql(),
         # Morton-curve layout manifest: same exact-integer 16-bit grid and
         # unrolled 16-step bit interleave, row_number in (z, event_id)
         # order, file grouping (generated twin).

@@ -250,6 +250,11 @@ def run_bench() -> dict:
         "zorder_layout": timed(
             __import__("ocr_engine_ray.pipelines.layout", fromlist=["x"]).zorder_layout
         ),
+        "skew_report": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+            ).skew_report
+        ),
     }
 
     result = {
