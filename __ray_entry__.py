@@ -46,12 +46,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curate,
         decontam,
         dedup,
+        diagnostics,
         dsir,
         extract_stats,
+        index,
         interpret,
         joins,
-        diagnostics,
-        index,
         knn,
         layout,
         lm,
@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pagerank,
         pca,
         sampling,
+        topics,
     )
     from ocr_engine_ray.pipelines import textstats as tsp
     from ocr_engine_ray.sources import formats
@@ -82,7 +83,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate.curate_corpus,
         "curate_training_mix": curate.curate_training_mix,
         "pack_sequences": packing.pack_sequences,
-        "chunk_token_windows": packing.chunk_token_windows,
+        # cluster_topics_digest is new in this (fourth) round-4 continuation,
+        # never driver-gated: c-TF-IDF topic terms per embedding k-means
+        # cluster (pinned-digest gate; kmeans is not SQL-expressible).  Its
+        # slot comes from chunk_token_windows, whose tokenize-and-window
+        # family stays gated via pack_sequences; replayable past the cut.
+        "cluster_topics_digest": topics.topics_digest,
         "rank_by_quality": packing.rank_by_quality,
         "decontaminate": decontam.decontaminate,
         "repetition_flags": decontam.repetition_flags,
@@ -155,7 +161,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank_by_quality; replayable past the cut.
         "phrase_search": index.phrase_search,
         "approx_distinct_digest": tsp.approx_distinct_digest,
-        "langid_counts": tsp.langid_counts,
+        # user_active_coverage is new in this (fourth) round-4 continuation,
+        # never driver-gated: per-user interval-union coverage (islands &
+        # gaps).  Its slot comes from langid_counts, whose wholesale
+        # heuristic-recompute family stays gated via doc_stats; replayable
+        # past the cut.
+        "user_active_coverage": analytics.user_active_coverage,
         "stream_running_totals": _stream_running_totals_query,
         "rollup_pricing": analytics.rollup_pricing,
         # --- similarity search / clustering digests --------------------------
@@ -214,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "langid_counts": tsp.langid_counts,
+        "chunk_token_windows": packing.chunk_token_windows,
         "stratified_hash_sample": sampling.stratified_hash_sample,
         "image_thumbnail_plan": extract_stats.image_thumbnail_plan,
         "quality_by_source": tsp.quality_by_source,
@@ -1165,6 +1178,42 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
         """,
+        # Interval-union coverage: the islands-and-gaps classic — running
+        # max(e) over earlier rows marks gap starts, a running sum of gap
+        # starts numbers islands, two grouped sums finish.  Same strictly-
+        # greater gap rule (touching windows merge) as the kernel; exact
+        # integer microseconds.
+        "user_active_coverage": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + {W} AS e
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            m AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_max
+              FROM iv
+            ),
+            isl AS (
+              SELECT user_id, s, e,
+                     sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS gid
+              FROM m
+            ),
+            g AS (
+              SELECT user_id, gid, min(s) AS st, max(e) AS en
+              FROM isl GROUP BY 1, 2
+            )
+            SELECT user_id, count(*)::BIGINT AS n_islands,
+                   sum(en - st)::BIGINT AS covered_us
+            FROM g GROUP BY 1 ORDER BY 1
+        """.replace("{W}", str(30 * 60_000_000)),
         # Markov transition matrix: lead() over the same (ts, event_id)
         # per-user order as the bucketed kernel; probability as exact
         # integer ppm (positive ints, so DuckDB // == Python //); the
@@ -1210,6 +1259,14 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_digest_dedup.py.  Pure integer/string surface.
         "bpe_digest": """
             SELECT 1290789620711035751::BIGINT AS digest
+        """,
+        # Cluster-topics digest: pinned literal from the INDEPENDENT
+        # sequential oracle (oracle_dedup.cluster_topic_rows — plain
+        # Counter tf/df over oracle kmeans assignments); re-derived on
+        # every pytest run by tests/test_digest_dedup.py.  Exact-int
+        # surface (quantized-ln scores, integer tie-breaks).
+        "cluster_topics_digest": """
+            SELECT 1126093929253592779::BIGINT AS digest
         """,
         "user_event_gaps": """
             SELECT * FROM (

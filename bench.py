@@ -255,6 +255,10 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
             ).skew_report
         ),
+        "cluster_topics": timed(
+            __import__("ocr_engine_ray.pipelines.topics", fromlist=["x"]).cluster_topics
+        ),
+        "user_active_coverage": timed(analytics.user_active_coverage),
     }
 
     result = {

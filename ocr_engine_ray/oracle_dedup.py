@@ -628,3 +628,55 @@ def bpe_digest(rows: list[tuple[int, str, str, int]]) -> int:
         h = hashlib.md5(f"{rank}\x1f{left}|{right}:{cnt}".encode("utf-8")).digest()
         s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
     return s
+
+
+# --- cluster topics (c-TF-IDF over k-means clusters) ------------------------
+
+
+def cluster_topic_rows(
+    sf_dir: str, *, k_clusters: int = 8, iters: int = 5, top_terms: int = 5
+) -> list[tuple[int, int, str, int, int, int]]:
+    """(cluster, rank, token, tf, df, score_q) rows — sequential twin of
+    `pipelines.topics.cluster_topics`: plain dict counting over the
+    `kmeans_assignments` clusters, score = tf * round(ln(N/df) * 2^40)
+    (np.log bits, banker's round — the quantized-ln contract)."""
+    import re
+    from collections import Counter
+
+    _ws = re.compile(r"[ \t\n\f\r]+")
+    asn = dict(kmeans_assignments(sf_dir, k=k_clusters, iters=iters))
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf: Counter = Counter()  # (cluster, token) -> occurrences
+    df: Counter = Counter()  # token -> docs containing it
+    n_docs = 0
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        if did not in asn:
+            continue
+        n_docs += 1
+        c = asn[did]
+        toks = [w for w in _ws.split(text or "") if w]
+        for tok, cnt in Counter(toks).items():
+            tf[(c, tok)] += cnt
+            df[tok] += 1
+    out: list[tuple[int, int, str, int, int, int]] = []
+    for c in sorted({ci for ci, _ in tf}):
+        scored = []
+        for (ci, tok), f in tf.items():
+            if ci != c:
+                continue
+            idf_q = int(np.round(np.log(float(n_docs) / float(df[tok])) * (1 << 40)))
+            scored.append((-(f * idf_q), tok, f, df[tok]))
+        scored.sort()
+        for rk, (negs, tok, f, dfv) in enumerate(scored[:top_terms], 1):
+            out.append((c, rk, tok, f, dfv, -negs))
+    return out
+
+
+def topics_digest(rows: list[tuple[int, int, str, int, int, int]]) -> int:
+    """Digest of cluster-topic rows (payload 'rank:token:tf:df:score_q',
+    framed by cluster — matches `pipelines.topics.topics_digest`)."""
+    s = 0
+    for c, rk, tok, f, dfv, sq in rows:
+        h = hashlib.md5(f"{c}\x1f{rk}:{tok}:{f}:{dfv}:{sq}".encode("utf-8")).digest()
+        s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
+    return s

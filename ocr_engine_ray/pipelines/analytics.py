@@ -715,3 +715,76 @@ def event_transitions(sf_dir: str, *, num_buckets: int = 64) -> pa.Table:
             ),
         }
     )
+
+
+def user_active_coverage(
+    sf_dir: str, *, window_min: int = 30, num_buckets: int = 64
+) -> rd.Dataset:
+    """Per-user interval-union coverage (islands-and-gaps): every event
+    opens a ``[ts, ts + W)`` activity window; overlapping/touching windows
+    merge, and each user reports the merged-island count and the total
+    covered microseconds — the activity-coverage metric behind engagement
+    scoring and session-budget planning (and the same merge a storage
+    compactor runs over row-group ranges).
+
+    Scale shape: islands are user-local, so ONE ``user_id % B`` bucket
+    shuffle co-locates each user's windows; per-bucket the merge is fully
+    vectorized (sort by (user, start, end), per-user running max of end via
+    ``groupby.cummax``, island id = cumsum of gap starts) — no per-user
+    Python.  Output (user_id, n_islands, covered_us) sorted by user_id;
+    exact integer microseconds end-to-end.
+    """
+    import numpy as np
+
+    w_us = window_min * 60_000_000
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch.column("user_id")), pc.is_valid(batch.column("ts")))
+        )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        s = (
+            batch.column("ts")
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "s": pa.array(s),
+                "e": pa.array(s + w_us),
+                "_bkt": pa.array((uid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        df = group.select(["user_id", "s", "e"]).to_pandas()
+        df = df.sort_values(["user_id", "s", "e"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        prev_max = g["e"].cummax().shift(1)
+        first = ~df["user_id"].duplicated()
+        new_island = first | (df["s"] > prev_max.where(~first, -1))
+        gid = new_island.cumsum()
+        isl = df.assign(gid=gid).groupby(["user_id", "gid"], sort=False).agg(
+            st=("s", "min"), en=("e", "max")
+        )
+        out = (
+            isl.assign(cov=isl["en"] - isl["st"])
+            .groupby("user_id", sort=False)
+            .agg(n_islands=("cov", "size"), covered_us=("cov", "sum"))
+            .reset_index()
+            .astype("int64")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_merge, batch_format="pyarrow")
+        .sort("user_id")
+    )

@@ -53,6 +53,7 @@ class TestDedupDigestGates:
             "ann_ivfpq_digest",
             "embedding_lsh_digest",
             "bpe_digest",
+            "cluster_topics_digest",
         ],
     )
     def test_ray_digest_matches_literal(self, ray_session, name):
@@ -60,6 +61,38 @@ class TestDedupDigestGates:
 
         t = entry.queries()[name](SF)
         assert t.column("digest")[0].as_py() == _literal(name), name
+
+    def test_cluster_topics_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines.topics import cluster_topics
+
+        t = cluster_topics(SF)
+        got = list(
+            zip(
+                t.column("cluster").to_pylist(),
+                t.column("rank").to_pylist(),
+                t.column("token").to_pylist(),
+                t.column("tf").to_pylist(),
+                t.column("df").to_pylist(),
+                t.column("score_q").to_pylist(),
+            )
+        )
+        assert got == od.cluster_topic_rows(SF)
+        # structure: every cluster ranked 1..T, scores non-increasing
+        per = {}
+        for c, rk, _tok, _tf, _df, sq in got:
+            per.setdefault(c, []).append((rk, sq))
+        for c, rows in per.items():
+            assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+            scores = [s for _, s in rows]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_cluster_topics_bucket_invariance(self, ray_session):
+        from ocr_engine_ray.pipelines.topics import cluster_topics
+
+        a = cluster_topics(SF, num_buckets=3)
+        b = cluster_topics(SF, num_buckets=16)
+        assert a.equals(b)
 
     def test_minhash_rows_match_oracle(self, ray_session):
         from ocr_engine_ray import oracle_dedup as od

@@ -84,3 +84,54 @@ def test_bucket_invariance_and_mass(ray_session):
     t = pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
     per_user = t.column("user_id").to_pandas().value_counts()
     assert sum(a.column("n").to_pylist()) == int((per_user - 1).sum())
+
+
+class TestCoverage:
+    """Planted interval-union semantics for user_active_coverage."""
+
+    def _write(self, tmp_path, events):
+        rows = [
+            {"event_id": i, "user_id": u, "ts": _ts(m), "event_type": "view",
+             "value": 1.0, "props": "{}"}
+            for i, (u, m) in enumerate(events)
+        ]
+        d = tmp_path / "cov"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+        return str(d)
+
+    def test_planted_islands(self, ray_session, tmp_path):
+        # window = 2 minutes
+        sf = self._write(
+            tmp_path,
+            [
+                (1, 0), (1, 1),          # overlap -> one island [0, 3)
+                (1, 3),                  # touches [.., 3) -> merges: [0, 5)
+                (1, 10),                 # gap -> second island [10, 12)
+                (2, 0),                  # single event
+            ],
+        )
+        got = {r["user_id"]: (r["n_islands"], r["covered_us"])
+               for r in analytics.user_active_coverage(sf, window_min=2).take_all()}
+        m = 60_000_000
+        assert got == {1: (2, 5 * m + 2 * m), 2: (1, 2 * m)}
+
+    def test_matches_twin_and_buckets(self, ray_session, tmp_path):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = self._write(
+            tmp_path, [(u, m) for u in (1, 2, 3) for m in (0, 7, 29, 31, 45, 45)]
+        )
+        got = analytics.user_active_coverage(sf).take_all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = con.execute(entry.oracle_sql()["user_active_coverage"]).fetchall()
+        assert [(r["user_id"], r["n_islands"], r["covered_us"]) for r in got] == [
+            tuple(w) for w in want
+        ]
+        a = analytics.user_active_coverage(sf, num_buckets=2).take_all()
+        assert a == got
