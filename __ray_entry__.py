@@ -139,7 +139,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # still-gated cms_token_counts twin (and exercised by heavy_hitters
         # / token_rarity_score); replayable past the cut.
         "event_transitions": analytics.event_transitions,
-        "fingerprint_stats": tsp.fingerprint_stats,
+        # nation_revenue is new in this (fourth) round-4 continuation, never
+        # driver-gated: the TPC-H Q5-style MULTI-way join (5 tables, one
+        # strategy per join: driver dims, broadcast supplier, bucketed
+        # customer⋈orders, map-side pre-agged lineitem).  Its slot comes
+        # from fingerprint_stats, whose distinct-content-per-source signal
+        # stays gated via approx_distinct_digest; replayable past the cut.
+        "nation_revenue": joins.nation_revenue,
         "tfidf_top_terms": tsp.tfidf_top_terms,
         "token_quantiles_by_source": tsp.token_quantiles_by_source,
         "heavy_hitters": tsp.heavy_hitters,
@@ -225,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "fingerprint_stats": tsp.fingerprint_stats,
         "langid_counts": tsp.langid_counts,
         "chunk_token_windows": packing.chunk_token_windows,
         "stratified_hash_sample": sampling.stratified_hash_sample,
@@ -1177,6 +1184,24 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
+        """,
+        # TPC-H Q5 analog: 5-table join with the local-supplier rule
+        # (s_nationkey = c_nationkey); money as exact integer cents,
+        # rounded once (on-grid, so round mode is moot).
+        "nation_revenue": """
+            SELECT n_name,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                         / 100.0, 2) AS revenue
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY revenue DESC, n_name
         """,
         # Interval-union coverage: the islands-and-gaps classic — running
         # max(e) over earlier rows marks gap starts, a running sum of gap

@@ -259,6 +259,7 @@ def run_bench() -> dict:
             __import__("ocr_engine_ray.pipelines.topics", fromlist=["x"]).cluster_topics
         ),
         "user_active_coverage": timed(analytics.user_active_coverage),
+        "nation_revenue": timed(joins.nation_revenue),
     }
 
     result = {

@@ -506,3 +506,230 @@ def order_event_window_join(
         )
 
     return both.groupby("bucket").map_groups(window_bucket, batch_format="pandas")
+
+
+def nation_revenue(
+    sf_dir: str,
+    *,
+    region: str = "ASIA",
+    year_from: int = 1996,
+    year_to: int = 1998,
+    num_buckets: int = NUM_JOIN_BUCKETS,
+) -> rd.Dataset:
+    """TPC-H Q5 analog — the canonical MULTI-WAY join: local-supplier
+    revenue per nation for one region and a date range
+    (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier, keeping
+    lineitems whose supplier sits in the customer's nation).
+
+    One strategy per join, chosen by side size — the composition story a
+    planner at 100 TB follows:
+
+    - region ⋈ nation: driver-side (≤ |nations| rows), broadcast as the
+      nationkey → name map;
+    - supplier: broadcast suppkey → nationkey dict (suppliers are ~1e-4 of
+      lineitem; past broadcast scale, reuse the bucketed shape below);
+    - customer ⋈ orders: BUCKETED hash join on custkey (both corpus-sized
+      at scale), emitting only (orderkey, c_nationkey) for region+date
+      survivors;
+    - ⋈ lineitem: map-side revenue pre-agg per (orderkey, supplier-nation)
+      — the supplier lookup and the nation equality both evaluate INSIDE
+      the map, so the second bucket shuffle moves pre-combined cents
+      partials, never raw lineitems;
+    - final ``groupby(nationkey)`` is |nations|-sized.
+
+    Returns (n_name, revenue) sorted by revenue DESC, n_name — money summed
+    as exact integer cents (`_cents` convention), rounded once at the end.
+    """
+    import datetime as dt
+
+    lo = dt.datetime(year_from, 1, 1)
+    hi = dt.datetime(year_to, 1, 1)
+
+    # --- driver-side dims: nations of the region, suppkey -> nationkey ----
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in sf_table(sf_dir, "nation").take_all()
+    }
+    reg = {
+        r["r_regionkey"]
+        for r in sf_table(sf_dir, "region").take_all()
+        if r["r_name"] == region
+    }
+    region_nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in sf_table(sf_dir, "nation").take_all()
+        if r["n_regionkey"] in reg
+    }
+    sup = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in sf_table(
+            sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+        ).take_all()
+    }
+    nat_ref, sup_ref = ray.put(region_nations), ray.put(sup)
+
+    # --- bucketed customer ⋈ orders on custkey -----------------------------
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = sf_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        rn = _get_broadcast(nat_ref)
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, np.fromiter(rn.keys(), dtype=np.int64))
+        batch = batch.filter(pa.array(keep))
+        keys = batch.column("c_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    keys.to_numpy(zero_copy_only=False) % num_buckets
+                ).cast(pa.int32()),
+                "key": keys,
+                "nationkey": batch.column("c_nationkey").cast(pa.int64()),
+                "orderkey": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        batch = batch.filter(
+            pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        )
+        keys = batch.column("o_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    keys.to_numpy(zero_copy_only=False) % num_buckets
+                ).cast(pa.int32()),
+                "key": keys,
+                "nationkey": pa.nulls(batch.num_rows, pa.int64()),
+                "orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            }
+        )
+
+    def merge_orders(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        c = df[df["orderkey"].isna()][["key", "nationkey"]]
+        o = df[df["orderkey"].notna()][["key", "orderkey"]]
+        j = o.merge(c, on="key", how="inner")
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "orderkey": j["orderkey"].astype("int64"),
+                    "nationkey": j["nationkey"].astype("int64"),
+                }
+            ),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    order_nation = (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(merge_orders, batch_format="pyarrow")
+    )
+
+    # --- lineitem: supplier-nation revenue partials per orderkey -----------
+    line = sf_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        rn, sp = _get_broadcast(nat_ref), _get_broadcast(sup_ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        snat = np.array([sp.get(int(s), -1) for s in sk], dtype=np.int64)
+        keep = np.isin(snat, np.fromiter(rn.keys(), dtype=np.int64))
+        if not keep.any():
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "orderkey": pa.array([], pa.int64()),
+                    "nationkey": pa.array([], pa.int64()),
+                    "rev_c": pa.array([], pa.int64()),
+                }
+            )
+        sub = batch.filter(pa.array(keep))
+        snat = snat[keep]
+        rev = pc.multiply(
+            sub.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), sub.column("l_discount")),
+        )
+        t = pa.table(
+            {
+                "orderkey": sub.column("l_orderkey").cast(pa.int64()),
+                "nationkey": pa.array(snat),
+                "rev_c": _cents(rev),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["orderkey", "nationkey"]).aggregate(
+            [("rev_c", "sum")]
+        )
+        ok = agg.column("orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+                "orderkey": agg.column("orderkey"),
+                "nationkey": agg.column("nationkey"),
+                "rev_c": agg.column("rev_c_sum").cast(pa.int64()),
+            }
+        )
+
+    def order_key_side(batch: pa.Table) -> pa.Table:
+        ok = batch.column("orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+                "orderkey": batch.column("orderkey"),
+                "nationkey": batch.column("nationkey"),
+                "rev_c": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def merge_line(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        o = df[df["rev_c"].isna()][["orderkey", "nationkey"]]
+        l = df[df["rev_c"].notna()]
+        # local-supplier rule: lineitem's supplier nation == customer nation
+        j = l.merge(o, on=["orderkey", "nationkey"], how="inner")
+        if j.empty:
+            return pa.table(
+                {"nationkey": pa.array([], pa.int64()), "rev_c": pa.array([], pa.int64())}
+            )
+        g = j.groupby("nationkey", sort=False)["rev_c"].sum().reset_index()
+        return pa.Table.from_pandas(
+            g.astype({"nationkey": "int64", "rev_c": "int64"}), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    per_nation = (
+        line.map_batches(line_side, batch_format="pyarrow", batch_size=65536)
+        .union(order_nation.map_batches(order_key_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(merge_line, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rn = _get_broadcast(nat_ref)
+        names = [rn[int(k)] for k in batch.column("nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                # on-grid value (int cents / 100), so the default half-even
+                # matches the twin's round() exactly — the mktsegment
+                # convention
+                "revenue": pc.round(
+                    pc.divide(
+                        batch.column("rev_c").cast(pa.float64()), pa.scalar(100.0)
+                    ),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return per_nation.map_batches(finish, batch_format="pyarrow").sort(
+        ["revenue", "n_name"], descending=[True, False]
+    )

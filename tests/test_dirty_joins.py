@@ -73,3 +73,41 @@ class TestDirtyJoins:
         got = _canon(inactive_customer_orders(dirty_sf).to_pandas())
         exp = _canon(_sql(dirty_sf, e.oracle_sql()["inactive_customer_orders"]))
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_nation_revenue_matches_twin_all_regions(ray_session):
+    """Q5 analog: every region + a different date range reproduces the
+    DuckDB 5-table join exactly (not just the gated ASIA/96-98 instance)."""
+    import duckdb
+
+    from ocr_engine_ray.pipelines.joins import nation_revenue
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    for region, y0, y1 in [("AMERICA", 1995, 2002), ("EUROPE", 1997, 1999)]:
+        got = [
+            (r["n_name"], r["revenue"])
+            for r in nation_revenue(sf, region=region, year_from=y0, year_to=y1).take_all()
+        ]
+        want = con.execute(
+            f"""
+            SELECT n_name,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                         / 100.0, 2) AS revenue
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = '{region}'
+              AND o_orderdate >= TIMESTAMP '{y0}-01-01'
+              AND o_orderdate < TIMESTAMP '{y1}-01-01'
+            GROUP BY 1 ORDER BY revenue DESC, n_name
+            """
+        ).fetchall()
+        assert got == [tuple(w) for w in want], region
