@@ -205,7 +205,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # video_frame_stats; replayable past the cut.
         "zorder_layout": layout.zorder_layout,
         "audio_frame_stats": extract_stats.audio_frame_stats,
-        "video_frame_stats": extract_stats.video_frame_stats,
+        # triangle_count is new in this (fourth) round-4 continuation, never
+        # driver-gated: exact triangle counting of the co-purchase graph
+        # (node-iterator wedge join).  Its slot comes from
+        # video_frame_stats, whose deterministic plan arithmetic stays
+        # gated via audio_frame_stats (and pytest-pinned); replayable past
+        # the cut.
+        "triangle_count": basket.triangle_count,
         # event_funnel is new in the round-4 continuation (never gated): it
         # takes the slot of free_text_stats (green r02+r03; the free-text
         # surface stays pinned by free_text_digest, replayable past the cut).
@@ -231,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "video_frame_stats": extract_stats.video_frame_stats,
         "fingerprint_stats": tsp.fingerprint_stats,
         "langid_counts": tsp.langid_counts,
         "chunk_token_windows": packing.chunk_token_windows,
@@ -1184,6 +1191,27 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
+        """,
+        # Triangle count: same row-pair support convention as
+        # copurchase_pairs, oriented wedges from the low endpoint
+        # (e2.p2 > e1.p2), closing-edge join — each triangle a<b<c once.
+        "triangle_count": """
+            WITH pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+              FROM lineitem a
+              JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            e AS (SELECT p1, p2 FROM pairs WHERE n >= 2),
+            w AS (
+              SELECT e1.p2 AS b, e2.p2 AS c
+              FROM e e1 JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+            )
+            SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+                   (SELECT count(*) FROM w JOIN e ON e.p1 = w.b AND e.p2 = w.c)::BIGINT
+                     AS n_triangles
         """,
         # TPC-H Q5 analog: 5-table join with the local-supplier rule
         # (s_nationkey = c_nationkey); money as exact integer cents,

@@ -260,6 +260,9 @@ def run_bench() -> dict:
         ),
         "user_active_coverage": timed(analytics.user_active_coverage),
         "nation_revenue": timed(joins.nation_revenue),
+        "triangle_count": timed(
+            __import__("ocr_engine_ray.pipelines.basket", fromlist=["x"]).triangle_count
+        ),
     }
 
     result = {

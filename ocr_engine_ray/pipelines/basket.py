@@ -37,6 +37,92 @@ BASKET_MIN_SUPPORT = 2
 BASKET_TOP_K = 50
 
 
+def _bucket_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    ok = batch.column("l_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "obkt": pa.array((ok % num_buckets).astype(np.int64)),
+            "okey": pa.array(ok.astype(np.int64)),
+            "part": batch.column("l_partkey").cast(pa.int64()),
+        }
+    )
+
+def _order_pair_partials(group: pa.Table, *, num_buckets: int) -> pa.Table:
+    empty = pa.table(
+        {
+            "pbkt": pa.array([], pa.int64()),
+            "p1": pa.array([], pa.int64()),
+            "p2": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    ok = group.column("okey").combine_chunks().to_numpy(zero_copy_only=False)
+    pt = group.column("part").combine_chunks().to_numpy(zero_copy_only=False)
+    if not len(ok):
+        return empty
+    # distinct (order, part) with row multiplicities, sorted — parts
+    # ascend within each order, so p1 < p2 falls out of triu order
+    maxp = int(pt.max()) + 1
+    comb, cnt = np.unique(ok * maxp + pt, return_counts=True)
+    d_ok = comb // maxp
+    d_pt = comb % maxp
+    orders, m = np.unique(d_ok, return_counts=True)
+    starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    p1_all, p2_all, w_all = [], [], []
+    for msize in np.unique(m):
+        if msize < 2:
+            continue
+        sel = np.nonzero(m == msize)[0]
+        idx = starts[sel][:, None] + np.arange(msize)[None, :]
+        parts_m = d_pt[idx]  # (n_orders, msize), ascending per row
+        cnt_m = cnt[idx]
+        iu, ju = np.triu_indices(int(msize), 1)
+        p1_all.append(parts_m[:, iu].ravel())
+        p2_all.append(parts_m[:, ju].ravel())
+        w_all.append((cnt_m[:, iu] * cnt_m[:, ju]).ravel())
+    if not p1_all:
+        return empty
+    p1 = np.concatenate(p1_all)
+    p2 = np.concatenate(p2_all)
+    w = np.concatenate(w_all).astype(np.int64)
+    # pre-combine per (p1, p2) before the pair shuffle
+    pk = p1 * maxp + p2
+    upk, inv = np.unique(pk, return_inverse=True)
+    tot = np.zeros(len(upk), dtype=np.int64)
+    np.add.at(tot, inv, w)
+    up1 = (upk // maxp).astype(np.int64)
+    up2 = (upk % maxp).astype(np.int64)
+    pbkt = ((up1 * np.int64(1_000_003) + up2) % num_buckets).astype(np.int64)
+    return pa.table(
+        {
+            "pbkt": pa.array(pbkt),
+            "p1": pa.array(up1),
+            "p2": pa.array(up2),
+            "n": pa.array(tot),
+        }
+    )
+
+
+def _pair_partials(sf_dir: str, *, num_buckets: int) -> rd.Dataset:
+    """Per-order pair partials of the co-purchase graph: the shared first
+    two stages (order-bucket shuffle + size-class pair expansion) of
+    `copurchase_pairs` and `triangle_count`."""
+    import functools
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return (
+        li.map_batches(
+            functools.partial(_bucket_rows, num_buckets=num_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("obkt")
+        .map_groups(
+            functools.partial(_order_pair_partials, num_buckets=num_buckets),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def copurchase_pairs(
     sf_dir: str,
     *,
@@ -50,72 +136,7 @@ def copurchase_pairs(
     limited to ``k``; ``n`` counts lineitem-row pairs per order (the
     self-join convention).
     """
-    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        ok = batch.column("l_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "obkt": pa.array((ok % num_buckets).astype(np.int64)),
-                "okey": pa.array(ok.astype(np.int64)),
-                "part": batch.column("l_partkey").cast(pa.int64()),
-            }
-        )
-
-    def order_pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "pbkt": pa.array([], pa.int64()),
-                "p1": pa.array([], pa.int64()),
-                "p2": pa.array([], pa.int64()),
-                "n": pa.array([], pa.int64()),
-            }
-        )
-        ok = group.column("okey").combine_chunks().to_numpy(zero_copy_only=False)
-        pt = group.column("part").combine_chunks().to_numpy(zero_copy_only=False)
-        if not len(ok):
-            return empty
-        # distinct (order, part) with row multiplicities, sorted — parts
-        # ascend within each order, so p1 < p2 falls out of triu order
-        maxp = int(pt.max()) + 1
-        comb, cnt = np.unique(ok * maxp + pt, return_counts=True)
-        d_ok = comb // maxp
-        d_pt = comb % maxp
-        orders, m = np.unique(d_ok, return_counts=True)
-        starts = np.concatenate([[0], np.cumsum(m)[:-1]])
-        p1_all, p2_all, w_all = [], [], []
-        for msize in np.unique(m):
-            if msize < 2:
-                continue
-            sel = np.nonzero(m == msize)[0]
-            idx = starts[sel][:, None] + np.arange(msize)[None, :]
-            parts_m = d_pt[idx]  # (n_orders, msize), ascending per row
-            cnt_m = cnt[idx]
-            iu, ju = np.triu_indices(int(msize), 1)
-            p1_all.append(parts_m[:, iu].ravel())
-            p2_all.append(parts_m[:, ju].ravel())
-            w_all.append((cnt_m[:, iu] * cnt_m[:, ju]).ravel())
-        if not p1_all:
-            return empty
-        p1 = np.concatenate(p1_all)
-        p2 = np.concatenate(p2_all)
-        w = np.concatenate(w_all).astype(np.int64)
-        # pre-combine per (p1, p2) before the pair shuffle
-        pk = p1 * maxp + p2
-        upk, inv = np.unique(pk, return_inverse=True)
-        tot = np.zeros(len(upk), dtype=np.int64)
-        np.add.at(tot, inv, w)
-        up1 = (upk // maxp).astype(np.int64)
-        up2 = (upk % maxp).astype(np.int64)
-        pbkt = ((up1 * np.int64(1_000_003) + up2) % num_buckets).astype(np.int64)
-        return pa.table(
-            {
-                "pbkt": pa.array(pbkt),
-                "p1": pa.array(up1),
-                "p2": pa.array(up2),
-                "n": pa.array(tot),
-            }
-        )
+    pairs = _pair_partials(sf_dir, num_buckets=num_buckets)
 
     def global_counts(group: pa.Table) -> pa.Table:
         p1 = group.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
@@ -146,11 +167,157 @@ def copurchase_pairs(
         return pa.table({"p1": pa.array(up1), "p2": pa.array(up2), "n": pa.array(tot)})
 
     return (
-        li.map_batches(bucket, batch_format="pyarrow")
-        .groupby("obkt")
-        .map_groups(order_pairs, batch_format="pyarrow")
-        .groupby("pbkt")
+        pairs.groupby("pbkt")
         .map_groups(global_counts, batch_format="pyarrow")
         .sort(["n", "p1", "p2"], descending=[True, False, False])
         .limit(k)
+    )
+
+
+def triangle_count(
+    sf_dir: str, *, min_support: int = BASKET_MIN_SUPPORT, num_buckets: int = 64
+) -> pa.Table:
+    """Exact triangle count of the co-purchase graph (edges = part pairs
+    with support >= ``min_support``) — the graph-density / community-
+    structure metric next to `trade_pagerank` and the dedup CC: triangles
+    drive clustering coefficients and motif-based anomaly detection.
+
+    Node-iterator algorithm (the MapReduce standard, Suri & Vassilvitskii
+    2011), oriented so each triangle a<b<c is found exactly once:
+
+    1. edges fold from the shared `_pair_partials` stages + support filter
+       (ONE exact pair-bucket shuffle);
+    2. wedges: edges bucket by their LOW endpoint; per bucket every vertex
+       ``a`` emits its higher-neighbor pairs (b, c), b<c — vectorized by
+       DEGREE-SIZE CLASS (the `_order_pair_partials` triu expansion shape);
+       wedge volume is Σ C(d⁺,2), the thinned graph's bound;
+    3. wedges and edges co-bucket by hash(b, c); each bucket counts wedges
+       whose closing edge exists (one np.isin on packed keys).
+
+    Returns one row: (n_edges, n_wedges, n_triangles) — all exact int64.
+    """
+    import functools
+
+    pairs = _pair_partials(sf_dir, num_buckets=num_buckets)
+
+    def support_filter(group: pa.Table) -> pa.Table:
+        p1 = group.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+        p2 = group.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
+        n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"p1": pa.array([], pa.int64()), "p2": pa.array([], pa.int64())}
+        )
+        if not len(p1):
+            return empty
+        maxp = int(max(p1.max(), p2.max())) + 1
+        upk, inv = np.unique(p1 * maxp + p2, return_inverse=True)
+        tot = np.zeros(len(upk), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        keep = tot >= min_support
+        return pa.table(
+            {
+                "p1": pa.array((upk // maxp)[keep]),
+                "p2": pa.array((upk % maxp)[keep]),
+            }
+        )
+
+    edges = (
+        pairs.groupby("pbkt").map_groups(support_filter, batch_format="pyarrow")
+    ).materialize()
+    n_edges = edges.count()
+
+    _PRIME = np.int64(1_000_003)
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        b = batch.column("p1").to_numpy(zero_copy_only=False)
+        c = batch.column("p2").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "wbkt": pa.array(((b * _PRIME + c) % num_buckets).astype(np.int64)),
+                "b": pa.array(b),
+                "c": pa.array(c),
+                "is_edge": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+
+    def abucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("p1").to_numpy(zero_copy_only=False)
+        return batch.append_column("abkt", pa.array((a % num_buckets).astype(np.int64)))
+
+    def wedges_of(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "wbkt": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "is_edge": pa.array([], pa.int64()),
+            }
+        )
+        a = group.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+        nb = group.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(a):
+            return empty
+        order = np.lexsort((nb, a))
+        a, nb = a[order], nb[order]
+        verts, deg = np.unique(a, return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        b_all, c_all = [], []
+        for d in np.unique(deg):
+            if d < 2:
+                continue
+            sel = np.nonzero(deg == d)[0]
+            idx = starts[sel][:, None] + np.arange(d)[None, :]
+            nbr = nb[idx]  # (n_vertices, d), ascending per row
+            iu, ju = np.triu_indices(int(d), 1)
+            b_all.append(nbr[:, iu].ravel())
+            c_all.append(nbr[:, ju].ravel())
+        if not b_all:
+            return empty
+        b = np.concatenate(b_all)
+        c = np.concatenate(c_all)
+        return pa.table(
+            {
+                "wbkt": pa.array(((b * _PRIME + c) % num_buckets).astype(np.int64)),
+                "b": pa.array(b),
+                "c": pa.array(c),
+                "is_edge": pa.array(np.zeros(len(b), dtype=np.int64)),
+            }
+        )
+
+    def close_wedges(group: pa.Table) -> pa.Table:
+        b = group.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        ise = (
+            group.column("is_edge").combine_chunks().to_numpy(zero_copy_only=False)
+            == 1
+        )
+        maxc = int(c.max()) + 1 if len(c) else 1
+        key = b * maxc + c
+        closed = np.isin(key[~ise], key[ise])
+        return pa.table(
+            {
+                "n_wedges": pa.array([int((~ise).sum())], pa.int64()),
+                "n_triangles": pa.array([int(closed.sum())], pa.int64()),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(abucket, batch_format="pyarrow")
+        .groupby("abkt")
+        .map_groups(wedges_of, batch_format="pyarrow")
+    )
+    parts = (
+        wedges.union(edges.map_batches(edge_side, batch_format="pyarrow"))
+        .groupby("wbkt")
+        .map_groups(close_wedges, batch_format="pyarrow")
+        .take_all()
+    )  # <= num_buckets 2-int rows
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_wedges": pa.array([sum(r["n_wedges"] for r in parts)], pa.int64()),
+            "n_triangles": pa.array(
+                [sum(r["n_triangles"] for r in parts)], pa.int64()
+            ),
+        }
     )

@@ -9,6 +9,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+import datetime as dt
+
+from ocr_engine_ray.pipelines import basket
 from ocr_engine_ray.pipelines.basket import copurchase_pairs
 
 SF = "/root/testdata/sf0.001"
@@ -63,3 +66,75 @@ class TestCopurchase:
             for r in copurchase_pairs(str(d), min_support=1).take_all()
         ]
         assert got == [(7, 9, 3)]
+
+
+class TestTriangles:
+    def _write(self, tmp_path, baskets):
+        """baskets: list of part lists; each written twice so every pair
+        reaches the min_support=2 edge threshold."""
+        rows = []
+        i = 0
+        for rep in range(2):
+            for o, parts in enumerate(baskets):
+                for p in parts:
+                    rows.append(
+                        {"l_orderkey": o + rep * 1000, "l_partkey": p,
+                         "l_suppkey": 1, "l_linenumber": i % 7,
+                         "l_quantity": 1.0, "l_extendedprice": 1.0,
+                         "l_discount": 0.0, "l_tax": 0.0,
+                         "l_returnflag": "N", "l_linestatus": "O",
+                         "l_shipdate": dt.datetime(2020, 1, 1)}
+                    )
+                    i += 1
+        d = tmp_path / "tri"
+        d.mkdir(parents=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "lineitem.parquet"))
+        return str(d)
+
+    def test_planted_triangles(self, ray_session, tmp_path):
+        # K4 on {1,2,3,4} -> 6 edges, C(4,3)=4 triangles; ORIENTED wedges
+        # (higher-neighbor pairs of each low vertex) = C(3,2)+C(2,2) = 4,
+        # all closed.  The pendant path 5-6, 6-7 adds no oriented wedge
+        # (no vertex has two higher neighbors).
+        sf = self._write(tmp_path, [[1, 2, 3, 4], [5, 6], [6, 7]])
+        t = basket.triangle_count(sf)
+        assert t.to_pydict() == {
+            "n_edges": [8], "n_wedges": [4], "n_triangles": [4]
+        }
+        # a genuinely open oriented wedge: low vertex with two higher
+        # neighbors that aren't connected
+        sf2 = self._write(tmp_path / "w2", [[10, 20], [10, 30]])
+        t2 = basket.triangle_count(sf2)
+        assert t2.to_pydict() == {
+            "n_edges": [2], "n_wedges": [1], "n_triangles": [0]
+        }
+
+    def test_matches_twin_and_buckets(self, ray_session, tmp_path):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = self._write(
+            tmp_path, [[1, 2, 3], [2, 3, 4], [3, 4, 5], [1, 5], [2, 5]]
+        )
+        got = basket.triangle_count(sf)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+        )
+        want = con.execute(entry.oracle_sql()["triangle_count"]).fetchone()
+        assert (
+            got.column("n_edges")[0].as_py(),
+            got.column("n_wedges")[0].as_py(),
+            got.column("n_triangles")[0].as_py(),
+        ) == tuple(want)
+        a = basket.triangle_count(sf, num_buckets=3)
+        assert a.equals(got)
+
+    def test_support_threshold_drops_weak_edges(self, ray_session, tmp_path):
+        # min_support=5 removes every edge (each pair occurs exactly twice)
+        sf = self._write(tmp_path, [[1, 2, 3]])
+        t = basket.triangle_count(sf, min_support=5)
+        assert t.to_pydict() == {
+            "n_edges": [0], "n_wedges": [0], "n_triangles": [0]
+        }
