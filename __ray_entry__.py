@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         knn,
         layout,
         lm,
+        merge,
         modes,
         packing,
         pagerank,
@@ -179,7 +180,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_digest": ann.kmeans_digest,
         "ann_ivf_digest": ann.ann_ivf_digest,
         "ann_ivfpq_digest": ann.ann_ivfpq_digest,
-        "embedding_gram": pca.embedding_gram,
+        # merge_upsert is new in this (fourth) round-4 continuation, never
+        # driver-gated: the lakehouse MERGE INTO primitive (one co-partition
+        # shuffle, deterministic demo delta).  Its slot comes from
+        # embedding_gram, whose quantized-grid exactness stays gated via
+        # kmeans/IVF/PQ digests (and pca tests); replayable past the cut.
+        "merge_upsert": merge.merge_upsert,
         # trade_pagerank is new in this (third) round-4 continuation: the
         # iterative graph-centrality operator (exact-integer PageRank over
         # the customer↔supplier graph, one co-partition shuffle per round).
@@ -237,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "embedding_gram": pca.embedding_gram,
         "video_frame_stats": extract_stats.video_frame_stats,
         "fingerprint_stats": tsp.fingerprint_stats,
         "langid_counts": tsp.langid_counts,
@@ -1192,6 +1199,11 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
         """,
+        # MERGE upsert: the same deterministic delta derived in SQL, FULL
+        # OUTER JOIN + update-preferred per-column case.
+        "merge_upsert": __import__(
+            "ocr_engine_ray.pipelines.merge", fromlist=["x"]
+        ).MERGE_UPSERT_SQL,
         # Triangle count: same row-pair support convention as
         # copurchase_pairs, oriented wedges from the low endpoint
         # (e2.p2 > e1.p2), closing-edge join — each triangle a<b<c once.

@@ -263,6 +263,9 @@ def run_bench() -> dict:
         "triangle_count": timed(
             __import__("ocr_engine_ray.pipelines.basket", fromlist=["x"]).triangle_count
         ),
+        "merge_upsert": timed(
+            __import__("ocr_engine_ray.pipelines.merge", fromlist=["x"]).merge_upsert
+        ),
     }
 
     result = {

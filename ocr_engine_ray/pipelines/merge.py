@@ -1,0 +1,131 @@
+"""Distributed MERGE (upsert) — the lakehouse mutation primitive
+(Delta/Iceberg ``MERGE INTO``): apply an updates table to a base table in
+one pass, replacing matched rows, appending unmatched ones, and passing
+everything else through.
+
+A 100 TB corpus is maintained incrementally — recrawls, relabels, appended
+shards — and the merge is the operator that applies a day's delta without
+rewriting the world: ONE co-partition shuffle on the key (both sides
+bucketed by ``doc_id % B``), each bucket resolving matches independently
+with a vectorized indicator merge.  Nothing driver-sized anywhere; output
+is re-shardable parquet like any other stage.
+
+The driver-gated instance derives its updates DELTA deterministically from
+the base table itself (docs with ``doc_id % 7 == 0`` get revised text and
+bumped n_chars; ``doc_id % 13 == 0`` spawn brand-new rows at
+``doc_id + 1_000_000``), so the DuckDB twin reproduces the exact same merge
+with a FULL OUTER JOIN + per-column coalesce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.tables import sf_table
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def merge_upsert(
+    sf_dir: str,
+    updates: rd.Dataset | None = None,
+    *,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """MERGE ``updates`` into ``documents`` on doc_id: matched base rows are
+    replaced by the update row, unmatched update rows are inserted, all
+    other base rows pass through.  Returns the merged table sorted by
+    doc_id.  With ``updates=None``, the deterministic demo delta described
+    in the module docstring is derived from the base (the gated twin)."""
+    base = sf_table(sf_dir, "documents", columns=DOC_COLS)
+
+    if updates is None:
+
+        def derive_delta(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            upd = batch.filter(pa.array(did % 7 == 0))
+            rev = pa.table(
+                {
+                    "doc_id": upd.column("doc_id"),
+                    "text": pc.binary_join_element_wise(
+                        pa.array(["rev2:"] * upd.num_rows, pa.string()),
+                        pc.fill_null(upd.column("text"), "").combine_chunks().cast(
+                            pa.string()
+                        ),
+                        "",
+                    ),
+                    "lang": upd.column("lang"),
+                    "source": upd.column("source"),
+                    "n_chars": pc.add(upd.column("n_chars"), pa.scalar(1_000_000)),
+                }
+            )
+            ins_src = batch.filter(pa.array(did % 13 == 0))
+            iid = ins_src.column("doc_id").to_numpy(zero_copy_only=False)
+            ins = pa.table(
+                {
+                    "doc_id": pa.array(iid + 1_000_000),
+                    "text": pa.array([f"new doc {i}" for i in iid], pa.string()),
+                    "lang": pa.array(["en"] * len(iid), pa.string()),
+                    "source": pa.array(["fresh"] * len(iid), pa.string()),
+                    "n_chars": pa.array(np.full(len(iid), 42, dtype=np.int64)),
+                }
+            )
+            return pa.concat_tables([rev, ins])
+
+        updates = base.map_batches(derive_delta, batch_format="pyarrow")
+
+    def tag(is_update: int):
+        def inner(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.select(DOC_COLS).append_column(
+                "_upd", pa.array(np.full(batch.num_rows, is_update, dtype=np.int8))
+            ).append_column(
+                "_bkt", pa.array((did % num_buckets).astype(np.int32))
+            )
+
+        return inner
+
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        u = df[df["_upd"] == 1]
+        b = df[df["_upd"] == 0]
+        keep = b[~b["doc_id"].isin(u["doc_id"])]
+        out = pd.concat([keep, u], ignore_index=True)[DOC_COLS].astype(
+            {"doc_id": "int64", "n_chars": "int64"}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return (
+        base.map_batches(tag(0), batch_format="pyarrow")
+        .union(updates.map_batches(tag(1), batch_format="pyarrow"))
+        .groupby("_bkt")
+        .map_groups(bucket_merge, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+MERGE_UPSERT_SQL = """
+    WITH updates AS (
+      SELECT doc_id, 'rev2:' || coalesce(text, '') AS text, lang, source,
+             n_chars + 1000000 AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new doc ' || doc_id, 'en', 'fresh', 42
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN u.doc_id IS NULL THEN b.text ELSE u.text END AS text,
+           CASE WHEN u.doc_id IS NULL THEN b.lang ELSE u.lang END AS lang,
+           CASE WHEN u.doc_id IS NULL THEN b.source ELSE u.source END AS source,
+           (CASE WHEN u.doc_id IS NULL THEN b.n_chars ELSE u.n_chars END)::BIGINT
+             AS n_chars
+    FROM documents b
+    FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
+    ORDER BY 1
+"""
