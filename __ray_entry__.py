@@ -175,7 +175,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # past the cut.
         "user_active_coverage": analytics.user_active_coverage,
         "stream_running_totals": _stream_running_totals_query,
-        "rollup_pricing": analytics.rollup_pricing,
+        # cube_pricing is new in this (fourth) round-4 continuation, never
+        # driver-gated: the full GROUP BY CUBE (4 grouping sets over
+        # flag × ship-year).  Its slot comes from rollup_pricing, whose
+        # hierarchical grouping sets are a subset of this surface's family
+        # (same fine-level machinery); replayable past the cut.
+        "cube_pricing": analytics.cube_pricing,
         # --- similarity search / clustering digests --------------------------
         "kmeans_digest": ann.kmeans_digest,
         "ann_ivf_digest": ann.ann_ivf_digest,
@@ -243,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "rollup_pricing": analytics.rollup_pricing,
         "embedding_gram": pca.embedding_gram,
         "video_frame_stats": extract_stats.video_frame_stats,
         "fingerprint_stats": tsp.fingerprint_stats,
@@ -1198,6 +1204,17 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
+        """,
+        # Full CUBE over (flag, ship-year): exact integer cents at every
+        # grouping set, year() == pyarrow year on timestamp[us].
+        "cube_pricing": """
+            SELECT l_returnflag,
+                   year(l_shipdate)::BIGINT AS ship_year,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                         / 100.0, 2) AS sum_disc_price,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, year(l_shipdate))
         """,
         # MERGE upsert: the same deterministic delta derived in SQL, FULL
         # OUTER JOIN + update-preferred per-column case.

@@ -266,6 +266,7 @@ def run_bench() -> dict:
         "merge_upsert": timed(
             __import__("ocr_engine_ray.pipelines.merge", fromlist=["x"]).merge_upsert
         ),
+        "cube_pricing": timed(analytics.cube_pricing),
     }
 
     result = {

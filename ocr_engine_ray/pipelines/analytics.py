@@ -788,3 +788,87 @@ def user_active_coverage(
         .map_groups(bucket_merge, batch_format="pyarrow")
         .sort("user_id")
     )
+
+
+def cube_pricing(sf_dir: str) -> rd.Dataset:
+    """Full GROUP BY CUBE over (returnflag, ship-year): all four grouping
+    sets — (flag, year), (flag), (year), () — the cross-dimensional pivot a
+    BI layer materializes; `rollup_pricing`'s hierarchical cousin.
+
+    Same scale shape: ONE distributed cents aggregation at the finest
+    granularity (map-side pre-aggregated), all coarser sets derived from
+    those |flags|×|years| rows in a single tiny task.  NULLs mark the
+    rolled-up dimensions; the year is an int64 so the NULL marker keeps the
+    twin's BIGINT dtype.
+    """
+    ds = sf_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "ship_year": pc.year(batch.column("l_shipdate")).cast(pa.int64()),
+                "rev_c": _cents(rev),
+            }
+        )
+
+    fine = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "ship_year"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Count(alias_name="n_items"))
+    ).materialize()
+    if fine.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "l_returnflag": pa.array([None], pa.string()),
+                    "ship_year": pa.array([None], pa.int64()),
+                    "sum_disc_price": pa.array([None], pa.float64()),
+                    "n_items": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    def cube(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        by_flag = df.groupby("l_returnflag", as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_items=("n_items", "sum")
+        )
+        by_flag["ship_year"] = pd.array([pd.NA] * len(by_flag), dtype="Int64")
+        by_year = df.groupby("ship_year", as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_items=("n_items", "sum")
+        )
+        by_year["l_returnflag"] = None
+        total = pd.DataFrame(
+            {
+                "l_returnflag": [None],
+                "ship_year": pd.array([pd.NA], dtype="Int64"),
+                "rev_c": [df["rev_c"].sum()],
+                "n_items": [df["n_items"].sum()],
+            }
+        )
+        out = pd.concat([df, by_flag, by_year, total], ignore_index=True)[
+            ["l_returnflag", "ship_year", "rev_c", "n_items"]
+        ]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "ship_year": pa.array(out["ship_year"], pa.int64()),
+                "sum_disc_price": pa.array(
+                    (out["rev_c"] / 100.0).round(2), pa.float64()
+                ),
+                "n_items": pa.array(out["n_items"], pa.int64()),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        cube, batch_format="pyarrow", batch_size=None
+    )

@@ -135,3 +135,44 @@ class TestCoverage:
         ]
         a = analytics.user_active_coverage(sf, num_buckets=2).take_all()
         assert a == got
+
+
+def test_cube_pricing_matches_twin_planted(ray_session, tmp_path):
+    """CUBE over a planted lineitem with two flags x two years (incl. a
+    fractional-cents row that exercises the cents rounding)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    rows = []
+    i = 0
+    for flag, year, price in [
+        ("A", 2020, 10.005), ("A", 2020, 1.0), ("A", 2021, 2.5),
+        ("R", 2020, 7.77), ("R", 2021, 0.01), ("R", 2021, 100.0),
+    ]:
+        rows.append(
+            {"l_orderkey": i, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1,
+             "l_quantity": 1.0, "l_extendedprice": price, "l_discount": 0.1,
+             "l_tax": 0.0, "l_returnflag": flag, "l_linestatus": "O",
+             "l_shipdate": dt.datetime(year, 6, 1)}
+        )
+        i += 1
+    d = tmp_path / "cube"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "lineitem.parquet"))
+    got = [
+        (r["l_returnflag"], r["ship_year"], r["sum_disc_price"], r["n_items"])
+        for r in analytics.cube_pricing(str(d)).take_all()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = [
+        tuple(w)
+        for w in con.execute(entry.oracle_sql()["cube_pricing"]).fetchall()
+    ]
+    def key(t):
+        return (t[0] is None, t[0] or "", t[1] is None, t[1] or 0)
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert len(got) == 4 + 2 + 2 + 1  # fine + flag marginal + year marginal + total
