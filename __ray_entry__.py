@@ -81,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # digest twins carry the identical correctness signal.
     return {
         # --- training-data layer: curation / packing / hygiene --------------
-        "curate_corpus": curate.curate_corpus,
         "curate_training_mix": curate.curate_training_mix,
         "pack_sequences": packing.pack_sequences,
         # cluster_topics_digest is new in this (fourth) round-4 continuation,
@@ -175,6 +174,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # past the cut.
         "user_active_coverage": analytics.user_active_coverage,
         "stream_running_totals": _stream_running_totals_query,
+        # time_weighted_value is new in this (fourth) round-4 continuation,
+        # never driver-gated: per-user LOCF time-weighted average (exact
+        # cents × integer-seconds arithmetic).  Its slot comes from
+        # curate_corpus, green in the ROUND-2 driver gate with its
+        # composition signal also carried by the still-gated
+        # curate_training_mix; replayable past the cut.
+        "time_weighted_value": analytics.time_weighted_value,
         # cube_pricing is new in this (fourth) round-4 continuation, never
         # driver-gated: the full GROUP BY CUBE (4 grouping sets over
         # flag × ship-year).  Its slot comes from rollup_pricing, whose
@@ -248,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
         "perplexity_buckets": lm.perplexity_buckets,
+        "curate_corpus": curate.curate_corpus,
         "rollup_pricing": analytics.rollup_pricing,
         "embedding_gram": pca.embedding_gram,
         "video_frame_stats": extract_stats.video_frame_stats,
@@ -1204,6 +1211,26 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
+        """,
+        # Time-weighted average: lead() segments, integer-seconds gaps,
+        # one exact floor division (cents convention on value).
+        "time_weighted_value": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     round(value * 100)::BIGINT AS cents,
+                     lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS nxt
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            seg AS (
+              SELECT user_id, (nxt - ts_us) // 1000000 AS dur_s, cents
+              FROM e WHERE nxt IS NOT NULL
+            )
+            SELECT user_id, sum(dur_s)::BIGINT AS total_dur_s,
+                   (sum(cents * dur_s) // greatest(sum(dur_s), 1))::BIGINT
+                     AS twa_cents
+            FROM seg GROUP BY 1 ORDER BY 1
         """,
         # Full CUBE over (flag, ship-year): exact integer cents at every
         # grouping set, year() == pyarrow year on timestamp[us].

@@ -267,6 +267,7 @@ def run_bench() -> dict:
             __import__("ocr_engine_ray.pipelines.merge", fromlist=["x"]).merge_upsert
         ),
         "cube_pricing": timed(analytics.cube_pricing),
+        "time_weighted_value": timed(analytics.time_weighted_value),
     }
 
     result = {

@@ -872,3 +872,71 @@ def cube_pricing(sf_dir: str) -> rd.Dataset:
     return fine.repartition(1).map_batches(
         cube, batch_format="pyarrow", batch_size=None
     )
+
+
+def time_weighted_value(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Per-user TIME-WEIGHTED average of ``value`` (last-observation-
+    carried-forward integral between consecutive events) — the metric
+    semantics behind billing meters, utilization dashboards and feature
+    stores, where a plain mean over-weights bursty periods.
+
+    Exactness: value becomes integer cents, inter-event gaps integer
+    SECONDS (floor of the microsecond gap), and the average is one integer
+    floor-division of exact sums — cents×seconds products stay far below
+    2^63 at any per-user history this engine shards (documented bound:
+    2e4 cents × 3e7 s × 1e4 events ≈ 6e18 needs per-user histories past
+    ~10k dense years to overflow).  Users with fewer than two events have
+    no interval and are excluded, like the twin's ``next_ts IS NOT NULL``.
+
+    ONE user-bucket shuffle; per-bucket vectorized sort + shift (the
+    `user_event_gaps` shape).  Returns (user_id, total_dur_s, twa_cents)
+    sorted by user_id.
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch.column("user_id")), pc.is_valid(batch.column("ts")))
+        )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": pa.array(uid),
+                "ts_us": batch.column("ts").combine_chunks().cast(pa.int64()),
+                "cents": _cents(batch.column("value")),
+                "_bkt": pa.array((uid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def bucket_twa(group: pa.Table) -> pa.Table:
+        df = group.select(["event_id", "user_id", "ts_us", "cents"]).to_pandas()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        nxt = g["ts_us"].shift(-1)
+        ok = nxt.notna()
+        dur_s = ((nxt[ok] - df["ts_us"][ok]).astype("int64")) // 1_000_000
+        seg = pd.DataFrame(
+            {
+                "user_id": df["user_id"][ok],
+                "dur_s": dur_s,
+                "wsum": df["cents"][ok] * dur_s,
+            }
+        )
+        agg = seg.groupby("user_id", sort=False).agg(
+            total_dur_s=("dur_s", "sum"), wsum=("wsum", "sum")
+        )
+        agg["twa_cents"] = agg["wsum"] // agg["total_dur_s"].clip(lower=1)
+        out = agg.reset_index()[["user_id", "total_dur_s", "twa_cents"]].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_twa, batch_format="pyarrow")
+        .sort("user_id")
+    )

@@ -176,3 +176,56 @@ def test_cube_pricing_matches_twin_planted(ray_session, tmp_path):
         return (t[0] is None, t[0] or "", t[1] is None, t[1] or 0)
     assert sorted(got, key=key) == sorted(want, key=key)
     assert len(got) == 4 + 2 + 2 + 1  # fine + flag marginal + year marginal + total
+
+
+class TestTimeWeighted:
+    def _write(self, tmp_path, events):
+        """events: (user, second_offset, value)."""
+        base = dt.datetime(2026, 3, 1, 8, 0, 0)
+        rows = [
+            {"event_id": i, "user_id": u, "ts": base + dt.timedelta(seconds=s),
+             "event_type": "view", "value": v, "props": "{}"}
+            for i, (u, s, v) in enumerate(events)
+        ]
+        d = tmp_path / "twa"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+        return str(d)
+
+    def test_planted_locf_integral(self, ray_session, tmp_path):
+        sf = self._write(
+            tmp_path,
+            [
+                # user 1: 10.00 for 60s then 20.00 for 30s -> twa 13.33
+                (1, 0, 10.0), (1, 60, 20.0), (1, 90, 0.0),
+                # user 2: single event -> excluded
+                (2, 0, 5.0),
+                # user 3: sub-second gap truncates to 0s -> zero-weight
+                (3, 0, 7.0), (3, 0, 9.0),
+            ],
+        )
+        got = {r["user_id"]: (r["total_dur_s"], r["twa_cents"])
+               for r in analytics.time_weighted_value(sf).take_all()}
+        assert got[1] == (90, (1000 * 60 + 2000 * 30) // 90)  # 1333 cents
+        assert 2 not in got
+        assert got[3] == (0, 0)
+
+    def test_matches_twin_and_buckets(self, ray_session, tmp_path):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = self._write(
+            tmp_path,
+            [(u, s, (u * 7 + s) % 40 + 0.25) for u in (1, 2, 5) for s in (0, 3, 10, 70, 100)],
+        )
+        got = analytics.time_weighted_value(sf).take_all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = con.execute(entry.oracle_sql()["time_weighted_value"]).fetchall()
+        assert [(r["user_id"], r["total_dur_s"], r["twa_cents"]) for r in got] == [
+            tuple(w) for w in want
+        ]
+        assert analytics.time_weighted_value(sf, num_buckets=2).take_all() == got
