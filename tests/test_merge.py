@@ -29,7 +29,7 @@ def test_custom_updates_semantics(ray_session, tmp_path):
         )
     )
     got = {r["doc_id"]: (r["text"], r["source"], r["n_chars"])
-           for r in merge_upsert(sf, updates).take_all()}
+           for r in merge_upsert(sf, updates).take_all()}  # dict: order-free
     assert got == {
         1: ("a", "s", 0),             # passthrough
         2: ("B-REVISED", "s", 9),     # matched -> replaced
@@ -43,10 +43,10 @@ def test_demo_delta_matches_twin_planted(ray_session, tmp_path):
 
     rows = [_doc(i, f"text {i}", n=i * 3) for i in [0, 1, 7, 13, 14, 26, 91]]
     sf = _write(tmp_path, rows)
-    got = [
+    got = sorted(
         (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
         for r in merge_upsert(sf).take_all()
-    ]
+    )
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
@@ -61,6 +61,7 @@ def test_demo_delta_matches_twin_planted(ray_session, tmp_path):
 
 def test_bucket_invariance(ray_session, tmp_path):
     sf = _write(tmp_path, [_doc(i, f"t{i}") for i in range(40)])
-    a = merge_upsert(sf, num_buckets=2).take_all()
-    b = merge_upsert(sf, num_buckets=32).take_all()
+    key = lambda r: r["doc_id"]
+    a = sorted(merge_upsert(sf, num_buckets=2).take_all(), key=key)
+    b = sorted(merge_upsert(sf, num_buckets=32).take_all(), key=key)
     assert a == b
