@@ -43,6 +43,12 @@ def skew_report(
     ds = sf_table(sf_dir, table, columns=[key])
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null keys are ignored (the twin's GROUP BY would keep a NULL
+        # group; a skew plan for the null key is meaningless — filter on
+        # both sides)
+        batch = batch.filter(pc.is_valid(batch.column(key)))
         k = batch.column(key).combine_chunks().to_numpy(zero_copy_only=False)
         vals, cnt = np.unique(k.astype(np.int64), return_counts=True)
         return pa.table(
@@ -100,7 +106,8 @@ def skew_report_sql(
     same (count DESC, key ASC) order and ceil/floor integer arithmetic."""
     return f"""
         WITH c AS (
-          SELECT {key} AS key, count(*)::BIGINT AS n FROM {table} GROUP BY 1
+          SELECT {key} AS key, count(*)::BIGINT AS n FROM {table}
+          WHERE {key} IS NOT NULL GROUP BY 1
         ),
         s AS (
           SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_keys,

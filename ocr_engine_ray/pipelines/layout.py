@@ -59,6 +59,13 @@ def zorder_layout(
     ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # contract: rows with null dimension values are ignored (the twin's
+        # WHERE ... IS NOT NULL) — the cohort_retention convention
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch.column("user_id")), pc.is_valid(batch.column("ts")))
+        )
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
         tsv = (
             batch.column("ts")
@@ -172,6 +179,7 @@ def zorder_sql(*, file_rows: int = 4096) -> str:
           SELECT event_id, user_id,
                  epoch_us(ts) // {US_PER_DAY} AS day
           FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
         ),
         b AS (
           SELECT min(user_id) AS minu,

@@ -60,3 +60,23 @@ def test_uniform_keys_salt_one(ray_session, tmp_path):
     t = skew_report(sf, top_k=2, num_partitions=16)
     # max 4 of 128 rows, 16 partitions -> ceil(64/128) = 1: no salting needed
     assert t.column("salt_factor").to_pylist()[0] == 1
+
+
+def test_null_keys_ignored(ray_session, tmp_path):
+    import duckdb
+
+    rows = [{"l_partkey": k, "l_orderkey": i}
+            for i, k in enumerate([1, 1, None, 2, None, 1])]
+    d = tmp_path / "nullskew"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "lineitem.parquet"))
+    t = skew_report(str(d), top_k=3, num_partitions=4)
+    assert t.column("total_rows").to_pylist()[0] == 4  # nulls excluded
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = con.execute(skew_report_sql(top_k=3, num_partitions=4)).fetchall()
+    assert list(zip(*[t.column(c).to_pylist() for c in t.column_names])) == [
+        tuple(w) for w in want
+    ]

@@ -98,3 +98,35 @@ def test_matches_twin_on_planted_grid(ray_session, tmp_path):
         (r["file_id"], r["n_rows"], r["min_user"], r["max_user"], r["min_day"], r["max_day"])
         for r in got
     ] == [tuple(w) for w in want]
+
+
+def test_null_rows_ignored(ray_session, tmp_path):
+    """Rows with null user/ts drop on both sides (twin WHERE parity)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+
+    from ocr_engine_ray.pipelines.layout import zorder_sql
+
+    rows = [
+        {"event_id": i, "user_id": u, "ts": ts, "event_type": "view",
+         "value": 1.0, "props": "{}"}
+        for i, (u, ts) in enumerate(
+            [(1, dt.datetime(2024, 1, 1)), (None, dt.datetime(2024, 1, 2)),
+             (2, None), (3, dt.datetime(2024, 2, 1))]
+        )
+    ]
+    d = tmp_path / "nulls"
+    d.mkdir()
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+    got = zorder_layout(str(d), file_rows=10).take_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(zorder_sql(file_rows=10)).fetchall()
+    assert [tuple(r.values()) for r in got] == [tuple(w) for w in want]
+    assert sum(r["n_rows"] for r in got) == 2
