@@ -160,7 +160,9 @@ class _Handler(BaseHTTPRequestHandler):
                 "decode": {
                     "pil": mm._HAVE_PIL,
                     "fitz": mm._HAVE_FITZ,
-                    "docx": mm._HAVE_DOCX,
+                    # DOCX text/image-part parsing is the stdlib OPC walk
+                    # (docx_parse_opc) — live unconditionally
+                    "docx": True,
                 },
             },
         )
