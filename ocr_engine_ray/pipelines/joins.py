@@ -546,10 +546,6 @@ def nation_revenue(
     hi = dt.datetime(year_to, 1, 1)
 
     # --- driver-side dims: nations of the region, suppkey -> nationkey ----
-    nat = {
-        r["n_nationkey"]: r["n_name"]
-        for r in sf_table(sf_dir, "nation").take_all()
-    }
     reg = {
         r["r_regionkey"]
         for r in sf_table(sf_dir, "region").take_all()
