@@ -72,9 +72,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST ~50
     # entries, so the dict leads with the operators that have never had a
-    # driver row (the round-3 LLM-data layer), followed by the north-rule
-    # extraction family; queries gated green in earlier rounds (joins,
-    # windowed analytics, the remaining dedup digests) sit past the cut —
+    # driver row (the round-3 LLM-data layer and every round-4 continuation
+    # addition), followed by the north-rule extraction family; queries
+    # gated green in earlier rounds (joins, windowed analytics, the
+    # remaining dedup digests) sit past the cut —
     # all of them stay replayable via scripts/compare_oracle.py.  The raw
     # rows-only surfaces (rich_fields, minhash_lsh_dedup, …) are exposed as
     # public library functions but no longer spend gate slots: their pinned
