@@ -97,11 +97,27 @@ def parse_upload(filename: str, blob: bytes, lang: str, fields: list[str]) -> di
             )
         text = docx_to_text(d["paragraphs"], d["tables"])
         kind = spec.KIND_TEXT
+    elif kind == "pdf":
+        # Text-layer drain (beyond the reference, which OCRs every PDF —
+        # app.py:645-656): PDFs with a selectable layer parse for real via
+        # the stdlib content-stream reader (`functions/pdftext.py`);
+        # scanned PDFs still need the fitz-gated raster + OCR pool.
+        from .functions.pdftext import pdf_extract_text
+
+        pages = pdf_extract_text(blob)
+        if not any(p.strip() for p in pages):
+            raise NotImplementedError(
+                f"{filename}: PDF has no selectable text layer; rasterizing "
+                "it needs the fitz/OCR backend this environment does not "
+                "ship (text-layer PDFs parse fully)."
+            )
+        text = "\n".join(p for p in pages if p)
+        kind = spec.KIND_TEXT
     elif kind not in spec.INLINE_KINDS:
         raise NotImplementedError(
             f"{kind} uploads need an OCR backend (Vision/PIL/fitz) that this "
-            "environment does not ship; text/html/docx uploads run the full "
-            "extraction path."
+            "environment does not ship; text/html/docx/text-layer-PDF "
+            "uploads run the full extraction path."
         )
     else:
         text = blob.decode("utf-8", errors="replace")

@@ -225,3 +225,35 @@ class TestServe:
         assert e.value.code == 501
         detail = json.loads(e.value.read())
         assert "image" in detail["detail"]
+
+    def test_parse_text_layer_pdf(self, server):
+        """A genuine PDF with a selectable text layer (built by the pdftext
+        test writer) parses through the same vocab-fields path."""
+        from tests.test_pdftext import _build_pdf
+
+        blob = _build_pdf(
+            [[(b"BT (Customer Name: Dana Wu) Tj 0 -14 Td (Total: 55) Tj ET", True)]]
+        )
+        body, ctype = _multipart(
+            [
+                ("files", "e.pdf", blob),
+                ("fields_to_extract", None, b"Customer Name, Total"),
+            ]
+        )
+        with _post(server, body, ctype) as r:
+            out = json.loads(r.read())
+        got = json.loads(out["e.pdf"])
+        assert got.get("customer_name") == "Dana Wu"
+        assert got.get("total") == "55"
+
+    def test_scanned_pdf_501(self, server):
+        from tests.test_pdftext import _build_pdf
+
+        blob = _build_pdf([[(b"q /Im0 Do Q", True)]])  # image-only page
+        body, ctype = _multipart(
+            [("files", "scan.pdf", blob), ("fields_to_extract", None, b"name")]
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, body, ctype)
+        assert e.value.code == 501
+        assert "text layer" in json.loads(e.value.read())["detail"]
