@@ -540,3 +540,53 @@ class VideoFrameSampler:
             },
             schema=VIDEO_META_SCHEMA,
         )
+
+
+PDF_TEXT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_pages", pa.int64()),
+        ("has_text_layer", pa.bool_()),
+        ("text", pa.string()),
+    ]
+)
+
+
+class PdfTextExtractor:
+    """Actor-pool text-layer drain stage:
+    ``map_batches(PdfTextExtractor, concurrency=N)`` over a table carrying
+    PDF bytes in ``media_blob`` — the REAL stdlib kernel
+    (`functions.pdftext.pdf_extract_text`), live in this container.  Rows
+    whose PDF has no selectable layer come back with
+    ``has_text_layer=False`` and empty text: the downstream filter sends
+    exactly those to the expensive OCR pool (the fitz-gated raster seam),
+    which is the whole point of draining first."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.pdftext import pdf_extract_text
+
+        doc_ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        if "media_blob" not in batch.column_names:
+            raise ValueError(
+                "PdfTextExtractor requires a media_blob binary column "
+                "carrying the PDF bytes"
+            )
+        n_pages, has_text, texts = [], [], []
+        for blob in batch.column("media_blob").to_pylist():
+            try:
+                pages = pdf_extract_text(blob or b"")
+            except Exception:
+                pages = []
+            n_pages.append(len(pages))
+            joined = "\n".join(p for p in pages if p.strip())
+            has_text.append(bool(joined))
+            texts.append(joined)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_pages": pa.array(n_pages, pa.int64()),
+                "has_text_layer": pa.array(has_text, pa.bool_()),
+                "text": pa.array(texts, pa.string()),
+            },
+            schema=PDF_TEXT_SCHEMA,
+        )

@@ -126,3 +126,41 @@ def test_agrees_with_pypdf_if_available():
     reader = pypdf.PdfReader(io.BytesIO(pdf))
     assert reader.pages[0].extract_text().strip() == "check"
     assert pdf_extract_text(pdf) == ["check"]
+
+
+def test_ray_actor_pool_drain_stage(ray_session):
+    """100 real PDFs (mixed text-layer / scanned) through the actor-pool
+    stage: per-row text equality vs the sequential kernel, and the
+    has_text_layer routing split."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.multimodal import PdfTextExtractor
+
+    blobs, want = [], []
+    for i in range(100):
+        if i % 3 == 2:  # scanned
+            b = _build_pdf([[(b"q /Im0 Do Q", True)]])
+            want.append((i, 1, False, ""))
+        else:
+            b = _build_pdf(
+                [[(f"BT (doc {i} line one) Tj 0 -14 Td (line two) Tj ET".encode(),
+                   i % 2 == 0)]]
+            )
+            want.append((i, 1, True, f"doc {i} line one\nline two"))
+        blobs.append(b)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100), pa.int64()),
+                "media_blob": pa.array(blobs, pa.binary()),
+            }
+        )
+    )
+    out = ds.map_batches(
+        PdfTextExtractor, concurrency=2, batch_size=16, batch_format="pyarrow"
+    ).take_all()
+    got = sorted(
+        (r["doc_id"], r["n_pages"], r["has_text_layer"], r["text"]) for r in out
+    )
+    assert got == want
