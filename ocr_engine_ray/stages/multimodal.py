@@ -1,18 +1,23 @@
-"""Multimodal (image/audio/video) stage plumbing.
+"""Multimodal (image/audio/video/document) stage plumbing.
 
 Media are opaque references (``media_ref``; at scale, ``binary`` columns or
-object-store URIs) with typed metadata.  The decode kernels themselves need
-libraries this container doesn't ship (PIL/ffmpeg), so the decode is STUBBED:
+object-store URIs) with typed metadata.  Decode kernels come in three
+tiers:
 
-- ``MediaDecoder`` is the real Ray-side plumbing — an actor-pool
-  ``map_batches`` stage with schema-stable output — whose ``_decode_real``
-  raises ``NotImplementedError`` unless PIL is importable;
-- ``_decode_fake`` is the deterministic stand-in used in this sandbox:
-  metadata is a pure arithmetic function of the media ref
-  (SQL-reproducible: ``320 + h32(doc_num, 77+idx) % 1280`` etc.).
+- **REAL and live in this container** (stdlib-only): `docx_parse_opc`
+  (zipfile + ElementTree OPC walk), `PdfTextExtractor` /
+  `functions.pdftext` (ISO-32000-subset text layer), `AudioFramer`'s WAV
+  header parse (stdlib ``wave``);
+- **REAL but env-gated** on libraries this container doesn't ship:
+  `rasterize_pdf_pages` (fitz), `MediaDecoder._decode_real` (PIL),
+  `docx_image_parts` (python-docx) — working implementations behind
+  ``NotImplementedError`` seams with importorskip'd tests;
+- **deterministic stand-ins** used by the SQL-gated pipelines:
+  metadata as pure arithmetic of the media ref (SQL-reproducible:
+  ``320 + h32(doc_num, 77+idx) % 1280`` etc.).
 
-``frame_sample_plan`` shows the same pattern for video: a deterministic
-frame-index plan (the expensive decode would be the actor's job).
+``frame_sample_plan`` / ``audio_window_plan`` are the exact-integer plan
+arithmetic every stage shares regardless of tier.
 """
 
 from __future__ import annotations
