@@ -182,12 +182,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composition signal also carried by the still-gated
         # curate_training_mix; replayable past the cut.
         "time_weighted_value": analytics.time_weighted_value,
-        # cube_pricing is new in this (fourth) round-4 continuation, never
-        # driver-gated: the full GROUP BY CUBE (4 grouping sets over
-        # flag × ship-year).  Its slot comes from rollup_pricing, whose
-        # hierarchical grouping sets are a subset of this surface's family
-        # (same fine-level machinery); replayable past the cut.
-        "cube_pricing": analytics.cube_pricing,
+        # image_decode_stats is new in the fifth round-4 continuation, never
+        # driver-gated: REAL image decode (stdlib/numpy BMP+PPM+PGM codecs,
+        # live in this container) over deterministic pattern bytes whose
+        # pixel statistics the twin recomputes wholesale.  Its slot comes
+        # from cube_pricing (never gated; its grouping-set family stays
+        # represented by the same fine-level machinery in pricing_summary /
+        # rollup_pricing, both replayable past the cut).
+        "image_decode_stats": extract_stats.image_decode_stats,
         # --- similarity search / clustering digests --------------------------
         "kmeans_digest": ann.kmeans_digest,
         "ann_ivf_digest": ann.ann_ivf_digest,
@@ -254,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/compare_oracle.py, and still pytest-pinned).
         "paragraph_dedup": dedup.paragraph_dedup,
         # ------------------------- 50-query gate cut -------------------------
+        # cube_pricing moved past the cut in the fifth continuation (slot
+        # went to image_decode_stats); still twin-exact and replayable.
+        "cube_pricing": analytics.cube_pricing,
         "perplexity_buckets": lm.perplexity_buckets,
         "curate_corpus": curate.curate_corpus,
         "rollup_pricing": analytics.rollup_pricing,
@@ -603,6 +608,43 @@ def oracle_sql() -> dict[str, str]:
               FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(i)
               WHERE doc_id % 100 BETWEEN 80 AND 89
             )
+        """,
+        # REAL image decode witness: the pipeline encodes a deterministic
+        # gradient (px[y,x,c] = (seed + 5y + 3x + 11c) % 256) into genuine
+        # BMP / PPM / PGM containers and decodes them with the stdlib/numpy
+        # codecs; the twin recomputes dimensions and the wrapped-diagonal
+        # pixel sum (x = y % w, all 3 channels; PGM decodes to grey RGB so
+        # its three channels are the c=0 plane) wholesale from the same
+        # arithmetic.  A row-padding / channel-order / row-order bug in
+        # either codec shifts diag_sum.
+        "image_decode_stats": f"""
+            WITH m AS (
+              SELECT doc_id, i AS media_idx,
+                     (64 + {_h32('doc_id + i', 377)} % 192) AS w,
+                     (48 + {_h32('doc_id + i', 477)} % 160) AS h,
+                     ({_h32('doc_id + i', 577)} % 256) AS s,
+                     (doc_id + i) % 3 AS fmt_id
+              FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(i)
+              WHERE doc_id % 100 BETWEEN 80 AND 89
+            ),
+            p AS (
+              SELECT doc_id, media_idx, w, h, fmt_id,
+                     CASE WHEN fmt_id = 2
+                          THEN 3 * ((s + 5 * y + 3 * (y % w)) % 256)
+                          ELSE ((s + 5 * y + 3 * (y % w)) % 256)
+                             + ((s + 5 * y + 3 * (y % w) + 11) % 256)
+                             + ((s + 5 * y + 3 * (y % w) + 22) % 256)
+                     END AS v
+              FROM m, unnest(generate_series(0, h - 1)) AS t(y)
+            )
+            SELECT doc_id, media_idx,
+                   CASE any_value(fmt_id) WHEN 0 THEN 'bmp'
+                                          WHEN 1 THEN 'ppm'
+                                          ELSE 'pgm' END AS fmt,
+                   any_value(w)::BIGINT AS width,
+                   any_value(h)::BIGINT AS height,
+                   sum(v)::BIGINT AS diag_sum
+            FROM p GROUP BY doc_id, media_idx
         """,
         # Audio framing overlay: stand-in sample count is h32 arithmetic in
         # doc_id; frames start every hop=160 samples while start < n, the

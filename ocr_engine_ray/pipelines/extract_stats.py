@@ -288,3 +288,51 @@ def image_thumbnail_plan(sf_dir: str) -> rd.Dataset:
         )
 
     return meta.map_batches(plan, batch_format="pyarrow")
+
+
+def image_decode_stats(sf_dir: str) -> rd.Dataset:
+    """REAL image decode over the image-band docs (``80 <= doc_id % 100 <
+    90``, 1-4 attachments each): synthesize deterministic BMP/PPM/PGM bytes
+    per attachment (`stages.multimodal.synth_pattern_blob` — real encoders,
+    pattern pixels), then decode them for real in the `ImagePixelDecoder`
+    actor pool (stdlib/numpy codecs, zero dependencies) and report
+    dimensions + the wrapped-diagonal pixel sum.
+
+    Unlike `image_meta` (metadata arithmetic), the bytes here round-trip
+    through genuine image containers — a padding, channel-order, or row-order
+    bug in either codec shifts ``diag_sum`` and fails the SQL twin, which
+    recomputes the pattern arithmetic wholesale.  At real scale the synth
+    stage is replaced by reading the binary payload column; the decode stage
+    is unchanged.
+    """
+    from ..stages.multimodal import ImagePixelDecoder, synth_pattern_blob
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id"])
+
+    def band_and_synth(batch: pa.Table) -> pa.Table:
+        nums = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ids, idxs, blobs = [], [], []
+        for d in nums:
+            d = int(d)
+            if not (80 <= d % 100 < 90):
+                continue
+            for i in range(d % 4 + 1):
+                ids.append(d)
+                idxs.append(i)
+                blobs.append(synth_pattern_blob(d, i))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "media_idx": pa.array(idxs, pa.int64()),
+                "image_blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    imgs = ds.map_batches(band_and_synth, batch_format="pyarrow")
+    return imgs.map_batches(
+        ImagePixelDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).sort(["doc_id", "media_idx"])

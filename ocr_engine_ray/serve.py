@@ -114,10 +114,25 @@ def parse_upload(filename: str, blob: bytes, lang: str, fields: list[str]) -> di
         text = "\n".join(p for p in pages if p)
         kind = spec.KIND_TEXT
     elif kind not in spec.INLINE_KINDS:
+        # Image uploads: the pixels DECODE for real here (stdlib/numpy
+        # BMP/PPM/PGM codecs; PNG/JPEG behind the PIL seam) — what's
+        # missing is the vision OCR that turns pixels into text, so the
+        # refusal reports the decoded geometry to prove intake worked.
+        decoded = ""
+        try:
+            from .functions.imagecodec import decode_image, sniff_image
+
+            arr = decode_image(blob)
+            decoded = (
+                f" (decoded {sniff_image(blob)} {arr.shape[1]}x{arr.shape[0]} "
+                "successfully — only the OCR step is missing)"
+            )
+        except (ValueError, NotImplementedError):
+            pass
         raise NotImplementedError(
             f"{kind} uploads need an OCR backend (Vision/PIL/fitz) that this "
             "environment does not ship; text/html/docx/text-layer-PDF "
-            "uploads run the full extraction path."
+            f"uploads run the full extraction path.{decoded}"
         )
     else:
         text = blob.decode("utf-8", errors="replace")

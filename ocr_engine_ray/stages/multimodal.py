@@ -324,6 +324,78 @@ class MediaDecoder:
         )
 
 
+PIXEL_STATS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("media_idx", pa.int64()),
+        ("fmt", pa.string()),
+        ("width", pa.int64()),
+        ("height", pa.int64()),
+        ("diag_sum", pa.int64()),
+    ]
+)
+
+
+def synth_pattern_blob(doc_id: int, media_idx: int) -> bytes:
+    """Deterministic REAL image bytes for the image-band sidecar: a
+    `functions.imagecodec.pattern_image` gradient encoded as BMP / PPM / PGM
+    by ``(doc_id + media_idx) % 3``.  Dimensions and seed are h32 arithmetic
+    so any pixel statistic of the decoded array is ANSI-SQL-recomputable."""
+    from ..functions import imagecodec as ic
+
+    seed = spec.h32(doc_id + media_idx, 577) % 256
+    w = 64 + spec.h32(doc_id + media_idx, 377) % 192
+    h = 48 + spec.h32(doc_id + media_idx, 477) % 160
+    fmt_id = (doc_id + media_idx) % 3
+    if fmt_id == 2:  # PGM carries the grey (channel-0) plane only
+        grey = ic.pattern_image(seed, w, h)[:, :, 0]
+        return b"P5\n%d %d\n255\n" % (w, h) + grey.tobytes()
+    arr = ic.pattern_image(seed, w, h)
+    return ic.encode_bmp(arr) if fmt_id == 0 else ic.encode_ppm(arr)
+
+
+class ImagePixelDecoder:
+    """REAL, dependency-free image decode stage (actor pool).
+
+    Consumes ``(doc_id, media_idx, image_blob)`` rows, decodes the binary
+    payload with the stdlib/numpy codecs (`functions.imagecodec` — BMP, PPM,
+    PGM live in this container; PNG/JPEG via the PIL seam), and emits pixel
+    statistics: dimensions plus ``diag_sum``, the exact int64 sum of the RGB
+    values along the wrapped diagonal ``px[y, y % w, :]``.  The diagonal
+    touches every row at a varying column, so row-padding or channel-order
+    bugs in a decoder shift it — it is a decode-correctness witness, not
+    just metadata.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import imagecodec as ic
+
+        ids = batch.column("doc_id").to_pylist()
+        idxs = batch.column("media_idx").to_pylist()
+        blobs = batch.column("image_blob").to_pylist()
+        fmt, width, height, diag = [], [], [], []
+        for blob in blobs:
+            arr = ic.decode_image(blob)
+            h, w = arr.shape[:2]
+            y = np.arange(h, dtype=np.int64)
+            vals = arr[y, y % w, :].astype(np.int64).sum()
+            fmt.append(ic.sniff_image(blob))
+            width.append(w)
+            height.append(h)
+            diag.append(int(vals))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "media_idx": pa.array(idxs, pa.int64()),
+                "fmt": pa.array(fmt, pa.string()),
+                "width": pa.array(width, pa.int64()),
+                "height": pa.array(height, pa.int64()),
+                "diag_sum": pa.array(diag, pa.int64()),
+            },
+            schema=PIXEL_STATS_SCHEMA,
+        )
+
+
 def thumbnail_dims(width: int, height: int, max_side: int = 256) -> tuple[int, int]:
     """Deterministic resize plan (the compute stub for an image-resize stage)."""
     if width <= max_side and height <= max_side:
