@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann,
         basket,
         bpe,
+        classify,
         colloc,
         curate,
         decontam,
@@ -190,6 +191,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # represented by the same fine-level machinery in pricing_summary /
         # rollup_pricing, both replayable past the cut).
         "image_decode_stats": extract_stats.image_decode_stats,
+        # nb_source_classify is new in the fifth round-4 continuation, never
+        # driver-gated: the fastText-style classifier-filter family (train a
+        # multinomial NB source model + classify the whole corpus in one
+        # engine pass; token-bucket-sharded model, no vocab driver state).
+        # Exact on the quantized-ln 2^40 grid, so the S²-row confusion
+        # matrix twin is bit-identical; replayable past the cut.
+        "nb_source_classify": classify.nb_source_classify,
         # --- similarity search / clustering digests --------------------------
         "kmeans_digest": ann.kmeans_digest,
         "ann_ivf_digest": ann.ann_ivf_digest,
@@ -645,6 +653,66 @@ def oracle_sql() -> dict[str, str]:
                    any_value(h)::BIGINT AS height,
                    sum(v)::BIGINT AS diag_sum
             FROM p GROUP BY doc_id, media_idx
+        """,
+        # Multinomial NB source classifier, recomputed WHOLESALE in SQL: all
+        # counts are exact integers; each model weight is quantized ONCE to
+        # round_even(ln(x)*2^40) (DuckDB ln == numpy log, the bigram/dsir
+        # contract), so every doc score is an exact int64 sum and the argmax
+        # (ties → lexically smallest candidate, matching np.argmax over
+        # name-sorted columns) is bit-identical to the token-bucket pass.
+        "nb_source_classify": r"""
+            WITH docs AS (
+              SELECT doc_id, source, text FROM documents WHERE source IS NOT NULL
+            ),
+            toks AS (
+              SELECT doc_id, source, unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM docs
+            ),
+            cdt AS (SELECT doc_id, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+            cts AS (
+              SELECT source AS cand, token, count(*)::BIGINT AS c_ts
+              FROM toks GROUP BY 1, 2
+            ),
+            ns AS (SELECT cand, sum(c_ts)::BIGINT AS n_s FROM cts GROUP BY 1),
+            v AS (SELECT count(DISTINCT token)::BIGINT AS v FROM toks),
+            nd AS (
+              SELECT d.doc_id, count(t.token)::BIGINT AS n_d
+              FROM docs d LEFT JOIN toks t USING (doc_id)
+              GROUP BY 1
+            ),
+            ds AS (SELECT source AS cand, count(*)::BIGINT AS d_s FROM docs GROUP BY 1),
+            dtot AS (SELECT sum(d_s)::BIGINT AS d_tot FROM ds),
+            kconst AS (
+              SELECT ds.cand,
+                     round_even(ln(ds.d_s::DOUBLE / dtot.d_tot) * 1099511627776.0, 0)::BIGINT AS pr_q,
+                     round_even(ln((COALESCE(ns.n_s, 0) + v.v)::DOUBLE) * 1099511627776.0, 0)::BIGINT AS l2_q
+              FROM ds LEFT JOIN ns USING (cand) CROSS JOIN dtot CROSS JOIN v
+            ),
+            term AS (
+              SELECT token, cand,
+                     round_even(ln((c_ts + 1)::DOUBLE) * 1099511627776.0, 0)::BIGINT AS l1_q
+              FROM cts
+            ),
+            part AS (
+              SELECT c.doc_id, t.cand, sum(c.c * t.l1_q)::BIGINT AS p
+              FROM cdt c JOIN term t USING (token)
+              GROUP BY 1, 2
+            ),
+            score AS (
+              SELECT n.doc_id, k.cand,
+                     k.pr_q - n.n_d * k.l2_q + COALESCE(p.p, 0) AS score
+              FROM nd n CROSS JOIN kconst k
+              LEFT JOIN part p ON p.doc_id = n.doc_id AND p.cand = k.cand
+            ),
+            pred AS (
+              SELECT doc_id, cand,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rnk
+              FROM score
+            )
+            SELECT d.source, pr.cand AS pred_source, count(*)::BIGINT AS n_docs
+            FROM pred pr JOIN docs d USING (doc_id)
+            WHERE pr.rnk = 1
+            GROUP BY 1, 2
         """,
         # Audio framing overlay: stand-in sample count is h32 arithmetic in
         # doc_id; frames start every hop=160 samples while start < n, the

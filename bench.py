@@ -268,6 +268,9 @@ def run_bench() -> dict:
         ),
         "cube_pricing": timed(analytics.cube_pricing),
         "time_weighted_value": timed(analytics.time_weighted_value),
+        "nb_source_classify": timed(
+            __import__("ocr_engine_ray.pipelines.classify", fromlist=["x"]).nb_source_classify
+        ),
     }
 
     result = {
