@@ -253,6 +253,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # takes the slot of intake_vocabulary (green r02+r03, replayable
         # past the cut).
         "bpe_digest": bpe.bpe_digest,
+        # bpe_encode_digest is new in the fifth round-4 continuation, never
+        # driver-gated: the train→APPLY half of the subword story (corpus
+        # tokenization with the trained merges — broadcast rank table,
+        # shuffle-free actor-pool pass with per-actor word caches).  Pure
+        # integer per-doc (n_words, n_subwords) surface; pinned from the
+        # independent naive oracle apply, replayable past the cut.
+        "bpe_encode_digest": bpe.bpe_encode_digest,
         # --- dedup digests ----------------------------------------------------
         # paragraph_dedup is new in round 4 (never driver-gated): it takes
         # the slot of lang_counts, which is green in both r02 and r03.
@@ -1479,6 +1486,14 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_digest_dedup.py.  Pure integer/string surface.
         "bpe_digest": """
             SELECT 1290789620711035751::BIGINT AS digest
+        """,
+        # BPE tokenizer-APPLICATION digest: pinned literal from the
+        # INDEPENDENT sequential apply (oracle_dedup.bpe_encode_rows —
+        # naive trainer + full-rescan lowest-rank-first merges per word);
+        # re-derived on every pytest run by tests/test_bpe.py.  Pure
+        # integer surface (doc_id, n_words, n_subwords).
+        "bpe_encode_digest": """
+            SELECT 43801656480415033::BIGINT AS digest
         """,
         # Cluster-topics digest: pinned literal from the INDEPENDENT
         # sequential oracle (oracle_dedup.cluster_topic_rows — plain

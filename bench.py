@@ -271,6 +271,9 @@ def run_bench() -> dict:
         "nb_source_classify": timed(
             __import__("ocr_engine_ray.pipelines.classify", fromlist=["x"]).nb_source_classify
         ),
+        "bpe_encode_stats": timed(
+            __import__("ocr_engine_ray.pipelines.bpe", fromlist=["x"]).bpe_encode_stats
+        ),
     }
 
     result = {

@@ -630,6 +630,59 @@ def bpe_digest(rows: list[tuple[int, str, str, int]]) -> int:
     return s
 
 
+def bpe_encode_rows(
+    sf_dir: str, num_merges: int = 40, max_vocab_words: int = 65536
+) -> list[tuple[int, int, int]]:
+    """Naive sequential BPE tokenizer application: train with the naive
+    `bpe_merges` loop above, then for every doc and every word apply the
+    canonical lowest-rank-first merge procedure (full rescan per step, no
+    caching, no vectorization).  Returns (doc_id, n_words, n_subwords)."""
+    ranks = {
+        (left, right): rank
+        for rank, left, right, _cnt in bpe_merges(sf_dir, num_merges, max_vocab_words)
+    }
+
+    def encode_len(word: str) -> int:
+        seq = list(word) + ["</w>"]
+        while len(seq) > 1:
+            cand = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(seq, seq[1:]))
+                if (a, b) in ranks
+            ]
+            if not cand:
+                break
+            rank = min(cand)[0]
+            left, right = next(
+                (seq[i], seq[i + 1]) for r, i in cand if r == rank
+            )
+            out: list[str] = []
+            i = 0
+            while i < len(seq):
+                if i < len(seq) - 1 and seq[i] == left and seq[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    rows: list[tuple[int, int, int]] = []
+    for doc_id, text in _load_docs(sf_dir):
+        words = WORD_RE.findall(text.lower())
+        rows.append((doc_id, len(words), sum(encode_len(w) for w in words)))
+    return rows
+
+
+def bpe_encode_digest(rows: list[tuple[int, int, int]]) -> int:
+    s = 0
+    for doc_id, n_words, n_subwords in rows:
+        h = hashlib.md5(f"{doc_id}\x1f{n_words}:{n_subwords}".encode("utf-8")).digest()
+        s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
+    return s
+
+
 # --- cluster topics (c-TF-IDF over k-means clusters) ------------------------
 
 

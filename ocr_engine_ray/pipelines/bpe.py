@@ -155,6 +155,145 @@ def bpe_train(
     )
 
 
+def apply_merges(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of subwords the trained merge list leaves for ``word`` —
+    canonical BPE application (subword-nmt / GPT-2 shape): repeatedly merge
+    the LOWEST-rank adjacent pair present, all its occurrences left-to-right
+    in one pass, until no adjacent pair is in the merge table."""
+    seq = list(word) + [BPE_EOW]
+    while len(seq) > 1:
+        best_rank = None
+        best_pair = None
+        for a, b in zip(seq, seq[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        left, right = best_pair
+        merged = left + right
+        out: list[str] = []
+        i = 0
+        while i < len(seq):
+            if i < len(seq) - 1 and seq[i] == left and seq[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return len(seq)
+
+
+class _BpeEncoder:
+    """Actor-pool encode stage: the rank table is deserialized ONCE per
+    actor in ``__init__`` and the per-distinct-word subword counts are
+    cached across batches (zipfian corpora hit the cache almost always —
+    the same word-level memoization every production BPE tokenizer ships).
+    ``__call__`` touches Python only per *distinct uncached* word; row
+    arithmetic is numpy over dictionary codes."""
+
+    def __init__(self, ranks_ref) -> None:
+        import ray
+
+        self.ranks: dict[tuple[str, str], int] = ray.get(ranks_ref)
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import WORD_SPLIT, explode_tokens
+
+        ids = batch.column("doc_id")
+        n = batch.num_rows
+        rows, codes, dic = explode_tokens(
+            batch.column("text").to_pylist(), pattern=WORD_SPLIT, lower=True
+        )
+        dic_py = dic.to_pylist()
+        sub_per_word = np.empty(max(1, len(dic_py)), np.int64)
+        for i, w in enumerate(dic_py):
+            c = self.cache.get(w)
+            if c is None:
+                c = apply_merges(w, self.ranks)
+                self.cache[w] = c
+            sub_per_word[i] = c
+        n_words = np.bincount(rows, minlength=n).astype(np.int64)
+        n_subwords = np.zeros(n, np.int64)
+        if len(rows):
+            np.add.at(n_subwords, rows, sub_per_word[codes])
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_words": pa.array(n_words),
+                "n_subwords": pa.array(n_subwords),
+            }
+        )
+
+
+def bpe_encode_stats(
+    sf_dir: str,
+    *,
+    num_merges: int = BPE_MERGES,
+    max_vocab_words: int = BPE_MAX_VOCAB,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """Train THEN tokenize: the full train→apply story of a production
+    subword pipeline in one engine invocation.  Returns per-doc
+    ``(doc_id, n_words, n_subwords)`` — the real token-counting surface a
+    packing / budget-sampling stage consumes (the \\S+ counters elsewhere
+    are its cheap approximation).
+
+    Scale shape: `bpe_train`'s bounded word-frequency pass (the only
+    corpus-sized training stage), a tiny rank table broadcast ONCE via
+    ``ray.put``, then one shuffle-free actor-pool encode pass over the
+    corpus with per-actor word caches.  No driver state beyond the merge
+    table; output streams."""
+    import ray
+
+    merges = merge_loop(
+        _word_freq_table(sf_dir, max_vocab_words=max_vocab_words), num_merges
+    )
+    ranks = {(l, r): rank for rank, l, r, _m, _c in merges}
+    ranks_ref = ray.put(ranks)
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # (1, N) autoscaling pool: min 1 leaves CPUs for the upstream read tasks
+    # on small clusters (a fixed pool == num_cpus starves the read and
+    # deadlocks the streaming executor — observed at the 4-CPU test scale).
+    return docs.map_batches(
+        _BpeEncoder,
+        fn_constructor_args=(ranks_ref,),
+        concurrency=(1, concurrency),
+        num_cpus=1,
+        batch_format="pyarrow",
+    )
+
+
+def bpe_encode_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `bpe_encode_stats` (pure-integer surface, no margin
+    check needed).  Literal from the independent
+    `oracle_dedup.bpe_encode_rows`."""
+    from .interpret import fold_digest
+
+    ds = bpe_encode_stats(sf_dir, **kwargs)
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [
+                        f"{w}:{s}"
+                        for w, s in zip(
+                            batch.column("n_words").to_pylist(),
+                            batch.column("n_subwords").to_pylist(),
+                        )
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+
+
 def bpe_digest(sf_dir: str, **kwargs) -> pa.Table:
     """Digest gate over `bpe_train` (pure integer/string surface — no
     float anywhere, so the pin needs no margin check).  Literal from the

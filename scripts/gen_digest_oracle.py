@@ -45,6 +45,7 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
         "ann_ivfpq_digest": od.topk_digest(od.ivfpq_topk(sf_dir)),
         "embedding_lsh_digest": od.clusters_digest(od.embedding_lsh_clusters(sf_dir)),
         "bpe_digest": od.bpe_digest(od.bpe_merges(sf_dir)),
+        "bpe_encode_digest": od.bpe_encode_digest(od.bpe_encode_rows(sf_dir)),
         "cluster_topics_digest": od.topics_digest(od.cluster_topic_rows(sf_dir)),
     }
 

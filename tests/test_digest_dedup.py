@@ -53,6 +53,7 @@ class TestDedupDigestGates:
             "ann_ivfpq_digest",
             "embedding_lsh_digest",
             "bpe_digest",
+            "bpe_encode_digest",
             "cluster_topics_digest",
         ],
     )
