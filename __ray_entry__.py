@@ -191,12 +191,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # represented by the same fine-level machinery in pricing_summary /
         # rollup_pricing, both replayable past the cut).
         "image_decode_stats": extract_stats.image_decode_stats,
-        # nb_source_classify is new in the fifth round-4 continuation, never
+        # nb_source_classify is new in the fifth round-4 continuation,
         # driver-gated: the fastText-style classifier-filter family (train a
         # multinomial NB source model + classify the whole corpus in one
         # engine pass; token-bucket-sharded model, no vocab driver state).
         # Exact on the quantized-ln 2^40 grid, so the S²-row confusion
-        # matrix twin is bit-identical; replayable past the cut.
+        # matrix twin is bit-identical.  Its slot comes from paragraph_dedup
+        # (moved past the cut: the sub-document dedup family signal stays
+        # carried by its unnest twin + planted-corpus pytest, and the dedup
+        # family already holds several gated members; replayable anytime).
         "nb_source_classify": classify.nb_source_classify,
         # --- similarity search / clustering digests --------------------------
         "kmeans_digest": ann.kmeans_digest,
@@ -253,6 +256,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # takes the slot of intake_vocabulary (green r02+r03, replayable
         # past the cut).
         "bpe_digest": bpe.bpe_digest,
+        # ------------------------- 50-query gate cut -------------------------
+        # --- dedup digests ----------------------------------------------------
+        # paragraph_dedup sits just past the cut since nb_source_classify
+        # took its slot (the sub-document dedup signal stays pinned by its
+        # unnest twin + planted-corpus pytest, replayable anytime; its
+        # original slot bookkeeping: it took lang_counts' slot, while
+        # cms_token_counts, ann_ivfpq_digest, audio_frame_stats,
+        # video_frame_stats and bigram_logprob_score took free_text_digest,
+        # vocab_fields_digest, size_class_counts, extract_inline_chars and
+        # winnow_digest — all green in r03 with unchanged code).
+        "paragraph_dedup": dedup.paragraph_dedup,
         # bpe_encode_digest is new in the fifth round-4 continuation, never
         # driver-gated: the train→APPLY half of the subword story (corpus
         # tokenization with the trained merges — broadcast rank table,
@@ -260,17 +274,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer per-doc (n_words, n_subwords) surface; pinned from the
         # independent naive oracle apply, replayable past the cut.
         "bpe_encode_digest": bpe.bpe_encode_digest,
-        # --- dedup digests ----------------------------------------------------
-        # paragraph_dedup is new in round 4 (never driver-gated): it takes
-        # the slot of lang_counts, which is green in both r02 and r03.
-        # The five other round-4 queries (cms_token_counts, ann_ivfpq_digest,
-        # audio_frame_stats, video_frame_stats, bigram_logprob_score) take
-        # the slots of free_text_digest, vocab_fields_digest,
-        # size_class_counts, extract_inline_chars and winnow_digest — all
-        # green in r03 with unchanged code (replayable via
-        # scripts/compare_oracle.py, and still pytest-pinned).
-        "paragraph_dedup": dedup.paragraph_dedup,
-        # ------------------------- 50-query gate cut -------------------------
         # cube_pricing moved past the cut in the fifth continuation (slot
         # went to image_decode_stats); still twin-exact and replayable.
         "cube_pricing": analytics.cube_pricing,
