@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         packing,
         pagerank,
         pca,
+        profile,
         sampling,
         topics,
     )
@@ -274,6 +275,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer per-doc (n_words, n_subwords) surface; pinned from the
         # independent naive oracle apply, replayable past the cut.
         "bpe_encode_digest": bpe.bpe_encode_digest,
+        # profile_lineitem is new in the fifth round-4 continuation, never
+        # driver-gated: the Deequ-style ingestion profiler (per-column
+        # nulls + EXACT distinct via batch-deduped md5 keys, one uniform
+        # key-bucket shuffle); UNION-ALL twin, replayable past the cut.
+        "profile_lineitem": profile.profile_columns,
         # cube_pricing moved past the cut in the fifth continuation (slot
         # went to image_decode_stats); still twin-exact and replayable.
         "cube_pricing": analytics.cube_pricing,
@@ -1497,6 +1503,55 @@ def oracle_sql() -> dict[str, str]:
         # integer surface (doc_id, n_words, n_subwords).
         "bpe_encode_digest": """
             SELECT 43801656480415033::BIGINT AS digest
+        """,
+        # Table profiler: per-column aggregates recomputed wholesale as a
+        # UNION ALL — count(DISTINCT col) is exact on both sides (the
+        # pipeline dedupes md5(value-string) keys; a collision would need
+        # 2^64 distinct values per column).
+        "profile_lineitem": """
+            SELECT 'l_discount' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_discount))::BIGINT AS n_nulls,
+                   count(DISTINCT l_discount)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_extendedprice))::BIGINT AS n_nulls,
+                   count(DISTINCT l_extendedprice)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_linenumber))::BIGINT AS n_nulls,
+                   count(DISTINCT l_linenumber)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_linestatus))::BIGINT AS n_nulls,
+                   count(DISTINCT l_linestatus)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_orderkey))::BIGINT AS n_nulls,
+                   count(DISTINCT l_orderkey)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_partkey))::BIGINT AS n_nulls,
+                   count(DISTINCT l_partkey)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_quantity))::BIGINT AS n_nulls,
+                   count(DISTINCT l_quantity)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_returnflag))::BIGINT AS n_nulls,
+                   count(DISTINCT l_returnflag)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_shipdate))::BIGINT AS n_nulls,
+                   count(DISTINCT l_shipdate)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_suppkey))::BIGINT AS n_nulls,
+                   count(DISTINCT l_suppkey)::BIGINT AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_tax' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(l_tax))::BIGINT AS n_nulls,
+                   count(DISTINCT l_tax)::BIGINT AS n_distinct FROM lineitem
         """,
         # Cluster-topics digest: pinned literal from the INDEPENDENT
         # sequential oracle (oracle_dedup.cluster_topic_rows — plain

@@ -274,6 +274,9 @@ def run_bench() -> dict:
         "bpe_encode_stats": timed(
             __import__("ocr_engine_ray.pipelines.bpe", fromlist=["x"]).bpe_encode_stats
         ),
+        "profile_lineitem": timed(
+            __import__("ocr_engine_ray.pipelines.profile", fromlist=["x"]).profile_columns
+        ),
     }
 
     result = {

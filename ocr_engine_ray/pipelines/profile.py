@@ -1,0 +1,135 @@
+"""Distributed table profiler — per-column null counts + EXACT distinct
+counts (the Deequ / Great-Expectations stats-collection pass every lakehouse
+ingestion pipeline runs before trusting a new drop).
+
+Scale shape (one corpus pass, ONE shuffle, no per-column scans):
+
+1. one ``map_batches`` pass computes, per column: the batch null/row
+   partials (tiny ``kind=0`` rows) and the batch-DISTINCT value keys
+   (``kind=1`` rows) — values are canonicalized to their Arrow string cast
+   and md5-hashed, so the shuffle moves 16-byte keys, never payloads
+   (comment-sized strings included); batch-local dedupe is the map-side
+   combine, so a column with heavy value repetition ships each value once
+   per block, not once per row;
+2. the ``(column, key)`` stream shuffles ONCE by key hash bucket; each
+   bucket counts its distinct (column, key) pairs with one ``np.unique``
+   and emits |columns|-sized partials;
+3. the driver folds B×|columns| scalars.  No column data ever reaches the
+   driver.
+
+Exactness: distinct counts are exact up to md5 collisions (2^-128 — the
+same accepted equivalence every content-addressed store relies on); the
+DuckDB twin recomputes ``count(DISTINCT col)`` wholesale.  High-cardinality
+columns dominate the shuffle by construction (they ARE the data); the key
+space is uniform md5, so bucket skew is impossible even when value skew is
+extreme — this is the profiler's advantage over a naive per-column
+``groupby(col)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.tables import sf_table
+
+_PROFILE_BUCKETS = 64
+
+
+def profile_columns(
+    sf_dir: str, *, table: str = "lineitem", num_buckets: int = _PROFILE_BUCKETS
+) -> rd.Dataset:
+    """Profile every column of ``table``: returns (col_name, n_rows, n_nulls,
+    n_distinct) sorted by column name.  Exact SQL twin (a UNION ALL of
+    per-column aggregates) in ``__ray_entry__.oracle_sql()``."""
+    ds = sf_table(sf_dir, table)
+    cols = sorted(ds.schema().names)
+    col_idx = {c: i for i, c in enumerate(cols)}
+    B = num_buckets
+
+    def partials(batch: pa.Table) -> pa.Table:
+        kind, cid, bkt, key, nulls, rows = [], [], [], [], [], []
+        n = batch.num_rows
+        for c in batch.column_names:
+            i = col_idx[c]
+            col = batch.column(c)
+            n_null = col.null_count
+            kind.append(0)
+            cid.append(i)
+            bkt.append(-1)
+            key.append("")
+            nulls.append(n_null)
+            rows.append(n)
+            # batch-local distinct keys (map-side combine); nulls excluded
+            # to match SQL count(DISTINCT col)
+            uniq = pc.unique(pc.drop_null(col.combine_chunks()))
+            as_str = pc.cast(uniq, pa.string()).to_pylist()
+            for s in as_str:
+                h = hashlib.md5(s.encode("utf-8")).hexdigest()
+                kind.append(1)
+                cid.append(i)
+                bkt.append(zlib.crc32(h.encode()) % B)
+                key.append(h)
+                nulls.append(0)
+                rows.append(0)
+        return pa.table(
+            {
+                "kind": pa.array(kind, pa.int64()),
+                "cid": pa.array(cid, pa.int64()),
+                "bkt": pa.array(bkt, pa.int64()),
+                "key": pa.array(key, pa.string()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "rows": pa.array(rows, pa.int64()),
+            }
+        )
+
+    mat = ds.map_batches(partials, batch_format="pyarrow").materialize()
+
+    # null/row partials: tiny (blocks × columns), folded on the driver
+    stats = mat.filter(expr="kind == 0").take_all()
+    n_rows = np.zeros(len(cols), np.int64)
+    n_nulls = np.zeros(len(cols), np.int64)
+    for r in stats:
+        n_rows[r["cid"]] += r["rows"]
+        n_nulls[r["cid"]] += r["nulls"]
+
+    # ONE key-bucket shuffle; per bucket: distinct (cid, key) pairs
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.equal(group.column("kind"), 1))
+        if g.num_rows == 0:
+            return pa.table(
+                {"cid": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        cid = g.column("cid").combine_chunks().to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_pylist()
+        pairs = np.unique(np.array([f"{c}|{k}" for c, k in zip(cid, keys)]))
+        pcid = np.array([int(p.split("|", 1)[0]) for p in pairs], np.int64)
+        u, cnt = np.unique(pcid, return_counts=True)
+        return pa.table(
+            {"cid": pa.array(u, pa.int64()), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    parts = (
+        mat.filter(expr="kind == 1")
+        .groupby("bkt")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ B × |columns| scalars
+    n_distinct = np.zeros(len(cols), np.int64)
+    for r in parts:
+        n_distinct[r["cid"]] += r["n"]
+
+    out = pa.table(
+        {
+            "col_name": pa.array(cols, pa.string()),
+            "n_rows": pa.array(n_rows),
+            "n_nulls": pa.array(n_nulls),
+            "n_distinct": pa.array(n_distinct),
+        }
+    )
+    return rd.from_arrow(out)
