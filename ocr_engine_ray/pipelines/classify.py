@@ -14,8 +14,13 @@ round-3 tf-idf rewrite removed):
    partials plus a per-doc spine ``(doc, true-source, n_tokens)``;
 2. ONE token-bucket shuffle: each bucket holds every occurrence row of its
    tokens, so it finalizes the per-(token, source) counts ``c_ts``, their
-   quantized log-likelihoods, and each doc's partial score against every
-   source — the model shards live and die inside their bucket;
+   quantized log-likelihoods (a dense (ntok, S) LUT — the model shard),
+   and each doc's partial score against every source via S vectorized
+   multiply+reduceat passes over the doc-sorted occurrences (peak memory
+   O(occurrences), never O(occurrences × S)); partials leave the bucket
+   PACKED as one row per doc carrying S score columns — an S× row cut on
+   both shuffles (measured 1074 s → see BENCH/BASELINE.md at 1M docs ×
+   20 sources for the unpacked version's cost);
 3. per-source totals (``n_s``, vocabulary size) leave the buckets as
    S-sized stat rows; the only driver state is S log-constants;
 4. one doc-bucket shuffle folds the per-(doc, source) partials, applies the
@@ -123,6 +128,7 @@ def nb_source_classify(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         is_tok = kind == _K_PART
         out_k, out_d, out_s, out_v = [], [], [], []
 
+        vecs: np.ndarray | None = None
         if is_tok.any():
             g = group.filter(pa.array(is_tok))
             enc = pc.dictionary_encode(g.column("tok").combine_chunks())
@@ -140,42 +146,30 @@ def nb_source_classify(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             c_ts = np.add.reduceat(c[order], starts)
             l1 = _qln((c_ts + 1).astype(np.float64))
 
-            # cross-source expansion: every occurrence (doc, token, c)
-            # contributes c·l1[token, s] to EVERY candidate source s with
-            # c_ts > 0 for that token (unseen (t,s) pairs have l1 = qln(1)
-            # = 0 and are skipped).  Bounded ≤ S× blow-up, all inside the
-            # bucket — this is the "join against the model shard" step.
-            pair_tok = sk[starts] // S  # token-major ⇒ non-decreasing
-            pair_src = sk[starts] % S
-            pair_cnt = np.bincount(pair_tok, minlength=ntok)
-            pair_off = np.concatenate([[0], np.cumsum(pair_cnt)[:-1]])
-            reps = pair_cnt[tcode]
-            total = int(reps.sum())
-            exp_start = np.cumsum(reps) - reps
-            pidx = (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(exp_start, reps)
-                + np.repeat(pair_off[tcode], reps)
-            )
-            contrib = np.repeat(c, reps) * l1[pidx]
-            exp_src = pair_src[pidx]
+            # model shard as a dense (ntok, S) int64 LUT — unseen (t, s)
+            # pairs keep l1 = qln(1) = 0, so the cross-source fold below is
+            # exactly "every occurrence scores against every candidate"
+            # without materializing an S× expansion.
+            lut = np.zeros((ntok, S), np.int64)
+            lut[sk[starts] // S, sk[starts] % S] = l1
 
-            # per-(doc, source) partial: Σ c·l1, again sort + reduceat
-            ddic = pc.dictionary_encode(pa.array(doc, pa.int64()))
-            dcode = np.asarray(ddic.indices, dtype=np.int64)
-            docs_u = np.asarray(ddic.dictionary, dtype=np.int64)
-            p_key = np.repeat(dcode, reps) * S + exp_src
-            po = np.argsort(p_key, kind="stable")
-            pk = p_key[po]
-            pst = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
-            part = np.add.reduceat(contrib[po], pst)
-            pdoc = docs_u[pk[pst] // S]
-            psrc = pk[pst] % S
+            # per-(doc, ·) partial: ONE sort by doc, then S vectorized
+            # multiply+reduceat passes (peak memory O(occurrences), not
+            # O(occurrences × S)); the partials leave the bucket PACKED as
+            # one fixed-size-list row per doc — an S× shuffle-row cut.
+            od = np.argsort(doc, kind="stable")
+            doc_s, tc_s, c_s = doc[od], tcode[od], c[od]
+            dst = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+            docs_u = doc_s[dst]
+            part = np.empty((len(dst), S), np.int64)
+            for s in range(S):
+                part[:, s] = np.add.reduceat(c_s * lut[tc_s, s], dst)
 
-            out_k.append(np.full(len(pst), _K_PART, np.int64))
-            out_d.append(pdoc)
-            out_s.append(psrc)
-            out_v.append(part)
+            out_k.append(np.full(len(dst), _K_PART, np.int64))
+            out_d.append(docs_u)
+            out_s.append(np.full(len(dst), -1, np.int64))
+            out_v.append(np.zeros(len(dst), np.int64))
+            vecs = part
 
             # per-source token totals + vocabulary partial of this bucket
             n_s = np.zeros(S, np.int64)
@@ -197,14 +191,22 @@ def nb_source_classify(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             out_s.append(g.column("src").combine_chunks().to_numpy(zero_copy_only=False))
             out_v.append(g.column("val").combine_chunks().to_numpy(zero_copy_only=False))
 
-        return pa.table(
-            {
-                "kind": pa.array(np.concatenate(out_k) if out_k else np.empty(0, np.int64)),
-                "doc_id": pa.array(np.concatenate(out_d) if out_d else np.empty(0, np.int64)),
-                "src": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.int64)),
-                "val": pa.array(np.concatenate(out_v) if out_v else np.empty(0, np.int64)),
-            }
-        )
+        kind_a = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
+        n_out = len(kind_a)
+        # packed score columns p0..p{S-1}: the partial block leads (it is
+        # appended first), every other row carries zeros (additive identity)
+        pmat = np.zeros((n_out, S), np.int64)
+        if vecs is not None:
+            pmat[: len(vecs)] = vecs
+        cols = {
+            "kind": pa.array(kind_a),
+            "doc_id": pa.array(np.concatenate(out_d) if out_d else np.empty(0, np.int64)),
+            "src": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.int64)),
+            "val": pa.array(np.concatenate(out_v) if out_v else np.empty(0, np.int64)),
+        }
+        for s in range(S):
+            cols[f"p{s}"] = pa.array(pmat[:, s])
+        return pa.table(cols)
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
     mat = (
@@ -252,8 +254,15 @@ def nb_source_classify(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         sdoc, strue, snd = sdoc[order], strue[order], snd[order]
         # scores start at the doc-independent terms: PR(s) - n_d · L2(s)
         scores = pr[None, :] - snd[:, None] * l2[None, :]
+        pm = np.stack(
+            [
+                group.column(f"p{s}").combine_chunks().to_numpy(zero_copy_only=False)
+                for s in range(S)
+            ],
+            axis=1,
+        )[~sp]
         drow = np.searchsorted(sdoc, doc[~sp])
-        np.add.at(scores, (drow, src[~sp]), val[~sp])
+        np.add.at(scores, drow, pm)
         pred = np.argmax(scores, axis=1)  # first max == lexically smallest
         conf = np.bincount(strue * S + pred, minlength=S * S)
         nz = np.flatnonzero(conf)
