@@ -7,8 +7,9 @@ Scale shape (one corpus pass, ONE shuffle, no per-column scans):
 1. one ``map_batches`` pass computes, per column: the batch null/row
    partials (tiny ``kind=0`` rows) and the batch-DISTINCT value keys
    (``kind=1`` rows) — values are canonicalized to their Arrow string cast
-   and md5-hashed, so the shuffle moves 16-byte keys, never payloads
-   (comment-sized strings included); batch-local dedupe is the map-side
+   (injective, deterministic); keys longer than 32 chars are md5-hashed so
+   the shuffle never moves payload-sized strings, while numeric/date
+   columns pay no hashing at all.  Batch-local dedupe is the map-side
    combine, so a column with heavy value repetition ships each value once
    per block, not once per row;
 2. the ``(column, key)`` stream shuffles ONCE by key hash bucket; each
@@ -17,9 +18,10 @@ Scale shape (one corpus pass, ONE shuffle, no per-column scans):
 3. the driver folds B×|columns| scalars.  No column data ever reaches the
    driver.
 
-Exactness: distinct counts are exact up to md5 collisions (2^-128 — the
-same accepted equivalence every content-addressed store relies on); the
-DuckDB twin recomputes ``count(DISTINCT col)`` wholesale.  High-cardinality
+Exactness: short keys are the values themselves (collision-free); long
+strings are exact up to md5 collisions (2^-128 — the same accepted
+equivalence every content-addressed store relies on).  The DuckDB twin
+recomputes ``count(DISTINCT col)`` wholesale.  High-cardinality
 columns dominate the shuffle by construction (they ARE the data); the key
 space is uniform md5, so bucket skew is impossible even when value skew is
 extreme — this is the profiler's advantage over a naive per-column
@@ -58,33 +60,44 @@ def profile_columns(
         for c in batch.column_names:
             i = col_idx[c]
             col = batch.column(c)
-            n_null = col.null_count
-            kind.append(0)
-            cid.append(i)
-            bkt.append(-1)
-            key.append("")
-            nulls.append(n_null)
-            rows.append(n)
+            # the per-column stats partial (one tiny row)
+            kind.append(np.array([0], np.int64))
+            cid.append(np.array([i], np.int64))
+            bkt.append(np.array([-1], np.int64))
+            key.append([""])
+            nulls.append(np.array([col.null_count], np.int64))
+            rows.append(np.array([n], np.int64))
             # batch-local distinct keys (map-side combine); nulls excluded
-            # to match SQL count(DISTINCT col)
+            # to match SQL count(DISTINCT col).  Short values key by their
+            # (injective, deterministic) Arrow string cast — no hashing at
+            # all for numeric/date columns; only strings longer than 32
+            # chars pay an md5, capping the shuffle width on text columns.
+            # The 'r:'/'h:' prefixes keep the two key spaces disjoint.
             uniq = pc.unique(pc.drop_null(col.combine_chunks()))
             as_str = pc.cast(uniq, pa.string()).to_pylist()
-            for s in as_str:
-                h = hashlib.md5(s.encode("utf-8")).hexdigest()
-                kind.append(1)
-                cid.append(i)
-                bkt.append(zlib.crc32(h.encode()) % B)
-                key.append(h)
-                nulls.append(0)
-                rows.append(0)
+            ks = [
+                "r:" + s
+                if len(s) <= 32
+                else "h:" + hashlib.md5(s.encode("utf-8")).hexdigest()
+                for s in as_str
+            ]
+            m = len(ks)
+            kind.append(np.ones(m, np.int64))
+            cid.append(np.full(m, i, np.int64))
+            bkt.append(
+                np.array([zlib.crc32(k.encode()) % B for k in ks], np.int64)
+            )
+            key.append(ks)
+            nulls.append(np.zeros(m, np.int64))
+            rows.append(np.zeros(m, np.int64))
         return pa.table(
             {
-                "kind": pa.array(kind, pa.int64()),
-                "cid": pa.array(cid, pa.int64()),
-                "bkt": pa.array(bkt, pa.int64()),
-                "key": pa.array(key, pa.string()),
-                "nulls": pa.array(nulls, pa.int64()),
-                "rows": pa.array(rows, pa.int64()),
+                "kind": pa.array(np.concatenate(kind)),
+                "cid": pa.array(np.concatenate(cid)),
+                "bkt": pa.array(np.concatenate(bkt)),
+                "key": pa.array([k for ks in key for k in ks], pa.string()),
+                "nulls": pa.array(np.concatenate(nulls)),
+                "rows": pa.array(np.concatenate(rows)),
             }
         )
 
