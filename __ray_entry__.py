@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         diagnostics,
         dsir,
         extract_stats,
+        fuzzy,
         index,
         interpret,
         joins,
@@ -280,6 +281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nulls + EXACT distinct via batch-deduped md5 keys, one uniform
         # key-bucket shuffle); UNION-ALL twin, replayable past the cut.
         "profile_lineitem": profile.profile_columns,
+        # fuzzy_customer_pairs is new in the fifth round-4 continuation,
+        # never driver-gated: the ED-Join edit-distance similarity self-join
+        # (prefix filter on globally-rarest q-gram elements + banded-DP
+        # verify, no capping — exact), levenshtein twin, replayable past
+        # the cut.
+        "fuzzy_customer_pairs": fuzzy.fuzzy_name_pairs,
         # cube_pricing moved past the cut in the fifth continuation (slot
         # went to image_decode_stats); still twin-exact and replayable.
         "cube_pricing": analytics.cube_pricing,
@@ -1503,6 +1510,16 @@ def oracle_sql() -> dict[str, str]:
         # integer surface (doc_id, n_words, n_subwords).
         "bpe_encode_digest": """
             SELECT 43801656480415033::BIGINT AS digest
+        """,
+        # ED-Join fuzzy self-join: recomputed wholesale with DuckDB's
+        # built-in levenshtein over the full cross join — both sides use
+        # codepoint unit-cost edit distance, the pipeline via the banded DP.
+        "fuzzy_customer_pairs": """
+            SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+                   levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) <= 1
         """,
         # Table profiler: per-column aggregates recomputed wholesale as a
         # UNION ALL — count(DISTINCT col) is exact on both sides (the

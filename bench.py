@@ -277,6 +277,9 @@ def run_bench() -> dict:
         "profile_lineitem": timed(
             __import__("ocr_engine_ray.pipelines.profile", fromlist=["x"]).profile_columns
         ),
+        "fuzzy_customer_pairs": timed(
+            __import__("ocr_engine_ray.pipelines.fuzzy", fromlist=["x"]).fuzzy_name_pairs
+        ),
     }
 
     result = {
