@@ -327,6 +327,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_digest": dedup.semantic_digest,
         "normalized_dedup": dedup.normalized_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # ppjoin_jaccard_pairs (sixth round-4 continuation, never gated):
+        # the PPJoin prefix-filter scale path for the SAME exact Jaccard
+        # semantics — identical rows to ngram_jaccard_pairs (pytest-pinned
+        # equal), so it shares that twin verbatim; replayable past the cut.
+        "ppjoin_jaccard_pairs": dedup.ppjoin_jaccard_pairs,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         "embedding_lsh_digest": dedup.embedding_lsh_digest,
@@ -858,6 +863,25 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # PPJoin computes the same exact-Jaccard relation via the prefix
+        # filter; the wholesale-join twin is identical by construction.
+        "ppjoin_jaccard_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_distinct(
+                            list_transform(generate_series(1, len(w)-2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS g
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w
+                    FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
+            WHERE len(list_intersect(a.g, b.g)) * 1.0
+                  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+            ORDER BY a, b
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b

@@ -1326,6 +1326,214 @@ def ngram_jaccard_pairs(
     )
 
 
+def ppjoin_jaccard_pairs(
+    sf_dir: str, *, threshold: float = 0.8, num_buckets: int = 64
+) -> rd.Dataset:
+    """Exact word-trigram Jaccard pairs via the PPJoin PREFIX FILTER (Xiao
+    et al. 2008, public) — the scale path for the same semantics as
+    `ngram_jaccard_pairs` (whose block-pair cartesian is O(N²) work by
+    design).  Identical output, pytest-pinned equal.
+
+    Scale shape — candidate work tracks near-duplication, not N²:
+
+    1. each doc emits only its ``|A| - ⌊t·|A|⌋ + 1`` prefix trigrams under
+       a GLOBAL md5 gram order (hash order needs no df pass and no
+       vocabulary-sized broadcast — the documented trade vs the canonical
+       rarest-first order, which prunes better but requires a gram-rank
+       table); two docs with J ≥ t MUST share a prefix gram (≤ suffix-size
+       common grams otherwise — fewer than the overlap bound t·|A| forces);
+    2. ONE gram-bucket shuffle pairs prefix-sharers per gram (md5 keys,
+       never gram text), then a pair-bucket shuffle dedupes candidates;
+    3. two co-partition attach shuffles fetch each side's trigram set by
+       doc_id bucket (payload linear in corpus + candidates — sets are
+       NEVER replicated per prefix row), and the verify kernel applies the
+       SAME float size-ratio prune + float Jaccard test as the exact twin.
+    """
+    t = threshold
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = num_buckets
+
+    def sets_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        sh = [_SHINGLE_SEP.join(sorted(_trigram_set(x))) for x in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "sh": pa.array(sh, pa.string()),
+            }
+        )
+
+    sets = docs.map_batches(sets_rows, batch_format="pyarrow").materialize()
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        e_bkt, e_key, e_gram = [], [], []
+        for did, joined in zip(ids, batch.column("sh").to_pylist()):
+            grams = joined.split(_SHINGLE_SEP)
+            hs = sorted(hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams)
+            p = len(hs) - int(t * len(hs)) + 1  # floor ⇒ conservative prefix
+            for h in hs[:p]:
+                e_bkt.append(int(h[:8], 16) % B)
+                e_key.append(int(did))
+                e_gram.append(h)
+        return pa.table(
+            {
+                "bkt": pa.array(e_bkt, pa.int64()),
+                "key": pa.array(e_key, pa.int64()),
+                "gram": pa.array(e_gram, pa.string()),
+            }
+        )
+
+    def pair_up(group: pa.Table) -> pa.Table:
+        keys = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(group.column("gram").combine_chunks())
+        code = np.asarray(enc.indices, dtype=np.int64)
+        order = np.argsort(code, kind="stable")
+        oc = code[order]
+        starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+        ends = np.r_[starts[1:], len(oc)]
+        a_out, b_out = [], []
+        for s0, s1 in zip(starts, ends):
+            m = s1 - s0
+            if m < 2:
+                continue
+            if m > 4096:
+                logger.warning(
+                    "ppjoin prefix bucket holds %d docs — %d candidate pairs",
+                    m, m * (m - 1) // 2,
+                )
+            idx = order[s0:s1]
+            ii, jj = np.triu_indices(m, 1)
+            ka, kb = keys[idx[ii]], keys[idx[jj]]
+            a_out.append(np.minimum(ka, kb))
+            b_out.append(np.maximum(ka, kb))
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {
+                "pbkt": pa.array((a % B) * B + b % B),
+                "a": pa.array(a),
+                "b": pa.array(b),
+            }
+        )
+
+    cand = (
+        sets.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(pair_up, batch_format="pyarrow")
+    )
+
+    def dedupe(group: pa.Table) -> pa.Table:
+        a = group.column("a").combine_chunks().to_numpy(zero_copy_only=False)
+        b = group.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        _, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
+        return pa.table({"a": pa.array(a[first]), "b": pa.array(b[first])})
+
+    cand = cand.groupby("pbkt").map_groups(dedupe, batch_format="pyarrow")
+
+    # --- two co-partition attach shuffles, then the exact float verify -----
+    # unified row layout for the attach/verify buckets:
+    #   kind 0 = candidate (a, b, sh_a?), kind 1 = set row (a = doc_id, sh)
+    def _row_table(jbkt, kind, a, b, sh, sh_a) -> pa.Table:
+        return pa.table(
+            {
+                "jbkt": jbkt,
+                "kind": kind,
+                "a": a,
+                "b": b,
+                "sh": sh,
+                "sh_a": sh_a,
+            }
+        )
+
+    def _dbkt(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        return pc.cast(
+            pc.subtract(col, pc.multiply(pc.divide(col, B), B)), pa.int64()
+        )
+
+    def cand_rows_keyed_a(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _row_table(
+            _dbkt(batch.column("a")),
+            pa.array(np.zeros(n, np.int64)),
+            batch.column("a"),
+            batch.column("b"),
+            pa.nulls(n, pa.string()),
+            pa.nulls(n, pa.string()),
+        )
+
+    def set_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _row_table(
+            _dbkt(batch.column("doc_id")),
+            pa.array(np.ones(n, np.int64)),
+            batch.column("doc_id"),
+            pa.array(np.zeros(n, np.int64)),
+            batch.column("sh"),
+            pa.nulls(n, pa.string()),
+        )
+
+    def _lut(group: pa.Table, kind: np.ndarray) -> dict[int, str]:
+        is_set = kind == 1
+        ids = np.asarray(group.column("a").to_pylist())[is_set]
+        shs = [s for s, m in zip(group.column("sh").to_pylist(), is_set) if m]
+        return {int(d): s for d, s in zip(ids, shs)}
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        lut = _lut(group, kind)
+        g = group.filter(pa.array(kind == 0))
+        b_col = g.column("b")
+        n = g.num_rows
+        return _row_table(
+            _dbkt(b_col),  # re-key by the OTHER side for stage 2
+            pa.array(np.zeros(n, np.int64)),
+            g.column("a"),
+            b_col,
+            pa.nulls(n, pa.string()),
+            pa.array(
+                [lut.get(int(x)) for x in g.column("a").to_pylist()], pa.string()
+            ),
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        lut = _lut(group, kind)
+        g = group.filter(pa.array(kind == 0))
+        oa, ob = [], []
+        for a, b, sha in zip(
+            g.column("a").to_pylist(),
+            g.column("b").to_pylist(),
+            g.column("sh_a").to_pylist(),
+        ):
+            sa = set(sha.split(_SHINGLE_SEP))
+            sb = set(lut[int(b)].split(_SHINGLE_SEP))
+            na, nb = len(sa), len(sb)
+            if min(na, nb) < threshold * max(na, nb):
+                continue  # same float size-ratio prune as the exact twin
+            inter = len(sa & sb)
+            if inter / (na + nb - inter) >= threshold:
+                oa.append(a)
+                ob.append(b)
+        return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})
+
+    stage1 = (
+        cand.map_batches(cand_rows_keyed_a, batch_format="pyarrow")
+        .union(sets.map_batches(set_rows, batch_format="pyarrow"))
+        .groupby("jbkt")
+        .map_groups(attach_a, batch_format="pyarrow")
+    )
+    return (
+        stage1.union(sets.map_batches(set_rows, batch_format="pyarrow"))
+        .groupby("jbkt")
+        .map_groups(verify, batch_format="pyarrow")
+        .sort(["a", "b"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing near-dup (Schleimer et al., SIGMOD'03 — the MOSS approach)
 # ---------------------------------------------------------------------------

@@ -314,6 +314,15 @@ class TestDedupPipelines:
         assert (0, 1) in pairs  # exact duplicate pair
         assert all(a < b for a, b in pairs)
 
+    def test_ppjoin_jaccard_pairs_equals_exact(self, tmp_path):
+        sf = _write_corpus(tmp_path)
+        for t in (0.9, 0.6):
+            exact = dd.ngram_jaccard_pairs(sf, threshold=t).take_all()
+            pp = dd.ppjoin_jaccard_pairs(sf, threshold=t, num_buckets=8).take_all()
+            assert pp == exact
+        pairs = {(r["a"], r["b"]) for r in pp}
+        assert (0, 1) in pairs  # exact duplicate pair survives the prefix filter
+
     def test_embedding_near_dup_clusters(self, tmp_path):
         sf = _write_corpus(tmp_path)
         rows = dd.embedding_near_dup_clusters(sf, threshold=0.98).take_all()
