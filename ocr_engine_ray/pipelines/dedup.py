@@ -1367,21 +1367,35 @@ def ppjoin_jaccard_pairs(
     sets = docs.map_batches(sets_rows, batch_format="pyarrow").materialize()
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
+        # md5 runs only over the batch's UNIQUE grams (dictionary-encoded —
+        # grams repeat heavily across near-dup docs); the per-doc prefix
+        # selection is pure numpy segment arithmetic.  Order key = full md5
+        # hex, identical to sorting each doc's digests directly.
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-        e_bkt, e_key, e_gram = [], [], []
-        for did, joined in zip(ids, batch.column("sh").to_pylist()):
-            grams = joined.split(_SHINGLE_SEP)
-            hs = sorted(hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams)
-            p = len(hs) - int(t * len(hs)) + 1  # floor ⇒ conservative prefix
-            for h in hs[:p]:
-                e_bkt.append(int(h[:8], 16) % B)
-                e_key.append(int(did))
-                e_gram.append(h)
+        joined = batch.column("sh").to_pylist()
+        gram_lists = [j.split(_SHINGLE_SEP) for j in joined]
+        counts = np.array([len(g) for g in gram_lists], dtype=np.int64)
+        flat: list[str] = [g for gl in gram_lists for g in gl]
+        enc = pa.array(flat, pa.string()).dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        hexes = np.array(
+            [hashlib.md5(u.encode("utf-8")).hexdigest() for u in enc.dictionary.to_pylist()]
+        )
+        bkt_u = np.array([int(h[:8], 16) % B for h in hexes], dtype=np.int64)
+        rank = np.empty(len(hexes), dtype=np.int64)
+        rank[np.argsort(hexes, kind="stable")] = np.arange(len(hexes))
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        order = np.lexsort((rank[codes], doc_idx))  # doc blocks, md5-sorted within
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(len(order), dtype=np.int64) - np.repeat(starts, counts)
+        p = counts - np.floor(t * counts).astype(np.int64) + 1  # conservative
+        sel = order[pos < np.repeat(p, counts)]
+        sel_codes = codes[sel]
         return pa.table(
             {
-                "bkt": pa.array(e_bkt, pa.int64()),
-                "key": pa.array(e_key, pa.int64()),
-                "gram": pa.array(e_gram, pa.string()),
+                "bkt": pa.array(bkt_u[sel_codes]),
+                "key": pa.array(ids[doc_idx[sel]]),
+                "gram": pa.array(hexes[sel_codes], pa.string()),
             }
         )
 
