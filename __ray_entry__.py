@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pca,
         profile,
         sampling,
+        tagger,
         topics,
     )
     from ocr_engine_ray.pipelines import textstats as tsp
@@ -332,6 +333,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantics — identical rows to ngram_jaccard_pairs (pytest-pinned
         # equal), so it shares that twin verbatim; replayable past the cut.
         "ppjoin_jaccard_pairs": dedup.ppjoin_jaccard_pairs,
+        # regex_tag / redact_digest (sixth round-4 continuation, never
+        # gated): the Dolma-style attribute-tagger family — vectorized RE2
+        # match counts + global masking digest, bit-identical twins by the
+        # RE2-parity convention; replayable past the cut, PII presets
+        # pytest-pinned over a planted corpus.
+        "regex_tag": tagger.regex_tag,
+        "redact_digest": tagger.redact_digest,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         "embedding_lsh_digest": dedup.embedding_lsh_digest,
@@ -863,6 +871,41 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # Arrow's count_substring_regex and DuckDB's regexp_extract_all are
+        # the same RE2 engine counting non-overlapping matches — parity by
+        # construction (both sides coalesce nulls to '' first).
+        "regex_tag": """
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '\\bspark\\b'))::BIGINT AS tag_spark,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '\\b(fast|slow)\\b'))::BIGINT AS tag_perf,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '\\b(table|column|row)\\b'))::BIGINT AS tag_struct,
+                   (len(regexp_extract_all(coalesce(text, ''), '\\bspark\\b')) > 0
+                    OR len(regexp_extract_all(coalesce(text, ''), '\\b(fast|slow)\\b')) > 0
+                    OR len(regexp_extract_all(coalesce(text, ''), '\\b(table|column|row)\\b')) > 0
+                   )::BIGINT AS tagged
+            FROM documents
+        """,
+        # Same HUGEINT md5-fold expression as shuffled_export_digest, but
+        # over the globally-masked text surface.
+        "redact_digest": """
+            WITH t AS (
+              SELECT md5(doc_id::VARCHAR || chr(31) ||
+                         regexp_replace(coalesce(text, ''),
+                                        '\\b(customer|value)\\b', '[MASK]', 'g')) AS h
+              FROM documents
+            ), terms AS (
+              SELECT ((('0x' || substr(h, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(h, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM t
+            )
+            SELECT (sum(term) % 2305843009213693951)::BIGINT AS digest FROM terms
         """,
         # PPJoin computes the same exact-Jaccard relation via the prefix
         # filter; the wholesale-join twin is identical by construction.

@@ -1,0 +1,103 @@
+"""Multi-pattern regex attribute tagging + inline redaction (the
+Dolma/CCNet-style corpus "tagger" family: PII counts, blocklist hits,
+masking) as shuffle-free vectorized Ray Data passes.
+
+Both kernels ride ``pyarrow.compute``'s RE2 engine
+(``count_substring_regex`` / ``replace_substring_regex``) — the SAME
+regex engine as DuckDB's ``regexp_extract_all`` / ``regexp_replace``,
+so the SQL twins are bit-identical by construction (the repo's
+established RE2-parity convention; see the tokenizer notes in
+``textstats``).
+
+Scale shape: ONE map pass over ``(doc_id, text)``, no shuffle, no
+driver state.  The tagger dict is a plan-time constant shipped in the
+task closure (pattern tables are KBs even at production blocklist
+sizes); per batch the cost is T vectorized RE2 scans over the Arrow
+string column.  The documented trade vs an Aho-Corasick automaton
+(one combined scan for all patterns) is that T independent RE2 kernels
+keep the hot loop inside Arrow C++ with zero per-row Python — for the
+tagger counts an LLM-curation pass actually uses (T ≲ 100) the
+vectorized form wins well before an automaton pays off.
+
+Reference seam: the reference's only text-masking surface is the
+inline-redaction mode (``app.py`` REDACT prompt mode, rebuilt in
+``pipelines/modes.py``); this module is the beyond-reference
+corpus-hygiene generalization.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.tables import sf_table
+
+# Corpus-relevant defaults for the synthetic lexicon (non-vacuous at every
+# sf); the PII presets below are exercised over a planted corpus in pytest.
+DEFAULT_TAGGERS: dict[str, str] = {
+    "tag_spark": r"\bspark\b",
+    "tag_perf": r"\b(fast|slow)\b",
+    "tag_struct": r"\b(table|column|row)\b",
+}
+
+# Dolma-style PII presets (counts only — masking goes through redact_digest).
+PII_TAGGERS: dict[str, str] = {
+    "pii_email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "pii_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "pii_phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def regex_tag(
+    sf_dir: str, *, taggers: dict[str, str] | None = None
+) -> rd.Dataset:
+    """Per-doc non-overlapping match counts for every tagger pattern plus a
+    ``tagged`` any-hit flag — the attribute table a quality-filter join
+    consumes downstream.  Columns: ``doc_id``, one int64 count per tagger
+    name, ``tagged`` (int64 0/1)."""
+    tags = dict(taggers or DEFAULT_TAGGERS)
+
+    def tag_batch(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            "doc_id": batch.column("doc_id")
+        }
+        any_hit = None
+        for name, pat in tags.items():
+            n = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+            cols[name] = n
+            hit = pc.greater(n, 0)
+            any_hit = hit if any_hit is None else pc.or_(any_hit, hit)
+        cols["tagged"] = pc.cast(any_hit, pa.int64())
+        return pa.table(cols)
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(tag_batch, batch_format="pyarrow")
+
+
+def redact_digest(
+    sf_dir: str,
+    *,
+    pattern: str = r"\b(customer|value)\b",
+    replacement: str = "[MASK]",
+) -> pa.Table:
+    """Order-independent md5-fold digest of the corpus AFTER global regex
+    masking — pins the full redacted-text surface through one shuffle-free
+    pass (``fold_digest`` partials; only block-count scalars reach the
+    driver).  Twin: the HUGEINT md5-fold over DuckDB
+    ``regexp_replace(coalesce(text,''), pattern, replacement, 'g')``."""
+    from .interpret import fold_digest
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mask(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "masked": pc.replace_substring_regex(text, pattern, replacement),
+            }
+        )
+
+    return fold_digest(docs.map_batches(mask, batch_format="pyarrow"), "masked")
