@@ -340,6 +340,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-pinned over a planted corpus.
         "regex_tag": tagger.regex_tag,
         "redact_digest": tagger.redact_digest,
+        # bloom_semi_join (sixth round-4 continuation, never gated): the
+        # runtime-filter semi-join — distributed chunked-OR Bloom build,
+        # map-side probe prune, one candidate-only co-partition verify
+        # shuffle; IN-subquery twin; replayable past the cut.
+        "bloom_semi_join": joins.bloom_semi_join,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         "embedding_lsh_digest": dedup.embedding_lsh_digest,
@@ -871,6 +876,14 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        "bloom_semi_join": """
+            SELECT l_returnflag, count(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         # Arrow's count_substring_regex and DuckDB's regexp_extract_all are
         # the same RE2 engine counting non-overlapping matches — parity by

@@ -729,3 +729,138 @@ def nation_revenue(
     return per_nation.map_batches(finish, batch_format="pyarrow").sort(
         ["revenue", "n_name"], descending=[True, False]
     )
+
+
+_SEMI_CHUNK_BYTES = 1 << 16  # 64 KiB bit-space chunks for the OR-reduce
+
+
+def bloom_semi_join(
+    sf_dir: str,
+    *,
+    priority: str = "1-URGENT",
+    num_buckets: int = 32,
+    fp_rate: float = 1e-3,
+) -> rd.Dataset:
+    """``lineitem ⋉ σ_priority(orders)`` via a RUNTIME FILTER — the
+    Bloom-pushdown semi-join every distributed engine uses when the build
+    side is too big to broadcast exactly but its bitmap fits anywhere.
+
+    Scale shape (exchange payload tracks SELECTIVITY, not the fact table):
+
+    1. build side: the filtered ``o_orderkey`` column stays on-cluster
+       (``materialize()`` pins only this narrow projection); its Bloom is
+       built DISTRIBUTED by the chunked-OR pattern (bit-space partitioned
+       into 64 KiB chunks, one ``groupby(chunk)`` OR-reduce — same shape as
+       the MinHash candidate bloom in ``dedup._distributed_bloom``), so
+       driver state is the bitmap itself, never a key array;
+    2. probe side: ONE map pass prunes lineitem by vectorized bloom
+       membership — only bloom-positives (true matches + ``fp_rate`` of the
+       misses) enter the exchange below; false negatives are impossible;
+    3. exact verify: one key-bucket co-partition shuffle of the surviving
+       candidates against the distinct build keys kills false positives
+       (Bloom FPs cost wasted shuffle rows, never correctness), then a
+       small groupby counts per return flag.
+
+    Returns ``(l_returnflag, n_items)`` sorted by flag.
+    """
+    from ..functions.sketch import IntBloom
+
+    B = num_buckets
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("o_orderpriority"), priority))
+        return pa.table({"key": t.column("o_orderkey")})
+
+    keys = orders.map_batches(keys_only, batch_format="pyarrow").materialize()
+    m_bits, k = IntBloom.sized_for(max(1, keys.count()), fp_rate=fp_rate)
+    chunk_bits = _SEMI_CHUNK_BYTES * 8
+
+    def positions(batch: pa.Table) -> pa.Table:
+        ids = np.unique(
+            batch.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        pos = IntBloom.positions_for(ids, m_bits, k).ravel()
+        return pa.table(
+            {
+                "chunk": pa.array((pos // chunk_bits).astype(np.int32)),
+                "pos": pa.array((pos % chunk_bits).astype(np.int32)),
+            }
+        )
+
+    def or_chunk(group: pa.Table) -> pa.Table:
+        cid = int(group.column("chunk")[0].as_py())
+        size = min(_SEMI_CHUNK_BYTES, m_bits // 8 - cid * _SEMI_CHUNK_BYTES)
+        buf = np.zeros(size, dtype=np.uint8)
+        pos = group.column("pos").combine_chunks().to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(buf, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pa.table(
+            {
+                "chunk": pa.array([cid], pa.int32()),
+                "bits": pa.array([buf.tobytes()], pa.binary()),
+            }
+        )
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in (
+        keys.map_batches(positions, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(or_chunk, batch_format="pyarrow")
+        .take_all()
+    ):
+        cid = int(row["chunk"])
+        buf = np.frombuffer(row["bits"], dtype=np.uint8)
+        bits[cid * _SEMI_CHUNK_BYTES : cid * _SEMI_CHUNK_BYTES + len(buf)] |= buf
+    bloom_ref = ray.put(IntBloom(bits, k))
+
+    line = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bloom = _get_broadcast(bloom_ref)
+        ks = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(bloom.contains(ks)))
+        kk = t.column("l_orderkey")
+        return pa.table(
+            {
+                "bkt": pc.cast(
+                    pc.subtract(kk, pc.multiply(pc.divide(kk, B), B)), pa.int64()
+                ),
+                "kind": pa.array(np.zeros(t.num_rows, np.int64)),
+                "key": kk,
+                "flag": t.column("l_returnflag"),
+            }
+        )
+
+    def build_rows(batch: pa.Table) -> pa.Table:
+        kk = batch.column("key")
+        return pa.table(
+            {
+                "bkt": pc.cast(
+                    pc.subtract(kk, pc.multiply(pc.divide(kk, B), B)), pa.int64()
+                ),
+                "kind": pa.array(np.ones(batch.num_rows, np.int64)),
+                "key": kk,
+                "flag": pa.nulls(batch.num_rows, pa.string()),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        gk = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        members = np.unique(gk[kind == 1])
+        cand = group.filter(pa.array(kind == 0))
+        ck = cand.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        keep = (
+            np.isin(ck, members) if len(members) else np.zeros(len(ck), dtype=bool)
+        )
+        return pa.table({"l_returnflag": cand.filter(pa.array(keep)).column("flag")})
+
+    return (
+        line.map_batches(probe, batch_format="pyarrow")
+        .union(keys.map_batches(build_rows, batch_format="pyarrow"))
+        .groupby("bkt")
+        .map_groups(verify, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_items"))
+        .sort("l_returnflag")
+    )
