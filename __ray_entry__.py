@@ -345,6 +345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # map-side probe prune, one candidate-only co-partition verify
         # shuffle; IN-subquery twin; replayable past the cut.
         "bloom_semi_join": joins.bloom_semi_join,
+        # snapshot_diff (sixth round-4 continuation, never gated): CDC
+        # between snapshot versions — one co-partition shuffle, delta-sized
+        # output; FULL-OUTER-JOIN twin; replayable past the cut.
+        "snapshot_diff": merge.snapshot_diff,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         "embedding_lsh_digest": dedup.embedding_lsh_digest,
@@ -876,6 +880,33 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # v2 is derived by the same deterministic rules the pipeline uses;
+        # both sides null-coalesce text before comparing.
+        "snapshot_diff": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text, lang, source, n_chars
+              FROM documents
+            ), v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 'rev2:' || text ELSE text END AS text,
+                     lang, source, n_chars
+              FROM base WHERE doc_id % 11 != 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new doc ' || doc_id, 'en', 'fresh', 42
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+                   CASE WHEN b.doc_id IS NULL THEN 'inserted'
+                        WHEN v.doc_id IS NULL THEN 'deleted'
+                        ELSE 'updated' END AS change
+            FROM base b FULL OUTER JOIN v2 v ON b.doc_id = v.doc_id
+            WHERE b.doc_id IS NULL OR v.doc_id IS NULL
+               OR b.text IS DISTINCT FROM v.text
+               OR b.lang IS DISTINCT FROM v.lang
+               OR b.source IS DISTINCT FROM v.source
+               OR b.n_chars IS DISTINCT FROM v.n_chars
+            ORDER BY doc_id
         """,
         "bloom_semi_join": """
             SELECT l_returnflag, count(*)::BIGINT AS n_items

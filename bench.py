@@ -280,6 +280,14 @@ def run_bench() -> dict:
         "fuzzy_customer_pairs": timed(
             __import__("ocr_engine_ray.pipelines.fuzzy", fromlist=["x"]).fuzzy_name_pairs
         ),
+        "ppjoin_jaccard_pairs": timed(dedup.ppjoin_jaccard_pairs),
+        "regex_tag": timed(
+            __import__("ocr_engine_ray.pipelines.tagger", fromlist=["x"]).regex_tag
+        ),
+        "redact_digest": timed(
+            __import__("ocr_engine_ray.pipelines.tagger", fromlist=["x"]).redact_digest
+        ),
+        "bloom_semi_join": timed(joins.bloom_semi_join),
     }
 
     result = {

@@ -136,3 +136,109 @@ MERGE_UPSERT_SQL = """
     FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
     ORDER BY 1
 """
+
+
+def snapshot_diff(
+    sf_dir: str,
+    v2: rd.Dataset | None = None,
+    *,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Change-data-capture diff between two snapshot versions of
+    ``documents``: one co-partition shuffle on ``doc_id % B``, each bucket
+    classifying its keys vectorized — ``inserted`` (v2 only), ``deleted``
+    (base only), ``updated`` (both, any compared column differs);
+    unchanged rows are dropped IN the bucket, so the output is
+    delta-sized, not corpus-sized.  Returns ``(doc_id, change)``.
+
+    With ``v2=None`` the driver-gated instance derives the second snapshot
+    deterministically from the base (``%11`` deleted, surviving ``%7``
+    revised with a ``rev2:`` text prefix, ``%13`` spawning inserts at
+    ``doc_id + 1_000_000``), so the DuckDB twin reproduces the diff with a
+    FULL OUTER JOIN.  Text is null-coalesced to '' on BOTH sides before
+    comparison (the twin does the same).
+    """
+    base = sf_table(sf_dir, "documents", columns=DOC_COLS)
+
+    if v2 is None:
+
+        def derive_v2(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            live = batch.filter(pa.array(did % 11 != 0))
+            lid = live.column("doc_id").to_numpy(zero_copy_only=False)
+            text = pc.fill_null(live.column("text"), "").combine_chunks().cast(
+                pa.string()
+            )
+            prefix = np.where(lid % 7 == 0, "rev2:", "")
+            rev = pa.table(
+                {
+                    "doc_id": live.column("doc_id"),
+                    "text": pc.binary_join_element_wise(
+                        pa.array(prefix.tolist(), pa.string()), text, ""
+                    ),
+                    "lang": live.column("lang"),
+                    "source": live.column("source"),
+                    "n_chars": live.column("n_chars"),
+                }
+            )
+            ins_src = batch.filter(pa.array(did % 13 == 0))
+            iid = ins_src.column("doc_id").to_numpy(zero_copy_only=False)
+            ins = pa.table(
+                {
+                    "doc_id": pa.array(iid + 1_000_000),
+                    "text": pa.array([f"new doc {i}" for i in iid], pa.string()),
+                    "lang": pa.array(["en"] * len(iid), pa.string()),
+                    "source": pa.array(["fresh"] * len(iid), pa.string()),
+                    "n_chars": pa.array(np.full(len(iid), 42, dtype=np.int64)),
+                }
+            )
+            return pa.concat_tables([rev, ins])
+
+        v2 = base.map_batches(derive_v2, batch_format="pyarrow")
+
+    def tag(side: int):
+        def inner(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            t = batch.select(DOC_COLS)
+            return t.set_column(
+                1, "text", pc.fill_null(t.column("text"), "")
+            ).append_column(
+                "_v2", pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            ).append_column(
+                "_bkt", pa.array((did % num_buckets).astype(np.int32))
+            )
+
+        return inner
+
+    def bucket_diff(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        b = df[df["_v2"] == 0].set_index("doc_id")
+        v = df[df["_v2"] == 1].set_index("doc_id")
+        ins = v.index.difference(b.index)
+        del_ = b.index.difference(v.index)
+        both = b.index.intersection(v.index)
+        cmp_cols = ["text", "lang", "source", "n_chars"]
+        bb, vv = b.loc[both, cmp_cols], v.loc[both, cmp_cols]
+        # null-safe inequality (IS DISTINCT FROM): two nulls compare equal
+        diff = (bb != vv) & ~(bb.isna() & vv.isna())
+        upd = both[diff.any(axis=1).to_numpy()]
+        out = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [ins.to_numpy(), del_.to_numpy(), upd.to_numpy()]
+                ).astype(np.int64),
+                "change": ["inserted"] * len(ins)
+                + ["deleted"] * len(del_)
+                + ["updated"] * len(upd),
+            }
+        ).sort_values("doc_id")
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return (
+        base.map_batches(tag(0), batch_format="pyarrow")
+        .union(v2.map_batches(tag(1), batch_format="pyarrow"))
+        .groupby("_bkt")
+        .map_groups(bucket_diff, batch_format="pyarrow")
+    )
