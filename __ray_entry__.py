@@ -349,6 +349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # between snapshot versions — one co-partition shuffle, delta-sized
         # output; FULL-OUTER-JOIN twin; replayable past the cut.
         "snapshot_diff": merge.snapshot_diff,
+        # incremental_pricing (sixth round-4 continuation, never gated):
+        # materialized-view maintenance by exact-integer aggregate-state
+        # merge (view ⊎ delta == wholesale recompute, bit-identical); twin
+        # is the full-table pricing SQL; replayable past the cut.
+        "incremental_pricing": analytics.incremental_pricing,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         "embedding_lsh_digest": dedup.embedding_lsh_digest,
@@ -880,6 +885,18 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # The maintained view must equal the wholesale recompute exactly —
+        # the twin IS the full-table pricing query (state merge is the
+        # engine-side mechanism under test, invisible to the result).
+        "incremental_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS sum_qty,
+                   round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS sum_base_price,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2) AS sum_disc_price,
+                   round(sum(round(l_quantity * 100)::BIGINT) / 100.0 / count(*), 2) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
         """,
         # v2 is derived by the same deterministic rules the pipeline uses;
         # both sides null-coalesce text before comparing.

@@ -29,19 +29,11 @@ def _cents(arr: pa.Array) -> pa.Array:
     return pc.round(pc.multiply(arr, pa.scalar(100.0)), options=_HALF_AWAY).cast(pa.int64())
 
 
-def pricing_summary(sf_dir: str) -> rd.Dataset:
-    """TPC-H Q1-style pricing summary over lineitem.
-
-    Vectorized per-batch revenue; money is summed as exact integer cents so
-    the distributed sum matches the sequential SQL oracle bit-for-bit; tiny
-    group cardinality keeps the shuffle to a few rows per block (Ray
-    aggregates map-side first).
-    """
-    ds = sf_table(
-        sf_dir,
-        "lineitem",
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    )
+def _pricing_state(ds: rd.Dataset) -> rd.Dataset:
+    """Mergeable integer-cents aggregate STATE of a lineitem slice:
+    (flag, status) → qty_c/base_c/disc_c sums + count.  Exact integers, so
+    states combine associatively (the materialized-view invariant
+    ``incremental_pricing`` rides)."""
 
     def to_cents(batch: pa.Table) -> pa.Table:
         qty = batch.column("l_quantity")
@@ -57,42 +49,108 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    ds = ds.map_batches(to_cents, batch_format="pyarrow")
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    return ds.map_batches(to_cents, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
         Sum("qty_c", alias_name="qty_c"),
         Sum("base_c", alias_name="base_c"),
         Sum("disc_c", alias_name="disc_c"),
         Count(alias_name="count_order"),
     )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        cnt = batch.column("count_order").cast(pa.float64())
-        sum_qty = pc.divide(batch.column("qty_c").cast(pa.float64()), pa.scalar(100.0))
-        return pa.table(
-            {
-                "l_returnflag": batch.column("l_returnflag"),
-                "l_linestatus": batch.column("l_linestatus"),
-                "sum_qty": pc.round(sum_qty, ndigits=2),
-                "sum_base_price": pc.round(
-                    pc.divide(batch.column("base_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
-                ),
-                "sum_disc_price": pc.round(
-                    pc.divide(batch.column("disc_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
-                ),
-                # half-away, like DuckDB round(): the quotient CAN sit on a
-                # binary midpoint (e.g. 25.0/8 = 3.125), where pc.round's
-                # default half-to-even diverges; the cents/100 sites above
-                # are immune (≤2 decimals exact) and keep the default.
-                "avg_qty": pc.round(
-                    pc.divide(sum_qty, cnt),
-                    ndigits=2,
-                    round_mode="half_towards_infinity",
-                ),
-                "count_order": batch.column("count_order"),
-            }
-        )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Vectorized per-batch revenue; money is summed as exact integer cents so
+    the distributed sum matches the sequential SQL oracle bit-for-bit; tiny
+    group cardinality keeps the shuffle to a few rows per block (Ray
+    aggregates map-side first).
+    """
+    ds = sf_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return _pricing_state(ds).map_batches(_pricing_finish, batch_format="pyarrow")
+
+
+def _pricing_finish(batch: pa.Table) -> pa.Table:
+    cnt = batch.column("count_order").cast(pa.float64())
+    sum_qty = pc.divide(batch.column("qty_c").cast(pa.float64()), pa.scalar(100.0))
+    return pa.table(
+        {
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pc.round(sum_qty, ndigits=2),
+            "sum_base_price": pc.round(
+                pc.divide(batch.column("base_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+            ),
+            "sum_disc_price": pc.round(
+                pc.divide(batch.column("disc_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+            ),
+            # half-away, like DuckDB round(): the quotient CAN sit on a
+            # binary midpoint (e.g. 25.0/8 = 3.125), where pc.round's
+            # default half-to-even diverges; the cents/100 sites above
+            # are immune (≤2 decimals exact) and keep the default.
+            "avg_qty": pc.round(
+                pc.divide(sum_qty, cnt),
+                ndigits=2,
+                round_mode="half_towards_infinity",
+            ),
+            "count_order": batch.column("count_order"),
+        }
+    )
+
+
+def incremental_pricing(sf_dir: str, *, cutoff: str = "1997-06-01") -> rd.Dataset:
+    """Materialized-view maintenance for the pricing summary: the
+    lakehouse refresh path that AVOIDS rescanning the base — combine the
+    view's stored aggregate STATE with the delta slice's state instead.
+
+    Gated instance splits lineitem at ``l_shipdate < cutoff`` (the "already
+    materialized" view) vs ``>= cutoff`` (the day's delta), computes each
+    side's mergeable integer-cents state (`_pricing_state`), then merges by
+    ONE tiny union+groupby over state rows (groups × blocks rows, never
+    fact rows) and applies the same finish kernel.  Because the state is
+    exact integers, the maintained view is BIT-IDENTICAL to the wholesale
+    recompute — the twin is simply `pricing_summary`'s full-table SQL.  At
+    production scale the view state is a stored table and only the delta
+    is scanned; here both sides are derived from the split for the gate.
+    """
+    cut = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
+    cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    ]
+    ds = sf_table(sf_dir, "lineitem", columns=cols)
+
+    def slice_side(keep_lt: bool):
+        def inner(batch: pa.Table) -> pa.Table:
+            m = pc.less(batch.column("l_shipdate"), cut)
+            return batch.filter(m if keep_lt else pc.invert(m)).drop_columns(
+                ["l_shipdate"]
+            )
+
+        return inner
+
+    view_state = _pricing_state(ds.map_batches(slice_side(True), batch_format="pyarrow"))
+    delta_state = _pricing_state(ds.map_batches(slice_side(False), batch_format="pyarrow"))
+    merged = (
+        view_state.union(delta_state)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    return merged.map_batches(_pricing_finish, batch_format="pyarrow")
 
 
 def events_hourly(sf_dir: str) -> rd.Dataset:
