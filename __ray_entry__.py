@@ -225,12 +225,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slot comes from token_totals_by_lang, whose per-lang totals are
         # the column sums of the still-gated token_frequencies output.
         "copurchase_pairs": basket.copurchase_pairs,
+        # incremental_dedup_digest is new in this (sixth) round-4
+        # continuation, never driver-gated: the incremental new-batch-vs-
+        # indexed-history MinHash dedup (cross-side banding, shared verify
+        # chain, min-history-id fold — the daily-crawl ingestion shape).
+        # Its slot comes from extract_span_counts (green r01-r03 with
+        # unchanged code; the extraction surface keeps TWO gate carriers —
+        # checkpointed_extract below runs the identical span-extraction
+        # chain plus checkpoint/resume, and the driver's entry() smoke runs
+        # extract_span_counts itself every round); replayable past the cut.
+        "incremental_dedup_digest": dedup.incremental_dedup_digest,
         # --- extraction family (north rule) ----------------------------------
         # shape_counts / input_span_counts / image_meta moved past the cut
-        # this session (green in r02+r03; their slots fund gram_novelty /
-        # gopher_quality_flags / dsir_select above); extract_span_counts +
-        # checkpointed_extract keep carrying the north-rule gate signal.
-        "extract_span_counts": extract_stats.extract_span_counts,
+        # earlier (green in r02+r03; their slots fund gram_novelty /
+        # gopher_quality_flags / dsir_select above); checkpointed_extract
+        # keeps carrying the north-rule gate signal (the full extraction
+        # chain + checkpoint manifest), extract_span_counts sits just past
+        # the cut (still the entry() smoke surface).
         "checkpointed_extract": checkpointed_extract,
         # zorder_layout is new in this (fourth) round-4 continuation, never
         # driver-gated: the Morton-curve data-layout optimizer + per-file
@@ -260,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # past the cut).
         "bpe_digest": bpe.bpe_digest,
         # ------------------------- 50-query gate cut -------------------------
+        # extract_span_counts sits just past the cut this session (its slot
+        # funds incremental_dedup_digest above): green r01-r03 unchanged,
+        # still the entry() smoke surface and pytest span-sequence-pinned.
+        "extract_span_counts": extract_stats.extract_span_counts,
         # --- dedup digests ----------------------------------------------------
         # paragraph_dedup sits just past the cut since nb_source_classify
         # took its slot (the sub-document dedup signal stays pinned by its
@@ -2287,6 +2302,9 @@ def oracle_sql() -> dict[str, str]:
         # queries beside these gates.
         "minhash_digest": """
             SELECT 1555726988207594003::BIGINT AS digest
+        """,
+        "incremental_dedup_digest": """
+            SELECT 2202788638273873516::BIGINT AS digest
         """,
         "simhash_digest": """
             SELECT 311662585135592587::BIGINT AS digest

@@ -142,6 +142,52 @@ def minhash_clusters(sf_dir: str, *, threshold: float = 0.8) -> list[tuple[int, 
     return clusters_from_edges(edges)
 
 
+def incremental_matches(
+    sf_dir: str, *, threshold: float = 0.8, split_mod: int = 8
+) -> list[tuple[int, int]]:
+    """Sequential twin of `pipelines.dedup.incremental_dedup`: MinHash→LSH
+    candidate pairs restricted to NEW (doc_id % split_mod == split_mod-1)
+    × OLD cross pairs, each side capped at the first MAX_BUCKET ascending
+    ids per (band, bhash) bucket, exact-Jaccard verify, then MIN matching
+    old id per new doc.  Returns sorted (new_doc_id, dup_of) rows."""
+    docs = _load_docs(sf_dir)
+    A, B = _minhash_params()
+    shingles: dict[int, set[int]] = {}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d, t in docs:
+        sh = shingle_set(t)
+        shingles[d] = sh
+        if not sh:
+            sig = np.full(NUM_HASHES, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            x = np.fromiter(sh, dtype=np.uint64)
+            sig = ((np.outer(A, x) + B[:, None]) % MERSENNE).min(axis=1)
+        for band in range(NUM_BANDS):
+            chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            buckets.setdefault((band, bh), []).append(d)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        new = sorted(i for i in ids if i % split_mod == split_mod - 1)[:MAX_BUCKET]
+        old = sorted(i for i in ids if i % split_mod != split_mod - 1)[:MAX_BUCKET]
+        for n in new:
+            for o in old:
+                pairs.add((n, o))
+    best: dict[int, int] = {}
+    for n, o in sorted(pairs):
+        s1, s2 = shingles[n], shingles[o]
+        if not s1 and not s2:
+            j = 1.0
+        elif not s1 or not s2:
+            j = 0.0
+        else:
+            inter = len(s1 & s2)
+            j = inter / (len(s1) + len(s2) - inter)
+        if j >= threshold and (n not in best or o < best[n]):
+            best[n] = o
+    return sorted(best.items())
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -559,39 +559,46 @@ def minhash_lsh_dedup(
     ).sort("doc_id")
 
 
-def _minhash_clusters_over(
+def _compact_pairs(pairs: rd.Dataset) -> rd.Dataset:
+    """Materialize + (when small) compact a candidate-pair Dataset.
+
+    materialize: the pair set (small) is consumed twice — once for the
+    candidate-id broadcast, once as request rows — and must not recompute
+    the banding chain.  The upstream per-`a` dedupe matters for both
+    consumers: a pair matching in k bands is emitted k times by the banding
+    stage, so without it `pairs.count()` over-states the candidate bound
+    (mis-sizing the Bloom / abandoning the exact-array path early) and every
+    duplicate ships two redundant shingle-request rows through the verify
+    shuffle.
+
+    Compacting a SMALL pair set out of the banding groupby's block layout
+    (one tiny block per sort partition) matters because every downstream
+    shuffle otherwise pays per-block fixed costs ~10x the data.  Count and
+    num_blocks are metadata on the materialized set; the repartition is
+    skipped entirely at scale (big pair sets keep their parallelism)."""
+    pairs = pairs.materialize()
+    if pairs.count() < 1_000_000 and pairs.num_blocks() > 8:
+        pairs = pairs.repartition(4).materialize()
+    return pairs
+
+
+def _verify_candidate_pairs(
     docs: rd.Dataset,
+    pairs: rd.Dataset,
     *,
     threshold: float,
     num_partitions: int,
-    cc_rows_per_bucket: int | None,
     bloom_threshold: int,
     prune_candidates: bool,
 ) -> rd.Dataset:
-    """The banding→verify→CC core of `minhash_lsh_dedup` over an arbitrary
-    (doc_id, text) dataset; returns UNSORTED (doc_id, cluster_id)."""
-    bands = docs.map_batches(_band_rows, batch_format="pyarrow")
-    # materialize: the pair set (small) is consumed twice — once for the
-    # candidate-id broadcast, once as request rows — and must not recompute
-    # the banding chain.  The interposed dedupe matters for both consumers:
-    # a pair matching in k bands is emitted k times by the banding stage, so
-    # without it `pairs.count()` over-states the candidate bound (mis-sizing
-    # the Bloom / abandoning the exact-array path early) and every duplicate
-    # ships two redundant shingle-request rows through the verify shuffle.
-    pairs = (
-        bands.groupby("cb")
-        .map_groups(_coarse_bucket_pairs, batch_format="pyarrow")
-        .groupby("a")
-        .map_groups(_dedupe_pair_group, batch_format="pyarrow")
-        .materialize()
-    )
-    # Compact a SMALL pair set out of the banding groupby's block layout
-    # (one tiny block per sort partition): every downstream shuffle
-    # otherwise pays per-block fixed costs ~10x the data.  Count and
-    # num_blocks are metadata on the materialized set; the repartition is
-    # skipped entirely at scale (big pair sets keep their parallelism).
-    if pairs.count() < 1_000_000 and pairs.num_blocks() > 8:
-        pairs = pairs.repartition(4).materialize()
+    """Exact-Jaccard verification of a MATERIALIZED candidate (a, b) pair
+    Dataset against the (doc_id, text) corpus: broadcast-filter the corpus
+    to candidate endpoints, union shingle-request rows with the filtered
+    corpus, shuffle once on ``doc_id % B`` to attach shingle sets, then
+    shuffle once on the pair hash to pivot the two sides back together and
+    keep pairs with exact shingle Jaccard ≥ threshold.  Shared by the
+    whole-corpus clustering path (`_minhash_clusters_over`) and the
+    incremental new-vs-indexed path (`incremental_dedup`)."""
 
     def _endpoints(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -640,11 +647,192 @@ def _minhash_clusters_over(
             fn_kwargs={"num_buckets": num_partitions},
         )
     )
-    verified = sided.groupby("_bkt").map_groups(
+    return sided.groupby("_bkt").map_groups(
         _verify_pairs, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
+    )
+
+
+def _minhash_clusters_over(
+    docs: rd.Dataset,
+    *,
+    threshold: float,
+    num_partitions: int,
+    cc_rows_per_bucket: int | None,
+    bloom_threshold: int,
+    prune_candidates: bool,
+) -> rd.Dataset:
+    """The banding→verify→CC core of `minhash_lsh_dedup` over an arbitrary
+    (doc_id, text) dataset; returns UNSORTED (doc_id, cluster_id)."""
+    bands = docs.map_batches(_band_rows, batch_format="pyarrow")
+    pairs = _compact_pairs(
+        bands.groupby("cb")
+        .map_groups(_coarse_bucket_pairs, batch_format="pyarrow")
+        .groupby("a")
+        .map_groups(_dedupe_pair_group, batch_format="pyarrow")
+    )
+    verified = _verify_candidate_pairs(
+        docs,
+        pairs,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        bloom_threshold=bloom_threshold,
+        prune_candidates=prune_candidates,
     )
     cc_kw = {"rows_per_bucket": cc_rows_per_bucket} if cc_rows_per_bucket else {}
     return connected_components(verified, **cc_kw)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs indexed history (no history re-clustering)
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_SPLIT_MOD = 8  # doc_id % MOD == MOD-1 → "incoming batch"; else history
+
+
+def _cross_side_pairs(group: pa.Table, *, split_mod: int) -> pa.Table:
+    """All (band, bhash) runs of one coarse bucket → (a=NEW doc, b=OLD doc)
+    cross pairs only — the incremental analog of `_coarse_bucket_pairs`.
+
+    Side is derived from the doc_id itself (``doc_id % split_mod ==
+    split_mod - 1`` → incoming), so the banding stage needs no schema
+    change.  Per run each side is independently capped at the first
+    MAX_BUCKET ascending doc_ids (same deterministic skew guard, logged);
+    new×new and old×old pairs are never emitted — history is already
+    deduplicated by assumption, and the incoming batch dedupes against
+    itself via the whole-corpus operators."""
+    band = group.column("band").combine_chunks().to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    bh = np.asarray(group.column("bhash").to_pylist(), dtype=object)
+    if len(doc) == 0:
+        return _EMPTY_PAIRS
+    order = np.lexsort((doc, bh, band))
+    band, doc, bh = band[order], doc[order], bh[order]
+    new_side = (doc % split_mod) == (split_mod - 1)
+    first = np.concatenate([[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+    starts = np.nonzero(first)[0]
+    ends = np.concatenate([starts[1:], [len(doc)]])
+    a_parts, b_parts = [], []
+    for s0, e0 in zip(starts, ends):
+        seg_new = doc[s0:e0][new_side[s0:e0]]
+        seg_old = doc[s0:e0][~new_side[s0:e0]]
+        if len(seg_new) == 0 or len(seg_old) == 0:
+            continue
+        for name, seg in (("new", seg_new), ("old", seg_old)):
+            if len(seg) > MAX_BUCKET:
+                logger.warning(
+                    "incremental LSH bucket (band=%s, key=%s) has %d %s docs; "
+                    "keeping first %d, dropping %d",
+                    band[s0],
+                    bh[s0],
+                    len(seg),
+                    name,
+                    MAX_BUCKET,
+                    len(seg) - MAX_BUCKET,
+                )
+        seg_new = seg_new[:MAX_BUCKET]
+        seg_old = seg_old[:MAX_BUCKET]
+        a_parts.append(np.repeat(seg_new, len(seg_old)))
+        b_parts.append(np.tile(seg_old, len(seg_new)))
+    if not a_parts:
+        return _EMPTY_PAIRS
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(a_parts)),
+            "b": pa.array(np.concatenate(b_parts)),
+        }
+    )
+
+
+def incremental_dedup(
+    sf_dir: str,
+    *,
+    threshold: float = 0.8,
+    split_mod: int = INCREMENTAL_SPLIT_MOD,
+    num_partitions: int = 64,
+    bloom_threshold: int = 2_000_000,
+    prune_candidates: bool = True,
+) -> rd.Dataset:
+    """Dedup an INCOMING batch against an already-indexed history without
+    re-clustering the history — the production shape of daily-crawl
+    ingestion (each increment is checked against the accumulated corpus;
+    the accumulated corpus is never re-banded against itself).
+
+    The deterministic split ``doc_id % split_mod == split_mod - 1`` marks
+    the incoming batch (1/8 of the corpus by default); the rest is history.
+    Returns one row per incoming doc that has a verified near-duplicate in
+    history: (doc_id, dup_of = MIN matching history doc_id), sorted by
+    doc_id.
+
+    Scale shape — identical shuffle bill to `minhash_lsh_dedup` minus the
+    CC stage, and the pair set is strictly smaller (old×old and new×new
+    runs emit nothing):
+
+    1. ONE banding pass over the whole table (`_band_rows` — at real scale
+       the history side's band rows come from the stored index, so the
+       daily cost is the increment only; here both sides are derived from
+       the one documents table to stay self-contained);
+    2. the coarse-bucket groupby emits only cross-side candidate pairs,
+       capped per (band, bhash) run per side (`_cross_side_pairs`);
+    3. the shared `_verify_candidate_pairs` chain broadcast-filters the
+       corpus to candidate endpoints and exact-Jaccard-verifies each pair;
+    4. survivors fold to MIN history id per incoming doc via the
+       hash-bucket `fold_by_key` (no CC: the output is a bipartite match,
+       not a clustering).
+
+    Oracle: pinned digest from the independent sequential
+    `oracle_dedup.incremental_matches` (gate: ``incremental_dedup_digest``).
+    """
+    from .fold import fold_by_key
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = docs.map_batches(_band_rows, batch_format="pyarrow")
+    pairs = _compact_pairs(
+        bands.groupby("cb")
+        .map_groups(
+            _cross_side_pairs,
+            batch_format="pyarrow",
+            fn_kwargs={"split_mod": split_mod},
+        )
+        .groupby("a")
+        .map_groups(_dedupe_pair_group, batch_format="pyarrow")
+    )
+    verified = _verify_candidate_pairs(
+        docs,
+        pairs,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        bloom_threshold=bloom_threshold,
+        prune_candidates=prune_candidates,
+    )
+    folded = fold_by_key(verified, key="a", cols=["b"], ops=["min"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("a"), "dup_of": batch.column("b")}
+        )
+
+    return folded.map_batches(rename, batch_format="pyarrow").sort("doc_id")
+
+
+def incremental_dedup_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `incremental_dedup` (oracle:
+    oracle_dedup.incremental_matches — same pinned-literal pattern as
+    `minhash_digest`)."""
+    from .interpret import fold_digest
+
+    ds = incremental_dedup(sf_dir, **kwargs)
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(
+                    [str(c) for c in batch["dup_of"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
 
 
 NUM_EXACT_BUCKETS = 64

@@ -43,6 +43,7 @@ class TestDedupDigestGates:
         "name",
         [
             "minhash_digest",
+            "incremental_dedup_digest",
             "simhash_digest",
             "winnow_digest",
             "approx_distinct_digest",
@@ -104,6 +105,40 @@ class TestDedupDigestGates:
             for r in dedup.minhash_lsh_dedup(SF).take_all()
         ]
         assert sorted(rows) == od.minhash_clusters(SF)
+
+    def test_incremental_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import dedup
+
+        rows = [
+            (r["doc_id"], r["dup_of"])
+            for r in dedup.incremental_dedup(SF).take_all()
+        ]
+        assert rows == od.incremental_matches(SF)
+        # every match crosses the split: new side left, history side right
+        mod = dedup.INCREMENTAL_SPLIT_MOD
+        assert all(d % mod == mod - 1 and o % mod != mod - 1 for d, o in rows)
+
+    def test_incremental_lower_threshold_more_pairs(self, ray_session):
+        # at a looser threshold the candidate/verify machinery admits more
+        # matches and still agrees with the sequential oracle row-for-row
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import dedup
+
+        rows = [
+            (r["doc_id"], r["dup_of"])
+            for r in dedup.incremental_dedup(SF, threshold=0.3).take_all()
+        ]
+        want = od.incremental_matches(SF, threshold=0.3)
+        assert rows == want
+        assert len(want) >= len(od.incremental_matches(SF))
+
+    def test_incremental_partition_invariance(self, ray_session):
+        from ocr_engine_ray.pipelines import dedup
+
+        a = dedup.incremental_dedup(SF, num_partitions=7).take_all()
+        b = dedup.incremental_dedup(SF, num_partitions=64).take_all()
+        assert a == b
 
     def test_simhash_rows_match_oracle(self, ray_session):
         from ocr_engine_ray import oracle_dedup as od
