@@ -382,6 +382,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customer_orders": joins.inactive_customer_orders,
         "clicks_last_purchase": joins.clicks_last_purchase,
         "order_event_window_join": joins.order_event_window_join,
+        # segment_event_value (seventh round-4 continuation, never gated):
+        # the SALTED bucketed hash join — hot fact keys split across salt
+        # sub-buckets (salt from event_id), dim rows replicated salt×, so no
+        # single map_groups task absorbs a hot key; plain JOIN twin;
+        # salt-invariance asserted in tests/test_salted_join.py.
+        "segment_event_value": joins.segment_event_value,
         # --- relational / windowed analytics ---------------------------------
         "pricing_summary": analytics.pricing_summary,
         "grouped_topk": analytics.grouped_topk,
@@ -2228,6 +2234,13 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= o.o_orderdate
              AND e.ts < o.o_orderdate + INTERVAL 7 DAY
             GROUP BY o.o_orderkey
+        """,
+        "segment_event_value": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_events,
+                   round(sum(round(value * 100)::BIGINT) / 100.0, 2)
+                     AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         # The stateful-streaming surface: per-event running totals per user,
         # recomputed by an ordered window (cents-integer sums, order-exact).

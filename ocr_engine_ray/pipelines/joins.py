@@ -864,3 +864,145 @@ def bloom_semi_join(
         .aggregate(Count(alias_name="n_items"))
         .sort("l_returnflag")
     )
+
+
+SALT_FACTOR = 4
+
+
+def segment_event_value(
+    sf_dir: str,
+    *,
+    num_buckets: int = NUM_JOIN_BUCKETS,
+    salt: int = SALT_FACTOR,
+) -> rd.Dataset:
+    """Event value per customer market segment via a SALTED bucketed hash
+    join on ``user_id`` — the hot-key mitigation `diagnostics.skew_report`
+    recommends, demonstrated end-to-end.
+
+    In a plain bucketed join one hot user lands every one of its fact rows
+    in a single ``map_groups`` task; at 100 TB that task is the straggler
+    that sets the stage's wall-time.  Salting splits each key's FACT rows
+    across ``salt`` sub-buckets (salt drawn from ``event_id``, never the
+    key) and REPLICATES each dim row into all ``salt`` sub-buckets, so the
+    composite group key ``(user_id % B) * salt + s`` bounds any one task at
+    ~1/salt of the hottest key.  The join result is salt-invariant by
+    construction (asserted in tests at salt ∈ {1, 4, 7}); the only cost is
+    ``salt ×`` the (small) dim side in the exchange.
+
+    Scale shape: map-side (key, salt) pre-aggregation shrinks the fact
+    exchange to distinct-(user, salt) per 64k batch; per-bucket pandas
+    merge emits per-segment partials; one tiny segment groupby finishes.
+    Money is exact int cents end-to-end (`_cents_i64` grid).
+    """
+    from ..state.stream import _cents_i64
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    events = sf_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def dim_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").cast(pa.int64())
+        kn = keys.to_numpy(zero_copy_only=False)
+        # replicate each dim row into every salt sub-bucket
+        rep = np.repeat(np.arange(len(kn)), salt)
+        salts = np.tile(np.arange(salt, dtype=np.int64), len(kn))
+        gk = (kn[rep] % num_buckets) * salt + salts
+        seg = batch.column("c_mktsegment").take(pa.array(rep, pa.int64()))
+        return pa.table(
+            {
+                "gk": pa.array(gk.astype(np.int64)),
+                "key": pa.array(kn[rep]),
+                "seg": seg,
+                "cents": pa.nulls(len(rep), pa.int64()),
+                "n": pa.nulls(len(rep), pa.int64()),
+            }
+        )
+
+    def fact_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "gk": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64())
+        eid = (
+            batch.column("event_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "key": uid,
+                # salt from the EVENT id: a function of the key alone would
+                # re-concentrate the hot key into one sub-bucket
+                "s": pa.array((eid % salt).astype(np.int64)),
+                "cents": _cents_i64(batch.column("value")),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        # map-side pre-agg BY (key, salt): shrinks the exchange and keeps
+        # count(*) semantics via sum(1) (pyarrow count would skip null cents)
+        agg = pa.TableGroupBy(t, ["key", "s"]).aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+        kn = agg.column("key").to_numpy(zero_copy_only=False)
+        sn = agg.column("s").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gk": pa.array((kn % num_buckets) * salt + sn),
+                "key": agg.column("key"),
+                "seg": pa.nulls(agg.num_rows, pa.string()),
+                "cents": agg.column("cents_sum").cast(pa.int64()),
+                "n": agg.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    _EMPTY_PARTIAL = pd.DataFrame(
+        {
+            "seg": pd.Series([], dtype="object"),
+            "cents": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or "seg" not in group.columns:
+            return _EMPTY_PARTIAL
+        dim = group[group["seg"].notna()][["key", "seg"]]
+        fact = group[group["seg"].isna()][["key", "cents", "n"]]
+        j = fact.merge(dim, on="key", how="inner")
+        if len(j) == 0:
+            return _EMPTY_PARTIAL
+        out = j.groupby("seg", as_index=False).agg(
+            cents=("cents", "sum"), n_events=("n", "sum")
+        )
+        out["cents"] = out["cents"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    partials = (
+        cust.map_batches(dim_side, batch_format="pyarrow")
+        .union(events.map_batches(fact_side, batch_format="pyarrow", batch_size=65536))
+        .groupby("gk")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+    agg = partials.groupby("seg").aggregate(
+        Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("seg"),
+                "n_events": batch.column("n_events"),
+                "total_value": pc.round(
+                    pc.divide(batch.column("cents").cast(pa.float64()), pa.scalar(100.0)),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("c_mktsegment")
