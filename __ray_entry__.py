@@ -373,6 +373,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_clusters": dedup.embedding_near_dup_clusters,
         "embedding_lsh_digest": dedup.embedding_lsh_digest,
         "ann_topk": ann.ann_topk_bruteforce,
+        # hard_negatives (seventh round-4 continuation, never gated): exact
+        # contrastive hard-negative mining — per-query cosine top-k masked
+        # to DIFFERENT-label vectors, broadcast query matrix, corpus never
+        # shuffles; list_cosine_similarity twin.
+        "hard_negatives": ann.hard_negatives,
         "ann_lsh_digest": ann.ann_lsh_digest,
         # --- joins (broadcast / bucketed hash / native hash / as-of) --------
         "mktsegment_revenue": joins.mktsegment_revenue,
@@ -1043,6 +1048,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
                      list_cosine_similarity(q.embedding, e.embedding) AS s
               FROM q, embeddings e WHERE e.vec_id <> q.vec_id)
+            SELECT query_id, rank, vec_id FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+                       ORDER BY vec_id LIMIT 8),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS s
+              FROM q, embeddings e
+              WHERE e.vec_id <> q.vec_id AND e.label <> q.label)
             SELECT query_id, rank, vec_id FROM (
               SELECT query_id, vec_id,
                      row_number() OVER (PARTITION BY query_id

@@ -972,3 +972,104 @@ def ann_search_codes(
         )
 
     return partials.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
+
+
+def hard_negatives(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
+    """Exact hard-negative mining for contrastive training: for each query
+    vector, the cosine top-k among vectors with a DIFFERENT label (the
+    near-but-wrong examples embedding-model training wants).  Returns
+    (query_id, rank, vec_id), rank 1..k by similarity desc, vec_id asc ties.
+
+    Same scale shape as `ann_topk_bruteforce` — the query matrix (plus its
+    label vector) is broadcast once via ``ray.put``, each corpus batch does
+    one float64 matmul and a label-mask, partial top-k per batch, one tiny
+    groupby finishes.  The corpus never shuffles.  Null-label rows are
+    excluded, matching the SQL twin's ``e.label <> q.label``.
+    """
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def _k_smallest(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        idx = np.argsort(vid)[:num_queries]
+        return batch.take(pa.array(idx, pa.int64()))
+
+    rows = sorted(
+        emb.map_batches(_k_smallest, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"],
+    )[:num_queries]
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    qlab = np.array(
+        [-1 if r["label"] is None else r["label"] for r in rows], dtype=np.int64
+    )
+    qlab_null = np.array([r["label"] is None for r in rows], dtype=bool)
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    ref = ray.put((qids, qlab, qlab_null, q / qn[:, None]))
+
+    def score(batch: pa.Table, *, ref) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        bqids, bqlab, bqnull, bqmat = ray.get(ref)
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        lab_py = batch.column("label").to_pylist()
+        lab = np.array([-1 if v is None else v for v in lab_py], dtype=np.int64)
+        lab_null = np.array([v is None for v in lab_py], dtype=bool)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        sims = (m / n[:, None]) @ bqmat.T  # (batch × queries)
+        # SQL `e.label <> q.label` is FALSE-or-NULL when either side is NULL
+        # or the labels match — exclude all of those rows
+        same = (lab[:, None] == bqlab[None, :]) & ~lab_null[:, None] & ~bqnull[None, :]
+        drop = same | lab_null[:, None] | bqnull[None, :]
+        drop |= vid[:, None] == bqids[None, :]  # self, for null-label queries
+        sims[drop] = -np.inf
+        topn = min(k, len(vid))
+        qp, vp, sp = [], [], []
+        for qi in range(len(bqids)):
+            order = np.lexsort((vid, -sims[:, qi]))[:topn]
+            s = sims[order, qi]
+            keep = np.isfinite(s)
+            qp.append(np.full(int(keep.sum()), bqids[qi], dtype=np.int64))
+            vp.append(vid[order][keep])
+            sp.append(s[keep])
+        if not qp:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qp), pa.int64()),
+                "vec_id": pa.array(np.concatenate(vp), pa.int64()),
+                "score": pa.array(np.concatenate(sp), pa.float64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        score, batch_format="pyarrow", batch_size=1024, fn_kwargs={"ref": ref}
+    )
+
+    def _final_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                group.column("score").to_pylist(),
+                group.column("vec_id").to_pylist(),
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        qid = group.column("query_id")[0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "vec_id": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
