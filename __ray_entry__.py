@@ -399,6 +399,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": analytics.user_event_gaps,
         "events_hourly": analytics.events_hourly,
         "events_sliding": analytics.events_sliding,
+        # resample_hourly_ffill (seventh round-4 continuation, never gated):
+        # per-user hourly resample + forward fill — one user-bucket shuffle,
+        # arange-built grid, vectorized grouped ffill; generate_series ×
+        # last_value(IGNORE NULLS) twin.
+        "resample_hourly_ffill": analytics.resample_hourly_ffill,
         "sessionize": analytics.sessionize,
         "top_sources": analytics.top_sources,
     }
@@ -883,6 +888,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs
             FROM documents GROUP BY source
             ORDER BY total_chars DESC, source LIMIT 5
+        """,
+        "resample_hourly_ffill": """
+            WITH e AS (
+              SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
+                     round(value * 100)::BIGINT AS cents
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            runs AS (
+              SELECT user_id, hr,
+                     last_value(cents IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS run_cents,
+                     row_number() OVER (PARTITION BY user_id, hr
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM e
+            ),
+            per_hr AS (SELECT user_id, hr, run_cents FROM runs WHERE rn = 1),
+            bounds AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+                       FROM per_hr GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+                     FROM bounds),
+            filled AS (
+              SELECT g.user_id, g.hr,
+                     last_value(p.run_cents IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cents
+              FROM grid g
+              LEFT JOIN per_hr p ON g.user_id = p.user_id AND g.hr = p.hr
+            )
+            SELECT user_id, hr, cents::BIGINT AS last_cents
+            FROM filled ORDER BY user_id, hr
         """,
         "exact_dedup": """
             SELECT doc_id, source FROM (

@@ -998,3 +998,101 @@ def time_weighted_value(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         .map_groups(bucket_twa, batch_format="pyarrow")
         .sort("user_id")
     )
+
+
+def resample_hourly_ffill(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
+    """Per-user hourly RESAMPLE with forward fill — the gap-filling shape
+    that turns an irregular event stream into a regular time grid (feature
+    stores / time-series training data).  For each user, every hour from
+    their first to their last event carries the running last non-null
+    value (exact int cents) observed at or before that hour's final event;
+    hours with no events inherit the previous hour's value; hours before
+    the first non-null observation stay NULL.
+
+    Scale shape: ONE user-bucket co-partition shuffle, then everything is
+    vectorized pandas inside the bucket (sort → running ffill → last row
+    per hour → arange-built grid → merge → grouped ffill).  Output is
+    grid-sized (Σ per-user spans), never corpus²; per-user span bounds a
+    bucket's memory the same way a user's event count already does in
+    `sessionize`.
+
+    Returns (user_id, hr, last_cents) sorted by (user_id, hr); twin is the
+    generate_series × last_value(IGNORE NULLS) window SQL.
+    """
+    import numpy as np
+
+    ev = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("user_id")),
+                pc.is_valid(batch.column("ts")),
+            )
+        )
+        uid = batch.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    uid.to_numpy(zero_copy_only=False) % num_buckets
+                ).cast(pa.int32()),
+                "user_id": uid,
+                "ts_us": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "hr_us": pd.Series([], dtype="int64"),
+            "last_cents": pd.Series([], dtype="Int64"),
+        }
+    )
+
+    def fill_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return _EMPTY
+        df = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        # running last-non-null cents per user in event order
+        df["run"] = df.groupby("user_id")["cents"].ffill()
+        df["hr"] = df["ts_us"] // HOUR_US
+        per_hr = df.groupby(["user_id", "hr"], as_index=False)["run"].last()
+        # per-user inclusive hour bounds → arange-built grid (no Python loop)
+        b = per_hr.groupby("user_id", as_index=False)["hr"].agg(["min", "max"])
+        mn = b["min"].to_numpy(dtype=np.int64)
+        counts = (b["max"].to_numpy(dtype=np.int64) - mn + 1).astype(np.int64)
+        uid_rep = np.repeat(b["user_id"].to_numpy(dtype=np.int64), counts)
+        offs = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        grid = pd.DataFrame({"user_id": uid_rep, "hr": np.repeat(mn, counts) + offs})
+        g = grid.merge(per_hr, on=["user_id", "hr"], how="left")
+        filled = g.groupby("user_id")["run"].ffill()
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "hr_us": (g["hr"] * HOUR_US).astype("int64"),
+                "last_cents": filled.round().astype("Int64"),
+            }
+        )
+        return out
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "hr": batch.column("hr_us").cast(pa.timestamp("us")),
+                "last_cents": batch.column("last_cents").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bkt")
+        .map_groups(fill_bucket, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["user_id", "hr"])
+    )
