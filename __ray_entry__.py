@@ -404,6 +404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # arange-built grid, vectorized grouped ffill; generate_series ×
         # last_value(IGNORE NULLS) twin.
         "resample_hourly_ffill": analytics.resample_hourly_ffill,
+        # scd2_history (seventh round-4 continuation, never gated): SCD
+        # Type-2 validity intervals per user attribute run — one user-bucket
+        # shuffle, shift-compare+cumsum run detection; lag/lead window twin.
+        "scd2_history": analytics.scd2_event_type_history,
         "sessionize": analytics.sessionize,
         "top_sources": analytics.top_sources,
     }
@@ -922,6 +926,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, hr, cents::BIGINT AS last_cents
             FROM filled ORDER BY user_id, hr
+        """,
+        "scd2_history": """
+            WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            m AS (SELECT user_id, ts, event_id, event_type,
+                         CASE WHEN lag(event_type) OVER w
+                                   IS DISTINCT FROM event_type
+                              THEN 1 ELSE 0 END AS chg
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            seg AS (SELECT user_id, ts, event_type,
+                           sum(chg) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS seg_id
+                    FROM m),
+            agg AS (SELECT user_id, seg_id::BIGINT AS seg_id,
+                           any_value(event_type) AS event_type,
+                           min(ts) AS valid_from, count(*)::BIGINT AS n_events
+                    FROM seg GROUP BY user_id, seg_id)
+            SELECT user_id, seg_id, event_type, valid_from,
+                   lead(valid_from) OVER (
+                     PARTITION BY user_id ORDER BY seg_id) AS valid_to,
+                   n_events
+            FROM agg ORDER BY user_id, seg_id
         """,
         "exact_dedup": """
             SELECT doc_id, source FROM (
