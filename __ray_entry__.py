@@ -235,6 +235,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chain plus checkpoint/resume, and the driver's entry() smoke runs
         # extract_span_counts itself every round); replayable past the cut.
         "incremental_dedup_digest": dedup.incremental_dedup_digest,
+        # split_leakage_digest (seventh round-4 continuation, never gated):
+        # eval-set contamination audit — near-dup pairs crossing the
+        # hash_split test boundary via the shared cross-side banding +
+        # verify chain; pinned digest from oracle_dedup.leakage_matches.
+        "split_leakage_digest": dedup.split_leakage_digest,
         # --- extraction family (north rule) ----------------------------------
         # shape_counts / input_span_counts / image_meta moved past the cut
         # earlier (green in r02+r03; their slots fund gram_novelty /
@@ -2405,6 +2410,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_dedup_digest": """
             SELECT 2202788638273873516::BIGINT AS digest
+        """,
+        "split_leakage_digest": """
+            SELECT 1126365490392119477::BIGINT AS digest
         """,
         "simhash_digest": """
             SELECT 311662585135592587::BIGINT AS digest

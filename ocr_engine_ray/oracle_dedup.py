@@ -142,14 +142,15 @@ def minhash_clusters(sf_dir: str, *, threshold: float = 0.8) -> list[tuple[int, 
     return clusters_from_edges(edges)
 
 
-def incremental_matches(
-    sf_dir: str, *, threshold: float = 0.8, split_mod: int = 8
+def _cross_matches_by_side(
+    sf_dir: str, is_new, *, threshold: float
 ) -> list[tuple[int, int]]:
-    """Sequential twin of `pipelines.dedup.incremental_dedup`: MinHash→LSH
-    candidate pairs restricted to NEW (doc_id % split_mod == split_mod-1)
-    × OLD cross pairs, each side capped at the first MAX_BUCKET ascending
-    ids per (band, bhash) bucket, exact-Jaccard verify, then MIN matching
-    old id per new doc.  Returns sorted (new_doc_id, dup_of) rows."""
+    """Shared sequential core of `incremental_matches`/`leakage_matches`:
+    MinHash→LSH candidate pairs restricted to NEW × OLD cross pairs (side
+    given by the ``is_new(doc_id)`` predicate), each side capped at the
+    first MAX_BUCKET ascending ids per (band, bhash) bucket, exact-Jaccard
+    verify, then MIN matching old id per new doc.  Returns sorted
+    (new_doc_id, old_doc_id) rows."""
     docs = _load_docs(sf_dir)
     A, B = _minhash_params()
     shingles: dict[int, set[int]] = {}
@@ -168,8 +169,8 @@ def incremental_matches(
             buckets.setdefault((band, bh), []).append(d)
     pairs: set[tuple[int, int]] = set()
     for ids in buckets.values():
-        new = sorted(i for i in ids if i % split_mod == split_mod - 1)[:MAX_BUCKET]
-        old = sorted(i for i in ids if i % split_mod != split_mod - 1)[:MAX_BUCKET]
+        new = sorted(i for i in ids if is_new(i))[:MAX_BUCKET]
+        old = sorted(i for i in ids if not is_new(i))[:MAX_BUCKET]
         for n in new:
             for o in old:
                 pairs.add((n, o))
@@ -186,6 +187,32 @@ def incremental_matches(
         if j >= threshold and (n not in best or o < best[n]):
             best[n] = o
     return sorted(best.items())
+
+
+def incremental_matches(
+    sf_dir: str, *, threshold: float = 0.8, split_mod: int = 8
+) -> list[tuple[int, int]]:
+    """Sequential twin of `pipelines.dedup.incremental_dedup`: NEW side is
+    ``doc_id % split_mod == split_mod - 1``."""
+    return _cross_matches_by_side(
+        sf_dir,
+        lambda d: d % split_mod == split_mod - 1,
+        threshold=threshold,
+    )
+
+
+def leakage_matches(
+    sf_dir: str, *, threshold: float = 0.8, test_frac: float = 0.05
+) -> list[tuple[int, int]]:
+    """Sequential twin of `pipelines.dedup.split_leakage_audit`: NEW side
+    is the `sampling.hash_split` TEST coin (salt 's', ``u >= 1 -
+    test_frac``)."""
+
+    def is_test(d: int) -> bool:
+        u = (int(hashlib.md5(f"{d}:s".encode()).hexdigest()[:8], 16) + 1) / 4294967297.0
+        return u >= 1.0 - test_frac
+
+    return _cross_matches_by_side(sf_dir, is_test, threshold=threshold)
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -689,17 +689,34 @@ def _minhash_clusters_over(
 INCREMENTAL_SPLIT_MOD = 8  # doc_id % MOD == MOD-1 → "incoming batch"; else history
 
 
-def _cross_side_pairs(group: pa.Table, *, split_mod: int) -> pa.Table:
+def _coin_new_side(doc: np.ndarray, *, test_frac: float) -> np.ndarray:
+    """The `sampling.hash_split` TEST assignment as a boolean mask: the
+    salt-'s' md5 coin against ``u >= 1 - test_frac`` — byte-identical to
+    the split operator so the audit sees exactly the split's test set."""
+    from .sampling import temperature_coin
+
+    return temperature_coin(doc.tolist(), salt="s") >= 1.0 - test_frac
+
+
+def _cross_side_pairs(
+    group: pa.Table,
+    *,
+    side_kind: str = "mod",
+    split_mod: int = INCREMENTAL_SPLIT_MOD,
+    test_frac: float = 0.05,
+) -> pa.Table:
     """All (band, bhash) runs of one coarse bucket → (a=NEW doc, b=OLD doc)
     cross pairs only — the incremental analog of `_coarse_bucket_pairs`.
 
-    Side is derived from the doc_id itself (``doc_id % split_mod ==
-    split_mod - 1`` → incoming), so the banding stage needs no schema
-    change.  Per run each side is independently capped at the first
-    MAX_BUCKET ascending doc_ids (same deterministic skew guard, logged);
-    new×new and old×old pairs are never emitted — history is already
-    deduplicated by assumption, and the incoming batch dedupes against
-    itself via the whole-corpus operators."""
+    Side is derived from the doc_id itself, so the banding stage needs no
+    schema change: ``side_kind="mod"`` marks ``doc_id % split_mod ==
+    split_mod - 1`` as incoming (the daily-batch shape), ``side_kind=
+    "coin"`` marks the `hash_split` test coin (the leakage-audit shape).
+    Per run each side is independently capped at the first MAX_BUCKET
+    ascending doc_ids (same deterministic skew guard, logged); new×new and
+    old×old pairs are never emitted — history is already deduplicated by
+    assumption, and the incoming batch dedupes against itself via the
+    whole-corpus operators."""
     band = group.column("band").combine_chunks().to_numpy(zero_copy_only=False)
     doc = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
     bh = np.asarray(group.column("bhash").to_pylist(), dtype=object)
@@ -707,7 +724,12 @@ def _cross_side_pairs(group: pa.Table, *, split_mod: int) -> pa.Table:
         return _EMPTY_PAIRS
     order = np.lexsort((doc, bh, band))
     band, doc, bh = band[order], doc[order], bh[order]
-    new_side = (doc % split_mod) == (split_mod - 1)
+    if side_kind == "mod":
+        new_side = (doc % split_mod) == (split_mod - 1)
+    elif side_kind == "coin":
+        new_side = _coin_new_side(doc, test_frac=test_frac)
+    else:  # pragma: no cover - programming error
+        raise ValueError(f"unknown side_kind: {side_kind!r}")
     first = np.concatenate([[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
     starts = np.nonzero(first)[0]
     ends = np.concatenate([starts[1:], [len(doc)]])
@@ -782,6 +804,31 @@ def incremental_dedup(
     Oracle: pinned digest from the independent sequential
     `oracle_dedup.incremental_matches` (gate: ``incremental_dedup_digest``).
     """
+    return _cross_match(
+        sf_dir,
+        side_kwargs={"side_kind": "mod", "split_mod": split_mod},
+        out_col="dup_of",
+        threshold=threshold,
+        num_partitions=num_partitions,
+        bloom_threshold=bloom_threshold,
+        prune_candidates=prune_candidates,
+    )
+
+
+def _cross_match(
+    sf_dir: str,
+    *,
+    side_kwargs: dict,
+    out_col: str,
+    threshold: float,
+    num_partitions: int,
+    bloom_threshold: int,
+    prune_candidates: bool,
+) -> rd.Dataset:
+    """Shared band→cross-pair→verify→min-fold chain behind
+    `incremental_dedup` and `split_leakage_audit`; returns sorted
+    (doc_id, <out_col>) rows — one per NEW-side doc with a verified
+    OLD-side near-duplicate."""
     from .fold import fold_by_key
 
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -791,7 +838,7 @@ def incremental_dedup(
         .map_groups(
             _cross_side_pairs,
             batch_format="pyarrow",
-            fn_kwargs={"split_mod": split_mod},
+            fn_kwargs=side_kwargs,
         )
         .groupby("a")
         .map_groups(_dedupe_pair_group, batch_format="pyarrow")
@@ -808,10 +855,66 @@ def incremental_dedup(
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"doc_id": batch.column("a"), "dup_of": batch.column("b")}
+            {"doc_id": batch.column("a"), out_col: batch.column("b")}
         )
 
     return folded.map_batches(rename, batch_format="pyarrow").sort("doc_id")
+
+
+def split_leakage_audit(
+    sf_dir: str,
+    *,
+    threshold: float = 0.8,
+    test_frac: float = 0.05,
+    num_partitions: int = 64,
+    bloom_threshold: int = 2_000_000,
+    prune_candidates: bool = True,
+) -> rd.Dataset:
+    """Contamination audit across the `sampling.hash_split` boundary: every
+    TEST document with a verified MinHash near-duplicate in train/val, and
+    the smallest such train/val doc_id — the eval-set-leakage check a
+    training pipeline runs after splitting (`decontaminate` checks a known
+    benchmark list; this checks the split against its own corpus).
+
+    The test side is recomputed from the split's own salt-'s' md5 coin
+    (``u >= 1 - test_frac``, byte-identical to `hash_split`), so the audit
+    needs no join against the split output.  Same shuffle bill as
+    `incremental_dedup` — one banding pass, cross-side-only candidate
+    pairs (capped, logged), the shared exact-Jaccard verify chain, one
+    min-fold.  Returns (doc_id, leaked_from) sorted by doc_id.
+
+    Oracle: pinned digest from the independent sequential
+    `oracle_dedup.leakage_matches` (gate: ``split_leakage_digest``).
+    """
+    return _cross_match(
+        sf_dir,
+        side_kwargs={"side_kind": "coin", "test_frac": test_frac},
+        out_col="leaked_from",
+        threshold=threshold,
+        num_partitions=num_partitions,
+        bloom_threshold=bloom_threshold,
+        prune_candidates=prune_candidates,
+    )
+
+
+def split_leakage_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `split_leakage_audit` (oracle:
+    oracle_dedup.leakage_matches — the pinned-literal pattern)."""
+    from .interpret import fold_digest
+
+    ds = split_leakage_audit(sf_dir, **kwargs)
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(
+                    [str(c) for c in batch["leaked_from"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
 
 
 def incremental_dedup_digest(sf_dir: str, **kwargs) -> pa.Table:

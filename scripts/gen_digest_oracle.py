@@ -36,6 +36,7 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
     return {
         "minhash_digest": od.clusters_digest(od.minhash_clusters(sf_dir)),
         "incremental_dedup_digest": od.clusters_digest(od.incremental_matches(sf_dir)),
+        "split_leakage_digest": od.clusters_digest(od.leakage_matches(sf_dir)),
         "simhash_digest": od.clusters_digest(od.simhash_clusters(sf_dir)),
         "winnow_digest": od.clusters_digest(od.winnow_clusters(sf_dir)),
         "approx_distinct_digest": od.hll_digest(od.hll_distinct_by_source(sf_dir)),

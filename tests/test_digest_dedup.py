@@ -44,6 +44,7 @@ class TestDedupDigestGates:
         [
             "minhash_digest",
             "incremental_dedup_digest",
+            "split_leakage_digest",
             "simhash_digest",
             "winnow_digest",
             "approx_distinct_digest",
@@ -139,6 +140,35 @@ class TestDedupDigestGates:
         a = dedup.incremental_dedup(SF, num_partitions=7).take_all()
         b = dedup.incremental_dedup(SF, num_partitions=64).take_all()
         assert a == b
+
+    def test_leakage_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import dedup
+        from ocr_engine_ray.pipelines.sampling import temperature_coin
+
+        rows = [
+            (r["doc_id"], r["leaked_from"])
+            for r in dedup.split_leakage_audit(SF).take_all()
+        ]
+        assert rows == od.leakage_matches(SF)
+        # every match crosses the hash_split boundary: left side is a TEST
+        # doc by the split's own coin, right side is train/val
+        for d, o in rows:
+            assert temperature_coin([d], salt="s")[0] >= 0.95
+            assert temperature_coin([o], salt="s")[0] < 0.95
+
+    def test_leakage_wider_test_fraction_supersets(self, ray_session):
+        # a wider test fraction can only add audited test docs; both widths
+        # agree with the sequential oracle row-for-row
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import dedup
+
+        wide = [
+            (r["doc_id"], r["leaked_from"])
+            for r in dedup.split_leakage_audit(SF, test_frac=0.25).take_all()
+        ]
+        assert wide == od.leakage_matches(SF, test_frac=0.25)
+        assert len(wide) >= len(od.leakage_matches(SF))
 
     def test_simhash_rows_match_oracle(self, ray_session):
         from ocr_engine_ray import oracle_dedup as od
