@@ -288,6 +288,12 @@ def run_bench() -> dict:
             __import__("ocr_engine_ray.pipelines.tagger", fromlist=["x"]).redact_digest
         ),
         "bloom_semi_join": timed(joins.bloom_semi_join),
+        "incremental_dedup": timed(dedup.incremental_dedup),
+        "split_leakage_audit": timed(dedup.split_leakage_audit),
+        "segment_event_value_salted_join": timed(joins.segment_event_value),
+        "hard_negatives": timed(ann.hard_negatives),
+        "resample_hourly_ffill": timed(analytics.resample_hourly_ffill),
+        "scd2_history": timed(analytics.scd2_event_type_history),
     }
 
     result = {
