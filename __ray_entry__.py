@@ -315,6 +315,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate.curate_corpus,
         "rollup_pricing": analytics.rollup_pricing,
         "embedding_gram": pca.embedding_gram,
+        # label_centroids (seventh round-4 continuation, never gated): class
+        # centroids on the exact 2^20 fixed-point grid — per-batch numpy
+        # fold to labels×dims partials, one tiny groupby; parallel-unnest
+        # twin with truncating integer quotient.
+        "label_centroids": pca.label_centroids,
         "video_frame_stats": extract_stats.video_frame_stats,
         "fingerprint_stats": tsp.fingerprint_stats,
         "langid_counts": tsp.langid_counts,
@@ -1476,6 +1481,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM gram
             UNION ALL SELECT * FROM sums
             UNION ALL SELECT * FROM cnt
+        """,
+        # Class centroids on the half-away round(x * 2^20) grid (the Ray
+        # side quantizes half-away to match round()); the quotient is
+        # DuckDB's truncating BIGINT // .
+        "label_centroids": """
+            WITH u AS (
+              SELECT label::BIGINT AS label,
+                     unnest(range(1, len(embedding) + 1))::BIGINT AS dim,
+                     round(unnest(embedding) * 1048576)::BIGINT AS q
+              FROM embeddings WHERE label IS NOT NULL
+            )
+            SELECT label, dim,
+                   (sum(q) // greatest(count(*), 1))::BIGINT AS centroid_q,
+                   count(*)::BIGINT AS n_vecs
+            FROM u GROUP BY label, dim ORDER BY label, dim
         """,
         # Exact kNN graph: same round_even(x * 2^20) grid as embedding_gram;
         # every dot is an exact int64 (|q| < 2^20, 64-dim sums < 2^47), so

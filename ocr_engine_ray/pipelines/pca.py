@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 from ..sources.tables import sf_table
 from .fold import fold_int_sums_by_key
@@ -179,3 +180,85 @@ def pca_project(sf_dir: str, *, n_components: int = 8) -> rd.Dataset:
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+CENTROID_GRID = 1 << 20  # fixed-point grid for exact distributed mean
+
+
+def label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroids on an exact integer grid — the class-
+    centroid primitive (classifier init, IVF seeding, per-class drift
+    monitoring) computed so the distributed mean is BIT-IDENTICAL to the
+    sequential twin: each component is quantized to ``round(x · 2^20)``
+    int64 before summing (integer sums are order-independent; float sums
+    are not), and the mean is the exact integer quotient ``sum_q // n``.
+
+    Scale shape: per-batch numpy fold collapses each batch to ≤ labels ×
+    dims partial rows (label, dim, sum_q, n) — the ONLY thing shuffled; the
+    final groupby moves labels × dims × blocks tiny rows.  The corpus
+    itself never shuffles; null-label rows are excluded (twin's GROUP BY
+    drops them via WHERE).
+
+    Returns (label, dim, centroid_q, n_vecs) sorted by (label, dim); twin
+    is the unnest WITH ORDINALITY SQL.
+    """
+    import numpy as np
+
+    emb = sf_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lab_py = batch.column("label").to_pylist()
+        keep = [i for i, v in enumerate(lab_py) if v is not None]
+        if not keep:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        batch = batch.take(pa.array(keep, pa.int64()))
+        lab = np.array([lab_py[i] for i in keep], dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        # half-away rounding to the grid, matching DuckDB round()
+        q = np.where(m >= 0, np.floor(m * CENTROID_GRID + 0.5),
+                     np.ceil(m * CENTROID_GRID - 0.5)).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        dims = q.shape[1]
+        sums = np.zeros((len(ulab), dims), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, dims)),
+                "dim": pa.array(np.tile(np.arange(1, dims + 1, dtype=np.int64), len(ulab))),
+                "sum_q": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, dims)),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n_vecs"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = batch.column("sum_q").to_numpy(zero_copy_only=False)
+        n = np.maximum(batch.column("n_vecs").to_numpy(zero_copy_only=False), 1)
+        # TRUNCATING integer quotient: DuckDB's BIGINT `//` rounds toward
+        # zero on negatives, numpy's `//` floors — sign-split to match
+        cq = np.sign(s) * (np.abs(s) // n)
+        return pa.table(
+            {
+                "label": batch.column("label").cast(pa.int64()),
+                "dim": batch.column("dim"),
+                "centroid_q": pa.array(cq.astype(np.int64)),
+                "n_vecs": batch.column("n_vecs").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["label", "dim"])
