@@ -418,6 +418,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Type-2 validity intervals per user attribute run — one user-bucket
         # shuffle, shift-compare+cumsum run detection; lag/lead window twin.
         "scd2_history": analytics.scd2_event_type_history,
+        # rolling_active_users (seventh round-4 continuation, never gated):
+        # exact trailing-7-day COUNT(DISTINCT) per day — one user-bucket
+        # shuffle, in-bucket numpy expand+dedup partials that sum exactly
+        # because the bucket key IS the user; BETWEEN-join twin.
+        "rolling_active_users": analytics.rolling_active_users,
         "sessionize": analytics.sessionize,
         "top_sources": analytics.top_sources,
     }
@@ -936,6 +941,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, hr, cents::BIGINT AS last_cents
             FROM filled ORDER BY user_id, hr
+        """,
+        "rolling_active_users": """
+            WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+                        FROM events
+                        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            days AS (SELECT DISTINCT d FROM du)
+            SELECT g.d AS day, count(DISTINCT u.user_id)::BIGINT AS active_users
+            FROM days g JOIN du u ON u.d BETWEEN g.d - INTERVAL 6 DAY AND g.d
+            GROUP BY 1 ORDER BY 1
         """,
         "scd2_history": """
             WITH e AS (SELECT user_id, ts, event_id, event_type FROM events

@@ -294,6 +294,7 @@ def run_bench() -> dict:
         "hard_negatives": timed(ann.hard_negatives),
         "resample_hourly_ffill": timed(analytics.resample_hourly_ffill),
         "scd2_history": timed(analytics.scd2_event_type_history),
+        "rolling_active_users": timed(analytics.rolling_active_users),
         "label_centroids": timed(
             __import__("ocr_engine_ray.pipelines.pca", fromlist=["x"]).label_centroids
         ),

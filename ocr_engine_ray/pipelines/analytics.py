@@ -1177,3 +1177,108 @@ def scd2_event_type_history(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset
         .map_groups(runs_bucket, batch_format="pandas")
         .sort(["user_id", "seg_id"])
     )
+
+
+def rolling_active_users(
+    sf_dir: str, *, window_days: int = 7, num_buckets: int = 32
+) -> rd.Dataset:
+    """Rolling 7-day distinct active users per day (the WAU curve): for
+    every day present in the stream, the EXACT count of distinct users
+    with ≥1 event in the trailing ``window_days`` window.
+
+    Exact windowed COUNT(DISTINCT) without a distinct-over-window engine
+    primitive, in ONE shuffle: events co-partition on ``user_id % B``;
+    inside the bucket everything is numpy — dedupe (day, user), expand
+    each pair to the ≤``window_days`` window-end days it supports, dedupe
+    (window_day, user) again (a user active twice in a window counts
+    once), emit per-day partial counts.  Distinct users never collide
+    across buckets (the bucket key IS the user), so bucket partials sum
+    exactly; the final groupby moves days × buckets tiny rows.  Window-end
+    days are restricted to days that actually occur (matching the twin's
+    join against the observed-day set) via a broadcast of the ≤ span-sized
+    day list.
+
+    Returns (day, active_users) sorted by day; twin is the day-grid ×
+    BETWEEN join SQL.
+    """
+    import numpy as np
+    import ray
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("user_id")),
+                pc.is_valid(batch.column("ts")),
+            )
+        )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        # per-batch (day, user) dedupe before the exchange
+        u = np.unique(np.stack([uid, day], axis=1), axis=0)
+        return pa.table(
+            {
+                "bkt": pa.array((u[:, 0] % num_buckets).astype(np.int32)),
+                "user_id": pa.array(u[:, 0]),
+                "day": pa.array(u[:, 1]),
+            }
+        )
+
+    pairs = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    # the observed-day set (span-sized: one row per distinct day) — the only
+    # driver-held state, broadcast once
+    days_tbl = pairs.groupby("day").aggregate(Count(alias_name="n")).take_all()
+    days = np.array(sorted(r["day"] for r in days_tbl), dtype=np.int64)
+    days_ref = ray.put(days)
+
+    def window_partials(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        dset = ray.get(days_ref)
+        u = np.unique(
+            np.stack(
+                [
+                    group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False),
+                    group.column("day").combine_chunks().to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        uid = np.repeat(u[:, 0], window_days)
+        w = np.repeat(u[:, 1], window_days) + np.tile(
+            np.arange(window_days, dtype=np.int64), len(u)
+        )
+        keep = np.isin(w, dset)
+        uw = np.unique(np.stack([uid[keep], w[keep]], axis=1), axis=0)
+        wdays, counts = np.unique(uw[:, 1], return_counts=True)
+        return pa.table(
+            {"day": pa.array(wdays), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    agg = (
+        pairs.groupby("bkt")
+        .map_groups(window_partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="active_users"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False) * DAY_US
+        return pa.table(
+            {
+                "day": pa.array(d.astype("datetime64[us]")),
+                "active_users": batch.column("active_users").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("day")
