@@ -324,6 +324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_stats": tsp.fingerprint_stats,
         "langid_counts": tsp.langid_counts,
         "chunk_token_windows": packing.chunk_token_windows,
+        # quality_ntiles (seventh round-4 continuation, never gated): NTILE
+        # quartile boundaries per source on the two-pass ranking — exact
+        # integer tile split, no extra shuffle; NTILE window twin.
+        "quality_ntiles": packing.quality_ntiles,
         "stratified_hash_sample": sampling.stratified_hash_sample,
         "image_thumbnail_plan": extract_stats.image_thumbnail_plan,
         "quality_by_source": tsp.quality_by_source,
@@ -2185,6 +2189,21 @@ def oracle_sql() -> dict[str, str]:
                            AS quality
                   FROM (SELECT doc_id, source, text, {_QUALITY_COUNTS}
                         FROM documents))
+        """,
+        # NTILE quartiles over the identical quality expression/ordering.
+        "quality_ntiles": f"""
+            SELECT source, tile, count(*)::BIGINT AS n_docs,
+                   min(quality) AS lo_q, max(quality) AS hi_q
+            FROM (SELECT source, quality,
+                         ntile(4) OVER (PARTITION BY source
+                                        ORDER BY quality, doc_id)::BIGINT
+                           AS tile
+                  FROM (SELECT doc_id, source,
+                               round_even(least(1.0, greatest(0.0,
+                                 {_QUALITY_RAW})), 6) AS quality
+                        FROM (SELECT doc_id, source, text, {_QUALITY_COUNTS}
+                              FROM documents)))
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Fixed keep-rate curation on top of the same ranking: keep each
         # source's top 25% by (quality, doc_id); the integer cutoff

@@ -298,3 +298,75 @@ def top_quality_fraction(sf_dir: str, *, percent: int = 25) -> rd.Dataset:
         return batch.filter(pa.array(rk > thr))
 
     return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+def quality_ntiles(sf_dir: str, *, tiles: int = 4) -> rd.Dataset:
+    """Per-source quality QUARTILES (NTILE) on top of the distributed
+    two-pass ranking — the percentile-bucket primitive curriculum ordering
+    and threshold curation read (which quartile is a doc in, and where do
+    the quartile boundaries sit per source).
+
+    NTILE's exact integer split (the first ``n % tiles`` tiles get one
+    extra row) is computed per row from (rank_in_source, per-source n) —
+    no further shuffle beyond `rank_by_quality`'s own: per-source totals
+    are a sources-sized aggregate broadcast once, the tile assignment is
+    vectorized arithmetic, and the final (source, tile) groupby moves
+    tiles × sources × blocks rows.
+
+    Returns (source, tile, n_docs, lo_q, hi_q) sorted by (source, tile);
+    twin is the NTILE window over the identical quality expression.
+    """
+    ranked = rank_by_quality(sf_dir)
+    totals = ranked.groupby("source").aggregate(Count(alias_name="n")).take_all()
+    nmap = {r["source"]: r["n"] for r in totals}
+    nref = ray.put(nmap)
+
+    def tile_of(batch: pa.Table, *, ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "tile": pa.array([], pa.int64()),
+                    "quality": pa.array([], pa.float64()),
+                }
+            )
+        nm = ray.get(ref)
+        src = batch.column("source").to_pylist()
+        r = batch.column("rank_in_source").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        n = np.array([nm[s] for s in src], dtype=np.int64)
+        size_small = n // tiles
+        n_big = n % tiles
+        cut = n_big * (size_small + 1)
+        r0 = r - 1
+        # NTILE: ranks ≤ cut land in the (size_small+1)-sized tiles, the
+        # rest in size_small-sized ones; size_small is 0 only when every
+        # row is in a big tile (n < tiles), so the else branch never
+        # divides by it there
+        tile = (
+            np.where(
+                r <= cut,
+                r0 // (size_small + 1),
+                n_big + (r0 - cut) // np.maximum(size_small, 1),
+            )
+            + 1
+        )
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "tile": pa.array(tile.astype(np.int64)),
+                "quality": batch.column("quality"),
+            }
+        )
+
+    agg = (
+        ranked.map_batches(tile_of, batch_format="pyarrow", fn_kwargs={"ref": nref})
+        .groupby(["source", "tile"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("quality", alias_name="lo_q"),
+            Max("quality", alias_name="hi_q"),
+        )
+    )
+    return agg.sort(["source", "tile"])
