@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dsir,
         extract_stats,
         fuzzy,
+        graph,
         index,
         interpret,
         joins,
@@ -290,6 +291,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocab_fields_digest, size_class_counts, extract_inline_chars and
         # winnow_digest — all green in r03 with unchanged code).
         "paragraph_dedup": dedup.paragraph_dedup,
+        # kcore_digest (seventh round-4 continuation, never gated): k-core
+        # of the co-purchase graph by iterative peel (one endpoint-groupby
+        # per round, monotone edge set, loud non-convergence raise); pinned
+        # digest from the independent sequential oracle_dedup.kcore_nodes.
+        "kcore_digest": graph.kcore_digest,
         # bpe_encode_digest is new in the fifth round-4 continuation, never
         # driver-gated: the train→APPLY half of the subword story (corpus
         # tokenization with the trained merges — broadcast rank table,
@@ -2466,6 +2472,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "split_leakage_digest": """
             SELECT 1126365490392119477::BIGINT AS digest
+        """,
+        "kcore_digest": """
+            SELECT 771032969251273169::BIGINT AS digest
         """,
         "simhash_digest": """
             SELECT 311662585135592587::BIGINT AS digest

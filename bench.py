@@ -295,6 +295,12 @@ def run_bench() -> dict:
         "resample_hourly_ffill": timed(analytics.resample_hourly_ffill),
         "scd2_history": timed(analytics.scd2_event_type_history),
         "rolling_active_users": timed(analytics.rolling_active_users),
+        "quality_ntiles": timed(
+            __import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).quality_ntiles
+        ),
+        "kcore_members": timed(
+            __import__("ocr_engine_ray.pipelines.graph", fromlist=["x"]).kcore_members
+        ),
         "label_centroids": timed(
             __import__("ocr_engine_ray.pipelines.pca", fromlist=["x"]).label_centroids
         ),

@@ -806,3 +806,46 @@ def topics_digest(rows: list[tuple[int, int, str, int, int, int]]) -> int:
         h = hashlib.md5(f"{c}\x1f{rk}:{tok}:{f}:{dfv}:{sq}".encode("utf-8")).digest()
         s = (s + int.from_bytes(h, "big")) % DIGEST_MOD
     return s
+
+
+# --- k-core -------------------------------------------------------------------
+
+
+def kcore_nodes(
+    sf_dir: str, *, k: int = 2, min_support: int = 2
+) -> list[tuple[int, int]]:
+    """Sequential twin of `pipelines.graph.kcore_members`: co-purchase
+    edges from an independent DuckDB self-join (the `copurchase_pairs`
+    gate SQL), then the textbook in-memory peel.  Returns sorted
+    (node, deg_in_core) rows."""
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH pc AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+          FROM read_parquet('{sf_dir}/lineitem.parquet') a
+          JOIN read_parquet('{sf_dir}/lineitem.parquet') b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        )
+        SELECT p1, p2 FROM pc WHERE n >= {min_support}
+        """
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(nodes):
+            if v in nodes and len(adj[v]) < k:
+                nodes.discard(v)
+                changed = True
+                for u in adj[v]:
+                    adj[u].discard(v)
+                adj[v] = set()
+    return sorted((v, len(adj[v])) for v in nodes)

@@ -174,6 +174,50 @@ def copurchase_pairs(
     )
 
 
+def _support_filter(group: pa.Table, *, min_support: int) -> pa.Table:
+    """Fold one pair-bucket's partials to its distinct supported edges."""
+    p1 = group.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+    p2 = group.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
+    n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {"p1": pa.array([], pa.int64()), "p2": pa.array([], pa.int64())}
+    )
+    if not len(p1):
+        return empty
+    maxp = int(max(p1.max(), p2.max())) + 1
+    upk, inv = np.unique(p1 * maxp + p2, return_inverse=True)
+    tot = np.zeros(len(upk), dtype=np.int64)
+    np.add.at(tot, inv, n)
+    keep = tot >= min_support
+    return pa.table(
+        {
+            "p1": pa.array((upk // maxp)[keep]),
+            "p2": pa.array((upk % maxp)[keep]),
+        }
+    )
+
+
+def copurchase_edges(
+    sf_dir: str, *, min_support: int = BASKET_MIN_SUPPORT, num_buckets: int = 64
+) -> rd.Dataset:
+    """The MATERIALIZED co-purchase edge list (p1 < p2, support ≥
+    ``min_support``): the shared `_pair_partials` stages + one pair-bucket
+    support fold — the edge input of `triangle_count` and
+    `graph.kcore_members` (a pair lands wholly in its bucket, so bucket
+    folds are exact)."""
+    import functools
+
+    pairs = _pair_partials(sf_dir, num_buckets=num_buckets)
+    return (
+        pairs.groupby("pbkt")
+        .map_groups(
+            functools.partial(_support_filter, min_support=min_support),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+
 def triangle_count(
     sf_dir: str, *, min_support: int = BASKET_MIN_SUPPORT, num_buckets: int = 64
 ) -> pa.Table:
@@ -196,34 +240,9 @@ def triangle_count(
 
     Returns one row: (n_edges, n_wedges, n_triangles) — all exact int64.
     """
-    import functools
-
-    pairs = _pair_partials(sf_dir, num_buckets=num_buckets)
-
-    def support_filter(group: pa.Table) -> pa.Table:
-        p1 = group.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
-        p2 = group.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
-        n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
-        empty = pa.table(
-            {"p1": pa.array([], pa.int64()), "p2": pa.array([], pa.int64())}
-        )
-        if not len(p1):
-            return empty
-        maxp = int(max(p1.max(), p2.max())) + 1
-        upk, inv = np.unique(p1 * maxp + p2, return_inverse=True)
-        tot = np.zeros(len(upk), dtype=np.int64)
-        np.add.at(tot, inv, n)
-        keep = tot >= min_support
-        return pa.table(
-            {
-                "p1": pa.array((upk // maxp)[keep]),
-                "p2": pa.array((upk % maxp)[keep]),
-            }
-        )
-
-    edges = (
-        pairs.groupby("pbkt").map_groups(support_filter, batch_format="pyarrow")
-    ).materialize()
+    edges = copurchase_edges(
+        sf_dir, min_support=min_support, num_buckets=num_buckets
+    )
     n_edges = edges.count()
 
     _PRIME = np.int64(1_000_003)

@@ -232,3 +232,115 @@ def connected_components(
     return fold_by_key(
         links, key="node", cols=["label"], ops=["min"]
     ).map_batches(_as_clusters, batch_format="pyarrow")
+
+
+def kcore_members(
+    sf_dir: str,
+    *,
+    k: int = 2,
+    min_support: int = 2,
+    num_buckets: int = 64,
+    max_iters: int = 64,
+) -> rd.Dataset:
+    """The k-CORE of the co-purchase graph: the maximal subgraph where
+    every node keeps degree ≥ k — the density filter that strips dangling
+    tendrils before community analysis (complements `connected_components`
+    / `trade_pagerank` / `basket.triangle_count` in the graph family).
+
+    Iterative peel, each round ONE endpoint-groupby over the current edge
+    set: degrees → survivors (deg ≥ k) → edge filter.  The surviving node
+    set is monotone decreasing, so the loop terminates in ≤ |nodes| rounds
+    (capped at ``max_iters`` with a loud raise — the CC convergence-witness
+    convention).  The survivor list broadcast per round is part-catalog-
+    sized (graph nodes are parts — dimension-sized, the same budget as the
+    broadcast-join dims); the edge set shrinks monotonically and only its
+    narrow (p1, p2) projection is ever pinned.
+
+    Returns (node, deg_in_core) sorted by node — degree WITHIN the core,
+    recomputed on the fixpoint edge set.  Oracle: pinned digest from the
+    independent sequential `oracle_dedup.kcore_nodes` (gate:
+    ``kcore_digest``).
+    """
+    import ray
+
+    from .basket import copurchase_edges
+
+    edges = copurchase_edges(sf_dir, min_support=min_support, num_buckets=num_buckets)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        p1 = batch.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+        p2 = batch.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([p1, p2]))})
+
+    def degree_table(es: rd.Dataset) -> list:
+        from ray.data.aggregate import Count
+
+        return (
+            es.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="deg"))
+            .take_all()
+        )
+
+    prev_edges = edges.count()
+    for it in range(max_iters):
+        degs = degree_table(edges)
+        survivors = np.array(
+            sorted(r["node"] for r in degs if r["deg"] >= k), dtype=np.int64
+        )
+        if len(survivors) == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {"node": pa.array([], pa.int64()), "deg_in_core": pa.array([], pa.int64())}
+                )
+            )
+        ref = ray.put(survivors)
+
+        def keep_edges(batch: pa.Table, *, ref) -> pa.Table:
+            s = ray.get(ref)
+            p1 = batch.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+            p2 = batch.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
+            m = np.isin(p1, s) & np.isin(p2, s)
+            return batch.filter(pa.array(m))
+
+        edges = edges.map_batches(
+            keep_edges, batch_format="pyarrow", fn_kwargs={"ref": ref}
+        ).materialize()
+        n = edges.count()
+        if n == prev_edges:
+            # fixpoint: every remaining endpoint has deg >= k
+            final = degree_table(edges)
+            out = sorted((r["node"], r["deg"]) for r in final)
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([a for a, _ in out], pa.int64()),
+                        "deg_in_core": pa.array([d for _, d in out], pa.int64()),
+                    }
+                )
+            )
+        prev_edges = n
+    raise RuntimeError(
+        f"kcore_members did not converge in {max_iters} iterations "
+        f"(edges={prev_edges}); raise max_iters"
+    )
+
+
+def kcore_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `kcore_members` (oracle: oracle_dedup.kcore_nodes,
+    pinned-literal pattern)."""
+    from .interpret import fold_digest
+
+    ds = kcore_members(sf_dir, **kwargs)
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["node"],
+                "payload": pa.array(
+                    [str(c) for c in batch["deg_in_core"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")

@@ -37,6 +37,7 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
         "minhash_digest": od.clusters_digest(od.minhash_clusters(sf_dir)),
         "incremental_dedup_digest": od.clusters_digest(od.incremental_matches(sf_dir)),
         "split_leakage_digest": od.clusters_digest(od.leakage_matches(sf_dir)),
+        "kcore_digest": od.clusters_digest(od.kcore_nodes(sf_dir)),
         "simhash_digest": od.clusters_digest(od.simhash_clusters(sf_dir)),
         "winnow_digest": od.clusters_digest(od.winnow_clusters(sf_dir)),
         "approx_distinct_digest": od.hll_digest(od.hll_distinct_by_source(sf_dir)),

@@ -45,6 +45,7 @@ class TestDedupDigestGates:
             "minhash_digest",
             "incremental_dedup_digest",
             "split_leakage_digest",
+            "kcore_digest",
             "simhash_digest",
             "winnow_digest",
             "approx_distinct_digest",
@@ -335,3 +336,29 @@ class TestDedupDigestGates:
         out = _emb_band_rows(empty, num_bands=48, band_bits=4, seed=20260817)
         assert out.num_rows == 0
         assert out.column_names == ["vec_id", "embedding", "bkt"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKcore:
+    def test_rows_match_oracle(self):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines.graph import kcore_members
+
+        rows = [(r["node"], r["deg_in_core"]) for r in kcore_members(SF).take_all()]
+        assert rows == od.kcore_nodes(SF)
+        # k-core invariant: every member keeps degree >= k inside the core
+        assert all(d >= 2 for _, d in rows)
+
+    def test_higher_k_is_subset(self):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines.graph import kcore_members
+
+        k3 = [(r["node"], r["deg_in_core"]) for r in kcore_members(SF, k=3).take_all()]
+        assert k3 == od.kcore_nodes(SF, k=3)
+        k2_nodes = {n for n, _ in od.kcore_nodes(SF, k=2)}
+        assert {n for n, _ in k3} <= k2_nodes
+
+    def test_huge_k_empty(self):
+        from ocr_engine_ray.pipelines.graph import kcore_members
+
+        assert kcore_members(SF, k=10_000).take_all() == []
