@@ -398,6 +398,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to DIFFERENT-label vectors, broadcast query matrix, corpus never
         # shuffles; list_cosine_similarity twin.
         "hard_negatives": ann.hard_negatives,
+        # rrf_fused_topk (seventh round-4 continuation, never gated):
+        # reciprocal-rank fusion of the cosine and L2 exact rankings in ONE
+        # corpus pass — the hybrid-retrieval merge; windowed FULL JOIN twin.
+        "rrf_fused_topk": ann.rrf_fused_topk,
         "ann_lsh_digest": ann.ann_lsh_digest,
         # --- joins (broadcast / bucketed hash / native hash / as-of) --------
         "mktsegment_revenue": joins.mktsegment_revenue,
@@ -1154,6 +1158,39 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY s DESC, vec_id) AS rank
               FROM scored)
+            WHERE rank <= 5
+        """,
+        "rrf_fused_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 8),
+            cosr AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding,
+                                                       e.embedding) DESC,
+                                e.vec_id) AS r
+              FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+            l2r AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_distance(q.embedding, e.embedding),
+                                e.vec_id) AS r
+              FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+            fused AS (
+              SELECT coalesce(c.query_id, l.query_id) AS query_id,
+                     coalesce(c.vec_id, l.vec_id) AS vec_id,
+                     coalesce(1.0 / (60 + c.r), 0)
+                       + coalesce(1.0 / (60 + l.r), 0) AS s
+              FROM (SELECT * FROM cosr WHERE r <= 5) c
+              FULL JOIN (SELECT * FROM l2r WHERE r <= 5) l
+                ON c.query_id = l.query_id AND c.vec_id = l.vec_id)
+            SELECT query_id, rank, vec_id FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, vec_id) AS rank
+              FROM fused)
             WHERE rank <= 5
         """,
         "hard_negatives": """

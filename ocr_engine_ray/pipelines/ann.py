@@ -1073,3 +1073,100 @@ def hard_negatives(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table
         )
 
     return partials.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
+
+
+def rrf_fused_topk(
+    sf_dir: str, *, num_queries: int = 8, k: int = 5, kconst: int = 60
+) -> pa.Table:
+    """Reciprocal-rank fusion of two exact rankings — cosine similarity and
+    L2 distance — per query: the hybrid-retrieval merge (Cormack et al.'s
+    RRF, the standard way to fuse lexical+vector or multi-metric result
+    lists).  Each metric contributes ``1/(kconst + rank)`` for its top-k;
+    vectors absent from a list contribute 0; fused order is (score desc,
+    vec_id asc).
+
+    ONE corpus pass computes BOTH metrics against the broadcast query
+    matrix (raw for L2, normalized for cosine) and emits per-batch partial
+    top-k rows PER METRIC; a single (query, metric) groupby finalizes each
+    ranking, and the fuse is a queries×2k-row group fold.  The corpus
+    never shuffles and is read once.
+
+    Returns (query_id, rank, vec_id); twin joins the two window rankings
+    in SQL (the double ``1/(kconst+r)`` terms are bit-identical on both
+    sides — integer ranks, one sum of two doubles).
+    """
+    qids, qmat, qraw = _load_queries(sf_dir, num_queries)
+    ref = ray.put((qids, qmat, qraw))
+
+    def score(batch: pa.Table, *, ref) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "metric": pa.array([], pa.int32()),
+                "vec_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        bqids, bqmat, bqraw = ray.get(ref)
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        cos = (m / n[:, None]) @ bqmat.T                      # higher = better
+        d2 = ((m[:, None, :] - bqraw[None, :, :]) ** 2).sum(axis=2)
+        self_mask = vid[:, None] == bqids[None, :]
+        cos[self_mask] = -np.inf
+        l2 = -np.sqrt(d2)                                     # negate: higher = better
+        l2[self_mask] = -np.inf
+        topn = min(k, len(vid))
+        qp, mp, vp, sp = [], [], [], []
+        for qi in range(len(bqids)):
+            for metric, s in ((0, cos[:, qi]), (1, l2[:, qi])):
+                order = np.lexsort((vid, -s))[:topn]
+                sv = s[order]
+                keep = np.isfinite(sv)
+                qp.append(np.full(int(keep.sum()), bqids[qi], dtype=np.int64))
+                mp.append(np.full(int(keep.sum()), metric, dtype=np.int32))
+                vp.append(vid[order][keep])
+                sp.append(sv[keep])
+        if not qp:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qp), pa.int64()),
+                "metric": pa.array(np.concatenate(mp), pa.int32()),
+                "vec_id": pa.array(np.concatenate(vp), pa.int64()),
+                "score": pa.array(np.concatenate(sp), pa.float64()),
+            }
+        )
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = emb.map_batches(
+        score, batch_format="pyarrow", batch_size=1024, fn_kwargs={"ref": ref}
+    )
+
+    def fuse(group: pa.Table) -> pa.Table:
+        met = group.column("metric").to_pylist()
+        vids = group.column("vec_id").to_pylist()
+        scs = group.column("score").to_pylist()
+        qid = group.column("query_id")[0].as_py()
+        rrf: dict[int, float] = {}
+        for metric in (0, 1):
+            rows = sorted(
+                ((s, v) for mt, v, s in zip(met, vids, scs) if mt == metric),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            for r, (_, v) in enumerate(rows, start=1):
+                rrf[v] = rrf.get(v, 0.0) + 1.0 / (kconst + r)
+        out = sorted(rrf.items(), key=lambda t: (-t[1], t[0]))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(out), pa.int64()),
+                "rank": pa.array(range(1, len(out) + 1), pa.int64()),
+                "vec_id": pa.array([v for v, _ in out], pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(fuse, batch_format="pyarrow")
