@@ -296,6 +296,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per round, monotone edge set, loud non-convergence raise); pinned
         # digest from the independent sequential oracle_dedup.kcore_nodes.
         "kcore_digest": graph.kcore_digest,
+        # profile_histograms (seventh round-4 continuation, never gated):
+        # equi-width histograms on the exact integer-cents grid — two
+        # column-pruned passes (min/max partials → broadcast bounds →
+        # bincount partials), no corpus shuffle; integer-bucket twin.
+        "profile_histograms": profile.profile_histograms,
         # bpe_encode_digest is new in the fifth round-4 continuation, never
         # driver-gated: the train→APPLY half of the subword story (corpus
         # tokenization with the trained merges — broadcast rank table,
@@ -1847,6 +1852,56 @@ def oracle_sql() -> dict[str, str]:
         # UNION ALL — count(DISTINCT col) is exact on both sides (the
         # pipeline dedupes md5(value-string) keys; a collision would need
         # 2^64 distinct values per column).
+        "profile_histograms": """
+            SELECT 'l_quantity' AS col_name,
+                   ((q - lo) * 16 // w)::BIGINT AS bin,
+                   (lo + (((q - lo) * 16 // w) * w + 15) // 16)::BIGINT
+                     AS lo_q,
+                   (lo + ((((q - lo) * 16 // w) + 1) * w + 15) // 16 - 1)::BIGINT
+                     AS hi_q,
+                   count(*)::BIGINT AS n
+            FROM (SELECT round(l_quantity * 100)::BIGINT AS q FROM lineitem
+                  WHERE l_quantity IS NOT NULL) g,
+                 (SELECT min(round(l_quantity * 100)::BIGINT) AS lo,
+                         max(round(l_quantity * 100)::BIGINT) AS hi,
+                         max(round(l_quantity * 100)::BIGINT)
+                           - min(round(l_quantity * 100)::BIGINT) + 1 AS w
+                  FROM lineitem WHERE l_quantity IS NOT NULL) m
+            GROUP BY 2, 3, 4
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_name,
+                   ((q - lo) * 16 // w)::BIGINT AS bin,
+                   (lo + (((q - lo) * 16 // w) * w + 15) // 16)::BIGINT
+                     AS lo_q,
+                   (lo + ((((q - lo) * 16 // w) + 1) * w + 15) // 16 - 1)::BIGINT
+                     AS hi_q,
+                   count(*)::BIGINT AS n
+            FROM (SELECT round(l_extendedprice * 100)::BIGINT AS q FROM lineitem
+                  WHERE l_extendedprice IS NOT NULL) g,
+                 (SELECT min(round(l_extendedprice * 100)::BIGINT) AS lo,
+                         max(round(l_extendedprice * 100)::BIGINT) AS hi,
+                         max(round(l_extendedprice * 100)::BIGINT)
+                           - min(round(l_extendedprice * 100)::BIGINT) + 1 AS w
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL) m
+            GROUP BY 2, 3, 4
+            UNION ALL
+            SELECT 'l_discount' AS col_name,
+                   ((q - lo) * 16 // w)::BIGINT AS bin,
+                   (lo + (((q - lo) * 16 // w) * w + 15) // 16)::BIGINT
+                     AS lo_q,
+                   (lo + ((((q - lo) * 16 // w) + 1) * w + 15) // 16 - 1)::BIGINT
+                     AS hi_q,
+                   count(*)::BIGINT AS n
+            FROM (SELECT round(l_discount * 100)::BIGINT AS q FROM lineitem
+                  WHERE l_discount IS NOT NULL) g,
+                 (SELECT min(round(l_discount * 100)::BIGINT) AS lo,
+                         max(round(l_discount * 100)::BIGINT) AS hi,
+                         max(round(l_discount * 100)::BIGINT)
+                           - min(round(l_discount * 100)::BIGINT) + 1 AS w
+                  FROM lineitem WHERE l_discount IS NOT NULL) m
+            GROUP BY 2, 3, 4
+            ORDER BY col_name, bin
+        """,
         "profile_lineitem": """
             SELECT 'l_discount' AS col_name, count(*)::BIGINT AS n_rows,
                    (count(*) - count(l_discount))::BIGINT AS n_nulls,

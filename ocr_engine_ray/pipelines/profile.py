@@ -146,3 +146,126 @@ def profile_columns(
         }
     )
     return rd.from_arrow(out)
+
+
+HIST_BINS = 16
+
+
+def profile_histograms(
+    sf_dir: str,
+    *,
+    table: str = "lineitem",
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice", "l_discount"),
+    nbins: int = HIST_BINS,
+) -> rd.Dataset:
+    """Equi-width value histograms per numeric column — the profiler's
+    second pass (distribution shape next to `profile_columns`' null/
+    distinct counts; zone-map and skew decisions read these).
+
+    Bucketing happens on the EXACT integer cents grid (``q = round(x·100)``
+    half-away, then ``bin = (q - min) * nbins // (max - min + 1)`` — pure
+    int64 on both sides), so no histogram boundary can drift between the
+    distributed pass and the SQL twin the way float `width_bucket` edges
+    do.  Two column-pruned passes: (1) per-batch (col, min, max) partials →
+    a 2·|cols|·blocks-row fold on the driver; (2) per-batch ``np.bincount``
+    per column against the broadcast bounds → (col, bin, n) partials → one
+    tiny groupby.  The corpus never shuffles.
+
+    Returns (col_name, bin, lo_q, hi_q, n) sorted by (col_name, bin) —
+    lo_q/hi_q are the bin's inclusive integer-cents bounds, derived from
+    the same arithmetic.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = sf_table(sf_dir, table, columns=list(cols))
+
+    def qcol(batch: pa.Table, name: str) -> np.ndarray:
+        col = batch.column(name)
+        col = col.filter(pc.is_valid(col))
+        if len(col) == 0:
+            return np.array([], dtype=np.int64)
+        # RoundOptions built per call: pyarrow option objects don't pickle,
+        # and this helper is captured by the shipped batch closures
+        q = pc.round(
+            pc.multiply(col.cast(pa.float64()), pa.scalar(100.0)),
+            options=pc.RoundOptions(round_mode="half_towards_infinity"),
+        ).cast(pa.int64())
+        return q.to_numpy(zero_copy_only=False)
+
+    def minmax_partials(batch: pa.Table) -> pa.Table:
+        names, lo, hi = [], [], []
+        for c in cols:
+            q = qcol(batch, c)
+            if len(q):
+                names.append(c)
+                lo.append(int(q.min()))
+                hi.append(int(q.max()))
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+            }
+        )
+
+    bounds: dict[str, tuple[int, int]] = {}
+    for r in ds.map_batches(minmax_partials, batch_format="pyarrow").take_all():
+        c = r["col_name"]
+        cur = bounds.get(c)
+        bounds[c] = (
+            r["lo"] if cur is None else min(cur[0], r["lo"]),
+            r["hi"] if cur is None else max(cur[1], r["hi"]),
+        )
+    bref = ray.put(bounds)
+
+    def bin_partials(batch: pa.Table, *, ref) -> pa.Table:
+        b = ray.get(ref)
+        names, bins, ns = [], [], []
+        for c in cols:
+            if c not in b:
+                continue
+            q = qcol(batch, c)
+            if not len(q):
+                continue
+            lo, hi = b[c]
+            binv = (q - lo) * nbins // (hi - lo + 1)
+            cnt = np.bincount(binv, minlength=nbins)
+            nz = np.nonzero(cnt)[0]
+            names.extend([c] * len(nz))
+            bins.extend(nz.tolist())
+            ns.extend(cnt[nz].tolist())
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "bin": pa.array(bins, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bin_partials, batch_format="pyarrow", fn_kwargs={"ref": bref})
+        .groupby(["col_name", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cn = batch.column("col_name").to_pylist()
+        bn = batch.column("bin").to_numpy(zero_copy_only=False)
+        lo = np.array([bounds[c][0] for c in cn], dtype=np.int64)
+        hi = np.array([bounds[c][1] for c in cn], dtype=np.int64)
+        width = hi - lo + 1
+        # bin b covers q in [lo + ceil(b*width/nbins), lo + ceil((b+1)*width/nbins) - 1]
+        lo_q = lo + (bn * width + nbins - 1) // nbins
+        hi_q = lo + ((bn + 1) * width + nbins - 1) // nbins - 1
+        return pa.table(
+            {
+                "col_name": batch.column("col_name"),
+                "bin": batch.column("bin"),
+                "lo_q": pa.array(lo_q),
+                "hi_q": pa.array(hi_q),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["col_name", "bin"])
