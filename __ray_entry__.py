@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_engine_ray.state.stream import (
         stream_running_totals_query as _stream_running_totals_query,
     )
+    from ocr_engine_ray.state.stream import watermark_late_events as _watermark_late
 
     # Ordering note: the driver's correctness gate checks the FIRST ~50
     # entries, so the dict leads with the operators that have never had a
@@ -437,6 +438,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Type-2 validity intervals per user attribute run — one user-bucket
         # shuffle, shift-compare+cumsum run detection; lag/lead window twin.
         "scd2_history": analytics.scd2_event_type_history,
+        # watermark_late_events (seventh round-4 continuation, never gated):
+        # Flink-style watermark late-data accounting replayed exactly — the
+        # global arrival-order running max as a two-pass distributed prefix
+        # MAX; running-max window twin.
+        "watermark_late_events": _watermark_late,
         # rolling_active_users (seventh round-4 continuation, never gated):
         # exact trailing-7-day COUNT(DISTINCT) per day — one user-bucket
         # shuffle, in-bucket numpy expand+dedup partials that sum exactly
@@ -960,6 +966,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, hr, cents::BIGINT AS last_cents
             FROM filled ORDER BY user_id, hr
+        """,
+        "watermark_late_events": """
+            WITH e AS (SELECT event_id, ts FROM events
+                       WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+            m AS (SELECT event_id, ts,
+                         max(ts) OVER (ORDER BY event_id
+                                       ROWS UNBOUNDED PRECEDING) AS mx
+                  FROM e)
+            SELECT date_trunc('hour', ts) AS hour,
+                   CASE WHEN ts < mx - INTERVAL 1 HOUR
+                        THEN 'late' ELSE 'ontime' END AS status,
+                   count(*)::BIGINT AS n
+            FROM m GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "rolling_active_users": """
             WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id

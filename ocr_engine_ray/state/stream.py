@@ -197,3 +197,116 @@ def stream_running_totals_actors(
             )
         )
     return rd.from_arrow_refs(pending).sort(["ts", "event_id"])
+
+
+def watermark_late_events(
+    sf_dir: str, *, lateness_us: int = 3_600_000_000, num_buckets: int = 32
+) -> "rd.Dataset":
+    """Streaming WATERMARK semantics replayed exactly: processing order is
+    ``event_id`` (the arrival proxy), the watermark after event i is
+    ``max(ts of events arriving ≤ i) − lateness`` (1 h default allowed
+    lateness), and an event is LATE if its own timestamp is behind that
+    watermark — the Flink/Beam late-data accounting a streaming ingestion
+    pipeline needs, computed batch-exactly.
+
+    The global running max over arrival order distributes as a TWO-PASS
+    prefix MAX (the `packing.pack_token_stream` prefix-sum shape with max
+    as the monoid): events range-bucket by ``event_id * B // (max_id+1)``
+    (contiguous arrival ranges), pass 1 folds each bucket's max ts —
+    B scalars to the driver — whose exclusive running max seeds pass 2's
+    in-bucket ``np.maximum.accumulate``.  All timestamp math is integer
+    µs.  Returns (hour, status, n) counts with status ∈ {late, ontime},
+    sorted by (hour, status); twin is the running-max window SQL.
+    """
+    import ray
+
+    from ..sources.tables import sf_table
+
+    ev = sf_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    maxid = ev.max("event_id")  # Max aggregate ignores nulls
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("event_id")),
+                pc.is_valid(batch.column("ts")),
+            )
+        )
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((eid * num_buckets // (maxid + 1)).astype(np.int32)),
+                "event_id": pa.array(eid),
+                "ts_us": pa.array(ts),
+            }
+        )
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536).materialize()
+
+    # pass 1: per-range max ts -> exclusive prefix max on the driver (B scalars)
+    from ray.data.aggregate import Max
+
+    parts = prepped.groupby("bkt").aggregate(Max("ts_us", alias_name="mx")).take_all()
+    prefix: dict[int, int] = {}
+    run = -(1 << 62)
+    for r in sorted(parts, key=lambda r: r["bkt"]):
+        prefix[r["bkt"]] = run
+        run = max(run, r["mx"])
+    pref_ref = ray.put(prefix)
+
+    def label_bucket(group: pa.Table, *, ref) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "hour_us": pa.array([], pa.int64()),
+                    "status": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pre = ray.get(ref)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(eid, kind="stable")
+        ts_o = ts[order]
+        seed = pre[group.column("bkt")[0].as_py()]
+        runmax = np.maximum.accumulate(np.maximum(ts_o, seed))
+        wm = runmax - lateness_us
+        late = ts_o < wm
+        hour = ts_o // 3_600_000_000 * 3_600_000_000
+        key = hour * 2 + late.astype(np.int64)
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "hour_us": pa.array(uk // 2),
+                "status": pa.array(
+                    ["late" if k % 2 else "ontime" for k in uk], pa.string()
+                ),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        prepped.groupby("bkt")
+        .map_groups(label_bucket, batch_format="pyarrow", fn_kwargs={"ref": pref_ref})
+        .groupby(["hour_us", "status"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        h = batch.column("hour_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hour": pa.array(h.astype("datetime64[us]")),
+                "status": batch.column("status"),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["hour", "status"])
