@@ -302,6 +302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # column-pruned passes (min/max partials → broadcast bounds →
         # bincount partials), no corpus shuffle; integer-bucket twin.
         "profile_histograms": profile.profile_histograms,
+        # entity_golden_records (seventh round-4 continuation, never gated):
+        # ER end-to-end — fuzzy pairs → CC closure → deterministic golden
+        # record per duplicate cluster; recursive-CTE closure twin.
+        "entity_golden_records": fuzzy.entity_golden_records,
         # bpe_encode_digest is new in the fifth round-4 continuation, never
         # driver-gated: the train→APPLY half of the subword story (corpus
         # tokenization with the trained merges — broadcast rank table,
@@ -1866,6 +1870,25 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "entity_golden_records": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.c_custkey AS a, b.c_custkey AS b
+              FROM customer a JOIN customer b
+                ON a.c_custkey < b.c_custkey
+               AND levenshtein(a.c_name, b.c_name) <= 1),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach(node, other) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.node, e.v FROM reach r JOIN edges e ON r.other = e.u),
+            clus AS (SELECT node, least(node, min(other))::BIGINT AS cluster_id
+                     FROM reach GROUP BY node)
+            SELECT c.cluster_id AS canonical_key, count(*)::BIGINT AS n_members,
+                   cu.c_name AS canonical_name
+            FROM clus c JOIN customer cu ON cu.c_custkey = c.cluster_id
+            GROUP BY 1, 3 ORDER BY 1
         """,
         # Table profiler: per-column aggregates recomputed wholesale as a
         # UNION ALL — count(DISTINCT col) is exact on both sides (the

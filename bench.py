@@ -298,6 +298,9 @@ def run_bench() -> dict:
         "quality_ntiles": timed(
             __import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).quality_ntiles
         ),
+        "watermark_late_events": timed(
+            __import__("ocr_engine_ray.state.stream", fromlist=["x"]).watermark_late_events
+        ),
         "kcore_members": timed(
             __import__("ocr_engine_ray.pipelines.graph", fromlist=["x"]).kcore_members
         ),

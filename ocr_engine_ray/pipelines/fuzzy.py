@@ -279,3 +279,64 @@ def fuzzy_name_pairs(
         .groupby("pbkt")
         .map_groups(verify, batch_format="pyarrow")
     )
+
+
+def entity_golden_records(
+    sf_dir: str, *, k: int = 1, num_buckets: int = 32
+) -> rd.Dataset:
+    """Entity resolution end-to-end: fuzzy-match pairs → transitive
+    closure → one GOLDEN RECORD per duplicate cluster — the dedupe-the-
+    customer-file capability on top of `fuzzy_name_pairs` (blocked
+    prefix-filter Levenshtein join) and `graph.connected_components`.
+
+    The canonical key is the cluster's MIN custkey (exactly the CC
+    cluster_id), the golden name is that record's name (deterministic —
+    no arbitrary survivorship), and n_members counts the cluster.  Only
+    multi-member clusters appear (singletons have nothing to merge).
+
+    Scale shape: the pair join and CC carry all the data movement (both
+    already bucketed); the name attach is a dim-table broadcast (customer
+    is the canonical broadcast side everywhere in `joins`), and the final
+    groupby moves cluster-count rows.  Returns (canonical_key, n_members,
+    canonical_name) sorted by canonical_key; twin is the recursive-CTE
+    closure SQL (the `embedding_near_dup_clusters` pattern).
+    """
+    import ray
+
+    from ..sources.tables import sf_table
+    from .graph import connected_components
+
+    pairs = fuzzy_name_pairs(sf_dir, k=k, num_buckets=num_buckets)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch.column("a_key"), "b": batch.column("b_key")}
+        )
+
+    cc = connected_components(pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    names: dict[int, str] = {}
+    for r in cust.take_all():  # dim-sized, the broadcast-join budget
+        names[r["c_custkey"]] = r["c_name"]
+    nref = ray.put(names)
+
+    from ray.data.aggregate import Count
+
+    agg = cc.groupby("cluster_id").aggregate(Count(alias_name="n_members"))
+
+    def finish(batch: pa.Table, *, ref) -> pa.Table:
+        nm = ray.get(ref)
+        keys = batch.column("cluster_id").to_pylist()
+        return pa.table(
+            {
+                "canonical_key": pa.array(keys, pa.int64()),
+                "n_members": batch.column("n_members").cast(pa.int64()),
+                "canonical_name": pa.array([nm[k] for k in keys], pa.string()),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow", fn_kwargs={"ref": nref})
+        .sort("canonical_key")
+    )
