@@ -442,6 +442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Type-2 validity intervals per user attribute run — one user-bucket
         # shuffle, shift-compare+cumsum run detection; lag/lead window twin.
         "scd2_history": analytics.scd2_event_type_history,
+        # debounce_events (seventh round-4 continuation, never gated): the
+        # lag-gap repeat filter per (user, event_type) — one user-bucket
+        # shuffle, exact integer-µs gaps; lag() window twin.
+        "debounce_events": analytics.debounce_events,
         # watermark_late_events (seventh round-4 continuation, never gated):
         # Flink-style watermark late-data accounting replayed exactly — the
         # global arrival-order running max as a two-pass distributed prefix
@@ -970,6 +974,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, hr, cents::BIGINT AS last_cents
             FROM filled ORDER BY user_id, hr
+        """,
+        "debounce_events": """
+            SELECT event_id, user_id, ts FROM (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            WHERE prev IS NULL OR ts - prev > INTERVAL 5 MINUTE
+            ORDER BY event_id
         """,
         "watermark_late_events": """
             WITH e AS (SELECT event_id, ts FROM events

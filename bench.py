@@ -298,6 +298,13 @@ def run_bench() -> dict:
         "quality_ntiles": timed(
             __import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).quality_ntiles
         ),
+        "rrf_fused_topk": timed(ann.rrf_fused_topk),
+        "profile_histograms": timed(
+            __import__("ocr_engine_ray.pipelines.profile", fromlist=["x"]).profile_histograms
+        ),
+        "entity_golden_records": timed(
+            __import__("ocr_engine_ray.pipelines.fuzzy", fromlist=["x"]).entity_golden_records
+        ),
         "watermark_late_events": timed(
             __import__("ocr_engine_ray.state.stream", fromlist=["x"]).watermark_late_events
         ),

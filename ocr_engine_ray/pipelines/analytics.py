@@ -1282,3 +1282,82 @@ def rolling_active_users(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+def debounce_events(
+    sf_dir: str, *, gap_us: int = 300_000_000, num_buckets: int = 32
+) -> rd.Dataset:
+    """Event DEBOUNCE: drop repeats of the same (user, event_type) arriving
+    within ``gap_us`` (5 min default) of the previous KEPT-OR-DROPPED
+    occurrence — the lag-gap hygiene filter (bot bursts, double clicks)
+    an event pipeline runs before sessionization.  Note the semantics are
+    lag-based (gap to the immediately PRECEDING event, kept or not), which
+    is exactly `lag(ts) OVER (PARTITION BY user_id, event_type ...)` — the
+    SQL-twin-able variant of throttling.
+
+    ONE user-bucket co-partition shuffle ((user, type) pairs never split
+    across buckets), vectorized shift-compare inside.  Returns the kept
+    (event_id, user_id, ts) rows sorted by event_id.
+    """
+    import numpy as np
+
+    ev = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("user_id")),
+                pc.is_valid(batch.column("ts")),
+            )
+        )
+        uid = batch.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    uid.to_numpy(zero_copy_only=False) % num_buckets
+                ).cast(pa.int32()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": uid,
+                "ts": batch.column("ts").cast(pa.timestamp("us")),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+
+    def keep_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return _EMPTY
+        df = group.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        same = df["user_id"].eq(df["user_id"].shift()) & df["event_type"].eq(
+            df["event_type"].shift()
+        ) & df["event_type"].notna() & df["event_type"].shift().notna()
+        # null event_type partitions: SQL PARTITION BY groups NULLs together
+        both_null = (
+            df["user_id"].eq(df["user_id"].shift())
+            & df["event_type"].isna()
+            & df["event_type"].shift().isna()
+        )
+        same = same | both_null
+        # exact integer µs gap (the float total_seconds() path can drift a
+        # microsecond vs the twin's timestamp subtraction — ADVICE r3)
+        tsu = df["ts"].astype("int64")
+        gap = tsu - tsu.shift(fill_value=0)
+        keep = ~same | (gap > gap_us)
+        out = df[keep][["event_id", "user_id", "ts"]]
+        return out.reset_index(drop=True)
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bkt")
+        .map_groups(keep_bucket, batch_format="pandas")
+        .sort("event_id")
+    )
