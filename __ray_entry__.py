@@ -442,6 +442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Type-2 validity intervals per user attribute run — one user-bucket
         # shuffle, shift-compare+cumsum run detection; lag/lead window twin.
         "scd2_history": analytics.scd2_event_type_history,
+        # moving_event_stats (seventh round-4 continuation, never gated):
+        # bounded ROWS-frame moving sums per event_type over pre-aggregated
+        # days — cumsum-difference exact ints; bounded-window twin.
+        "moving_event_stats": analytics.moving_event_stats,
         # debounce_events (seventh round-4 continuation, never gated): the
         # lag-gap repeat filter per (user, event_type) — one user-bucket
         # shuffle, exact integer-µs gaps; lag() window twin.
@@ -974,6 +978,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, hr, cents::BIGINT AS last_cents
             FROM filled ORDER BY user_id, hr
+        """,
+        "moving_event_stats": """
+            WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS n_events,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+            SELECT event_type, day, n_events, value_cents,
+                   sum(n_events) OVER w::BIGINT AS n_7d,
+                   coalesce(sum(value_cents) OVER w, 0)::BIGINT AS cents_7d
+            FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY event_type, day
         """,
         "debounce_events": """
             SELECT event_id, user_id, ts FROM (

@@ -1361,3 +1361,75 @@ def debounce_events(
         .map_groups(keep_bucket, batch_format="pandas")
         .sort("event_id")
     )
+
+
+def moving_event_stats(sf_dir: str, *, frame: int = 7) -> rd.Dataset:
+    """Bounded-frame moving window: per (event_type, day), the day's count
+    and exact-cents value plus the trailing ``frame``-row sums (ROWS 6
+    PRECEDING .. CURRENT over observed days) — the moving-average /
+    burst-baseline shape, complementing the UNBOUNDED frames in
+    `stream_running_totals`.
+
+    The heavy lifting is the daily pre-aggregation (one groupby of
+    types × days tiny rows out of the corpus scan); the rolling sums run
+    per type on span-bounded groups via cumsum differences — exact int64,
+    no float rolling kernels.  Returns (event_type, day, n_events,
+    value_cents, n_7d, cents_7d) sorted by (event_type, day); twin is the
+    bounded ROWS window SQL.
+    """
+    import numpy as np
+
+    ev = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        day = pc.floor_temporal(batch.column("ts"), unit="day").cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                "cents": _cents(batch.column("value")),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    daily = (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("one", alias_name="n_events"), Sum("cents", alias_name="value_cents"))
+    )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype="object"),
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype="int64"),
+            "value_cents": pd.Series([], dtype="int64"),
+            "n_7d": pd.Series([], dtype="int64"),
+            "cents_7d": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return _EMPTY
+        df = group.sort_values("day", kind="mergesort").reset_index(drop=True)
+        n = df["n_events"].fillna(0).astype("int64").to_numpy()
+        c = df["value_cents"].fillna(0).astype("int64").to_numpy()
+        cn, cc = np.cumsum(n), np.cumsum(c)
+        shift_n = np.concatenate([[0] * min(frame, len(n)), cn[:-frame] if len(n) > frame else []]).astype(np.int64)
+        shift_c = np.concatenate([[0] * min(frame, len(c)), cc[:-frame] if len(c) > frame else []]).astype(np.int64)
+        df["n_7d"] = (cn - shift_n).astype("int64")
+        df["cents_7d"] = (cc - shift_c).astype("int64")
+        df["n_events"] = df["n_events"].astype("int64")
+        # all-null day: the daily SUM is NULL in the twin — preserve it
+        # (the trailing sums above already 0-fill, matching window-SUM
+        # null-skipping)
+        df["value_cents"] = df["value_cents"].astype("Int64")
+        return df[["event_type", "day", "n_events", "value_cents", "n_7d", "cents_7d"]]
+
+    return (
+        daily.groupby("event_type")
+        .map_groups(roll, batch_format="pandas")
+        .sort(["event_type", "day"])
+    )
