@@ -237,11 +237,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chain plus checkpoint/resume, and the driver's entry() smoke runs
         # extract_span_counts itself every round); replayable past the cut.
         "incremental_dedup_digest": dedup.incremental_dedup_digest,
-        # split_leakage_digest (seventh round-4 continuation, never gated):
-        # eval-set contamination audit — near-dup pairs crossing the
-        # hash_split test boundary via the shared cross-side banding +
-        # verify chain; pinned digest from oracle_dedup.leakage_matches.
-        "split_leakage_digest": dedup.split_leakage_digest,
         # --- extraction family (north rule) ----------------------------------
         # shape_counts / input_span_counts / image_meta moved past the cut
         # earlier (green in r02+r03; their slots fund gram_novelty /
@@ -282,6 +277,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
         "extract_span_counts": extract_stats.extract_span_counts,
+        # split_leakage_digest (seventh round-4 continuation, never gated):
+        # eval-set contamination audit — near-dup pairs crossing the
+        # hash_split test boundary via the shared cross-side banding +
+        # verify chain; pinned digest from oracle_dedup.leakage_matches
+        # (pytest-gated; sits past the cut so the round's existing 50
+        # stay exactly in the window).
+        "split_leakage_digest": dedup.split_leakage_digest,
         # --- dedup digests ----------------------------------------------------
         # paragraph_dedup sits just past the cut since nb_source_classify
         # took its slot (the sub-document dedup signal stays pinned by its
