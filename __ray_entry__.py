@@ -308,6 +308,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ER end-to-end — fuzzy pairs → CC closure → deterministic golden
         # record per duplicate cluster; recursive-CTE closure twin.
         "entity_golden_records": fuzzy.entity_golden_records,
+        # referential_integrity_audit (seventh round-4 continuation, never
+        # gated): FK orphan audit across all four star-schema relations in
+        # ONE tagged union stream — map-side distinct-key fold, one exact
+        # (relation, key)-bucket anti-join; LEFT-JOIN UNION-ALL twin.
+        "referential_integrity_audit": diagnostics.referential_integrity_audit,
         # bpe_encode_digest is new in the fifth round-4 continuation, never
         # driver-gated: the train→APPLY half of the subword story (corpus
         # tokenization with the trained merges — broadcast rank table,
@@ -1903,6 +1908,56 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "referential_integrity_audit": """
+            SELECT 'lineitem.l_orderkey->orders' AS relation,
+                   count(*)::BIGINT AS n_child_rows,
+                   count(*) FILTER (c.l_orderkey IS NULL)::BIGINT AS n_null_keys,
+                   count(*) FILTER (c.l_orderkey IS NOT NULL
+                                    AND p.o_orderkey IS NULL)::BIGINT
+                     AS n_orphan_rows,
+                   count(DISTINCT c.l_orderkey)
+                     FILTER (c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL)::BIGINT
+                     AS n_orphan_keys
+            FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+              ON c.l_orderkey = p.o_orderkey
+            UNION ALL
+            SELECT 'orders.o_custkey->customer' AS relation,
+                   count(*)::BIGINT AS n_child_rows,
+                   count(*) FILTER (c.o_custkey IS NULL)::BIGINT AS n_null_keys,
+                   count(*) FILTER (c.o_custkey IS NOT NULL
+                                    AND p.c_custkey IS NULL)::BIGINT
+                     AS n_orphan_rows,
+                   count(DISTINCT c.o_custkey)
+                     FILTER (c.o_custkey IS NOT NULL AND p.c_custkey IS NULL)::BIGINT
+                     AS n_orphan_keys
+            FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+              ON c.o_custkey = p.c_custkey
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation' AS relation,
+                   count(*)::BIGINT AS n_child_rows,
+                   count(*) FILTER (c.c_nationkey IS NULL)::BIGINT AS n_null_keys,
+                   count(*) FILTER (c.c_nationkey IS NOT NULL
+                                    AND p.n_nationkey IS NULL)::BIGINT
+                     AS n_orphan_rows,
+                   count(DISTINCT c.c_nationkey)
+                     FILTER (c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL)::BIGINT
+                     AS n_orphan_keys
+            FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p
+              ON c.c_nationkey = p.n_nationkey
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation' AS relation,
+                   count(*)::BIGINT AS n_child_rows,
+                   count(*) FILTER (c.s_nationkey IS NULL)::BIGINT AS n_null_keys,
+                   count(*) FILTER (c.s_nationkey IS NOT NULL
+                                    AND p.n_nationkey IS NULL)::BIGINT
+                     AS n_orphan_rows,
+                   count(DISTINCT c.s_nationkey)
+                     FILTER (c.s_nationkey IS NOT NULL AND p.n_nationkey IS NULL)::BIGINT
+                     AS n_orphan_keys
+            FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p
+              ON c.s_nationkey = p.n_nationkey
+            ORDER BY relation
         """,
         "entity_golden_records": """
             WITH RECURSIVE pairs AS (

@@ -123,3 +123,159 @@ def skew_report_sql(
                ((mx * {num_partitions} + total - 1) // total)::BIGINT AS salt_factor
         FROM t, s WHERE rk <= {top_k} ORDER BY rk
     """
+
+
+_FK_RELATIONS: tuple[tuple[str, str, str, str, str], ...] = (
+    # (relation label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def referential_integrity_audit(
+    sf_dir: str, *, num_buckets: int = 32
+) -> rd.Dataset:
+    """Foreign-key ORPHAN audit across every relationship in the star
+    schema, in one operator — the ingestion-validation pass next to
+    `skew_report` and `profile.profile_columns` (a new data drop with
+    dangling keys corrupts every downstream join silently).
+
+    All four relations ride ONE tagged union stream: child batches fold to
+    per-(relation, key) row counts map-side (the exchange moves distinct
+    keys per batch, never raw rows), parent batches emit their distinct
+    keys; one (relation, key-hash) bucket groupby counts child rows whose
+    key has no parent row in the bucket (a key lands wholly in its bucket,
+    so the anti-join is exact).  NULL child keys are counted separately —
+    they are not orphans (SQL joins drop them without a violation).
+
+    Returns (relation, n_child_rows, n_null_keys, n_orphan_rows,
+    n_orphan_keys) sorted by relation; twin is a UNION ALL of LEFT-JOIN
+    audits.
+    """
+    import functools
+
+    streams = []
+    for rel, child_t, child_k, parent_t, parent_k in _FK_RELATIONS:
+        child = sf_table(sf_dir, child_t, columns=[child_k])
+        parent = sf_table(sf_dir, parent_t, columns=[parent_k])
+        streams.append(
+            child.map_batches(
+                functools.partial(
+                    _fk_child_rows, rel=rel, key_col=child_k, num_buckets=num_buckets
+                ),
+                batch_format="pyarrow",
+                batch_size=65536,
+            )
+        )
+        streams.append(
+            parent.map_batches(
+                functools.partial(
+                    _fk_parent_rows, rel=rel, key_col=parent_k, num_buckets=num_buckets
+                ),
+                batch_format="pyarrow",
+                batch_size=65536,
+            )
+        )
+    unioned = streams[0]
+    for s in streams[1:]:
+        unioned = unioned.union(s)
+
+    partials = unioned.groupby(["relation", "bkt"]).map_groups(
+        _fk_bucket_audit, batch_format="pyarrow"
+    )
+    agg = partials.groupby("relation").aggregate(
+        Sum("n_child_rows", alias_name="n_child_rows"),
+        Sum("n_null_keys", alias_name="n_null_keys"),
+        Sum("n_orphan_rows", alias_name="n_orphan_rows"),
+        Sum("n_orphan_keys", alias_name="n_orphan_keys"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "relation": batch.column("relation"),
+                "n_child_rows": batch.column("n_child_rows").cast(pa.int64()),
+                "n_null_keys": batch.column("n_null_keys").cast(pa.int64()),
+                "n_orphan_rows": batch.column("n_orphan_rows").cast(pa.int64()),
+                "n_orphan_keys": batch.column("n_orphan_keys").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("relation")
+
+
+def _fk_child_rows(
+    batch: pa.Table, *, rel: str, key_col: str, num_buckets: int
+) -> pa.Table:
+    import pyarrow.compute as pc
+
+    col = batch.column(key_col)
+    n_null = int(pc.sum(pc.is_null(col).cast(pa.int8())).as_py() or 0)
+    keys = col.filter(pc.is_valid(col)).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    uk, counts = (
+        np.unique(keys, return_counts=True) if len(keys) else (np.array([], np.int64), np.array([], np.int64))
+    )
+    n = len(uk)
+    return pa.table(
+        {
+            "relation": pa.array([rel] * (n + 1), pa.string()),
+            "bkt": pa.array(
+                np.concatenate([uk % num_buckets, [0]]).astype(np.int32)
+            ),
+            "key": pa.array(np.concatenate([uk, [-1]]).astype(np.int64)),
+            # kind 0 = child partial, 1 = parent key, 2 = null-count carrier
+            "kind": pa.array([0] * n + [2], pa.int8()),
+            "n": pa.array(
+                np.concatenate([counts, [n_null]]).astype(np.int64)
+            ),
+        }
+    )
+
+
+def _fk_parent_rows(
+    batch: pa.Table, *, rel: str, key_col: str, num_buckets: int
+) -> pa.Table:
+    import pyarrow.compute as pc
+
+    col = batch.column(key_col)
+    keys = col.filter(pc.is_valid(col)).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    uk = np.unique(keys)
+    return pa.table(
+        {
+            "relation": pa.array([rel] * len(uk), pa.string()),
+            "bkt": pa.array((uk % num_buckets).astype(np.int32)),
+            "key": pa.array(uk),
+            "kind": pa.array([1] * len(uk), pa.int8()),
+            "n": pa.array(np.ones(len(uk), dtype=np.int64)),
+        }
+    )
+
+
+def _fk_bucket_audit(group: pa.Table) -> pa.Table:
+    rel = group.column("relation")[0].as_py()
+    kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+    key = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+    n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+    child = kind == 0
+    nulls = int(n[kind == 2].sum())
+    parents = np.unique(key[kind == 1])
+    ck, cn = key[child], n[child]
+    n_child = int(cn.sum())
+    if len(ck):
+        orphan_mask = ~np.isin(ck, parents)
+        # a key can appear in many child batches — orphan keys dedupe
+        orphan_keys = int(len(np.unique(ck[orphan_mask])))
+        orphan_rows = int(cn[orphan_mask].sum())
+    else:
+        orphan_keys = orphan_rows = 0
+    return pa.table(
+        {
+            "relation": pa.array([rel], pa.string()),
+            "n_child_rows": pa.array([n_child + nulls], pa.int64()),
+            "n_null_keys": pa.array([nulls], pa.int64()),
+            "n_orphan_rows": pa.array([orphan_rows], pa.int64()),
+            "n_orphan_keys": pa.array([orphan_keys], pa.int64()),
+        }
+    )
