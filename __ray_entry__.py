@@ -449,6 +449,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Type-2 validity intervals per user attribute run — one user-bucket
         # shuffle, shift-compare+cumsum run detection; lag/lead window twin.
         "scd2_history": analytics.scd2_event_type_history,
+        # pivot_user_event_counts (seventh round-4 continuation, never
+        # gated): long→wide PIVOT with map-side count-vector fold (the
+        # reshape happens before the exchange); FILTER-aggregate twin.
+        "pivot_user_event_counts": analytics.pivot_user_event_counts,
         # moving_event_stats (seventh round-4 continuation, never gated):
         # bounded ROWS-frame moving sums per event_type over pre-aggregated
         # days — cumsum-difference exact ints; bounded-window twin.
@@ -985,6 +989,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, hr, cents::BIGINT AS last_cents
             FROM filled ORDER BY user_id, hr
+        """,
+        "pivot_user_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+                   count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT
+                     AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+                   count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+                   count(*) FILTER (event_type IS NULL OR event_type NOT IN
+                     ('click','error','purchase','signup','view'))::BIGINT
+                     AS n_other
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "moving_event_stats": """
             WITH d AS (

@@ -1433,3 +1433,60 @@ def moving_event_stats(sf_dir: str, *, frame: int = 7) -> rd.Dataset:
         .map_groups(roll, batch_format="pandas")
         .sort(["event_type", "day"])
     )
+
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_user_event_counts(sf_dir: str) -> rd.Dataset:
+    """PIVOT: reshape the long (user, event_type) stream into one wide row
+    per user with a count column per type — the feature-vector layout a
+    model join consumes (long→wide is the reshape half the engine was
+    missing next to `cube_pricing`'s wide→summary).
+
+    Map-side: each batch folds to per-user count VECTORS (numpy add.at
+    into a users × types matrix — the pivot happens before the exchange,
+    so the shuffle moves one row per user per batch, already wide); the
+    groupby then just sums the typed columns.  Unknown types are counted
+    in ``n_other`` so schema stays fixed (the twin's ELSE bucket).
+
+    Returns (user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    n_other) sorted by user_id; twin is FILTER-aggregate SQL.
+    """
+    import numpy as np
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+    tmap = {t: i for i, t in enumerate(PIVOT_EVENT_TYPES)}
+    other = len(PIVOT_EVENT_TYPES)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_pylist()
+        cols = np.array([tmap.get(t, other) for t in et], dtype=np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        mat = np.zeros((len(uu), other + 1), dtype=np.int64)
+        np.add.at(mat, (inv, cols), 1)
+        out = {"user_id": pa.array(uu)}
+        for i, t in enumerate(PIVOT_EVENT_TYPES):
+            out[f"n_{t}"] = pa.array(mat[:, i])
+        out["n_other"] = pa.array(mat[:, other])
+        return pa.table(out)
+
+    aggs = [
+        Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_EVENT_TYPES
+    ] + [Sum("n_other", alias_name="n_other")]
+    agg = (
+        ev.map_batches(widen, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch.column("user_id").cast(pa.int64())}
+        for t in PIVOT_EVENT_TYPES:
+            cols[f"n_{t}"] = batch.column(f"n_{t}").cast(pa.int64())
+        cols["n_other"] = batch.column("n_other").cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
