@@ -453,6 +453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): long→wide PIVOT with map-side count-vector fold (the
         # reshape happens before the exchange); FILTER-aggregate twin.
         "pivot_user_event_counts": analytics.pivot_user_event_counts,
+        # unpivot_lineitem_measures (seventh round-4 continuation, never
+        # gated): wide→long melt with map-side fold; UNION-ALL melt twin.
+        "unpivot_lineitem_measures": analytics.unpivot_lineitem_measures,
         # moving_event_stats (seventh round-4 continuation, never gated):
         # bounded ROWS-frame moving sums per event_type over pre-aggregated
         # days — cumsum-difference exact ints; bounded-window twin.
@@ -989,6 +992,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, hr, cents::BIGINT AS last_cents
             FROM filled ORDER BY user_id, hr
+        """,
+        "unpivot_lineitem_measures": """
+            WITH long AS (
+              SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+            SELECT measure, count(v)::BIGINT AS n_values,
+                   (count(*) - count(v))::BIGINT AS n_nulls,
+                   coalesce(sum(round(v * 100)::BIGINT), 0)::BIGINT AS sum_cents
+            FROM long GROUP BY measure ORDER BY measure
         """,
         "pivot_user_event_counts": """
             SELECT user_id,

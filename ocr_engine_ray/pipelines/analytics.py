@@ -1490,3 +1490,65 @@ def pivot_user_event_counts(sf_dir: str) -> rd.Dataset:
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def unpivot_lineitem_measures(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT (melt): the wide lineitem measure columns into long
+    (measure, value) form, then the per-measure summary — the inverse
+    reshape of `pivot_user_event_counts`, proving both directions of the
+    long↔wide pair.
+
+    The melt is a per-batch column stack (pure Arrow take/concat — rows ×
+    measures long rows never leave the batch: the summary fold happens
+    map-side and only measure-count partials reach the exchange).  Money
+    stays exact int cents.  Returns (measure, n_values, n_nulls,
+    sum_cents) sorted by measure; twin is the UNION-ALL melt SQL.
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "lineitem", columns=list(UNPIVOT_MEASURES))
+
+    def melt_fold(batch: pa.Table) -> pa.Table:
+        names, nv, nn, sc = [], [], [], []
+        for m in UNPIVOT_MEASURES:
+            col = batch.column(m)
+            n_null = int(pc.sum(pc.is_null(col).cast(pa.int8())).as_py() or 0)
+            cents = _cents(col.cast(pa.float64()))
+            s = pc.sum(cents).as_py() or 0
+            names.append(m)
+            nv.append(batch.num_rows - n_null)
+            nn.append(n_null)
+            sc.append(int(s))
+        return pa.table(
+            {
+                "measure": pa.array(names, pa.string()),
+                "n_values": pa.array(nv, pa.int64()),
+                "n_nulls": pa.array(nn, pa.int64()),
+                "sum_cents": pa.array(sc, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(melt_fold, batch_format="pyarrow", batch_size=65536)
+        .groupby("measure")
+        .aggregate(
+            Sum("n_values", alias_name="n_values"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "measure": batch.column("measure"),
+                "n_values": batch.column("n_values").cast(pa.int64()),
+                "n_nulls": batch.column("n_nulls").cast(pa.int64()),
+                "sum_cents": batch.column("sum_cents").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("measure")

@@ -63,3 +63,42 @@ class TestPivot:
         ).fetchone()[0]
         wide_cols = [c for c in df.columns if c.startswith("n_")]
         assert int(df[wide_cols].to_numpy().sum()) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnpivot:
+    def test_matches_registered_twin_at_sf0001(self):
+        import __ray_entry__ as e
+
+        from ocr_engine_ray.pipelines.analytics import unpivot_lineitem_measures
+
+        got = unpivot_lineitem_measures(SF).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+        )
+        want = con.execute(e.oracle_sql()["unpivot_lineitem_measures"]).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_nulls_fold(self, tmp_path):
+        from ocr_engine_ray.pipelines.analytics import unpivot_lineitem_measures
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_quantity": pa.array([1.0, None, 3.0], pa.float64()),
+                    "l_extendedprice": pa.array([None, None, None], pa.float64()),
+                    "l_discount": pa.array([0.05, 0.10, 0.0], pa.float64()),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        rows = {
+            r["measure"]: (r["n_values"], r["n_nulls"], r["sum_cents"])
+            for r in unpivot_lineitem_measures(str(tmp_path)).take_all()
+        }
+        assert rows == {
+            "l_quantity": (2, 1, 400),
+            "l_extendedprice": (0, 3, 0),
+            "l_discount": (3, 0, 15),
+        }
