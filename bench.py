@@ -305,6 +305,15 @@ def run_bench() -> dict:
         "entity_golden_records": timed(
             __import__("ocr_engine_ray.pipelines.fuzzy", fromlist=["x"]).entity_golden_records
         ),
+        "referential_integrity_audit": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+            ).referential_integrity_audit
+        ),
+        "pivot_user_event_counts": timed(analytics.pivot_user_event_counts),
+        "unpivot_lineitem_measures": timed(analytics.unpivot_lineitem_measures),
+        "moving_event_stats": timed(analytics.moving_event_stats),
+        "debounce_events": timed(analytics.debounce_events),
         "watermark_late_events": timed(
             __import__("ocr_engine_ray.state.stream", fromlist=["x"]).watermark_late_events
         ),
