@@ -313,6 +313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ONE tagged union stream — map-side distinct-key fold, one exact
         # (relation, key)-bucket anti-join; LEFT-JOIN UNION-ALL twin.
         "referential_integrity_audit": diagnostics.referential_integrity_audit,
+        # pseudonymize_user_activity (seventh round-4 continuation, never
+        # gated): keyed deterministic key tokenization (joinability-
+        # preserving governance pass); md5-surrogate twin.
+        "pseudonymize_user_activity": tagger.pseudonymize_user_activity,
         # bpe_encode_digest is new in the fifth round-4 continuation, never
         # driver-gated: the train→APPLY half of the subword story (corpus
         # tokenization with the trained merges — broadcast rank table,
@@ -992,6 +996,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, hr, cents::BIGINT AS last_cents
             FROM filled ORDER BY user_id, hr
+        """,
+        "pseudonymize_user_activity": """
+            SELECT ('0x' || substr(md5('s7:' || user_id::VARCHAR), 1, 15))::BIGINT
+                     AS pseudo_id,
+                   count(*)::BIGINT AS n_events,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "unpivot_lineitem_measures": """
             WITH long AS (

@@ -30,6 +30,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 from ..sources.tables import sf_table
 
@@ -101,3 +102,69 @@ def redact_digest(
         )
 
     return fold_digest(docs.map_batches(mask, batch_format="pyarrow"), "masked")
+
+
+PSEUDO_SALT = "s7"
+
+
+def pseudonymize_user_activity(sf_dir: str, *, salt: str = PSEUDO_SALT) -> rd.Dataset:
+    """PSEUDONYMIZATION: replace user ids with deterministic keyed
+    surrogates while preserving joinability and aggregate shape — the
+    governance pass next to `redact_digest` (that one masks free text;
+    this one tokenizes KEYS so downstream analytics run without raw ids).
+
+    The surrogate is the first 60 bits of ``md5(salt || ':' || user_id)``
+    (deterministic → the same user maps to the same surrogate in every
+    table and run; keyed → un-reversible without the salt).  Correctness
+    is pinned by aggregating per surrogate: the distribution is identical
+    to the per-user one with only the labels swapped — which the SQL twin
+    recomputes exactly, and a bijectivity check rides in the tests.
+
+    One map pass + one groupby (surrogate cardinality == user
+    cardinality).  Returns (pseudo_id, n_events, value_cents) sorted by
+    pseudo_id.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from .analytics import _cents
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def mask(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # hash per DISTINCT id per batch, not per row
+        uu, inv = np.unique(uid, return_inverse=True)
+        surr = np.array(
+            [
+                int(hashlib.md5(f"{salt}:{u}".encode()).hexdigest()[:15], 16)
+                for u in uu
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "pseudo_id": pa.array(surr[inv]),
+                "cents": _cents(batch.column("value")),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ev.map_batches(mask, batch_format="pyarrow", batch_size=65536)
+        .groupby("pseudo_id")
+        .aggregate(Sum("one", alias_name="n_events"), Sum("cents", alias_name="value_cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pseudo_id": batch.column("pseudo_id").cast(pa.int64()),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "value_cents": batch.column("value_cents").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("pseudo_id")
