@@ -273,6 +273,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # past the cut).
         "bpe_digest": bpe.bpe_digest,
         # ------------------------- 50-query gate cut -------------------------
+        # association_rules (eighth round-4 continuation, never gated):
+        # confidence/lift rule mining on the exact integer ppm grid over
+        # the co-purchase pair supports; first in line past the cut —
+        # every in-window query above has never had a driver row either,
+        # so none is displaced; exact-twin-gated via compare_oracle +
+        # tests/test_assoc.py.
+        "association_rules": basket.association_rules,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1813,6 +1820,37 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": __import__(
             "ocr_engine_ray.pipelines.merge", fromlist=["x"]
         ).MERGE_UPSERT_SQL,
+        # Association rules on DISTINCT-presence (order-set) semantics —
+        # the textbook Apriori convention, deliberately different from
+        # copurchase_pairs' row-pair convention.  Scores are exact
+        # arbitrary-precision integer quotients on the ppm grid (HUGEINT
+        # here, Python ints in the kernel); (conf_ppm DESC, antecedent,
+        # consequent) is a total order so the top-k cut is deterministic.
+        "association_rules": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            item AS (SELECT p, count(*)::BIGINT AS n FROM op GROUP BY 1),
+            pair AS (
+              SELECT a.p AS p1, b.p AS p2, count(*)::BIGINT AS n
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2
+            ),
+            dir AS (
+              SELECT p1 AS ante, p2 AS cons, n FROM pair WHERE n >= 2
+              UNION ALL
+              SELECT p2 AS ante, p1 AS cons, n FROM pair WHERE n >= 2
+            )
+            SELECT d.ante AS antecedent, d.cons AS consequent,
+                   d.n AS pair_n, ia.n AS ante_n, ic.n AS cons_n,
+                   ((d.n::HUGEINT * 1000000) // ia.n)::BIGINT AS conf_ppm,
+                   ((d.n::HUGEINT * (SELECT count(DISTINCT o) FROM op)
+                     * 1000000) // (ia.n::HUGEINT * ic.n))::BIGINT AS lift_ppm
+            FROM dir d
+            JOIN item ia ON d.ante = ia.p
+            JOIN item ic ON d.cons = ic.p
+            ORDER BY conf_ppm DESC, antecedent, consequent LIMIT 100
+        """,
         # Triangle count: same row-pair support convention as
         # copurchase_pairs, oriented wedges from the low endpoint
         # (e2.p2 > e1.p2), closing-edge join — each triangle a<b<c once.

@@ -218,6 +218,224 @@ def copurchase_edges(
     )
 
 
+RULES_MIN_SUPPORT = 2
+RULES_TOP_K = 100
+_PPM = 1_000_000
+
+
+def _distinct_rule_partials(group: pa.Table, *, num_buckets: int) -> pa.Table:
+    """One order bucket → tagged partial stream on SET semantics
+    (distinct presence per order, the textbook Apriori convention —
+    deliberately different from `copurchase_pairs`' row-pair convention):
+
+    kind 0: (bkt=hash(p1,p2)%B, a=p1, b=p2, n=pair-order count partial)
+    kind 1: (bkt=p%B,           a=p,  b=0,  n=item-order count partial)
+    kind 2: (bkt=0,             a=0,  b=0,  n=distinct orders here)
+
+    Exact because an order lives wholly in its bucket.
+    """
+    empty = pa.table(
+        {
+            "kind": pa.array([], pa.int64()),
+            "bkt": pa.array([], pa.int64()),
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    ok = group.column("okey").combine_chunks().to_numpy(zero_copy_only=False)
+    pt = group.column("part").combine_chunks().to_numpy(zero_copy_only=False)
+    if not len(ok):
+        return empty
+    maxp = int(pt.max()) + 1
+    comb = np.unique(ok * maxp + pt)  # distinct (order, part)
+    d_ok = comb // maxp
+    d_pt = comb % maxp
+    orders, m = np.unique(d_ok, return_counts=True)
+    # item partials: per-part count of orders containing it (distinct!)
+    items, item_n = np.unique(d_pt, return_counts=True)
+    kinds = [np.ones(len(items), dtype=np.int64)]
+    bkts = [(items % num_buckets).astype(np.int64)]
+    a_out = [items.astype(np.int64)]
+    b_out = [np.zeros(len(items), dtype=np.int64)]
+    n_out = [item_n.astype(np.int64)]
+    # order-count partial
+    kinds.append(np.array([2], dtype=np.int64))
+    bkts.append(np.array([0], dtype=np.int64))
+    a_out.append(np.array([0], dtype=np.int64))
+    b_out.append(np.array([0], dtype=np.int64))
+    n_out.append(np.array([len(orders)], dtype=np.int64))
+    # pair partials by order-size class (the `_order_pair_partials` shape,
+    # weight 1 per order — set semantics)
+    starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    p1_all, p2_all = [], []
+    for msize in np.unique(m):
+        if msize < 2:
+            continue
+        sel = np.nonzero(m == msize)[0]
+        idx = starts[sel][:, None] + np.arange(msize)[None, :]
+        parts_m = d_pt[idx]  # ascending per row
+        iu, ju = np.triu_indices(int(msize), 1)
+        p1_all.append(parts_m[:, iu].ravel())
+        p2_all.append(parts_m[:, ju].ravel())
+    if p1_all:
+        p1 = np.concatenate(p1_all)
+        p2 = np.concatenate(p2_all)
+        pk = p1 * maxp + p2
+        upk, cnt = np.unique(pk, return_counts=True)
+        up1 = (upk // maxp).astype(np.int64)
+        up2 = (upk % maxp).astype(np.int64)
+        kinds.append(np.zeros(len(upk), dtype=np.int64))
+        bkts.append(((up1 * np.int64(1_000_003) + up2) % num_buckets).astype(np.int64))
+        a_out.append(up1)
+        b_out.append(up2)
+        n_out.append(cnt.astype(np.int64))
+    return pa.table(
+        {
+            "kind": pa.array(np.concatenate(kinds)),
+            "bkt": pa.array(np.concatenate(bkts)),
+            "a": pa.array(np.concatenate(a_out)),
+            "b": pa.array(np.concatenate(b_out)),
+            "n": pa.array(np.concatenate(n_out)),
+        }
+    )
+
+
+def association_rules(
+    sf_dir: str,
+    *,
+    min_support: int = RULES_MIN_SUPPORT,
+    k: int = RULES_TOP_K,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Association rules from co-purchase pairs (Agrawal & Srikant 1994):
+    both directions of every pair with order-set support ≥ ``min_support``,
+    scored by confidence and lift on the exact integer ppm grid —
+
+        conf_ppm = ⌊pair_n · 10⁶ / ante_n⌋
+        lift_ppm = ⌊pair_n · N · 10⁶ / (ante_n · cons_n)⌋
+
+    with arbitrary-precision integer quotients (HUGEINT in the twin), so
+    no float touches the score.  Returns
+    (antecedent, consequent, pair_n, ante_n, cons_n, conf_ppm, lift_ppm)
+    ordered by (conf_ppm DESC, antecedent, consequent) — a total order,
+    (antecedent, consequent) being unique — limited to ``k``.
+
+    Scale shape: ONE order-bucket shuffle emits a tagged pre-combined
+    partial stream (pair / item / order-count rows — distinct-set
+    semantics fall out per bucket because an order lives wholly in its
+    bucket); the partial stream (≈ distinct pairs + parts, far below the
+    corpus) is materialized once and consumed twice: item supports fold to
+    a PART-DIMENSION-BOUNDED table broadcast via ``ray.put`` (the classic
+    small-side rule), pair counts fold per pair bucket, score against the
+    broadcast supports, and prune block-local top-k before the k-row sort.
+    """
+    import functools
+
+    import ray
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    partials = (
+        li.map_batches(
+            functools.partial(_bucket_rows, num_buckets=num_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("obkt")
+        .map_groups(
+            functools.partial(_distinct_rule_partials, num_buckets=num_buckets),
+            batch_format="pyarrow",
+        )
+        .materialize()  # ≈ distinct pairs, not the corpus
+    )
+
+    def fold_items(group: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(group.column("kind"), 1)
+        g = group.filter(mask)
+        p = g.column("a").combine_chunks().to_numpy(zero_copy_only=False)
+        n = g.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(p):
+            return pa.table(
+                {"p": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        up, inv = np.unique(p, return_inverse=True)
+        tot = np.zeros(len(up), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({"p": pa.array(up), "n": pa.array(tot)})
+
+    item_rows = (
+        partials.groupby("bkt").map_groups(fold_items, batch_format="pyarrow").take_all()
+    )  # part-dimension-bounded
+    support = {int(r["p"]): int(r["n"]) for r in item_rows}
+    n_orders = sum(
+        int(r["n"]) for r in partials.filter(expr="kind == 2").take_all()
+    )
+    support_ref = ray.put(support)
+
+    def score_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "antecedent": pa.array([], pa.int64()),
+                "consequent": pa.array([], pa.int64()),
+                "pair_n": pa.array([], pa.int64()),
+                "ante_n": pa.array([], pa.int64()),
+                "cons_n": pa.array([], pa.int64()),
+                "conf_ppm": pa.array([], pa.int64()),
+                "lift_ppm": pa.array([], pa.int64()),
+            }
+        )
+        mask = pa.compute.equal(group.column("kind"), 0)
+        g = group.filter(mask)
+        p1 = g.column("a").combine_chunks().to_numpy(zero_copy_only=False)
+        p2 = g.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        n = g.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(p1):
+            return empty
+        maxp = int(p2.max()) + 1
+        upk, inv = np.unique(p1 * maxp + p2, return_inverse=True)
+        tot = np.zeros(len(upk), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        keep = tot >= min_support
+        if not keep.any():
+            return empty
+        up1 = (upk // maxp)[keep]
+        up2 = (upk % maxp)[keep]
+        tot = tot[keep]
+        sup = ray.get(support_ref)
+        rows: list[tuple[int, int, int, int, int, int, int]] = []
+        # surviving pairs per bucket are few past the support cut; the ppm
+        # quotients use Python ints so pair_n·N·10⁶ never overflows
+        for a, c, pn in zip(up1.tolist(), up2.tolist(), tot.tolist()):
+            an, cn = sup[a], sup[c]
+            for ante, cons, ante_n, cons_n in ((a, c, an, cn), (c, a, cn, an)):
+                conf = pn * _PPM // ante_n
+                lift = pn * n_orders * _PPM // (ante_n * cons_n)
+                rows.append((ante, cons, pn, ante_n, cons_n, conf, lift))
+        rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+        rows = rows[:k]  # block-local prune: only a local top-k row can win
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "antecedent": pa.array(cols[0], pa.int64()),
+                "consequent": pa.array(cols[1], pa.int64()),
+                "pair_n": pa.array(cols[2], pa.int64()),
+                "ante_n": pa.array(cols[3], pa.int64()),
+                "cons_n": pa.array(cols[4], pa.int64()),
+                "conf_ppm": pa.array(cols[5], pa.int64()),
+                "lift_ppm": pa.array(cols[6], pa.int64()),
+            }
+        )
+
+    return (
+        partials.groupby("bkt")
+        .map_groups(score_pairs, batch_format="pyarrow")
+        .sort(
+            ["conf_ppm", "antecedent", "consequent"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )
+
+
 def triangle_count(
     sf_dir: str, *, min_support: int = BASKET_MIN_SUPPORT, num_buckets: int = 64
 ) -> pa.Table:
