@@ -280,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so none is displaced; exact-twin-gated via compare_oracle +
         # tests/test_assoc.py.
         "association_rules": basket.association_rules,
+        # c4_quality_filters (eighth round-4 continuation, never gated):
+        # the C4 line/page cleaning heuristics — one Arrow RE2 kernel per
+        # predicate over the flattened line array; exact unnest twin.
+        "c4_quality_filters": decontam.c4_quality_filters,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1826,6 +1830,43 @@ def oracle_sql() -> dict[str, str]:
         # arbitrary-precision integer quotients on the ppm grid (HUGEINT
         # here, Python ints in the kernel); (conf_ppm DESC, antecedent,
         # consequent) is a total order so the top-k cut is deterministic.
+        # C4 cleaning heuristics recomputed wholesale per line: same
+        # rtrim class, RE2 \S+ word count, terminal-punct regex and
+        # lowercase substring checks as the Arrow kernels.
+        "c4_quality_filters": """
+            WITH lines AS (
+              SELECT doc_id,
+                     rtrim(unnest(string_split(coalesce(text, ''), chr(10))),
+                           ' ' || chr(9) || chr(13)) AS lt
+              FROM documents
+            ),
+            flags AS (
+              SELECT doc_id,
+                     (regexp_matches(lt, '[.!?"]$')
+                      AND len(regexp_extract_all(lt, '\\S+')) >= 5
+                      AND NOT contains(lower(lt), 'javascript')) AS kept,
+                     len(regexp_extract_all(lt, '\\S+'))::BIGINT AS nw,
+                     len(regexp_extract_all(lt, '[.!?]'))::BIGINT AS nsent
+              FROM lines
+            ),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines,
+                     coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS kept_lines,
+                     coalesce(sum(CASE WHEN kept THEN nw END), 0)::BIGINT
+                       AS kept_words,
+                     coalesce(sum(CASE WHEN kept THEN nsent END), 0)::BIGINT
+                       AS n_sentences
+              FROM flags GROUP BY 1
+            )
+            SELECT a.doc_id, a.n_lines, a.kept_lines, a.kept_words,
+                   a.n_sentences,
+                   (a.kept_lines >= 1 AND a.n_sentences >= 3
+                    AND NOT contains(lower(coalesce(d.text, '')), 'lorem ipsum')
+                    AND NOT contains(coalesce(d.text, ''), '{')) AS c4_keep
+            FROM agg a JOIN documents d USING (doc_id)
+            ORDER BY doc_id
+        """,
         "association_rules": """
             WITH op AS (
               SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
