@@ -284,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the C4 line/page cleaning heuristics — one Arrow RE2 kernel per
         # predicate over the flattened line array; exact unnest twin.
         "c4_quality_filters": decontam.c4_quality_filters,
+        # validate_constraints (eighth round-4 continuation, never gated):
+        # Deequ-style completeness/uniqueness/range/set checks in one
+        # tagged union stream; generated UNION-ALL twin from the same spec.
+        "validate_constraints": diagnostics.validate_constraints,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -639,6 +643,11 @@ def oracle_sql() -> dict[str, str]:
         # Key-skew head: per-key counts, scalar cross join, row_number
         # head, ceil/floor integer salt arithmetic (generated twin).
         "skew_report": skew_report_sql(),
+        # Deequ-style constraint suite: UNION ALL of one aggregate audit
+        # per check, generated from the SAME spec the engine pass runs.
+        "validate_constraints": __import__(
+            "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+        ).validate_constraints_sql(),
         # Morton-curve layout manifest: same exact-integer 16-bit grid and
         # unrolled 16-step bit interleave, row_number in (z, event_id)
         # order, file grouping (generated twin).

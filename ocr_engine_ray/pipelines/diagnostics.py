@@ -279,3 +279,213 @@ def _fk_bucket_audit(group: pa.Table) -> pa.Table:
             "n_orphan_keys": pa.array([orphan_keys], pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Deequ-style constraint validation
+# --------------------------------------------------------------------------
+
+# (check_name, table, kind, column, params) — one spec drives BOTH the
+# engine pass and the generated SQL twin, so the two can't drift.
+_CHECKS: tuple = (
+    ("customer.c_custkey.unique", "customer", "unique", "c_custkey", None),
+    ("customer.c_mktsegment.complete", "customer", "complete", "c_mktsegment", None),
+    ("events.ts.complete", "events", "complete", "ts", None),
+    ("events.user_id.complete", "events", "complete", "user_id", None),
+    ("lineitem.l_discount.range", "lineitem", "range", "l_discount", (0.0, 1.0)),
+    ("lineitem.l_quantity.positive", "lineitem", "positive", "l_quantity", None),
+    ("lineitem.l_returnflag.in_set", "lineitem", "in_set", "l_returnflag",
+     ("A", "N", "R")),
+    ("orders.o_orderkey.unique", "orders", "unique", "o_orderkey", None),
+    ("orders.o_orderstatus.in_set", "orders", "in_set", "o_orderstatus",
+     ("F", "O", "P")),
+    ("orders.o_totalprice.positive", "orders", "positive", "o_totalprice", None),
+    ("part.p_size.range", "part", "range", "p_size", (1, 50)),
+)
+
+
+def _check_partials(
+    batch: pa.Table, *, table: str, num_buckets: int
+) -> pa.Table:
+    """Per-batch partial rows for every check on ``table``.
+
+    Scalar checks emit ONE (check_name, n=batch_rows, viol) row;
+    uniqueness checks additionally emit their batch-DISTINCT keys as
+    (check_name, bkt=key%B, key, is_key=1) rows with a scalar row of
+    viol=batch_rows — after the bucket fold credits −(global distinct),
+    the sum is exactly count(*) − count(DISTINCT col).
+    """
+    import pyarrow.compute as pc
+
+    names: list[str] = []
+    bkts: list[np.ndarray] = []
+    keys: list[np.ndarray] = []
+    ns: list[np.ndarray] = []
+    viols: list[np.ndarray] = []
+    is_key: list[np.ndarray] = []
+    m = batch.num_rows
+
+    def scalar_row(name: str, viol: int) -> None:
+        names.append(name)
+        bkts.append(np.array([0], np.int64))
+        keys.append(np.array([0], np.int64))
+        ns.append(np.array([m], np.int64))
+        viols.append(np.array([viol], np.int64))
+        is_key.append(np.array([0], np.int64))
+
+    for name, tbl, kind, col_name, params in _CHECKS:
+        if tbl != table:
+            continue
+        col = batch.column(col_name)
+        if kind == "complete":
+            scalar_row(name, col.null_count)
+        elif kind == "positive":
+            v = pc.fill_null(pc.less_equal(col, 0), False)
+            scalar_row(name, int(pc.sum(v).as_py() or 0))
+        elif kind == "range":
+            lo, hi = params
+            bad = pc.or_(pc.less(col, lo), pc.greater(col, hi))
+            scalar_row(name, int(pc.sum(pc.fill_null(bad, False)).as_py() or 0))
+        elif kind == "in_set":
+            ok = pc.is_in(col, value_set=pa.array(list(params)))
+            bad = pc.and_(pc.is_valid(col), pc.invert(ok))
+            scalar_row(name, int(pc.sum(bad).as_py() or 0))
+        elif kind == "unique":
+            scalar_row(name, m)  # credit −distinct lands after the fold
+            valid = col.filter(pc.is_valid(col)).cast(pa.int64())
+            uk = np.unique(valid.to_numpy(zero_copy_only=False))
+            if len(uk):
+                names.extend([name] * len(uk))
+                bkts.append((uk % num_buckets).astype(np.int64))
+                keys.append(uk)
+                ns.append(np.zeros(len(uk), np.int64))
+                viols.append(np.zeros(len(uk), np.int64))
+                is_key.append(np.ones(len(uk), np.int64))
+    return pa.table(
+        {
+            "check_name": pa.array(names, pa.string()),
+            "bkt": pa.array(np.concatenate(bkts) if bkts else np.array([], np.int64)),
+            "key": pa.array(np.concatenate(keys) if keys else np.array([], np.int64)),
+            "n": pa.array(np.concatenate(ns) if ns else np.array([], np.int64)),
+            "viol": pa.array(
+                np.concatenate(viols) if viols else np.array([], np.int64)
+            ),
+            "is_key": pa.array(
+                np.concatenate(is_key) if is_key else np.array([], np.int64)
+            ),
+        }
+    )
+
+
+def _check_bucket_fold(group: pa.Table) -> pa.Table:
+    """One (check_name, bkt) group → summed scalar partials plus the
+    −distinct credit for uniqueness keys."""
+    name = group.column("check_name")[0].as_py()
+    is_key = group.column("is_key").combine_chunks().to_numpy(zero_copy_only=False)
+    n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+    viol = group.column("viol").combine_chunks().to_numpy(zero_copy_only=False)
+    key = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+    scal = is_key == 0
+    n_sum = int(n[scal].sum())
+    viol_sum = int(viol[scal].sum())
+    d = int(len(np.unique(key[~scal])))
+    return pa.table(
+        {
+            "check_name": pa.array([name], pa.string()),
+            "n": pa.array([n_sum], pa.int64()),
+            "viol": pa.array([viol_sum - d], pa.int64()),
+        }
+    )
+
+
+def validate_constraints(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
+    """Deequ-style data-quality constraint suite (Schelter et al. 2018)
+    over the star schema: completeness, key uniqueness, value ranges and
+    set membership, validated in ONE tagged union stream — the ingestion
+    contract check beside `profile_columns` and
+    `referential_integrity_audit`.
+
+    Scale shape: each table is scanned once with only its checked columns
+    (column-pruned read); scalar checks fold map-side to one partial row
+    per batch; uniqueness ships batch-DISTINCT keys through a key-hash
+    bucket groupby (a key lands wholly in its bucket, so
+    count(*) − count(DISTINCT) is an exact sum of bucket terms).  NULLs
+    violate only completeness — range/set checks skip them, matching SQL
+    comparison semantics.
+
+    Returns (check_name, n_rows, n_violations, passed) sorted by
+    check_name.
+    """
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    tables = sorted({tbl for _, tbl, _, _, _ in _CHECKS})
+    cols_by_table = {
+        t: sorted({c for _, tbl, _, c, _ in _CHECKS if tbl == t}) for t in tables
+    }
+    streams = []
+    for t in tables:
+        src = sf_table(sf_dir, t, columns=cols_by_table[t])
+        streams.append(
+            src.map_batches(
+                functools.partial(_check_partials, table=t, num_buckets=num_buckets),
+                batch_format="pyarrow",
+                batch_size=65536,
+            )
+        )
+    unioned = streams[0]
+    for s in streams[1:]:
+        unioned = unioned.union(s)
+
+    agg = (
+        unioned.groupby(["check_name", "bkt"])
+        .map_groups(_check_bucket_fold, batch_format="pyarrow")
+        .groupby("check_name")
+        .aggregate(Sum("n", alias_name="n"), Sum("viol", alias_name="viol"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        viol = batch.column("viol").cast(pa.int64())
+        return pa.table(
+            {
+                "check_name": batch.column("check_name"),
+                "n_rows": batch.column("n").cast(pa.int64()),
+                "n_violations": viol,
+                "passed": pc.equal(viol, 0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("check_name")
+
+
+def validate_constraints_sql() -> str:
+    """The UNION-ALL twin generated from the same ``_CHECKS`` spec."""
+    parts = []
+    for name, tbl, kind, col, params in _CHECKS:
+        if kind == "complete":
+            v = f"(count(*) - count({col}))"
+        elif kind == "unique":
+            v = f"(count(*) - count(DISTINCT {col}))"
+        elif kind == "positive":
+            v = f"count(*) FILTER (WHERE {col} IS NOT NULL AND {col} <= 0)"
+        elif kind == "range":
+            lo, hi = params
+            v = (
+                f"count(*) FILTER (WHERE {col} IS NOT NULL "
+                f"AND ({col} < {lo} OR {col} > {hi}))"
+            )
+        elif kind == "in_set":
+            vals = ", ".join(f"'{x}'" for x in params)
+            v = f"count(*) FILTER (WHERE {col} IS NOT NULL AND {col} NOT IN ({vals}))"
+        parts.append(
+            f"SELECT '{name}' AS check_name, count(*)::BIGINT AS n_rows,\n"
+            f"       {v}::BIGINT AS n_violations FROM {tbl}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        "SELECT check_name, n_rows, n_violations, (n_violations = 0) AS passed\n"
+        f"FROM (\n{union}\n)\nORDER BY check_name"
+    )
