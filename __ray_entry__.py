@@ -288,6 +288,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Deequ-style completeness/uniqueness/range/set checks in one
         # tagged union stream; generated UNION-ALL twin from the same spec.
         "validate_constraints": diagnostics.validate_constraints,
+        # leakage_safe_split (eighth round-4 continuation, never gated):
+        # group-aware split — near-dup clusters (exact cosine + CC) share
+        # one split coin thrown on the component representative;
+        # recursive-CTE + identical-md5-coin twin.
+        "leakage_safe_split": sampling.leakage_safe_split,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2601,6 +2606,44 @@ def oracle_sql() -> dict[str, str]:
         # Deterministic train/val/test split: both sides compare the same
         # md5 float64 coin against the same literal boundaries, so the
         # assignment is bit-identical.
+        # Group-aware split: same recursive-CTE closure as
+        # embedding_near_dup_clusters, coin thrown on
+        # coalesce(cluster_id, vec_id) with salt 'g' — identical md5
+        # expression on both sides, so assignments are bit-identical.
+        "leakage_safe_split": r"""
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+            ),
+            edges AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs
+            ),
+            reach(node, other) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.node, e.v FROM reach r JOIN edges e ON r.other = e.u
+            ),
+            cl AS (
+              SELECT node AS vec_id,
+                     least(node, min(other))::BIGINT AS cluster_id
+              FROM reach GROUP BY node
+            )
+            SELECT vec_id, rep_id,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT e.vec_id,
+                     coalesce(cl.cluster_id, e.vec_id)::BIGINT AS rep_id,
+                     ((('0x' || substr(md5(coalesce(cl.cluster_id, e.vec_id)::VARCHAR
+                                           || ':g'), 1, 8))
+                       ::UBIGINT + 1) / 4294967297.0) AS u
+              FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id)
+            ORDER BY vec_id
+        """,
         "hash_split": r"""
             SELECT doc_id, source,
                    CASE WHEN u < 0.9 THEN 'train'

@@ -399,3 +399,98 @@ def temperature_rebalance(sf_dir: str, *, alpha: float = 0.5) -> rd.Dataset:
         return batch.select(["doc_id", "source"]).filter(pa.array(u < thr))
 
     return slim.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def leakage_safe_split(
+    sf_dir: str,
+    *,
+    threshold: float = 0.42,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Group-aware train/val/test split: every member of a near-duplicate
+    cluster gets the SAME split, so near-copies can never straddle the
+    train/eval boundary (the leak `dedup.split_leakage_digest` audits
+    after the fact, prevented by construction here).  The coin is thrown
+    on the cluster REPRESENTATIVE (min vec_id of the connected component;
+    a vector outside any cluster is its own singleton representative)
+    with salt ``'g'`` — a pure function of content-derived ids, so
+    re-running or re-sharding the corpus never moves a group.
+
+    Scale shape: the near-dup clusters come from the existing exact
+    block-pair cosine + distributed-CC path; the cluster map joins back
+    to the id stream through ONE vec_id-hash bucket groupby on a tagged
+    union (a key lands wholly in its bucket — exact LEFT JOIN), and the
+    md5 coin is thrown per bucket with no driver state.
+
+    Returns (vec_id, rep_id, split) sorted by vec_id; recursive-CTE
+    closure + identical-coin twin.
+    """
+    import numpy as np
+
+    from .dedup import embedding_near_dup
+    from .graph import connected_components
+
+    train_hi = 1.0 - (val_frac + test_frac)
+    val_hi = 1.0 - test_frac
+
+    pairs = embedding_near_dup(sf_dir, threshold=threshold)
+    clusters = connected_components(pairs)  # (doc_id, cluster_id)
+
+    def tag_cluster(batch: pa.Table) -> pa.Table:
+        vid = batch.column("doc_id").cast(pa.int64())
+        k = vid.combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((k % num_buckets).astype(np.int64)),
+                "vec_id": vid,
+                "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+                "is_cluster": pa.array(np.ones(len(k), np.int64)),
+            }
+        )
+
+    def tag_id(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").cast(pa.int64())
+        k = vid.combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((k % num_buckets).astype(np.int64)),
+                "vec_id": vid,
+                "cluster_id": pa.array(np.zeros(len(k), np.int64)),
+                "is_cluster": pa.array(np.zeros(len(k), np.int64)),
+            }
+        )
+
+    ids = sf_table(sf_dir, "embeddings", columns=["vec_id"])
+    unioned = ids.map_batches(tag_id, batch_format="pyarrow").union(
+        clusters.map_batches(tag_cluster, batch_format="pyarrow")
+    )
+
+    def assign(group: pa.Table) -> pa.Table:
+        tag = group.column("is_cluster").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        vid = group.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        cid = group.column("cluster_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        is_cl = tag == 1
+        rep_of = dict(zip(vid[is_cl].tolist(), cid[is_cl].tolist()))
+        out_v = vid[~is_cl]
+        rep = np.array([rep_of.get(int(v), int(v)) for v in out_v], np.int64)
+        u = temperature_coin(rep.tolist(), salt="g")
+        split = np.where(u < train_hi, "train", np.where(u < val_hi, "val", "test"))
+        return pa.table(
+            {
+                "vec_id": pa.array(out_v),
+                "rep_id": pa.array(rep),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return (
+        unioned.groupby("bkt")
+        .map_groups(assign, batch_format="pyarrow")
+        .sort("vec_id")
+    )
