@@ -293,6 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one split coin thrown on the component representative;
         # recursive-CTE + identical-md5-coin twin.
         "leakage_safe_split": sampling.leakage_safe_split,
+        # bm25_topk (eighth round-4 continuation, never gated): BM25
+        # ranked retrieval on the round_even(x·2^40) integer grid — one
+        # corpus pass, postings-volume tagged stream, generated twin.
+        "bm25_topk": index.bm25_topk,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -661,6 +665,12 @@ def oracle_sql() -> dict[str, str]:
         # positional self-join per extra phrase token (generated by the
         # same function the tests replay with other phrases).
         "phrase_search": phrase_search_sql("sort query"),
+        # BM25: same \S+ tokenizer, same single float64 expression per
+        # (term, doc) contribution, same 2^40 round_even grid, same
+        # (score DESC, doc_id) total order (generated twin).
+        "bm25_topk": __import__(
+            "ocr_engine_ray.pipelines.index", fromlist=["x"]
+        ).bm25_sql(),
         "mktsegment_revenue": """
             SELECT c_mktsegment,
                    round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS total_revenue,

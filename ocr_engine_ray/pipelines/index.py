@@ -294,3 +294,212 @@ def phrase_search_sql(phrase: str) -> str:
         WHERE t0.tok = {q(words[0])}
         GROUP BY 1 ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+_Q40 = 1099511627776.0  # 2^40 — the shared ln-grid quantum
+
+
+def bm25_topk(
+    sf_dir: str,
+    *,
+    query: str = "sort query data",
+    k: int = BM25_TOP_K,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """BM25 ranked retrieval (Robertson & Walker 1994, Lucene IDF
+    variant): top-``k`` documents for ``query``, scored
+
+        Σ_t  ln((N − df + ½)/(df + ½) + 1) · tf·(k₁+1)
+                   / (tf + k₁·(1 − b + b·dl·N/total))
+
+    with every per-(term, doc) contribution computed in ONE float64
+    expression (operand order identical to the DuckDB twin) and
+    quantized to ``round_even(x · 2^40)`` int64 — per-doc scores are
+    exact order-free integer sums, so (score_q DESC, doc_id) is a total
+    order and the top-k cut is deterministic (the bigram-LM / DSIR grid
+    convention).
+
+    Scale shape: ONE corpus pass emits a tagged stream — per-(doc, term)
+    tf rows for query terms only (postings volume, not corpus volume)
+    plus per-batch (n_docs, total_tokens, df_j) stat partials; the stats
+    fold to q+2 scalars broadcast into the scoring map; scores fold by
+    doc through the shared hash-bucket reduceat and a block-local top-k
+    prune feeds the k-row sort.  No shuffle ever carries the corpus.
+
+    Returns (rank, doc_id, score_q) — rank 1-based.
+    """
+    import functools
+
+    from .fold import fold_by_key
+
+    words = sorted(set(w for w in query.split() if w))
+    if not words:
+        raise ValueError("empty query")
+    q = len(words)
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype("int64")
+        rows, codes, dic = explode_tokens(texts, pattern=WS_SPLIT, lower=False)
+        m = len(texts)
+        dl = np.bincount(rows, minlength=m).astype(np.int64)
+        # stat partial: kind=1 row — (n_docs, total_tokens, df_0..df_{q-1})
+        wc = pc.index_in(pa.array(words), value_set=dic)
+        out = {
+            "kind": [np.array([1], np.int64)],
+            "doc_id": [np.array([0], np.int64)],
+            "term": [np.array([-1], np.int64)],
+            "tf": [np.array([int(m)], np.int64)],
+            "dl": [np.array([int(dl.sum())], np.int64)],
+        }
+        df_row = np.zeros(q, np.int64)
+        tf_blocks = []
+        for j, w in enumerate(words):
+            code = wc[j].as_py()
+            if code is None:
+                continue
+            sel = codes == code
+            if not sel.any():
+                continue
+            hit_rows, tf = np.unique(rows[sel], return_counts=True)
+            df_row[j] = len(hit_rows)
+            tf_blocks.append(
+                (
+                    did[hit_rows],
+                    np.full(len(hit_rows), j, np.int64),
+                    tf.astype(np.int64),
+                    dl[hit_rows],
+                )
+            )
+        # df partials ride as q extra kind=2 rows (term=j, tf=df_j)
+        out["kind"].append(np.full(q, 2, np.int64))
+        out["doc_id"].append(np.zeros(q, np.int64))
+        out["term"].append(np.arange(q, dtype=np.int64))
+        out["tf"].append(df_row)
+        out["dl"].append(np.zeros(q, np.int64))
+        for d, t, tf, dls in tf_blocks:
+            out["kind"].append(np.zeros(len(d), np.int64))
+            out["doc_id"].append(d)
+            out["term"].append(t)
+            out["tf"].append(tf)
+            out["dl"].append(dls)
+        return pa.table({c: pa.array(np.concatenate(v)) for c, v in out.items()})
+
+    tagged = ds.map_batches(partials, batch_format="pyarrow").materialize()
+
+    stats = tagged.filter(expr="kind > 0").take_all()  # ≤ (q+1)·n_batches rows
+    n_docs = sum(r["tf"] for r in stats if r["kind"] == 1)
+    total_tok = sum(r["dl"] for r in stats if r["kind"] == 1)
+    df = np.zeros(q, np.int64)
+    for r in stats:
+        if r["kind"] == 2:
+            df[r["term"]] += r["tf"]
+
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("kind"), 0)
+        g = batch.filter(mask)
+        if not g.num_rows:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sq": pa.array([], pa.int64())}
+            )
+        d = g.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        t = g.column("term").combine_chunks().to_numpy(zero_copy_only=False)
+        tf = g.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
+        dl = g.column("dl").combine_chunks().to_numpy(zero_copy_only=False)
+        # identical float64 operand order as the twin:
+        # idf * (tf*2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*(dl*N)/total))
+        term = (
+            idf[t]
+            * (tf * (BM25_K1 + 1.0))
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * (dl * n_docs) / float(total_tok))
+            )
+        )
+        sq = np.round(term * _Q40).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d), "sq": pa.array(sq)})
+
+    scored = fold_by_key(
+        tagged.map_batches(score, batch_format="pyarrow"),
+        key="doc_id",
+        cols=["sq"],
+        num_buckets=num_buckets,
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        s = batch.column("sq").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(d) > k:  # only a block-local top-k row can reach global top-k
+            order = np.lexsort((d, -s))[:k]
+            d, s = d[order], s[order]
+        return pa.table({"doc_id": pa.array(d), "sq": pa.array(s)})
+
+    head = (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["sq", "doc_id"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(head) + 1), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in head], pa.int64()),
+            "score_q": pa.array([r["sq"] for r in head], pa.int64()),
+        }
+    )
+
+
+def bm25_sql(query: str = "sort query data", k: int = BM25_TOP_K) -> str:
+    """The generated twin: same tokenizer, same float64 expression, same
+    2^40 round_even grid, same (score DESC, doc_id) total order."""
+    words = sorted(set(w for w in query.split() if w))
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS ts
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM d),
+        stats AS (
+          SELECT count(*)::BIGINT AS n, sum(len(ts))::BIGINT AS tot FROM d
+        ),
+        t AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+        tf AS (
+          SELECT doc_id, tok, count(*)::BIGINT AS tf
+          FROM t WHERE tok IN ({inlist}) GROUP BY 1, 2
+        ),
+        df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        term AS (
+          SELECT tf.doc_id,
+                 round_even(
+                   ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * (dl.dl * stats.n) / stats.tot::DOUBLE))
+                   * 1099511627776.0, 0)::BIGINT AS sq
+          FROM tf
+          JOIN df USING (tok)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+        ),
+        scores AS (
+          SELECT doc_id, sum(sq)::BIGINT AS score_q FROM term GROUP BY 1
+        )
+        SELECT row_number() OVER (ORDER BY score_q DESC, doc_id)::BIGINT AS rank,
+               doc_id, score_q
+        FROM scores
+        ORDER BY score_q DESC, doc_id
+        LIMIT {k}
+    """
