@@ -297,6 +297,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ranked retrieval on the round_even(x·2^40) integer grid — one
         # corpus pass, postings-volume tagged stream, generated twin.
         "bm25_topk": index.bm25_topk,
+        # last_touch_attribution (eighth round-4 continuation, never
+        # gated): conversion credit to the last preceding click within a
+        # 7-day window — one user-bucket shuffle, frontier-ffill kernel;
+        # IGNORE-NULLS window twin.
+        "last_touch_attribution": analytics.last_touch_attribution,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1814,6 +1819,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Time-weighted average: lead() segments, integer-seconds gaps,
         # one exact floor division (cents convention on value).
+        # Last-touch attribution: the click frontier as an IGNORE-NULLS
+        # last_value over (ts, is_click, event_id) order with a
+        # 1-PRECEDING frame (equal-ts clicks sort after the purchase, so
+        # strict-before falls out of the frame), exact integer-µs window.
+        "last_touch_attribution": """
+            WITH e AS (
+              SELECT event_id, user_id, ts, event_type,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            w AS (
+              SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN is_click = 1 THEN event_id END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, is_click, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS click_event_id,
+                     last_value(CASE WHEN is_click = 1 THEN ts END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, is_click, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS click_ts
+              FROM e
+            )
+            SELECT event_id, user_id, ts,
+                   click_event_id::BIGINT AS click_event_id, click_ts,
+                   date_diff('microsecond', click_ts, ts)::BIGINT AS gap_us
+            FROM w
+            WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+              AND date_diff('microsecond', click_ts, ts) <= 604800000000
+            ORDER BY event_id
+        """,
         "time_weighted_value": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS ts_us,

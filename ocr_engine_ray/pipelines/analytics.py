@@ -1552,3 +1552,70 @@ def unpivot_lineitem_measures(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("measure")
+
+
+ATTRIBUTION_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+def last_touch_attribution(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Last-touch marketing attribution: each purchase is credited to the
+    SAME user's most recent click STRICTLY before it and within a 7-day
+    lookback window (the standard conversion-credit rule).
+
+    Tie rules are total: "most recent" = max (ts, event_id) among
+    qualifying clicks; an equal-timestamp click does NOT qualify (strict
+    <).  The gap is exact integer microseconds.  Purchases with no
+    qualifying click are dropped so the compared surface is null-free
+    (the `user_event_gaps` convention — DuckDB's pandas bridge would
+    otherwise float-ify a nullable BIGINT).
+
+    Scale shape: clicks and purchases ride one column-pruned filtered
+    scan; a ``user_id % B`` bucket shuffle co-locates each user, and the
+    per-bucket kernel is a vectorized sorted-merge (groupby-ffill of the
+    click frontier onto purchase rows) — ONE all-to-all, no driver on the
+    data path.  Returns (event_id, user_id, ts, click_event_id, click_ts,
+    gap_us) for every purchase, sorted by event_id.
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"), pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def attribute(group: pa.Table) -> pa.Table:
+        df = group.select(["event_id", "user_id", "ts", "event_type"]).to_pandas()
+        # order clicks AFTER purchases at equal ts so "strictly before"
+        # falls out of the frontier shift; among clicks, (ts, event_id)
+        # ascending makes the frontier the max qualifying click
+        df["_is_click"] = (df["event_type"] == "click").astype("int8")
+        df = df.sort_values(
+            ["user_id", "ts", "_is_click", "event_id"], kind="mergesort"
+        )
+        click_id = df["event_id"].where(df["_is_click"] == 1)
+        click_ts = df["ts"].where(df["_is_click"] == 1)
+        df["click_event_id"] = click_id.groupby(df["user_id"], sort=False).ffill()
+        df["click_ts"] = click_ts.groupby(df["user_id"], sort=False).ffill()
+        out = df[(df["event_type"] == "purchase") & df["click_ts"].notna()].copy()
+        gap = (out["ts"] - out["click_ts"]).astype("timedelta64[us]").astype("int64")
+        out = out.assign(gap_us=gap)
+        out = out[out["gap_us"] <= ATTRIBUTION_WINDOW_US]
+        out["click_event_id"] = out["click_event_id"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["event_id", "user_id", "ts", "click_event_id", "click_ts", "gap_us"]],
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(attribute, batch_format="pyarrow")
+        .sort("event_id")
+    )
