@@ -302,6 +302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 7-day window — one user-bucket shuffle, frontier-ffill kernel;
         # IGNORE-NULLS window twin.
         "last_touch_attribution": analytics.last_touch_attribution,
+        # compact_shards (eighth round-4 continuation, never gated):
+        # lakehouse small-file compaction planner — sequential bin packing
+        # on the shared two-pass distributed prefix sum; window-cumsum twin.
+        "compact_shards": packing.compact_shards,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2713,6 +2717,28 @@ def oracle_sql() -> dict[str, str]:
                OR ((('0x' || substr(md5(d.doc_id::VARCHAR || ':t'), 1, 8))::UBIGINT + 1)
                    / 4294967297.0)
                   < pow(c.w_s / m.w_min, 0.5 - 1.0)
+        """,
+        # Compaction planner: synthesized manifest (file = (source,
+        # doc_id // 16), size = Σ n_chars), exclusive window cumsum in
+        # file order per source, bin = offset // target — the identical
+        # sequential-packing rule as pack_sequences.
+        "compact_shards": """
+            WITH man AS (
+              SELECT source, doc_id // 16 AS file_id,
+                     sum(n_chars)::BIGINT AS size_bytes
+              FROM documents GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT source, file_id, size_bytes,
+                     coalesce(sum(size_bytes) OVER (
+                       PARTITION BY source ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS byte_offset
+              FROM man
+            )
+            SELECT source, file_id, size_bytes, byte_offset,
+                   (byte_offset // 20000)::BIGINT AS out_file
+            FROM w ORDER BY source, file_id
         """,
         # Sequence packing: the Ray side is a two-pass distributed prefix
         # sum (range-bucket partials -> broadcast exclusive offsets ->

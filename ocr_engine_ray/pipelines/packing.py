@@ -370,3 +370,101 @@ def quality_ntiles(sf_dir: str, *, tiles: int = 4) -> rd.Dataset:
         )
     )
     return agg.sort(["source", "tile"])
+
+
+COMPACT_FILES_BLOCK = 16
+COMPACT_TARGET_BYTES = 20_000
+
+
+def compact_shards(
+    sf_dir: str,
+    *,
+    files_block: int = COMPACT_FILES_BLOCK,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Small-file compaction PLANNER (the lakehouse OPTIMIZE/bin-packing
+    maintenance pass): group each partition's files, in file order, into
+    output files of ~``target_bytes`` by the sequential rule — a file
+    joins output bin ``exclusive_running_size // target`` (a new bin
+    starts once the running total crosses the target), the same
+    first-fit-in-order policy Delta/Iceberg compaction uses so a planner
+    re-run after appends never reshuffles already-compacted prefixes.
+
+    The file manifest is synthesized deterministically from the corpus
+    (file = (source, doc_id // ``files_block``), size = Σ n_chars) — at
+    production scale it would be the table's real file listing; the
+    planner itself never reads data, only the manifest.
+
+    Scale shape: ONE pre-combined manifest aggregate (per-batch
+    np-unique partials → exact Sum), then the SAME two-pass distributed
+    prefix sum as `pack_token_stream` (per-(source, range-bucket)
+    partials → broadcast exclusive offsets → in-bucket vectorized
+    cumsum) — no whole-partition task, no driver on the data path.
+
+    Returns (source, file_id, size_bytes, byte_offset, out_file) sorted
+    by (source, file_id); window-cumsum twin.
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    bounds = sf_table(sf_dir, "documents", columns=["doc_id"]).aggregate(
+        Min("doc_id"), Max("doc_id")
+    )
+    if not bounds or bounds.get("min(doc_id)") is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "file_id": pa.array([], pa.int64()),
+                    "size_bytes": pa.array([], pa.int64()),
+                    "byte_offset": pa.array([], pa.int64()),
+                    "out_file": pa.array([], pa.int64()),
+                }
+            )
+        )
+    flo = bounds["min(doc_id)"] // files_block
+    fhi = bounds["max(doc_id)"] // files_block
+    span = max(1, fhi - flo + 1)
+
+    def man_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["file_id"] = df["doc_id"] // files_block
+        g = (
+            df.groupby(["source", "file_id"], sort=False)["n_chars"]
+            .sum()
+            .reset_index()
+        )
+        fid = g["file_id"].to_numpy()
+        bkt = ((fid - flo).astype(np.float64) * num_buckets / span).astype(np.int64)
+        np.clip(bkt, 0, num_buckets - 1, out=bkt)
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "doc_id": pa.array(fid, pa.int64()),  # pack key = file_id
+                "bucket": pa.array(bkt),
+                "n_tokens": pa.array(g["n_chars"].to_numpy(), pa.int64()),
+            }
+        )
+
+    man = (
+        docs.map_batches(man_rows, batch_format="pyarrow")
+        .groupby(["source", "doc_id", "bucket"])
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .materialize()  # manifest volume: one row per file, not per doc
+    )
+    packed = pack_token_stream(man, budget=target_bytes)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "file_id": batch.column("doc_id").cast(pa.int64()),
+                "size_bytes": batch.column("n_tokens").cast(pa.int64()),
+                "byte_offset": batch.column("tok_offset").cast(pa.int64()),
+                "out_file": batch.column("seq_id").cast(pa.int64()),
+            }
+        )
+
+    return packed.map_batches(rename, batch_format="pyarrow").sort(
+        ["source", "file_id"]
+    )
