@@ -306,6 +306,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lakehouse small-file compaction planner — sequential bin packing
         # on the shared two-pass distributed prefix sum; window-cumsum twin.
         "compact_shards": packing.compact_shards,
+        # price_outliers (eighth round-4 continuation, never gated):
+        # per-brand median/MAD robust outlier profile on the doubled
+        # integer-cents grid (2·median / 4·MAD are always integers, so
+        # the 3×MAD fence is a pure integer compare); median() twin.
+        "price_outliers": profile.price_outliers,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -661,6 +666,38 @@ def oracle_sql() -> dict[str, str]:
         # Key-skew head: per-key counts, scalar cross join, row_number
         # head, ceil/floor integer salt arithmetic (generated twin).
         "skew_report": skew_report_sql(),
+        # Robust outliers: the doubled-grid identity (2·median of ints is
+        # an integer; DuckDB median of an even count = midpoint) keeps
+        # every value and the 3×MAD fence exact on both sides.
+        "price_outliers": """
+            WITH c AS (
+              SELECT p_brand, round(p_retailprice * 100)::BIGINT AS cents
+              FROM part
+            ),
+            m AS (
+              SELECT p_brand, count(*)::BIGINT AS n_parts,
+                     median(cents * 2)::BIGINT AS med2_cents
+              FROM c GROUP BY 1
+            ),
+            d AS (
+              SELECT c.p_brand, abs(c.cents * 2 - m.med2_cents)::BIGINT AS dev2
+              FROM c JOIN m USING (p_brand)
+            ),
+            md AS (
+              SELECT p_brand, median(dev2 * 2)::BIGINT AS mad4_cents
+              FROM d GROUP BY 1
+            ),
+            fence AS (
+              SELECT d.p_brand,
+                     count(*) FILTER (WHERE 2 * d.dev2 > 3 * md.mad4_cents)
+                       ::BIGINT AS n_outliers
+              FROM d JOIN md USING (p_brand) GROUP BY 1
+            )
+            SELECT m.p_brand, m.n_parts, m.med2_cents, md.mad4_cents,
+                   fence.n_outliers
+            FROM m JOIN md USING (p_brand) JOIN fence USING (p_brand)
+            ORDER BY p_brand
+        """,
         # Deequ-style constraint suite: UNION ALL of one aggregate audit
         # per check, generated from the SAME spec the engine pass runs.
         "validate_constraints": __import__(

@@ -269,3 +269,109 @@ def profile_histograms(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(["col_name", "bin"])
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier profiling
+# ---------------------------------------------------------------------------
+
+
+def _grid_kth2(values: np.ndarray, counts: np.ndarray, n: int) -> int:
+    """2× the multiset median from a SORTED value histogram — the exact
+    identity ``2·median = v[(n-1)//2] + v[n//2]`` (both parities), so the
+    result stays on the integer grid."""
+    cum = np.cumsum(counts)
+    lo = int(values[np.searchsorted(cum, (n - 1) // 2 + 1)])
+    hi = int(values[np.searchsorted(cum, n // 2 + 1)])
+    return lo + hi
+
+
+def price_outliers(sf_dir: str, *, num_buckets: int = 16) -> rd.Dataset:
+    """Robust per-brand price-outlier profile: median and MAD (median
+    absolute deviation) of part retail prices per brand on the EXACT
+    integer grid, and the count of parts beyond the classic 3×MAD fence.
+    Medians live on the doubled grid (``med2 = 2·median`` of cents is
+    always an integer; ``mad4 = 4·MAD`` likewise), so the fence test
+    ``|x − med| > 3·MAD`` becomes the pure-integer ``2·dev2 > 3·mad4`` —
+    no float touches any comparison, and the DuckDB ``median()`` twin
+    matches bit-for-bit.
+
+    Scale shape: per-batch (brand, cents) histogram partials pre-combine
+    map-side; ONE brand-bucket shuffle carries histogram rows (distinct
+    price points per brand, never parts); the per-brand kernel does two
+    weighted selections + one weighted fence count over its histogram —
+    value-grid-sized work regardless of corpus size.
+
+    Returns (p_brand, n_parts, med2_cents, mad4_cents, n_outliers)
+    sorted by p_brand.
+    """
+    import functools
+
+    parts = sf_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def hist_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["p_retailprice"].to_numpy() * 100).astype(np.int64)
+        df = df.assign(cents=cents)
+        g = (
+            df.groupby(["p_brand", "cents"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        brands = g["p_brand"].astype(str)
+        bkt = np.array(
+            [zlib.crc32(b.encode("utf-8")) % num_buckets for b in brands],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(bkt),
+                "p_brand": pa.array(brands, pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def brand_stats(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        out = {
+            "p_brand": [],
+            "n_parts": [],
+            "med2_cents": [],
+            "mad4_cents": [],
+            "n_outliers": [],
+        }
+        for brand, bg in df.groupby("p_brand", sort=False):
+            # fold duplicate (cents) partials across batches
+            vals, inv = np.unique(bg["cents"].to_numpy(), return_inverse=True)
+            cnt = np.zeros(len(vals), np.int64)
+            np.add.at(cnt, inv, bg["n"].to_numpy())
+            n = int(cnt.sum())
+            med2 = _grid_kth2(vals, cnt, n)
+            dev2 = np.abs(vals * 2 - med2)
+            dvals, dinv = np.unique(dev2, return_inverse=True)
+            dcnt = np.zeros(len(dvals), np.int64)
+            np.add.at(dcnt, dinv, cnt)
+            mad4 = _grid_kth2(dvals, dcnt, n)
+            n_out = int(cnt[2 * dev2 > 3 * mad4].sum())
+            out["p_brand"].append(str(brand))
+            out["n_parts"].append(n)
+            out["med2_cents"].append(med2)
+            out["mad4_cents"].append(mad4)
+            out["n_outliers"].append(n_out)
+        return pa.table(
+            {
+                "p_brand": pa.array(out["p_brand"], pa.string()),
+                "n_parts": pa.array(out["n_parts"], pa.int64()),
+                "med2_cents": pa.array(out["med2_cents"], pa.int64()),
+                "mad4_cents": pa.array(out["mad4_cents"], pa.int64()),
+                "n_outliers": pa.array(out["n_outliers"], pa.int64()),
+            }
+        )
+
+    return (
+        parts.map_batches(hist_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(brand_stats, batch_format="pyarrow")
+        .sort("p_brand")
+    )
