@@ -311,6 +311,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-cents grid (2·median / 4·MAD are always integers, so
         # the 3×MAD fence is a pure integer compare); median() twin.
         "price_outliers": profile.price_outliers,
+        # keyword_hits (eighth round-4 continuation, never gated):
+        # dictionary tagging — one count_substring kernel per keyword per
+        # batch; generated string_split twin.
+        "keyword_hits": tsp.keyword_hits,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -666,6 +670,11 @@ def oracle_sql() -> dict[str, str]:
         # Key-skew head: per-key counts, scalar cross join, row_number
         # head, ceil/floor integer salt arithmetic (generated twin).
         "skew_report": skew_report_sql(),
+        # Dictionary tagging: generated VALUES twin, non-overlapping
+        # substring counts via len(string_split)−1 == Arrow count_substring.
+        "keyword_hits": __import__(
+            "ocr_engine_ray.pipelines.textstats", fromlist=["x"]
+        ).keyword_hits_sql(),
         # Robust outliers: the doubled-grid identity (2·median of ints is
         # an integer; DuckDB median of an even count = midpoint) keeps
         # every value and the 3×MAD fence exact on both sides.

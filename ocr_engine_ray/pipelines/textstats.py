@@ -1225,3 +1225,91 @@ def cms_token_counts(
             "est_n": pa.array(est, pa.int64()),
         }
     )
+
+
+KEYWORD_LIST = ("spark", "merge", "join", "filter", "window")
+
+
+def keyword_hits(
+    sf_dir: str, *, keywords: tuple[str, ...] = KEYWORD_LIST
+) -> rd.Dataset:
+    """Dictionary tagging (the wordlist/brand-safety filter shape): per
+    (source, keyword) — documents containing the keyword and total
+    non-overlapping occurrence counts.  One corpus pass, one Arrow
+    ``count_substring`` kernel per keyword per batch (the dictionary is
+    compiled once per task, never shipped per row), map-side partials →
+    one |sources|×|keywords| aggregate.  Plain-substring counting from
+    the left, which `string_split`-based SQL counts reproduce exactly
+    for any keyword list (no alternation-order ambiguity).
+
+    Returns (source, keyword, n_docs, n_hits) sorted by (source, keyword).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        src = batch.column("source").to_pylist()
+        frames = []
+        for kw in keywords:
+            cnt = np.asarray(pc.count_substring(text, kw), dtype=np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "source": src,
+                        "keyword": kw,
+                        "n_docs": (cnt > 0).astype(np.int64),
+                        "n_hits": cnt,
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        g = (
+            df.groupby(["source", "keyword"], sort=False)[["n_docs", "n_hits"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "keyword"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_hits", alias_name="n_hits"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "keyword": batch.column("keyword"),
+                "n_docs": batch.column("n_docs").cast(pa.int64()),
+                "n_hits": batch.column("n_hits").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["source", "keyword"])
+
+
+def keyword_hits_sql(keywords: tuple[str, ...] = KEYWORD_LIST) -> str:
+    """Generated twin: one VALUES row per keyword; occurrence count =
+    len(string_split(text, kw)) − 1 (non-overlapping, same as Arrow's
+    count_substring)."""
+    vals = ", ".join(f"('{k}')" for k in sorted(keywords))
+    return f"""
+        WITH kw(keyword) AS (VALUES {vals}),
+        per_doc AS (
+          SELECT d.source, kw.keyword,
+                 (len(string_split(coalesce(d.text, ''), kw.keyword)) - 1)::BIGINT
+                   AS hits
+          FROM documents d CROSS JOIN kw
+        )
+        SELECT source, keyword,
+               count(*) FILTER (WHERE hits > 0)::BIGINT AS n_docs,
+               sum(hits)::BIGINT AS n_hits
+        FROM per_doc
+        GROUP BY 1, 2
+        ORDER BY source, keyword
+    """
