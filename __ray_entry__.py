@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dictionary tagging — one count_substring kernel per keyword per
         # batch; generated string_split twin.
         "keyword_hits": tsp.keyword_hits,
+        # sq8_topk (eighth round-4 continuation, never gated): SQ8
+        # scalar-quantized ADC search — min/max-trained uint8 codec,
+        # decoded scores on the 2^20 integer grid; wholesale-recompute twin.
+        "sq8_topk": ann.sq8_topk,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1760,6 +1764,49 @@ def oracle_sql() -> dict[str, str]:
         # Exact kNN graph: same round_even(x * 2^20) grid as embedding_gram;
         # every dot is an exact int64 (|q| < 2^20, 64-dim sums < 2^47), so
         # the (dot DESC, neighbor_id) ranking is a float-free total order.
+        # SQ8 codec recomputed wholesale: same per-dim min/max, same
+        # clip(round_even((x−mn)·255/(mx−mn))) code, same decoded
+        # round_even(·2^20) grid, exact int64 ADC sums.
+        "sq8_topk": """
+            WITH stats AS (
+              SELECT i, min(embedding[i]::DOUBLE) AS mn,
+                     max(embedding[i]::DOUBLE) AS mx
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS t(i)
+              GROUP BY 1
+            ),
+            codes AS (
+              SELECT e.vec_id, s.i,
+                     round_even(
+                       (CASE WHEN s.mx > s.mn
+                             THEN s.mn
+                                  + greatest(0.0, least(255.0,
+                                      round_even((e.embedding[s.i]::DOUBLE - s.mn)
+                                                 * 255.0 / (s.mx - s.mn), 0)))
+                                    * ((s.mx - s.mn) / 255.0)
+                             ELSE s.mn END) * 1048576.0, 0)::BIGINT AS dq
+              FROM embeddings e CROSS JOIN stats s
+            ),
+            q AS (
+              SELECT e.vec_id, t.i,
+                     round_even(e.embedding[t.i] * 1048576.0, 0)::BIGINT AS qq
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) e,
+                   unnest(generate_series(1, len(e.embedding))) AS t(i)
+            ),
+            scores AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     sum(q.qq * c.dq)::BIGINT AS score_q
+              FROM q JOIN codes c ON q.i = c.i AND c.vec_id <> q.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT query_id, rank, vec_id, score_q FROM (
+              SELECT query_id, vec_id, score_q,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_q DESC, vec_id) AS rank
+              FROM scores)
+            WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
         "knn_graph": """
             WITH q AS (
               SELECT vec_id, i,

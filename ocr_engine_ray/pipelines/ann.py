@@ -1170,3 +1170,128 @@ def rrf_fused_topk(
         )
 
     return partials.groupby("query_id").map_groups(fuse, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized search (the classic 8-bit codec next to IVF-PQ)
+# ---------------------------------------------------------------------------
+
+_SQ8_GRID = 1048576.0  # 2^20 — the shared embedding fixed-point quantum
+
+
+def sq8_topk(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
+    """Scalar-quantized (SQ8) top-k search: the corpus rides as one uint8
+    code per dimension (min/max-trained affine codec, the
+    faiss-``SQ8``/Milvus default memory-reduction codec), queries stay
+    float, and scoring is asymmetric distance computation against the
+    DECODED codes.  Every decoded value and query component is quantized
+    to the shared 2^20 fixed-point grid, so each score is an exact int64
+    dot product — (score_q DESC, vec_id) is a total order and the DuckDB
+    wholesale-recompute twin matches bit-for-bit.
+
+    Scale shape: one corpus pass for the per-dim min/max (d-sized
+    partials per batch, driver folds batches×2 small vectors); one
+    corpus pass for encode+ADC with the query matrix broadcast via
+    ``ray.put`` and per-batch partial top-k — the corpus never shuffles,
+    and at production scale only the uint8 codes (d bytes/vector) would
+    persist.
+
+    Returns (query_id, rank, vec_id, score_q), rank 1..k per query by
+    (score_q DESC, vec_id), self excluded.
+    """
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if not len(m):
+            return pa.table({"mn": pa.array([], pa.list_(pa.float64())),
+                             "mx": pa.array([], pa.list_(pa.float64()))})
+        return pa.table(
+            {
+                "mn": pa.array([m.min(axis=0).tolist()], pa.list_(pa.float64())),
+                "mx": pa.array([m.max(axis=0).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = emb.map_batches(minmax, batch_format="pyarrow").take_all()
+    mn = np.min([r["mn"] for r in parts], axis=0)
+    mx = np.max([r["mx"] for r in parts], axis=0)
+
+    qids, _, qraw = _load_queries(sf_dir, num_queries)
+    qq = np.round(qraw * _SQ8_GRID).astype(np.int64)
+    ref = ray.put((qids, qq, mn, mx))
+
+    def score(batch: pa.Table, *, ref) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score_q": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        bqids, bqq, bmn, bmx = ray.get(ref)
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        x = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        denom = np.where(bmx > bmn, bmx - bmn, 1.0)
+        codes = np.clip(np.round((x - bmn) * 255.0 / denom), 0.0, 255.0)
+        codes = np.where(bmx > bmn, codes, 0.0)
+        decoded = bmn + codes * ((bmx - bmn) / 255.0)
+        dq = np.round(decoded * _SQ8_GRID)
+        # float64 GEMM over int-valued operands — exact (|terms| << 2^53)
+        scores = dq @ bqq.T.astype(np.float64)
+        scores[vid[:, None] == bqids[None, :]] = -np.inf
+        topn = min(k, len(vid))
+        qp, vp, sp = [], [], []
+        for qi in range(len(bqids)):
+            order = np.lexsort((vid, -scores[:, qi]))[:topn]
+            s = scores[order, qi]
+            keep = np.isfinite(s)
+            qp.append(np.full(int(keep.sum()), bqids[qi], dtype=np.int64))
+            vp.append(vid[order][keep])
+            sp.append(s[keep].astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qp), pa.int64()),
+                "vec_id": pa.array(np.concatenate(vp), pa.int64()),
+                "score_q": pa.array(np.concatenate(sp), pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        score, batch_format="pyarrow", batch_size=1024, fn_kwargs={"ref": ref}
+    )
+
+    def _final(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                group.column("score_q").to_pylist(),
+                group.column("vec_id").to_pylist(),
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        qid = group.column("query_id")[0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "vec_id": pa.array([v for _, v in rows], pa.int64()),
+                "score_q": pa.array([s for s, _ in rows], pa.int64()),
+            }
+        )
+
+    res = (
+        partials.groupby("query_id")
+        .map_groups(_final, batch_format="pyarrow")
+        .sort(["query_id", "rank"])
+        .take_all()
+    )
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in res], pa.int64()),
+            "rank": pa.array([r["rank"] for r in res], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in res], pa.int64()),
+            "score_q": pa.array([r["score_q"] for r in res], pa.int64()),
+        }
+    )
