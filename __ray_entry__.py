@@ -319,6 +319,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalar-quantized ADC search — min/max-trained uint8 codec,
         # decoded scores on the 2^20 integer grid; wholesale-recompute twin.
         "sq8_topk": ann.sq8_topk,
+        # winsorized_pricing (eighth round-4 continuation, never gated):
+        # robust clipped revenue per flag — exact k=ceil(q·N) rank
+        # selection from grid histograms; window row_number twin.
+        "winsorized_pricing": profile.winsorized_pricing,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -679,6 +683,45 @@ def oracle_sql() -> dict[str, str]:
         "keyword_hits": __import__(
             "ocr_engine_ray.pipelines.textstats", fromlist=["x"]
         ).keyword_hits_sql(),
+        # Winsorized aggregate: rank pinned to k = max(1, ceil(q·N)) —
+        # row_number selection, clip via greatest/least, all exact cents.
+        "winsorized_pricing": """
+            WITH c AS (
+              SELECT l_returnflag,
+                     round(l_extendedprice * 100)::BIGINT AS cents
+              FROM lineitem
+            ),
+            n AS (
+              SELECT l_returnflag, count(*)::BIGINT AS n_items
+              FROM c GROUP BY 1
+            ),
+            r AS (
+              SELECT l_returnflag, cents,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY cents) AS rk
+              FROM c
+            ),
+            p AS (
+              SELECT n.l_returnflag, n.n_items,
+                     max(CASE WHEN r.rk = greatest(1,
+                           ceil(0.05 * n.n_items)::BIGINT)
+                         THEN r.cents END)::BIGINT AS p05_cents,
+                     max(CASE WHEN r.rk = greatest(1,
+                           ceil(0.95 * n.n_items)::BIGINT)
+                         THEN r.cents END)::BIGINT AS p95_cents
+              FROM n JOIN r USING (l_returnflag) GROUP BY 1, 2
+            )
+            SELECT p.l_returnflag, p.n_items, p.p05_cents, p.p95_cents,
+                   sum(greatest(p.p05_cents, least(p.p95_cents, c.cents)))
+                     ::BIGINT AS winsorized_sum_cents,
+                   count(*) FILTER (WHERE c.cents < p.p05_cents)::BIGINT
+                     AS n_clipped_lo,
+                   count(*) FILTER (WHERE c.cents > p.p95_cents)::BIGINT
+                     AS n_clipped_hi
+            FROM c JOIN p USING (l_returnflag)
+            GROUP BY 1, 2, 3, 4
+            ORDER BY p.l_returnflag
+        """,
         # Robust outliers: the doubled-grid identity (2·median of ints is
         # an integer; DuckDB median of an even count = midpoint) keeps
         # every value and the 3×MAD fence exact on both sides.

@@ -323,6 +323,30 @@ def run_bench() -> dict:
         "label_centroids": timed(
             __import__("ocr_engine_ray.pipelines.pca", fromlist=["x"]).label_centroids
         ),
+        "association_rules": timed(
+            __import__("ocr_engine_ray.pipelines.basket", fromlist=["x"]).association_rules
+        ),
+        "c4_quality_filters": timed(
+            __import__("ocr_engine_ray.pipelines.decontam", fromlist=["x"]).c4_quality_filters
+        ),
+        "validate_constraints": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+            ).validate_constraints
+        ),
+        "leakage_safe_split": timed(sampling.leakage_safe_split),
+        "bm25_topk": timed(
+            __import__("ocr_engine_ray.pipelines.index", fromlist=["x"]).bm25_topk
+        ),
+        "last_touch_attribution": timed(analytics.last_touch_attribution),
+        "compact_shards": timed(
+            __import__("ocr_engine_ray.pipelines.packing", fromlist=["x"]).compact_shards
+        ),
+        "price_outliers": timed(
+            __import__("ocr_engine_ray.pipelines.profile", fromlist=["x"]).price_outliers
+        ),
+        "keyword_hits": timed(tsp.keyword_hits),
+        "sq8_topk": timed(ann.sq8_topk),
     }
 
     result = {

@@ -1399,14 +1399,14 @@ def moving_event_stats(sf_dir: str, *, frame: int = 7) -> rd.Dataset:
         .aggregate(Sum("one", alias_name="n_events"), Sum("cents", alias_name="value_cents"))
     )
 
-    _EMPTY = pd.DataFrame(
+    _EMPTY = pa.table(
         {
-            "event_type": pd.Series([], dtype="object"),
-            "day": pd.Series([], dtype="datetime64[us]"),
-            "n_events": pd.Series([], dtype="int64"),
-            "value_cents": pd.Series([], dtype="int64"),
-            "n_7d": pd.Series([], dtype="int64"),
-            "cents_7d": pd.Series([], dtype="int64"),
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+            "value_cents": pa.array([], pa.int64()),
+            "n_7d": pa.array([], pa.int64()),
+            "cents_7d": pa.array([], pa.int64()),
         }
     )
 
@@ -1424,9 +1424,23 @@ def moving_event_stats(sf_dir: str, *, frame: int = 7) -> rd.Dataset:
         df["n_events"] = df["n_events"].astype("int64")
         # all-null day: the daily SUM is NULL in the twin — preserve it
         # (the trailing sums above already 0-fill, matching window-SUM
-        # null-skipping)
-        df["value_cents"] = df["value_cents"].astype("Int64")
-        return df[["event_type", "day", "n_events", "value_cents", "n_7d", "cents_7d"]]
+        # null-skipping).  Emit an EXPLICIT Arrow schema: the pandas
+        # round-trip otherwise drifts to datetime64[s] / Int64 dtypes and
+        # the compare sees a schema mismatch on identical values.
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].astype(str), pa.string()),
+                "day": pa.Array.from_pandas(
+                    df["day"].astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(df["n_events"].to_numpy(), pa.int64()),
+                "value_cents": pa.Array.from_pandas(
+                    df["value_cents"].astype("Int64"), type=pa.int64()
+                ),
+                "n_7d": pa.array(df["n_7d"].to_numpy(), pa.int64()),
+                "cents_7d": pa.array(df["cents_7d"].to_numpy(), pa.int64()),
+            }
+        )
 
     return (
         daily.groupby("event_type")

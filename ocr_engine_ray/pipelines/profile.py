@@ -375,3 +375,109 @@ def price_outliers(sf_dir: str, *, num_buckets: int = 16) -> rd.Dataset:
         .map_groups(brand_stats, batch_format="pyarrow")
         .sort("p_brand")
     )
+
+
+def _grid_kth(values: np.ndarray, counts: np.ndarray, k: int) -> int:
+    """The k-th smallest (1-based) element of the multiset encoded by a
+    SORTED value histogram."""
+    cum = np.cumsum(counts)
+    return int(values[np.searchsorted(cum, k)])
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorized_pricing(sf_dir: str, *, num_buckets: int = 16) -> rd.Dataset:
+    """Winsorized revenue per returnflag: extended-price cents clipped at
+    the exact in-group p05/p95 values before summing — the robust
+    aggregate that keeps a fat-tailed metric reportable (the standard
+    trim/winsorize feature-engineering step).  Percentile rank is pinned
+    to ``k = max(1, ceil(q·N))``-th smallest (no interpolation), so both
+    sides select the same grid element regardless of percentile-function
+    conventions.
+
+    Scale shape: per-batch (flag, cents) histogram partials pre-combine
+    map-side; ONE flag-bucket shuffle carries histogram rows; the
+    per-flag kernel does two rank selections and one weighted clip-sum
+    over its histogram — value-grid-sized work regardless of corpus size
+    (the `price_outliers` pattern).
+
+    Returns (l_returnflag, n_items, p05_cents, p95_cents,
+    winsorized_sum_cents, n_clipped_lo, n_clipped_hi) sorted by flag.
+    """
+    import math
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def hist_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df = df.assign(cents=cents)
+        g = (
+            df.groupby(["l_returnflag", "cents"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        flags = g["l_returnflag"].astype(str)
+        bkt = np.array(
+            [zlib.crc32(f.encode("utf-8")) % num_buckets for f in flags],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(bkt),
+                "l_returnflag": pa.array(flags, pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def flag_stats(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        out: dict[str, list] = {
+            "l_returnflag": [],
+            "n_items": [],
+            "p05_cents": [],
+            "p95_cents": [],
+            "winsorized_sum_cents": [],
+            "n_clipped_lo": [],
+            "n_clipped_hi": [],
+        }
+        for flag, fg in df.groupby("l_returnflag", sort=False):
+            vals, inv = np.unique(fg["cents"].to_numpy(), return_inverse=True)
+            cnt = np.zeros(len(vals), np.int64)
+            np.add.at(cnt, inv, fg["n"].to_numpy())
+            n = int(cnt.sum())
+            k_lo = max(1, math.ceil(WINSOR_LO * n))
+            k_hi = max(1, math.ceil(WINSOR_HI * n))
+            lo = _grid_kth(vals, cnt, k_lo)
+            hi = _grid_kth(vals, cnt, k_hi)
+            clipped = np.clip(vals, lo, hi)
+            out["l_returnflag"].append(str(flag))
+            out["n_items"].append(n)
+            out["p05_cents"].append(lo)
+            out["p95_cents"].append(hi)
+            out["winsorized_sum_cents"].append(int((clipped * cnt).sum()))
+            out["n_clipped_lo"].append(int(cnt[vals < lo].sum()))
+            out["n_clipped_hi"].append(int(cnt[vals > hi].sum()))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "n_items": pa.array(out["n_items"], pa.int64()),
+                "p05_cents": pa.array(out["p05_cents"], pa.int64()),
+                "p95_cents": pa.array(out["p95_cents"], pa.int64()),
+                "winsorized_sum_cents": pa.array(
+                    out["winsorized_sum_cents"], pa.int64()
+                ),
+                "n_clipped_lo": pa.array(out["n_clipped_lo"], pa.int64()),
+                "n_clipped_hi": pa.array(out["n_clipped_hi"], pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(hist_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(flag_stats, batch_format="pyarrow")
+        .sort("l_returnflag")
+    )
