@@ -323,6 +323,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robust clipped revenue per flag — exact k=ceil(q·N) rank
         # selection from grid histograms; window row_number twin.
         "winsorized_pricing": profile.winsorized_pricing,
+        # cross_source_dup_matrix (eighth round-4 continuation, never
+        # gated): near-dup pair counts between corpus slices — PPJoin
+        # exact-Jaccard pairs + two doc-bucket source-attach shuffles;
+        # twin reuses the exact pair definition + two joins.
+        "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1262,6 +1267,35 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # Contamination matrix: the SAME exact-Jaccard pair definition as
+        # ngram_jaccard_pairs, sources joined on both endpoints, unordered
+        # (lexicographic lo/hi) pair counts.
+        "cross_source_dup_matrix": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_distinct(
+                            list_transform(generate_series(1, len(w)-2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS g
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w
+                    FROM documents)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
+              WHERE len(list_intersect(a.g, b.g)) * 1.0
+                    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+            )
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   count(*)::BIGINT AS n_pairs
+            FROM pairs
+            JOIN documents da ON da.doc_id = pairs.a
+            JOIN documents db ON db.doc_id = pairs.b
+            GROUP BY 1, 2
+            ORDER BY source_a, source_b
         """,
         # The maintained view must equal the wholesale recompute exactly —
         # the twin IS the full-table pricing query (state merge is the

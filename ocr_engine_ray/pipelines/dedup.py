@@ -2366,3 +2366,161 @@ def paragraph_dedup(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def cross_source_dup_matrix(
+    sf_dir: str, *, threshold: float = 0.8, num_buckets: int = 32
+) -> rd.Dataset:
+    """Provenance contamination matrix: exact word-trigram Jaccard
+    near-dup PAIR COUNTS between corpus slices — which sources copy from
+    which (mirror detection, licensing audits, and the per-slice dedup
+    budget a curation plan needs).  Pair semantics are exactly
+    `ppjoin_jaccard_pairs` (prefix-filtered, sub-quadratic, pytest-pinned
+    equal to the O(N²) twin definition).
+
+    Scale shape: the candidate-sized (a, b) pair stream rides TWO
+    doc_id-bucket attach shuffles against the column-pruned (doc_id,
+    source) projection (a key lands wholly in its bucket — exact joins;
+    sources are never broadcast), then one tiny (source, source)
+    aggregate.  Returns (source_a, source_b, n_pairs) with
+    source_a <= source_b lexicographically, sorted.
+    """
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    pairs = ppjoin_jaccard_pairs(sf_dir, threshold=threshold)
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((did % num_buckets).astype(np.int64)),
+                "key": pa.array(did.astype(np.int64)),
+                "other": pa.array(np.zeros(len(did), np.int64)),
+                "src": batch.column("source").cast(pa.string()),
+                "carry": pa.array([""] * len(did), pa.string()),
+                "kind": pa.array(np.ones(len(did), np.int64)),
+            }
+        )
+
+    def pair_rows(batch: pa.Table, *, key_col: str, other_col: str) -> pa.Table:
+        k = batch.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        o = batch.column(other_col).combine_chunks().to_numpy(zero_copy_only=False)
+        carry = (
+            batch.column("carry").to_pylist()
+            if "carry" in batch.column_names
+            else [""] * len(k)
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((k % num_buckets).astype(np.int64)),
+                "key": pa.array(k.astype(np.int64)),
+                "other": pa.array(o.astype(np.int64)),
+                "src": pa.array([""] * len(k), pa.string()),
+                "carry": pa.array(carry, pa.string()),
+                "kind": pa.array(np.zeros(len(k), np.int64)),
+            }
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        key = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        is_doc = kind == 1
+        src_of = dict(
+            zip(
+                key[is_doc].tolist(),
+                (
+                    s
+                    for s, d in zip(group.column("src").to_pylist(), is_doc.tolist())
+                    if d
+                ),
+            )
+        )
+        pk = key[~is_doc]
+        po = group.column("other").combine_chunks().to_numpy(zero_copy_only=False)[
+            ~is_doc
+        ]
+        pc_carry = [
+            c
+            for c, d in zip(group.column("carry").to_pylist(), is_doc.tolist())
+            if not d
+        ]
+        return pa.table(
+            {
+                # the attached source rides in `carry`; `other` becomes the
+                # NEXT attach key
+                "a": pa.array(pk.astype(np.int64)),
+                "b": pa.array(po.astype(np.int64)),
+                "carry": pa.array(
+                    [src_of[int(k)] for k in pk] if len(pk) else [], pa.string()
+                ),
+                "prev": pa.array(pc_carry, pa.string()),
+            }
+        )
+
+    # attach source of `a` (key=a), then source of `b` (key=b)
+    s1 = (
+        pairs.map_batches(
+            functools.partial(pair_rows, key_col="a", other_col="b"),
+            batch_format="pyarrow",
+        )
+        .union(docs.map_batches(doc_rows, batch_format="pyarrow"))
+        .groupby("bkt")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        # after attach #1: a=pair.a, b=pair.b, carry=src_a; flip so the
+        # second attach keys on b and carries src_a forward
+        return pa.table(
+            {
+                "a": batch.column("b"),
+                "b": batch.column("a"),
+                "carry": batch.column("carry"),
+            }
+        )
+
+    s2 = (
+        s1.map_batches(rekey, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(pair_rows, key_col="a", other_col="b"),
+            batch_format="pyarrow",
+        )
+        .union(docs.map_batches(doc_rows, batch_format="pyarrow"))
+        .groupby("bkt")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def to_matrix(batch: pa.Table) -> pa.Table:
+        src_b = batch.column("carry").to_pylist()  # attached this round
+        src_a = batch.column("prev").to_pylist()  # carried from round 1
+        lo = [min(x, y) for x, y in zip(src_a, src_b)]
+        hi = [max(x, y) for x, y in zip(src_a, src_b)]
+        return pa.table(
+            {
+                "source_a": pa.array(lo, pa.string()),
+                "source_b": pa.array(hi, pa.string()),
+                "one": pa.array(np.ones(len(lo), np.int64)),
+            }
+        )
+
+    agg = (
+        s2.map_batches(to_matrix, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("one", alias_name="n_pairs"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_a": batch.column("source_a"),
+                "source_b": batch.column("source_b"),
+                "n_pairs": batch.column("n_pairs").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["source_a", "source_b"]
+    )
