@@ -328,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-Jaccard pairs + two doc-bucket source-attach shuffles;
         # twin reuses the exact pair definition + two joins.
         "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
+        # weekly_trends (eighth round-4 continuation, never gated):
+        # week-over-week deltas per type — map-side weekly fold, per-type
+        # lag on aggregate rows; date_trunc('week') lag twin.
+        "weekly_trends": analytics.weekly_trends,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1993,6 +1997,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Time-weighted average: lead() segments, integer-seconds gaps,
         # one exact floor division (cents convention on value).
+        # WoW trends: date_trunc('week') weekly aggregate + lag() per
+        # type, first observed week dropped (null-free surface).
+        "weekly_trends": """
+            WITH w AS (
+              SELECT event_type, date_trunc('week', ts) AS week,
+                     count(*)::BIGINT AS n_events,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            l AS (
+              SELECT event_type, week, n_events,
+                     coalesce(value_cents, 0) AS value_cents,
+                     lag(n_events) OVER (PARTITION BY event_type
+                                         ORDER BY week) AS prev_n,
+                     lag(coalesce(value_cents, 0)) OVER (
+                       PARTITION BY event_type ORDER BY week) AS prev_c
+              FROM w
+            )
+            SELECT event_type, week::TIMESTAMP AS week, n_events, value_cents,
+                   (n_events - prev_n)::BIGINT AS delta_n,
+                   (value_cents - prev_c)::BIGINT AS delta_cents
+            FROM l WHERE prev_n IS NOT NULL
+            ORDER BY event_type, week
+        """,
         # Last-touch attribution: the click frontier as an IGNORE-NULLS
         # last_value over (ts, is_click, event_id) order with a
         # 1-PRECEDING frame (equal-ts clicks sort after the purchase, so

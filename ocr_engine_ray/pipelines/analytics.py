@@ -1633,3 +1633,78 @@ def last_touch_attribution(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         .map_groups(attribute, batch_format="pyarrow")
         .sort("event_id")
     )
+
+
+def weekly_trends(sf_dir: str) -> rd.Dataset:
+    """Week-over-week trend deltas per event type: each observed ISO week's
+    exact counts/cents plus the deltas against the type's PREVIOUS observed
+    week — the reporting-layer trend surface next to `moving_event_stats`'
+    bounded frames.  A type's first observed week has no predecessor and is
+    dropped (the null-free-surface convention).
+
+    Scale shape: the corpus collapses map-side into (type, week) partials
+    (one groupby of types × weeks tiny rows); the lag runs per type on the
+    aggregate rows in a trivially small task.  Week truncation is the
+    integer Monday arithmetic shared with `cohort_retention`, matching
+    ``date_trunc('week', ts)`` exactly.
+
+    Returns (event_type, week, n_events, value_cents, delta_n,
+    delta_cents) sorted by (event_type, week).
+    """
+    import numpy as np
+
+    US_PER_DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        tsv = batch.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = np.floor_divide(tsv, US_PER_DAY)
+        monday = day - (day + 3) % 7  # 1970-01-01 = Thursday; Monday-trunc
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "wk": pa.array(monday * US_PER_DAY),
+                "cents": _cents(batch.column("value")),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    weekly = (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "wk"])
+        .aggregate(
+            Sum("one", alias_name="n_events"), Sum("cents", alias_name="value_cents")
+        )
+    )
+
+    def lag(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values("wk", kind="mergesort").reset_index(drop=True)
+        n = df["n_events"].astype("int64")
+        c = df["value_cents"].fillna(0).astype("int64")
+        prev_n, prev_c = n.shift(1), c.shift(1)
+        keep = prev_n.notna()
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"][keep].astype(str), pa.string()),
+                "week": pa.array(
+                    df["wk"][keep].astype("int64").to_numpy(), pa.timestamp("us")
+                ),
+                "n_events": pa.array(n[keep].to_numpy(), pa.int64()),
+                "value_cents": pa.array(c[keep].to_numpy(), pa.int64()),
+                "delta_n": pa.array(
+                    (n[keep] - prev_n[keep]).astype("int64").to_numpy(), pa.int64()
+                ),
+                "delta_cents": pa.array(
+                    (c[keep] - prev_c[keep]).astype("int64").to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        weekly.groupby("event_type")
+        .map_groups(lag, batch_format="pandas")
+        .sort(["event_type", "week"])
+    )
