@@ -332,6 +332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # week-over-week deltas per type — map-side weekly fold, per-type
         # lag on aggregate rows; date_trunc('week') lag twin.
         "weekly_trends": analytics.weekly_trends,
+        # benford_audit (eighth round-4 continuation, never gated):
+        # first-digit law screen on exact cents strings; generated twin.
+        "benford_audit": profile.benford_audit,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -692,6 +695,28 @@ def oracle_sql() -> dict[str, str]:
         "keyword_hits": __import__(
             "ocr_engine_ray.pipelines.textstats", fromlist=["x"]
         ).keyword_hits_sql(),
+        # Benford screen: first digit from the integer cents' decimal
+        # string (no float log10 at power-of-ten edges); ppm floors.
+        "benford_audit": """
+            WITH c AS (
+              SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders
+            ),
+            d AS (
+              SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit
+              FROM c WHERE cents > 0
+            ),
+            cnt AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+            total AS (SELECT count(*)::BIGINT AS t FROM d),
+            digits AS (SELECT unnest(generate_series(1, 9)) AS digit)
+            SELECT digits.digit::BIGINT AS digit,
+                   coalesce(cnt.n, 0)::BIGINT AS n,
+                   (coalesce(cnt.n, 0) * 1000000 // greatest(total.t, 1))
+                     ::BIGINT AS observed_ppm,
+                   round_even(log10(1.0 + 1.0 / digits.digit) * 1000000, 0)
+                     ::BIGINT AS expected_ppm
+            FROM digits LEFT JOIN cnt USING (digit) CROSS JOIN total
+            ORDER BY digit
+        """,
         # Winsorized aggregate: rank pinned to k = max(1, ceil(q·N)) —
         # row_number selection, clip via greatest/least, all exact cents.
         "winsorized_pricing": """

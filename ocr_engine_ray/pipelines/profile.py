@@ -481,3 +481,58 @@ def winsorized_pricing(sf_dir: str, *, num_buckets: int = 16) -> rd.Dataset:
         .map_groups(flag_stats, batch_format="pyarrow")
         .sort("l_returnflag")
     )
+
+
+BENFORD_EXPECTED_PPM = tuple(
+    int(np.round(np.log10(1.0 + 1.0 / d) * 1_000_000)) for d in range(1, 10)
+)
+
+
+def benford_audit(sf_dir: str) -> rd.Dataset:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / unit-mixing screen an ingestion pipeline runs on
+    money columns.  First significant digit is taken from the exact
+    integer cents' decimal string (no float log10 near power-of-ten
+    boundaries), counted map-side, folded in one 9-row aggregate.
+
+    Returns (digit, n, observed_ppm, expected_ppm) for digits 1..9 —
+    observed_ppm = ⌊n·10⁶/N⌋ exact integer; expected_ppm is the Benford
+    constant round_even(log10(1+1/d)·10⁶).
+    """
+    from ray.data.aggregate import Sum
+
+    orders = sf_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        first = np.array([int(str(c)[0]) for c in cents], np.int64)
+        d, n = np.unique(first, return_counts=True)
+        return pa.table(
+            {"digit": pa.array(d), "n": pa.array(n.astype(np.int64))}
+        )
+
+    agg = (
+        orders.map_batches(digits, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    by_digit = {int(r["digit"]): int(r["n"]) for r in agg}
+    total = sum(by_digit.values())
+    ds = list(range(1, 10))
+    ns = [by_digit.get(d, 0) for d in ds]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(ds, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "observed_ppm": pa.array(
+                    [n * 1_000_000 // max(total, 1) for n in ns], pa.int64()
+                ),
+                "expected_ppm": pa.array(list(BENFORD_EXPECTED_PPM), pa.int64()),
+            }
+        )
+    )
