@@ -335,6 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benford_audit (eighth round-4 continuation, never gated):
         # first-digit law screen on exact cents strings; generated twin.
         "benford_audit": profile.benford_audit,
+        # pearson_price_qty (eighth round-4 continuation, never gated):
+        # correlation from exact mergeable integer moments, one float
+        # expression at the very end; HUGEINT-moments twin.
+        "pearson_price_qty": profile.pearson_price_qty,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -695,6 +699,32 @@ def oracle_sql() -> dict[str, str]:
         "keyword_hits": __import__(
             "ocr_engine_ray.pipelines.textstats", fromlist=["x"]
         ).keyword_hits_sql(),
+        # Pearson from exact HUGEINT moments; ONE double expression at the
+        # end with identical operand order to the engine's Python-int path.
+        "pearson_price_qty": """
+            WITH c AS (
+              SELECT l_returnflag,
+                     round(l_quantity * 100)::HUGEINT AS x,
+                     round(l_extendedprice * 100)::HUGEINT AS y
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_returnflag, count(*)::HUGEINT AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+              FROM c GROUP BY 1
+            )
+            SELECT l_returnflag, n::BIGINT AS n,
+                   CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                        THEN 0
+                        ELSE round_even(
+                          (n * sxy - sx * sy)::DOUBLE
+                          / sqrt((n * sxx - sx * sx)::DOUBLE
+                                 * (n * syy - sy * sy)::DOUBLE)
+                          * 1000000, 0)::BIGINT
+                   END AS corr_ppm
+            FROM s ORDER BY l_returnflag
+        """,
         # Benford screen: first digit from the integer cents' decimal
         # string (no float log10 at power-of-ten edges); ppm floors.
         "benford_audit": """

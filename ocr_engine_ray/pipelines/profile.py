@@ -536,3 +536,92 @@ def benford_audit(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def pearson_price_qty(sf_dir: str, *, chunk: int = 8192) -> rd.Dataset:
+    """Pearson correlation between quantity and extended price per
+    returnflag, computed from EXACT integer moment sums (n, Σx, Σy, Σx²,
+    Σy², Σxy on the cents grid) — the mergeable-moments pattern: partials
+    combine associatively and commutatively, so batching and merge order
+    cannot move the result (unlike incremental float covariance, which is
+    order-sensitive).  Floats appear exactly once, in the final
+        r = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²)·(n·Σy² − Σy²))
+    evaluated with the identical operand order as the HUGEINT twin, then
+    quantized to ppm — bit-identical on both sides.
+
+    Scale shape: per-batch int64 moment partials (squares are summed in
+    ``chunk``-row slices so no int64 addition can overflow, then carried
+    as arbitrary-precision Python ints serialized as decimal strings);
+    the driver folds batches×flags tiny rows.  Returns
+    (l_returnflag, n, corr_ppm) sorted by flag.
+    """
+    li = sf_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        y = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        flags = df["l_returnflag"].astype(str).to_numpy()
+        out: dict[str, list] = {k: [] for k in ("flag", "n", "sx", "sy", "sxx", "syy", "sxy")}
+        for f in np.unique(flags):
+            sel = flags == f
+            fx, fy = x[sel], y[sel]
+            n = int(sel.sum())
+            sx, sy = int(fx.sum()), int(fy.sum())
+            sxx = syy = sxy = 0
+            for i in range(0, n, chunk):  # overflow-safe int64 slices
+                cx, cy = fx[i : i + chunk], fy[i : i + chunk]
+                sxx += int((cx * cx).sum())
+                syy += int((cy * cy).sum())
+                sxy += int((cx * cy).sum())
+            out["flag"].append(str(f))
+            out["n"].append(str(n))
+            out["sx"].append(str(sx))
+            out["sy"].append(str(sy))
+            out["sxx"].append(str(sxx))
+            out["syy"].append(str(syy))
+            out["sxy"].append(str(sxy))
+        return pa.table(
+            {
+                "flag": pa.array(out["flag"], pa.string()),
+                "n": pa.array(out["n"], pa.string()),
+                "sx": pa.array(out["sx"], pa.string()),
+                "sy": pa.array(out["sy"], pa.string()),
+                "sxx": pa.array(out["sxx"], pa.string()),
+                "syy": pa.array(out["syy"], pa.string()),
+                "sxy": pa.array(out["sxy"], pa.string()),
+            }
+        )
+
+    import math
+
+    rows = li.map_batches(partials, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["flag"], [0, 0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "sx", "sy", "sxx", "syy", "sxy")):
+            a[i] += int(r[k])
+    flags = sorted(acc)
+    ns, corr = [], []
+    for f in flags:
+        n, sx, sy, sxx, syy, sxy = acc[f]
+        num = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        if varx == 0 or vary == 0:
+            corr.append(0)
+        else:
+            r_val = float(num) / math.sqrt(float(varx) * float(vary))
+            corr.append(int(np.round(r_val * 1_000_000)))
+        ns.append(n)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "corr_ppm": pa.array(corr, pa.int64()),
+            }
+        )
+    )
