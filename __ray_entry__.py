@@ -339,6 +339,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # correlation from exact mergeable integer moments, one float
         # expression at the very end; HUGEINT-moments twin.
         "pearson_price_qty": profile.pearson_price_qty,
+        # balanced_label_sample (eighth round-4 continuation, never
+        # gated): class rebalancing — every label keeps n_min rows by
+        # deterministic coin rank (two-pass ranking on uniform coin
+        # buckets); row_number-over-md5 twin.
+        "balanced_label_sample": sampling.balanced_label_sample,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2950,6 +2955,25 @@ def oracle_sql() -> dict[str, str]:
                        ::UBIGINT + 1) / 4294967297.0) AS u
               FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id)
             ORDER BY vec_id
+        """,
+        # Class rebalancing: identical md5 coin (salt 'b'), n_min from the
+        # label totals, (coin, vec_id) rank within label.
+        "balanced_label_sample": r"""
+            WITH coins AS (
+              SELECT vec_id, label,
+                     md5(vec_id::VARCHAR || ':b') AS coin
+              FROM embeddings
+            ),
+            tot AS (SELECT label, count(*)::BIGINT AS n FROM coins GROUP BY 1),
+            nmin AS (SELECT min(n)::BIGINT AS k FROM tot),
+            r AS (
+              SELECT vec_id, label,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY coin, vec_id) AS rk
+              FROM coins
+            )
+            SELECT vec_id, label FROM r CROSS JOIN nmin
+            WHERE rk <= k ORDER BY vec_id
         """,
         "hash_split": r"""
             SELECT doc_id, source,

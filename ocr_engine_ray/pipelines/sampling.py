@@ -494,3 +494,89 @@ def leakage_safe_split(
         .map_groups(assign, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+
+def balanced_label_sample(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Class-balanced downsample over the labeled embeddings: every label
+    keeps exactly ``n_min`` rows (the rarest class's count), chosen by
+    deterministic md5-coin order (salt ``'b'``) — the class-rebalancing
+    step before classifier training, with the same
+    reshuffle/re-shard-stable guarantee as `hash_split`.
+
+    Scale shape: the two-pass distributed ranking from `rank_by_quality`
+    with the COIN as the scan key — coins are uniform in [0,1), so the
+    256 coin-prefix range buckets are balanced by construction (no value
+    skew is possible); per-(label, bucket) counts give exclusive rank
+    offsets and each bucket ranks (coin, vec_id) locally.  Per-label
+    totals are a labels-sized aggregate on the driver.
+
+    Returns (vec_id, label) of the kept rows, sorted by vec_id;
+    row_number-over-coin twin.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+
+    def coin_rows(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_pylist()
+        coins = [
+            hashlib.md5(f"{v}:b".encode()).hexdigest() for v in vid
+        ]
+        cb = [int(c[:2], 16) for c in coins]  # uniform 256-way range bucket
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "label": batch.column("label").cast(pa.int32()),
+                "coin": pa.array(coins, pa.string()),
+                "bucket": pa.array(cb, pa.int64()),
+            }
+        )
+
+    scored = emb.map_batches(coin_rows, batch_format="pyarrow").materialize()
+    parts = (
+        scored.groupby(["label", "bucket"]).aggregate(Count(alias_name="n")).take_all()
+    )
+    totals: dict[int, int] = {}
+    for r in parts:
+        totals[r["label"]] = totals.get(r["label"], 0) + r["n"]
+    if not totals:
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()), "label": pa.array([], pa.int32())}
+            )
+        )
+    n_min = min(totals.values())
+    offsets: dict[tuple[int, int], int] = {}
+    acc: dict[int, int] = {}
+    for r in sorted(parts, key=lambda r: (r["label"], r["bucket"])):
+        offsets[(r["label"], r["bucket"])] = acc.get(r["label"], 0)
+        acc[r["label"]] = acc.get(r["label"], 0) + r["n"]
+    off_ref = ray.put((offsets, n_min))
+
+    def keep(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        off, k = ray.get(off_ref)
+        vid = group.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        coins = np.array(group.column("coin").to_pylist())
+        label = int(group.column("label")[0].as_py())
+        base = off[(label, int(group.column("bucket")[0].as_py()))]
+        order = np.lexsort((vid, coins))
+        rk = np.empty(len(vid), dtype=np.int64)
+        rk[order] = base + np.arange(1, len(vid) + 1)
+        sel = rk <= k
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[sel].astype(np.int64)),
+                "label": pa.array(
+                    np.full(int(sel.sum()), label, dtype=np.int32)
+                ),
+            }
+        )
+
+    return (
+        scored.groupby(["label", "bucket"])
+        .map_groups(keep, batch_format="pyarrow")
+        .sort("vec_id")
+    )
