@@ -344,6 +344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic coin rank (two-pass ranking on uniform coin
         # buckets); row_number-over-md5 twin.
         "balanced_label_sample": sampling.balanced_label_sample,
+        # source_jsd_matrix (eighth round-4 continuation, never gated):
+        # pairwise Jensen–Shannon divergence between source unigram
+        # distributions on the 2^40 ln grid; full-grid recompute twin.
+        "source_jsd_matrix": tsp.source_jsd_matrix,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -704,6 +708,47 @@ def oracle_sql() -> dict[str, str]:
         "keyword_hits": __import__(
             "ocr_engine_ray.pipelines.textstats", fromlist=["x"]
         ).keyword_hits_sql(),
+        # JSD matrix: full (pair × token) grid recompute on the identical
+        # float expression and 2^40 round_even grid.
+        "source_jsd_matrix": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT source, token, count(*)::BIGINT AS n
+              FROM toks GROUP BY 1, 2
+            ),
+            tot AS (SELECT source, sum(n)::BIGINT AS nt FROM c GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS sa, a.nt AS na, b.source AS sb, b.nt AS nb
+              FROM tot a JOIN tot b ON a.source < b.source
+            ),
+            alltok AS (SELECT DISTINCT token FROM c),
+            per AS (
+              SELECT p.sa, p.sb,
+                     coalesce(ca.n, 0)::DOUBLE / p.na AS pa,
+                     coalesce(cb.n, 0)::DOUBLE / p.nb AS pb
+              FROM pairs p CROSS JOIN alltok t
+              LEFT JOIN c ca ON ca.source = p.sa AND ca.token = t.token
+              LEFT JOIN c cb ON cb.source = p.sb AND cb.token = t.token
+            ),
+            q AS (
+              SELECT sa, sb,
+                     (CASE WHEN pa > 0
+                           THEN round_even(0.5 * pa * ln(pa / ((pa + pb) / 2.0))
+                                           * 1099511627776.0, 0)::BIGINT
+                           ELSE 0 END
+                      + CASE WHEN pb > 0
+                             THEN round_even(0.5 * pb * ln(pb / ((pa + pb) / 2.0))
+                                             * 1099511627776.0, 0)::BIGINT
+                             ELSE 0 END) AS jq
+              FROM per
+            )
+            SELECT sa AS source_a, sb AS source_b, sum(jq)::BIGINT AS jsd_q40
+            FROM q GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         # Pearson from exact HUGEINT moments; ONE double expression at the
         # end with identical operand order to the engine's Python-int path.
         "pearson_price_qty": """

@@ -1313,3 +1313,147 @@ def keyword_hits_sql(keywords: tuple[str, ...] = KEYWORD_LIST) -> str:
         GROUP BY 1, 2
         ORDER BY source, keyword
     """
+
+
+_JSD_Q40 = 1099511627776.0  # 2^40 — the shared ln-grid quantum
+
+
+def source_jsd_matrix(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions — the domain-similarity matrix that drives mixture
+    weighting (DoReMi-style reweighting, slice dedup budgets) beside
+    `source_vocab_overlap`'s set view.
+
+    Every per-(token, pair) contribution
+        j = ½·p_a·ln(p_a/m) + ½·p_b·ln(p_b/m),  m = (p_a+p_b)/2
+    is computed in ONE float64 expression (operand order identical to the
+    twin), each half quantized to round_even(x·2^40) int64, so pair
+    divergences are exact order-free integer sums — the bigram-LM grid
+    convention.  JSD with ln is bounded by ln 2, so jsd_q40 ≤ 0.70·2^40.
+
+    Scale shape: per-batch (source, token) count partials (one dictionary
+    pass per batch) → ONE crc-token-bucket shuffle; each bucket folds its
+    tokens' per-source counts and emits per-PAIR partial integer sums
+    (sources² fan-out per token — corpus-slice cardinality, the
+    `source_vocab_overlap` budget); totals are a sources-sized broadcast.
+    Returns (source_a, source_b, jsd_q40) for source_a < source_b, sorted.
+    """
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "tbkt": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if not len(rows):
+            return empty
+        src = np.array(batch.column("source").to_pylist(), dtype=object)[rows]
+        toks = np.array(dic.to_pylist(), dtype=object)[codes]
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"source": src, "token": toks})
+            .groupby(["source", "token"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        tb = np.array(
+            [zlib.crc32(t.encode("utf-8")) % num_buckets for t in g["token"]],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "tbkt": pa.array(tb),
+                "token": pa.array(g["token"], pa.string()),
+                "source": pa.array(g["source"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    counted = ds.map_batches(count_rows, batch_format="pyarrow").materialize()
+    totals_rows = (
+        counted.groupby("source").aggregate(Sum("n", alias_name="nt")).take_all()
+    )
+    totals = {r["source"]: int(r["nt"]) for r in totals_rows}
+    sources = sorted(totals)
+    tot_ref = ray.put((sources, totals))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        srcs, tot = ray.get(tot_ref)
+        s_idx = {s: i for i, s in enumerate(srcs)}
+        nt = np.array([tot[s] for s in srcs], dtype=np.float64)
+        df = group.select(["token", "source", "n"]).to_pandas()
+        # fold duplicate (source, token) partials from different batches
+        df = df.groupby(["token", "source"], sort=False)["n"].sum().reset_index()
+        empty = pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "jq": pa.array([], pa.int64()),
+            }
+        )
+        if not len(df):
+            return empty
+        toks, tinv = np.unique(df["token"].to_numpy(), return_inverse=True)
+        sidx = df["source"].map(s_idx).to_numpy()
+        cnt = np.zeros((len(toks), len(srcs)), dtype=np.int64)
+        cnt[tinv, sidx] = df["n"].to_numpy()
+        p = cnt / nt[None, :]  # (tokens × sources) float64
+        acc = np.zeros((len(srcs), len(srcs)), dtype=np.int64)
+        for a in range(len(srcs)):
+            pa_col = p[:, a]
+            for b in range(a + 1, len(srcs)):
+                pb_col = p[:, b]
+                m = (pa_col + pb_col) / 2.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ja = np.where(
+                        pa_col > 0,
+                        np.round(0.5 * pa_col * np.log(pa_col / m) * _JSD_Q40),
+                        0.0,
+                    )
+                    jb = np.where(
+                        pb_col > 0,
+                        np.round(0.5 * pb_col * np.log(pb_col / m) * _JSD_Q40),
+                        0.0,
+                    )
+                acc[a, b] = int(ja.astype(np.int64).sum()) + int(jb.astype(np.int64).sum())
+        ia, ib = np.triu_indices(len(srcs), 1)
+        return pa.table(
+            {
+                "source_a": pa.array([srcs[i] for i in ia], pa.string()),
+                "source_b": pa.array([srcs[j] for j in ib], pa.string()),
+                "jq": pa.array(acc[ia, ib], pa.int64()),
+            }
+        )
+
+    agg = (
+        counted.groupby("tbkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("jq", alias_name="jsd_q40"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_a": batch.column("source_a"),
+                "source_b": batch.column("source_b"),
+                "jsd_q40": batch.column("jsd_q40").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["source_a", "source_b"]
+    )
