@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pairwise Jensen–Shannon divergence between source unigram
         # distributions on the 2^40 ln grid; full-grid recompute twin.
         "source_jsd_matrix": tsp.source_jsd_matrix,
+        # dup_cluster_sizes (eighth round-4 continuation, never gated):
+        # the dedup report — near-dup cluster-size histogram incl.
+        # singletons; recursive-CTE twin.
+        "dup_cluster_sizes": dedup.dup_cluster_sizes,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1376,6 +1380,50 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # Cluster-size histogram: same recursive-CTE closure; singletons
+        # from the corpus total minus clustered members.
+        "dup_cluster_sizes": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+            ),
+            edges AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs
+            ),
+            reach(node, other) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.node, e.v FROM reach r JOIN edges e ON r.other = e.u
+            ),
+            cl AS (
+              SELECT node AS vec_id,
+                     least(node, min(other))::BIGINT AS cluster_id
+              FROM reach GROUP BY node
+            ),
+            szs AS (
+              SELECT cluster_id, count(*)::BIGINT AS sz FROM cl GROUP BY 1
+            ),
+            hist AS (
+              SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+              FROM szs GROUP BY 1
+            ),
+            singles AS (
+              SELECT 1::BIGINT AS cluster_size,
+                     ((SELECT count(*) FROM embeddings)
+                      - coalesce((SELECT count(*) FROM cl), 0))::BIGINT
+                       AS n_clusters
+            )
+            SELECT cluster_size,
+                   sum(n_clusters)::BIGINT AS n_clusters,
+                   (cluster_size * sum(n_clusters))::BIGINT AS n_vectors
+            FROM (SELECT * FROM hist
+                  UNION ALL SELECT * FROM singles WHERE n_clusters > 0)
+            GROUP BY cluster_size
+            ORDER BY cluster_size
         """,
         # Contamination matrix: the SAME exact-Jaccard pair definition as
         # ngram_jaccard_pairs, sources joined on both endpoints, unordered

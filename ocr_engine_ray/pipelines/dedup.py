@@ -2524,3 +2524,47 @@ def cross_source_dup_matrix(
     return agg.map_batches(finish, batch_format="pyarrow").sort(
         ["source_a", "source_b"]
     )
+
+
+def dup_cluster_sizes(sf_dir: str, *, threshold: float = 0.42) -> rd.Dataset:
+    """Near-duplicate cluster-SIZE distribution over the embedding corpus —
+    the dedup report a dataset card publishes (how much mass sits in
+    2-copies vs 100-copy pileups decides the dedup budget).  Singletons
+    (vectors in no near-dup pair) are counted from the corpus total minus
+    clustered members, so the distribution covers the whole table.
+
+    Scale shape: exact cosine pairs → distributed CC (both existing
+    bucketed paths); cluster sizes are one cluster-keyed aggregate over
+    (vec_id, cluster_id) rows; the size histogram is a
+    cluster-count-sized fold.  Returns (cluster_size, n_clusters,
+    n_vectors) sorted by cluster_size; recursive-CTE twin.
+    """
+    from ray.data.aggregate import Count
+
+    from .graph import connected_components
+
+    total = sf_table(sf_dir, "embeddings", columns=["vec_id"]).count()
+    pairs = embedding_near_dup(sf_dir, threshold=threshold)
+    cc = connected_components(pairs)  # (doc_id, cluster_id)
+
+    sizes = (
+        cc.groupby("cluster_id").aggregate(Count(alias_name="sz")).take_all()
+    )  # clusters-sized (≤ corpus/2 rows; at gate scale tiny)
+    from collections import Counter
+
+    hist: Counter = Counter(int(r["sz"]) for r in sizes)
+    clustered = sum(s * n for s, n in hist.items())
+    if total - clustered > 0:
+        hist[1] += total - clustered
+    out_sizes = sorted(hist)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cluster_size": pa.array(out_sizes, pa.int64()),
+                "n_clusters": pa.array([hist[s] for s in out_sizes], pa.int64()),
+                "n_vectors": pa.array(
+                    [s * hist[s] for s in out_sizes], pa.int64()
+                ),
+            }
+        )
+    )
