@@ -352,6 +352,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the dedup report — near-dup cluster-size histogram incl.
         # singletons; recursive-CTE twin.
         "dup_cluster_sizes": dedup.dup_cluster_sizes,
+        # zipf_slope_by_source (eighth round-4 continuation, never gated):
+        # rank-frequency regression on the 2^20 ln grid, two-pass ranking
+        # with bit_length range buckets; HUGEINT-moments twin.
+        "zipf_slope_by_source": tsp.zipf_slope_by_source,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -712,6 +716,44 @@ def oracle_sql() -> dict[str, str]:
         "keyword_hits": __import__(
             "ocr_engine_ray.pipelines.textstats", fromlist=["x"]
         ).keyword_hits_sql(),
+        # Zipf slope: row_number over (count DESC, token), ln quantized to
+        # the 2^20 grid, HUGEINT moments, one double division at the end.
+        "zipf_slope_by_source": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT source, token, count(*)::BIGINT AS n
+              FROM toks GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT source, n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, token) AS rk
+              FROM c
+            ),
+            q AS (
+              SELECT source,
+                     round_even(ln(rk::DOUBLE) * 1048576.0, 0)::HUGEINT AS xq,
+                     round_even(ln(n::DOUBLE) * 1048576.0, 0)::HUGEINT AS yq
+              FROM r
+            ),
+            s AS (
+              SELECT source, count(*)::HUGEINT AS m,
+                     sum(xq) AS sx, sum(yq) AS sy,
+                     sum(xq * xq) AS sxx, sum(xq * yq) AS sxy
+              FROM q GROUP BY 1
+            )
+            SELECT source, m::BIGINT AS vocab,
+                   CASE WHEN (m * sxx - sx * sx) = 0 THEN 0
+                        ELSE round_even((m * sxy - sx * sy)::DOUBLE
+                                        / (m * sxx - sx * sx)::DOUBLE
+                                        * 1000000, 0)::BIGINT
+                   END AS zipf_slope_ppm
+            FROM s ORDER BY source
+        """,
         # JSD matrix: full (pair × token) grid recompute on the identical
         # float expression and 2^40 round_even grid.
         "source_jsd_matrix": r"""

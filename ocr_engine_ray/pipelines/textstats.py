@@ -1457,3 +1457,167 @@ def source_jsd_matrix(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow").sort(
         ["source_a", "source_b"]
     )
+
+
+_ZIPF_Q20 = 1048576.0  # 2^20 — fixed-point grid for the ln regression
+
+
+def zipf_slope_by_source(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Zipf rank–frequency slope per source: the least-squares slope of
+    ln(count) on ln(rank) over each source's token vocabulary (natural
+    text sits near −1; synthetic/templated slices drift — a cheap corpus
+    forensic beside `lexical_diversity`).
+
+    Exactness: ln(rank) and ln(count) are quantized once to
+    round_even(x·2^20) int64; the regression moments are exact integer
+    sums (folded as arbitrary-precision Python ints via decimal-string
+    partials, the `pearson_price_qty` pattern), and the single float
+    division at the end uses the identical operand order as the HUGEINT
+    twin.
+
+    Scale shape: per-batch (source, token) count partials → ONE
+    crc-token-bucket shuffle folds exact per-(source, token) counts; the
+    global per-source rank over (count DESC, token) is the two-pass
+    distributed ranking with ``63 − bit_length(count)`` as the
+    order-preserving range bucket (monotone in count), so no global sort;
+    each rank bucket emits constant-size moment partials.
+
+    Returns (source, vocab, zipf_slope_ppm) sorted by source.
+    """
+    import math
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "tbkt": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if not len(rows):
+            return empty
+        import pandas as pd
+
+        src = np.array(batch.column("source").to_pylist(), dtype=object)[rows]
+        toks = np.array(dic.to_pylist(), dtype=object)[codes]
+        g = (
+            pd.DataFrame({"source": src, "token": toks})
+            .groupby(["source", "token"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        tb = np.array(
+            [zlib.crc32(t.encode("utf-8")) % num_buckets for t in g["token"]],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "tbkt": pa.array(tb),
+                "token": pa.array(g["token"], pa.string()),
+                "source": pa.array(g["source"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def fold_counts(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.select(["source", "token", "n"]).to_pandas()
+        g = df.groupby(["source", "token"], sort=False)["n"].sum().reset_index()
+        n = g["n"].to_numpy().astype(np.int64)
+        # order-preserving range bucket for the DESC-count ranking pass
+        cb = 63 - np.frompyfunc(int.bit_length, 1, 1)(n.astype(object)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "token": pa.array(g["token"], pa.string()),
+                "n": pa.array(n),
+                "cbkt": pa.array(cb),
+            }
+        )
+
+    counted = (
+        ds.map_batches(count_rows, batch_format="pyarrow")
+        .groupby("tbkt")
+        .map_groups(fold_counts, batch_format="pyarrow")
+        .materialize()
+    )
+    parts = (
+        counted.groupby(["source", "cbkt"]).aggregate(Count(alias_name="m")).take_all()
+    )
+    offsets: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(parts, key=lambda r: (r["source"], r["cbkt"])):
+        offsets[(r["source"], r["cbkt"])] = acc.get(r["source"], 0)
+        acc[r["source"]] = acc.get(r["source"], 0) + r["m"]
+    off_ref = ray.put(offsets)
+
+    def moments(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        src = group.column("source")[0].as_py()
+        base = off[(src, int(group.column("cbkt")[0].as_py()))]
+        n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        toks = np.array(group.column("token").to_pylist())
+        order = np.lexsort((toks, -n))
+        rk = np.empty(len(n), dtype=np.int64)
+        rk[order] = base + np.arange(1, len(n) + 1)
+        xq = np.round(np.log(rk.astype(np.float64)) * _ZIPF_Q20).astype(np.int64)
+        yq = np.round(np.log(n.astype(np.float64)) * _ZIPF_Q20).astype(np.int64)
+        m = len(n)
+        sx, sy = int(xq.sum()), int(yq.sum())
+        sxx = sxy = 0
+        for i in range(0, m, 4096):  # overflow-safe int64 slices
+            cx, cy = xq[i : i + 4096], yq[i : i + 4096]
+            sxx += int((cx * cx).sum())
+            sxy += int((cx * cy).sum())
+        return pa.table(
+            {
+                "source": pa.array([src], pa.string()),
+                "m": pa.array([str(m)], pa.string()),
+                "sx": pa.array([str(sx)], pa.string()),
+                "sy": pa.array([str(sy)], pa.string()),
+                "sxx": pa.array([str(sxx)], pa.string()),
+                "sxy": pa.array([str(sxy)], pa.string()),
+            }
+        )
+
+    rows = (
+        counted.groupby(["source", "cbkt"])
+        .map_groups(moments, batch_format="pyarrow")
+        .take_all()
+    )
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        a = agg.setdefault(r["source"], [0, 0, 0, 0, 0])
+        for i, k in enumerate(("m", "sx", "sy", "sxx", "sxy")):
+            a[i] += int(r[k])
+    sources = sorted(agg)
+    vocab, slope = [], []
+    for s in sources:
+        m, sx, sy, sxx, sxy = agg[s]
+        den = m * sxx - sx * sx
+        if den == 0:
+            slope.append(0)
+        else:
+            num = m * sxy - sx * sy
+            slope.append(int(np.round(float(num) / float(den) * 1_000_000)))
+        vocab.append(m)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(sources, pa.string()),
+                "vocab": pa.array(vocab, pa.int64()),
+                "zipf_slope_ppm": pa.array(slope, pa.int64()),
+            }
+        )
+    )
