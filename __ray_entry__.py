@@ -356,6 +356,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-frequency regression on the 2^20 ln grid, two-pass ranking
         # with bit_length range buckets; HUGEINT-moments twin.
         "zipf_slope_by_source": tsp.zipf_slope_by_source,
+        # image_phash_dedup (eighth round-4 continuation, never gated):
+        # perceptual (aHash) near-dup groups over REAL-decoded image
+        # attachments; brute-force pixel-recompute twin.
+        "image_phash_dedup": extract_stats.image_phash_dedup,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1105,6 +1109,66 @@ def oracle_sql() -> dict[str, str]:
                    any_value(h)::BIGINT AS height,
                    sum(v)::BIGINT AS diag_sum
             FROM p GROUP BY doc_id, media_idx
+        """,
+        # aHash dedup recomputed WHOLESALE per pixel: same channel-0
+        # pattern, same y·8//h cell partition, same cross-multiplied mean
+        # compare, same int32 bit packing.
+        "image_phash_dedup": f"""
+            WITH m AS (
+              SELECT doc_id, i AS media_idx,
+                     (64 + {_h32('doc_id + i', 377)} % 192) AS w,
+                     (48 + {_h32('doc_id + i', 477)} % 160) AS h,
+                     ({_h32('doc_id + i', 577)} % 256) AS s
+              FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(i)
+              WHERE doc_id % 100 BETWEEN 80 AND 89
+            ),
+            px AS (
+              SELECT doc_id, media_idx, w, h,
+                     (y * 8) // h AS ci, (x * 8) // w AS cj,
+                     (s + 5 * y + 3 * x) % 256 AS g
+              FROM m,
+                   unnest(generate_series(0, h - 1)) AS ty(y),
+                   unnest(generate_series(0, w - 1)) AS tx(x)
+            ),
+            cells AS (
+              SELECT doc_id, media_idx, ci, cj,
+                     sum(g)::BIGINT AS cell_sum, count(*)::BIGINT AS cell_n
+              FROM px GROUP BY 1, 2, 3, 4
+            ),
+            tot AS (
+              SELECT doc_id, media_idx,
+                     sum(cell_sum)::BIGINT AS tot_sum,
+                     sum(cell_n)::BIGINT AS tot_n
+              FROM cells GROUP BY 1, 2
+            ),
+            bits AS (
+              SELECT c.doc_id, c.media_idx, c.ci * 8 + c.cj AS k,
+                     CASE WHEN c.cell_sum * t.tot_n > t.tot_sum * c.cell_n
+                          THEN 1 ELSE 0 END AS bit
+              FROM cells c JOIN tot t USING (doc_id, media_idx)
+            ),
+            sig AS (
+              SELECT doc_id, media_idx,
+                     sum(CASE WHEN k >= 32
+                              THEN bit * (1::BIGINT << (k - 32))
+                              ELSE 0 END)::BIGINT AS ahash_hi,
+                     sum(CASE WHEN k < 32
+                              THEN bit * (1::BIGINT << k)
+                              ELSE 0 END)::BIGINT AS ahash_lo
+              FROM bits GROUP BY 1, 2
+            ),
+            grp AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY ahash_hi, ahash_lo)::BIGINT
+                       AS group_n,
+                     row_number() OVER (PARTITION BY ahash_hi, ahash_lo
+                                        ORDER BY doc_id, media_idx) AS rk
+              FROM sig
+            )
+            SELECT doc_id, media_idx, ahash_hi, ahash_lo, group_n,
+                   (rk = 1) AS is_canonical
+            FROM grp WHERE group_n >= 2
+            ORDER BY doc_id, media_idx
         """,
         # Multinomial NB source classifier, recomputed WHOLESALE in SQL: all
         # counts are exact integers; each model weight is quantized ONCE to

@@ -336,3 +336,89 @@ def image_decode_stats(sf_dir: str) -> rd.Dataset:
         concurrency=(1, 4),
         num_cpus=1,
     ).sort(["doc_id", "media_idx"])
+
+
+def image_phash_dedup(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
+    """Perceptual near-dup groups over the image-band attachments: REAL
+    decode (stdlib BMP/PPM/PGM codecs) → 64-bit average hash (`aHash`) →
+    exact hash-equality groups.  Re-encoded copies of the same pixels
+    (the pattern corpus plants them: ``doc_id + media_idx`` collisions
+    yield identical images across documents) collide on pixels where
+    byte-level dedup would miss them.
+
+    Scale shape: the decode+hash actor pool maps the binary payloads
+    once; signatures (two int32 halves per image) ride ONE hash-bucket
+    shuffle; groups of ≥2 are marked with their canonical (min doc_id,
+    media_idx) member.  Returns (doc_id, media_idx, ahash_hi, ahash_lo,
+    group_n, is_canonical) sorted by (doc_id, media_idx); the SQL twin
+    recomputes the pattern pixels, the 8×8 integer cell partition and
+    the cross-multiplied mean compare wholesale.
+    """
+    from ..stages.multimodal import ImageAHasher, synth_pattern_blob
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id"])
+
+    def band_and_synth(batch: pa.Table) -> pa.Table:
+        nums = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ids, idxs, blobs = [], [], []
+        for d in nums:
+            d = int(d)
+            if not (80 <= d % 100 < 90):
+                continue
+            for i in range(d % 4 + 1):
+                ids.append(d)
+                idxs.append(i)
+                blobs.append(synth_pattern_blob(d, i))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "media_idx": pa.array(idxs, pa.int64()),
+                "image_blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    hashed = (
+        ds.map_batches(band_and_synth, batch_format="pyarrow")
+        .map_batches(
+            ImageAHasher,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+    )
+
+    def hbkt(batch: pa.Table) -> pa.Table:
+        hi = batch.column("ahash_hi").combine_chunks().to_numpy(zero_copy_only=False)
+        lo = batch.column("ahash_lo").combine_chunks().to_numpy(zero_copy_only=False)
+        b = ((hi * np.int64(1_000_003) + lo) % num_buckets).astype(np.int64)
+        return batch.append_column("_hbkt", pa.array(b))
+
+    def groups(group: pa.Table) -> pa.Table:
+        df = group.select(
+            ["doc_id", "media_idx", "ahash_hi", "ahash_lo"]
+        ).to_pandas()
+        g = df.groupby(["ahash_hi", "ahash_lo"], sort=False)
+        df["group_n"] = g["doc_id"].transform("size").astype("int64")
+        df = df[df["group_n"] >= 2]
+        if len(df):
+            first = (
+                df.sort_values(["doc_id", "media_idx"], kind="mergesort")
+                .groupby(["ahash_hi", "ahash_lo"], sort=False)
+                .head(1)
+                .index
+            )
+            df["is_canonical"] = df.index.isin(first)
+        else:
+            df = df.assign(is_canonical=pa.array([], pa.bool_()).to_pandas())
+        return pa.Table.from_pandas(
+            df[["doc_id", "media_idx", "ahash_hi", "ahash_lo", "group_n", "is_canonical"]],
+            preserve_index=False,
+        )
+
+    return (
+        hashed.map_batches(hbkt, batch_format="pyarrow")
+        .groupby("_hbkt")
+        .map_groups(groups, batch_format="pyarrow")
+        .sort(["doc_id", "media_idx"])
+    )

@@ -667,3 +667,70 @@ class PdfTextExtractor:
             },
             schema=PDF_TEXT_SCHEMA,
         )
+
+
+AHASH_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("media_idx", pa.int64()),
+        ("ahash_hi", pa.int64()),
+        ("ahash_lo", pa.int64()),
+    ]
+)
+
+
+def ahash_bits(grey: "np.ndarray") -> tuple[int, int]:
+    """64-bit average hash of a (h, w) int grid, split into two int32
+    halves (bit 63 would flip an int64 negative).  Cell (i, j) covers the
+    pixels with ``y·8 // h == i`` and ``x·8 // w == j``; bit = 1 iff the
+    cell mean exceeds the global mean, compared cross-multiplied in exact
+    integers (cell_sum · N > total_sum · cell_n) — no float division."""
+    h, w = grey.shape
+    g = grey.astype(np.int64)
+    ci = (np.arange(h, dtype=np.int64) * 8) // h
+    cj = (np.arange(w, dtype=np.int64) * 8) // w
+    cell = np.zeros((8, 8), dtype=np.int64)
+    cnt = np.zeros((8, 8), dtype=np.int64)
+    idx = (ci[:, None] * 8 + cj[None, :]).ravel()
+    np.add.at(cell.ravel(), idx, g.ravel())
+    np.add.at(cnt.ravel(), idx, 1)
+    tot, n = int(g.sum()), h * w
+    bits = (cell * n > tot * cnt).ravel()
+    hi = lo = 0
+    for k in range(64):
+        if bits[k]:
+            if k >= 32:
+                hi |= 1 << (k - 32)
+            else:
+                lo |= 1 << k
+    return hi, lo
+
+
+class ImageAHasher:
+    """Actor-pool stage: decode ``(doc_id, media_idx, image_blob)`` rows
+    for real (stdlib/numpy codecs) and emit the 64-bit average hash as
+    two int32 halves — the perceptual-dedup signature over pixels, not
+    bytes (re-encoded copies collide; byte-level dedup would miss them).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import imagecodec as ic
+
+        ids = batch.column("doc_id").to_pylist()
+        idxs = batch.column("media_idx").to_pylist()
+        blobs = batch.column("image_blob").to_pylist()
+        his, los = [], []
+        for blob in blobs:
+            arr = ic.decode_image(blob)
+            hi, lo = ahash_bits(arr[:, :, 0])
+            his.append(hi)
+            los.append(lo)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "media_idx": pa.array(idxs, pa.int64()),
+                "ahash_hi": pa.array(his, pa.int64()),
+                "ahash_lo": pa.array(los, pa.int64()),
+            },
+            schema=AHASH_SCHEMA,
+        )
