@@ -360,6 +360,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # perceptual (aHash) near-dup groups over REAL-decoded image
         # attachments; brute-force pixel-recompute twin.
         "image_phash_dedup": extract_stats.image_phash_dedup,
+        # props_field_stats (eighth round-4 continuation, never gated):
+        # semi-structured JSON field extraction via ONE RE2 kernel;
+        # identical regexp_extract twin.
+        "props_field_stats": analytics.props_field_stats,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2256,6 +2260,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Time-weighted average: lead() segments, integer-seconds gaps,
         # one exact floor division (cents convention on value).
+        # JSON field extraction: identical RE2 pattern; misses are counted
+        # via the same null semantics.
+        "props_field_stats": r"""
+            WITH x AS (
+              SELECT event_type,
+                     regexp_extract(coalesce(props, ''),
+                                    '"k":\s*(-?\d+)', 1) AS ks
+              FROM events
+            ),
+            k AS (
+              SELECT event_type,
+                     CASE WHEN ks <> '' THEN ks::BIGINT END AS k
+              FROM x
+            )
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(k)::BIGINT AS n_with_k,
+                   coalesce(sum(k), 0)::BIGINT AS k_sum,
+                   min(k)::BIGINT AS k_min,
+                   max(k)::BIGINT AS k_max
+            FROM k GROUP BY 1 ORDER BY 1
+        """,
         # WoW trends: date_trunc('week') weekly aggregate + lag() per
         # type, first observed week dropped (null-free surface).
         "weekly_trends": """
