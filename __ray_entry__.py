@@ -364,6 +364,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured JSON field extraction via ONE RE2 kernel;
         # identical regexp_extract twin.
         "props_field_stats": analytics.props_field_stats,
+        # funnel_latency_quantiles (eighth round-4 continuation, never
+        # gated): exact rank-selected conversion-time percentiles on the
+        # two-pass bit_length-bucket rank; funnel + row_number twin.
+        "funnel_latency_quantiles": analytics.funnel_latency_quantiles,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2257,6 +2261,58 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
+        """,
+        # Funnel latency percentiles: same greedy funnel walk, exact µs
+        # gaps, rank pinned to k = max(1, ceil(q·N)).
+        "funnel_latency_quantiles": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN t1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > t1.t_view
+              GROUP BY 1
+            ),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN t2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+              GROUP BY 1
+            ),
+            f AS (
+              SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase
+              FROM t1 LEFT JOIN t2 USING (user_id)
+                      LEFT JOIN t3 USING (user_id)
+            ),
+            g AS (
+              SELECT 'view->click' AS stage_pair,
+                     date_diff('microsecond', t_view, t_click) AS gap_us
+              FROM f WHERE t_click IS NOT NULL
+              UNION ALL
+              SELECT 'click->purchase',
+                     date_diff('microsecond', t_click, t_purchase)
+              FROM f WHERE t_purchase IS NOT NULL
+              UNION ALL
+              SELECT 'view->purchase',
+                     date_diff('microsecond', t_view, t_purchase)
+              FROM f WHERE t_purchase IS NOT NULL
+            ),
+            n AS (SELECT stage_pair, count(*)::BIGINT AS n FROM g GROUP BY 1),
+            r AS (
+              SELECT stage_pair, gap_us,
+                     row_number() OVER (PARTITION BY stage_pair
+                                        ORDER BY gap_us) AS rk
+              FROM g
+            )
+            SELECT n.stage_pair, n.n,
+                   max(CASE WHEN r.rk = greatest(1, ceil(0.5 * n.n)::BIGINT)
+                       THEN r.gap_us END)::BIGINT AS p50_us,
+                   max(CASE WHEN r.rk = greatest(1, ceil(0.9 * n.n)::BIGINT)
+                       THEN r.gap_us END)::BIGINT AS p90_us
+            FROM n JOIN r USING (stage_pair)
+            GROUP BY 1, 2 ORDER BY 1
         """,
         # Time-weighted average: lead() segments, integer-seconds gaps,
         # one exact floor division (cents convention on value).

@@ -347,6 +347,27 @@ def run_bench() -> dict:
         ),
         "keyword_hits": timed(tsp.keyword_hits),
         "sq8_topk": timed(ann.sq8_topk),
+        "winsorized_pricing": timed(
+            __import__("ocr_engine_ray.pipelines.profile", fromlist=["x"]).winsorized_pricing
+        ),
+        "cross_source_dup_matrix": timed(dedup.cross_source_dup_matrix),
+        "weekly_trends": timed(analytics.weekly_trends),
+        "benford_audit": timed(
+            __import__("ocr_engine_ray.pipelines.profile", fromlist=["x"]).benford_audit
+        ),
+        "pearson_price_qty": timed(
+            __import__("ocr_engine_ray.pipelines.profile", fromlist=["x"]).pearson_price_qty
+        ),
+        "balanced_label_sample": timed(sampling.balanced_label_sample),
+        "source_jsd_matrix": timed(tsp.source_jsd_matrix),
+        "dup_cluster_sizes": timed(dedup.dup_cluster_sizes),
+        "zipf_slope_by_source": timed(tsp.zipf_slope_by_source),
+        "image_phash_dedup": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.extract_stats", fromlist=["x"]
+            ).image_phash_dedup
+        ),
+        "props_field_stats": timed(analytics.props_field_stats),
     }
 
     result = {

@@ -1784,3 +1784,121 @@ def props_field_stats(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")
+
+
+FUNNEL_PCTS = (50, 90)
+
+
+def funnel_latency_quantiles(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Exact conversion-latency percentiles per funnel stage pair
+    (view→click, click→purchase, view→purchase): the time-to-convert
+    distribution a product team reads next to `event_funnel`'s counts.
+    Percentile rank is pinned to ``k = max(1, ceil(q·N))``-th smallest
+    (the `winsorized_pricing` convention — no interpolation ambiguity),
+    over exact integer-µs gaps.
+
+    Scale shape: the funnel walk itself is the existing one-shuffle
+    bucketed kernel; gaps ride a (pair, 63−bit_length(gap)) range bucket
+    — monotone in the gap, so bucket order IS value order — and the
+    selection is the two-pass distributed rank: per-bucket counts give
+    exclusive offsets, each bucket emits only its rank-k50/k90 hits.  No
+    global sort, no whole-pair task.
+
+    Returns (stage_pair, n, p50_us, p90_us) sorted by stage_pair.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    funnel = event_funnel(sf_dir, num_buckets=num_buckets)
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_pair, out_gap = [], []
+        for a, b, name in (
+            ("t_view", "t_click", "view->click"),
+            ("t_click", "t_purchase", "click->purchase"),
+            ("t_view", "t_purchase", "view->purchase"),
+        ):
+            sel = df[a].notna() & df[b].notna()
+            g = (df.loc[sel, b] - df.loc[sel, a]).astype("timedelta64[us]")
+            out_pair.extend([name] * int(sel.sum()))
+            out_gap.extend(g.astype("int64").tolist())
+        gap = np.array(out_gap, dtype=np.int64)
+        vb = 63 - np.frompyfunc(int.bit_length, 1, 1)(
+            np.maximum(gap, 1).astype(object)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "stage_pair": pa.array(out_pair, pa.string()),
+                "gap_us": pa.array(gap),
+                "vbkt": pa.array(vb),
+            }
+        )
+
+    gapped = funnel.map_batches(gaps, batch_format="pyarrow").materialize()
+    parts = (
+        gapped.groupby(["stage_pair", "vbkt"]).aggregate(Count(alias_name="m")).take_all()
+    )
+    # bucket order: 63 - bit_length DESCENDS as gap grows, so ascending
+    # gap order = DESCENDING vbkt — accumulate offsets in that order
+    offsets: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for r in sorted(parts, key=lambda r: (r["stage_pair"], -r["vbkt"])):
+        offsets[(r["stage_pair"], r["vbkt"])] = totals.get(r["stage_pair"], 0)
+        totals[r["stage_pair"]] = totals.get(r["stage_pair"], 0) + r["m"]
+    import math
+
+    ks = {
+        p: {s: max(1, math.ceil(p / 100.0 * n)) for s, n in totals.items()}
+        for p in FUNNEL_PCTS
+    }
+    ref = ray.put((offsets, ks))
+
+    def select(group: pa.Table) -> pa.Table:
+        off, kk = ray.get(ref)
+        pair = group.column("stage_pair")[0].as_py()
+        base = off[(pair, int(group.column("vbkt")[0].as_py()))]
+        g = group.column("gap_us").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        rows = []
+        for p in FUNNEL_PCTS:
+            k = kk[p][pair]
+            local = k - base
+            if 1 <= local <= len(g):
+                rows.append((pair, p, int(g[order[local - 1]])))
+        if not rows:
+            return pa.table(
+                {
+                    "stage_pair": pa.array([], pa.string()),
+                    "pct": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "stage_pair": pa.array([r[0] for r in rows], pa.string()),
+                "pct": pa.array([r[1] for r in rows], pa.int64()),
+                "value": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    hits = (
+        gapped.groupby(["stage_pair", "vbkt"])
+        .map_groups(select, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ pairs × pcts rows
+    by_pair: dict[str, dict[int, int]] = {}
+    for r in hits:
+        by_pair.setdefault(r["stage_pair"], {})[r["pct"]] = r["value"]
+    pairs = sorted(totals)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "stage_pair": pa.array(pairs, pa.string()),
+                "n": pa.array([totals[p] for p in pairs], pa.int64()),
+                "p50_us": pa.array([by_pair[p][50] for p in pairs], pa.int64()),
+                "p90_us": pa.array([by_pair[p][90] for p in pairs], pa.int64()),
+            }
+        )
+    )
