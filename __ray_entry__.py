@@ -368,6 +368,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): exact rank-selected conversion-time percentiles on the
         # two-pass bit_length-bucket rank; funnel + row_number twin.
         "funnel_latency_quantiles": analytics.funnel_latency_quantiles,
+        # audio_fingerprint_dedup (eighth round-4 continuation, never
+        # gated): energy-contour fingerprint groups over REAL WAV
+        # round-trips; brute-force sample-recompute twin.
+        "audio_fingerprint_dedup": extract_stats.audio_fingerprint_dedup,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1117,6 +1121,47 @@ def oracle_sql() -> dict[str, str]:
                    any_value(h)::BIGINT AS height,
                    sum(v)::BIGINT AS diag_sum
             FROM p GROUP BY doc_id, media_idx
+        """,
+        # Audio fingerprint recomputed WHOLESALE per sample: same modular
+        # ramp, same 33 overlapping |·|-sum windows, same delta bits.
+        "audio_fingerprint_dedup": f"""
+            WITH a AS (
+              SELECT doc_id,
+                     ({_h32('doc_id', 701)} % 256) AS seed
+              FROM documents WHERE doc_id % 100 < 10
+            ),
+            e AS (
+              SELECT a.doc_id, w.i,
+                     sum(abs((a.seed + 7 * (w.i * 160 + o.t)) % 65536
+                             - 32768))::BIGINT AS en
+              FROM a,
+                   unnest(generate_series(0, 32)) AS w(i),
+                   unnest(generate_series(0, 399)) AS o(t)
+              GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT doc_id, i,
+                     CASE WHEN lead(en) OVER (PARTITION BY doc_id
+                                              ORDER BY i) > en
+                          THEN 1 ELSE 0 END AS bit
+              FROM e
+            ),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+                              ELSE 0 END)::BIGINT AS fp
+              FROM b GROUP BY 1
+            ),
+            grp AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY fp)::BIGINT AS group_n,
+                     row_number() OVER (PARTITION BY fp
+                                        ORDER BY doc_id) AS rk
+              FROM sig
+            )
+            SELECT doc_id, fp, group_n, (rk = 1) AS is_canonical
+            FROM grp WHERE group_n >= 2
+            ORDER BY doc_id
         """,
         # aHash dedup recomputed WHOLESALE per pixel: same channel-0
         # pattern, same y·8//h cell partition, same cross-multiplied mean
