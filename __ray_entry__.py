@@ -372,6 +372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): energy-contour fingerprint groups over REAL WAV
         # round-trips; brute-force sample-recompute twin.
         "audio_fingerprint_dedup": extract_stats.audio_fingerprint_dedup,
+        # dedup_rate_by_source (eighth round-4 continuation, never gated):
+        # per-slice exact-dup budget line (sha1 identity); md5/sha twin
+        # via count(DISTINCT).
+        "dedup_rate_by_source": dedup.dedup_rate_by_source,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1539,6 +1543,16 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # Per-slice exact-dup budget: sha1 identity == DISTINCT text
+        # identity (both sides count distinct normalized payloads).
+        "dedup_rate_by_source": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT coalesce(text, ''))::BIGINT AS n_distinct,
+                   ((count(*) - count(DISTINCT coalesce(text, '')))
+                    * 1000000 // greatest(count(*), 1))::BIGINT
+                     AS dup_rate_ppm
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # Cluster-size histogram: same recursive-CTE closure; singletons
         # from the corpus total minus clustered members.

@@ -2568,3 +2568,112 @@ def dup_cluster_sizes(sf_dir: str, *, threshold: float = 0.42) -> rd.Dataset:
             }
         )
     )
+
+
+def dedup_rate_by_source(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
+    """Exact-duplicate rate per corpus slice: per source, total docs vs
+    distinct normalized texts (sha1 identity, the `exact_dedup` key) and
+    the redundancy rate — the per-slice dedup budget line in a dataset
+    card (`dup_cluster_sizes` gives the shape; this gives the slice
+    attribution).
+
+    Scale shape: per-batch (source, sha1) distinct partials → ONE
+    hash-bucket shuffle counts distinct keys per source per bucket (a key
+    lands wholly in its bucket, so the per-source sum is exact); totals
+    ride as tiny scalar partials in the same stream.  Returns
+    (source, n_docs, n_distinct, dup_rate_ppm) with
+    dup_rate_ppm = ⌊(n_docs − n_distinct)·10⁶ / n_docs⌋, sorted by source.
+    """
+    import hashlib as _hl
+
+    from ray.data.aggregate import Sum
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = batch.column("source").to_pylist()
+        txt = batch.column("text").to_pylist()
+        keys = [
+            _hl.sha1((t or "").encode("utf-8")).hexdigest() for t in txt
+        ]
+        df = pd.DataFrame({"source": src, "key": keys})
+        tot = df.groupby("source", sort=False).size().reset_index(name="n")
+        dist = df.drop_duplicates(["source", "key"])
+        bkt = [int(k[:8], 16) % num_buckets for k in dist["key"]]
+        t1 = pa.table(
+            {
+                "kind": pa.array(np.zeros(len(tot), np.int64)),
+                "bkt": pa.array(np.zeros(len(tot), np.int64)),
+                "source": pa.array(tot["source"], pa.string()),
+                "key": pa.array([""] * len(tot), pa.string()),
+                "n": pa.array(tot["n"].to_numpy(np.int64)),
+            }
+        )
+        t2 = pa.table(
+            {
+                "kind": pa.array(np.ones(len(dist), np.int64)),
+                "bkt": pa.array(np.array(bkt, np.int64)),
+                "source": pa.array(dist["source"], pa.string()),
+                "key": pa.array(dist["key"], pa.string()),
+                "n": pa.array(np.zeros(len(dist), np.int64)),
+            }
+        )
+        return pa.concat_tables([t1, t2])
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.select(["kind", "source", "key", "n"]).to_pandas()
+        docs = (
+            df[df["kind"] == 0].groupby("source", sort=False)["n"].sum().reset_index()
+        )
+        dist = (
+            df[df["kind"] == 1]
+            .drop_duplicates(["source", "key"])
+            .groupby("source", sort=False)
+            .size()
+            .reset_index(name="d")
+        )
+        out = docs.merge(dist, on="source", how="outer").fillna(0)
+        return pa.table(
+            {
+                "source": pa.array(out["source"].astype(str), pa.string()),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+                "d": pa.array(out["d"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("d", alias_name="n_distinct"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nn = (
+            batch.column("n_docs")
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dd = (
+            batch.column("n_distinct")
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        rate = (nn - dd) * 1_000_000 // np.maximum(nn, 1)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": pa.array(nn),
+                "n_distinct": pa.array(dd),
+                "dup_rate_ppm": pa.array(rate.astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")
