@@ -376,6 +376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-slice exact-dup budget line (sha1 identity); md5/sha twin
         # via count(DISTINCT).
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
+        # embedding_health (eighth round-4 continuation, never gated):
+        # vector-column audit (nulls / wrong dim / NaN / zero norm);
+        # list-kernel twin.
+        "embedding_health": diagnostics.embedding_health,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -933,6 +937,30 @@ def oracle_sql() -> dict[str, str]:
                    fence.n_outliers
             FROM m JOIN md USING (p_brand) JOIN fence USING (p_brand)
             ORDER BY p_brand
+        """,
+        # Vector-column health: same four failure classes via list
+        # kernels; zero-norm on the |·|-sum of finite rows.
+        "embedding_health": """
+            WITH v AS (
+              SELECT embedding AS e,
+                     len(embedding) AS dim,
+                     list_aggregate(list_transform(embedding,
+                                                   x -> abs(x::DOUBLE)),
+                                    'sum') AS absnorm
+              FROM embeddings WHERE embedding IS NOT NULL
+            )
+            SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+                   (SELECT count(*) FROM embeddings
+                    WHERE embedding IS NULL)::BIGINT AS n_null,
+                   count(*) FILTER (WHERE dim <> 64)::BIGINT AS n_wrong_dim,
+                   count(*) FILTER (WHERE dim = 64
+                                    AND (isnan(absnorm) OR isinf(absnorm)))
+                     ::BIGINT AS n_nonfinite,
+                   count(*) FILTER (WHERE dim = 64
+                                    AND NOT (isnan(absnorm) OR isinf(absnorm))
+                                    AND absnorm = 0)::BIGINT AS n_zero_norm,
+                   64::BIGINT AS dim_expected
+            FROM v
         """,
         # Deequ-style constraint suite: UNION ALL of one aggregate audit
         # per check, generated from the SAME spec the engine pass runs.

@@ -489,3 +489,70 @@ def validate_constraints_sql() -> str:
         "SELECT check_name, n_rows, n_violations, (n_violations = 0) AS passed\n"
         f"FROM (\n{union}\n)\nORDER BY check_name"
     )
+
+
+EMB_EXPECTED_DIM = 64
+
+
+def embedding_health(sf_dir: str, *, expected_dim: int = EMB_EXPECTED_DIM) -> rd.Dataset:
+    """Vector-column health audit — the `validate_constraints` analog for
+    the embedding table: null vectors, wrong dimensionality, NaN/Inf
+    components, zero-norm rows (each a way a similarity index silently
+    corrupts).  One column-pruned pass, constant-size partials.
+
+    Returns a single row (n_rows, n_null, n_wrong_dim, n_nonfinite,
+    n_zero_norm, dim_expected).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    emb = sf_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        n = batch.num_rows
+        n_null = col.null_count
+        valid = col.filter(pc.is_valid(col)).combine_chunks()
+        lens = np.asarray(pc.list_value_length(valid), dtype=np.int64)
+        wrong = int((lens != expected_dim).sum())
+        nonfin = zero = 0
+        ok = lens == expected_dim
+        if ok.any():
+            rows = valid.filter(pa.array(ok))
+            m = np.asarray(pc.list_flatten(rows), dtype=np.float64).reshape(
+                -1, expected_dim
+            )
+            finite = np.isfinite(m).all(axis=1)
+            nonfin = int((~finite).sum())
+            norms = np.abs(m[finite]).sum(axis=1)
+            zero = int((norms == 0).sum())
+        return pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "n_null": pa.array([n_null], pa.int64()),
+                "n_wrong_dim": pa.array([wrong], pa.int64()),
+                "n_nonfinite": pa.array([nonfin], pa.int64()),
+                "n_zero_norm": pa.array([zero], pa.int64()),
+            }
+        )
+
+    agg = emb.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_null", alias_name="n_null"),
+        Sum("n_wrong_dim", alias_name="n_wrong_dim"),
+        Sum("n_nonfinite", alias_name="n_nonfinite"),
+        Sum("n_zero_norm", alias_name="n_zero_norm"),
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([int(agg["n_rows"] or 0)], pa.int64()),
+                "n_null": pa.array([int(agg["n_null"] or 0)], pa.int64()),
+                "n_wrong_dim": pa.array([int(agg["n_wrong_dim"] or 0)], pa.int64()),
+                "n_nonfinite": pa.array([int(agg["n_nonfinite"] or 0)], pa.int64()),
+                "n_zero_norm": pa.array([int(agg["n_zero_norm"] or 0)], pa.int64()),
+                "dim_expected": pa.array([expected_dim], pa.int64()),
+            }
+        )
+    )
