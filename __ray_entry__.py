@@ -380,6 +380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vector-column audit (nulls / wrong dim / NaN / zero norm);
         # list-kernel twin.
         "embedding_health": diagnostics.embedding_health,
+        # dedup_method_agreement (eighth round-4 continuation, never
+        # gated): text-Jaccard vs embedding-cosine pair agreement; both
+        # exact pair definitions recomputed in the twin.
+        "dedup_method_agreement": dedup.dedup_method_agreement,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1571,6 +1575,41 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # Method agreement: both exact pair definitions, one equi-join.
+        "dedup_method_agreement": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_distinct(
+                            list_transform(generate_series(1, len(w)-2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS g
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w
+                    FROM documents)
+            ),
+            jp AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
+              WHERE len(list_intersect(a.g, b.g)) * 1.0
+                    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+            ),
+            cp AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+            ),
+            s AS (
+              SELECT (SELECT count(*) FROM jp)::BIGINT AS n_jaccard,
+                     (SELECT count(*) FROM cp)::BIGINT AS n_cosine,
+                     (SELECT count(*) FROM jp JOIN cp USING (a, b))::BIGINT
+                       AS n_both
+            )
+            SELECT n_jaccard, n_cosine, n_both,
+                   (n_jaccard - n_both)::BIGINT AS jaccard_only,
+                   (n_cosine - n_both)::BIGINT AS cosine_only
+            FROM s
         """,
         # Per-slice exact-dup budget: sha1 identity == DISTINCT text
         # identity (both sides count distinct normalized payloads).

@@ -368,6 +368,18 @@ def run_bench() -> dict:
             ).image_phash_dedup
         ),
         "props_field_stats": timed(analytics.props_field_stats),
+        "funnel_latency_quantiles": timed(analytics.funnel_latency_quantiles),
+        "audio_fingerprint_dedup": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.extract_stats", fromlist=["x"]
+            ).audio_fingerprint_dedup
+        ),
+        "dedup_rate_by_source": timed(dedup.dedup_rate_by_source),
+        "embedding_health": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+            ).embedding_health
+        ),
     }
 
     result = {

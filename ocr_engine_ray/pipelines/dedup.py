@@ -2677,3 +2677,83 @@ def dedup_rate_by_source(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+def dedup_method_agreement(
+    sf_dir: str,
+    *,
+    jaccard_threshold: float = 0.8,
+    cosine_threshold: float = 0.42,
+) -> rd.Dataset:
+    """Method-agreement audit between the two EXACT near-dup signals:
+    word-trigram Jaccard pairs over document text vs cosine pairs over
+    the aligned embeddings — how much of each method's candidate mass the
+    other confirms (the ensemble-dedup calibration every curation plan
+    should look at before trusting a single detector).
+
+    Scale shape: both pair streams are the existing sub-quadratic /
+    blocked exact paths; agreement is one pair-keyed bucket groupby over
+    the tagged union of the two candidate-sized streams.  Returns one
+    row (n_jaccard, n_cosine, n_both, jaccard_only, cosine_only).
+    """
+    text_pairs = ppjoin_jaccard_pairs(sf_dir, threshold=jaccard_threshold)
+    vec_pairs = embedding_near_dup(sf_dir, threshold=cosine_threshold)
+
+    def tag(batch: pa.Table, *, kind: int, a: str, b: str) -> pa.Table:
+        x = batch.column(a).cast(pa.int64())
+        y = batch.column(b).cast(pa.int64())
+        xa = x.combine_chunks().to_numpy(zero_copy_only=False)
+        ya = y.combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    ((xa * np.int64(1_000_003) + ya) % 64).astype(np.int64)
+                ),
+                "a": pa.array(xa),
+                "b": pa.array(ya),
+                "kind": pa.array(np.full(len(xa), kind, np.int64)),
+            }
+        )
+
+    import functools
+
+    unioned = text_pairs.map_batches(
+        functools.partial(tag, kind=0, a="a", b="b"), batch_format="pyarrow"
+    ).union(
+        vec_pairs.map_batches(
+            functools.partial(tag, kind=1, a="a", b="b"), batch_format="pyarrow"
+        )
+    )
+
+    def agree(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        a = group.column("a").combine_chunks().to_numpy(zero_copy_only=False)
+        b = group.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        maxb = int(b.max()) + 1 if len(b) else 1
+        key = a * maxb + b
+        jac = np.unique(key[kind == 0])
+        cos = np.unique(key[kind == 1])
+        both = int(np.isin(jac, cos).sum())
+        return pa.table(
+            {
+                "n_jaccard": pa.array([len(jac)], pa.int64()),
+                "n_cosine": pa.array([len(cos)], pa.int64()),
+                "n_both": pa.array([both], pa.int64()),
+            }
+        )
+
+    parts = unioned.groupby("bkt").map_groups(agree, batch_format="pyarrow").take_all()
+    nj = sum(r["n_jaccard"] for r in parts)
+    nc = sum(r["n_cosine"] for r in parts)
+    nb = sum(r["n_both"] for r in parts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_jaccard": pa.array([nj], pa.int64()),
+                "n_cosine": pa.array([nc], pa.int64()),
+                "n_both": pa.array([nb], pa.int64()),
+                "jaccard_only": pa.array([nj - nb], pa.int64()),
+                "cosine_only": pa.array([nc - nb], pa.int64()),
+            }
+        )
+    )
