@@ -384,6 +384,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): text-Jaccard vs embedding-cosine pair agreement; both
         # exact pair definitions recomputed in the twin.
         "dedup_method_agreement": dedup.dedup_method_agreement,
+        # range_partition_plan (eighth round-4 continuation, never gated):
+        # skew-aware range-exchange boundaries at exact integer-ceil
+        # ranks + tie-mass counts; row_number selection twin.
+        "range_partition_plan": diagnostics.range_partition_plan,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -941,6 +945,30 @@ def oracle_sql() -> dict[str, str]:
                    fence.n_outliers
             FROM m JOIN md USING (p_brand) JOIN fence USING (p_brand)
             ORDER BY p_brand
+        """,
+        # Range partition plan: boundaries at rank ⌈i·N/16⌉ (integer
+        # ceil), n_le via a <= filter join — all exact cents.
+        "range_partition_plan": """
+            WITH c AS (
+              SELECT round(l_extendedprice * 100)::BIGINT AS v FROM lineitem
+            ),
+            n AS (SELECT count(*)::BIGINT AS total FROM c),
+            r AS (
+              SELECT v, row_number() OVER (ORDER BY v) AS rk FROM c
+            ),
+            ks AS (
+              SELECT i,
+                     greatest(1, (i * n.total + 15) // 16)::BIGINT AS k
+              FROM unnest(generate_series(1, 15)) AS t(i), n
+            ),
+            b AS (
+              SELECT ks.i AS idx, ks.k AS rank, r.v AS boundary_cents
+              FROM ks JOIN r ON r.rk = ks.k
+            )
+            SELECT b.idx::BIGINT AS idx, b.rank, b.boundary_cents,
+                   (SELECT count(*) FROM c WHERE c.v <= b.boundary_cents)
+                     ::BIGINT AS n_le
+            FROM b ORDER BY idx
         """,
         # Vector-column health: same four failure classes via list
         # kernels; zero-norm on the |·|-sum of finite rows.

@@ -556,3 +556,121 @@ def embedding_health(sf_dir: str, *, expected_dim: int = EMB_EXPECTED_DIM) -> rd
             }
         )
     )
+
+
+RANGE_PLAN_PARTS = 16
+
+
+def range_partition_plan(
+    sf_dir: str,
+    *,
+    table: str = "lineitem",
+    num_parts: int = RANGE_PLAN_PARTS,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Range-partitioner PLAN for a distributed sort/write on the
+    extended-price cents key: the P−1 boundary values at exact ranks
+    ``k_i = ⌈i·N/P⌉`` (exact integer ceil) plus, per boundary, how many rows actually fall
+    at-or-below it — the skew-aware split a range exchange needs BEFORE
+    moving data (`skew_report`'s sibling for ordered keys; ties make a
+    naive equal-count split impossible, and ``n_le − rank`` is exactly
+    the tie mass the executor must plan around).
+
+    Scale shape: two column-pruned passes — (1) the two-pass distributed
+    rank selection on ``63 − bit_length(v)`` range buckets (monotone in
+    the value, so bucket order IS value order; no global sort) emits only
+    the boundary hits; (2) per-batch ``searchsorted`` partials against
+    the broadcast boundaries fold to P−1 exact counts.
+
+    Returns (idx, rank, boundary_cents, n_le) for idx 1..P−1, sorted.
+    """
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = sf_table(sf_dir, table, columns=["l_extendedprice"])
+
+    def vals(batch: pa.Table) -> pa.Table:
+        v = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        vb = 63 - np.frompyfunc(int.bit_length, 1, 1)(
+            np.maximum(v, 1).astype(object)
+        ).astype(np.int64)
+        return pa.table({"v": pa.array(v), "vbkt": pa.array(vb)})
+
+    valued = ds.map_batches(vals, batch_format="pyarrow").materialize()
+    parts = valued.groupby("vbkt").aggregate(Count(alias_name="m")).take_all()
+    offsets: dict[int, int] = {}
+    total = 0
+    for r in sorted(parts, key=lambda r: -r["vbkt"]):  # ascending value order
+        offsets[r["vbkt"]] = total
+        total += r["m"]
+    # exact integer ceil — no float rank at any N
+    ranks = [
+        max(1, (i * total + num_parts - 1) // num_parts)
+        for i in range(1, num_parts)
+    ]
+    ref = ray.put((offsets, ranks))
+
+    def select(group: pa.Table) -> pa.Table:
+        off, ks = ray.get(ref)
+        base = off[int(group.column("vbkt")[0].as_py())]
+        v = group.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        rows = []
+        for i, k in enumerate(ks, start=1):
+            local = k - base
+            if 1 <= local <= len(v):
+                rows.append((i, k, int(v[order[local - 1]])))
+        return pa.table(
+            {
+                "idx": pa.array([r[0] for r in rows], pa.int64()),
+                "rank": pa.array([r[1] for r in rows], pa.int64()),
+                "boundary_cents": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    hits = sorted(
+        (
+            (r["idx"], r["rank"], r["boundary_cents"])
+            for r in valued.groupby("vbkt")
+            .map_groups(select, batch_format="pyarrow")
+            .take_all()
+        )
+    )
+    bounds = np.array([h[2] for h in hits], dtype=np.int64)
+    bref = ray.put(bounds)
+
+    def le_counts(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        v = np.sort(batch.column("v").combine_chunks().to_numpy(zero_copy_only=False))
+        n_le = np.searchsorted(v, b, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(1, len(b) + 1, dtype=np.int64)),
+                "n_le": pa.array(n_le),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    le = (
+        valued.map_batches(le_counts, batch_format="pyarrow")
+        .groupby("idx")
+        .aggregate(Sum("n_le", alias_name="n_le"))
+        .take_all()
+    )
+    le_by_idx = {int(r["idx"]): int(r["n_le"]) for r in le}
+    return rd.from_arrow(
+        pa.table(
+            {
+                "idx": pa.array([h[0] for h in hits], pa.int64()),
+                "rank": pa.array([h[1] for h in hits], pa.int64()),
+                "boundary_cents": pa.array([h[2] for h in hits], pa.int64()),
+                "n_le": pa.array([le_by_idx[h[0]] for h in hits], pa.int64()),
+            }
+        )
+    )
