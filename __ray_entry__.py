@@ -388,6 +388,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # skew-aware range-exchange boundaries at exact integer-ceil
         # ranks + tie-mass counts; row_number selection twin.
         "range_partition_plan": diagnostics.range_partition_plan,
+        # neyman_allocation (eighth round-4 continuation, never gated):
+        # variance-proportional stratified budget via the N·σ = √(N·Σx²
+        # − Σx²) integer identity; HUGEINT-moments twin.
+        "neyman_allocation": sampling.neyman_allocation,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -3390,6 +3394,33 @@ def oracle_sql() -> dict[str, str]:
                        ::UBIGINT + 1) / 4294967297.0) AS u
               FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id)
             ORDER BY vec_id
+        """,
+        # Neyman allocation: same \S+ token counts, same integer moment
+        # identity, one sqrt per stratum, integer floor quotient.
+        "neyman_allocation": r"""
+            WITH x AS (
+              SELECT source,
+                     len(regexp_extract_all(coalesce(text, ''), '\S+'))::HUGEINT
+                       AS ntok
+              FROM documents
+            ),
+            s AS (
+              SELECT source, count(*)::HUGEINT AS n,
+                     sum(ntok) AS sx, sum(ntok * ntok) AS sxx
+              FROM x GROUP BY 1
+            ),
+            w AS (
+              SELECT source, n::BIGINT AS n_docs,
+                     CASE WHEN (n * sxx - sx * sx) > 0
+                          THEN round_even(sqrt((n * sxx - sx * sx)::DOUBLE), 0)
+                               ::BIGINT
+                          ELSE 0 END AS w_q
+              FROM s
+            ),
+            t AS (SELECT sum(w_q)::BIGINT AS tot FROM w)
+            SELECT source, n_docs, w_q,
+                   ((10000 * w_q) // greatest(t.tot, 1))::BIGINT AS alloc
+            FROM w, t ORDER BY source
         """,
         # Class rebalancing: identical md5 coin (salt 'b'), n_min from the
         # label totals, (coin, vec_id) rank within label.

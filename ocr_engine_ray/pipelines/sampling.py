@@ -580,3 +580,88 @@ def balanced_label_sample(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         .map_groups(keep, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+
+NEYMAN_BUDGET = 10_000
+
+
+def neyman_allocation(sf_dir: str, *, budget: int = NEYMAN_BUDGET) -> rd.Dataset:
+    """Neyman (variance-proportional) stratified sampling allocation over
+    sources: stratum s gets ``n_s = ⌊budget · w_s / Σw⌋`` samples with
+    ``w_s = N_s·σ_s`` — the survey-sampling optimum (Neyman 1934) for a
+    fixed label/inspection budget, computed on the per-doc token counts.
+
+    Exactness: the identity ``N·σ = √(N·Σx² − (Σx)²)`` keeps everything
+    integer until ONE square root per stratum — moments fold as
+    arbitrary-precision Python ints (decimal-string partials, the
+    `pearson_price_qty` pattern), ``w_q = round_even(√A)`` lands on the
+    integer grid, and the allocation is a pure integer floor quotient,
+    so no float sum order exists anywhere.
+
+    Returns (source, n_docs, w_q, alloc) sorted by source;
+    HUGEINT-moments twin.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ntok = (
+            pc.count_substring_regex(
+                pc.fill_null(batch.column("text").combine_chunks(), ""), r"\S+"
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame({"source": batch.column("source").to_pylist(), "x": ntok})
+        out = {"source": [], "n": [], "sx": [], "sxx": []}
+        for s, g in df.groupby("source", sort=False):
+            x = g["x"].to_numpy()
+            sxx = 0
+            for i in range(0, len(x), 8192):  # overflow-safe slices
+                c = x[i : i + 8192]
+                sxx += int((c * c).sum())
+            out["source"].append(str(s))
+            out["n"].append(str(len(x)))
+            out["sx"].append(str(int(x.sum())))
+            out["sxx"].append(str(sxx))
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "n": pa.array(out["n"], pa.string()),
+                "sx": pa.array(out["sx"], pa.string()),
+                "sxx": pa.array(out["sxx"], pa.string()),
+            }
+        )
+
+    import math
+
+    rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["source"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["sx"])
+        a[2] += int(r["sxx"])
+    sources = sorted(acc)
+    wq = {}
+    for s in sources:
+        n, sx, sxx = acc[s]
+        a = n * sxx - sx * sx
+        wq[s] = int(np.round(math.sqrt(float(a)))) if a > 0 else 0
+    tot = sum(wq.values())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(sources, pa.string()),
+                "n_docs": pa.array([acc[s][0] for s in sources], pa.int64()),
+                "w_q": pa.array([wq[s] for s in sources], pa.int64()),
+                "alloc": pa.array(
+                    [budget * wq[s] // max(tot, 1) for s in sources], pa.int64()
+                ),
+            }
+        )
+    )
