@@ -392,6 +392,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variance-proportional stratified budget via the N·σ = √(N·Σx²
         # − Σx²) integer identity; HUGEINT-moments twin.
         "neyman_allocation": sampling.neyman_allocation,
+        # dataset_card (eighth round-4 continuation, never gated): the
+        # one-row corpus release summary — every signal from one fused
+        # pass; wholesale component-rule twin.
+        "dataset_card": tsp.dataset_card,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -752,6 +756,85 @@ def oracle_sql() -> dict[str, str]:
         "keyword_hits": __import__(
             "ocr_engine_ray.pipelines.textstats", fromlist=["x"]
         ).keyword_hits_sql(),
+        # Dataset card: every component recomputed wholesale from the
+        # SAME rule expressions as the component operators' twins.
+        "dataset_card": r"""
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS text, source,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS arr
+              FROM documents
+            ),
+            agg AS (
+              SELECT doc_id,
+                     count(*)::BIGINT AS n_words,
+                     sum(length(word))::BIGINT AS sum_len,
+                     sum(CASE WHEN regexp_matches(word, '[A-Za-z]')
+                              THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+                     sum(CASE WHEN list_contains(
+                                ['the','be','to','of','and','that','have','with'],
+                                lower(word))
+                              THEN 1 ELSE 0 END)::BIGINT AS n_stop
+              FROM (SELECT doc_id, unnest(arr) AS word FROM t WHERE len(arr) > 0)
+              GROUP BY doc_id
+            ),
+            sym AS (
+              SELECT doc_id,
+                     (length(text) - length(replace(text, '#', ''))
+                      + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_sym
+              FROM t WHERE len(arr) > 0
+            ),
+            gp AS (
+              SELECT count(*)::BIGINT AS n FROM agg a JOIN sym s USING (doc_id)
+              WHERE a.n_words BETWEEN 50 AND 100000
+                AND round_even(a.sum_len::DOUBLE / a.n_words, 6)
+                      BETWEEN 3.0 AND 10.0
+                AND round_even(a.n_alpha::DOUBLE / a.n_words, 6) >= 0.8
+                AND round_even(s.n_sym::DOUBLE / a.n_words, 6) <= 0.1
+                AND a.n_stop >= 2
+            ),
+            lines AS (
+              SELECT doc_id,
+                     rtrim(unnest(string_split(text, chr(10))),
+                           ' ' || chr(9) || chr(13)) AS lt
+              FROM t
+            ),
+            lflags AS (
+              SELECT doc_id,
+                     (regexp_matches(lt, '[.!?"]$')
+                      AND len(regexp_extract_all(lt, '\S+')) >= 5
+                      AND NOT contains(lower(lt), 'javascript')) AS kept,
+                     len(regexp_extract_all(lt, '[.!?]'))::BIGINT AS nsent
+              FROM lines
+            ),
+            lagg AS (
+              SELECT doc_id,
+                     coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0) AS kl,
+                     coalesce(sum(CASE WHEN kept THEN nsent END), 0) AS ns
+              FROM lflags GROUP BY 1
+            ),
+            c4 AS (
+              SELECT count(*)::BIGINT AS n
+              FROM lagg l JOIN t USING (doc_id)
+              WHERE l.kl >= 1 AND l.ns >= 3
+                AND NOT contains(lower(t.text), 'lorem ipsum')
+                AND NOT contains(t.text, '{')
+            ),
+            base AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     sum(len(arr))::BIGINT AS n_tokens,
+                     count(DISTINCT source)::BIGINT AS n_sources,
+                     count(DISTINCT text)::BIGINT AS n_distinct_texts
+              FROM t
+            )
+            SELECT b.n_docs, b.n_tokens, b.n_sources, b.n_distinct_texts,
+                   ((b.n_docs - b.n_distinct_texts) * 1000000
+                    // greatest(b.n_docs, 1))::BIGINT AS dup_rate_ppm,
+                   (gp.n * 1000000 // greatest(b.n_docs, 1))::BIGINT
+                     AS gopher_pass_ppm,
+                   (c4.n * 1000000 // greatest(b.n_docs, 1))::BIGINT
+                     AS c4_keep_ppm
+            FROM base b, gp, c4
+        """,
         # Zipf slope: row_number over (count DESC, token), ln quantized to
         # the 2^20 grid, HUGEINT moments, one double division at the end.
         "zipf_slope_by_source": r"""

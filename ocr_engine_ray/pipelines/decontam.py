@@ -650,56 +650,55 @@ def c4_quality_filters(sf_dir: str) -> rd.Dataset:
     """
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def flags(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
-        m = len(ids)
-        text = pc.fill_null(batch.column("text").combine_chunks(), "")
-        lines = pc.split_pattern(text, "\n")
-        lens = np.asarray(pc.list_value_length(lines), dtype=np.int64)
-        flat = pc.utf8_rtrim(pc.list_flatten(lines), " \t\r")
-        rows = np.repeat(np.arange(m, dtype=np.int64), lens)
-        nw = np.asarray(pc.count_substring_regex(flat, r"\S+"), dtype=np.int64)
-        ends_term = np.asarray(
-            pc.match_substring_regex(flat, '[.!?"]$'), dtype=bool
-        )
-        has_js = np.asarray(
-            pc.match_substring(pc.utf8_lower(flat), "javascript"), dtype=bool
-        )
-        kept = ends_term & (nw >= C4_MIN_LINE_WORDS) & ~has_js
-        nsent = np.asarray(
-            pc.count_substring_regex(flat, "[.!?]"), dtype=np.int64
-        )
-        n_lines = lens
-        kept_lines = np.bincount(rows, weights=kept, minlength=m).astype(np.int64)
-        # float64 bincount weights are exact (per-doc sums << 2^53)
-        kept_words = np.bincount(
-            rows, weights=np.where(kept, nw, 0), minlength=m
-        ).astype(np.int64)
-        n_sentences = np.bincount(
-            rows, weights=np.where(kept, nsent, 0), minlength=m
-        ).astype(np.int64)
-        has_lorem = np.asarray(
-            pc.match_substring(pc.utf8_lower(text), "lorem ipsum"), dtype=bool
-        )
-        has_brace = np.asarray(pc.match_substring(text, "{"), dtype=bool)
-        keep = (
-            (kept_lines >= 1)
-            & (n_sentences >= C4_MIN_SENTENCES)
-            & ~has_lorem
-            & ~has_brace
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_lines": pa.array(n_lines),
-                "kept_lines": pa.array(kept_lines),
-                "kept_words": pa.array(kept_words),
-                "n_sentences": pa.array(n_sentences),
-                "c4_keep": pa.array(keep),
-            }
-        )
+    return docs.map_batches(_c4_flags_batch, batch_format="pyarrow").sort("doc_id")
 
-    return docs.map_batches(flags, batch_format="pyarrow").sort("doc_id")
+
+def _c4_flags_batch(batch: pa.Table) -> pa.Table:
+    """The C4 per-batch kernel (shared by `c4_quality_filters` and
+    `textstats.dataset_card` so the keep rule cannot drift)."""
+    ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    m = len(ids)
+    text = pc.fill_null(batch.column("text").combine_chunks(), "")
+    lines = pc.split_pattern(text, "\n")
+    lens = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+    flat = pc.utf8_rtrim(pc.list_flatten(lines), " \t\r")
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    nw = np.asarray(pc.count_substring_regex(flat, r"\S+"), dtype=np.int64)
+    ends_term = np.asarray(pc.match_substring_regex(flat, '[.!?"]$'), dtype=bool)
+    has_js = np.asarray(
+        pc.match_substring(pc.utf8_lower(flat), "javascript"), dtype=bool
+    )
+    kept = ends_term & (nw >= C4_MIN_LINE_WORDS) & ~has_js
+    nsent = np.asarray(pc.count_substring_regex(flat, "[.!?]"), dtype=np.int64)
+    n_lines = lens
+    kept_lines = np.bincount(rows, weights=kept, minlength=m).astype(np.int64)
+    # float64 bincount weights are exact (per-doc sums << 2^53)
+    kept_words = np.bincount(
+        rows, weights=np.where(kept, nw, 0), minlength=m
+    ).astype(np.int64)
+    n_sentences = np.bincount(
+        rows, weights=np.where(kept, nsent, 0), minlength=m
+    ).astype(np.int64)
+    has_lorem = np.asarray(
+        pc.match_substring(pc.utf8_lower(text), "lorem ipsum"), dtype=bool
+    )
+    has_brace = np.asarray(pc.match_substring(text, "{"), dtype=bool)
+    keep = (
+        (kept_lines >= 1)
+        & (n_sentences >= C4_MIN_SENTENCES)
+        & ~has_lorem
+        & ~has_brace
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_lines": pa.array(n_lines),
+            "kept_lines": pa.array(kept_lines),
+            "kept_words": pa.array(kept_words),
+            "n_sentences": pa.array(n_sentences),
+            "c4_keep": pa.array(keep),
+        }
+    )
 
 
 def duplicate_ngram_spans(

@@ -1621,3 +1621,125 @@ def zipf_slope_by_source(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             }
         )
     )
+
+
+def dataset_card(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
+    """The one-row DATASET CARD summary a corpus release publishes:
+    corpus size, token mass, slice count, exact-duplicate rate, and the
+    Gopher / C4 quality keep-rates — every signal from ONE corpus pass
+    (the fused-hygiene principle of `curate_training_mix`), with the
+    distinct-text count folded through one sha-bucket shuffle.
+
+    All rates are exact integer ppm.  Returns (n_docs, n_tokens,
+    n_sources, n_distinct_texts, dup_rate_ppm, gopher_pass_ppm,
+    c4_keep_ppm); the twin recomputes every component wholesale from the
+    same rule expressions as the component operators' twins.
+    """
+    import hashlib as _hl
+
+    from ray.data.aggregate import Sum
+
+    from .decontam import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        _c4_flags_batch,
+        gopher_quality_signals_batch,
+    )
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        m = len(texts)
+        ntok = int(
+            pc.sum(
+                pc.count_substring_regex(
+                    pc.fill_null(batch.column("text").combine_chunks(), ""), r"\S+"
+                )
+            ).as_py()
+            or 0
+        )
+        # gopher pass (mirrors gopher_quality_flags' rounded rule; the
+        # card's own twin recomputes it, so drift is caught either way)
+        nw, sl, na, ns, sym = gopher_quality_signals_batch(texts)
+        gp = 0
+        for w, s, a, st, sy in zip(
+            nw.tolist(), sl.tolist(), na.tolist(), ns.tolist(), sym.tolist()
+        ):
+            if w == 0:
+                continue
+            ml = round(float(s) / float(w), 6)
+            af = round(float(a) / float(w), 6)
+            sr = round(float(sy) / float(w), 6)
+            if (
+                GOPHER_MIN_WORDS <= w <= GOPHER_MAX_WORDS
+                and GOPHER_MIN_MEAN_WORD_LEN <= ml <= GOPHER_MAX_MEAN_WORD_LEN
+                and af >= GOPHER_MIN_ALPHA_FRAC
+                and sr <= GOPHER_MAX_SYMBOL_RATIO
+                and st >= GOPHER_MIN_STOPWORDS
+            ):
+                gp += 1
+        c4 = _c4_flags_batch(batch.select(["doc_id", "text"]))
+        c4n = int(pc.sum(c4.column("c4_keep")).as_py() or 0)
+        keys = sorted({_hl.sha1((t or "").encode("utf-8")).hexdigest() for t in texts})
+        srcs = sorted({s for s in batch.column("source").to_pylist()})
+        n1 = len(keys)
+        n2 = len(srcs)
+        return pa.table(
+            {
+                "kind": pa.array([0] + [1] * n1 + [2] * n2, pa.int64()),
+                "bkt": pa.array(
+                    [0] + [int(k[:8], 16) % num_buckets for k in keys] + [0] * n2,
+                    pa.int64(),
+                ),
+                "key": pa.array([""] + keys + srcs, pa.string()),
+                "n_docs": pa.array([m] + [0] * (n1 + n2), pa.int64()),
+                "n_tokens": pa.array([ntok] + [0] * (n1 + n2), pa.int64()),
+                "gopher_n": pa.array([gp] + [0] * (n1 + n2), pa.int64()),
+                "c4_n": pa.array([c4n] + [0] * (n1 + n2), pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(partials, batch_format="pyarrow").materialize()
+    scal = tagged.filter(expr="kind == 0").take_all()
+    n_docs = sum(r["n_docs"] for r in scal)
+    n_tokens = sum(r["n_tokens"] for r in scal)
+    gopher_n = sum(r["gopher_n"] for r in scal)
+    c4_n = sum(r["c4_n"] for r in scal)
+    sources = {r["key"] for r in tagged.filter(expr="kind == 2").take_all()}
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.equal(group.column("kind"), 1))
+        ks = set(g.column("key").to_pylist())
+        return pa.table({"d": pa.array([len(ks)], pa.int64())})
+
+    dparts = (
+        tagged.filter(expr="kind == 1")
+        .groupby("bkt")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .take_all()
+    )
+    n_distinct = sum(r["d"] for r in dparts)
+    denom = max(n_docs, 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_tokens": pa.array([n_tokens], pa.int64()),
+                "n_sources": pa.array([len(sources)], pa.int64()),
+                "n_distinct_texts": pa.array([n_distinct], pa.int64()),
+                "dup_rate_ppm": pa.array(
+                    [(n_docs - n_distinct) * 1_000_000 // denom], pa.int64()
+                ),
+                "gopher_pass_ppm": pa.array(
+                    [gopher_n * 1_000_000 // denom], pa.int64()
+                ),
+                "c4_keep_ppm": pa.array([c4_n * 1_000_000 // denom], pa.int64()),
+            }
+        )
+    )
