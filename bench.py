@@ -380,6 +380,14 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
             ).embedding_health
         ),
+        "dedup_method_agreement": timed(dedup.dedup_method_agreement),
+        "range_partition_plan": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+            ).range_partition_plan
+        ),
+        "neyman_allocation": timed(sampling.neyman_allocation),
+        "dataset_card": timed(tsp.dataset_card),
     }
 
     result = {

@@ -2389,7 +2389,16 @@ def cross_source_dup_matrix(
 
     from ray.data.aggregate import Sum
 
-    pairs = ppjoin_jaccard_pairs(sf_dir, threshold=threshold)
+    # candidate-sized; pinning it decouples the ppjoin DAG from the two
+    # attach exchanges (one streaming mega-DAG measured ~2× slower here),
+    # and compacting kills the many-near-empty-block inheritance that
+    # makes each later exchange pay per-block fixed costs (the
+    # connected-components compaction rule)
+    pairs = (
+        ppjoin_jaccard_pairs(sf_dir, threshold=threshold)
+        .repartition(8)
+        .materialize()
+    )
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "source"])
 
     def doc_rows(batch: pa.Table) -> pa.Table:
@@ -2460,7 +2469,9 @@ def cross_source_dup_matrix(
             }
         )
 
-    # attach source of `a` (key=a), then source of `b` (key=b)
+    # attach source of `a` (key=a), then source of `b` (key=b); s1 is
+    # candidate-sized — pin + compact it so the second exchange starts
+    # from a few dense blocks, not the first exchange's partition count
     s1 = (
         pairs.map_batches(
             functools.partial(pair_rows, key_col="a", other_col="b"),
@@ -2469,6 +2480,8 @@ def cross_source_dup_matrix(
         .union(docs.map_batches(doc_rows, batch_format="pyarrow"))
         .groupby("bkt")
         .map_groups(attach, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
     )
 
     def rekey(batch: pa.Table) -> pa.Table:
