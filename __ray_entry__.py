@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-row corpus release summary — every signal from one fused
         # pass; wholesale component-rule twin.
         "dataset_card": tsp.dataset_card,
+        # linear_attribution (eighth round-4 continuation, never gated):
+        # multi-touch credit split on the exact ppm grid (remainder to
+        # the most recent click); window-join twin.
+        "linear_attribution": analytics.linear_attribution,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2502,6 +2506,39 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
+        """,
+        # Linear attribution: same 7-day strict-before window, equal ppm
+        # split with the remainder on the most recent click.
+        "linear_attribution": """
+            WITH c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            pairs AS (
+              SELECT p.event_id AS pid, c.event_id AS cid, p.user_id,
+                     count(*) OVER (PARTITION BY p.event_id) AS k,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts DESC,
+                                                 c.event_id DESC) AS rk
+              FROM p JOIN c
+                ON c.user_id = p.user_id AND c.ts < p.ts
+               AND date_diff('microsecond', c.ts, p.ts) <= 604800000000
+            ),
+            credit AS (
+              SELECT cid, user_id,
+                     ((1000000 // k)
+                      + CASE WHEN rk = 1 THEN 1000000 % k ELSE 0 END)
+                       ::BIGINT AS credit_ppm
+              FROM pairs
+            )
+            SELECT cid AS click_event_id, user_id,
+                   count(*)::BIGINT AS n_purchases,
+                   sum(credit_ppm)::BIGINT AS credit_ppm_total
+            FROM credit GROUP BY 1, 2 ORDER BY 1
         """,
         # Funnel latency percentiles: same greedy funnel walk, exact µs
         # gaps, rank pinned to k = max(1, ceil(q·N)).

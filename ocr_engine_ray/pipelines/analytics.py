@@ -1902,3 +1902,77 @@ def funnel_latency_quantiles(sf_dir: str, *, num_buckets: int = 64) -> rd.Datase
             }
         )
     )
+
+
+def linear_attribution(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Linear multi-touch attribution: every click of the same user
+    strictly before a purchase and within the 7-day window shares the
+    conversion credit equally — the multi-touch counterpart of
+    `last_touch_attribution`.  Credit is exact integer ppm: each
+    qualifying click gets ``⌊10⁶/k⌋`` and the MOST RECENT one also takes
+    the remainder, so every purchase's credit sums to exactly 10⁶.
+
+    Scale shape: one ``user_id % B`` bucket shuffle; the per-user kernel
+    finds each purchase's click window with two ``searchsorted`` probes
+    (no pair materialization beyond the bounded window) and folds
+    credits per click in-task — a click's credits are complete inside
+    its user, so no second shuffle exists.  Returns (click_event_id,
+    user_id, n_purchases, credit_ppm_total) sorted by click_event_id;
+    window-join twin.
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"), pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def credit(group: pa.Table) -> pa.Table:
+        df = group.select(["event_id", "user_id", "ts", "event_type"]).to_pandas()
+        out_cid, out_uid, out_np, out_cr = [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            cl = g[g["event_type"] == "click"].sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            pu = g[g["event_type"] == "purchase"]
+            if not len(cl) or not len(pu):
+                continue
+            cts = cl["ts"].to_numpy()
+            cid = cl["event_id"].to_numpy()
+            n_pur = np.zeros(len(cl), dtype=np.int64)
+            cr = np.zeros(len(cl), dtype=np.int64)
+            for pts in pu["ts"].to_numpy():
+                lo = np.searchsorted(cts, pts - np.timedelta64(7, "D"), side="left")
+                hi = np.searchsorted(cts, pts, side="left")
+                k = hi - lo
+                if k <= 0:
+                    continue
+                base = 1_000_000 // k
+                n_pur[lo:hi] += 1
+                cr[lo:hi] += base
+                cr[hi - 1] += 1_000_000 % k  # remainder to the most recent
+            sel = n_pur > 0
+            out_cid.extend(cid[sel].tolist())
+            out_uid.extend([int(uid)] * int(sel.sum()))
+            out_np.extend(n_pur[sel].tolist())
+            out_cr.extend(cr[sel].tolist())
+        return pa.table(
+            {
+                "click_event_id": pa.array(out_cid, pa.int64()),
+                "user_id": pa.array(out_uid, pa.int64()),
+                "n_purchases": pa.array(out_np, pa.int64()),
+                "credit_ppm_total": pa.array(out_cr, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(credit, batch_format="pyarrow")
+        .sort("click_event_id")
+    )
