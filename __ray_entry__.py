@@ -400,6 +400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-touch credit split on the exact ppm grid (remainder to
         # the most recent click); window-join twin.
         "linear_attribution": analytics.linear_attribution,
+        # langid_confusion (eighth round-4 continuation, never gated):
+        # detector-vs-label confusion matrix, same heuristic expression.
+        "langid_confusion": tsp.langid_confusion,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -3757,6 +3760,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT ({_LANGID}) AS lang_detected, count(*) AS n_docs
             FROM (SELECT text, {_LANG_SCORES} FROM documents)
             GROUP BY 1
+        """,
+        # Confusion matrix: same heuristic expression, labeled lang
+        # coalesced to '' like the engine's null handling.
+        "langid_confusion": f"""
+            SELECT coalesce(lang, '') AS lang_label,
+                   ({_LANGID}) AS lang_detected,
+                   count(*)::BIGINT AS n_docs
+            FROM (SELECT lang, text, {_LANG_SCORES} FROM documents)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "doc_stats": f"""
             SELECT doc_id,

@@ -1743,3 +1743,62 @@ def dataset_card(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
             }
         )
     )
+
+
+def langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Language-ID confusion against the labeled ``lang`` column: per
+    (lang_label, lang_detected), document counts — the detector-quality
+    matrix that decides whether the heuristic can gate a language filter
+    (`langid_counts` gives the marginals; this gives the errors).
+    Shuffle-free map + one labels×langs-sized aggregate; identical
+    stopword-score heuristic as `langid_batch` on both sides.
+
+    Returns (lang_label, lang_detected, n_docs) sorted.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = sf_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def detect(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pred = langid_batch(batch.column("text").to_pylist())
+        df = pd.DataFrame(
+            {
+                "lang_label": [
+                    (s or "") for s in batch.column("lang").to_pylist()
+                ],
+                "lang_detected": pred,
+            }
+        )
+        g = (
+            df.groupby(["lang_label", "lang_detected"], sort=False)
+            .size()
+            .reset_index(name="n_docs")
+        )
+        return pa.table(
+            {
+                "lang_label": pa.array(g["lang_label"], pa.string()),
+                "lang_detected": pa.array(g["lang_detected"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(detect, batch_format="pyarrow")
+        .groupby(["lang_label", "lang_detected"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang_label": batch.column("lang_label"),
+                "lang_detected": batch.column("lang_detected"),
+                "n_docs": batch.column("n_docs").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["lang_label", "lang_detected"]
+    )
