@@ -388,6 +388,8 @@ def run_bench() -> dict:
         ),
         "neyman_allocation": timed(sampling.neyman_allocation),
         "dataset_card": timed(tsp.dataset_card),
+        "linear_attribution": timed(analytics.linear_attribution),
+        "langid_confusion": timed(tsp.langid_confusion),
     }
 
     result = {
