@@ -508,7 +508,15 @@ def benford_audit(sf_dir: str) -> rd.Dataset:
             batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
         cents = cents[cents > 0]
-        first = np.array([int(str(c)[0]) for c in cents], np.int64)
+        # leading digit by repeated integer division — vectorized (the
+        # float log10 path drifts at power-of-ten boundaries; a per-row
+        # str() loop is a hot-path Python loop)
+        first = cents.copy()
+        for _ in range(18):  # int64 has at most 19 digits
+            big = first >= 10
+            if not big.any():
+                break
+            first[big] //= 10
         d, n = np.unique(first, return_counts=True)
         return pa.table(
             {"digit": pa.array(d), "n": pa.array(n.astype(np.int64))}
