@@ -695,14 +695,10 @@ def ahash_bits(grey: "np.ndarray") -> tuple[int, int]:
     np.add.at(cell.ravel(), idx, g.ravel())
     np.add.at(cnt.ravel(), idx, 1)
     tot, n = int(g.sum()), h * w
-    bits = (cell * n > tot * cnt).ravel()
-    hi = lo = 0
-    for k in range(64):
-        if bits[k]:
-            if k >= 32:
-                hi |= 1 << (k - 32)
-            else:
-                lo |= 1 << k
+    bits = (cell * n > tot * cnt).ravel().astype(np.int64)
+    pows = np.int64(1) << np.arange(32, dtype=np.int64)
+    lo = int((bits[:32] * pows).sum())
+    hi = int((bits[32:] * pows).sum())
     return hi, lo
 
 
