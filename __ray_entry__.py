@@ -403,6 +403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # langid_confusion (eighth round-4 continuation, never gated):
         # detector-vs-label confusion matrix, same heuristic expression.
         "langid_confusion": tsp.langid_confusion,
+        # u_shaped_attribution (eighth round-4 continuation, never
+        # gated): position-based 40-20-40 credit, exact ppm conservation.
+        "u_shaped_attribution": analytics.u_shaped_attribution,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2536,6 +2539,43 @@ def oracle_sql() -> dict[str, str]:
                      ((1000000 // k)
                       + CASE WHEN rk = 1 THEN 1000000 % k ELSE 0 END)
                        ::BIGINT AS credit_ppm
+              FROM pairs
+            )
+            SELECT cid AS click_event_id, user_id,
+                   count(*)::BIGINT AS n_purchases,
+                   sum(credit_ppm)::BIGINT AS credit_ppm_total
+            FROM credit GROUP BY 1, 2 ORDER BY 1
+        """,
+        # U-shaped attribution: same window, rank-based 40-20-40 split
+        # with the middle remainder on rank k−1 (the latest middle).
+        "u_shaped_attribution": """
+            WITH c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            pairs AS (
+              SELECT p.event_id AS pid, c.event_id AS cid, p.user_id,
+                     count(*) OVER (PARTITION BY p.event_id) AS k,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts, c.event_id) AS ra
+              FROM p JOIN c
+                ON c.user_id = p.user_id AND c.ts < p.ts
+               AND date_diff('microsecond', c.ts, p.ts) <= 604800000000
+            ),
+            credit AS (
+              SELECT cid, user_id,
+                     (CASE WHEN k = 1 THEN 1000000
+                           WHEN k = 2 THEN 500000
+                           WHEN ra = 1 THEN 400000
+                           WHEN ra = k THEN 400000
+                           ELSE (200000 // (k - 2))
+                                + CASE WHEN ra = k - 1
+                                       THEN 200000 % (k - 2) ELSE 0 END
+                      END)::BIGINT AS credit_ppm
               FROM pairs
             )
             SELECT cid AS click_event_id, user_id,

@@ -1976,3 +1976,86 @@ def linear_attribution(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         .map_groups(credit, batch_format="pyarrow")
         .sort("click_event_id")
     )
+
+
+def u_shaped_attribution(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution: the
+    FIRST and LAST qualifying click each take 40% of a purchase's credit
+    and the middle clicks split the remaining 20% — the third standard
+    rule beside `last_touch_attribution` and `linear_attribution`.
+
+    Exact ppm with conservation: k=1 → 10⁶; k=2 → 500 000 each; k≥3 →
+    first 400 000, last 400 000, each middle ⌊200 000/(k−2)⌋ with the
+    remainder to the LATEST middle — every purchase distributes exactly
+    10⁶.  Window/tie rules are identical to the other two (strictly
+    before, ≤7 days, order by (ts, event_id)).
+
+    Same one-shuffle scale shape as `linear_attribution` (searchsorted
+    windows, in-user credit fold).  Returns (click_event_id, user_id,
+    n_purchases, credit_ppm_total) sorted by click_event_id;
+    window-function twin.
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"), pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def credit(group: pa.Table) -> pa.Table:
+        df = group.select(["event_id", "user_id", "ts", "event_type"]).to_pandas()
+        out_cid, out_uid, out_np, out_cr = [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            cl = g[g["event_type"] == "click"].sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            pu = g[g["event_type"] == "purchase"]
+            if not len(cl) or not len(pu):
+                continue
+            cts = cl["ts"].to_numpy()
+            cid = cl["event_id"].to_numpy()
+            n_pur = np.zeros(len(cl), dtype=np.int64)
+            cr = np.zeros(len(cl), dtype=np.int64)
+            for pts in pu["ts"].to_numpy():
+                lo = np.searchsorted(cts, pts - np.timedelta64(7, "D"), side="left")
+                hi = np.searchsorted(cts, pts, side="left")
+                k = hi - lo
+                if k <= 0:
+                    continue
+                n_pur[lo:hi] += 1
+                if k == 1:
+                    cr[lo] += 1_000_000
+                elif k == 2:
+                    cr[lo] += 500_000
+                    cr[hi - 1] += 500_000
+                else:
+                    cr[lo] += 400_000
+                    cr[hi - 1] += 400_000
+                    mid = 200_000 // (k - 2)
+                    cr[lo + 1 : hi - 1] += mid
+                    cr[hi - 2] += 200_000 - mid * (k - 2)  # remainder
+            sel = n_pur > 0
+            out_cid.extend(cid[sel].tolist())
+            out_uid.extend([int(uid)] * int(sel.sum()))
+            out_np.extend(n_pur[sel].tolist())
+            out_cr.extend(cr[sel].tolist())
+        return pa.table(
+            {
+                "click_event_id": pa.array(out_cid, pa.int64()),
+                "user_id": pa.array(out_uid, pa.int64()),
+                "n_purchases": pa.array(out_np, pa.int64()),
+                "credit_ppm_total": pa.array(out_cr, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(credit, batch_format="pyarrow")
+        .sort("click_event_id")
+    )
