@@ -406,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # u_shaped_attribution (eighth round-4 continuation, never
         # gated): position-based 40-20-40 credit, exact ppm conservation.
         "u_shaped_attribution": analytics.u_shaped_attribution,
+        # video_scene_cuts (eighth round-4 continuation, never gated):
+        # adjacent-frame-delta shot segmentation over the h32 stand-in
+        # signatures; lag-window twin over generated frame series.
+        "video_scene_cuts": extract_stats.video_scene_cuts,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1282,6 +1286,34 @@ def oracle_sql() -> dict[str, str]:
                    any_value(h)::BIGINT AS height,
                    sum(v)::BIGINT AS diag_sum
             FROM p GROUP BY doc_id, media_idx
+        """,
+        # Scene cuts: same h32 signature per generated frame (HUGEINT
+        # product mod 2^32 == the engine's uint64 wrap), lag deltas.
+        "video_scene_cuts": f"""
+            WITH v AS (
+              SELECT doc_id,
+                     (24 + {_h32('doc_id', 601)} % 976) AS n_frames
+              FROM documents
+              WHERE doc_id % 100 BETWEEN 10 AND 19
+            ),
+            s AS (
+              SELECT doc_id, n_frames, f,
+                     ((((doc_id * 1024 + f + 901)::HUGEINT * 2654435761)
+                       % 4294967296) % 256)::BIGINT AS sig
+              FROM v, unnest(generate_series(0, n_frames - 1)) AS t(f)
+            ),
+            d AS (
+              SELECT doc_id, n_frames, f,
+                     abs(sig - lag(sig) OVER (PARTITION BY doc_id
+                                              ORDER BY f)) AS dl
+              FROM s
+            )
+            SELECT doc_id, any_value(n_frames)::BIGINT AS n_frames,
+                   count(*) FILTER (WHERE dl > 128)::BIGINT AS n_cuts,
+                   coalesce(min(CASE WHEN dl > 128 THEN f END), -1)::BIGINT
+                     AS first_cut
+            FROM d GROUP BY doc_id
+            ORDER BY doc_id
         """,
         # Audio fingerprint recomputed WHOLESALE per sample: same modular
         # ramp, same 33 overlapping |·|-sum windows, same delta bits.

@@ -500,3 +500,58 @@ def audio_fingerprint_dedup(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset
         .map_groups(groups, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+VIDEO_SCENE_SALT = 901
+VIDEO_SCENE_THRESHOLD = 128
+
+
+def video_scene_cuts(sf_dir: str) -> rd.Dataset:
+    """Scene-cut detection plan for the video-band attachments
+    (``10 <= doc_id % 100 < 20``): per video, adjacent-frame signature
+    deltas above the threshold mark cuts — the shot-segmentation stage
+    of a video curation pipeline (cut density drives clip sampling).
+    Frame signatures are the deterministic h32 stand-in (the sandbox
+    ships no video codec); a real deployment swaps in per-frame pixel
+    hashes from the decoder, and the delta/threshold stage is unchanged
+    — the same stand-in seam as `video_frame_stats`.
+
+    Vectorized per batch (uint64 wrap-around IS the mod-2^32 h32
+    arithmetic: 2^32 divides 2^64); shuffle-free.  Returns (doc_id,
+    n_frames, n_cuts, first_cut) with first_cut = −1 when no cut,
+    sorted by doc_id; lag-window twin over generated frame series.
+    """
+    from ..stages.multimodal import fake_video_frames
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id"])
+    K = np.uint64(2654435761)
+    M32 = np.uint64(4294967296)
+
+    def cuts(batch: pa.Table) -> pa.Table:
+        nums = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "n_frames": [], "n_cuts": [], "first_cut": []}
+        for d in nums:
+            d = int(d)
+            if not (10 <= d % 100 < 20):
+                continue
+            nf = fake_video_frames(d)
+            f = np.arange(nf, dtype=np.uint64)
+            sig = (
+                ((np.uint64(d * 1024) + f + np.uint64(VIDEO_SCENE_SALT)) * K) % M32
+            ) % np.uint64(256)
+            dl = np.abs(sig[1:].astype(np.int64) - sig[:-1].astype(np.int64))
+            cut = dl > VIDEO_SCENE_THRESHOLD
+            out["doc_id"].append(d)
+            out["n_frames"].append(nf)
+            out["n_cuts"].append(int(cut.sum()))
+            out["first_cut"].append(int(np.argmax(cut)) + 1 if cut.any() else -1)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_frames": pa.array(out["n_frames"], pa.int64()),
+                "n_cuts": pa.array(out["n_cuts"], pa.int64()),
+                "first_cut": pa.array(out["first_cut"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(cuts, batch_format="pyarrow").sort("doc_id")
