@@ -390,6 +390,12 @@ def run_bench() -> dict:
         "dataset_card": timed(tsp.dataset_card),
         "linear_attribution": timed(analytics.linear_attribution),
         "langid_confusion": timed(tsp.langid_confusion),
+        "u_shaped_attribution": timed(analytics.u_shaped_attribution),
+        "video_scene_cuts": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.extract_stats", fromlist=["x"]
+            ).video_scene_cuts
+        ),
     }
 
     result = {
