@@ -410,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # adjacent-frame-delta shot segmentation over the h32 stand-in
         # signatures; lag-window twin over generated frame series.
         "video_scene_cuts": extract_stats.video_scene_cuts,
+        # coverage_audit (eighth round-4 continuation, never gated): the
+        # childless-parent complement of the orphan audit; LEFT-JOIN twin.
+        "coverage_audit": diagnostics.coverage_audit,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1071,6 +1074,11 @@ def oracle_sql() -> dict[str, str]:
                      ::BIGINT AS n_le
             FROM b ORDER BY idx
         """,
+        # Childless-parent coverage: LEFT JOIN to distinct child keys,
+        # generated from the same relation spec as the orphan audit.
+        "coverage_audit": __import__(
+            "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+        ).coverage_audit_sql(),
         # Vector-column health: same four failure classes via list
         # kernels; zero-norm on the |·|-sum of finite rows.
         "embedding_health": """

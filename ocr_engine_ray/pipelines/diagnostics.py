@@ -674,3 +674,121 @@ def range_partition_plan(
             }
         )
     )
+
+
+def coverage_audit(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
+    """CHILDLESS-parent audit — the complement of
+    `referential_integrity_audit`'s orphan check: for every star-schema
+    relationship, how many parent rows have no child at all (dead dims,
+    customers who never ordered, nations with no suppliers — the
+    coverage side of referential health).
+
+    Same tagged-union scale shape: children fold to batch-distinct keys
+    map-side, parents ship their keys; one (relation, key-hash) bucket
+    groupby counts parents whose key never appears on the child side
+    (a key lands wholly in its bucket — exact anti-join).
+
+    Returns (relation, n_parent_rows, n_covered, n_childless) sorted by
+    relation; LEFT-JOIN twin.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+
+    streams = []
+    for rel, child_t, child_k, parent_t, parent_k in _FK_RELATIONS:
+        child = sf_table(sf_dir, child_t, columns=[child_k])
+        parent = sf_table(sf_dir, parent_t, columns=[parent_k])
+
+        def child_rows(batch: pa.Table, *, rel=rel, key_col=child_k) -> pa.Table:
+            col = batch.column(key_col)
+            keys = (
+                col.filter(pc.is_valid(col))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            uk = np.unique(keys)
+            return pa.table(
+                {
+                    "relation": pa.array([rel] * len(uk), pa.string()),
+                    "bkt": pa.array((uk % num_buckets).astype(np.int32)),
+                    "key": pa.array(uk),
+                    "kind": pa.array(np.zeros(len(uk), np.int8)),
+                }
+            )
+
+        def parent_rows(batch: pa.Table, *, rel=rel, key_col=parent_k) -> pa.Table:
+            keys = (
+                batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "relation": pa.array([rel] * len(keys), pa.string()),
+                    "bkt": pa.array((keys % num_buckets).astype(np.int32)),
+                    "key": pa.array(keys),
+                    "kind": pa.array(np.ones(len(keys), np.int8)),
+                }
+            )
+
+        streams.append(child.map_batches(child_rows, batch_format="pyarrow"))
+        streams.append(parent.map_batches(parent_rows, batch_format="pyarrow"))
+    unioned = streams[0]
+    for s in streams[1:]:
+        unioned = unioned.union(s)
+
+    def audit(group: pa.Table) -> pa.Table:
+        rel = group.column("relation")[0].as_py()
+        kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        key = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        child_keys = np.unique(key[kind == 0])
+        parents = key[kind == 1]
+        covered = np.isin(parents, child_keys)
+        return pa.table(
+            {
+                "relation": pa.array([rel], pa.string()),
+                "n_parent_rows": pa.array([len(parents)], pa.int64()),
+                "n_covered": pa.array([int(covered.sum())], pa.int64()),
+                "n_childless": pa.array([int((~covered).sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        unioned.groupby(["relation", "bkt"])
+        .map_groups(audit, batch_format="pyarrow")
+        .groupby("relation")
+        .aggregate(
+            Sum("n_parent_rows", alias_name="n_parent_rows"),
+            Sum("n_covered", alias_name="n_covered"),
+            Sum("n_childless", alias_name="n_childless"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "relation": batch.column("relation"),
+                "n_parent_rows": batch.column("n_parent_rows").cast(pa.int64()),
+                "n_covered": batch.column("n_covered").cast(pa.int64()),
+                "n_childless": batch.column("n_childless").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("relation")
+
+
+def coverage_audit_sql() -> str:
+    """The UNION-ALL twin generated from the same ``_FK_RELATIONS``."""
+    parts = []
+    for rel, child_t, child_k, parent_t, parent_k in _FK_RELATIONS:
+        parts.append(
+            f"SELECT '{rel}' AS relation, count(*)::BIGINT AS n_parent_rows,\n"
+            f"       count(c.k)::BIGINT AS n_covered,\n"
+            f"       (count(*) - count(c.k))::BIGINT AS n_childless\n"
+            f"FROM {parent_t} p LEFT JOIN\n"
+            f"  (SELECT DISTINCT {child_k} AS k FROM {child_t}\n"
+            f"   WHERE {child_k} IS NOT NULL) c ON p.{parent_k} = c.k"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY relation"
