@@ -413,6 +413,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # coverage_audit (eighth round-4 continuation, never gated): the
         # childless-parent complement of the orphan audit; LEFT-JOIN twin.
         "coverage_audit": diagnostics.coverage_audit,
+        # value_drift_audit (eighth round-4 continuation, never gated):
+        # KS-style max deviation of the running value total vs uniform
+        # accrual, cross-multiplied exact integers; window twin.
+        "value_drift_audit": analytics.value_drift_audit,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2698,6 +2702,42 @@ def oracle_sql() -> dict[str, str]:
                    min(k)::BIGINT AS k_min,
                    max(k)::BIGINT AS k_max
             FROM k GROUP BY 1 ORDER BY 1
+        """,
+        # Drift audit: HUGEINT cross-multiplied deviation, earliest argmax
+        # via (dv DESC, day) row_number.
+        "value_drift_audit": """
+            WITH e AS (
+              SELECT date_trunc('day', ts) AS day, event_type,
+                     round(value * 100)::BIGINT AS cents
+              FROM events WHERE ts IS NOT NULL
+            ),
+            d AS (
+              SELECT event_type, day, sum(cents)::HUGEINT AS c
+              FROM e GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT event_type, day,
+                     sum(c) OVER (PARTITION BY event_type ORDER BY day) AS r,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS j,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     sum(c) OVER (PARTITION BY event_type) AS t
+              FROM d
+            ),
+            dev AS (
+              SELECT event_type, day, n, t,
+                     abs(n * r - j * t) AS dv
+              FROM w
+            ),
+            best AS (
+              SELECT event_type, day, n, t, dv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY dv DESC, day) AS rk
+              FROM dev
+            )
+            SELECT event_type, n::BIGINT AS n_days, t::BIGINT AS total_cents,
+                   dv::VARCHAR AS max_dev, day::TIMESTAMP AS drift_day
+            FROM best WHERE rk = 1 ORDER BY event_type
         """,
         # WoW trends: date_trunc('week') weekly aggregate + lag() per
         # type, first observed week dropped (null-free surface).

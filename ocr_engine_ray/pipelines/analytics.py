@@ -2059,3 +2059,76 @@ def u_shaped_attribution(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         .map_groups(credit, batch_format="pyarrow")
         .sort("click_event_id")
     )
+
+
+def value_drift_audit(sf_dir: str) -> rd.Dataset:
+    """Drift audit over the daily value stream per event type: the
+    Kolmogorov–Smirnov-style maximum deviation between the RUNNING value
+    total and a perfectly uniform accrual — where the metric's mass
+    shifted (campaign start, instrumentation change, seasonality break).
+    On exact integers: with daily cents ``d_j``, running total ``R_j``,
+    grand total ``T`` over ``N`` days, the deviation is
+    ``D_j = |N·R_j − j·T|`` (the cross-multiplied form of
+    |R_j/T − j/N|) — no division anywhere; the reported day is the
+    EARLIEST argmax.
+
+    Scale shape: the corpus collapses map-side into (type, day) partials;
+    the cumsum scan runs per type over days-sized aggregate rows.
+    Returns (event_type, n_days, total_cents, max_dev, drift_day) sorted
+    by event_type; window twin.
+    """
+    import numpy as np
+
+    US_PER_DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        tsv = batch.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = np.floor_divide(tsv, US_PER_DAY) * US_PER_DAY
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pa.array(day),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+
+    daily = (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def scan(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values("day", kind="mergesort").reset_index(drop=True)
+        c = df["cents"].fillna(0).astype("int64").to_numpy()
+        n = len(c)
+        total = int(c.sum())
+        r = np.cumsum(c)
+        j = np.arange(1, n + 1, dtype=np.int64)
+        # Python ints: N·R and j·T can exceed int64 at corpus scale
+        dev = [abs(n * int(rv) - int(jj) * total) for rv, jj in zip(r, j)]
+        mx = max(dev)
+        arg = dev.index(mx)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [str(df["event_type"].iloc[0])], pa.string()
+                ),
+                "n_days": pa.array([n], pa.int64()),
+                "total_cents": pa.array([total], pa.int64()),
+                "max_dev": pa.array([str(mx)], pa.string()),
+                "drift_day": pa.array(
+                    [int(df["day"].iloc[arg])], pa.timestamp("us")
+                ),
+            }
+        )
+
+    return (
+        daily.groupby("event_type")
+        .map_groups(scan, batch_format="pandas")
+        .sort("event_type")
+    )
