@@ -417,6 +417,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KS-style max deviation of the running value total vs uniform
         # accrual, cross-multiplied exact integers; window twin.
         "value_drift_audit": analytics.value_drift_audit,
+        # ab_conversion_chisq (ninth round-4 continuation, never gated):
+        # 2×2 chi-square independence test on variant × purchase-dominance
+        # from exact integer counts; HUGEINT twin, one float at the end.
+        "ab_conversion_chisq": analytics.ab_conversion_chisq,
+        # theil_sen_daily (ninth round-4 continuation, never gated):
+        # robust median-of-pairwise-slopes trend over the calendar-sized
+        # daily aggregate; self-join + deterministic lower-median twin.
+        "theil_sen_daily": analytics.theil_sen_daily,
+        # gini_by_segment (ninth round-4 continuation, never gated):
+        # revenue-concentration Gini per segment from exact rank·cents
+        # sums via the two-pass value-bucket ranking; row_number twin.
+        "gini_by_segment": profile.gini_by_segment,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2738,6 +2750,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n::BIGINT AS n_days, t::BIGINT AS total_cents,
                    dv::VARCHAR AS max_dev, day::TIMESTAMP AS drift_day
             FROM best WHERE rk = 1 ORDER BY event_type
+        """,
+        # 2×2 chi-square from HUGEINT counts; conversion = a user fires
+        # more 'purchase' than 'click' events; ONE double expression at
+        # the end with identical operand order to the engine's
+        # Python-int path.  HUGEINT ceiling: N·(ad−bc)² needs
+        # users ≲ 3e9 per variant — far past any gate scale.
+        "ab_conversion_chisq": """
+            WITH u AS (
+              SELECT user_id,
+                     CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                               > sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                          THEN 1 ELSE 0 END::BIGINT AS conv
+              FROM events GROUP BY 1
+            ),
+            v AS (
+              SELECT user_id % 2 AS variant, count(*)::HUGEINT AS users,
+                     sum(conv)::HUGEINT AS conv
+              FROM u GROUP BY 1
+            ),
+            c AS (
+              SELECT
+                coalesce(max(CASE WHEN variant = 0 THEN users END), 0) AS ua,
+                coalesce(max(CASE WHEN variant = 0 THEN conv END), 0) AS ca,
+                coalesce(max(CASE WHEN variant = 1 THEN users END), 0) AS ub,
+                coalesce(max(CASE WHEN variant = 1 THEN conv END), 0) AS cb
+              FROM v
+            )
+            SELECT ua::BIGINT AS users_a, ca::BIGINT AS conv_a,
+                   ub::BIGINT AS users_b, cb::BIGINT AS conv_b,
+              CASE WHEN ua = 0 OR ub = 0 OR (ca + cb) = 0
+                        OR ((ua - ca) + (ub - cb)) = 0 THEN 0
+              ELSE round_even(
+                ((ua + ub) * (ca * (ub - cb) - (ua - ca) * cb)
+                           * (ca * (ub - cb) - (ua - ca) * cb))::DOUBLE
+                / (ua * ub * (ca + cb) * ((ua - ca) + (ub - cb)))::DOUBLE
+                * 1000, 0)::BIGINT END AS chi2_milli
+            FROM c
+        """,
+        # Theil–Sen: pairwise slopes on the calendar-sized daily
+        # aggregate, LOWER median under the deterministic
+        # (slope, dy, dx, day_i, day_j) order — double slope ordering is
+        # exact at calendar magnitudes (distinct fractions differ by
+        # ≥ 1/dx², ≫ ulp), identical to the engine's lexsort.
+        "theil_sen_daily": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+              FROM events GROUP BY 1
+            ),
+            idx AS (
+              SELECT n,
+                     date_diff('day', (SELECT min(day) FROM d), day)::BIGINT AS di
+              FROM d
+            ),
+            p AS (
+              SELECT a.di AS dia, b.di AS dib,
+                     (b.n - a.n)::BIGINT AS dy, (b.di - a.di)::BIGINT AS dx,
+                     (b.n - a.n)::DOUBLE / (b.di - a.di)::DOUBLE AS slope
+              FROM idx a JOIN idx b ON b.di > a.di
+            ),
+            s AS (SELECT count(*)::BIGINT AS n_pairs FROM p)
+            SELECT (SELECT count(*) FROM d)::BIGINT AS n_days,
+                   (SELECT n_pairs FROM s) AS n_pairs,
+                   round_even((SELECT slope FROM p
+                               ORDER BY slope, dy, dx, dia, dib
+                               LIMIT 1 OFFSET (SELECT ((n_pairs - 1) // 2)::BIGINT
+                                               FROM s)) * 1000000, 0)::BIGINT
+                     AS slope_ppm
+        """,
+        # Gini per segment: row_number ranks over (cents, custkey),
+        # HUGEINT Σi·x moments, one double expression at the end matching
+        # the engine's float(num)/float(den)·1e6 operand order.
+        "gini_by_segment": """
+            WITH rev AS (
+              SELECT o_custkey AS k,
+                     sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+              FROM orders GROUP BY 1
+            ),
+            j AS (
+              SELECT c_mktsegment AS seg, cents, k
+              FROM rev JOIN customer ON c_custkey = k
+            ),
+            r AS (
+              SELECT seg, cents,
+                     row_number() OVER (PARTITION BY seg ORDER BY cents, k) AS i
+              FROM j
+            ),
+            s AS (
+              SELECT seg, count(*)::HUGEINT AS n, sum(cents::HUGEINT) AS sx,
+                     sum(i::HUGEINT * cents) AS six
+              FROM r GROUP BY 1
+            )
+            SELECT seg AS c_mktsegment, n::BIGINT AS n_customers,
+                   sx::BIGINT AS sum_cents,
+                   CASE WHEN n * sx = 0 THEN 0
+                        ELSE round_even((2 * six - (n + 1) * sx)::DOUBLE
+                                        / (n * sx)::DOUBLE * 1000000, 0)::BIGINT
+                   END AS gini_ppm
+            FROM s ORDER BY seg
         """,
         # WoW trends: date_trunc('week') weekly aggregate + lag() per
         # type, first observed week dropped (null-free surface).

@@ -396,6 +396,13 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.extract_stats", fromlist=["x"]
             ).video_scene_cuts
         ),
+        "ab_conversion_chisq": timed(analytics.ab_conversion_chisq),
+        "theil_sen_daily": timed(analytics.theil_sen_daily),
+        "gini_by_segment": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.profile", fromlist=["x"]
+            ).gini_by_segment
+        ),
     }
 
     result = {

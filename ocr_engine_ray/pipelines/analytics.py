@@ -2132,3 +2132,174 @@ def value_drift_audit(sf_dir: str) -> rd.Dataset:
         .map_groups(scan, batch_format="pandas")
         .sort("event_type")
     )
+
+
+def ab_conversion_chisq(sf_dir: str) -> rd.Dataset:
+    """A/B independence test: split users into two variants by
+    ``user_id % 2`` and test whether "purchase-dominant" behaviour (a user
+    fires MORE 'purchase' than 'click' events) differs between variants,
+    via the 2×2 chi-square statistic computed from EXACT integer counts —
+        chi2 = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    with (a, b) = (dominant, not) in variant 0 and (c, d) in variant 1.
+    The experiment-analysis pass every event pipeline runs; all arithmetic
+    is Python-int exact, with ONE float division at the very end (identical
+    operand order to the HUGEINT twin), quantized to milli-units.
+
+    Scale shape: per-batch map-side combine to per-user (purchases, clicks)
+    partial sums, ONE user-keyed shuffle for the per-user totals, then a
+    2-row aggregate — no event row survives past the first combine.
+    Returns one row: (users_a, conv_a, users_b, conv_b, chi2_milli).
+    """
+    import numpy as np
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        et = batch.column("event_type")
+        pur = pc.equal(et, pa.scalar("purchase")).combine_chunks()
+        clk = pc.equal(et, pa.scalar("click")).combine_chunks()
+        t = pa.table(
+            {
+                "user_id": pa.array(uid),
+                "pur": pa.array(pur.to_numpy(zero_copy_only=False).astype(np.int64)),
+                "clk": pa.array(clk.to_numpy(zero_copy_only=False).astype(np.int64)),
+            }
+        )
+        # batch-local sums per user: ships ≤ one row per distinct user/batch
+        agg = pa.TableGroupBy(t, "user_id").aggregate([("pur", "sum"), ("clk", "sum")])
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "pur": agg.column("pur_sum").cast(pa.int64()),
+                "clk": agg.column("clk_sum").cast(pa.int64()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(Sum("pur", alias_name="pur"), Sum("clk", alias_name="clk"))
+    )
+
+    def variant_rows(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        p = batch.column("pur").combine_chunks().to_numpy(zero_copy_only=False)
+        c = batch.column("clk").combine_chunks().to_numpy(zero_copy_only=False)
+        var = (uid % 2).astype(np.int64)
+        t = pa.table(
+            {
+                "variant": pa.array(var),
+                "one": pa.array(np.ones(len(uid), dtype=np.int64)),
+                "conv": pa.array((p > c).astype(np.int64)),
+            }
+        )
+        agg = pa.TableGroupBy(t, "variant").aggregate([("one", "sum"), ("conv", "sum")])
+        return pa.table(
+            {
+                "variant": agg.column("variant"),
+                "users": agg.column("one_sum").cast(pa.int64()),
+                "conv": agg.column("conv_sum").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        per_user.map_batches(variant_rows, batch_format="pyarrow")
+        .groupby("variant")
+        .aggregate(Sum("users", alias_name="users"), Sum("conv", alias_name="conv"))
+        .take_all()  # exactly ≤ 2 rows
+    )
+    by_v = {int(r["variant"]): (int(r["users"]), int(r["conv"])) for r in rows}
+    ua, ca = by_v.get(0, (0, 0))
+    ub, cb = by_v.get(1, (0, 0))
+    a, b, c, d = ca, ua - ca, cb, ub - cb
+    n = a + b + c + d
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    if den == 0:
+        chi2_milli = 0
+    else:
+        import numpy as np
+
+        num = n * (a * d - b * c) ** 2
+        chi2_milli = int(np.round(float(num) / float(den) * 1000))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "users_a": pa.array([ua], pa.int64()),
+                "conv_a": pa.array([ca], pa.int64()),
+                "users_b": pa.array([ub], pa.int64()),
+                "conv_b": pa.array([cb], pa.int64()),
+                "chi2_milli": pa.array([chi2_milli], pa.int64()),
+            }
+        )
+    )
+
+
+def theil_sen_daily(sf_dir: str) -> rd.Dataset:
+    """Robust daily-volume trend: the Theil–Sen slope (median of all
+    pairwise slopes) over the (day-index, daily event count) series — the
+    outlier-proof alternative to least squares for drift monitoring.
+
+    Scale shape: ONE day-keyed aggregate reduces the event stream to a
+    days-sized table (the calendar is bounded — this is a constant-size
+    result at any corpus size); the O(days²) pair enumeration runs
+    vectorized on that constant-size aggregate.  Selection is the LOWER
+    median under the deterministic order (slope, dy, dx, i-day, j-day) —
+    distinct slope fractions here always differ by ≥ 1/(dx·dx') ≫ double
+    ulp at calendar magnitudes, so double ordering is exact and identical
+    to the twin's.  Returns (n_days, n_pairs, slope_ppm).
+    """
+    import numpy as np
+
+    ev = sf_table(sf_dir, "events", columns=["ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table(
+            {
+                "day": day,
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = pa.TableGroupBy(t, "day").aggregate([("one", "sum")])
+        return pa.table({"day": agg.column("day"), "n": agg.column("one_sum")})
+
+    daily = (
+        ev.map_batches(day_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # calendar-sized: constant at any corpus scale
+    )
+    days = sorted(daily, key=lambda r: r["day"])
+    d0 = days[0]["day"] if days else None
+    di = np.array(
+        [int((r["day"] - d0).days) for r in days], dtype=np.int64
+    ) if days else np.array([], dtype=np.int64)
+    cn = np.array([int(r["n"]) for r in days], dtype=np.int64)
+    m = len(di)
+    if m < 2:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_days": pa.array([m], pa.int64()),
+                    "n_pairs": pa.array([0], pa.int64()),
+                    "slope_ppm": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    ii, jj = np.triu_indices(m, k=1)
+    dy = cn[jj] - cn[ii]
+    dx = di[jj] - di[ii]  # > 0 by construction
+    slope = dy.astype(np.float64) / dx.astype(np.float64)
+    order = np.lexsort((di[jj], di[ii], dx, dy, slope))
+    pick = order[(len(order) - 1) // 2]
+    slope_ppm = int(np.round(slope[pick] * 1_000_000))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_days": pa.array([m], pa.int64()),
+                "n_pairs": pa.array([len(order)], pa.int64()),
+                "slope_ppm": pa.array([slope_ppm], pa.int64()),
+            }
+        )
+    )

@@ -633,3 +633,148 @@ def pearson_price_qty(sf_dir: str, *, chunk: int = 8192) -> rd.Dataset:
             }
         )
     )
+
+
+def gini_by_segment(sf_dir: str, *, num_buckets: int = 64, chunk: int = 8192) -> rd.Dataset:
+    """Revenue-concentration (Gini coefficient) per customer market segment
+    over per-customer order revenue — the inequality/concentration report
+    every marketplace profile runs.  With revenues sorted ascending and
+    1-based ranks i,
+        G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx),
+    computed from EXACT integer-cents sums (rank products chunk-summed in
+    int64 slices, carried as Python ints), ONE float division at the end,
+    quantized to ppm — the `pearson_price_qty` mergeable-exact contract.
+
+    Scale shape: one custkey-keyed aggregate (map-side combined) folds
+    orders to per-customer revenue; segment attaches via the broadcast
+    customer dim (the `mktsegment_revenue` join side); ranking is the
+    two-pass order-preserving value-bucket prefix sum (`rank_by_quality`
+    shape — per-(segment, bucket) counts give exclusive rank offsets, each
+    bucket ranks locally), so no global sort and no driver-side data path.
+    Ties (equal cents) cannot move Σi·x, so any tie order is exact; the
+    pinned order (cents, custkey) matches the twin's row_number anyway.
+    Returns (c_mktsegment, n_customers, sum_cents, gini_ppm) sorted by
+    segment.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .analytics import _cents
+    from .joins import _get_broadcast
+
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": batch.column("o_custkey").cast(pa.int64()),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+        agg = pa.TableGroupBy(t, "k").aggregate([("cents", "sum")])
+        return pa.table(
+            {"k": agg.column("k"), "cents": agg.column("cents_sum").cast(pa.int64())}
+        )
+
+    rev = (
+        orders.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("k")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    seg_ref = ray.put(seg_of)
+
+    # pass 1a: attach segment + compute the global max for order-preserving
+    # value buckets (cents · B // (max+1) keeps bucket order == value order).
+    def attach(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lookup = _get_broadcast(seg_ref)
+        keys = pd.Series(batch.column("k").to_numpy(zero_copy_only=False))
+        segs = keys.map(lookup)
+        hit = segs.notna().to_numpy()
+        if not hit.all():
+            batch = batch.filter(pa.array(hit))
+            segs = segs[hit]
+        return pa.table(
+            {
+                "seg": pa.array(segs, pa.string()),
+                "k": batch.column("k"),
+                "cents": batch.column("cents"),
+            }
+        )
+
+    tagged = rev.map_batches(attach, batch_format="pyarrow").materialize()
+    mx = tagged.max("cents") or 0
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = (c.astype(np.int64) * num_buckets) // (int(mx) + 1)
+        return batch.append_column("bkt", pa.array(np.clip(bkt, 0, num_buckets - 1)))
+
+    bucketed = tagged.map_batches(bucketize, batch_format="pyarrow").materialize()
+    parts = (
+        bucketed.groupby(["seg", "bkt"]).aggregate(Count(alias_name="n")).take_all()
+    )
+    offsets: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(parts, key=lambda r: (r["seg"], r["bkt"])):
+        offsets[(r["seg"], r["bkt"])] = acc.get(r["seg"], 0)
+        acc[r["seg"]] = acc.get(r["seg"], 0) + int(r["n"])
+    off_ref = ray.put(offsets)
+
+    def rank_partial(group: pa.Table) -> pa.Table:
+        off = _get_broadcast(off_ref)
+        seg = group.column("seg")[0].as_py()
+        base = off[(seg, group.column("bkt")[0].as_py())]
+        c = group.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        k = group.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, c))
+        xs = c[order].astype(np.int64)
+        n = len(xs)
+        ranks = base + np.arange(1, n + 1, dtype=np.int64)
+        six = 0
+        for i in range(0, n, chunk):  # overflow-safe int64 slices
+            six += int((ranks[i : i + chunk] * xs[i : i + chunk]).sum())
+        return pa.table(
+            {
+                "seg": pa.array([seg], pa.string()),
+                "n": pa.array([str(n)], pa.string()),
+                "sx": pa.array([str(int(xs.sum()))], pa.string()),
+                "six": pa.array([str(six)], pa.string()),
+            }
+        )
+
+    rows = (
+        bucketed.groupby(["seg", "bkt"])
+        .map_groups(rank_partial, batch_format="pyarrow")
+        .take_all()  # ≤ segments × buckets rows
+    )
+    fold: dict[str, list[int]] = {}
+    for r in rows:
+        a = fold.setdefault(r["seg"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["sx"])
+        a[2] += int(r["six"])
+    segs = sorted(fold)
+    out_n, out_sx, out_g = [], [], []
+    for s in segs:
+        n, sx, six = fold[s]
+        num = 2 * six - (n + 1) * sx
+        den = n * sx
+        g = 0 if den == 0 else int(np.round(float(num) / float(den) * 1_000_000))
+        out_n.append(n)
+        out_sx.append(sx)
+        out_g.append(g)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "n_customers": pa.array(out_n, pa.int64()),
+                "sum_cents": pa.array(out_sx, pa.int64()),
+                "gini_ppm": pa.array(out_g, pa.int64()),
+            }
+        )
+    )
