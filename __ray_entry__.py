@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pagerank,
         pca,
         profile,
+        rankstats,
         sampling,
         tagger,
         topics,
@@ -429,6 +430,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # revenue-concentration Gini per segment from exact rank·cents
         # sums via the two-pass value-bucket ranking; row_number twin.
         "gini_by_segment": profile.gini_by_segment,
+        # mannwhitney_order_value (tenth round-4 continuation, never
+        # gated): nonparametric two-sample U on tie-broken permutation
+        # ranks via the two-pass value-bucket ranking; window twin.
+        "mannwhitney_order_value": rankstats.mannwhitney_order_value,
+        # spearman_qty_price (tenth round-4 continuation, never gated):
+        # rank correlation — both rankings in ONE union shuffle, exact
+        # Σd² partials; dual row_number twin.
+        "spearman_qty_price": rankstats.spearman_qty_price,
+        # acf_daily_revenue (tenth round-4 continuation, never gated):
+        # lag-1..7 autocorrelation of the calendar-sized daily revenue
+        # series, exact Python-int moments; calendar self-join twin.
+        "acf_daily_revenue": rankstats.acf_daily_revenue,
+        # rfm_segments (tenth round-4 continuation, never gated): the
+        # marketing RFM grid — three NTILE rankings in one union shuffle,
+        # custkey-zipped; triple-ntile window twin.
+        "rfm_segments": rankstats.rfm_segments,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -972,6 +989,141 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000, 0)::BIGINT
                    END AS corr_ppm
             FROM s ORDER BY l_returnflag
+        """,
+        # Mann-Whitney U: tie-broken permutation ranks (cents, okey) over
+        # the combined two-segment sample — exact HUGEINT rank sums as
+        # decimal VARCHAR, one double z expression matching the engine's
+        # (float(ua) - float(na*nb)/2) / sqrt(float(var4)/12) order.
+        "mannwhitney_order_value": """
+            WITH o AS (
+              SELECT o_orderkey AS okey,
+                     round(o_totalprice * 100)::BIGINT AS cents,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS g
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            r AS (
+              SELECT g, row_number() OVER (ORDER BY cents, okey)::HUGEINT AS rk
+              FROM o
+            ),
+            s AS (
+              SELECT
+                sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::HUGEINT AS na,
+                sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::HUGEINT AS nb,
+                sum(CASE WHEN g = 0 THEN rk ELSE 0 END) AS ra
+              FROM r
+            )
+            SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                   ra::VARCHAR AS rank_sum_a,
+                   (ra - na * (na + 1) // 2)::VARCHAR AS u_a,
+                   (na * nb - (ra - na * (na + 1) // 2))::VARCHAR AS u_b,
+                   CASE WHEN na * nb * (na + nb + 1) = 0 THEN 0
+                        ELSE round_even(
+                          ((ra - na * (na + 1) // 2)::DOUBLE
+                             - (na * nb)::DOUBLE / 2)
+                          / sqrt((na * nb * (na + nb + 1))::DOUBLE / 12)
+                          * 1000, 0)::BIGINT
+                   END AS z_milli
+            FROM s
+        """,
+        # Spearman: (okey, lineno) does NOT uniquely key lineitem here, so
+        # rows first get uid = row_number over (okey, lineno, x, y) — full-
+        # tuple duplicates are rank-interchangeable, the uid tie is inert —
+        # then two row_number windows tie-broken by uid; exact HUGEINT Σd²,
+        # one double 1 - 6Σd²/(n(n²-1)) expression.
+        "spearman_qty_price": """
+            WITH c AS (
+              SELECT l_orderkey AS okey, l_linenumber AS lineno,
+                     round(l_quantity * 100)::BIGINT AS x,
+                     round(l_extendedprice * 100)::BIGINT AS y
+              FROM lineitem
+            ),
+            l AS (
+              SELECT x, y,
+                     row_number() OVER (ORDER BY okey, lineno, x, y) AS rid
+              FROM c
+            ),
+            r AS (
+              SELECT row_number() OVER (ORDER BY x, rid)::HUGEINT AS rx,
+                     row_number() OVER (ORDER BY y, rid)::HUGEINT AS ry
+              FROM l
+            ),
+            s AS (
+              SELECT count(*)::HUGEINT AS n,
+                     sum((rx - ry) * (rx - ry)) AS sd2
+              FROM r
+            )
+            SELECT n::BIGINT AS n, sd2::VARCHAR AS sum_d2,
+                   CASE WHEN n * (n * n - 1) = 0 THEN 0
+                        ELSE round_even(
+                          (1 - (6 * sd2)::DOUBLE / (n * (n * n - 1))::DOUBLE)
+                          * 1000000, 0)::BIGINT
+                   END AS rho_ppm
+            FROM s
+        """,
+        # Lag-k ACF: calendar self-join on day + k·INTERVAL 1 DAY (gaps
+        # pair only when both days exist — no zero-fill), HUGEINT moments,
+        # the pearson_price_qty double/sqrt operand order.
+        "acf_daily_revenue": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS day,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS cents
+              FROM events GROUP BY 1
+            ),
+            lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+            p AS (
+              SELECT l.lag, a.cents::HUGEINT AS x, b.cents::HUGEINT AS y
+              FROM lags l
+              JOIN d a ON true
+              JOIN d b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+            ),
+            s AS (
+              SELECT lag, count(*)::HUGEINT AS m, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+              FROM p GROUP BY 1
+            )
+            SELECT l.lag::BIGINT AS lag, coalesce(s.m, 0)::BIGINT AS n_pairs,
+                   CASE WHEN s.m IS NULL
+                             OR (s.m * s.sxx - s.sx * s.sx) = 0
+                             OR (s.m * s.syy - s.sy * s.sy) = 0 THEN 0
+                        ELSE round_even(
+                          (s.m * s.sxy - s.sx * s.sy)::DOUBLE
+                          / sqrt((s.m * s.sxx - s.sx * s.sx)::DOUBLE
+                                 * (s.m * s.syy - s.sy * s.sy)::DOUBLE)
+                          * 1000000, 0)::BIGINT
+                   END AS acf_ppm
+            FROM lags l LEFT JOIN s ON s.lag = l.lag
+            ORDER BY lag
+        """,
+        # RFM grid: one custkey aggregate, three deterministic ntile
+        # windows (measure, custkey) — DuckDB ntile's first-(n%t)-tiles-
+        # get-the-extra-row split is the engine's exact formula.
+        "rfm_segments": """
+            WITH pc AS (
+              SELECT o_custkey AS k,
+                     sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+                     count(*)::BIGINT AS freq,
+                     max(date_trunc('day', o_orderdate)::DATE) AS lastd
+              FROM orders GROUP BY 1
+            ),
+            g AS (SELECT max(lastd) AS gmax FROM pc),
+            m AS (
+              SELECT k, cents, freq,
+                     date_diff('day', lastd, (SELECT gmax FROM g))::BIGINT AS rec
+              FROM pc
+            ),
+            t AS (
+              SELECT k, cents,
+                     ntile(5) OVER (ORDER BY rec, k) AS r_tile,
+                     ntile(5) OVER (ORDER BY freq, k) AS f_tile,
+                     ntile(5) OVER (ORDER BY cents, k) AS m_tile
+              FROM m
+            )
+            SELECT r_tile::BIGINT AS r_tile, f_tile::BIGINT AS f_tile,
+                   m_tile::BIGINT AS m_tile,
+                   count(*)::BIGINT AS n_customers,
+                   sum(cents)::BIGINT AS sum_cents
+            FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         # Benford screen: first digit from the integer cents' decimal
         # string (no float log10 at power-of-ten edges); ppm floors.

@@ -403,6 +403,26 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.profile", fromlist=["x"]
             ).gini_by_segment
         ),
+        "mannwhitney_order_value": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
+            ).mannwhitney_order_value
+        ),
+        "spearman_qty_price": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
+            ).spearman_qty_price
+        ),
+        "acf_daily_revenue": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
+            ).acf_daily_revenue
+        ),
+        "rfm_segments": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
+            ).rfm_segments
+        ),
     }
 
     result = {

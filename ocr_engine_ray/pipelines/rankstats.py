@@ -1,0 +1,583 @@
+"""Rank-based statistics + RFM segmentation over the driver tables.
+
+Nonparametric rank statistics are the robust complement to the exact-moment
+family (`profile.pearson_price_qty`, `analytics.theil_sen_daily`): they need
+GLOBAL ranks, which at scale means a distributed ranking, not a sort.  Every
+operator here rides the same two-pass order-preserving value-bucket prefix
+sum already proven by `packing.rank_by_quality` / `profile.gini_by_segment`:
+
+1. bucketize by ``value * B // (max+1)`` (bucket order == value order),
+2. per-bucket counts give exclusive rank offsets (a buckets-sized driver
+   fold — never row data),
+3. each bucket ranks locally under the pinned deterministic tie-break
+   (value, unique_key) — identical to the twin's ``row_number() OVER
+   (ORDER BY value, key)``.
+
+Exactness contract (the repo-wide convention): all sums are EXACT integers
+on the cents/rank grid — rank products are summed in ``chunk``-row int64
+slices and carried as arbitrary-precision Python ints serialized as decimal
+strings, so no int64 addition can overflow at any corpus size; floats appear
+exactly once per statistic, in the final division evaluated with the
+identical operand order as the HUGEINT twin, quantized half-even (np.round
+== DuckDB round_even).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from ..sources.tables import sf_table
+from .analytics import _cents
+from .joins import _get_broadcast
+
+_CHUNK = 8192  # int64-overflow-safe slice length for rank-product partials
+
+
+def _str_sum(vals: np.ndarray, chunk: int = _CHUNK) -> int:
+    """Exact Python-int sum of an int64 array via overflow-safe slices."""
+    total = 0
+    for i in range(0, len(vals), chunk):
+        total += int(vals[i : i + chunk].sum())
+    return total
+
+
+def mannwhitney_order_value(
+    sf_dir: str,
+    *,
+    seg_a: str = "BUILDING",
+    seg_b: str = "MACHINERY",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Mann-Whitney U between two customer segments' per-order value — the
+    nonparametric two-sample location test every experiment-analysis layer
+    runs when value distributions are skewed (order totals always are).
+
+    Ranks are the DETERMINISTIC permutation under (cents, o_orderkey) —
+    tie-broken row_number ranks, not midranks; exact and identical to the
+    twin's window by construction (documented: with heavy cents ties the
+    classic midrank U differs, but is not exactly reproducible across
+    engines without a second tie pass).  U_a = R_a - n_a(n_a+1)/2; the
+    normal z-score uses the tie-free variance n_a·n_b·(n+1)/12.
+
+    Scale shape: segment attaches via the broadcast customer dim; ONE
+    bucket-keyed shuffle ranks the combined sample (two-pass prefix sum, no
+    global sort); per-bucket rank-sum partials are buckets-sized strings.
+    Returns one row (n_a, n_b, rank_sum_a, u_a, u_b, z_milli) with the
+    HUGEINT-sized sums as exact decimal strings.
+    """
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    seg_ref = ray.put(seg_of)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lookup = _get_broadcast(seg_ref)
+        keys = pd.Series(batch.column("o_custkey").to_numpy(zero_copy_only=False))
+        segs = keys.map(lookup).to_numpy()
+        g = np.where(segs == seg_a, 0, np.where(segs == seg_b, 1, -1)).astype(np.int64)
+        keep = g >= 0
+        return pa.table(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()).filter(pa.array(keep)),
+                "cents": _cents(batch.column("o_totalprice")).filter(pa.array(keep)),
+                "g": pa.array(g[keep]),
+            }
+        )
+
+    tagged = orders.map_batches(attach, batch_format="pyarrow").materialize()
+    mx = tagged.max("cents") or 0
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = (c.astype(np.int64) * num_buckets) // (int(mx) + 1)
+        return batch.append_column("bkt", pa.array(np.clip(bkt, 0, num_buckets - 1)))
+
+    bucketed = tagged.map_batches(bucketize, batch_format="pyarrow").materialize()
+    parts = bucketed.groupby("bkt").aggregate(Count(alias_name="n")).take_all()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(parts, key=lambda r: r["bkt"]):
+        offsets[r["bkt"]] = acc
+        acc += int(r["n"])
+    off_ref = ray.put(offsets)
+
+    def rank_partial(group: pa.Table) -> pa.Table:
+        off = _get_broadcast(off_ref)
+        base = off[group.column("bkt")[0].as_py()]
+        c = group.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        k = group.column("okey").combine_chunks().to_numpy(zero_copy_only=False)
+        g = group.column("g").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, c))
+        gs = g[order]
+        ranks = base + np.arange(1, len(gs) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "na": pa.array([int((gs == 0).sum())], pa.int64()),
+                "nb": pa.array([int((gs == 1).sum())], pa.int64()),
+                "ra": pa.array([str(_str_sum(ranks[gs == 0]))], pa.string()),
+            }
+        )
+
+    rows = (
+        bucketed.groupby("bkt")
+        .map_groups(rank_partial, batch_format="pyarrow")
+        .take_all()  # <= num_buckets rows
+    )
+    na = sum(int(r["na"]) for r in rows)
+    nb = sum(int(r["nb"]) for r in rows)
+    ra = sum(int(r["ra"]) for r in rows)
+    ua = ra - na * (na + 1) // 2
+    ub = na * nb - ua
+    var4 = na * nb * (na + nb + 1)  # 12 * variance
+    if var4 == 0:
+        z_milli = 0
+    else:
+        z = (float(ua) - float(na * nb) / 2.0) / math.sqrt(float(var4) / 12.0)
+        z_milli = int(np.round(z * 1000))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "rank_sum_a": pa.array([str(ra)], pa.string()),
+                "u_a": pa.array([str(ua)], pa.string()),
+                "u_b": pa.array([str(ub)], pa.string()),
+                "z_milli": pa.array([z_milli], pa.int64()),
+            }
+        )
+    )
+
+
+def spearman_qty_price(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Spearman rank correlation between l_quantity and l_extendedprice —
+    the monotone-association screen (Pearson's rank-space twin; robust to
+    the price outliers `price_outliers` flags).
+
+    Spearman pairs BOTH ranks per physical row, so rows first get a
+    globally unique id: a distributed ``row_number() OVER (ORDER BY
+    l_orderkey, l_linenumber, x, y)`` via the okey-range prefix sum —
+    (orderkey, linenumber) does NOT uniquely key this table, and rows
+    whose full (okey, lineno, x, y) tuple duplicates are interchangeable
+    for both rankings (equal x AND equal y → consecutive uid, rank pairs
+    shift together), so the uid tie among them is inert.  Both variables
+    then rank in ONE union shuffle (tag 0 = quantity, tag 1 = price;
+    offsets keyed by (tag, bucket); ties break by uid) and
+        rho = 1 - 6·Σd² / (n·(n²-1))
+    is exact-integer up to the single final division.  A third uid-keyed
+    shuffle zips (rank_x, rank_y) per row — uid is dense, so ``uid % B``
+    buckets are perfectly balanced.  Returns (n, sum_d2, rho_ppm) with
+    sum_d2 as an exact decimal string (Σd² ≤ n³ overflows int64 past ~2M
+    rows).
+    """
+    li = sf_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "lineno": batch.column("l_linenumber").cast(pa.int64()),
+                "x": _cents(batch.column("l_quantity")),
+                "y": _cents(batch.column("l_extendedprice")),
+            }
+        )
+
+    rows0 = li.map_batches(to_cents, batch_format="pyarrow").materialize()
+    mxo = rows0.max("okey") or 0
+
+    def kbucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("okey").combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = (k * num_buckets) // (int(mxo) + 1)
+        return batch.append_column("bkt", pa.array(np.clip(bkt, 0, num_buckets - 1)))
+
+    kb = rows0.map_batches(kbucket, batch_format="pyarrow").materialize()
+    kparts = kb.groupby("bkt").aggregate(Count(alias_name="n")).take_all()
+    koff: dict[int, int] = {}
+    kacc = 0
+    for r in sorted(kparts, key=lambda r: r["bkt"]):
+        koff[int(r["bkt"])] = kacc
+        kacc += int(r["n"])
+    koff_ref = ray.put(koff)
+
+    def uid_group(group: pa.Table) -> pa.Table:
+        off = _get_broadcast(koff_ref)
+        base = off[int(group.column("bkt")[0].as_py())]
+        okey = group.column("okey").combine_chunks().to_numpy(zero_copy_only=False)
+        lineno = group.column("lineno").combine_chunks().to_numpy(zero_copy_only=False)
+        x = group.column("x").combine_chunks().to_numpy(zero_copy_only=False)
+        y = group.column("y").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x, lineno, okey))
+        uid = np.empty(len(okey), dtype=np.int64)
+        uid[order] = base + np.arange(1, len(okey) + 1, dtype=np.int64)
+        return pa.table({"rid": pa.array(uid), "x": pa.array(x), "y": pa.array(y)})
+
+    withuid = kb.groupby("bkt").map_groups(uid_group, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rid = batch.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
+        x = batch.column("x").combine_chunks().to_numpy(zero_copy_only=False)
+        y = batch.column("y").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rid": pa.array(np.concatenate([rid, rid])),
+                "v": pa.array(np.concatenate([x, y])),
+                "tag": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(rid), np.int64), np.ones(len(rid), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    tagged = withuid.map_batches(explode, batch_format="pyarrow").materialize()
+    mxs = (
+        tagged.groupby("tag").aggregate(Max("v", alias_name="mx")).take_all()
+    )
+    mx_of = {int(r["tag"]): int(r["mx"]) for r in mxs}
+    mx_ref = ray.put(mx_of)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mx = _get_broadcast(mx_ref)
+        v = batch.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        t = batch.column("tag").combine_chunks().to_numpy(zero_copy_only=False)
+        den = np.where(t == 0, mx.get(0, 0) + 1, mx.get(1, 0) + 1)
+        bkt = np.clip((v * num_buckets) // den, 0, num_buckets - 1)
+        return batch.append_column("bkt", pa.array(bkt.astype(np.int64)))
+
+    bucketed = tagged.map_batches(bucketize, batch_format="pyarrow").materialize()
+    parts = (
+        bucketed.groupby(["tag", "bkt"]).aggregate(Count(alias_name="n")).take_all()
+    )
+    offsets: dict[tuple[int, int], int] = {}
+    acc: dict[int, int] = {}
+    for r in sorted(parts, key=lambda r: (r["tag"], r["bkt"])):
+        offsets[(int(r["tag"]), int(r["bkt"]))] = acc.get(int(r["tag"]), 0)
+        acc[int(r["tag"])] = acc.get(int(r["tag"]), 0) + int(r["n"])
+    off_ref = ray.put(offsets)
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        off = _get_broadcast(off_ref)
+        tag = int(group.column("tag")[0].as_py())
+        base = off[(tag, int(group.column("bkt")[0].as_py()))]
+        v = group.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        rid = group.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, v))
+        rk = np.empty(len(v), dtype=np.int64)
+        rk[order] = base + np.arange(1, len(v) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "rid": pa.array(rid),
+                "tag": pa.array(np.full(len(v), tag, dtype=np.int64)),
+                "rank": pa.array(rk),
+            }
+        )
+
+    ranked = bucketed.groupby(["tag", "bkt"]).map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+    zbuckets = num_buckets
+
+    def zbucket(batch: pa.Table) -> pa.Table:
+        rid = batch.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("zb", pa.array((rid % zbuckets).astype(np.int64)))
+
+    def zip_partial(group: pa.Table) -> pa.Table:
+        rid = group.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
+        tag = group.column("tag").combine_chunks().to_numpy(zero_copy_only=False)
+        rk = group.column("rank").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, rid))
+        rs, ts = rk[order], tag[order]
+        # rows arrive as (rid, tag=0), (rid, tag=1) pairs after the sort
+        rx, ry = rs[ts == 0], rs[ts == 1]
+        d = rx - ry
+        return pa.table(
+            {
+                "n": pa.array([len(rx)], pa.int64()),
+                "sd2": pa.array([str(_str_sum(d * d))], pa.string()),
+            }
+        )
+
+    rows = (
+        ranked.map_batches(zbucket, batch_format="pyarrow")
+        .groupby("zb")
+        .map_groups(zip_partial, batch_format="pyarrow")
+        .take_all()  # <= zbuckets rows
+    )
+    n = sum(int(r["n"]) for r in rows)
+    sd2 = sum(int(r["sd2"]) for r in rows)
+    den = n * (n * n - 1)
+    if den == 0:
+        rho_ppm = 0
+    else:
+        rho_ppm = int(np.round((1.0 - float(6 * sd2) / float(den)) * 1_000_000))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sum_d2": pa.array([str(sd2)], pa.string()),
+                "rho_ppm": pa.array([rho_ppm], pa.int64()),
+            }
+        )
+    )
+
+
+def acf_daily_revenue(sf_dir: str, *, max_lag: int = 7) -> rd.Dataset:
+    """Autocorrelation of the daily event-revenue series at lags 1..k —
+    the seasonality/persistence diagnostic behind `weekly_trends` and
+    `theil_sen_daily` (a strong lag-7 peak is the weekly cycle).
+
+    Per-lag ACF here is the Pearson correlation over the (x_t, x_{t+k})
+    pairs of OBSERVED days (a day pairs with day+k only when both exist —
+    the same join semantics as the twin's calendar self-join; gaps are
+    not zero-filled).  Scale shape: ONE day-keyed aggregate folds the
+    event stream to a calendar-sized table (constant at any corpus size);
+    the per-lag moment sums run on the driver in exact Python ints (daily
+    cents products overflow int64, never arbitrary precision).  Returns
+    (lag, n_pairs, acf_ppm) for lag 1..max_lag.
+    """
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "cents": _cents(batch.column("value"))})
+        agg = pa.TableGroupBy(t, "day").aggregate([("cents", "sum")])
+        return pa.table(
+            {"day": agg.column("day"), "cents": agg.column("cents_sum").cast(pa.int64())}
+        )
+
+    daily = (
+        ev.map_batches(day_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # calendar-sized: constant at any corpus scale
+    )
+    days = sorted(daily, key=lambda r: r["day"])
+    d0 = days[0]["day"] if days else None
+    idx = {int((r["day"] - d0).days): int(r["cents"]) for r in days} if days else {}
+    lags, n_pairs, acf = [], [], []
+    for k in range(1, max_lag + 1):
+        xs, ys = [], []
+        for di, x in idx.items():
+            y = idx.get(di + k)
+            if y is not None:
+                xs.append(x)
+                ys.append(y)
+        m = len(xs)
+        lags.append(k)
+        n_pairs.append(m)
+        if m == 0:
+            acf.append(0)
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = m * sxy - sx * sy
+        varx = m * sxx - sx * sx
+        vary = m * syy - sy * sy
+        if varx == 0 or vary == 0:
+            acf.append(0)
+        else:
+            r_val = float(num) / math.sqrt(float(varx) * float(vary))
+            acf.append(int(np.round(r_val * 1_000_000)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array(lags, pa.int64()),
+                "n_pairs": pa.array(n_pairs, pa.int64()),
+                "acf_ppm": pa.array(acf, pa.int64()),
+            }
+        )
+    )
+
+
+def rfm_segments(sf_dir: str, *, tiles: int = 5, num_buckets: int = 64) -> rd.Dataset:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical marketing grid: NTILE(5) each measure independently, count
+    customers per (r, f, m) cell.
+
+    Measures fold from orders in one custkey-keyed aggregate (map-side
+    combined): recency = days from the customer's last order to the global
+    last order, frequency = order count, monetary = revenue cents.  All
+    three NTILE rankings ride ONE union shuffle (tag ∈ {r, f, m}; offsets
+    keyed by (tag, value-bucket); ties break by custkey — identical to the
+    twin's ``ntile(5) OVER (ORDER BY measure, custkey)``); the tile falls
+    out of (rank, N) arithmetic exactly as `packing.quality_ntiles`.  A
+    second custkey-keyed shuffle zips the three tiles per customer (dense
+    keys -> balanced ``k % B`` buckets).  Returns
+    (r_tile, f_tile, m_tile, n_customers, sum_cents) sorted by tile.
+    """
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch.column("o_orderdate"), unit="day"), pa.date32())
+        t = pa.table(
+            {
+                "k": batch.column("o_custkey").cast(pa.int64()),
+                "cents": _cents(batch.column("o_totalprice")),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "lastd": day.cast(pa.int32()).cast(pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(t, "k").aggregate(
+            [("cents", "sum"), ("one", "sum"), ("lastd", "max")]
+        )
+        return pa.table(
+            {
+                "k": agg.column("k"),
+                "cents": agg.column("cents_sum").cast(pa.int64()),
+                "freq": agg.column("one_sum").cast(pa.int64()),
+                "lastd": agg.column("lastd_max").cast(pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(per_cust_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("k")
+        .aggregate(
+            Sum("cents", alias_name="cents"),
+            Sum("freq", alias_name="freq"),
+            Max("lastd", alias_name="lastd"),
+        )
+        .materialize()
+    )
+    gmax = per_cust.max("lastd") or 0
+    n_total = per_cust.count()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        freq = batch.column("freq").combine_chunks().to_numpy(zero_copy_only=False)
+        rec = int(gmax) - batch.column("lastd").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([k, k, k])),
+                "v": pa.array(np.concatenate([rec, freq, cents]).astype(np.int64)),
+                "tag": pa.array(
+                    np.repeat(np.arange(3, dtype=np.int64), len(k))
+                ),
+            }
+        )
+
+    tagged = per_cust.map_batches(explode, batch_format="pyarrow").materialize()
+    mxs = tagged.groupby("tag").aggregate(Max("v", alias_name="mx")).take_all()
+    mx_of = {int(r["tag"]): int(r["mx"]) for r in mxs}
+    mx_ref = ray.put(mx_of)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mx = _get_broadcast(mx_ref)
+        v = batch.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        t = batch.column("tag").combine_chunks().to_numpy(zero_copy_only=False)
+        den = np.array([mx.get(int(x), 0) + 1 for x in range(3)])[t]
+        bkt = np.clip((v * num_buckets) // den, 0, num_buckets - 1)
+        return batch.append_column("bkt", pa.array(bkt.astype(np.int64)))
+
+    bucketed = tagged.map_batches(bucketize, batch_format="pyarrow").materialize()
+    parts = (
+        bucketed.groupby(["tag", "bkt"]).aggregate(Count(alias_name="n")).take_all()
+    )
+    offsets: dict[tuple[int, int], int] = {}
+    acc: dict[int, int] = {}
+    for r in sorted(parts, key=lambda r: (r["tag"], r["bkt"])):
+        offsets[(int(r["tag"]), int(r["bkt"]))] = acc.get(int(r["tag"]), 0)
+        acc[int(r["tag"])] = acc.get(int(r["tag"]), 0) + int(r["n"])
+    off_ref = ray.put(offsets)
+
+    def tile_group(group: pa.Table) -> pa.Table:
+        off = _get_broadcast(off_ref)
+        tag = int(group.column("tag")[0].as_py())
+        base = off[(tag, int(group.column("bkt")[0].as_py()))]
+        v = group.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        k = group.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, v))
+        rk = np.empty(len(v), dtype=np.int64)
+        rk[order] = base + np.arange(1, len(v) + 1, dtype=np.int64)
+        # NTILE's exact split: first n % tiles tiles get one extra row
+        n = n_total
+        size_small = n // tiles
+        n_big = n % tiles
+        cut = n_big * (size_small + 1)
+        r0 = rk - 1
+        tile = (
+            np.where(
+                rk <= cut,
+                r0 // (size_small + 1),
+                n_big + (r0 - cut) // max(size_small, 1),
+            )
+            + 1
+        )
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "tag": pa.array(np.full(len(k), tag, dtype=np.int64)),
+                "tile": pa.array(tile.astype(np.int64)),
+                "v": pa.array(v),
+            }
+        )
+
+    tiled = bucketed.groupby(["tag", "bkt"]).map_groups(
+        tile_group, batch_format="pyarrow"
+    )
+
+    def zbucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("zb", pa.array((k % num_buckets).astype(np.int64)))
+
+    def zip_cells(group: pa.Table) -> pa.Table:
+        k = group.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        tag = group.column("tag").combine_chunks().to_numpy(zero_copy_only=False)
+        tile = group.column("tile").combine_chunks().to_numpy(zero_copy_only=False)
+        v = group.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, k))
+        ks, tgs, tls, vs = k[order], tag[order], tile[order], v[order]
+        # rows arrive as (k, tag=0), (k, 1), (k, 2) triples after the sort
+        rt, ft, mt = tls[tgs == 0], tls[tgs == 1], tls[tgs == 2]
+        cents = vs[tgs == 2]
+        t = pa.table(
+            {
+                "r_tile": pa.array(rt),
+                "f_tile": pa.array(ft),
+                "m_tile": pa.array(mt),
+                "one": pa.array(np.ones(len(rt), dtype=np.int64)),
+                "cents": pa.array(cents),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["r_tile", "f_tile", "m_tile"]).aggregate(
+            [("one", "sum"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "r_tile": agg.column("r_tile"),
+                "f_tile": agg.column("f_tile"),
+                "m_tile": agg.column("m_tile"),
+                "n": agg.column("one_sum").cast(pa.int64()),
+                "cents": agg.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    return (
+        tiled.map_batches(zbucket, batch_format="pyarrow")
+        .groupby("zb")
+        .map_groups(zip_cells, batch_format="pyarrow")
+        .groupby(["r_tile", "f_tile", "m_tile"])
+        .aggregate(
+            Sum("n", alias_name="n_customers"),
+            Sum("cents", alias_name="sum_cents"),
+        )
+        .sort(["r_tile", "f_tile", "m_tile"])
+    )
