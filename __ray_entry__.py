@@ -446,6 +446,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # marketing RFM grid — three NTILE rankings in one union shuffle,
         # custkey-zipped; triple-ntile window twin.
         "rfm_segments": rankstats.rfm_segments,
+        # common_neighbors_topk (tenth round-4 continuation, never gated):
+        # link prediction on the co-purchase graph — strongest unclosed
+        # wedges, hub centers excluded above the cap on BOTH sides;
+        # wedge-join twin.
+        "common_neighbors_topk": basket.common_neighbors_topk,
+        # event_trigrams (tenth round-4 continuation, never gated):
+        # 3-step path mining with the event_transitions conventions;
+        # double-lead window twin.
+        "event_trigrams": analytics.event_trigrams,
+        # herfindahl_by_nation (tenth round-4 continuation, never gated):
+        # supplier-revenue HHI per nation from exact Σcents² strings;
+        # HUGEINT twin, one float at the end.
+        "herfindahl_by_nation": profile.herfindahl_by_nation,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1124,6 +1137,86 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_customers,
                    sum(cents)::BIGINT AS sum_cents
             FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # Common neighbors: the triangle_count pair CTE, full symmetrized
+        # adjacency, centers with degree > 256 excluded on both sides,
+        # non-adjacent pairs only, (cn DESC, p1, p2) total order.
+        "common_neighbors_topk": """
+            WITH pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+              FROM lineitem a
+              JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            e AS (SELECT p1, p2 FROM pairs WHERE n >= 2),
+            sym AS (
+              SELECT p1 AS a, p2 AS b FROM e
+              UNION ALL SELECT p2 AS a, p1 AS b FROM e
+            ),
+            deg AS (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+            ctr AS (SELECT a FROM deg WHERE d BETWEEN 2 AND 256),
+            w AS (
+              SELECT s1.b AS u, s2.b AS v
+              FROM sym s1 JOIN sym s2 ON s2.a = s1.a AND s2.b > s1.b
+              WHERE s1.a IN (SELECT a FROM ctr)
+            ),
+            cn AS (SELECT u, v, count(*)::BIGINT AS cn FROM w GROUP BY 1, 2),
+            ne AS (
+              SELECT cn.u, cn.v, cn.cn FROM cn
+              LEFT JOIN e ON e.p1 = cn.u AND e.p2 = cn.v
+              WHERE e.p1 IS NULL
+            )
+            SELECT u::BIGINT AS p1, v::BIGINT AS p2, cn FROM ne
+            ORDER BY cn DESC, p1, p2 LIMIT 20
+        """,
+        # Trigram paths: two leads over the event_transitions order
+        # (ts, event_id per user); ppm floors over the trigram total.
+        "event_trigrams": """
+            WITH ordered AS (
+              SELECT event_type AS t1,
+                     lead(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS t2,
+                     lead(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS t3
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            tri AS (
+              SELECT t1, t2, t3, count(*)::BIGINT AS n
+              FROM ordered WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+            ),
+            tot AS (SELECT sum(n)::BIGINT AS t FROM tri)
+            SELECT t1, t2, t3, n,
+                   (n * 1000000 // greatest(tot.t, 1))::BIGINT AS p_ppm
+            FROM tri CROSS JOIN tot ORDER BY t1, t2, t3
+        """,
+        # HHI per nation: HUGEINT Σcents², one double division matching
+        # the engine's float(sxx)/float(sx*sx) operand order.
+        "herfindahl_by_nation": """
+            WITH rev AS (
+              SELECT l_suppkey AS k,
+                     sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+              FROM lineitem GROUP BY 1
+            ),
+            j AS (
+              SELECT n_name, cents::HUGEINT AS cents
+              FROM rev
+              JOIN supplier ON s_suppkey = k
+              JOIN nation ON n_nationkey = s_nationkey
+            ),
+            s AS (
+              SELECT n_name, count(*)::BIGINT AS n, sum(cents) AS sx,
+                     sum(cents * cents) AS sxx
+              FROM j GROUP BY 1
+            )
+            SELECT n_name, n AS n_suppliers, sx::BIGINT AS sum_cents,
+                   CASE WHEN sx = 0 THEN 0
+                        ELSE round_even(sxx::DOUBLE / (sx * sx)::DOUBLE
+                                        * 1000000, 0)::BIGINT
+                   END AS hhi_ppm
+            FROM s ORDER BY n_name
         """,
         # Benford screen: first digit from the integer cents' decimal
         # string (no float log10 at power-of-ten edges); ppm floors.

@@ -423,6 +423,17 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
             ).rfm_segments
         ),
+        "common_neighbors_topk": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.basket", fromlist=["x"]
+            ).common_neighbors_topk
+        ),
+        "event_trigrams": timed(analytics.event_trigrams),
+        "herfindahl_by_nation": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.profile", fromlist=["x"]
+            ).herfindahl_by_nation
+        ),
     }
 
     result = {

@@ -775,6 +775,75 @@ def event_transitions(sf_dir: str, *, num_buckets: int = 64) -> pa.Table:
     )
 
 
+def event_trigrams(sf_dir: str, *, num_buckets: int = 64) -> pa.Table:
+    """Per-user 3-step event-type paths — the path-mining extension of
+    `event_transitions` (which 2-step Markov view misses: 'click ->
+    view -> purchase' vs 'view -> click -> purchase' have identical
+    bigrams but different intents).  For every three CONSECUTIVE events
+    of one user (order = ``ts, event_id``, the `event_transitions`
+    convention), the global path count and its share of all trigrams in
+    exact integer ppm (floor on both sides).
+
+    Scale shape: identical to `event_transitions` — ONE ``user_id % B``
+    bucket shuffle, per-bucket vectorized sort + double shift folding to
+    <= |types|^3 partial rows per bucket, tiny global groupby; the
+    result is constant-size at any corpus.  Returns (t1, t2, t3, n,
+    p_ppm) sorted by (t1, t2, t3).
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch.column("user_id")), pc.is_valid(batch.column("ts")))
+        )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def bucket_triples(group: pa.Table) -> pa.Table:
+        df = group.select(["event_id", "user_id", "ts", "event_type"]).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"]
+        n2 = g.shift(-1)
+        n3 = g.shift(-2)
+        ok = n3.notna()  # implies n2 notna (shift -1 of same group)
+        part = (
+            pd.DataFrame(
+                {"t1": df["event_type"][ok], "t2": n2[ok], "t3": n3[ok]}
+            )
+            .groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_triples, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = sorted(
+        ((r["t1"], r["t2"], r["t3"], int(r["n"])) for r in agg.take_all())
+    )
+    total = sum(r[3] for r in rows)
+    return pa.table(
+        {
+            "t1": pa.array([r[0] for r in rows], pa.string()),
+            "t2": pa.array([r[1] for r in rows], pa.string()),
+            "t3": pa.array([r[2] for r in rows], pa.string()),
+            "n": pa.array([r[3] for r in rows], pa.int64()),
+            "p_ppm": pa.array(
+                [r[3] * 1_000_000 // max(total, 1) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
 def user_active_coverage(
     sf_dir: str, *, window_min: int = 30, num_buckets: int = 64
 ) -> rd.Dataset:

@@ -778,3 +778,112 @@ def gini_by_segment(sf_dir: str, *, num_buckets: int = 64, chunk: int = 8192) ->
             }
         )
     )
+
+
+def herfindahl_by_nation(sf_dir: str, *, chunk: int = 8192) -> rd.Dataset:
+    """Market concentration (Herfindahl-Hirschman index) of supplier
+    revenue within each nation — the antitrust-style concentration screen
+    that complements `gini_by_segment` (Gini measures inequality of the
+    distribution, HHI the dominance of its top): with per-supplier revenue
+    shares s_i,  HHI = Σ s_i² = Σ cents_i² / (Σ cents)².
+
+    All sums are EXACT integers (squares chunk-summed in int64 slices and
+    carried as Python-int decimal strings — cents² overflows int64 at any
+    real revenue); the single float division happens once per nation with
+    the same operand order as the HUGEINT twin, quantized to ppm (10 000
+    ppm = the DOJ's "highly concentrated" 0.25 line would be 250 000).
+
+    Scale shape: one suppkey-keyed aggregate (map-side combined) folds
+    lineitem to per-supplier revenue; nation attaches via the broadcast
+    supplier+nation dims; per-nation (n, Σx, Σx²) partials are
+    nations-sized strings folded on the driver.  Returns
+    (n_name, n_suppliers, sum_cents, hhi_ppm) sorted by nation name.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .analytics import _cents
+    from .joins import _get_broadcast
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": batch.column("l_suppkey").cast(pa.int64()),
+                "cents": _cents(batch.column("l_extendedprice")),
+            }
+        )
+        agg = pa.TableGroupBy(t, "k").aggregate([("cents", "sum")])
+        return pa.table(
+            {"k": agg.column("k"), "cents": agg.column("cents_sum").cast(pa.int64())}
+        )
+
+    rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("k")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    supp = sf_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()
+    nat = sf_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).take_all()
+    nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+    nation_of = {r["s_suppkey"]: nname[r["s_nationkey"]] for r in supp}
+    nat_ref = ray.put(nation_of)
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lookup = _get_broadcast(nat_ref)
+        keys = pd.Series(batch.column("k").to_numpy(zero_copy_only=False))
+        nats_s = keys.map(lookup)
+        hit = nats_s.notna().to_numpy()
+        nats = nats_s.to_numpy()
+        c = batch.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        out = {"nation": [], "n": [], "sx": [], "sxx": []}
+        for name in np.unique(nats[hit].astype(str)) if hit.any() else []:
+            sel = hit & (nats == name)
+            xs = c[sel].astype(np.int64)
+            # cents² exceeds int64 PER ELEMENT (3e9² ≈ 9e18 ≈ int64 max):
+            # object dtype squares in arbitrary precision — this runs on
+            # the suppliers-sized aggregate, not the row stream.
+            xo = xs.astype(object)
+            sxx = int((xo * xo).sum())
+            out["nation"].append(str(name))
+            out["n"].append(int(sel.sum()))
+            out["sx"].append(str(int(xs.sum())))
+            out["sxx"].append(str(sxx))
+        return pa.table(
+            {
+                "nation": pa.array(out["nation"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "sx": pa.array(out["sx"], pa.string()),
+                "sxx": pa.array(out["sxx"], pa.string()),
+            }
+        )
+
+    rows = rev.map_batches(nation_partial, batch_format="pyarrow").take_all()
+    fold: dict[str, list[int]] = {}
+    for r in rows:
+        a = fold.setdefault(r["nation"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["sx"])
+        a[2] += int(r["sxx"])
+    names = sorted(fold)
+    out_n, out_sx, out_h = [], [], []
+    for nm in names:
+        n, sx, sxx = fold[nm]
+        h = 0 if sx == 0 else int(np.round(float(sxx) / float(sx * sx) * 1_000_000))
+        out_n.append(n)
+        out_sx.append(sx)
+        out_h.append(h)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "n_suppliers": pa.array(out_n, pa.int64()),
+                "sum_cents": pa.array(out_sx, pa.int64()),
+                "hhi_ppm": pa.array(out_h, pa.int64()),
+            }
+        )
+    )
