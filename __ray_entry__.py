@@ -459,6 +459,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # supplier-revenue HHI per nation from exact Σcents² strings;
         # HUGEINT twin, one float at the end.
         "herfindahl_by_nation": profile.herfindahl_by_nation,
+        # bfs_hops (tenth round-4 continuation, never gated): single-source
+        # BFS hop histogram via min-hop label propagation with a
+        # (count, Σhop) convergence witness; recursive-CTE twin.
+        "bfs_hops": graph.bfs_hops,
+        # weekday_seasonality (tenth round-4 continuation, never gated):
+        # day-of-week revenue indices, cross-multiplied exact-integer
+        # ppm (no float anywhere); isodow twin.
+        "weekday_seasonality": analytics.weekday_seasonality,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1217,6 +1225,57 @@ def oracle_sql() -> dict[str, str]:
                                         * 1000000, 0)::BIGINT
                    END AS hhi_ppm
             FROM s ORDER BY n_name
+        """,
+        # BFS hops: recursive CTE over the symmetrized support-filtered
+        # edges from the deterministic max-degree seed; UNION dedups
+        # (node, hop) pairs and hop < 15 bounds cycles — the engine's
+        # 16-round witness raises loudly beyond the same bound.
+        "bfs_hops": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+              FROM lineitem a
+              JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            e AS (SELECT p1, p2 FROM pairs WHERE n >= 2),
+            sym AS (
+              SELECT p1 AS a, p2 AS b FROM e
+              UNION ALL SELECT p2 AS a, p1 AS b FROM e
+            ),
+            deg AS (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+            seed AS (SELECT a FROM deg ORDER BY d DESC, a LIMIT 1),
+            r AS (
+              SELECT a AS node, 0 AS hop FROM seed
+              UNION
+              SELECT sym.b, r.hop + 1
+              FROM r JOIN sym ON sym.a = r.node WHERE r.hop < 15
+            ),
+            d AS (SELECT node, min(hop)::BIGINT AS hop FROM r GROUP BY 1)
+            SELECT hop, count(*)::BIGINT AS n_parts
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        # Weekday indices: isodow (Monday = 1, the engine's weekday()+1)
+        # over the daily aggregate; cross-multiplied HUGEINT ratio, floor
+        # division exact on the non-negative revenue grid.
+        "weekday_seasonality": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS day,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS cents
+              FROM events GROUP BY 1
+            ),
+            w AS (
+              SELECT isodow(day)::BIGINT AS isodow, count(*)::HUGEINT AS n_days,
+                     sum(cents::HUGEINT) AS cents
+              FROM d GROUP BY 1
+            ),
+            t AS (SELECT sum(n_days) AS n_all, sum(cents) AS s_all FROM w)
+            SELECT isodow, n_days::BIGINT AS n_days, cents::BIGINT AS cents,
+                   CASE WHEN n_days * s_all = 0 THEN 0
+                        ELSE (cents * n_all * 1000000
+                              // (n_days * s_all))::BIGINT
+                   END AS idx_ppm
+            FROM w CROSS JOIN t ORDER BY isodow
         """,
         # Benford screen: first digit from the integer cents' decimal
         # string (no float log10 at power-of-ten edges); ppm floors.

@@ -434,6 +434,12 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.profile", fromlist=["x"]
             ).herfindahl_by_nation
         ),
+        "bfs_hops": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.graph", fromlist=["x"]
+            ).bfs_hops
+        ),
+        "weekday_seasonality": timed(analytics.weekday_seasonality),
     }
 
     result = {

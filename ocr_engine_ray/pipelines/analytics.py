@@ -844,6 +844,64 @@ def event_trigrams(sf_dir: str, *, num_buckets: int = 64) -> pa.Table:
     )
 
 
+def weekday_seasonality(sf_dir: str) -> rd.Dataset:
+    """Day-of-week seasonal indices of event revenue — the decomposition
+    `theil_sen_daily` (trend) and `weekly_trends` (WoW deltas) leave out:
+    how far each weekday's MEAN daily revenue sits from the all-days mean,
+    as an exact integer ppm ratio (no float anywhere):
+        idx_ppm = (Σcents_wd · n_all · 10^6) // (n_wd · Σcents_all).
+
+    Scale shape: ONE day-keyed aggregate folds the event stream to the
+    calendar-sized daily table (constant at any corpus size); the weekday
+    fold and cross-multiplied ratios run on the driver in exact Python
+    ints.  Returns (isodow, n_days, cents, idx_ppm) for the observed
+    weekdays, isodow 1 = Monday (ISO, DuckDB ``isodow``).
+    """
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "cents": _cents(batch.column("value"))})
+        agg = pa.TableGroupBy(t, "day").aggregate([("cents", "sum")])
+        return pa.table(
+            {"day": agg.column("day"), "cents": agg.column("cents_sum").cast(pa.int64())}
+        )
+
+    daily = (
+        ev.map_batches(day_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # calendar-sized
+    )
+    per_wd: dict[int, list[int]] = {}
+    for r in daily:
+        wd = r["day"].weekday() + 1  # ISO: Monday = 1
+        a = per_wd.setdefault(wd, [0, 0])
+        a[0] += 1
+        a[1] += int(r["cents"])
+    n_all = sum(a[0] for a in per_wd.values())
+    s_all = sum(a[1] for a in per_wd.values())
+    wds = sorted(per_wd)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "isodow": pa.array(wds, pa.int64()),
+                "n_days": pa.array([per_wd[w][0] for w in wds], pa.int64()),
+                "cents": pa.array([per_wd[w][1] for w in wds], pa.int64()),
+                "idx_ppm": pa.array(
+                    [
+                        per_wd[w][1] * n_all * 1_000_000 // (per_wd[w][0] * s_all)
+                        if per_wd[w][0] * s_all > 0
+                        else 0
+                        for w in wds
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+
 def user_active_coverage(
     sf_dir: str, *, window_min: int = 30, num_buckets: int = 64
 ) -> rd.Dataset:

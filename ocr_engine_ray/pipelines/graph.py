@@ -344,3 +344,141 @@ def kcore_digest(sf_dir: str, **kwargs) -> pa.Table:
         )
 
     return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+
+
+BFS_MAX_ROUNDS = 16
+
+
+def bfs_hops(
+    sf_dir: str,
+    *,
+    min_support: int = 2,
+    num_buckets: int = 64,
+    max_rounds: int = BFS_MAX_ROUNDS,
+) -> rd.Dataset:
+    """Hop-distance histogram of the co-purchase graph from its
+    highest-degree part (ties by smallest id) — single-source BFS, the
+    remaining classic in the graph family (CC answers "which component",
+    k-core "how dense", PageRank "how central"; BFS answers "how far"):
+    how many parts sit 1, 2, 3... co-purchase hops from the hub.
+
+    Distributed min-hop label propagation: each round co-buckets the
+    current (node, hop) frontier with the symmetrized adjacency by source
+    endpoint, emits (neighbor, hop+1) candidates, and folds
+    ``groupby(node).min(hop)`` — exactly the CC contraction shape with
+    min-dist in place of min-label.  Per-node hops are MONOTONE
+    non-increasing and the node set monotone non-decreasing, so the
+    (count, Σhop) pair is a convergence witness: unchanged ⇔ fixed point.
+    Converges in diameter rounds; raises LOUDLY past ``max_rounds`` (the
+    `kcore_members` contract — silent truncation would desync the twin,
+    whose recursive CTE expands hops < ``max_rounds``).
+
+    Unreached parts are absent (the recursive twin never visits them).
+    Returns (hop, n_parts) sorted by hop.
+    """
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .basket import copurchase_edges
+
+    edges = copurchase_edges(
+        sf_dir, min_support=min_support, num_buckets=num_buckets
+    )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column("p1").to_numpy(zero_copy_only=False)
+        b = batch.column("p2").to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "bkt": pa.array((src % num_buckets).astype(np.int64)),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "hop": pa.array(np.full(len(src), -1, dtype=np.int64)),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if sym.count() == 0:
+        return rd.from_arrow(
+            pa.table({"hop": pa.array([], pa.int64()), "n_parts": pa.array([], pa.int64())})
+        )
+
+    # seed = highest full degree, smallest id on ties (deterministic, and
+    # computable as a tiny aggregate on both sides)
+    degs = (
+        sym.groupby("src").aggregate(Count(alias_name="d")).take_all()
+    )
+    seed = min(degs, key=lambda r: (-int(r["d"]), int(r["src"])))["src"]
+
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([int(seed)], pa.int64()),
+                "hop": pa.array([0], pa.int64()),
+            }
+        )
+    ).materialize()
+    prev_stats = (1, 0)
+
+    def dist_side(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((n % num_buckets).astype(np.int64)),
+                "src": pa.array(n),
+                "dst": pa.array(np.full(len(n), -1, dtype=np.int64)),
+                "hop": batch.column("hop"),
+            }
+        )
+
+    def expand(group: pa.Table) -> pa.Table:
+        src = group.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        dst = group.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        hop = group.column("hop").combine_chunks().to_numpy(zero_copy_only=False)
+        is_dist = dst == -1
+        dn, dh = src[is_dist], hop[is_dist]
+        order = np.argsort(dn, kind="stable")
+        dn, dh = dn[order], dh[order]
+        es, ed = src[~is_dist], dst[~is_dist]
+        if len(es) and len(dn):
+            pos = np.searchsorted(dn, es)
+            ok = (pos < len(dn)) & (dn[np.minimum(pos, len(dn) - 1)] == es)
+            cand_n, cand_h = ed[ok], dh[pos[ok]] + 1
+        else:
+            cand_n = np.array([], dtype=np.int64)
+            cand_h = np.array([], dtype=np.int64)
+        # keep the bucket's own dist rows so the union below is complete
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([src[is_dist], cand_n])),
+                "hop": pa.array(np.concatenate([hop[is_dist], cand_h])),
+            }
+        )
+
+    for _ in range(max_rounds):
+        cand = (
+            sym.union(dist.map_batches(dist_side, batch_format="pyarrow"))
+            .groupby("bkt")
+            .map_groups(expand, batch_format="pyarrow")
+        )
+        dist = (
+            cand.groupby("node").aggregate(Min("hop", alias_name="hop")).materialize()
+        )
+        n_nodes = dist.count()
+        sum_hop = dist.sum("hop") or 0
+        if (n_nodes, sum_hop) == prev_stats:
+            break
+        prev_stats = (n_nodes, sum_hop)
+    else:
+        raise RuntimeError(
+            f"bfs_hops did not converge in {max_rounds} rounds "
+            f"(graph diameter exceeds the twin's recursion bound)"
+        )
+
+    return (
+        dist.groupby("hop")
+        .aggregate(Count(alias_name="n_parts"))
+        .sort("hop")
+    )
