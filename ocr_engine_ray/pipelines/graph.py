@@ -26,6 +26,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 
@@ -345,8 +346,89 @@ def kcore_digest(sf_dir: str, **kwargs) -> pa.Table:
 
     return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
 
-
 BFS_MAX_ROUNDS = 16
+BFS_SHARDS = 16
+
+
+@ray.remote
+class _BfsShard:
+    """One shard of the Pregel-style BFS index: owns the adjacency rows
+    whose SOURCE endpoint hashes to this shard (``src % num_shards``) and
+    the hop labels of exactly those nodes.  The adjacency loads ONCE and
+    never moves again — each superstep exchanges only frontier-sized
+    node arrays between shards via the object store (the driver routes
+    refs, never data).  This is the raw-actor escape hatch the Dataset
+    API cannot express: a static distributed index probed iteratively.
+    """
+
+    def __init__(self, shard_id: int, num_shards: int) -> None:
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self.src = np.array([], dtype=np.int64)
+        self.dst = np.array([], dtype=np.int64)
+        self.dist: dict[int, int] = {}
+
+    def load(self, src: np.ndarray, dst: np.ndarray) -> None:
+        self._src_parts.append(src)
+        self._dst_parts.append(dst)
+
+    def seal(self):
+        """Sort-index the loaded adjacency; return (max_degree, min_id
+        among max-degree nodes) for the deterministic global seed pick."""
+        if self._src_parts:
+            src = np.concatenate(self._src_parts)
+            dst = np.concatenate(self._dst_parts)
+            order = np.argsort(src, kind="stable")
+            self.src, self.dst = src[order], dst[order]
+            self._src_parts, self._dst_parts = [], []
+        if not len(self.src):
+            return None
+        verts, counts = np.unique(self.src, return_counts=True)
+        dmax = int(counts.max())
+        return (dmax, int(verts[counts == dmax].min()))
+
+    def start(self, seed: int) -> list[np.ndarray]:
+        """Superstep 0: claim the seed if owned; return per-shard
+        neighbor arrays (empty list if the seed lives elsewhere)."""
+        if seed % self.num_shards != self.shard_id:
+            return [np.array([], dtype=np.int64)] * self.num_shards
+        self.dist[seed] = 0
+        return self._neighbors_of(np.array([seed], dtype=np.int64))
+
+    def step(self, hop: int, *frontier_parts: np.ndarray) -> list[np.ndarray]:
+        """One superstep: claim unvisited arrivals at ``hop``, return
+        their neighbors sliced by destination shard."""
+        cand = (
+            np.unique(np.concatenate(frontier_parts))
+            if frontier_parts
+            else np.array([], dtype=np.int64)
+        )
+        fresh = np.array(
+            [n for n in cand.tolist() if n not in self.dist], dtype=np.int64
+        )
+        for n in fresh.tolist():
+            self.dist[n] = hop
+        return self._neighbors_of(fresh)
+
+    def _neighbors_of(self, nodes: np.ndarray) -> list[np.ndarray]:
+        if not len(nodes) or not len(self.src):
+            return [np.array([], dtype=np.int64)] * self.num_shards
+        lo = np.searchsorted(self.src, nodes, side="left")
+        hi = np.searchsorted(self.src, nodes, side="right")
+        spans = [self.dst[a:b] for a, b in zip(lo, hi) if b > a]
+        if not spans:
+            return [np.array([], dtype=np.int64)] * self.num_shards
+        nbr = np.unique(np.concatenate(spans))
+        owner = nbr % self.num_shards
+        return [nbr[owner == b] for b in range(self.num_shards)]
+
+    def histogram(self) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for h in self.dist.values():
+            out[h] = out.get(h, 0) + 1
+        return out
 
 
 def bfs_hops(
@@ -354,131 +436,99 @@ def bfs_hops(
     *,
     min_support: int = 2,
     num_buckets: int = 64,
+    num_shards: int = BFS_SHARDS,
     max_rounds: int = BFS_MAX_ROUNDS,
 ) -> rd.Dataset:
     """Hop-distance histogram of the co-purchase graph from its
     highest-degree part (ties by smallest id) — single-source BFS, the
     remaining classic in the graph family (CC answers "which component",
-    k-core "how dense", PageRank "how central"; BFS answers "how far"):
-    how many parts sit 1, 2, 3... co-purchase hops from the hub.
+    k-core "how dense", PageRank "how central"; BFS answers "how far").
 
-    Distributed min-hop label propagation: each round co-buckets the
-    current (node, hop) frontier with the symmetrized adjacency by source
-    endpoint, emits (neighbor, hop+1) candidates, and folds
-    ``groupby(node).min(hop)`` — exactly the CC contraction shape with
-    min-dist in place of min-label.  Per-node hops are MONOTONE
-    non-increasing and the node set monotone non-decreasing, so the
-    (count, Σhop) pair is a convergence witness: unchanged ⇔ fixed point.
-    Converges in diameter rounds; raises LOUDLY past ``max_rounds`` (the
-    `kcore_members` contract — silent truncation would desync the twin,
-    whose recursive CTE expands hops < ``max_rounds``).
+    Pregel-style supersteps over an actor-sharded adjacency index: the
+    symmetrized edge set partitions ONCE by source endpoint into
+    ``num_shards`` stateful actors (pushed worker→actor through the
+    object store inside ``map_batches`` — the driver never touches edge
+    data); each round exchanges only frontier-sized node arrays between
+    shards, so round cost is O(frontier), not O(E) — the groupby-join
+    BFS alternative re-co-partitions the full static adjacency with the
+    dist table EVERY round (measured 335 s vs ~3 s at 8x gate scale).
+    Terminates when every frontier empties (exact — level-synchronous
+    BFS visits each node at its minimal hop); raises LOUDLY past
+    ``max_rounds``, the recursion bound mirrored in the twin's
+    ``hop < 15`` recursive CTE guard.
 
     Unreached parts are absent (the recursive twin never visits them).
     Returns (hop, n_parts) sorted by hop.
     """
-    import ray
-    from ray.data.aggregate import Count, Min, Sum
-
     from .basket import copurchase_edges
 
     edges = copurchase_edges(
         sf_dir, min_support=min_support, num_buckets=num_buckets
     )
+    shards = [_BfsShard.remote(i, num_shards) for i in range(num_shards)]
 
-    def symmetrize(batch: pa.Table) -> pa.Table:
+    def push(batch: pa.Table) -> pa.Table:
         a = batch.column("p1").to_numpy(zero_copy_only=False)
         b = batch.column("p2").to_numpy(zero_copy_only=False)
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
-        return pa.table(
-            {
-                "bkt": pa.array((src % num_buckets).astype(np.int64)),
-                "src": pa.array(src),
-                "dst": pa.array(dst),
-                "hop": pa.array(np.full(len(src), -1, dtype=np.int64)),
-            }
-        )
+        src = np.concatenate([a, b]).astype(np.int64)
+        dst = np.concatenate([b, a]).astype(np.int64)
+        owner = src % num_shards
+        refs = [
+            shards[s].load.remote(src[owner == s], dst[owner == s])
+            for s in range(num_shards)
+            if (owner == s).any()
+        ]
+        ray.get(refs)  # backpressure: the batch is loaded before moving on
+        return pa.table({"n": pa.array([len(src)], pa.int64())})
 
-    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
-    if sym.count() == 0:
+    loaded = edges.map_batches(push, batch_format="pyarrow").sum("n") or 0
+    if not loaded:
+        [ray.kill(s) for s in shards]
         return rd.from_arrow(
-            pa.table({"hop": pa.array([], pa.int64()), "n_parts": pa.array([], pa.int64())})
+            pa.table(
+                {"hop": pa.array([], pa.int64()), "n_parts": pa.array([], pa.int64())}
+            )
         )
 
-    # seed = highest full degree, smallest id on ties (deterministic, and
-    # computable as a tiny aggregate on both sides)
-    degs = (
-        sym.groupby("src").aggregate(Count(alias_name="d")).take_all()
-    )
-    seed = min(degs, key=lambda r: (-int(r["d"]), int(r["src"])))["src"]
+    try:
+        bests = [b for b in ray.get([s.seal.remote() for s in shards]) if b]
+        # deterministic global seed: max degree, then smallest id
+        seed = min(bests, key=lambda t: (-t[0], t[1]))[1]
 
-    dist = rd.from_arrow(
+        # superstep 0
+        outboxes = ray.get([s.start.remote(seed) for s in shards])
+        for rnd in range(1, max_rounds + 1):
+            # route: shard b receives every shard's slice for b
+            inbound = [
+                [box[b] for box in outboxes if len(box[b])]
+                for b in range(num_shards)
+            ]
+            if not any(inbound):
+                break
+            outboxes = ray.get(
+                [
+                    shards[b].step.remote(rnd, *inbound[b])
+                    for b in range(num_shards)
+                ]
+            )
+        else:
+            raise RuntimeError(
+                f"bfs_hops did not converge in {max_rounds} rounds "
+                f"(graph diameter exceeds the twin's recursion bound)"
+            )
+
+        hist: dict[int, int] = {}
+        for part in ray.get([s.histogram.remote() for s in shards]):
+            for h, n in part.items():
+                hist[h] = hist.get(h, 0) + n
+    finally:
+        [ray.kill(s) for s in shards]
+    hops = sorted(hist)
+    return rd.from_arrow(
         pa.table(
             {
-                "node": pa.array([int(seed)], pa.int64()),
-                "hop": pa.array([0], pa.int64()),
+                "hop": pa.array(hops, pa.int64()),
+                "n_parts": pa.array([hist[h] for h in hops], pa.int64()),
             }
         )
-    ).materialize()
-    prev_stats = (1, 0)
-
-    def dist_side(batch: pa.Table) -> pa.Table:
-        n = batch.column("node").combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bkt": pa.array((n % num_buckets).astype(np.int64)),
-                "src": pa.array(n),
-                "dst": pa.array(np.full(len(n), -1, dtype=np.int64)),
-                "hop": batch.column("hop"),
-            }
-        )
-
-    def expand(group: pa.Table) -> pa.Table:
-        src = group.column("src").combine_chunks().to_numpy(zero_copy_only=False)
-        dst = group.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
-        hop = group.column("hop").combine_chunks().to_numpy(zero_copy_only=False)
-        is_dist = dst == -1
-        dn, dh = src[is_dist], hop[is_dist]
-        order = np.argsort(dn, kind="stable")
-        dn, dh = dn[order], dh[order]
-        es, ed = src[~is_dist], dst[~is_dist]
-        if len(es) and len(dn):
-            pos = np.searchsorted(dn, es)
-            ok = (pos < len(dn)) & (dn[np.minimum(pos, len(dn) - 1)] == es)
-            cand_n, cand_h = ed[ok], dh[pos[ok]] + 1
-        else:
-            cand_n = np.array([], dtype=np.int64)
-            cand_h = np.array([], dtype=np.int64)
-        # keep the bucket's own dist rows so the union below is complete
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([src[is_dist], cand_n])),
-                "hop": pa.array(np.concatenate([hop[is_dist], cand_h])),
-            }
-        )
-
-    for _ in range(max_rounds):
-        cand = (
-            sym.union(dist.map_batches(dist_side, batch_format="pyarrow"))
-            .groupby("bkt")
-            .map_groups(expand, batch_format="pyarrow")
-        )
-        dist = (
-            cand.groupby("node").aggregate(Min("hop", alias_name="hop")).materialize()
-        )
-        n_nodes = dist.count()
-        sum_hop = dist.sum("hop") or 0
-        if (n_nodes, sum_hop) == prev_stats:
-            break
-        prev_stats = (n_nodes, sum_hop)
-    else:
-        raise RuntimeError(
-            f"bfs_hops did not converge in {max_rounds} rounds "
-            f"(graph diameter exceeds the twin's recursion bound)"
-        )
-
-    return (
-        dist.groupby("hop")
-        .aggregate(Count(alias_name="n_parts"))
-        .sort("hop")
     )

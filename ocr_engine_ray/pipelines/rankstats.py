@@ -168,15 +168,17 @@ def spearman_qty_price(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
     (orderkey, linenumber) does NOT uniquely key this table, and rows
     whose full (okey, lineno, x, y) tuple duplicates are interchangeable
     for both rankings (equal x AND equal y → consecutive uid, rank pairs
-    shift together), so the uid tie among them is inert.  Both variables
-    then rank in ONE union shuffle (tag 0 = quantity, tag 1 = price;
-    offsets keyed by (tag, bucket); ties break by uid) and
+    shift together), so the uid tie among them is inert.  Then rank_x and
+    rank_y are CHAINED passes that carry the row through (uid pass →
+    x-rank pass attaches rx → y-rank pass attaches ry and folds Σd²
+    in-place): three pipelined shuffles of n narrow rows, versus the
+    union-both-tags + zip-by-uid alternative's 5n shuffle volume — and
+    every per-bucket rank offset comes from tiny histograms computed
+    ONCE off the materialized base, so nothing re-executes.
         rho = 1 - 6·Σd² / (n·(n²-1))
-    is exact-integer up to the single final division.  A third uid-keyed
-    shuffle zips (rank_x, rank_y) per row — uid is dense, so ``uid % B``
-    buckets are perfectly balanced.  Returns (n, sum_d2, rho_ppm) with
-    sum_d2 as an exact decimal string (Σd² ≤ n³ overflows int64 past ~2M
-    rows).
+    is exact-integer up to the single final division.  Returns
+    (n, sum_d2, rho_ppm) with sum_d2 as an exact decimal string (Σd² ≤ n³
+    overflows int64 past ~2M rows).
     """
     li = sf_table(
         sf_dir,
@@ -196,20 +198,39 @@ def spearman_qty_price(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
 
     rows0 = li.map_batches(to_cents, batch_format="pyarrow").materialize()
     mxo = rows0.max("okey") or 0
+    mxx = rows0.max("x") or 0
+    mxy = rows0.max("y") or 0
+
+    def histogram(col: str, mx: int) -> dict[int, int]:
+        def part(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+            bkt = np.clip((v * num_buckets) // (int(mx) + 1), 0, num_buckets - 1)
+            uniq, counts = np.unique(bkt, return_counts=True)
+            return pa.table(
+                {"bkt": pa.array(uniq.astype(np.int64)), "n": pa.array(counts.astype(np.int64))}
+            )
+
+        parts = (
+            rows0.map_batches(part, batch_format="pyarrow")
+            .groupby("bkt")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        off: dict[int, int] = {}
+        acc = 0
+        for r in sorted(parts, key=lambda r: r["bkt"]):
+            off[int(r["bkt"])] = acc
+            acc += int(r["n"])
+        return off
+
+    koff_ref = ray.put(histogram("okey", mxo))
+    xoff_ref = ray.put(histogram("x", mxx))
+    yoff_ref = ray.put(histogram("y", mxy))
 
     def kbucket(batch: pa.Table) -> pa.Table:
         k = batch.column("okey").combine_chunks().to_numpy(zero_copy_only=False)
-        bkt = (k * num_buckets) // (int(mxo) + 1)
-        return batch.append_column("bkt", pa.array(np.clip(bkt, 0, num_buckets - 1)))
-
-    kb = rows0.map_batches(kbucket, batch_format="pyarrow").materialize()
-    kparts = kb.groupby("bkt").aggregate(Count(alias_name="n")).take_all()
-    koff: dict[int, int] = {}
-    kacc = 0
-    for r in sorted(kparts, key=lambda r: r["bkt"]):
-        koff[int(r["bkt"])] = kacc
-        kacc += int(r["n"])
-    koff_ref = ray.put(koff)
+        bkt = np.clip((k * num_buckets) // (int(mxo) + 1), 0, num_buckets - 1)
+        return batch.append_column("bkt", pa.array(bkt.astype(np.int64)))
 
     def uid_group(group: pa.Table) -> pa.Table:
         off = _get_broadcast(koff_ref)
@@ -221,100 +242,63 @@ def spearman_qty_price(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         order = np.lexsort((y, x, lineno, okey))
         uid = np.empty(len(okey), dtype=np.int64)
         uid[order] = base + np.arange(1, len(okey) + 1, dtype=np.int64)
-        return pa.table({"rid": pa.array(uid), "x": pa.array(x), "y": pa.array(y)})
+        return pa.table({"uid": pa.array(uid), "x": pa.array(x), "y": pa.array(y)})
 
-    withuid = kb.groupby("bkt").map_groups(uid_group, batch_format="pyarrow")
-
-    def explode(batch: pa.Table) -> pa.Table:
-        rid = batch.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
-        x = batch.column("x").combine_chunks().to_numpy(zero_copy_only=False)
-        y = batch.column("y").combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "rid": pa.array(np.concatenate([rid, rid])),
-                "v": pa.array(np.concatenate([x, y])),
-                "tag": pa.array(
-                    np.concatenate(
-                        [np.zeros(len(rid), np.int64), np.ones(len(rid), np.int64)]
-                    )
-                ),
-            }
-        )
-
-    tagged = withuid.map_batches(explode, batch_format="pyarrow").materialize()
-    mxs = (
-        tagged.groupby("tag").aggregate(Max("v", alias_name="mx")).take_all()
-    )
-    mx_of = {int(r["tag"]): int(r["mx"]) for r in mxs}
-    mx_ref = ray.put(mx_of)
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        mx = _get_broadcast(mx_ref)
-        v = batch.column("v").combine_chunks().to_numpy(zero_copy_only=False)
-        t = batch.column("tag").combine_chunks().to_numpy(zero_copy_only=False)
-        den = np.where(t == 0, mx.get(0, 0) + 1, mx.get(1, 0) + 1)
-        bkt = np.clip((v * num_buckets) // den, 0, num_buckets - 1)
-        return batch.append_column("bkt", pa.array(bkt.astype(np.int64)))
-
-    bucketed = tagged.map_batches(bucketize, batch_format="pyarrow").materialize()
-    parts = (
-        bucketed.groupby(["tag", "bkt"]).aggregate(Count(alias_name="n")).take_all()
-    )
-    offsets: dict[tuple[int, int], int] = {}
-    acc: dict[int, int] = {}
-    for r in sorted(parts, key=lambda r: (r["tag"], r["bkt"])):
-        offsets[(int(r["tag"]), int(r["bkt"]))] = acc.get(int(r["tag"]), 0)
-        acc[int(r["tag"])] = acc.get(int(r["tag"]), 0) + int(r["n"])
-    off_ref = ray.put(offsets)
-
-    def rank_group(group: pa.Table) -> pa.Table:
-        off = _get_broadcast(off_ref)
-        tag = int(group.column("tag")[0].as_py())
-        base = off[(tag, int(group.column("bkt")[0].as_py()))]
-        v = group.column("v").combine_chunks().to_numpy(zero_copy_only=False)
-        rid = group.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((rid, v))
-        rk = np.empty(len(v), dtype=np.int64)
-        rk[order] = base + np.arange(1, len(v) + 1, dtype=np.int64)
-        return pa.table(
-            {
-                "rid": pa.array(rid),
-                "tag": pa.array(np.full(len(v), tag, dtype=np.int64)),
-                "rank": pa.array(rk),
-            }
-        )
-
-    ranked = bucketed.groupby(["tag", "bkt"]).map_groups(
-        rank_group, batch_format="pyarrow"
+    withuid = (
+        rows0.map_batches(kbucket, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(uid_group, batch_format="pyarrow")
     )
 
-    zbuckets = num_buckets
+    def xbucket(batch: pa.Table) -> pa.Table:
+        v = batch.column("x").combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = np.clip((v * num_buckets) // (int(mxx) + 1), 0, num_buckets - 1)
+        return batch.append_column("xbkt", pa.array(bkt.astype(np.int64)))
 
-    def zbucket(batch: pa.Table) -> pa.Table:
-        rid = batch.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
-        return batch.append_column("zb", pa.array((rid % zbuckets).astype(np.int64)))
+    def rank_x(group: pa.Table) -> pa.Table:
+        off = _get_broadcast(xoff_ref)
+        base = off[int(group.column("xbkt")[0].as_py())]
+        v = group.column("x").combine_chunks().to_numpy(zero_copy_only=False)
+        uid = group.column("uid").combine_chunks().to_numpy(zero_copy_only=False)
+        y = group.column("y").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, v))
+        rx = np.empty(len(v), dtype=np.int64)
+        rx[order] = base + np.arange(1, len(v) + 1, dtype=np.int64)
+        return pa.table({"uid": pa.array(uid), "y": pa.array(y), "rx": pa.array(rx)})
 
-    def zip_partial(group: pa.Table) -> pa.Table:
-        rid = group.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
-        tag = group.column("tag").combine_chunks().to_numpy(zero_copy_only=False)
-        rk = group.column("rank").combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((tag, rid))
-        rs, ts = rk[order], tag[order]
-        # rows arrive as (rid, tag=0), (rid, tag=1) pairs after the sort
-        rx, ry = rs[ts == 0], rs[ts == 1]
+    ranked_x = (
+        withuid.map_batches(xbucket, batch_format="pyarrow")
+        .groupby("xbkt")
+        .map_groups(rank_x, batch_format="pyarrow")
+    )
+
+    def ybucket(batch: pa.Table) -> pa.Table:
+        v = batch.column("y").combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = np.clip((v * num_buckets) // (int(mxy) + 1), 0, num_buckets - 1)
+        return batch.append_column("ybkt", pa.array(bkt.astype(np.int64)))
+
+    def rank_y_fold(group: pa.Table) -> pa.Table:
+        off = _get_broadcast(yoff_ref)
+        base = off[int(group.column("ybkt")[0].as_py())]
+        v = group.column("y").combine_chunks().to_numpy(zero_copy_only=False)
+        uid = group.column("uid").combine_chunks().to_numpy(zero_copy_only=False)
+        rx = group.column("rx").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, v))
+        ry = np.empty(len(v), dtype=np.int64)
+        ry[order] = base + np.arange(1, len(v) + 1, dtype=np.int64)
         d = rx - ry
         return pa.table(
             {
-                "n": pa.array([len(rx)], pa.int64()),
+                "n": pa.array([len(v)], pa.int64()),
                 "sd2": pa.array([str(_str_sum(d * d))], pa.string()),
             }
         )
 
     rows = (
-        ranked.map_batches(zbucket, batch_format="pyarrow")
-        .groupby("zb")
-        .map_groups(zip_partial, batch_format="pyarrow")
-        .take_all()  # <= zbuckets rows
+        ranked_x.map_batches(ybucket, batch_format="pyarrow")
+        .groupby("ybkt")
+        .map_groups(rank_y_fold, batch_format="pyarrow")
+        .take_all()  # <= num_buckets rows
     )
     n = sum(int(r["n"]) for r in rows)
     sd2 = sum(int(r["sd2"]) for r in rows)
