@@ -467,6 +467,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # day-of-week revenue indices, cross-multiplied exact-integer
         # ppm (no float anywhere); isodow twin.
         "weekday_seasonality": analytics.weekday_seasonality,
+        # resource_allocation_topk (tenth round-4 continuation, never
+        # gated): hub-discounted link prediction on the exact
+        # RA_SCALE // deg grid; degree-join twin.
+        "resource_allocation_topk": basket.resource_allocation_topk,
+        # length_bucket_padding (tenth round-4 continuation, never
+        # gated): length-grouped vs natural batch padding waste, two
+        # distributed rankings, exact int64; dual-window twin.
+        "length_bucket_padding": packing.length_bucket_padding,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1177,6 +1185,87 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS p1, v::BIGINT AS p2, cn FROM ne
             ORDER BY cn DESC, p1, p2 LIMIT 20
+        """,
+        # Resource allocation: the common-neighbors wedge join with the
+        # center's degree attached; integer-floor 1e9 // deg scoring,
+        # (ra_score DESC, p1, p2) total order.
+        "resource_allocation_topk": """
+            WITH pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+              FROM lineitem a
+              JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            e AS (SELECT p1, p2 FROM pairs WHERE n >= 2),
+            sym AS (
+              SELECT p1 AS a, p2 AS b FROM e
+              UNION ALL SELECT p2 AS a, p1 AS b FROM e
+            ),
+            deg AS (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+            w AS (
+              SELECT s1.b AS u, s2.b AS v,
+                     (1000000000 // dg.d)::HUGEINT AS sc
+              FROM sym s1
+              JOIN sym s2 ON s2.a = s1.a AND s2.b > s1.b
+              JOIN deg dg ON dg.a = s1.a
+              WHERE dg.d BETWEEN 2 AND 256
+            ),
+            ra AS (
+              SELECT u, v, count(*)::BIGINT AS cn, sum(sc)::BIGINT AS ra_score
+              FROM w GROUP BY 1, 2
+            ),
+            ne AS (
+              SELECT ra.u, ra.v, ra.cn, ra.ra_score FROM ra
+              LEFT JOIN e ON e.p1 = ra.u AND e.p2 = ra.v
+              WHERE e.p1 IS NULL
+            )
+            SELECT u::BIGINT AS p1, v::BIGINT AS p2, cn, ra_score FROM ne
+            ORDER BY ra_score DESC, p1, p2 LIMIT 20
+        """,
+        # Batch padding: two row_number plans ((n_tokens, doc_id) vs
+        # doc_id), batch = (rn-1) // B, per-batch max·count − sum; the
+        # \\S+ tokenizer is the pack_sequences convention.
+        "length_bucket_padding": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT
+                       AS n
+              FROM documents
+            ),
+            s AS (
+              SELECT n,
+                     (row_number() OVER (ORDER BY n, doc_id) - 1) // 32 AS b
+              FROM t
+            ),
+            sb AS (
+              SELECT b, max(n) AS mx, sum(n) AS sm, count(*) AS c
+              FROM s GROUP BY 1
+            ),
+            nat AS (
+              SELECT n,
+                     (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b
+              FROM t
+            ),
+            nb AS (
+              SELECT b, max(n) AS mx, sum(n) AS sm, count(*) AS c
+              FROM nat GROUP BY 1
+            ),
+            agg AS (
+              SELECT
+                (SELECT count(*) FROM t)::BIGINT AS n_docs,
+                (SELECT count(*) FROM sb)::BIGINT AS n_batches,
+                (SELECT coalesce(sum(sm), 0) FROM sb)::BIGINT AS total_tokens,
+                (SELECT coalesce(sum(mx * c - sm), 0) FROM sb)::BIGINT
+                  AS padding_sorted,
+                (SELECT coalesce(sum(mx * c - sm), 0) FROM nb)::BIGINT
+                  AS padding_natural
+            )
+            SELECT 32::BIGINT AS batch_size, n_docs, n_batches, total_tokens,
+                   padding_sorted, padding_natural,
+                   ((padding_natural - padding_sorted) * 1000000
+                    // greatest(padding_natural, 1))::BIGINT AS saved_ppm
+            FROM agg
         """,
         # Trigram paths: two leads over the event_transitions order
         # (ts, event_id per user); ppm floors over the trigram total.

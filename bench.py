@@ -440,6 +440,16 @@ def run_bench() -> dict:
             ).bfs_hops
         ),
         "weekday_seasonality": timed(analytics.weekday_seasonality),
+        "resource_allocation_topk": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.basket", fromlist=["x"]
+            ).resource_allocation_topk
+        ),
+        "length_bucket_padding": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.packing", fromlist=["x"]
+            ).length_bucket_padding
+        ),
     }
 
     result = {

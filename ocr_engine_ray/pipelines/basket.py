@@ -726,3 +726,168 @@ def common_neighbors_topk(
         .sort(["cn", "p1", "p2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+RA_SCALE = 1_000_000_000
+
+
+def resource_allocation_topk(
+    sf_dir: str,
+    *,
+    min_support: int = BASKET_MIN_SUPPORT,
+    num_buckets: int = 64,
+    max_degree: int = CN_MAX_DEGREE,
+    k: int = CN_TOP_K,
+) -> rd.Dataset:
+    """Resource-allocation link prediction — `common_neighbors_topk` with
+    hub-discounted scoring (Zhou, Lü & Zhang 2009, the strongest of the
+    simple local indices): each shared neighbor w contributes 1/deg(w),
+    so a pair connected only through promiscuous hubs scores low.  On the
+    exact integer grid: contribution = ``RA_SCALE // deg(w)`` (floor on
+    both sides — no float anywhere), summed per non-adjacent pair.
+
+    Same scale shape as `common_neighbors_topk` (one center-bucket wedge
+    expansion with the degree cap excluded identically in the twin, one
+    pair-bucket fold with block-local top-k); the center's full degree is
+    bucket-local by construction, so the score attaches for free.
+    Returns (p1, p2, cn, ra_score) ordered by (ra_score DESC, p1, p2).
+    """
+    import logging
+
+    edges = copurchase_edges(
+        sf_dir, min_support=min_support, num_buckets=num_buckets
+    )
+
+    _PRIME = np.int64(1_000_003)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column("p1").to_numpy(zero_copy_only=False)
+        b = batch.column("p2").to_numpy(zero_copy_only=False)
+        ctr = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        return pa.table(
+            {
+                "cbkt": pa.array((ctr % num_buckets).astype(np.int64)),
+                "ctr": pa.array(ctr),
+                "nbr": pa.array(nbr),
+            }
+        )
+
+    def wedge_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "wbkt": pa.array([], pa.int64()),
+                "u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "sc": pa.array([], pa.int64()),
+                "is_edge": pa.array([], pa.int64()),
+            }
+        )
+        ctr = group.column("ctr").combine_chunks().to_numpy(zero_copy_only=False)
+        nbr = group.column("nbr").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(ctr):
+            return empty
+        order = np.lexsort((nbr, ctr))
+        ctr, nbr = ctr[order], nbr[order]
+        verts, deg = np.unique(ctr, return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        dropped = int((deg > max_degree).sum())
+        if dropped:
+            logging.getLogger(__name__).info(
+                "resource_allocation: excluded %d hub centers (degree > %d)",
+                dropped,
+                max_degree,
+            )
+        u_all, v_all, s_all = [], [], []
+        for d in np.unique(deg):
+            if d < 2 or d > max_degree:
+                continue
+            sel = np.nonzero(deg == d)[0]
+            idx = starts[sel][:, None] + np.arange(d)[None, :]
+            nb = nbr[idx]
+            iu, ju = np.triu_indices(int(d), 1)
+            npairs = len(sel) * len(iu)
+            u_all.append(nb[:, iu].ravel())
+            v_all.append(nb[:, ju].ravel())
+            s_all.append(np.full(npairs, RA_SCALE // int(d), dtype=np.int64))
+        if not u_all:
+            return empty
+        u = np.concatenate(u_all)
+        v = np.concatenate(v_all)
+        s = np.concatenate(s_all)
+        return pa.table(
+            {
+                "wbkt": pa.array(((u * _PRIME + v) % num_buckets).astype(np.int64)),
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "sc": pa.array(s),
+                "is_edge": pa.array(np.zeros(len(u), dtype=np.int64)),
+            }
+        )
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        u = batch.column("p1").to_numpy(zero_copy_only=False)
+        v = batch.column("p2").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(u), dtype=np.int64)
+        return pa.table(
+            {
+                "wbkt": pa.array(((u * _PRIME + v) % num_buckets).astype(np.int64)),
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "sc": pa.array(z),
+                "is_edge": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    def block_topk(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p1": pa.array([], pa.int64()),
+                "p2": pa.array([], pa.int64()),
+                "cn": pa.array([], pa.int64()),
+                "ra_score": pa.array([], pa.int64()),
+            }
+        )
+        u = group.column("u").combine_chunks().to_numpy(zero_copy_only=False)
+        v = group.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        sc = group.column("sc").combine_chunks().to_numpy(zero_copy_only=False)
+        ise = (
+            group.column("is_edge").combine_chunks().to_numpy(zero_copy_only=False)
+            == 1
+        )
+        if not len(u):
+            return empty
+        maxv = int(v.max()) + 1
+        key = u * maxv + v
+        wkey, wsc = key[~ise], sc[~ise]
+        if not len(wkey):
+            return empty
+        uniq, inv, counts = np.unique(wkey, return_inverse=True, return_counts=True)
+        score = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(score, inv, wsc)  # exact: <= 256 wedges x RA_SCALE/2
+        keep = ~np.isin(uniq, key[ise])
+        uniq, counts, score = uniq[keep], counts[keep], score[keep]
+        if not len(uniq):
+            return empty
+        order = np.lexsort((uniq % maxv, uniq // maxv, -score))[:k]
+        return pa.table(
+            {
+                "p1": pa.array((uniq[order] // maxv).astype(np.int64)),
+                "p2": pa.array((uniq[order] % maxv).astype(np.int64)),
+                "cn": pa.array(counts[order].astype(np.int64)),
+                "ra_score": pa.array(score[order]),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(symmetrize, batch_format="pyarrow")
+        .groupby("cbkt")
+        .map_groups(wedge_pairs, batch_format="pyarrow")
+    )
+    return (
+        wedges.union(edges.map_batches(edge_side, batch_format="pyarrow"))
+        .groupby("wbkt")
+        .map_groups(block_topk, batch_format="pyarrow")
+        .sort(["ra_score", "p1", "p2"], descending=[True, False, False])
+        .limit(k)
+    )

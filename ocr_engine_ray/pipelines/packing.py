@@ -468,3 +468,137 @@ def compact_shards(
     return packed.map_batches(rename, batch_format="pyarrow").sort(
         ["source", "file_id"]
     )
+
+
+def length_bucket_padding(
+    sf_dir: str, *, batch_size: int = 32, num_buckets: int = 64
+) -> rd.Dataset:
+    """Padding-waste audit for length-grouped training batches — the
+    planning number behind bucketed batching (every trainer pads each
+    batch to its longest sequence; sorting by length before batching is
+    the standard fix): form ``batch_size``-doc batches two ways — LENGTH
+    order (n_tokens, doc_id) vs NATURAL doc_id order — and report each
+    plan's exact total padding Σ_batches (max_len·batch_rows − Σlen).
+
+    Scale shape: tokenize once into the tiny (doc_id, n_tokens)
+    projection; each plan is ONE distributed ranking (the value-bucket /
+    key-bucket prefix sums this module already uses) followed by a
+    batch-keyed aggregate of 3-int partials; all arithmetic exact int64
+    (padding ≤ tokens ≤ corpus size).  Returns one row (batch_size,
+    n_docs, n_batches, total_tokens, padding_sorted, padding_natural,
+    saved_ppm) where saved_ppm = (nat − sorted)·10^6 // max(nat, 1).
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ntok = pc.count_substring_regex(
+            pc.fill_null(batch.column("text"), ""), _TOKEN_RE
+        ).cast(pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "n": ntok})
+
+    tok = docs.map_batches(tok_rows, batch_format="pyarrow").materialize()
+    n_docs = tok.count()
+    if n_docs == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "batch_size": pa.array([batch_size], pa.int64()),
+                    "n_docs": pa.array([0], pa.int64()),
+                    "n_batches": pa.array([0], pa.int64()),
+                    "total_tokens": pa.array([0], pa.int64()),
+                    "padding_sorted": pa.array([0], pa.int64()),
+                    "padding_natural": pa.array([0], pa.int64()),
+                    "saved_ppm": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    total_tokens = tok.sum("n") or 0
+
+    def plan_padding(order_cols: tuple[str, ...]) -> int:
+        """Distributed row_number over ``order_cols`` -> batch id ->
+        per-batch (max, sum, count) partials -> exact padding."""
+        primary = order_cols[0]
+        mx = tok.max(primary) or 0
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            v = batch.column(primary).combine_chunks().to_numpy(zero_copy_only=False)
+            bkt = np.clip((v * num_buckets) // (int(mx) + 1), 0, num_buckets - 1)
+            return batch.append_column("bkt", pa.array(bkt.astype(np.int64)))
+
+        bucketed = tok.map_batches(bucketize, batch_format="pyarrow").materialize()
+        parts = bucketed.groupby("bkt").aggregate(Count(alias_name="c")).take_all()
+        off: dict[int, int] = {}
+        acc = 0
+        for r in sorted(parts, key=lambda r: r["bkt"]):
+            off[int(r["bkt"])] = acc
+            acc += int(r["c"])
+        off_ref = ray.put(off)
+
+        def batch_partials(group: pa.Table) -> pa.Table:
+            o = ray.get(off_ref)
+            base = o[int(group.column("bkt")[0].as_py())]
+            ids = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+            n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+            key = n if primary == "n" else ids
+            tie = ids
+            order = np.lexsort((tie, key))
+            rk = np.empty(len(ids), dtype=np.int64)
+            rk[order] = base + np.arange(1, len(ids) + 1, dtype=np.int64)
+            b = (rk - 1) // batch_size
+            t = pa.table(
+                {
+                    "b": pa.array(b),
+                    "mx": pa.array(n),
+                    "sm": pa.array(n),
+                    "c": pa.array(np.ones(len(ids), dtype=np.int64)),
+                }
+            )
+            agg = pa.TableGroupBy(t, "b").aggregate(
+                [("mx", "max"), ("sm", "sum"), ("c", "sum")]
+            )
+            return pa.table(
+                {
+                    "b": agg.column("b"),
+                    "mx": agg.column("mx_max").cast(pa.int64()),
+                    "sm": agg.column("sm_sum").cast(pa.int64()),
+                    "c": agg.column("c_sum").cast(pa.int64()),
+                }
+            )
+
+        per_batch = (
+            bucketed.groupby("bkt")
+            .map_groups(batch_partials, batch_format="pyarrow")
+            .groupby("b")
+            .aggregate(
+                Max("mx", alias_name="mx"),
+                Sum("sm", alias_name="sm"),
+                Sum("c", alias_name="c"),
+            )
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            mxv = batch.column("mx").combine_chunks().to_numpy(zero_copy_only=False)
+            sm = batch.column("sm").combine_chunks().to_numpy(zero_copy_only=False)
+            c = batch.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"pad": pa.array([int((mxv * c - sm).sum())], pa.int64())}
+            )
+
+        return per_batch.map_batches(fold, batch_format="pyarrow").sum("pad") or 0
+
+    pad_sorted = plan_padding(("n", "doc_id"))
+    pad_natural = plan_padding(("doc_id",))
+    saved = (pad_natural - pad_sorted) * 1_000_000 // max(pad_natural, 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "batch_size": pa.array([batch_size], pa.int64()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_batches": pa.array([(n_docs + batch_size - 1) // batch_size], pa.int64()),
+                "total_tokens": pa.array([int(total_tokens)], pa.int64()),
+                "padding_sorted": pa.array([int(pad_sorted)], pa.int64()),
+                "padding_natural": pa.array([int(pad_natural)], pa.int64()),
+                "saved_ppm": pa.array([int(saved)], pa.int64()),
+            }
+        )
+    )

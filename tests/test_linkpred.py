@@ -199,3 +199,30 @@ class TestHerfindahl:
         )
         got = herfindahl_by_nation(sf).take_all()[0]
         assert got["hhi_ppm"] == 500_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResourceAllocation:
+    def test_hub_discount(self, tmp_path):
+        from ocr_engine_ray.pipelines.basket import resource_allocation_topk
+
+        # center 1 (degree 2) connects (2,3); center 10 (degree 4)
+        # connects (11,12), (11,13), (12,13), ...
+        rows = []
+        okey = 0
+        for ctr, nbrs in [(1, [2, 3]), (10, [11, 12, 13, 14])]:
+            for nbr in nbrs:
+                for _ in range(2):
+                    okey += 1
+                    rows += [(okey, ctr), (okey, nbr)]
+        sf = _write_lineitem_orders(tmp_path / "ra", rows)
+        got = {
+            (r["p1"], r["p2"]): r
+            for r in resource_allocation_topk(sf).take_all()
+        }
+        # through the degree-2 center: 1e9 // 2
+        assert got[(2, 3)]["ra_score"] == 500_000_000
+        assert got[(2, 3)]["cn"] == 1
+        # through the degree-4 hub: 1e9 // 4 — discounted
+        assert got[(11, 12)]["ra_score"] == 250_000_000
+        assert got[(2, 3)]["ra_score"] > got[(11, 12)]["ra_score"]

@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from ocr_engine_ray.pipelines import packing
 
@@ -241,3 +242,46 @@ class TestTopQualityFraction:
             assert r["rank_in_source"] > totals[r["source"]] - (
                 totals[r["source"]] * 25
             ) // 100
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLengthBucketPadding:
+    def _write(self, d, texts):
+        import pyarrow.parquet as _pq
+
+        d.mkdir(parents=True, exist_ok=True)
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_hand_computed(self, tmp_path):
+        from ocr_engine_ray.pipelines.packing import length_bucket_padding
+
+        # token counts 1, 100, 2, 101 at batch_size=2:
+        # sorted  -> (1,2), (100,101): padding = 1 + 1 = 2
+        # natural -> (1,100), (2,101): padding = 99 + 99 = 198
+        texts = ["a", "w " * 99 + "w", "a b", "w " * 100 + "w"]
+        sf = self._write(tmp_path / "p", texts)
+        got = length_bucket_padding(sf, batch_size=2).take_all()[0]
+        assert got["n_docs"] == 4
+        assert got["n_batches"] == 2
+        assert got["total_tokens"] == 204
+        assert got["padding_sorted"] == 2
+        assert got["padding_natural"] == 198
+        assert got["saved_ppm"] == (198 - 2) * 1_000_000 // 198
+
+    def test_uniform_lengths_no_padding(self, tmp_path):
+        from ocr_engine_ray.pipelines.packing import length_bucket_padding
+
+        sf = self._write(tmp_path / "u", ["a b c"] * 6)
+        got = length_bucket_padding(sf, batch_size=3).take_all()[0]
+        assert got["padding_sorted"] == 0
+        assert got["padding_natural"] == 0
+        assert got["saved_ppm"] == 0
