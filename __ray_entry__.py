@@ -475,6 +475,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): length-grouped vs natural batch padding waste, two
         # distributed rankings, exact int64; dual-window twin.
         "length_bucket_padding": packing.length_bucket_padding,
+        # customer_order_reconciliation (tenth round-4 continuation,
+        # never gated): FULL OUTER presence classes in one tagged union
+        # shuffle; FULL OUTER JOIN twin.
+        "customer_order_reconciliation": joins.customer_order_reconciliation,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1222,6 +1226,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS p1, v::BIGINT AS p2, cn, ra_score FROM ne
             ORDER BY ra_score DESC, p1, p2 LIMIT 20
+        """,
+        # Full-outer reconciliation: per-custkey order fold, FULL OUTER
+        # against the customer key set, observed presence classes only.
+        "customer_order_reconciliation": """
+            WITH o AS (
+              SELECT o_custkey AS k, count(*)::BIGINT AS n,
+                     sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+              FROM orders GROUP BY 1
+            ),
+            c AS (SELECT c_custkey AS k FROM customer),
+            f AS (
+              SELECT c.k AS ck, o.k AS ok, o.n, o.cents
+              FROM c FULL OUTER JOIN o ON c.k = o.k
+            )
+            SELECT CASE WHEN ck IS NOT NULL AND ok IS NOT NULL THEN 'both'
+                        WHEN ok IS NULL THEN 'customer_only'
+                        ELSE 'order_only' END AS presence,
+                   count(*)::BIGINT AS n_keys,
+                   coalesce(sum(n), 0)::BIGINT AS n_orders,
+                   coalesce(sum(cents), 0)::BIGINT AS order_cents
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         # Batch padding: two row_number plans ((n_tokens, doc_id) vs
         # doc_id), batch = (rn-1) // B, per-batch max·count − sum; the

@@ -450,6 +450,7 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.packing", fromlist=["x"]
             ).length_bucket_padding
         ),
+        "customer_order_reconciliation": timed(joins.customer_order_reconciliation),
     }
 
     result = {

@@ -1006,3 +1006,118 @@ def segment_event_value(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("c_mktsegment")
+
+
+def customer_order_reconciliation(
+    sf_dir: str, *, num_buckets: int = NUM_JOIN_BUCKETS
+) -> rd.Dataset:
+    """FULL OUTER join reconciliation of customers vs orders — the one
+    join type this module did not yet cover (broadcast/bucketed inner,
+    as-of, interval, anti, semi are above): for each presence class
+    (key in both tables / customer without orders / order with a dangling
+    custkey) the distinct-key count, order count, and exact order cents —
+    the two-sided completeness report a migration or CDC apply runs.
+
+    Scale shape: orders fold map-side to per-custkey partials (one row
+    per distinct key per batch); both sides co-bucket by ``custkey % B``
+    in ONE tagged union shuffle; each bucket classifies its keys with two
+    sorted-array memberships and emits 3 partial rows; the global
+    groupby moves 3 x buckets tiny rows.  Only OBSERVED classes appear
+    (the twin's GROUP BY does the same).  Returns
+    (presence, n_keys, n_orders, order_cents) sorted by presence.
+    """
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": batch.column("o_custkey").cast(pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+        agg = pa.TableGroupBy(t, "k").aggregate([("n", "sum"), ("cents", "sum")])
+        k = agg.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((k % num_buckets).astype(np.int64)),
+                "k": pa.array(k),
+                "kind": pa.array(np.ones(len(k), dtype=np.int64)),
+                "n": agg.column("n_sum").cast(pa.int64()),
+                "cents": agg.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        z = np.zeros(len(k), dtype=np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((k % num_buckets).astype(np.int64)),
+                "k": pa.array(k),
+                "kind": pa.array(z),
+                "n": pa.array(z),
+                "cents": pa.array(z),
+            }
+        )
+
+    def classify(group: pa.Table) -> pa.Table:
+        k = group.column("k").combine_chunks().to_numpy(zero_copy_only=False)
+        kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = group.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        ck = np.unique(k[kind == 0])
+        is_ord = kind == 1
+        ok, on, oc = k[is_ord], n[is_ord], cents[is_ord]
+        # order partials may repeat a key across batches: fold per key
+        order = np.argsort(ok, kind="stable")
+        ok, on, oc = ok[order], on[order], oc[order]
+        uk, starts = np.unique(ok, return_index=True)
+        ends = np.concatenate([starts[1:], [len(ok)]])
+        un = np.add.reduceat(on, starts) if len(ok) else np.array([], np.int64)
+        uc = np.add.reduceat(oc, starts) if len(ok) else np.array([], np.int64)
+        in_c = np.isin(uk, ck)
+        out = {"presence": [], "n_keys": [], "n_orders": [], "cents": []}
+        both_keys = int(in_c.sum())
+        if both_keys:
+            out["presence"].append("both")
+            out["n_keys"].append(both_keys)
+            out["n_orders"].append(int(un[in_c].sum()))
+            out["cents"].append(int(uc[in_c].sum()))
+        cust_only = int(len(ck) - np.isin(ck, uk).sum())
+        if cust_only:
+            out["presence"].append("customer_only")
+            out["n_keys"].append(cust_only)
+            out["n_orders"].append(0)
+            out["cents"].append(0)
+        ord_only = int((~in_c).sum())
+        if ord_only:
+            out["presence"].append("order_only")
+            out["n_keys"].append(ord_only)
+            out["n_orders"].append(int(un[~in_c].sum()))
+            out["cents"].append(int(uc[~in_c].sum()))
+        return pa.table(
+            {
+                "presence": pa.array(out["presence"], pa.string()),
+                "n_keys": pa.array(out["n_keys"], pa.int64()),
+                "n_orders": pa.array(out["n_orders"], pa.int64()),
+                "cents": pa.array(out["cents"], pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(order_side, batch_format="pyarrow", batch_size=65536)
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
+        .groupby("bkt")
+        .map_groups(classify, batch_format="pyarrow")
+        .groupby("presence")
+        .aggregate(
+            Sum("n_keys", alias_name="n_keys"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("cents", alias_name="order_cents"),
+        )
+        .sort("presence")
+    )

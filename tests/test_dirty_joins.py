@@ -111,3 +111,62 @@ def test_nation_revenue_matches_twin_all_regions(ray_session):
             """
         ).fetchall()
         assert got == [tuple(w) for w in want], region
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFullOuterReconciliation:
+    def test_all_three_classes(self, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as _pq
+
+        from ocr_engine_ray.pipelines.joins import customer_order_reconciliation
+
+        d = tmp_path / "fo"
+        d.mkdir(parents=True, exist_ok=True)
+        # customers 1, 2, 3; orders for 1 (x2), 2, and dangling key 99
+        _pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([1, 1, 2, 99], pa.int64()),
+                    "o_totalprice": pa.array([10.0, 20.0, 5.0, 7.0], pa.float64()),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        _pq.write_table(
+            pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}),
+            str(d / "customer.parquet"),
+        )
+        got = {r["presence"]: r for r in customer_order_reconciliation(str(d)).take_all()}
+        assert got["both"]["n_keys"] == 2
+        assert got["both"]["n_orders"] == 3
+        assert got["both"]["order_cents"] == 3500
+        assert got["customer_only"]["n_keys"] == 1
+        assert got["customer_only"]["n_orders"] == 0
+        assert got["order_only"]["n_keys"] == 1
+        assert got["order_only"]["order_cents"] == 700
+
+    def test_orders_only_no_customers(self, tmp_path):
+        import pyarrow.parquet as _pq
+
+        from ocr_engine_ray.pipelines.joins import customer_order_reconciliation
+
+        d = tmp_path / "oo"
+        d.mkdir(parents=True, exist_ok=True)
+        _pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([5], pa.int64()),
+                    "o_totalprice": pa.array([1.0], pa.float64()),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        _pq.write_table(
+            pa.table({"c_custkey": pa.array([], pa.int64())}),
+            str(d / "customer.parquet"),
+        )
+        got = customer_order_reconciliation(str(d)).take_all()
+        assert len(got) == 1
+        assert got[0]["presence"] == "order_only"
