@@ -479,6 +479,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never gated): FULL OUTER presence classes in one tagged union
         # shuffle; FULL OUTER JOIN twin.
         "customer_order_reconciliation": joins.customer_order_reconciliation,
+        # linkpred_holdout_eval (tenth round-4 continuation, never
+        # gated): hide 20% of edges by the Knuth coin, predict top-50
+        # from the rest, count hidden-edge hits; full-protocol twin.
+        "linkpred_holdout_eval": basket.linkpred_holdout_eval,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1291,6 +1295,55 @@ def oracle_sql() -> dict[str, str]:
                    ((padding_natural - padding_sorted) * 1000000
                     // greatest(padding_natural, 1))::BIGINT AS saved_ppm
             FROM agg
+        """,
+        # Link-pred holdout: the whole protocol in SQL — Knuth-coin
+        # split, train-graph wedges under the same degree cap,
+        # train-anti-joined top-50, hit count against the hidden 20%.
+        "linkpred_holdout_eval": """
+            WITH pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+              FROM lineitem a
+              JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            e AS (SELECT p1, p2 FROM pairs WHERE n >= 2),
+            tr AS (
+              SELECT p1, p2 FROM e
+              WHERE ((p1 * 2654435761 + p2 * 40503) % 4294967296) % 5 != 0
+            ),
+            te AS (
+              SELECT p1, p2 FROM e
+              WHERE ((p1 * 2654435761 + p2 * 40503) % 4294967296) % 5 = 0
+            ),
+            sym AS (
+              SELECT p1 AS a, p2 AS b FROM tr
+              UNION ALL SELECT p2 AS a, p1 AS b FROM tr
+            ),
+            deg AS (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+            w AS (
+              SELECT s1.b AS u, s2.b AS v
+              FROM sym s1 JOIN sym s2 ON s2.a = s1.a AND s2.b > s1.b
+              WHERE s1.a IN (SELECT a FROM deg WHERE d BETWEEN 2 AND 256)
+            ),
+            cn AS (SELECT u, v, count(*)::BIGINT AS cn FROM w GROUP BY 1, 2),
+            ne AS (
+              SELECT cn.u, cn.v, cn.cn FROM cn
+              LEFT JOIN tr ON tr.p1 = cn.u AND tr.p2 = cn.v
+              WHERE tr.p1 IS NULL
+            ),
+            pr AS (SELECT u, v FROM ne ORDER BY cn DESC, u, v LIMIT 50),
+            h AS (
+              SELECT count(*)::BIGINT AS n_hits
+              FROM pr JOIN te ON te.p1 = pr.u AND te.p2 = pr.v
+            ),
+            kk AS (SELECT count(*)::BIGINT AS k FROM pr)
+            SELECT (SELECT count(*) FROM tr)::BIGINT AS n_train_edges,
+                   (SELECT count(*) FROM te)::BIGINT AS n_test_edges,
+                   (SELECT k FROM kk) AS k,
+                   (SELECT n_hits FROM h) AS n_hits,
+                   ((SELECT n_hits FROM h) * 1000000
+                    // greatest((SELECT k FROM kk), 1))::BIGINT AS hit_ppm
         """,
         # Trigram paths: two leads over the event_transitions order
         # (ts, event_id per user); ppm floors over the trigram total.

@@ -451,6 +451,11 @@ def run_bench() -> dict:
             ).length_bucket_padding
         ),
         "customer_order_reconciliation": timed(joins.customer_order_reconciliation),
+        "linkpred_holdout_eval": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.basket", fromlist=["x"]
+            ).linkpred_holdout_eval
+        ),
     }
 
     result = {

@@ -597,11 +597,21 @@ def common_neighbors_topk(
     (p1, p2, cn) ordered by (cn DESC, p1, p2), a total order on both
     sides.
     """
-    import logging
-
     edges = copurchase_edges(
         sf_dir, min_support=min_support, num_buckets=num_buckets
     )
+    return _cn_topk_from_edges(
+        edges, num_buckets=num_buckets, max_degree=max_degree, k=k
+    )
+
+
+def _cn_topk_from_edges(
+    edges: rd.Dataset, *, num_buckets: int, max_degree: int, k: int
+) -> rd.Dataset:
+    """Common-neighbors top-k over an arbitrary (p1, p2) edge Dataset —
+    the shared core of `common_neighbors_topk` (full graph) and
+    `linkpred_holdout_eval` (train split)."""
+    import logging
 
     _PRIME = np.int64(1_000_003)
 
@@ -890,4 +900,91 @@ def resource_allocation_topk(
         .map_groups(block_topk, batch_format="pyarrow")
         .sort(["ra_score", "p1", "p2"], descending=[True, False, False])
         .limit(k)
+    )
+
+
+LP_HOLDOUT_MOD = 5  # coin % 5 == 0 -> test edge (20% holdout)
+LP_EVAL_K = 50
+
+
+def linkpred_holdout_eval(
+    sf_dir: str,
+    *,
+    min_support: int = BASKET_MIN_SUPPORT,
+    num_buckets: int = 64,
+    max_degree: int = CN_MAX_DEGREE,
+    k: int = LP_EVAL_K,
+) -> rd.Dataset:
+    """Offline evaluation of common-neighbors link prediction — the
+    standard holdout protocol (Liben-Nowell & Kleinberg 2003): hide a
+    deterministic 20% of the co-purchase edges, predict the top-k links
+    from the REMAINING graph, and report how many predictions are hidden
+    true edges (hits@k).  This is the harness that turns the link
+    predictors from demos into tunable components.
+
+    The split coin is the Knuth-hash arithmetic the synthetic corpus
+    already uses (exactly expressible in SQL):
+        coin = ((p1·2654435761 + p2·40503) mod 2^32) mod 5, test ⇔ 0.
+    Scale shape: the train filter is one vectorized map over the edge
+    fold; prediction reuses `_cn_topk_from_edges` unchanged; the k
+    predictions (k rows, driver-safe by construction) broadcast into one
+    membership filter over the test split.  Returns one row
+    (n_train_edges, n_test_edges, k, n_hits, hit_ppm) with
+    hit_ppm = n_hits·10^6 // k.
+    """
+    edges = copurchase_edges(
+        sf_dir, min_support=min_support, num_buckets=num_buckets
+    )
+
+    def coin_split(keep_test: bool):
+        def inner(batch: pa.Table) -> pa.Table:
+            a = batch.column("p1").to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = batch.column("p2").to_numpy(zero_copy_only=False).astype(np.uint64)
+            coin = ((a * np.uint64(2654435761) + b * np.uint64(40503))
+                    % np.uint64(4294967296)) % np.uint64(LP_HOLDOUT_MOD)
+            sel = (coin == 0) if keep_test else (coin != 0)
+            return pa.table(
+                {
+                    "p1": batch.column("p1").filter(pa.array(sel)),
+                    "p2": batch.column("p2").filter(pa.array(sel)),
+                }
+            )
+
+        return inner
+
+    train = edges.map_batches(coin_split(False), batch_format="pyarrow").materialize()
+    test = edges.map_batches(coin_split(True), batch_format="pyarrow").materialize()
+    n_train, n_test = train.count(), test.count()
+
+    preds = _cn_topk_from_edges(
+        train, num_buckets=num_buckets, max_degree=max_degree, k=k
+    ).take_all()  # exactly <= k rows: driver-safe by construction
+    pred_keys = {(int(r["p1"]), int(r["p2"])) for r in preds}
+
+    import ray
+
+    keys_ref = ray.put(pred_keys)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        from .joins import _get_broadcast
+
+        keys = _get_broadcast(keys_ref)
+        a = batch.column("p1").to_numpy(zero_copy_only=False)
+        b = batch.column("p2").to_numpy(zero_copy_only=False)
+        h = sum(1 for p in zip(a.tolist(), b.tolist()) if (p[0], p[1]) in keys)
+        return pa.table({"h": pa.array([h], pa.int64())})
+
+    n_hits = test.map_batches(hits, batch_format="pyarrow").sum("h") or 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_train_edges": pa.array([n_train], pa.int64()),
+                "n_test_edges": pa.array([n_test], pa.int64()),
+                "k": pa.array([len(preds)], pa.int64()),
+                "n_hits": pa.array([int(n_hits)], pa.int64()),
+                "hit_ppm": pa.array(
+                    [int(n_hits) * 1_000_000 // max(len(preds), 1)], pa.int64()
+                ),
+            }
+        )
     )

@@ -226,3 +226,43 @@ class TestResourceAllocation:
         # through the degree-4 hub: 1e9 // 4 — discounted
         assert got[(11, 12)]["ra_score"] == 250_000_000
         assert got[(2, 3)]["ra_score"] > got[(11, 12)]["ra_score"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinkpredHoldout:
+    def test_counts_and_split_disjoint(self, tmp_path):
+        from ocr_engine_ray.pipelines.basket import linkpred_holdout_eval
+
+        rows = []
+        okey = 0
+        for ctr in range(1, 9):
+            for nbr in (100, 101, 102):
+                for _ in range(2):
+                    okey += 1
+                    rows += [(okey, ctr), (okey, nbr)]
+        sf = _write_lineitem_orders(tmp_path / "lp", rows)
+        got = linkpred_holdout_eval(sf).take_all()[0]
+        # every edge lands in exactly one split
+        assert got["n_train_edges"] + got["n_test_edges"] > 0
+        assert 0 <= got["n_hits"] <= got["k"]
+        assert got["hit_ppm"] == got["n_hits"] * 1_000_000 // max(got["k"], 1)
+
+    def test_hits_found_when_test_edge_predictable(self, tmp_path):
+        from ocr_engine_ray.pipelines.basket import linkpred_holdout_eval
+
+        # a 10-clique: hiding any edge (a, b) leaves 8 common neighbors,
+        # so hidden edges top the prediction list (bipartite graphs would
+        # NOT work here — a cross-side edge has zero common neighbors).
+        import itertools
+
+        rows = []
+        okey = 0
+        for a, b in itertools.combinations(range(1, 11), 2):
+            for _ in range(2):
+                okey += 1
+                rows += [(okey, a), (okey, b)]
+        sf = _write_lineitem_orders(tmp_path / "hp", rows)
+        got = linkpred_holdout_eval(sf).take_all()[0]
+        assert got["n_test_edges"] > 0
+        # every hidden clique edge is among the top-50 predictions
+        assert got["n_hits"] == got["n_test_edges"]
