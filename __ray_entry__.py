@@ -483,6 +483,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): hide 20% of edges by the Knuth coin, predict top-50
         # from the rest, count hidden-edge hits; full-protocol twin.
         "linkpred_holdout_eval": basket.linkpred_holdout_eval,
+        # session_paths_topk (tenth round-4 continuation, never gated):
+        # whole-session event-type paths under the sessionize gap rule,
+        # exact global fold then top-k; string_agg window twin.
+        "session_paths_topk": analytics.session_paths_topk,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1344,6 +1348,31 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT n_hits FROM h) AS n_hits,
                    ((SELECT n_hits FROM h) * 1000000
                     // greatest((SELECT k FROM kk), 1))::BIGINT AS hit_ppm
+        """,
+        # Session paths: the sessionize gap rule verbatim (cumsum of
+        # is_new over the (user, ts, event_id) order), string_agg per
+        # session, (n DESC, path) total order.
+        "session_paths_topk": """
+            WITH s AS (
+              SELECT user_id, event_id, ts, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sid AS (
+              SELECT user_id, event_id, ts, event_type,
+                     sum(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_id
+              FROM s
+            ),
+            p AS (
+              SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM sid GROUP BY user_id, session_id
+            ),
+            c AS (SELECT path, count(*)::BIGINT AS n FROM p GROUP BY 1)
+            SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10
         """,
         # Trigram paths: two leads over the event_transitions order
         # (ts, event_id per user); ppm floors over the trigram total.

@@ -456,6 +456,7 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.basket", fromlist=["x"]
             ).linkpred_holdout_eval
         ),
+        "session_paths_topk": timed(analytics.session_paths_topk),
     }
 
     result = {

@@ -285,6 +285,59 @@ def sessionize(
     )
 
 
+def session_paths_topk(
+    sf_dir: str, *, gap_minutes: int = 30, k: int = 10, num_buckets: int = 32
+) -> rd.Dataset:
+    """Top-k full SESSION PATHS — each session's event types joined in
+    order ('click>view>purchase') — the whole-journey complement of
+    `event_transitions` (2-step) and `event_trigrams` (3-step): which
+    complete visit shapes dominate, for funnel design and bot-pattern
+    screening.
+
+    Sessions are the `sessionize` gap rule verbatim (> ``gap_minutes``
+    between consecutive events of a user, order ``ts, event_id``).
+    Scale shape: ONE ``user_id % B`` bucket shuffle; each bucket builds
+    its users' paths vectorized (sort + cumsum session ids + a single
+    grouped join) and pre-counts them — the map-side combine — so the
+    final path groupby moves <= distinct-paths x buckets rows.  A
+    block-local top-k would be UNSOUND here (a path's count is split
+    across user buckets), so the prune happens after the exact global
+    fold: sort + limit over the distinct-path aggregate, total order
+    (n DESC, path).  Returns (path, n) — ties broken by path asc.
+    """
+    ds = sf_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((b % num_buckets).astype("int32"))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_session = (~same_user) | (g["ts"].diff() > gap)
+        sid = new_session.cumsum()
+        paths = (
+            g.assign(_sid=sid)
+            .groupby("_sid", sort=False)["event_type"]
+            .agg(">".join)
+        )
+        out = paths.value_counts().rename_axis("path").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out[["path", "n"]]
+
+    agg = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "path"], descending=[True, False]).limit(k)
+
+
 def top_sources(sf_dir: str, *, k: int = 5) -> rd.Dataset:
     """Top-k sources by total chars (sort + limit; source asc tiebreak)."""
     ds = sf_table(sf_dir, "documents", columns=["source", "n_chars"])

@@ -266,3 +266,34 @@ class TestLinkpredHoldout:
         assert got["n_test_edges"] > 0
         # every hidden clique edge is among the top-50 predictions
         assert got["n_hits"] == got["n_test_edges"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionPaths:
+    def test_gap_splits_paths(self, tmp_path):
+        from ocr_engine_ray.pipelines.analytics import session_paths_topk
+
+        rows = [
+            (1, 1, T0, "a"),
+            (2, 1, T0 + dt.timedelta(minutes=5), "b"),
+            # > 30 min gap -> new session
+            (3, 1, T0 + dt.timedelta(minutes=60), "a"),
+            (4, 1, T0 + dt.timedelta(minutes=65), "b"),
+            (5, 2, T0, "c"),
+        ]
+        sf = _write_events(tmp_path / "sp", rows)
+        got = {r["path"]: r["n"] for r in session_paths_topk(sf).take_all()}
+        assert got == {"a>b": 2, "c": 1}
+
+    def test_topk_order_and_tiebreak(self, tmp_path):
+        from ocr_engine_ray.pipelines.analytics import session_paths_topk
+
+        rows = []
+        eid = 0
+        for u, types in [(1, "xy"), (2, "xy"), (3, "ab"), (4, "cd")]:
+            for i, t in enumerate(types):
+                eid += 1
+                rows.append((eid, u, T0 + dt.timedelta(minutes=i), t))
+        sf = _write_events(tmp_path / "tk", rows)
+        got = session_paths_topk(sf, k=2).take_all()
+        assert [(r["path"], r["n"]) for r in got] == [("x>y", 2), ("a>b", 1)]
