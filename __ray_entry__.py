@@ -487,6 +487,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whole-session event-type paths under the sessionize gap rule,
         # exact global fold then top-k; string_agg window twin.
         "session_paths_topk": analytics.session_paths_topk,
+        # hapax_rate_by_source (tenth round-4 continuation, never
+        # gated): exact once-occurring vocabulary share per source via
+        # token-bucket global counts; HAVING-count twin.
+        "hapax_rate_by_source": tsp.hapax_rate_by_source,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1348,6 +1352,24 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT n_hits FROM h) AS n_hits,
                    ((SELECT n_hits FROM h) * 1000000
                     // greatest((SELECT k FROM kk), 1))::BIGINT AS hit_ppm
+        """,
+        # Hapax: the token_frequencies split convention, per-(source,
+        # token) occurrence counts, hapax = count 1; ppm floors.
+        "hapax_rate_by_source": """
+            WITH occ AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ),
+            tc AS (
+              SELECT source, token, count(*)::BIGINT AS n
+              FROM occ GROUP BY 1, 2
+            )
+            SELECT source, count(*)::BIGINT AS n_distinct_tokens,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+                   (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                    // count(*))::BIGINT AS hapax_ppm
+            FROM tc GROUP BY 1 ORDER BY 1
         """,
         # Session paths: the sessionize gap rule verbatim (cumsum of
         # is_new over the (user, ts, event_id) order), string_agg per

@@ -457,6 +457,7 @@ def run_bench() -> dict:
             ).linkpred_holdout_eval
         ),
         "session_paths_topk": timed(analytics.session_paths_topk),
+        "hapax_rate_by_source": timed(tsp.hapax_rate_by_source),
     }
 
     result = {

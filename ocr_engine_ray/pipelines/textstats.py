@@ -1802,3 +1802,108 @@ def langid_confusion(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow").sort(
         ["lang_label", "lang_detected"]
     )
+
+
+def hapax_rate_by_source(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Hapax legomena rate per source — the share of each source's
+    vocabulary occurring exactly ONCE (Heaps-law health next to
+    `zipf_slope_by_source`): a high hapax rate means open vocabulary
+    (good for coverage, expensive for tokenizers), a collapsing one
+    means templated/duplicated text.
+
+    Scale shape: one corpus pass emits per-batch (source, token,
+    occurrence-count) partials via the shared `_token_occurrences`
+    dictionary primitive; tokens bucket by ``crc32(token) % B`` so each
+    bucket sees ALL occurrences of its tokens and folds exact global
+    (source, token) counts locally, emitting only sources-sized
+    (n_distinct, n_hapax) partials.  Returns
+    (source, n_distinct_tokens, n_hapax, hapax_ppm) sorted by source.
+    """
+    import zlib
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def occ_partials(batch: pa.Table) -> pa.Table:
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "tbkt": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if not len(rows):
+            return empty
+        senc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)[rows]
+        nd = len(dic)
+        key = si * nd + codes
+        ukey, counts = np.unique(key, return_counts=True)
+        us = (ukey // nd).astype(np.int64)
+        ut = (ukey % nd).astype(np.int64)
+        crc = np.fromiter(
+            (zlib.crc32(t.encode()) % num_buckets for t in dic.to_pylist()),
+            dtype=np.int64,
+            count=nd,
+        )
+        return pa.table(
+            {
+                "tbkt": pa.array(crc[ut]),
+                "token": pc.take(dic, pa.array(ut)),
+                "source": pc.take(senc.dictionary, pa.array(us)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        tenc = pc.dictionary_encode(group.column("token").combine_chunks())
+        senc = pc.dictionary_encode(group.column("source").combine_chunks())
+        ti = np.asarray(tenc.indices, dtype=np.int64)
+        si = np.asarray(senc.indices, dtype=np.int64)
+        n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        nt = max(len(tenc.dictionary), 1)
+        key = si * nt + ti
+        order = np.argsort(key, kind="stable")
+        key, ns = key[order], n[order]
+        ukey, starts = np.unique(key, return_index=True)
+        tot = np.add.reduceat(ns, starts) if len(key) else np.array([], np.int64)
+        us = (ukey // nt).astype(np.int64)
+        sdic = senc.dictionary.to_pylist()
+        out_src, out_d, out_h = [], [], []
+        for s in range(len(sdic)):
+            sel = us == s
+            if not sel.any():
+                continue
+            out_src.append(sdic[s])
+            out_d.append(int(sel.sum()))
+            out_h.append(int((tot[sel] == 1).sum()))
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "nd": pa.array(out_d, pa.int64()),
+                "nh": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(occ_partials, batch_format="pyarrow")
+        .groupby("tbkt")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("nd", alias_name="n_distinct_tokens"),
+            Sum("nh", alias_name="n_hapax"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_distinct_tokens").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        nh = batch.column("n_hapax").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "hapax_ppm", pa.array(nh * 1_000_000 // np.maximum(nd, 1))
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")

@@ -54,3 +54,32 @@ class TestZipfSlope:
         a = zipf_slope_by_source(sf, num_buckets=3).to_pandas()
         b = zipf_slope_by_source(sf, num_buckets=64).to_pandas()
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHapaxRate:
+    def test_hand_computed(self, tmp_path):
+        import pyarrow.parquet as _pq
+
+        from ocr_engine_ray.pipelines.textstats import hapax_rate_by_source
+
+        d = tmp_path / "h"
+        d.mkdir(parents=True, exist_ok=True)
+        _pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array(["s1", "s1", "s2"], pa.string()),
+                    # s1: 'a' twice, 'b' once, 'c' once -> 3 distinct, 2 hapax
+                    # s2: 'a' once -> 1 distinct, 1 hapax (cross-source
+                    # occurrences do NOT merge)
+                    "text": pa.array(["a b", "a c", "a"], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        got = {r["source"]: r for r in hapax_rate_by_source(str(d)).take_all()}
+        assert got["s1"]["n_distinct_tokens"] == 3
+        assert got["s1"]["n_hapax"] == 2
+        assert got["s1"]["hapax_ppm"] == 2 * 1_000_000 // 3
+        assert got["s2"]["n_hapax"] == 1
+        assert got["s2"]["hapax_ppm"] == 1_000_000
