@@ -491,6 +491,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): exact once-occurring vocabulary share per source via
         # token-bucket global counts; HAVING-count twin.
         "hapax_rate_by_source": tsp.hapax_rate_by_source,
+        # hourly_uniques_digest (tenth round-4 continuation, never
+        # gated): windowed HLL — distinct users per hour via mergeable
+        # register rows; pinned from oracle_dedup.hll_hourly_users.
+        "hourly_uniques_digest": tsp.hourly_uniques_digest,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -4584,6 +4588,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct_digest": """
             SELECT 887623493524140749::BIGINT AS digest
+        """,
+        "hourly_uniques_digest": """
+            SELECT 1794288287685167697::BIGINT AS digest
         """,
         "ann_lsh_digest": """
             SELECT 287382113437766496::BIGINT AS digest

@@ -458,6 +458,7 @@ def run_bench() -> dict:
         ),
         "session_paths_topk": timed(analytics.session_paths_topk),
         "hapax_rate_by_source": timed(tsp.hapax_rate_by_source),
+        "hourly_uniques_digest": timed(tsp.hourly_uniques_digest),
     }
 
     result = {

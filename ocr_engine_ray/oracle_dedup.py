@@ -849,3 +849,33 @@ def kcore_nodes(
                     adj[u].discard(v)
                 adj[v] = set()
     return sorted((v, len(adj[v])) for v in nodes)
+
+
+def hll_hourly_users(sf_dir: str) -> list[tuple[str, int]]:
+    """Sequential HLL of distinct user_ids per hour — the independent twin
+    of `pipelines.textstats.hourly_approx_uniques` (same blake2b register
+    fold, same str(user_id) value representation, same str(hour) key)."""
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    import pyarrow.compute as _pc
+
+    hours = _pc.floor_temporal(t.column("ts"), unit="hour").to_pylist()
+    regs: dict[str, list[int]] = {}
+    for h, u in zip(hours, t.column("user_id").to_pylist()):
+        r = regs.setdefault(str(h), [0] * HLL_M)
+        hv = int.from_bytes(
+            hashlib.blake2b(str(u).encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        idx = hv >> (64 - HLL_P)
+        rest = hv & ((1 << (64 - HLL_P)) - 1)
+        rank = (64 - HLL_P) - rest.bit_length() + 1
+        if rank > r[idx]:
+            r[idx] = rank
+    out = []
+    for h in sorted(regs):
+        r = np.array(regs[h], dtype=np.float64)
+        est = _HLL_ALPHA * HLL_M * HLL_M / np.power(2.0, -r).sum()
+        zeros = int((r == 0).sum())
+        if est <= 2.5 * HLL_M and zeros:
+            est = HLL_M * np.log(HLL_M / zeros)
+        out.append((h, int(round(float(est)))))
+    return out

@@ -1907,3 +1907,79 @@ def hapax_rate_by_source(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+def hourly_approx_uniques(sf_dir: str) -> rd.Dataset:
+    """Approximate distinct ACTIVE USERS per hour via mergeable HLL
+    sketches — the windowed-sketch composition every streaming metrics
+    layer runs (exact hourly COUNT(DISTINCT) needs a user×hour shuffle;
+    the sketch needs one 4 KiB register row per hour per block, and
+    yesterday's registers merge with today's for free).
+
+    Each batch emits one (hour, registers) row per hour seen; the
+    groupby max-folds registers elementwise.  The register fold is
+    associative/commutative, so the estimate is bit-deterministic across
+    batchings — `oracle_dedup.hll_hourly_users` reproduces it exactly
+    and pins `hourly_uniques_digest`.  Returns (hour, approx_unique).
+    """
+    from ..functions import sketch
+
+    ds = sf_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def batch_sketches(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch.column("ts"), unit="hour").to_pylist()
+        uids = batch.column("user_id").to_pylist()
+        groups: dict = {}
+        for h, u in zip(hours, uids):
+            groups.setdefault(h, []).append(str(u))
+        hs, regs = [], []
+        for h, vals in groups.items():
+            hs.append(h)
+            regs.append(sketch.hll_sketch(vals).tobytes())
+        return pa.table(
+            {
+                "hour": pa.array(hs, pa.timestamp("us")),
+                "regs": pa.array(regs, pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(batch_sketches, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        from ..functions import sketch as sk
+
+        sketches = [
+            np.frombuffer(b, dtype=np.uint8) for b in group.column("regs").to_pylist()
+        ]
+        est = sk.hll_estimate(sk.hll_merge(sketches))
+        return pa.table(
+            {
+                "hour": pa.array([group.column("hour")[0].as_py()], pa.timestamp("us")),
+                "approx_unique": pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    return partials.groupby("hour").map_groups(merge, batch_format="pyarrow")
+
+
+def hourly_uniques_digest(sf_dir: str) -> "pa.Table":
+    """Digest gate over `hourly_approx_uniques` (the
+    `approx_distinct_digest` contract: pinned literal from the sequential
+    oracle, order-independent corpus fold)."""
+    from .interpret import fold_digest
+
+    ds = hourly_approx_uniques(sf_dir)
+
+    def payload(batch):
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [str(h) for h in batch["hour"].to_pylist()], pa.string()
+                ),
+                "payload": pa.array(
+                    [str(n) for n in batch["approx_unique"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")

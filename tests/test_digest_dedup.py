@@ -49,6 +49,7 @@ class TestDedupDigestGates:
             "simhash_digest",
             "winnow_digest",
             "approx_distinct_digest",
+            "hourly_uniques_digest",
             "ann_lsh_digest",
             "kmeans_digest",
             "semantic_digest",
@@ -253,6 +254,16 @@ class TestDedupDigestGates:
             len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
         ]
         assert sum(recalls) / len(recalls) >= 0.6
+
+    def test_hourly_hll_rows_match_oracle(self, ray_session):
+        from ocr_engine_ray import oracle_dedup as od
+        from ocr_engine_ray.pipelines import textstats
+
+        rows = [
+            (str(r["hour"]), r["approx_unique"])
+            for r in textstats.hourly_approx_uniques(SF).take_all()
+        ]
+        assert sorted(rows) == od.hll_hourly_users(SF)
 
     def test_hll_rows_match_oracle(self, ray_session):
         from ocr_engine_ray import oracle_dedup as od
