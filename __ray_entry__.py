@@ -495,6 +495,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): windowed HLL — distinct users per hour via mergeable
         # register rows; pinned from oracle_dedup.hll_hourly_users.
         "hourly_uniques_digest": tsp.hourly_uniques_digest,
+        # extraction_delta (eleventh round-4 continuation, never gated):
+        # incremental re-extraction CDC — extract corpus v1 and the ~2%
+        # deterministic v2 overlay through the SAME streaming pipeline,
+        # reduce each doc to a 16-byte span-sequence hash, ONE doc-keyed
+        # bucket shuffle pairs versions; pinned one-row (n_docs,
+        # n_changed, digest) from oracle_dedup.extraction_delta_oracle,
+        # which re-extracts BOTH versions with the independent oracle.
+        "extraction_delta": extract_stats.extraction_delta,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -4591,6 +4599,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_uniques_digest": """
             SELECT 1794288287685167697::BIGINT AS digest
+        """,
+        # Incremental re-extraction delta: the changed-doc set under the
+        # deterministic v2 overlay is a property of the EXTRACTOR (the
+        # appended span must survive extraction + reassembly ordering),
+        # not SQL-recomputable; pinned from the sequential twin
+        # oracle_dedup.extraction_delta_oracle and re-derived on every
+        # pytest run (tests/test_extraction_delta.py).
+        "extraction_delta": """
+            SELECT 500::BIGINT AS n_docs,
+                   10::BIGINT AS n_changed,
+                   533214449338035619::BIGINT AS digest
         """,
         "ann_lsh_digest": """
             SELECT 287382113437766496::BIGINT AS digest

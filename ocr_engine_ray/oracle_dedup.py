@@ -879,3 +879,49 @@ def hll_hourly_users(sf_dir: str) -> list[tuple[str, int]]:
             est = HLL_M * np.log(HLL_M / zeros)
         out.append((h, int(round(float(est)))))
     return out
+
+
+def extraction_delta_oracle(sf_dir: str) -> tuple[int, int, int]:
+    """Sequential twin of `pipelines.extract_stats.extraction_delta`:
+    re-extract v1 and the ~2% v2 overlay with the INDEPENDENT per-doc
+    oracle extractor and report (n_docs, n_changed, changed-id digest)."""
+    from ocr_engine_ray import oracle, synth
+    from ocr_engine_ray.pipelines.extract_stats import (
+        DELTA_MOD,
+        DELTA_RESIDUE,
+        _DELTA_NOTE,
+    )
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+    from ocr_engine_ray import spec
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    n = nc = dg = 0
+    for num, text, lang in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("lang").to_pylist(),
+    ):
+        doc = synth.derive_doc(num, text, lang)
+        n += 1
+        if num % DELTA_MOD != DELTA_RESIDUE:
+            continue
+        e1 = oracle.extract_document(doc)
+        doc2 = dict(doc)
+        doc2["spans"] = list(doc["spans"]) + [
+            {
+                "kind": spec.KIND_TEXT,
+                "text": _DELTA_NOTE,
+                "media_ref": "",
+                "offset": 1_000_000_000,
+            }
+        ]
+        e2 = oracle.extract_document(doc2)
+        key = lambda e: [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in e["spans"]
+        ]
+        if key(e1) != key(e2):
+            nc += 1
+            dg = (dg + row_digest(str(doc["doc_id"]), "changed")) % DIGEST_MOD
+    return n, nc, dg

@@ -555,3 +555,130 @@ def video_scene_cuts(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(cuts, batch_format="pyarrow").sort("doc_id")
+
+
+DELTA_MOD = 50
+DELTA_RESIDUE = 7
+_DELTA_NOTE = "rev2 appended notice"
+
+
+def _mutate_interleaved(batch: pa.Table) -> pa.Table:
+    """v2 overlay: docs with ``doc_num % DELTA_MOD == DELTA_RESIDUE`` gain
+    one trailing text span (offset 10^9 sorts it last).  Only the mutated
+    ~2% pay the python span rebuild; the rest pass through zero-copy."""
+    from .. import synth
+
+    ids = batch.column("doc_id").to_pylist()
+    nums = np.array([synth.doc_num_from_id(d) for d in ids], dtype=np.int64)
+    hit = (nums % DELTA_MOD) == DELTA_RESIDUE
+    if not hit.any():
+        return batch
+    keep = batch.filter(pa.array(~hit))
+    mut = batch.filter(pa.array(hit))
+    rows = mut.to_pylist()
+    for r in rows:
+        r["spans"] = list(r["spans"]) + [
+            {
+                "kind": spec.KIND_TEXT,
+                "text": _DELTA_NOTE,
+                "media_ref": "",
+                "offset": 1_000_000_000,
+            }
+        ]
+    mut2 = pa.Table.from_pylist(rows, schema=batch.schema)
+    return pa.concat_tables([keep, mut2])
+
+
+def extraction_delta(sf_dir: str, *, num_buckets: int = 32, **kwargs) -> pa.Table:
+    """Incremental re-extraction delta — the CDC view of the extraction
+    engine the north rule's resumability story implies: given corpus v2
+    (a deterministic ~2% overlay on v1), which documents' EXTRACTED
+    span sequences changed?  At production scale this is the audit that
+    decides how much of a re-crawl actually needs re-processing
+    downstream (embedding, dedup, indexing are all keyed on extracted
+    content, not raw bytes).
+
+    Scale shape: both versions stream through the normal extraction
+    pipeline; a per-doc md5 over the framed (kind, text, media_ref,
+    order) sequence reduces each version to corpus-count 16-byte rows;
+    ONE doc-keyed bucket shuffle pairs the two hashes and folds
+    (n_total, n_changed, changed-id digest) partials.  Returns one row
+    (n_docs, n_changed, digest) — pinned from the sequential oracle
+    (`oracle_dedup.extraction_delta_oracle`), which re-extracts both
+    versions with the independent `ocr_engine_ray.oracle` extractor.
+    """
+    import hashlib
+    import zlib
+
+    from .interpret import DIGEST_MOD, row_digest
+    from .extraction import extract_from_interleaved
+
+    base = interleaved_from_documents(f"{sf_dir}/documents.parquet")
+    v2 = interleaved_from_documents(f"{sf_dir}/documents.parquet").map_batches(
+        _mutate_interleaved, batch_format="pyarrow"
+    )
+
+    def span_hash(tag: int):
+        def inner(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            spans = batch.column("spans").to_pylist()
+            hs, bks = [], []
+            for d, ss in zip(ids, spans):
+                framed = "\x1e".join(
+                    f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1f{s['order']}"
+                    for s in (ss or [])
+                )
+                h = hashlib.md5(framed.encode("utf-8")).digest()
+                hs.append(int.from_bytes(h[:8], "big") // 2)  # int64-safe
+                bks.append(zlib.crc32(d.encode()) % num_buckets)
+            return pa.table(
+                {
+                    "bkt": pa.array(bks, pa.int64()),
+                    "doc_id": pa.array(ids, pa.string()),
+                    "h": pa.array(hs, pa.int64()),
+                    "tag": pa.array(np.full(len(ids), tag, dtype=np.int64)),
+                }
+            )
+
+        return inner
+
+    h1 = extract_from_interleaved(base, **kwargs).map_batches(
+        span_hash(0), batch_format="pyarrow"
+    )
+    h2 = extract_from_interleaved(v2, **kwargs).map_batches(
+        span_hash(1), batch_format="pyarrow"
+    )
+
+    def diff(group: pa.Table) -> pa.Table:
+        ids = np.array(group.column("doc_id").to_pylist(), dtype=object)
+        h = group.column("h").combine_chunks().to_numpy(zero_copy_only=False)
+        tag = group.column("tag").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, ids))
+        ids, h, tag = ids[order], h[order], tag[order]
+        # rows arrive as (doc, tag 0), (doc, tag 1) pairs after the sort
+        changed = h[tag == 0] != h[tag == 1]
+        cids = ids[tag == 0][changed]
+        dg = 0
+        for d in cids.tolist():
+            dg = (dg + row_digest(str(d), "changed")) % DIGEST_MOD
+        return pa.table(
+            {
+                "n": pa.array([int((tag == 0).sum())], pa.int64()),
+                "nc": pa.array([int(changed.sum())], pa.int64()),
+                "dg": pa.array([dg], pa.int64()),
+            }
+        )
+
+    parts = (
+        h1.union(h2).groupby("bkt").map_groups(diff, batch_format="pyarrow").take_all()
+    )
+    n = sum(r["n"] for r in parts)
+    nc = sum(r["nc"] for r in parts)
+    dg = sum(r["dg"] for r in parts) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_changed": pa.array([nc], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
