@@ -503,6 +503,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # n_changed, digest) from oracle_dedup.extraction_delta_oracle,
         # which re-extracts BOTH versions with the independent oracle.
         "extraction_delta": extract_stats.extraction_delta,
+        # justext_boilerplate (eleventh round-4 continuation, never gated):
+        # jusText block-level boilerplate strip (Pomikálek 2011) — integer
+        # stopword-density classes + the adjacency promotion pass, pure
+        # per-batch map, no shuffle; list_filter + lag/lead window twin.
+        "justext_boilerplate": decontam.justext_boilerplate,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -4610,6 +4615,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT 500::BIGINT AS n_docs,
                    10::BIGINT AS n_changed,
                    533214449338035619::BIGINT AS digest
+        """,
+        # jusText boilerplate strip recomputed WHOLESALE: 20-token blocks
+        # via range-stepped list slices, the float-free density rule
+        # (good iff stop_count*10 >= n_words, near iff any stopword,
+        # short < 5 words never good alone), then the adjacency
+        # promotion as lag/lead over context-free good flags.
+        "justext_boilerplate": r"""
+            WITH blocks AS (
+              SELECT doc_id, (i // 20)::BIGINT AS blk,
+                     least(20, n - i)::BIGINT AS nw,
+                     len(list_filter(ws[i + 1 : i + least(20, n - i)],
+                         x -> lower(x) IN ('the', 'a')))::BIGINT AS sc
+              FROM (SELECT doc_id, ws, len(ws) AS n,
+                           unnest(range(0, len(ws), 20)) AS i
+                    FROM (SELECT doc_id,
+                                 regexp_extract_all(coalesce(text, ''), '\S+')
+                                   AS ws
+                          FROM documents))
+            ),
+            cls AS (
+              SELECT doc_id, blk, nw,
+                     CASE WHEN nw >= 5 AND sc * 10 >= nw
+                          THEN 1 ELSE 0 END AS g,
+                     CASE WHEN nw >= 5 AND sc * 10 < nw AND sc >= 1
+                          THEN 1 ELSE 0 END AS nr
+              FROM blocks
+            ),
+            ctx AS (
+              SELECT doc_id, nw, g, nr,
+                     coalesce(lag(g) OVER (PARTITION BY doc_id
+                                           ORDER BY blk), 0) AS pg,
+                     coalesce(lead(g) OVER (PARTITION BY doc_id
+                                            ORDER BY blk), 0) AS ng
+              FROM cls
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_blocks,
+                   (count(*) FILTER (WHERE g = 1
+                      OR (nr = 1 AND (pg = 1 OR ng = 1))))::BIGINT AS n_good,
+                   (count(*) FILTER (WHERE nr = 1
+                      AND (pg = 1 OR ng = 1)))::BIGINT AS n_promoted,
+                   coalesce(sum(nw) FILTER (WHERE g = 1
+                      OR (nr = 1 AND (pg = 1 OR ng = 1))), 0)::BIGINT
+                     AS kept_words
+            FROM ctx GROUP BY doc_id ORDER BY doc_id
         """,
         "ann_lsh_digest": """
             SELECT 287382113437766496::BIGINT AS digest

@@ -789,3 +789,107 @@ def duplicate_ngram_spans(
                              cols=["n_dup_positions"])
         .sort("doc_id")
     )
+
+
+# --- jusText-style boilerplate strip ---------------------------------------
+# Pomikálek 2011 ("Removing boilerplate and duplicate content from web
+# corpora", jusText): segment the document, classify each segment
+# context-free by stopword density + length, then promote borderline
+# segments adjacent to good ones.  The reference engine's HTML path keeps
+# main content by DOM span kinds (oracle.extract_document); this is the
+# statistical complement used when no markup survives: the corpus is a
+# markup-free token stream, so the "paragraph" stand-in is a fixed
+# 20-token block (deterministic, twin-recomputable).
+JUSTEXT_BLOCK_WORDS = 20
+JUSTEXT_MIN_WORDS = 5  # blocks shorter than this are never good on their own
+# corpus function words (the synthetic vocabulary's only two stopwords);
+# density rule is float-free: good iff stop_count * 10 >= n_words (>=10%)
+JUSTEXT_STOPWORDS = frozenset(("the", "a"))
+
+
+def justext_boilerplate(sf_dir: str) -> rd.Dataset:
+    """Block-level boilerplate strip: per doc, split the token stream into
+    20-token blocks, classify each block context-free
+    (short / bad / near / good by the integer stopword-density rule), then
+    run jusText's context pass — a ``near`` block becomes good iff an
+    adjacent block of the SAME doc is context-free good.  Pure per-batch
+    map (blocks never cross doc boundaries, docs never cross batch
+    boundaries) — no shuffle; at 10^12 docs this fuses into the read, the
+    same plan shape as `gopher_quality_flags`.
+
+    Returns (doc_id, n_blocks, n_good, n_promoted, kept_words) for docs
+    with ≥1 token, sorted by doc_id; the DuckDB twin recomputes the whole
+    rule with list_filter + lag/lead windows (exact integer arithmetic
+    end-to-end, no floats anywhere).
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(_justext_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def _justext_batch(batch: pa.Table) -> pa.Table:
+    from ..functions.tokenize import WS_SPLIT, explode_tokens
+
+    ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    m = len(ids)
+    rows, codes, dic = explode_tokens(
+        batch.column("text").to_pylist(), pattern=WS_SPLIT, lower=False
+    )
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_blocks": pa.array([], pa.int64()),
+            "n_good": pa.array([], pa.int64()),
+            "n_promoted": pa.array([], pa.int64()),
+            "kept_words": pa.array([], pa.int64()),
+        }
+    )
+    if len(rows) == 0:
+        return empty
+    dic_list = dic.to_pylist()
+    is_stop = np.fromiter(
+        ((w or "").lower() in JUSTEXT_STOPWORDS for w in dic_list),
+        dtype=bool,
+        count=len(dic_list),
+    )
+    stop_occ = is_stop[codes]
+    # token position within its doc (rows is row-major sorted)
+    new = np.concatenate([[True], rows[1:] != rows[:-1]])
+    run_starts = np.nonzero(new)[0]
+    run_id = np.cumsum(new) - 1
+    pos = np.arange(len(rows), dtype=np.int64) - run_starts[run_id]
+    blk = pos // JUSTEXT_BLOCK_WORDS
+    # per-(doc, block) fold; the composite key preserves (doc, blk) order
+    width = int(blk.max()) + 1
+    comb = rows * width + blk
+    uk, inv = np.unique(comb, return_inverse=True)
+    nb = len(uk)
+    nw = np.bincount(inv, minlength=nb).astype(np.int64)
+    sc = np.bincount(inv, weights=stop_occ, minlength=nb).astype(np.int64)
+    bdoc = uk // width
+    # context-free classes (precedence: short, good, near, bad)
+    short = nw < JUSTEXT_MIN_WORDS
+    good = (~short) & (sc * 10 >= nw)
+    near = (~short) & (~good) & (sc >= 1)
+    # context pass: near + an adjacent context-free-good block in SAME doc
+    same_prev = np.concatenate([[False], bdoc[1:] == bdoc[:-1]])
+    same_next = np.concatenate([bdoc[1:] == bdoc[:-1], [False]])
+    prev_good = np.concatenate([[False], good[:-1]]) & same_prev
+    next_good = np.concatenate([good[1:], [False]]) & same_next
+    promoted = near & (prev_good | next_good)
+    final_good = good | promoted
+    n_blocks = np.bincount(bdoc, minlength=m).astype(np.int64)
+    n_good = np.bincount(bdoc, weights=final_good, minlength=m).astype(np.int64)
+    n_prom = np.bincount(bdoc, weights=promoted, minlength=m).astype(np.int64)
+    kept = np.bincount(
+        bdoc, weights=np.where(final_good, nw, 0), minlength=m
+    ).astype(np.int64)
+    has = n_blocks > 0
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[has], pa.int64()),
+            "n_blocks": pa.array(n_blocks[has]),
+            "n_good": pa.array(n_good[has]),
+            "n_promoted": pa.array(n_prom[has]),
+            "kept_words": pa.array(kept[has]),
+        }
+    )
