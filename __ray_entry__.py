@@ -508,6 +508,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stopword-density classes + the adjacency promotion pass, pure
         # per-batch map, no shuffle; list_filter + lag/lead window twin.
         "justext_boilerplate": decontam.justext_boilerplate,
+        # containment_pairs (eleventh round-4 continuation, never gated):
+        # asymmetric trigram containment (quote / sub-document inclusion
+        # detection) — ordered block-pair cartesian with the one-sided
+        # size prune; exact list_intersect twin.
+        "containment_pairs": dedup.containment_pairs,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2295,6 +2300,24 @@ def oracle_sql() -> dict[str, str]:
              AND least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g))
             WHERE len(list_intersect(a.g, b.g)) * 1.0
                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # Asymmetric containment C(A→B) = |A∩B|/|A| over the same trigram
+        # sets: ordered pairs, one-sided size prune mirrored in the join.
+        "containment_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_distinct(
+                            list_transform(generate_series(1, len(w)-2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS g
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w
+                    FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             AND len(b.g) >= 0.5 * len(a.g)
+            WHERE len(list_intersect(a.g, b.g)) * 1.0 / len(a.g) >= 0.5
+            ORDER BY a, b
         """,
         # Method agreement: both exact pair definitions, one equi-join.
         "dedup_method_agreement": """

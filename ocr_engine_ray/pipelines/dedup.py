@@ -1617,6 +1617,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    sf_dir: str, *, threshold: float = 0.5, block_rows: int = 1024
+) -> rd.Dataset:
+    """Exact all-pairs word-trigram CONTAINMENT — Broder 1997's asymmetric
+    companion to resemblance: ``C(A→B) = |S(A)∩S(B)| / |S(A)|``.  This is
+    the quote / sub-document-inclusion detector a symmetric Jaccard dedup
+    misses entirely: a short doc fully pasted into a long one has high
+    containment but near-zero Jaccard (planted-corpus pytest exercises
+    exactly that case; the sf corpus only produces mutual near-dups).
+
+    Same block-pair cartesian + one replication shuffle as
+    ``ngram_jaccard_pairs``; candidates are pruned by the one-sided size
+    bound implied by the threshold (``C ≥ t ⟹ |B| ≥ t·|A|``, since the
+    intersection is capped by ``min(|A|,|B|)``) before the exact set
+    intersection.  Returns ORDERED (a = contained, b = container) pairs
+    with ``C ≥ t``, ``a ≠ b``, sorted — byte-identical to the DuckDB
+    ``list_intersect`` twin.  Exact small-side oracle twin by design
+    (O(N²) work over B² tasks); the scale path for unknown-N corpora is
+    the MinHash band family.
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()
+    nblocks = max(1, math.ceil(n / block_rows))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        sh = [_SHINGLE_SEP.join(sorted(_trigram_set(t))) for t in texts]
+        p = ids % nblocks
+        q = np.arange(nblocks, dtype=np.int64)
+        i = np.minimum(p[:, None], q[None, :])
+        j = np.maximum(p[:, None], q[None, :])
+        block = (i * nblocks + j).ravel()
+        row_idx = np.repeat(np.arange(len(ids)), nblocks)
+        return pa.table(
+            {
+                "block": pa.array(block, pa.int64()),
+                "bucket": pa.array(np.repeat(p, nblocks).astype(np.int32)),
+                "doc_id": pa.array(ids[row_idx], pa.int64()),
+                "sh": pa.array([sh[r] for r in row_idx], pa.string()),
+            }
+        )
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        block = group.column("block")[0].as_py()
+        bi, bj = divmod(block, nblocks)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        shs = [set(s.split(_SHINGLE_SEP)) for s in group.column("sh").to_pylist()]
+        sizes = np.array([len(s) for s in shs])
+        bkt = np.asarray(group.column("bucket").to_pylist())
+        if bi == bj:
+            sides = [(np.arange(len(ids)), np.arange(len(ids)))]
+        else:
+            li = np.nonzero(bkt == bi)[0]
+            lj = np.nonzero(bkt == bj)[0]
+            sides = [(li, lj), (lj, li)]  # ordered pairs: both directions
+        oa, ob = [], []
+        for xs, ys in sides:
+            for x in xs:
+                for y in ys:
+                    if y == x:
+                        continue
+                    sa, sb = int(sizes[x]), int(sizes[y])
+                    if sb < threshold * sa:
+                        continue  # one-sided size prune (C >= t needs it)
+                    if len(shs[x] & shs[y]) / sa >= threshold:
+                        oa.append(int(ids[x]))
+                        ob.append(int(ids[y]))
+        return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})
+
+    return (
+        docs.map_batches(
+            replicate,
+            batch_format="pyarrow",
+            batch_size=max(64, block_rows // nblocks),
+        )
+        .groupby("block")
+        .map_groups(block_pairs, batch_format="pyarrow")
+        .sort(["a", "b"])
+    )
+
+
 def ppjoin_jaccard_pairs(
     sf_dir: str, *, threshold: float = 0.8, num_buckets: int = 64
 ) -> rd.Dataset:
