@@ -513,6 +513,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # detection) — ordered block-pair cartesian with the one-sided
         # size prune; exact list_intersect twin.
         "containment_pairs": dedup.containment_pairs,
+        # clustering_coefficients (eleventh round-4 continuation, never
+        # gated): per-node Watts-Strogatz lcc on the co-purchase graph —
+        # the oriented wedge census now ATTRIBUTES each closed triangle
+        # to its three corners; float-free ppm floor; wedge-join twin.
+        "clustering_coefficients": basket.clustering_coefficients,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -3592,6 +3597,41 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM w)::BIGINT AS n_wedges,
                    (SELECT count(*) FROM w JOIN e ON e.p1 = w.b AND e.p2 = w.c)::BIGINT
                      AS n_triangles
+        """,
+        # Per-node lcc: the same wedge census, each closed wedge credits
+        # its three corners; exact integer ppm floor, degree >= 2 only.
+        "clustering_coefficients": """
+            WITH pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+              FROM lineitem a
+              JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            e AS (SELECT p1, p2 FROM pairs WHERE n >= 2),
+            deg AS (
+              SELECT p, count(*) AS d
+              FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e)
+              GROUP BY 1
+            ),
+            w AS (
+              SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+              FROM e e1 JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+            ),
+            t AS (SELECT a, b, c FROM w JOIN e ON e.p1 = w.b AND e.p2 = w.c),
+            tc AS (
+              SELECT p, count(*) AS tri
+              FROM (SELECT a AS p FROM t UNION ALL SELECT b FROM t
+                    UNION ALL SELECT c FROM t)
+              GROUP BY 1
+            )
+            SELECT deg.p AS part, deg.d::BIGINT AS degree,
+                   coalesce(tc.tri, 0)::BIGINT AS n_tri,
+                   ((2 * coalesce(tc.tri, 0) * 1000000)
+                    // (deg.d * (deg.d - 1)))::BIGINT AS lcc_ppm
+            FROM deg LEFT JOIN tc ON tc.p = deg.p
+            WHERE deg.d >= 2
+            ORDER BY part
         """,
         # TPC-H Q5 analog: 5-table join with the local-supplier rule
         # (s_nationkey = c_nationkey); money as exact integer cents,

@@ -560,6 +560,160 @@ def triangle_count(
     )
 
 
+LCC_PPM_SCALE = 1_000_000
+
+
+def clustering_coefficients(
+    sf_dir: str, *, min_support: int = BASKET_MIN_SUPPORT, num_buckets: int = 64
+) -> rd.Dataset:
+    """Per-node local clustering coefficient of the co-purchase graph —
+    Watts & Strogatz 1998's ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))``,
+    the per-node refinement of `triangle_count`'s global triangle census
+    (community tightness / motif-anomaly signal per part).
+
+    Same oriented node-iterator (Suri & Vassilvitskii 2011), extended to
+    ATTRIBUTE each closed wedge: wedges carry their center ``a``; in the
+    (b, c)-keyed closing buckets every triangle credits all three corners
+    (a, b, c), and the per-node credits fold through ONE node-keyed
+    bucket shuffle together with the degree partials (tagged union — no
+    join stage).  The coefficient is kept float-free as
+    ``lcc_ppm = (2·T·10^6) // (d·(d−1))`` exact integer floor.
+
+    Returns (part, degree, n_tri, lcc_ppm) for nodes with degree ≥ 2,
+    sorted by part — byte-identical to the wedge-join DuckDB twin.
+    """
+    edges = copurchase_edges(
+        sf_dir, min_support=min_support, num_buckets=num_buckets
+    )
+
+    _PRIME = np.int64(1_000_003)
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        b = batch.column("p1").to_numpy(zero_copy_only=False)
+        c = batch.column("p2").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "wbkt": pa.array(((b * _PRIME + c) % num_buckets).astype(np.int64)),
+                "a": pa.array(np.full(len(b), -1, dtype=np.int64)),
+                "b": pa.array(b),
+                "c": pa.array(c),
+            }
+        )
+
+    def abucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("p1").to_numpy(zero_copy_only=False)
+        return batch.append_column("abkt", pa.array((a % num_buckets).astype(np.int64)))
+
+    def wedges_of(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "wbkt": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        a = group.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+        nb = group.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(a):
+            return empty
+        order = np.lexsort((nb, a))
+        a, nb = a[order], nb[order]
+        verts, deg = np.unique(a, return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        a_all, b_all, c_all = [], [], []
+        for d in np.unique(deg):
+            if d < 2:
+                continue
+            sel = np.nonzero(deg == d)[0]
+            idx = starts[sel][:, None] + np.arange(d)[None, :]
+            nbr = nb[idx]  # (n_vertices, d), ascending per row
+            iu, ju = np.triu_indices(int(d), 1)
+            a_all.append(np.repeat(verts[sel], len(iu)))
+            b_all.append(nbr[:, iu].ravel())
+            c_all.append(nbr[:, ju].ravel())
+        if not b_all:
+            return empty
+        av = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        c = np.concatenate(c_all)
+        return pa.table(
+            {
+                "wbkt": pa.array(((b * _PRIME + c) % num_buckets).astype(np.int64)),
+                "a": pa.array(av),
+                "b": pa.array(b),
+                "c": pa.array(c),
+            }
+        )
+
+    def tri_credits(group: pa.Table) -> pa.Table:
+        a = group.column("a").combine_chunks().to_numpy(zero_copy_only=False)
+        b = group.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        ise = a < 0
+        maxc = int(c.max()) + 1 if len(c) else 1
+        key = b * maxc + c
+        closed = np.isin(key[~ise], key[ise])
+        ta, tb, tc_ = a[~ise][closed], b[~ise][closed], c[~ise][closed]
+        nodes = np.concatenate([ta, tb, tc_])
+        uv, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(uv, pa.int64()),
+                "deg": pa.array(np.zeros(len(uv), dtype=np.int64)),
+                "tri": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        p1 = batch.column("p1").to_numpy(zero_copy_only=False)
+        p2 = batch.column("p2").to_numpy(zero_copy_only=False)
+        uv, cnt = np.unique(np.concatenate([p1, p2]), return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(uv, pa.int64()),
+                "deg": pa.array(cnt.astype(np.int64)),
+                "tri": pa.array(np.zeros(len(uv), dtype=np.int64)),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(abucket, batch_format="pyarrow")
+        .groupby("abkt")
+        .map_groups(wedges_of, batch_format="pyarrow")
+    )
+    credits = (
+        wedges.union(edges.map_batches(edge_side, batch_format="pyarrow"))
+        .groupby("wbkt")
+        .map_groups(tri_credits, batch_format="pyarrow")
+    )
+    from .fold import fold_int_sums_by_key
+
+    folded = fold_int_sums_by_key(
+        credits.union(edges.map_batches(deg_partials, batch_format="pyarrow")),
+        key="part",
+        cols=["deg", "tri"],
+        num_buckets=num_buckets,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_numpy(zero_copy_only=False)
+        t = batch.column("tri").to_numpy(zero_copy_only=False)
+        keep = d >= 2
+        d, t = d[keep], t[keep]
+        lcc = (2 * t * LCC_PPM_SCALE) // (d * (d - 1))
+        return pa.table(
+            {
+                "part": batch.column("part").filter(pa.array(keep)),
+                "degree": pa.array(d, pa.int64()),
+                "n_tri": pa.array(t, pa.int64()),
+                "lcc_ppm": pa.array(lcc.astype(np.int64)),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow").sort("part")
+
+
 CN_MAX_DEGREE = 256
 CN_TOP_K = 20
 
