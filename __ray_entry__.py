@@ -518,6 +518,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the oriented wedge census now ATTRIBUTES each closed triangle
         # to its three corners; float-free ppm floor; wedge-join twin.
         "clustering_coefficients": basket.clustering_coefficients,
+        # mmr_diverse_topk (eleventh round-4 continuation, never gated):
+        # Carbonell-Goldstein MMR diversification — one streaming cosine
+        # pass + bounded candidate fold, driver greedy over 64 rows only;
+        # pinned rows from oracle_dedup.mmr_select (plain-python greedy).
+        "mmr_diverse_topk": ann.mmr_diverse_topk,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -4726,6 +4731,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_digest": """
             SELECT 287382113437766496::BIGINT AS digest
+        """,
+        # MMR selection is an inherently sequential greedy (not
+        # SQL-expressible): rows pinned from the INDEPENDENT plain-python
+        # oracle `oracle_dedup.mmr_select` and re-derived on every pytest
+        # run (tests/test_mmr.py), same contract as the digest pins.
+        "mmr_diverse_topk": """
+            SELECT * FROM (VALUES
+              (1::BIGINT, 365::BIGINT), (2, 73), (3, 387), (4, 483),
+              (5, 334), (6, 423), (7, 464), (8, 320), (9, 36), (10, 165)
+            ) AS t(rank, vec_id)
         """,
         # The k-means family became digest-gateable in round 3: the centroid
         # fold accumulates 2^-40-quantized EXACT integers (ann.py

@@ -925,3 +925,45 @@ def extraction_delta_oracle(sf_dir: str) -> tuple[int, int, int]:
             nc += 1
             dg = (dg + row_digest(str(doc["doc_id"]), "changed")) % DIGEST_MOD
     return n, nc, dg
+
+
+def mmr_select(
+    sf_dir: str, *, k: int = 10, num_candidates: int = 64, lam: float = 0.7
+) -> list[tuple[int, int]]:
+    """Sequential twin of `pipelines.ann.mmr_diverse_topk`: full-corpus
+    relevance, top-candidates cut, then a PLAIN-PYTHON greedy (per-pair
+    dot products, no vectorized argmax) — independent of the pipeline's
+    numpy greedy.  Returns [(rank, vec_id), ...]."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vid = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    mn = m / n[:, None]
+    qi = int(np.argmin(vid))
+    rel = mn @ mn[qi]
+    rel[vid == vid[qi]] = -np.inf
+    order = np.lexsort((vid, -rel))[:num_candidates]
+    order = order[np.isfinite(rel[order])]
+    cvid, crel, cmn = vid[order], rel[order], mn[order]
+    selected: list[int] = []
+    chosen: list[int] = []
+    for _ in range(min(k, len(cvid))):
+        best = None
+        for i in range(len(cvid)):
+            if i in chosen:
+                continue
+            if not chosen:
+                sc = lam * crel[i]
+            else:
+                sc = lam * crel[i] - (1.0 - lam) * max(
+                    float(cmn[i] @ cmn[j]) for j in chosen
+                )
+            key = (-sc, int(cvid[i]))
+            if best is None or key < best[0]:
+                best = (key, i)
+        chosen.append(best[1])
+        selected.append(int(cvid[best[1]]))
+    return [(r + 1, v) for r, v in enumerate(selected)]

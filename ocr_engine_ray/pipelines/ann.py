@@ -1295,3 +1295,126 @@ def sq8_topk(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
             "score_q": pa.array([r["score_q"] for r in res], pa.int64()),
         }
     )
+
+
+# --- MMR diverse selection ---------------------------------------------------
+MMR_LAMBDA = 0.7
+MMR_K = 10
+MMR_CANDIDATES = 64
+
+
+def mmr_diverse_topk(
+    sf_dir: str,
+    *,
+    k: int = MMR_K,
+    num_candidates: int = MMR_CANDIDATES,
+    lam: float = MMR_LAMBDA,
+) -> pa.Table:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) —
+    the retrieval / data-curation diversifier: greedily pick the doc
+    maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` so the selected
+    set covers the neighborhood of the query instead of k near-copies.
+
+    Scale shape: relevance is ONE streaming cosine pass against the
+    broadcast query (the `ann_topk_bruteforce` scorer shape, carrying the
+    vector); per-batch partial top-``num_candidates`` bounds what leaves
+    each task, one tiny fold yields the global candidate set; the
+    inherently sequential greedy runs on the driver over those
+    ``num_candidates`` rows only (64 × dim floats — constant at any
+    corpus size).  Ties break (score desc, vec_id asc) everywhere.
+
+    Returns (rank, vec_id) ints, rank 1..k — pinned from the sequential
+    numpy oracle (`oracle_dedup.mmr_select`); the query vector (smallest
+    vec_id) is excluded from its own result.
+    """
+    qids, qmat, _ = _load_queries(sf_dir, 1)
+    qid, q = int(qids[0]), qmat[0]
+    ref = ray.put(q)
+
+    def score(batch: pa.Table, *, ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "rel": pa.array([], pa.float64()),
+                    "emb": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        qv = ray.get(ref)
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        mn = m / n[:, None]
+        rel = mn @ qv
+        rel[vid == qid] = -np.inf  # exclude the query itself
+        order = np.lexsort((vid, -rel))[: min(num_candidates, len(vid))]
+        keep = np.isfinite(rel[order])
+        order = order[keep]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(order), dtype=np.int64)),
+                "vec_id": pa.array(vid[order], pa.int64()),
+                "rel": pa.array(rel[order], pa.float64()),
+                "emb": pa.array(
+                    [mn[i].tolist() for i in order], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cand = (
+        emb.map_batches(score, batch_format="pyarrow", batch_size=1024,
+                        fn_kwargs={"ref": ref})
+        .groupby("g")
+        .map_groups(
+            lambda gr: gr.take(
+                pa.array(
+                    np.lexsort(
+                        (
+                            np.asarray(gr.column("vec_id").to_pylist()),
+                            -np.asarray(gr.column("rel").to_pylist()),
+                        )
+                    )[:num_candidates],
+                    pa.int64(),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )  # <= num_candidates rows on the driver, by construction
+    vid = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    rel = np.array([r["rel"] for r in cand], dtype=np.float64)
+    mn = np.array([r["emb"] for r in cand], dtype=np.float64)
+    picked = greedy_mmr(vid, rel, mn, k=k, lam=lam)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(picked) + 1), pa.int64()),
+            "vec_id": pa.array(picked, pa.int64()),
+        }
+    )
+
+
+def greedy_mmr(
+    vid: "np.ndarray", rel: "np.ndarray", mn: "np.ndarray", *, k: int, lam: float
+) -> list[int]:
+    """The sequential MMR core over the (small) candidate set: normalized
+    rows ``mn``, relevance ``rel``; ties (score desc, vec_id asc)."""
+    sims = mn @ mn.T
+    selected: list[int] = []
+    chosen = np.zeros(len(vid), dtype=bool)
+    maxsim = np.full(len(vid), -np.inf)
+    for _ in range(min(k, len(vid))):
+        mmr = lam * rel - (1.0 - lam) * np.where(
+            np.isfinite(maxsim), maxsim, 0.0
+        )
+        if not selected:
+            mmr = lam * rel  # first pick: pure relevance
+        mmr = np.where(chosen, -np.inf, mmr)
+        order = np.lexsort((vid, -mmr))
+        i = int(order[0])
+        selected.append(int(vid[i]))
+        chosen[i] = True
+        maxsim = np.maximum(maxsim, sims[:, i])
+    return selected
