@@ -523,6 +523,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pass + bounded candidate fold, driver greedy over 64 rows only;
         # pinned rows from oracle_dedup.mmr_select (plain-python greedy).
         "mmr_diverse_topk": ann.mmr_diverse_topk,
+        # quality_pareto_frontier (eleventh round-4 continuation, never
+        # gated): distributed two-phase skyline — local per-batch skyline
+        # then one bounded fold; NOT EXISTS domination twin.
+        "quality_pareto_frontier": profile.quality_pareto_frontier,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -3637,6 +3641,25 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN tc ON tc.p = deg.p
             WHERE deg.d >= 2
             ORDER BY part
+        """,
+        # Skyline recomputed wholesale: the NOT EXISTS domination test
+        # over the same two exact integer axes.
+        "quality_pareto_frontier": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS nw,
+                     len(list_distinct(regexp_extract_all(lower(text), '\S+')))::BIGINT
+                       AS dt
+              FROM documents
+            )
+            SELECT doc_id, nw AS n_words, dt AS n_distinct
+            FROM s a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s b
+              WHERE b.dt >= a.dt AND b.nw <= a.nw
+                AND (b.dt > a.dt OR b.nw < a.nw)
+            )
+            ORDER BY doc_id
         """,
         # TPC-H Q5 analog: 5-table join with the local-supplier rule
         # (s_nationkey = c_nationkey); money as exact integer cents,

@@ -887,3 +887,94 @@ def herfindahl_by_nation(sf_dir: str, *, chunk: int = 8192) -> rd.Dataset:
             }
         )
     )
+
+
+# --- Pareto-frontier (skyline) selection ------------------------------------
+def quality_pareto_frontier(sf_dir: str) -> rd.Dataset:
+    """Distributed skyline query (Börzsönyi et al. 2001) over two exact
+    integer quality axes: MAXIMIZE vocabulary richness (distinct
+    lowercased tokens) while MINIMIZING length (token count) — the
+    "most signal per token" frontier a curation pass samples from.  A doc
+    is dominated iff some other doc has ``dt ≥`` and ``nw ≤`` with at
+    least one strict; duplicates of a frontier point all survive.
+
+    Two-phase distributed skyline: every batch computes its LOCAL skyline
+    (a globally non-dominated point is never dominated inside its own
+    batch, so skyline(corpus) ⊆ ∪ skyline(batch)); only those candidates
+    — bounded by the distinct length values per batch, not batch rows —
+    move through the single-group fold where the same exact sweep runs
+    once more.  No corpus shuffle, no driver loop.  Returns
+    (doc_id, n_words, n_distinct) sorted by doc_id — byte-identical to
+    the DuckDB ``NOT EXISTS`` twin.
+    """
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def axes(batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import WS_SPLIT, explode_tokens
+
+        ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(ids)
+        rows, codes, _ = explode_tokens(
+            batch.column("text").to_pylist(), pattern=WS_SPLIT, lower=True
+        )
+        nw = np.bincount(rows, minlength=m).astype(np.int64)
+        if len(rows):
+            width = int(codes.max()) + 1
+            uniq = np.unique(rows * width + codes)
+            dt = np.bincount(uniq // width, minlength=m).astype(np.int64)
+        else:
+            dt = np.zeros(m, dtype=np.int64)
+        t = pa.table(
+            {
+                "g": pa.array(np.zeros(m, dtype=np.int64)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "nw": pa.array(nw),
+                "dt": pa.array(dt),
+            }
+        )
+        return _skyline(t)
+
+    def _skyline(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        nw = t.column("nw").combine_chunks().to_numpy(zero_copy_only=False)
+        dt = t.column("dt").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return t
+        # sweep lengths ascending: a point survives iff its dt equals its
+        # length-group max AND that max strictly exceeds every smaller
+        # length's group max (equal dt at smaller nw dominates strictly)
+        order = np.lexsort((-dt, nw))
+        snw, sdt = nw[order], dt[order]
+        new = np.concatenate([[True], snw[1:] != snw[:-1]])
+        gmax = sdt[new]  # first row per nw group is its max dt
+        prev = np.concatenate([[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]])
+        gkeep = gmax > prev
+        gid = np.cumsum(new) - 1
+        keep_sorted = gkeep[gid] & (sdt == gmax[gid])
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order] = keep_sorted
+        return pa.table(
+            {
+                "g": t.column("g").filter(pa.array(keep)),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "nw": pa.array(nw[keep]),
+                "dt": pa.array(dt[keep]),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        sky = _skyline(group)
+        return pa.table(
+            {
+                "doc_id": sky.column("doc_id"),
+                "n_words": sky.column("nw"),
+                "n_distinct": sky.column("dt"),
+            }
+        )
+
+    return (
+        docs.map_batches(axes, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort("doc_id")
+    )
