@@ -527,6 +527,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): distributed two-phase skyline — local per-batch skyline
         # then one bounded fold; NOT EXISTS domination twin.
         "quality_pareto_frontier": profile.quality_pareto_frontier,
+        # lpa_communities_digest (eleventh round-4 continuation, never
+        # gated): fixed-round synchronous label propagation on the
+        # actor-sharded adjacency (labels move, edges don't); pinned from
+        # oracle_dedup.lpa_labels (dict/Counter twin).
+        "lpa_communities_digest": graph.lpa_communities_digest,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -4764,6 +4769,15 @@ def oracle_sql() -> dict[str, str]:
               (1::BIGINT, 365::BIGINT), (2, 73), (3, 387), (4, 483),
               (5, 334), (6, 423), (7, 464), (8, 320), (9, 36), (10, 165)
             ) AS t(rank, vec_id)
+        """,
+        # Fixed-round synchronous LPA is an iterative fixpoint (not
+        # SQL-expressible): pinned from the INDEPENDENT dict/Counter
+        # oracle `oracle_dedup.lpa_labels`, re-derived on every pytest
+        # run (tests/test_lpa.py).
+        "lpa_communities_digest": """
+            SELECT 1892::BIGINT AS n_nodes,
+                   185::BIGINT AS n_communities,
+                   663207596578857682::BIGINT AS digest
         """,
         # The k-means family became digest-gateable in round 3: the centroid
         # fold accumulates 2^-40-quantized EXACT integers (ann.py

@@ -967,3 +967,49 @@ def mmr_select(
         chosen.append(best[1])
         selected.append(int(cvid[best[1]]))
     return [(r + 1, v) for r, v in enumerate(selected)]
+
+
+def lpa_labels(
+    sf_dir: str, *, min_support: int = 2, rounds: int = 8
+) -> tuple[int, int, int]:
+    """Sequential twin of `pipelines.graph.lpa_communities_digest`: plain
+    dict/Counter synchronous label propagation, identical fixed-round
+    schedule and (count desc, label asc) tie-break.  Returns
+    (n_nodes, n_communities, digest)."""
+    from collections import Counter, defaultdict
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order: dict[int, list[int]] = defaultdict(list)
+    for ok, pk in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        by_order[ok].append(pk)
+    # support counts LINEITEM row pairs (the twin's self-join), not
+    # distinct parts per order — a part listed twice pairs twice
+    support: Counter = Counter()
+    for parts in by_order.values():
+        for i in range(len(parts)):
+            for j in range(len(parts)):
+                if parts[i] < parts[j]:
+                    support[(parts[i], parts[j])] += 1
+    adj: dict[int, list[int]] = defaultdict(list)
+    for (a, b), n in support.items():
+        if n >= min_support:
+            adj[a].append(b)
+            adj[b].append(a)
+    label = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            c = Counter(label[u] for u in nbrs)
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[v] = best
+        label = new
+    dg = 0
+    for v in label:
+        dg = (dg + row_digest(str(v), str(label[v]))) % DIGEST_MOD
+    return len(label), len(set(label.values())), dg

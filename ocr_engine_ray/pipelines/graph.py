@@ -532,3 +532,150 @@ def bfs_hops(
             }
         )
     )
+
+
+LPA_ROUNDS = 8
+LPA_SHARDS = 16
+
+
+@ray.remote
+class _LpaShard:
+    """One shard of the synchronous label-propagation index: owns the
+    adjacency rows whose SOURCE endpoint hashes here (``src % S``) and the
+    labels of exactly those nodes.  The adjacency loads ONCE; each round
+    exchanges only label arrays (O(V) total, never the edges) via the
+    object store — the same raw-actor escape hatch as `_BfsShard`.
+    """
+
+    def __init__(self, shard_id: int, num_shards: int) -> None:
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self.src = np.array([], dtype=np.int64)
+        self.dst = np.array([], dtype=np.int64)
+        self.nodes = np.array([], dtype=np.int64)
+        self.labels = np.array([], dtype=np.int64)
+
+    def load(self, src: np.ndarray, dst: np.ndarray) -> None:
+        self._src_parts.append(src)
+        self._dst_parts.append(dst)
+
+    def seal(self) -> int:
+        if self._src_parts:
+            src = np.concatenate(self._src_parts)
+            dst = np.concatenate(self._dst_parts)
+            order = np.argsort(src, kind="stable")
+            self.src, self.dst = src[order], dst[order]
+            self._src_parts, self._dst_parts = [], []
+        self.nodes = np.unique(self.src)
+        self.labels = self.nodes.copy()  # init: own id
+        return len(self.nodes)
+
+    def get_labels(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.nodes, self.labels
+
+    def step(self, *label_parts) -> None:
+        """One synchronous round: relabel every owned node to the most
+        frequent label among its neighbors (ties → smallest label), all
+        reads against the PREVIOUS round's labels."""
+        if not len(self.src):
+            return
+        all_nodes = np.concatenate([p[0] for p in label_parts])
+        all_labels = np.concatenate([p[1] for p in label_parts])
+        order = np.argsort(all_nodes)
+        all_nodes, all_labels = all_nodes[order], all_labels[order]
+        lbl = all_labels[np.searchsorted(all_nodes, self.dst)]
+        # per-src mode with (count desc, label asc) tie-break, vectorized:
+        # count (src,lbl) runs, then take the first row per src after a
+        # (src, -count, lbl) sort
+        o = np.lexsort((lbl, self.src))
+        s, l = self.src[o], lbl[o]
+        new = np.concatenate([[True], (s[1:] != s[:-1]) | (l[1:] != l[:-1])])
+        rs, rl = s[new], l[new]
+        idx = np.nonzero(new)[0]
+        cnt = np.diff(np.concatenate([idx, [len(s)]]))
+        o2 = np.lexsort((rl, -cnt, rs))
+        s2 = rs[o2]
+        first = np.concatenate([[True], s2[1:] != s2[:-1]])
+        win_src, win_lbl = s2[first], rl[o2][first]
+        # win_src is sorted and equals self.nodes (every owned node has
+        # at least one incident edge by construction)
+        self.labels = win_lbl
+
+    def finish(self, digest_mod: int) -> tuple[int, int, np.ndarray]:
+        """(n_nodes, digest partial, distinct labels on this shard)."""
+        from .interpret import row_digest
+
+        dg = 0
+        for n, l in zip(self.nodes.tolist(), self.labels.tolist()):
+            dg = (dg + row_digest(str(n), str(l))) % digest_mod
+        return len(self.nodes), dg, np.unique(self.labels)
+
+
+def lpa_communities_digest(
+    sf_dir: str,
+    *,
+    min_support: int = 2,
+    num_buckets: int = 64,
+    num_shards: int = LPA_SHARDS,
+    rounds: int = LPA_ROUNDS,
+) -> pa.Table:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) on the co-purchase graph — the cheap community baseline next
+    to CC (which ignores edge density) and k-core (which ignores locality):
+    every node adopts its neighbors' majority label each round, ties to
+    the smallest label, for a FIXED ``rounds`` supersteps (fixed-round
+    synchronous LPA is deterministic even when the 2-coloring oscillation
+    would prevent convergence — determinism is the contract here, and the
+    independent oracle runs the identical schedule).
+
+    Scale shape: adjacency partitions once into ``num_shards`` stateful
+    actors; each round moves only the O(V) label arrays between shards
+    (refs routed by the driver, data never touches it); the digest folds
+    on the shards.  Distinct-label arrays (≤ communities per shard) are
+    the only driver pull.
+
+    Returns one row (n_nodes, n_communities, digest) — pinned from
+    `oracle_dedup.lpa_labels` (plain dict/Counter reimplementation).
+    """
+    from .basket import copurchase_edges
+    from .interpret import DIGEST_MOD
+
+    edges = copurchase_edges(
+        sf_dir, min_support=min_support, num_buckets=num_buckets
+    )
+    shards = [_LpaShard.remote(i, num_shards) for i in range(num_shards)]
+
+    def push(batch: pa.Table) -> pa.Table:
+        a = batch.column("p1").to_numpy(zero_copy_only=False)
+        b = batch.column("p2").to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b]).astype(np.int64)
+        dst = np.concatenate([b, a]).astype(np.int64)
+        owner = src % num_shards
+        refs = [
+            shards[s].load.remote(src[owner == s], dst[owner == s])
+            for s in range(num_shards)
+            if (owner == s).any()
+        ]
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(src)], pa.int64())})
+
+    edges.map_batches(push, batch_format="pyarrow").sum("n")
+    ray.get([s.seal.remote() for s in shards])
+    for _ in range(rounds):
+        refs = [s.get_labels.remote() for s in shards]
+        ray.get([s.step.remote(*refs) for s in shards])
+    parts = ray.get([s.finish.remote(DIGEST_MOD) for s in shards])
+    n_nodes = sum(p[0] for p in parts)
+    dg = sum(p[1] for p in parts) % DIGEST_MOD
+    n_comm = len(np.unique(np.concatenate([p[2] for p in parts])))
+    for s in shards:
+        ray.kill(s)
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_communities": pa.array([n_comm], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
