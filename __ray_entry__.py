@@ -532,6 +532,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # actor-sharded adjacency (labels move, edges don't); pinned from
         # oracle_dedup.lpa_labels (dict/Counter twin).
         "lpa_communities_digest": graph.lpa_communities_digest,
+        # dbscan_clusters (eleventh round-4 continuation, never gated):
+        # density clustering over embeddings — exact eps-pairs from the
+        # block-pair cartesian, CC on core-core edges, min-cluster border
+        # attach, full-scan role assembly; recursive-CTE twin.
+        "dbscan_clusters": dedup.dbscan_clusters,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -2584,6 +2589,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS vec_id,
                    least(node, min(other))::BIGINT AS cluster_id
             FROM reach GROUP BY node
+        """,
+        # DBSCAN recomputed wholesale: eps-pairs → degree core rule →
+        # transitive closure over core-core edges → border min-cluster
+        # attach → role case over the full id scan.
+        "dbscan_clusters": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.38
+            ),
+            e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+            deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+            core AS (SELECT u FROM deg WHERE d >= 2),
+            ce AS (SELECT u, v FROM e
+                   WHERE u IN (SELECT u FROM core)
+                     AND v IN (SELECT u FROM core)),
+            reach(node, other) AS (
+              SELECT u, v FROM ce
+              UNION
+              SELECT r.node, c.v FROM reach r JOIN ce c ON r.other = c.u
+            ),
+            cc AS (SELECT node, least(node, min(other)) AS cluster
+                   FROM reach GROUP BY node),
+            corec AS (
+              SELECT core.u AS node, coalesce(cc.cluster, core.u) AS cluster
+              FROM core LEFT JOIN cc ON cc.node = core.u
+            ),
+            border AS (
+              SELECT e.u AS node, min(corec.cluster) AS cluster
+              FROM e JOIN corec ON corec.node = e.v
+              WHERE e.u NOT IN (SELECT node FROM corec)
+              GROUP BY e.u
+            )
+            SELECT emb.vec_id,
+                   CASE WHEN corec.node IS NOT NULL THEN 'core'
+                        WHEN border.node IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   coalesce(corec.cluster, border.cluster, -1)::BIGINT
+                     AS cluster_id
+            FROM embeddings emb
+            LEFT JOIN corec ON corec.node = emb.vec_id
+            LEFT JOIN border ON border.node = emb.vec_id
+            ORDER BY vec_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings

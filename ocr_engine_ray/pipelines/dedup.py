@@ -2852,3 +2852,282 @@ def dedup_method_agreement(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over the embedding space (exact-twin density clustering)
+# ---------------------------------------------------------------------------
+DBSCAN_EPS = 0.38  # cosine radius (>= — the near-dup pair convention)
+DBSCAN_MIN_NBRS = 2  # core iff >= this many eps-neighbors (self excluded)
+
+
+def dbscan_clusters(
+    sf_dir: str,
+    *,
+    eps: float = DBSCAN_EPS,
+    min_nbrs: int = DBSCAN_MIN_NBRS,
+    block_rows: int = 2048,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """DBSCAN (Ester et al. 1996) over the embeddings table: density
+    clustering with an EXACT recursive-CTE twin — core points (≥
+    ``min_nbrs`` cosine-eps neighbors) cluster by core-core connectivity,
+    border points attach to the smallest cluster among their core
+    neighbors, everything else is noise.
+
+    Scale shape: the eps-neighbor pairs come from the block-pair cartesian
+    (`embedding_near_dup` — the exact small-side oracle twin; at unknown-N
+    scale the pair stage swaps for the LSH-banded variant, same contract
+    as the dedup family).  The pair set — sparse by the density threshold,
+    materialized ONCE — then drives per-node degree folds and three
+    tagged-union bucket joins (coreness onto both endpoints, cluster ids
+    onto border edges, roles onto the id scan); CC runs on core-core
+    edges only.  Nothing corpus-sized ever reaches the driver.
+
+    Returns (vec_id, role, cluster_id) for EVERY vector, role ∈
+    {core, border, noise}, noise cluster_id = −1, sorted by vec_id.
+    """
+    from .fold import fold_by_key
+    from .graph import connected_components
+
+    pairs = embedding_near_dup(
+        sf_dir, threshold=eps, block_rows=block_rows
+    ).materialize()  # sparse by construction; consumed by three stages
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        uv, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table(
+            {"vec_id": pa.array(uv, pa.int64()), "deg": pa.array(cnt.astype(np.int64))}
+        )
+
+    deg = fold_by_key(
+        pairs.map_batches(endpoints, batch_format="pyarrow"),
+        key="vec_id",
+        cols=["deg"],
+        num_buckets=num_buckets,
+    )
+
+    def core_only(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("deg"), min_nbrs)
+        return pa.table({"node": batch.column("vec_id").filter(keep)})
+
+    core = deg.map_batches(core_only, batch_format="pyarrow").materialize()
+
+    def _mark(pairs_ds: rd.Dataset, col: str, flag: str) -> rd.Dataset:
+        """Tagged-union bucket semi-join: append bool ``flag`` = (pairs
+        row's ``col`` endpoint is a core node)."""
+
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            k = batch.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+            t = batch.append_column(
+                "jbkt", pa.array((k % num_buckets).astype(np.int64))
+            )
+            return t.append_column("is_side", pa.array(np.zeros(len(k), np.int8)))
+
+        def tag_core(batch: pa.Table) -> pa.Table:
+            k = batch.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+            cols = {
+                c.name: pa.nulls(len(k), c.type)
+                for c in pairs_ds.schema().base_schema
+            }
+            cols[col] = pa.array(k, pa.int64())
+            t = pa.table(cols)
+            t = t.append_column("jbkt", pa.array((k % num_buckets).astype(np.int64)))
+            return t.append_column("is_side", pa.array(np.ones(len(k), np.int8)))
+
+        def join(group: pa.Table) -> pa.Table:
+            side = (
+                group.column("is_side").combine_chunks().to_numpy(zero_copy_only=False)
+                == 1
+            )
+            k = group.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+            out = group.filter(pa.array(~side)).drop_columns(["jbkt", "is_side"])
+            return out.append_column(
+                flag, pa.array(np.isin(k[~side], k[side]))
+            )
+
+        return (
+            pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+            .union(core.map_batches(tag_core, batch_format="pyarrow"))
+            .groupby("jbkt")
+            .map_groups(join, batch_format="pyarrow")
+        )
+
+    marked = _mark(_mark(pairs, "a", "ca"), "b", "cb").materialize()
+
+    def cc_edges(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(batch.column("ca"), batch.column("cb"))
+        f = batch.filter(keep)
+        return pa.table({"a": f.column("a"), "b": f.column("b")})
+
+    cc = connected_components(
+        marked.map_batches(cc_edges, batch_format="pyarrow")
+    )  # (doc_id, cluster_id) for core nodes with >= 1 core-core edge
+
+    # core labels: CC label where present, else own id (isolated cores)
+    def cc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("doc_id"),
+                "cluster": batch.column("cluster_id"),
+                "from_cc": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    def self_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "cluster": batch.column("node"),
+                "from_cc": pa.array(np.zeros(batch.num_rows, np.int8)),
+            }
+        )
+
+    def pick_cc(group: pa.Table) -> pa.Table:
+        n = group.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        c = group.column("cluster").combine_chunks().to_numpy(zero_copy_only=False)
+        f = group.column("from_cc").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((-f, n))  # per node: CC row first if it exists
+        n, c = n[order], c[order]
+        first = np.concatenate([[True], n[1:] != n[:-1]])
+        return pa.table(
+            {
+                "node": pa.array(n[first], pa.int64()),
+                "cluster": pa.array(c[first], pa.int64()),
+            }
+        )
+
+    def nbucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("nbkt", pa.array((k % num_buckets).astype(np.int64)))
+
+    corec = (
+        cc.map_batches(cc_rows, batch_format="pyarrow")
+        .union(core.map_batches(self_rows, batch_format="pyarrow"))
+        .map_batches(nbucket, batch_format="pyarrow")
+        .groupby("nbkt")
+        .map_groups(pick_cc, batch_format="pyarrow")
+        .materialize()  # one (node, cluster) row per core node — sparse
+    )
+
+    # border edges: exactly one core endpoint → (noncore, corenode)
+    def half_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        ca = batch.column("ca").combine_chunks().to_numpy(zero_copy_only=False)
+        cb = batch.column("cb").combine_chunks().to_numpy(zero_copy_only=False)
+        nc = np.concatenate([a[~ca & cb], b[ca & ~cb]])
+        co = np.concatenate([b[~ca & cb], a[ca & ~cb]])
+        return pa.table(
+            {
+                "noncore": pa.array(nc, pa.int64()),
+                "corenode": pa.array(co, pa.int64()),
+            }
+        )
+
+    halves = marked.map_batches(half_edges, batch_format="pyarrow")
+
+    def tag_half(batch: pa.Table) -> pa.Table:
+        k = batch.column("corenode").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "jbkt": pa.array((k % num_buckets).astype(np.int64)),
+                "noncore": batch.column("noncore"),
+                "key": pa.array(k, pa.int64()),
+                "cluster": pa.array(np.full(len(k), -1, np.int64)),
+                "is_label": pa.array(np.zeros(len(k), np.int8)),
+            }
+        )
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        k = batch.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "jbkt": pa.array((k % num_buckets).astype(np.int64)),
+                "noncore": pa.array(np.full(len(k), -1, np.int64)),
+                "key": pa.array(k, pa.int64()),
+                "cluster": batch.column("cluster"),
+                "is_label": pa.array(np.ones(len(k), np.int8)),
+            }
+        )
+
+    def join_border(group: pa.Table) -> pa.Table:
+        lab = group.column("is_label").combine_chunks().to_numpy(zero_copy_only=False) == 1
+        k = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        cl = group.column("cluster").combine_chunks().to_numpy(zero_copy_only=False)
+        nc = group.column("noncore").combine_chunks().to_numpy(zero_copy_only=False)
+        lk, lc = k[lab], cl[lab]
+        order = np.argsort(lk)
+        lk, lc = lk[order], lc[order]
+        pos = np.searchsorted(lk, k[~lab])
+        return pa.table(
+            {
+                "node": pa.array(nc[~lab], pa.int64()),
+                "cluster": pa.array(lc[pos], pa.int64()),
+            }
+        )
+
+    border = fold_by_key(
+        halves.map_batches(tag_half, batch_format="pyarrow")
+        .union(corec.map_batches(tag_label, batch_format="pyarrow"))
+        .groupby("jbkt")
+        .map_groups(join_border, batch_format="pyarrow"),
+        key="node",
+        cols=["cluster"],
+        ops=["min"],
+        num_buckets=num_buckets,
+    )
+
+    # final assembly over the full id scan: core > border > noise
+    ids = sf_table(sf_dir, "embeddings", columns=["vec_id"])
+
+    def tag_ids(batch: pa.Table) -> pa.Table:
+        k = batch.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "jbkt": pa.array((k % num_buckets).astype(np.int64)),
+                "node": pa.array(k, pa.int64()),
+                "cluster": pa.array(np.full(len(k), -1, np.int64)),
+                "kind": pa.array(np.zeros(len(k), np.int8)),  # 0=id scan
+            }
+        )
+
+    def tag_role(ds: rd.Dataset, kind: int) -> rd.Dataset:
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "jbkt": pa.array((k % num_buckets).astype(np.int64)),
+                    "node": pa.array(k, pa.int64()),
+                    "cluster": batch.column("cluster"),
+                    "kind": pa.array(np.full(len(k), kind, np.int8)),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def assemble(group: pa.Table) -> pa.Table:
+        n = group.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        c = group.column("cluster").combine_chunks().to_numpy(zero_copy_only=False)
+        kd = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((-kd, n))  # per node: core(2) > border(1) > scan(0)
+        n, c, kd = n[order], c[order], kd[order]
+        first = np.concatenate([[True], n[1:] != n[:-1]])
+        role = np.array(["noise", "border", "core"], dtype=object)[kd[first]]
+        return pa.table(
+            {
+                "vec_id": pa.array(n[first], pa.int64()),
+                "role": pa.array(role, pa.string()),
+                "cluster_id": pa.array(c[first], pa.int64()),
+            }
+        )
+
+    return (
+        ids.map_batches(tag_ids, batch_format="pyarrow")
+        .union(tag_role(border, 1), tag_role(corec, 2))
+        .groupby("jbkt")
+        .map_groups(assemble, batch_format="pyarrow")
+        .sort("vec_id")
+    )
