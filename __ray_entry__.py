@@ -537,6 +537,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # block-pair cartesian, CC on core-core edges, min-cluster border
         # attach, full-scan role assembly; recursive-CTE twin.
         "dbscan_clusters": dedup.dbscan_clusters,
+        # ols_chars_per_token (eleventh round-4 continuation, never
+        # gated): distributed OLS via exact integer sufficient statistics,
+        # floats once in the closed forms; HUGEINT twin.
+        "ols_chars_per_token": profile.ols_chars_per_token,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1057,6 +1061,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Pearson from exact HUGEINT moments; ONE double expression at the
         # end with identical operand order to the engine's Python-int path.
+        # OLS from the same HUGEINT sufficient statistics, identical
+        # operand order and half-even ppm quantization.
+        "ols_chars_per_token": r"""
+            WITH c AS (
+              SELECT source,
+                     len(regexp_extract_all(coalesce(text, ''), '\S+'))::HUGEINT
+                       AS x,
+                     n_chars::HUGEINT AS y
+              FROM documents
+            ),
+            s AS (
+              SELECT source, count(*)::HUGEINT AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM c GROUP BY 1
+            )
+            SELECT source, n::BIGINT AS n,
+                   CASE WHEN (n * sxx - sx * sx) = 0 THEN 0
+                        ELSE round_even((n * sxy - sx * sy)::DOUBLE
+                                        / (n * sxx - sx * sx)::DOUBLE
+                                        * 1000000, 0)::BIGINT
+                   END AS slope_ppm,
+                   CASE WHEN (n * sxx - sx * sx) = 0 THEN 0
+                        ELSE round_even((sy * sxx - sx * sxy)::DOUBLE
+                                        / (n * sxx - sx * sx)::DOUBLE
+                                        * 1000000, 0)::BIGINT
+                   END AS intercept_ppm
+            FROM s ORDER BY source
+        """,
         "pearson_price_qty": """
             WITH c AS (
               SELECT l_returnflag,

@@ -978,3 +978,83 @@ def quality_pareto_frontier(sf_dir: str) -> rd.Dataset:
         .map_groups(finish, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def ols_chars_per_token(sf_dir: str, *, chunk: int = 8192) -> rd.Dataset:
+    """Per-source simple linear regression of document length (``n_chars``)
+    on token count — distributed OLS via SUFFICIENT STATISTICS, the
+    textbook mergeable-moments fit (the same pattern as
+    `pearson_price_qty`): each batch emits exact integer
+    (n, Σx, Σy, Σx², Σxy) partials per source, partials fold
+    associatively, and floats appear exactly once in the closed forms
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − Σx²)
+
+    evaluated with identical operand order as the HUGEINT twin and
+    quantized to ppm (round half-even) — bit-identical on both sides.
+    Returns (source, n, slope_ppm, intercept_ppm) sorted by source.
+    """
+    import math  # noqa: F401  (operand-order parity with pearson)
+
+    docs = sf_table(sf_dir, "documents", columns=["source", "text", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = np.asarray(
+            pc.count_substring_regex(
+                pc.fill_null(batch.column("text").combine_chunks(), ""), r"\S+"
+            ),
+            dtype=np.int64,
+        )
+        y = batch.column("n_chars").combine_chunks().to_numpy(zero_copy_only=False)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        out: dict[str, list] = {k: [] for k in ("source", "n", "sx", "sy", "sxx", "sxy")}
+        for s in np.unique(src):
+            sel = src == s
+            fx, fy = x[sel], y[sel]
+            n = int(sel.sum())
+            sxx = sxy = 0
+            for i in range(0, n, chunk):  # overflow-safe int64 slices
+                cx, cy = fx[i : i + chunk], fy[i : i + chunk]
+                sxx += int((cx * cx).sum())
+                sxy += int((cx * cy).sum())
+            out["source"].append(str(s))
+            out["n"].append(str(n))
+            out["sx"].append(str(int(fx.sum())))
+            out["sy"].append(str(int(fy.sum())))
+            out["sxx"].append(str(sxx))
+            out["sxy"].append(str(sxy))
+        return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+    rows = docs.map_batches(partials, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["source"], [0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "sx", "sy", "sxx", "sxy")):
+            a[i] += int(r[k])
+    srcs = sorted(acc)
+    ns, slopes, intercepts = [], [], []
+    for s in srcs:
+        n, sx, sy, sxx, sxy = acc[s]
+        den = n * sxx - sx * sx
+        if den == 0:
+            slopes.append(0)
+            intercepts.append(0)
+        else:
+            slopes.append(
+                int(np.round(float(n * sxy - sx * sy) / float(den) * 1_000_000))
+            )
+            intercepts.append(
+                int(np.round(float(sy * sxx - sx * sxy) / float(den) * 1_000_000))
+            )
+        ns.append(n)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "slope_ppm": pa.array(slopes, pa.int64()),
+                "intercept_ppm": pa.array(intercepts, pa.int64()),
+            }
+        )
+    )
