@@ -491,6 +491,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): exact once-occurring vocabulary share per source via
         # token-bucket global counts; HAVING-count twin.
         "hapax_rate_by_source": tsp.hapax_rate_by_source,
+        # readability_by_source (twelfth round-4 continuation, never
+        # gated): per-source Flesch reading-ease from three pure-RE2
+        # counters summed exactly; ONE ppm-quantized double; RE2 twin.
+        "readability_by_source": tsp.readability_by_source,
         # hourly_uniques_digest (tenth round-4 continuation, never
         # gated): windowed HLL — distinct users per hour via mergeable
         # register rows; pinned from oracle_dedup.hll_hourly_users.
@@ -1449,6 +1453,38 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
                     // count(*))::BIGINT AS hapax_ppm
             FROM tc GROUP BY 1 ORDER BY 1
+        """,
+        # Flesch reading ease over source totals: three RE2 counters
+        # (words '\S+', sentence runs '[.!?]+', vowel groups — a case
+        # CLASS, no lower(), so no Unicode case-table dependency), exact
+        # integer sums, one double expression with the engine's operand
+        # order, ppm half-even.
+        "readability_by_source": r"""
+            WITH c AS (
+              SELECT source,
+                     len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT
+                       AS w,
+                     greatest(1, len(regexp_extract_all(coalesce(text, ''),
+                                                        '[.!?]+')))::BIGINT AS s,
+                     len(regexp_extract_all(coalesce(text, ''),
+                                            '[aeiouyAEIOUY]+'))::BIGINT AS y
+              FROM documents
+            ),
+            a AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(w)::BIGINT AS n_words,
+                     sum(s)::BIGINT AS n_sentences,
+                     sum(y)::BIGINT AS n_syllables
+              FROM c GROUP BY 1
+            )
+            SELECT source, n_docs, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words = 0 OR n_sentences = 0 THEN 0
+                        ELSE round_even((206.835
+                               - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                               - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+                               * 1000000, 0)::BIGINT
+                   END AS fre_ppm
+            FROM a ORDER BY source
         """,
         # Session paths: the sessionize gap rule verbatim (cumsum of
         # is_new over the (user, ts, event_id) order), string_agg per

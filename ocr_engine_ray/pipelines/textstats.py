@@ -1983,3 +1983,78 @@ def hourly_uniques_digest(sf_dir: str) -> "pa.Table":
         )
 
     return fold_digest(ds.map_batches(payload, batch_format="pyarrow"), "payload")
+
+
+def readability_by_source(sf_dir: str) -> rd.Dataset:
+    """Per-source Flesch reading-ease score (Flesch 1948 — the classic
+    document-difficulty signal used as a corpus-quality filter axis).
+
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    over the SOURCE totals, with the three counts defined by pure RE2
+    kernels so both sides are bitwise the same counters:
+
+      * words      = matches of ``\\S+``       (the repo token contract)
+      * sentences  = per-doc ``max(1, matches of [.!?]+)`` — a document
+        with no terminal punctuation is one sentence (the standard
+        fallback; without it a punctuation-free corpus degenerates to 0)
+      * syllables  = matches of ``[aeiouyAEIOUY]+``  (vowel-group
+        heuristic, case-class not case-fold — no lower() on either side,
+        so no Unicode case-table dependency)
+
+    Scale shape: one corpus pass emits per-batch per-source int64 partial
+    sums (map-side combine — the shuffle moves ≤ sources rows per batch),
+    a tiny ``groupby(source)`` folds them, and the final map computes ONE
+    double expression per source with identical operand order to the SQL
+    twin: ``206.835 - 1.015*(w/s) - 84.6*(y/w)`` with each integer cast to
+    double BEFORE the divide (mirroring DuckDB's ``::DOUBLE`` casts),
+    quantized to ppm half-even.  Degenerate sources (no sentences or no
+    words) score 0 on both sides.
+    """
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text").combine_chunks(), "")
+        w = np.asarray(pc.count_substring_regex(texts, _TOKEN_RE), dtype=np.int64)
+        s = np.maximum(
+            1, np.asarray(pc.count_substring_regex(texts, r"[.!?]+"), dtype=np.int64)
+        )
+        y = np.asarray(
+            pc.count_substring_regex(texts, r"[aeiouyAEIOUY]+"), dtype=np.int64
+        )
+        senc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)
+        nsrc = len(senc.dictionary)
+        cols = {"n_docs": np.ones(len(si), np.int64), "n_words": w,
+                "n_sentences": s, "n_syllables": y}
+        out = {"source": senc.dictionary}
+        for name, vals in cols.items():
+            acc = np.zeros(nsrc, dtype=np.int64)  # int64-exact partials
+            np.add.at(acc, si, vals)
+            out[name] = pa.array(acc, pa.int64())
+        return pa.table(out)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_sentences", alias_name="n_sentences"),
+            Sum("n_syllables", alias_name="n_syllables"),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = batch.column("n_words").to_numpy(zero_copy_only=False)
+        s = batch.column("n_sentences").to_numpy(zero_copy_only=False)
+        y = batch.column("n_syllables").to_numpy(zero_copy_only=False)
+        ppm = np.zeros(len(w), dtype=np.int64)
+        ok = (w > 0) & (s > 0)
+        if ok.any():
+            wf, sf, yf = (v.astype(np.float64) for v in (w, s, y))
+            v = 206.835 - 1.015 * (wf[ok] / sf[ok]) - 84.6 * (yf[ok] / wf[ok])
+            ppm[ok] = np.round(v * 1_000_000).astype(np.int64)
+        return batch.append_column("fre_ppm", pa.array(ppm, pa.int64()))
+
+    return agg.map_batches(score, batch_format="pyarrow").sort("source")
