@@ -442,6 +442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag-1..7 autocorrelation of the calendar-sized daily revenue
         # series, exact Python-int moments; calendar self-join twin.
         "acf_daily_revenue": rankstats.acf_daily_revenue,
+        # cusum_changepoint (twelfth round-4 continuation, never gated):
+        # Page's CUSUM level-shift detector on the calendar-sized daily
+        # cents series — exact-integer D_k = T·S_k − k·S_T argmax, one
+        # scale-free ppm double; prefix-sum window twin.
+        "cusum_changepoint": rankstats.cusum_changepoint,
         # rfm_segments (tenth round-4 continuation, never gated): the
         # marketing RFM grid — three NTILE rankings in one union shuffle,
         # custkey-zipped; triple-ntile window twin.
@@ -1188,6 +1193,41 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000, 0)::BIGINT
                    END AS rho_ppm
             FROM s
+        """,
+        # CUSUM changepoint: exact HUGEINT D_k = T·S_k − k·S_T over the
+        # day-ordered prefix sum (integer window sums are combine-order
+        # free), argmax with smallest-k tie-break, one ppm double with
+        # the engine's operand order.
+        "cusum_changepoint": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS day,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS cents
+              FROM events GROUP BY 1
+            ),
+            o AS (
+              SELECT day, cents,
+                     row_number() OVER (ORDER BY day) AS k,
+                     sum(cents::HUGEINT) OVER (ORDER BY day
+                                               ROWS UNBOUNDED PRECEDING) AS sk
+              FROM d
+            ),
+            t AS (SELECT count(*)::HUGEINT AS tt,
+                         coalesce(sum(cents::HUGEINT), 0) AS st FROM d),
+            dev AS (
+              SELECT o.day, o.k, abs(t.tt * o.sk - o.k::HUGEINT * t.st) AS dk,
+                     t.tt, t.st
+              FROM o, t
+              WHERE o.k < t.tt AND t.tt >= 2
+            )
+            SELECT day AS cp_day, k::BIGINT AS k_index, tt::BIGINT AS n_days,
+                   dk::BIGINT AS dmax,
+                   CASE WHEN (tt * st) = 0 THEN 0
+                        ELSE round_even(dk::DOUBLE / (tt * st)::DOUBLE
+                                        * 1000000, 0)::BIGINT
+                   END AS ratio_ppm
+            FROM dev
+            ORDER BY dk DESC, k ASC
+            LIMIT 1
         """,
         # Lag-k ACF: calendar self-join on day + k·INTERVAL 1 DAY (gaps
         # pair only when both days exist — no zero-fill), HUGEINT moments,

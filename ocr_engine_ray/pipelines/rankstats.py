@@ -565,3 +565,82 @@ def rfm_segments(sf_dir: str, *, tiles: int = 5, num_buckets: int = 64) -> rd.Da
         )
         .sort(["r_tile", "f_tile", "m_tile"])
     )
+
+
+def cusum_changepoint(sf_dir: str) -> rd.Dataset:
+    """Single changepoint detection on the daily revenue series via the
+    CUSUM statistic (Page 1954) — the standard "did the level shift, and
+    when?" audit on a metric stream.
+
+    Exact-integer formulation: with daily cents x_1..x_T in day order and
+    prefix sums S_k, the mean-removed CUSUM deviation is
+
+        D_k = T·S_k − k·S_T      (= T·(S_k − k·mean), exact integers)
+
+    and the changepoint is ``argmax_{1 ≤ k < T} |D_k|`` with smallest-k
+    tie-break.  Scale shape: the acf/theil-sen pattern — ONE day-keyed
+    map-side-combined aggregate folds the event stream to a calendar-sized
+    series (constant at any corpus size); the argmax runs on the driver in
+    exact Python ints.  Output is one row
+    (cp_day, k_index, n_days, dmax, ratio_ppm) where
+    ratio_ppm = round_even(dmax / (T·S_T) · 1e6) — the scale-free shift
+    magnitude, the ONE double expression (same operand order as the
+    HUGEINT twin: both factors cast to double before the divide).  dmax is
+    emitted as int64 (exact while T·S_T < 2^63 — comfortably true on the
+    cents grid below ~1e5 days × 1e13 daily cents; the twin computes in
+    HUGEINT and casts).  Empty series or T == 1 → empty result on both
+    sides.
+    """
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "cents": _cents(batch.column("value"))})
+        agg = pa.TableGroupBy(t, "day").aggregate([("cents", "sum")])
+        return pa.table(
+            {"day": agg.column("day"), "cents": agg.column("cents_sum").cast(pa.int64())}
+        )
+
+    daily = (
+        ev.map_batches(day_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # calendar-sized: constant at any corpus scale
+    )
+    days = sorted(daily, key=lambda r: r["day"])
+    T = len(days)
+    empty = pa.table(
+        {
+            "cp_day": pa.array([], pa.timestamp("us")),
+            "k_index": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "dmax": pa.array([], pa.int64()),
+            "ratio_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if T < 2:
+        return rd.from_arrow(empty)
+    cents = [int(r["cents"]) for r in days]
+    s_tot = sum(cents)
+    best_k, best_d = 0, -1
+    s_k = 0
+    for k in range(1, T):  # k < T: the full-series deviation is 0 by def
+        s_k += cents[k - 1]
+        d = abs(T * s_k - k * s_tot)
+        if d > best_d:  # strict: smallest k wins ties
+            best_k, best_d = k, d
+    denom = T * s_tot
+    ratio = (
+        int(np.round(float(best_d) / float(denom) * 1_000_000)) if denom != 0 else 0
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cp_day": pa.array([days[best_k - 1]["day"]], pa.timestamp("us")),
+                "k_index": pa.array([best_k], pa.int64()),
+                "n_days": pa.array([T], pa.int64()),
+                "dmax": pa.array([best_d], pa.int64()),
+                "ratio_ppm": pa.array([ratio], pa.int64()),
+            }
+        )
+    )
