@@ -442,6 +442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag-1..7 autocorrelation of the calendar-sized daily revenue
         # series, exact Python-int moments; calendar self-join twin.
         "acf_daily_revenue": rankstats.acf_daily_revenue,
+        # repurchase_life_table (twelfth round-4 continuation, never
+        # gated): Kaplan–Meier life table over customer repurchase gaps
+        # with right-censored last orders — one custkey bucket shuffle,
+        # horizon-sized exact-integer table; lead-window twin.
+        "repurchase_life_table": rankstats.repurchase_life_table,
         # cusum_changepoint (twelfth round-4 continuation, never gated):
         # Page's CUSUM level-shift detector on the calendar-sized daily
         # cents series — exact-integer D_k = T·S_k − k·S_T argmax, one
@@ -1193,6 +1198,45 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000, 0)::BIGINT
                    END AS rho_ppm
             FROM s
+        """,
+        # KM life table: lead() per customer, censored tail to the global
+        # max date, reverse-cumulative n_risk (integer window sum), one
+        # ppm double per row with the engine's operand order.
+        "repurchase_life_table": """
+            WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+            seq AS (
+              SELECT o_custkey, o_orderdate,
+                     lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey)
+                       AS nxt
+              FROM orders
+            ),
+            g AS (
+              SELECT date_diff('day', date_trunc('day', o_orderdate),
+                               date_trunc('day',
+                                          coalesce(nxt, (SELECT m FROM mx))))
+                       ::BIGINT AS gap_days,
+                     CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+              FROM seq
+            ),
+            tab AS (
+              SELECT gap_days, sum(ev)::BIGINT AS n_events,
+                     sum(1 - ev)::BIGINT AS n_censored,
+                     count(*)::BIGINT AS n_at
+              FROM g GROUP BY 1
+            ),
+            r AS (
+              SELECT gap_days, n_events, n_censored,
+                     sum(n_at) OVER (ORDER BY gap_days DESC
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS n_risk
+              FROM tab
+            )
+            SELECT gap_days, n_risk, n_events, n_censored,
+                   CASE WHEN n_risk = 0 THEN 0
+                        ELSE round_even(n_events::DOUBLE / n_risk::DOUBLE
+                                        * 1000000, 0)::BIGINT
+                   END AS hazard_ppm
+            FROM r ORDER BY gap_days
         """,
         # CUSUM changepoint: exact HUGEINT D_k = T·S_k − k·S_T over the
         # day-ordered prefix sum (integer window sums are combine-order

@@ -644,3 +644,104 @@ def cusum_changepoint(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def repurchase_life_table(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Kaplan–Meier life table over customer REPURCHASE gaps — the
+    survival-analysis view of retention ("how long until the next order,
+    and how many customers are still at risk at each horizon").
+
+    Observations: every consecutive order pair of a customer contributes
+    an EVENT at t = whole days between the two order dates; each
+    customer's last order contributes a CENSORED observation at t = days
+    to the global last order date (the study horizon — standard
+    right-censoring).  The output is the exact-integer life table
+
+        (gap_days, n_risk, n_events, n_censored, hazard_ppm)
+
+    where ``n_risk(t) = #{observations with gap ≥ t}`` (reverse cumulative
+    count) and ``hazard_ppm = round_even(n_events/n_risk · 1e6)`` is the
+    ONE double per row (operand order mirrors the twin's ``::DOUBLE``
+    casts).  The KM survival curve is the running product of
+    ``1 − d/n`` over this table; it is NOT emitted because a float
+    cumulative product is combine-order-sensitive — the table itself is
+    the exact, scale-stable surface.
+
+    Scale shape: the ``user_event_gaps`` window pattern — ONE
+    ``custkey % B`` bucket shuffle, in-bucket vectorized pandas
+    ``groupby.shift(-1)`` for the lead, then a gap-keyed aggregate folds
+    to a horizon-sized table (days, constant at any corpus size) whose
+    reverse cumsum runs on the driver in exact ints.  The global horizon
+    is one column-pruned ``max()`` pass broadcast via ``fn_kwargs``.
+    """
+    import pandas as pd
+
+    orders = sf_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    horizon = orders.aggregate(Max("o_orderdate"))["max(o_orderdate)"]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((ck % num_buckets).astype(np.int32))
+        )
+
+    def bucket_gaps(group: pa.Table, *, horizon) -> pa.Table:
+        df = group.select(["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        led = df.groupby("o_custkey", sort=False)["o_orderdate"].shift(-1)
+        ev = led.notna()
+        nxt = led.fillna(pd.Timestamp(horizon))
+        # whole days between day-truncated stamps: exact integer, identical
+        # to the twin's date_diff('day', date_trunc(...), date_trunc(...))
+        gap_us = (
+            (nxt.dt.floor("D") - df["o_orderdate"].dt.floor("D"))
+            .astype("timedelta64[us]")
+            .astype("int64")
+        )
+        gap = gap_us // 86_400_000_000  # exact: both stamps are midnight
+        out = pd.DataFrame(
+            {
+                "gap_days": gap.to_numpy(),
+                "n_events": ev.to_numpy().astype("int64"),
+                "n_censored": (~ev.to_numpy()).astype("int64"),
+            }
+        )
+        part = out.groupby("gap_days", as_index=False).sum()  # map-side combine
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    tab = (
+        orders.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_gaps, batch_format="pyarrow", fn_kwargs={"horizon": horizon})
+        .groupby("gap_days")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_censored", alias_name="n_censored"),
+        )
+        .take_all()  # horizon-sized (days): constant at any corpus scale
+    )
+    rows = sorted(tab, key=lambda r: r["gap_days"])
+    n_at = [int(r["n_events"]) + int(r["n_censored"]) for r in rows]
+    risk_rev = np.cumsum(n_at[::-1])[::-1] if rows else np.array([], np.int64)
+    gap_days = [int(r["gap_days"]) for r in rows]
+    n_events = [int(r["n_events"]) for r in rows]
+    n_cens = [int(r["n_censored"]) for r in rows]
+    hazard = [
+        int(np.round(float(d) / float(n) * 1_000_000)) if n else 0
+        for d, n in zip(n_events, risk_rev)
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "gap_days": pa.array(gap_days, pa.int64()),
+                "n_risk": pa.array([int(v) for v in risk_rev], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "n_censored": pa.array(n_cens, pa.int64()),
+                "hazard_ppm": pa.array(hazard, pa.int64()),
+            }
+        )
+    )
