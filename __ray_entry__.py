@@ -555,6 +555,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): distributed OLS via exact integer sufficient statistics,
         # floats once in the closed forms; HUGEINT twin.
         "ols_chars_per_token": profile.ols_chars_per_token,
+        # ols2_chars_fit (twelfth round-4 continuation, never gated):
+        # two-feature multiple regression in closed form — 3×3 normal
+        # equations from nine exact integer sums, Cramer's rule with the
+        # twin's determinant expansion, three ppm doubles; HUGEINT twin.
+        "ols2_chars_fit": profile.ols2_chars_fit,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1077,6 +1082,52 @@ def oracle_sql() -> dict[str, str]:
         # end with identical operand order to the engine's Python-int path.
         # OLS from the same HUGEINT sufficient statistics, identical
         # operand order and half-even ppm quantization.
+        # 3×3 Cramer's rule over HUGEINT normal-equation sums; the same
+        # first-row cofactor expansion as the engine, three ppm doubles.
+        "ols2_chars_fit": r"""
+            WITH c AS (
+              SELECT len(regexp_extract_all(coalesce(text, ''), '\S+'))::HUGEINT
+                       AS x1,
+                     len(regexp_extract_all(coalesce(text, ''),
+                                            '[aeiouyAEIOUY]+'))::HUGEINT AS x2,
+                     n_chars::HUGEINT AS y
+              FROM documents
+            ),
+            s AS (
+              SELECT count(*)::HUGEINT AS n, sum(x1) AS sx1, sum(x2) AS sx2,
+                     sum(y) AS sy, sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+                     sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+                     sum(x2 * y) AS s2y
+              FROM c
+            ),
+            d AS (
+              SELECT n, sx1, sx2, sy, s11, s22, s12, s1y, s2y,
+                     (n * (s11 * s22 - s12 * s12)
+                      - sx1 * (sx1 * s22 - s12 * sx2)
+                      + sx2 * (sx1 * s12 - s11 * sx2)) AS det
+              FROM s
+            )
+            SELECT n::BIGINT AS n,
+                   CASE WHEN det = 0 THEN 0
+                        ELSE round_even((sy * (s11 * s22 - s12 * s12)
+                               - sx1 * (s1y * s22 - s12 * s2y)
+                               + sx2 * (s1y * s12 - s11 * s2y))::DOUBLE
+                               / det::DOUBLE * 1000000, 0)::BIGINT
+                   END AS b0_ppm,
+                   CASE WHEN det = 0 THEN 0
+                        ELSE round_even((n * (s1y * s22 - s12 * s2y)
+                               - sy * (sx1 * s22 - s12 * sx2)
+                               + sx2 * (sx1 * s2y - s1y * sx2))::DOUBLE
+                               / det::DOUBLE * 1000000, 0)::BIGINT
+                   END AS b1_ppm,
+                   CASE WHEN det = 0 THEN 0
+                        ELSE round_even((n * (s11 * s2y - s1y * s12)
+                               - sx1 * (sx1 * s2y - s1y * sx2)
+                               + sy * (sx1 * s12 - s11 * sx2))::DOUBLE
+                               / det::DOUBLE * 1000000, 0)::BIGINT
+                   END AS b2_ppm
+            FROM d
+        """,
         "ols_chars_per_token": r"""
             WITH c AS (
               SELECT source,

@@ -1058,3 +1058,95 @@ def ols_chars_per_token(sf_dir: str, *, chunk: int = 8192) -> rd.Dataset:
             }
         )
     )
+
+
+def ols2_chars_fit(sf_dir: str, *, chunk: int = 8192) -> rd.Dataset:
+    """GLOBAL two-feature linear model ``n_chars ~ b0 + b1·n_tokens +
+    b2·n_vowel_groups`` fit in closed form from the 3×3 normal equations —
+    the multivariate extension of `ols_chars_per_token`, i.e. distributed
+    multiple regression via exact integer sufficient statistics.
+
+    One corpus pass emits the nine exact partial sums
+    (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y) per batch as
+    decimal strings (Python-int exact — products overflow int64 at corpus
+    scale); the driver folds them and solves by CRAMER'S RULE with the
+    SAME determinant expansion as the HUGEINT twin:
+
+        det  = n·(Σx1²·Σx2² − Σx1x2²) − Σx1·(Σx1·Σx2² − Σx1x2·Σx2)
+                 + Σx2·(Σx1·Σx1x2 − Σx1²·Σx2)
+
+    and each coefficient = det_i/det evaluated as ONE double divide
+    (both sides cast the exact integers to double first), ppm-quantized
+    half-even.  Degenerate design (det = 0) → all coefficients 0 on both
+    sides.  Features are pure RE2 counters: x1 = ``\\S+`` tokens,
+    x2 = ``[aeiouyAEIOUY]+`` vowel groups.
+    """
+    docs = sf_table(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text").combine_chunks(), "")
+        x1 = np.asarray(pc.count_substring_regex(texts, r"\S+"), dtype=np.int64)
+        x2 = np.asarray(
+            pc.count_substring_regex(texts, r"[aeiouyAEIOUY]+"), dtype=np.int64
+        )
+        y = batch.column("n_chars").combine_chunks().to_numpy(zero_copy_only=False)
+        sums = {k: 0 for k in ("x1", "x2", "y", "x11", "x22", "x12", "x1y", "x2y")}
+        n = len(x1)
+        for i in range(0, n, chunk):  # overflow-safe int64 slices
+            a, b, c = x1[i : i + chunk], x2[i : i + chunk], y[i : i + chunk]
+            sums["x1"] += int(a.sum())
+            sums["x2"] += int(b.sum())
+            sums["y"] += int(c.sum())
+            sums["x11"] += int((a * a).sum())
+            sums["x22"] += int((b * b).sum())
+            sums["x12"] += int((a * b).sum())
+            sums["x1y"] += int((a * c).sum())
+            sums["x2y"] += int((b * c).sum())
+        cols = {"n": pa.array([str(n)], pa.string())}
+        for k, v in sums.items():
+            cols[k] = pa.array([str(v)], pa.string())
+        return pa.table(cols)
+
+    rows = docs.map_batches(partials, batch_format="pyarrow").take_all()
+    acc = {k: 0 for k in ("n", "x1", "x2", "y", "x11", "x22", "x12", "x1y", "x2y")}
+    for r in rows:
+        for k in acc:
+            acc[k] += int(r[k])
+    n, sx1, sx2, sy = acc["n"], acc["x1"], acc["x2"], acc["y"]
+    s11, s22, s12, s1y, s2y = acc["x11"], acc["x22"], acc["x12"], acc["x1y"], acc["x2y"]
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    if det == 0:
+        b0 = b1 = b2 = 0
+    else:
+        det0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - sx1 * (s1y * s22 - s12 * s2y)
+            + sx2 * (s1y * s12 - s11 * s2y)
+        )
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (sx1 * s22 - s12 * sx2)
+            + sx2 * (sx1 * s2y - s1y * sx2)
+        )
+        det2 = (
+            n * (s11 * s2y - s1y * s12)
+            - sx1 * (sx1 * s2y - s1y * sx2)
+            + sy * (sx1 * s12 - s11 * sx2)
+        )
+        b0 = int(np.round(float(det0) / float(det) * 1_000_000))
+        b1 = int(np.round(float(det1) / float(det) * 1_000_000))
+        b2 = int(np.round(float(det2) / float(det) * 1_000_000))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "b0_ppm": pa.array([b0], pa.int64()),
+                "b1_ppm": pa.array([b1], pa.int64()),
+                "b2_ppm": pa.array([b2], pa.int64()),
+            }
+        )
+    )
