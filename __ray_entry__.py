@@ -505,6 +505,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated): per-source Flesch reading-ease from three pure-RE2
         # counters summed exactly; ONE ppm-quantized double; RE2 twin.
         "readability_by_source": tsp.readability_by_source,
+        # encoding_audit (twelfth round-4 continuation, never gated):
+        # per-source mojibake/control/zero-width hygiene counts — pure
+        # RE2 classes, all-integer, zeros-honest on clean corpora; RE2
+        # class twin.
+        "encoding_audit": tsp.encoding_audit,
         # hourly_uniques_digest (tenth round-4 continuation, never
         # gated): windowed HLL — distinct users per hour via mergeable
         # register rows; pinned from oracle_dedup.hll_hourly_users.
@@ -1588,6 +1593,25 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
                     // count(*))::BIGINT AS hapax_ppm
             FROM tc GROUP BY 1 ORDER BY 1
+        """,
+        # Character-hygiene audit: the same four RE2 classes, summed per
+        # source; single-quoted literals hand the \x{...} escapes to RE2
+        # unprocessed, so both sides run the identical automaton.
+        "encoding_audit": r"""
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(length(coalesce(text, '')))::BIGINT AS n_chars_total,
+                   sum(len(regexp_extract_all(coalesce(text, ''),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f]')))::BIGINT AS n_control,
+                   sum(len(regexp_extract_all(coalesce(text, ''),
+                       '\x{FFFD}')))::BIGINT AS n_replacement,
+                   sum(len(regexp_extract_all(coalesce(text, ''),
+                       '\x{00A0}')))::BIGINT AS n_nbsp,
+                   sum(len(regexp_extract_all(coalesce(text, ''),
+                       '[\x{200B}-\x{200D}\x{FEFF}]')))::BIGINT AS n_zero_width,
+                   sum(CASE WHEN regexp_matches(coalesce(text, ''),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x{FFFD}\x{00A0}\x{200B}-\x{200D}\x{FEFF}]')
+                       THEN 1 ELSE 0 END)::BIGINT AS n_docs_flagged
+            FROM documents GROUP BY source ORDER BY source
         """,
         # Flesch reading ease over source totals: three RE2 counters
         # (words '\S+', sentence runs '[.!?]+', vowel groups — a case

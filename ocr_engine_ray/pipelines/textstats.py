@@ -2058,3 +2058,70 @@ def readability_by_source(sf_dir: str) -> rd.Dataset:
         return batch.append_column("fre_ppm", pa.array(ppm, pa.int64()))
 
     return agg.map_batches(score, batch_format="pyarrow").sort("source")
+
+
+def encoding_audit(sf_dir: str) -> rd.Dataset:
+    """Per-source character-hygiene audit — the encoding-sanity pass every
+    web-scale ingest runs before trusting a crawl slice: counts of C0
+    control characters (excluding \\t \\n \\r), U+FFFD replacement
+    characters (the mojibake tell), NBSP, and zero-width characters
+    (ZWSP/ZWNJ/ZWJ/BOM), plus the number of documents flagged by ANY of
+    them.  All-integer output — no float anywhere — and every counter is
+    a pure RE2 class evaluated bitwise-identically by pyarrow and the
+    DuckDB twin (single-quoted SQL literals pass the ``\\x{...}`` escapes
+    through to RE2 untouched).
+
+    A fully clean corpus (the synthetic tables) legitimately reports
+    zeros in every hygiene column — ``n_docs`` / ``n_chars_total`` carry
+    the per-source variance; the planted-dirty-docs pytest pins the
+    non-zero behavior.  Scale shape: one pass, per-batch ``np.add.at``
+    int64 partials per source, a tiny source-keyed aggregate.
+    """
+    _CONTROL = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+    _REPLACE = "\\x{FFFD}"
+    _NBSP = "\\x{00A0}"
+    _ZWIDTH = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text").combine_chunks(), "")
+        ctl = np.asarray(pc.count_substring_regex(texts, _CONTROL), dtype=np.int64)
+        rep = np.asarray(pc.count_substring_regex(texts, _REPLACE), dtype=np.int64)
+        nb = np.asarray(pc.count_substring_regex(texts, _NBSP), dtype=np.int64)
+        zw = np.asarray(pc.count_substring_regex(texts, _ZWIDTH), dtype=np.int64)
+        nch = np.asarray(pc.utf8_length(texts), dtype=np.int64)
+        flagged = ((ctl + rep + nb + zw) > 0).astype(np.int64)
+        senc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)
+        nsrc = len(senc.dictionary)
+        cols = {
+            "n_docs": np.ones(len(si), np.int64),
+            "n_chars_total": nch,
+            "n_control": ctl,
+            "n_replacement": rep,
+            "n_nbsp": nb,
+            "n_zero_width": zw,
+            "n_docs_flagged": flagged,
+        }
+        out = {"source": senc.dictionary}
+        for name, vals in cols.items():
+            acc = np.zeros(nsrc, dtype=np.int64)
+            np.add.at(acc, si, vals)
+            out[name] = pa.array(acc, pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars_total", alias_name="n_chars_total"),
+            Sum("n_control", alias_name="n_control"),
+            Sum("n_replacement", alias_name="n_replacement"),
+            Sum("n_nbsp", alias_name="n_nbsp"),
+            Sum("n_zero_width", alias_name="n_zero_width"),
+            Sum("n_docs_flagged", alias_name="n_docs_flagged"),
+        )
+        .sort("source")
+    )
