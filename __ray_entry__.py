@@ -442,6 +442,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag-1..7 autocorrelation of the calendar-sized daily revenue
         # series, exact Python-int moments; calendar self-join twin.
         "acf_daily_revenue": rankstats.acf_daily_revenue,
+        # markov_stationary_digest (twelfth round-4 continuation, never
+        # gated): equilibrium distribution of the event-type chain —
+        # exact-rational Gaussian elimination over the distributed
+        # transition counts; pinned from oracle_dedup.stationary_rows
+        # (independent sequential counter + adjugate/matrix-tree solver).
+        "markov_stationary_digest": analytics.markov_stationary_digest,
         # repurchase_life_table (twelfth round-4 continuation, never
         # gated): Kaplan–Meier life table over customer repurchase gaps
         # with right-censored last orders — one custkey bucket shuffle,
@@ -1254,6 +1260,13 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000, 0)::BIGINT
                    END AS rho_ppm
             FROM s
+        """,
+        # Stationary-distribution digest: pinned at sf0.01 from the
+        # independent sequential oracle (adjugate solver); regenerate via
+        # scripts/gen_digest_oracle.py, pin re-derived every pytest run.
+        "markov_stationary_digest": """
+            SELECT 5::BIGINT AS n_states,
+                   1036098682169751688::BIGINT AS digest
         """,
         # KM life table: lead() per customer, censored tail to the global
         # max date, reverse-cumulative n_risk (integer window sum), one

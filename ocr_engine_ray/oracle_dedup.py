@@ -1013,3 +1013,84 @@ def lpa_labels(
     for v in label:
         dg = (dg + row_digest(str(v), str(label[v]))) % DIGEST_MOD
     return len(label), len(set(label.values())), dg
+
+
+def stationary_rows(sf_dir: str) -> tuple[int, int]:
+    """Sequential twin of `pipelines.analytics.markov_stationary_digest`:
+    plain dict transition counting (per-user (ts, event_id) order) and an
+    INDEPENDENT exact solver — the Markov-chain-tree / adjugate route:
+    for the integer matrix A = D − N with zero row sums, the left null
+    vector is the vector of diagonal cofactors of A, computed as exact
+    integer determinants (Bareiss-free naive expansion via Fraction-less
+    integer elimination is overkill at K ≤ 10; plain cofactor expansion).
+    Returns (n_states, digest) with the engine's fold."""
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    by_user: dict[int, list[tuple]] = {}
+    for eid, uid, ts, et in zip(
+        ev.column("event_id").to_pylist(),
+        ev.column("user_id").to_pylist(),
+        ev.column("ts").to_pylist(),
+        ev.column("event_type").to_pylist(),
+    ):
+        if uid is None or ts is None:
+            continue
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    counts: dict[tuple[str, str], int] = {}
+    for seq in by_user.values():
+        seq.sort(key=lambda t: (t[0], t[1]))
+        for a, b in zip(seq, seq[1:]):
+            counts[(a[2], b[2])] = counts.get((a[2], b[2]), 0) + 1
+    states = sorted({p for p, _ in counts} | {q for _, q in counts})
+    k = len(states)
+    if k == 0:
+        return 0, 0
+    idx = {s: i for i, s in enumerate(states)}
+    N = [[0] * k for _ in range(k)]
+    for (p, q), n in counts.items():
+        N[idx[p]][idx[q]] += n
+    out = [sum(row) for row in N]
+    for i in range(k):
+        if out[i] == 0:
+            N[i] = [1] * k
+            out[i] = k
+    A = [
+        [(out[i] if i == j else 0) - N[i][j] for j in range(k)]
+        for i in range(k)
+    ]
+
+    def det(m: list[list[int]]) -> int:
+        n = len(m)
+        if n == 0:
+            return 1
+        if n == 1:
+            return m[0][0]
+        total = 0
+        for c in range(n):
+            if m[0][c] == 0:
+                continue
+            minor = [row[:c] + row[c + 1 :] for row in m[1:]]
+            total += (-1) ** c * m[0][c] * det(minor)
+        return total
+
+    cof = [
+        det([[A[r][c] for c in range(k) if c != i] for r in range(k) if r != i])
+        for i in range(k)
+    ]
+    tot = sum(cof)
+    if tot == 0:
+        pis = [Fraction(1, k)] * k
+    else:
+        pis = [Fraction(c, tot) for c in cof]
+    dg = 0
+    for s, o, p in zip(states, out, pis):
+        ppm = round(p * 1_000_000)
+        dg = (dg + row_digest(str(s), f"{o}\x1f{ppm}")) % DIGEST_MOD
+    return k, dg

@@ -2483,3 +2483,113 @@ def theil_sen_daily(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def markov_stationary(sf_dir: str, *, num_buckets: int = 64) -> pa.Table:
+    """Stationary distribution of the event-type Markov chain — "where
+    does the user flow spend its time in the long run", the equilibrium
+    summary of `event_transitions` (and the quantity PageRank generalizes
+    to graphs).
+
+    Chain: states = event types appearing in any consecutive pair;
+    P[i][j] = n_ij / n_i; a DANGLING state (appears only as next_type)
+    gets the standard uniform-outgoing fix as integer weights (1 to every
+    state, out-total K) so the matrix stays exact.  π solves π(D−N) = 0,
+    Σπ = 1, computed on the driver in EXACT rational arithmetic
+    (`fractions.Fraction` Gaussian elimination over the integer matrix
+    (D−N)ᵀ with the normalization row replacing the last equation —
+    K ≤ |event types| is tiny, the calendar-table convention) and
+    quantized with Python ``round()`` (exact half-even on rationals).
+    A singular system (reducible chain — out of contract for this corpus)
+    falls back to the uniform distribution deterministically.
+
+    The distributed work IS `event_transitions` (one user-bucket shuffle,
+    |types|²-sized result); this operator adds only driver math.  Returns
+    (event_type, out_total, pi_ppm) sorted by event_type — gated through
+    `markov_stationary_digest` (pinned from the independent
+    `oracle_dedup.stationary_rows`, which counts sequentially and solves
+    by the Markov-chain-tree/adjugate route: diagonal cofactors of the
+    same integer matrix — two exact solvers, one rational answer).
+    """
+    from fractions import Fraction
+
+    trans = event_transitions(sf_dir, num_buckets=num_buckets)
+    prev = trans.column("prev_type").to_pylist()
+    nxt = trans.column("next_type").to_pylist()
+    cnt = trans.column("n").to_pylist()
+    states = sorted(set(prev) | set(nxt))
+    k = len(states)
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "out_total": pa.array([], pa.int64()),
+            "pi_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if k == 0:
+        return empty
+    idx = {s: i for i, s in enumerate(states)}
+    N = [[0] * k for _ in range(k)]
+    for p, q, n in zip(prev, nxt, cnt):
+        N[idx[p]][idx[q]] += int(n)
+    out = [sum(row) for row in N]
+    for i in range(k):
+        if out[i] == 0:  # dangling: uniform integer weights
+            N[i] = [1] * k
+            out[i] = k
+    # A = D - N (zero row sums); solve yᵀ on Aᵀ with Σy = 1
+    M = [
+        [Fraction((out[i] if i == j else 0) - N[j][i]) for j in range(k)]
+        for i in range(k)
+    ]  # M = Aᵀ
+    rhs = [Fraction(0)] * k
+    M[k - 1] = [Fraction(1)] * k
+    rhs[k - 1] = Fraction(1)
+    sol: list[Fraction] | None = [Fraction(0)] * k
+    for col in range(k):
+        piv = next((r for r in range(col, k) if M[r][col] != 0), None)
+        if piv is None:
+            sol = None  # singular: reducible chain
+            break
+        M[col], M[piv] = M[piv], M[col]
+        rhs[col], rhs[piv] = rhs[piv], rhs[col]
+        inv = 1 / M[col][col]
+        M[col] = [v * inv for v in M[col]]
+        rhs[col] = rhs[col] * inv
+        for r in range(k):
+            if r != col and M[r][col] != 0:
+                f = M[r][col]
+                M[r] = [a - f * b for a, b in zip(M[r], M[col])]
+                rhs[r] = rhs[r] - f * rhs[col]
+    pis = rhs if sol is not None else [Fraction(1, k)] * k
+    return pa.table(
+        {
+            "event_type": pa.array(states, pa.string()),
+            "out_total": pa.array(out, pa.int64()),
+            "pi_ppm": pa.array(
+                [int(round(p * 1_000_000)) for p in pis], pa.int64()
+            ),
+        }
+    )
+
+
+def markov_stationary_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `markov_stationary`: one row (n_states, digest),
+    the order-independent md5 fold over (event_type, out_total, pi_ppm)
+    rows — pinned in `oracle_sql()` from `oracle_dedup.stationary_rows`."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = markov_stationary(sf_dir)
+    s = 0
+    for et, ot, ppm in zip(
+        t.column("event_type").to_pylist(),
+        t.column("out_total").to_pylist(),
+        t.column("pi_ppm").to_pylist(),
+    ):
+        s = (s + row_digest(str(et), f"{ot}\x1f{ppm}")) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_states": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([s], pa.int64()),
+        }
+    )

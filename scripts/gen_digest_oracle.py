@@ -51,6 +51,7 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
         "bpe_digest": od.bpe_digest(od.bpe_merges(sf_dir)),
         "bpe_encode_digest": od.bpe_encode_digest(od.bpe_encode_rows(sf_dir)),
         "cluster_topics_digest": od.topics_digest(od.cluster_topic_rows(sf_dir)),
+        "markov_stationary_digest": od.stationary_rows(sf_dir),
     }
 
 
