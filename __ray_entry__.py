@@ -442,6 +442,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag-1..7 autocorrelation of the calendar-sized daily revenue
         # series, exact Python-int moments; calendar self-join twin.
         "acf_daily_revenue": rankstats.acf_daily_revenue,
+        # hyperball_digest (twelfth round-4 continuation, never gated):
+        # HyperBall neighborhood function N(t) on the co-purchase graph —
+        # per-node 128-byte HLL sketches max-merged over actor shards,
+        # integer per-node estimates so every fold is exact; pinned from
+        # oracle_dedup.hyperball_rows.
+        "hyperball_digest": graph.hyperball_digest,
         # markov_stationary_digest (twelfth round-4 continuation, never
         # gated): equilibrium distribution of the event-type chain —
         # exact-rational Gaussian elimination over the distributed
@@ -1260,6 +1266,13 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000, 0)::BIGINT
                    END AS rho_ppm
             FROM s
+        """,
+        # HyperBall digest: pinned at sf0.01 from the sequential twin
+        # (identical register spec in functions/sketch.py); regenerate
+        # via scripts/gen_digest_oracle.py.
+        "hyperball_digest": """
+            SELECT 4::BIGINT AS n_rounds,
+                   1319253628019883846::BIGINT AS digest
         """,
         # Stationary-distribution digest: pinned at sf0.01 from the
         # independent sequential oracle (adjugate solver); regenerate via

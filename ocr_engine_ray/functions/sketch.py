@@ -124,3 +124,42 @@ class IntBloom:
         byte = self.bits[(pos >> 3).astype(np.int64)]
         hit = (byte >> (pos & 7).astype(np.uint8)) & 1
         return hit.all(axis=0).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall spec (Boldi, Rosa & Vigna 2011): the shared REGISTER CONTRACT for
+# the neighborhood-function estimator in pipelines/graph.py and its
+# sequential twin in oracle_dedup.py — p = 7 keeps per-node sketches at 128
+# bytes (HyperBall's own design point trades register width for the O(V·m)
+# per-round exchange).
+# ---------------------------------------------------------------------------
+
+HB_P = 7
+HB_M = 1 << HB_P
+HB_ALPHA = 0.7213 / (1 + 1.079 / HB_M)
+
+
+def hb_node_register(node: int) -> tuple[int, int]:
+    """(register index, rank) of a node id under the HyperBall hash rule —
+    blake2b-64 over the decimal id, the `hll_sketch` convention."""
+    h = int.from_bytes(
+        hashlib.blake2b(str(node).encode("utf-8"), digest_size=8).digest(), "big"
+    )
+    idx = h >> (64 - HB_P)
+    rest = h & ((1 << (64 - HB_P)) - 1)
+    return idx, (64 - HB_P) - rest.bit_length() + 1
+
+
+def hb_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Rounded-integer HLL estimates per ROW of a (n, HB_M) uint8 register
+    matrix — row-contiguous numpy reductions, so each row's float path is
+    bit-identical to estimating that row alone (the determinism contract
+    both sides rely on)."""
+    r = regs.astype(np.float64)
+    est = HB_ALPHA * HB_M * HB_M / np.power(2.0, -r).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * HB_M) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = HB_M * np.log(HB_M / np.maximum(zeros, 1).astype(np.float64))
+    est = np.where(small, lin, est)
+    return np.array([int(round(float(v))) for v in est], dtype=np.int64)

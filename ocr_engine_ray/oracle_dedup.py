@@ -1094,3 +1094,63 @@ def stationary_rows(sf_dir: str) -> tuple[int, int]:
         ppm = round(p * 1_000_000)
         dg = (dg + row_digest(str(s), f"{o}\x1f{ppm}")) % DIGEST_MOD
     return k, dg
+
+
+def hyperball_rows(sf_dir: str, *, min_support: int = 2, rounds: int = 4) -> tuple[int, int]:
+    """Sequential twin of `pipelines.graph.hyperball_digest`: plain-dict
+    co-purchase adjacency (the lpa_labels support rule), per-node
+    HB_M-register sketches under the shared `functions.sketch` spec,
+    synchronous max-merge rounds, Σ of per-node rounded-integer
+    estimates per round.  Returns (n_rounds, digest)."""
+    from collections import Counter, defaultdict
+
+    from ocr_engine_ray.functions.sketch import HB_M, hb_estimate_rows, hb_node_register
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order: dict[int, list[int]] = defaultdict(list)
+    for ok, pk in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        by_order[ok].append(pk)
+    support: Counter = Counter()
+    for parts in by_order.values():
+        for i in range(len(parts)):
+            for j in range(len(parts)):
+                if parts[i] < parts[j]:
+                    support[(parts[i], parts[j])] += 1
+    adj: dict[int, list[int]] = defaultdict(list)
+    for (a, b), n in support.items():
+        if n >= min_support:
+            adj[a].append(b)
+            adj[b].append(a)
+    nodes = sorted(adj)
+    regs = {}
+    for v in nodes:
+        r = np.zeros(HB_M, dtype=np.uint8)
+        idx, rank = hb_node_register(v)
+        r[idx] = rank
+        regs[v] = r
+
+    def total() -> int:
+        if not nodes:
+            return 0
+        mat = np.stack([regs[v] for v in nodes])
+        return int(hb_estimate_rows(mat).sum())
+
+    reach = [(0, total())]
+    for t in range(1, rounds + 1):
+        new = {}
+        for v in nodes:
+            r = regs[v].copy()
+            for u in adj[v]:
+                np.maximum(r, regs[u], out=r)
+            new[v] = r
+        regs = new
+        reach.append((t, total()))
+    dg = 0
+    for t, rp in reach:
+        dg = (dg + row_digest(str(t), str(rp))) % DIGEST_MOD
+    return rounds, dg

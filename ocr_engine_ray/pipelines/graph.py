@@ -679,3 +679,157 @@ def lpa_communities_digest(
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+HB_SHARDS = 16
+HB_ROUNDS = 4
+
+
+@ray.remote
+class _HyperBallShard:
+    """One shard of the HyperBall neighborhood-function estimator (Boldi,
+    Rosa & Vigna 2011): owns the adjacency rows whose SOURCE endpoint
+    hashes here (``src % S``) and a (V_own, HB_M) uint8 register matrix —
+    one 128-byte HLL per owned node.  Each round every node's sketch
+    becomes the elementwise max of itself and its neighbors' sketches
+    (ball radius +1); the exchange moves only the O(V·m) register
+    matrices, never the edges — exactly HyperBall's documented cost
+    model, and the same raw-actor escape hatch as `_LpaShard`."""
+
+    def __init__(self, shard_id: int, num_shards: int) -> None:
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self.src = np.array([], dtype=np.int64)
+        self.dst = np.array([], dtype=np.int64)
+        self.nodes = np.array([], dtype=np.int64)
+        self.regs = np.zeros((0, 0), dtype=np.uint8)
+
+    def load(self, src: np.ndarray, dst: np.ndarray) -> None:
+        self._src_parts.append(src)
+        self._dst_parts.append(dst)
+
+    def seal(self) -> int:
+        from ..functions.sketch import HB_M, hb_node_register
+
+        if self._src_parts:
+            src = np.concatenate(self._src_parts)
+            dst = np.concatenate(self._dst_parts)
+            order = np.argsort(src, kind="stable")
+            self.src, self.dst = src[order], dst[order]
+            self._src_parts, self._dst_parts = [], []
+        self.nodes = np.unique(self.src)
+        self.regs = np.zeros((len(self.nodes), HB_M), dtype=np.uint8)
+        for i, n in enumerate(self.nodes.tolist()):
+            idx, rank = hb_node_register(n)
+            self.regs[i, idx] = rank
+        return len(self.nodes)
+
+    def get_regs(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.nodes, self.regs
+
+    def step(self, *reg_parts) -> None:
+        """One radius increment: own regs ∨= max over neighbor regs, all
+        reads against the previous round's registers."""
+        if not len(self.src):
+            return
+        all_nodes = np.concatenate([p[0] for p in reg_parts])
+        all_regs = np.concatenate([p[1] for p in reg_parts], axis=0)
+        order = np.argsort(all_nodes)
+        all_nodes, all_regs = all_nodes[order], all_regs[order]
+        nbr = all_regs[np.searchsorted(all_nodes, self.dst)]
+        starts = np.concatenate(
+            [[0], np.nonzero(self.src[1:] != self.src[:-1])[0] + 1]
+        )
+        folded = np.maximum.reduceat(nbr, starts, axis=0)
+        # self.src's distinct values ARE self.nodes (sorted): rows align
+        np.maximum(self.regs, folded, out=self.regs)
+
+    def reach(self) -> int:
+        """Σ over owned nodes of the rounded-integer ball-size estimate —
+        integer partials, so the driver fold is order-free."""
+        from ..functions.sketch import hb_estimate_rows
+
+        if not len(self.nodes):
+            return 0
+        return int(hb_estimate_rows(self.regs).sum())
+
+
+def hyperball_reach(
+    sf_dir: str,
+    *,
+    min_support: int = 2,
+    num_buckets: int = 64,
+    num_shards: int = HB_SHARDS,
+    rounds: int = HB_ROUNDS,
+) -> pa.Table:
+    """The NEIGHBORHOOD FUNCTION of the co-purchase graph via HyperBall:
+    N(t) = estimated number of (u, v) pairs with dist(u, v) ≤ t, for
+    t = 0..rounds — the distance-distribution summary behind effective-
+    diameter estimates, computed without any all-pairs BFS.
+
+    Per-node 128-byte HLL sketches (spec in `functions.sketch`:
+    ``HB_P/HB_M/HB_ALPHA/hb_node_register``) initialized to {self}, then
+    ``rounds`` synchronous max-merge supersteps over the symmetric edge
+    set; after each step N(t) = Σ_u round(estimate(ball_u)) — per-node
+    rounded INTEGER estimates, so every fold (shard partials, driver sum)
+    is exact and order-free.  Fixed-round schedule like LPA: determinism
+    is the contract, and `oracle_dedup.hyperball_rows` (plain-dict
+    sequential twin, identical register spec) pins the digest.
+
+    Returns (t, reach_pairs) for t in 0..rounds.
+    """
+    from .basket import copurchase_edges
+
+    edges = copurchase_edges(sf_dir, min_support=min_support, num_buckets=num_buckets)
+    shards = [_HyperBallShard.remote(i, num_shards) for i in range(num_shards)]
+
+    def push(batch: pa.Table) -> pa.Table:
+        a = batch.column("p1").to_numpy(zero_copy_only=False)
+        b = batch.column("p2").to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b]).astype(np.int64)
+        dst = np.concatenate([b, a]).astype(np.int64)
+        owner = src % num_shards
+        refs = [
+            shards[s].load.remote(src[owner == s], dst[owner == s])
+            for s in range(num_shards)
+            if (owner == s).any()
+        ]
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(src)], pa.int64())})
+
+    edges.map_batches(push, batch_format="pyarrow").sum("n")
+    ray.get([s.seal.remote() for s in shards])
+    ts = [0]
+    reach = [sum(ray.get([s.reach.remote() for s in shards]))]
+    for t in range(1, rounds + 1):
+        refs = [s.get_regs.remote() for s in shards]
+        ray.get([s.step.remote(*refs) for s in shards])
+        ts.append(t)
+        reach.append(sum(ray.get([s.reach.remote() for s in shards])))
+    for s in shards:
+        ray.kill(s)
+    return pa.table(
+        {
+            "t": pa.array(ts, pa.int64()),
+            "reach_pairs": pa.array(reach, pa.int64()),
+        }
+    )
+
+
+def hyperball_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `hyperball_reach`: (n_rounds, digest) — md5 fold
+    over (t, reach_pairs) rows, pinned from `oracle_dedup.hyperball_rows`."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = hyperball_reach(sf_dir)
+    dg = 0
+    for tt, rp in zip(t.column("t").to_pylist(), t.column("reach_pairs").to_pylist()):
+        dg = (dg + row_digest(str(tt), str(rp))) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rounds": pa.array([t.num_rows - 1], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )

@@ -52,6 +52,7 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
         "bpe_encode_digest": od.bpe_encode_digest(od.bpe_encode_rows(sf_dir)),
         "cluster_topics_digest": od.topics_digest(od.cluster_topic_rows(sf_dir)),
         "markov_stationary_digest": od.stationary_rows(sf_dir),
+        "hyperball_digest": od.hyperball_rows(sf_dir),
     }
 
 
