@@ -442,6 +442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag-1..7 autocorrelation of the calendar-sized daily revenue
         # series, exact Python-int moments; calendar self-join twin.
         "acf_daily_revenue": rankstats.acf_daily_revenue,
+        # compression_ratio_digest (twelfth round-4 continuation, never
+        # gated): per-source zlib compression-ratio histogram — the
+        # cheap-repetition quality signal; per-doc C kernel, map-side
+        # combined counts; pinned from oracle_dedup.compression_hist_rows.
+        "compression_ratio_digest": tsp.compression_ratio_digest,
         # hyperball_digest (twelfth round-4 continuation, never gated):
         # HyperBall neighborhood function N(t) on the co-purchase graph —
         # per-node 128-byte HLL sketches max-merged over actor shards,
@@ -1266,6 +1271,13 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000, 0)::BIGINT
                    END AS rho_ppm
             FROM s
+        """,
+        # Compression-ratio digest: pinned at sf0.01 from the sequential
+        # twin (same level-6 zlib — deterministic for a fixed build);
+        # regenerate via scripts/gen_digest_oracle.py.
+        "compression_ratio_digest": """
+            SELECT 103::BIGINT AS n_rows,
+                   1690088404423305231::BIGINT AS digest
         """,
         # HyperBall digest: pinned at sf0.01 from the sequential twin
         # (identical register spec in functions/sketch.py); regenerate

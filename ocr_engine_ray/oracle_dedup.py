@@ -1154,3 +1154,26 @@ def hyperball_rows(sf_dir: str, *, min_support: int = 2, rounds: int = 4) -> tup
     for t, rp in reach:
         dg = (dg + row_digest(str(t), str(rp))) % DIGEST_MOD
     return rounds, dg
+
+
+def compression_hist_rows(sf_dir: str) -> tuple[int, int]:
+    """Sequential twin of `textstats.compression_ratio_digest`: plain
+    loop + Counter, same level-6 zlib and integer bucket rule.  Returns
+    (n_rows, digest)."""
+    import zlib
+    from collections import Counter
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    counts: Counter = Counter()
+    for s, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        if not txt:
+            continue
+        raw = txt.encode("utf-8")
+        pct = len(zlib.compress(raw, 6)) * 100 // len(raw)
+        counts[(s, min(pct, 119) // 10)] += 1
+    dg = 0
+    for (s, b), n in counts.items():
+        dg = (dg + row_digest(f"{s}\x1f{b}", str(n))) % DIGEST_MOD
+    return len(counts), dg

@@ -2125,3 +2125,75 @@ def encoding_audit(sf_dir: str) -> rd.Dataset:
         )
         .sort("source")
     )
+
+
+def compression_ratio_hist(sf_dir: str) -> rd.Dataset:
+    """Per-source histogram of zlib COMPRESSION RATIOS — the classic
+    cheap-repetition quality signal (text that compresses far better than
+    prose is boilerplate/template spam; text that barely compresses is
+    noise), used alongside the Gopher/C4 heuristics when curating web
+    corpora.
+
+    Per doc: ``ratio_pct = len(zlib.compress(utf8, level=6)) * 100 //
+    len(utf8)`` (integer floor — exact), bucketed into
+    ``bucket = min(ratio_pct, 119) // 10`` (0..11, the open top bucket
+    catching incompressible + overhead-dominated tiny docs).  Empty/null
+    texts are excluded (no ratio exists).  Output
+    (source, bucket, n_docs) sorted; gated through
+    `compression_ratio_digest` (zlib is not SQL-expressible — pinned
+    from the sequential `oracle_dedup.compression_hist_rows`, same
+    level-6 zlib, which is deterministic for a fixed zlib build).
+
+    Scale shape: one pass; the per-doc ``zlib.compress`` is the
+    legitimate per-row C kernel (no vectorized form exists), counts
+    combine map-side into ≤ sources×12 rows per batch, tiny groupby.
+    """
+    import zlib
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        counts: dict[tuple[str, int], int] = {}
+        for s, t in zip(srcs, texts):
+            if not t:
+                continue
+            raw = t.encode("utf-8")
+            pct = len(zlib.compress(raw, 6)) * 100 // len(raw)
+            b = min(pct, 119) // 10
+            counts[(s, b)] = counts.get((s, b), 0) + 1
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks], pa.string()),
+                "bucket": pa.array([k[1] for k in ks], pa.int64()),
+                "n_docs": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort(["source", "bucket"])
+    )
+
+
+def compression_ratio_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `compression_ratio_hist`: one row
+    (n_rows, digest) — md5 fold over (source·bucket, n_docs)."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    rows = compression_ratio_hist(sf_dir).take_all()
+    dg = 0
+    for r in rows:
+        dg = (
+            dg + row_digest(f"{r['source']}\x1f{r['bucket']}", str(r["n_docs"]))
+        ) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([len(rows)], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )

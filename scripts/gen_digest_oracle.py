@@ -53,6 +53,7 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
         "cluster_topics_digest": od.topics_digest(od.cluster_topic_rows(sf_dir)),
         "markov_stationary_digest": od.stationary_rows(sf_dir),
         "hyperball_digest": od.hyperball_rows(sf_dir),
+        "compression_ratio_digest": od.compression_hist_rows(sf_dir),
     }
 
 
