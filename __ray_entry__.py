@@ -582,6 +582,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equations from nine exact integer sums, Cramer's rule with the
         # twin's determinant expansion, three ppm doubles; HUGEINT twin.
         "ols2_chars_fit": profile.ols2_chars_fit,
+        # ddsketch_quantiles (twelfth round-4 continuation, never gated):
+        # mergeable log-bucket quantile sketch (DDSketch) — bucket is a
+        # pure value function so partials fold order-free; midpoint
+        # estimate on the shared libm grid; full window twin.
+        "ddsketch_quantiles": profile.ddsketch_quantiles,
         # extract_span_counts sits just past the cut this session (its slot
         # funds incremental_dedup_digest above): green r01-r03 unchanged,
         # still the entry() smoke surface and pytest span-sequence-pinned.
@@ -1104,6 +1109,39 @@ def oracle_sql() -> dict[str, str]:
         # end with identical operand order to the engine's Python-int path.
         # OLS from the same HUGEINT sufficient statistics, identical
         # operand order and half-even ppm quantization.
+        # DDSketch: the bucket function, rank rule and midpoint estimate
+        # verbatim — ln/power on the shared libm grid, integer counts,
+        # window cumsum (integer, combine-order free).
+        "ddsketch_quantiles": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     ceil(ln(l_extendedprice) / ln(1.02))::BIGINT AS bucket,
+                     count(*)::BIGINT AS n
+              FROM lineitem GROUP BY 1, 2
+            ),
+            t AS (SELECT l_returnflag, sum(n)::BIGINT AS n_tot FROM b GROUP BY 1),
+            c AS (
+              SELECT l_returnflag, bucket, n,
+                     sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM b
+            ),
+            qs AS (SELECT * FROM (VALUES (50, 0.5), (95, 0.95), (99, 0.99))
+                   AS v(q_pct, qf)),
+            pick AS (
+              SELECT c.l_returnflag, qs.q_pct, t.n_tot,
+                     min(c.bucket) AS est_b
+              FROM c
+              JOIN t USING (l_returnflag)
+              JOIN qs ON true
+              WHERE c.cum >= floor(1 + qs.qf * (t.n_tot - 1))::BIGINT
+              GROUP BY 1, 2, 3
+            )
+            SELECT l_returnflag, q_pct::BIGINT AS q_pct, n_tot AS n,
+                   round_even(2.0 * power(1.02, est_b) / (1.02 + 1.0)
+                              * 10000.0, 0)::BIGINT AS est_q4
+            FROM pick ORDER BY l_returnflag, q_pct
+        """,
         # 3×3 Cramer's rule over HUGEINT normal-equation sums; the same
         # first-row cofactor expansion as the engine, three ppm doubles.
         "ols2_chars_fit": r"""

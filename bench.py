@@ -459,6 +459,63 @@ def run_bench() -> dict:
         "session_paths_topk": timed(analytics.session_paths_topk),
         "hapax_rate_by_source": timed(tsp.hapax_rate_by_source),
         "hourly_uniques_digest": timed(tsp.hourly_uniques_digest),
+        "extraction_delta": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.extract_stats", fromlist=["x"]
+            ).extraction_delta
+        ),
+        "justext_boilerplate": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.decontam", fromlist=["x"]
+            ).justext_boilerplate
+        ),
+        "containment_pairs": timed(dedup.containment_pairs),
+        "clustering_coefficients": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.basket", fromlist=["x"]
+            ).clustering_coefficients
+        ),
+        "mmr_diverse_topk": timed(ann.mmr_diverse_topk),
+        "quality_pareto_frontier": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.profile", fromlist=["x"]
+            ).quality_pareto_frontier
+        ),
+        "lpa_communities_digest": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.graph", fromlist=["x"]
+            ).lpa_communities_digest
+        ),
+        "dbscan_clusters": timed(dedup.dbscan_clusters),
+        "ols_chars_per_token": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.profile", fromlist=["x"]
+            ).ols_chars_per_token
+        ),
+        "ols2_chars_fit": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.profile", fromlist=["x"]
+            ).ols2_chars_fit
+        ),
+        "readability_by_source": timed(tsp.readability_by_source),
+        "encoding_audit": timed(tsp.encoding_audit),
+        "compression_ratio_hist": timed(tsp.compression_ratio_hist),
+        "cusum_changepoint": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
+            ).cusum_changepoint
+        ),
+        "repurchase_life_table": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
+            ).repurchase_life_table
+        ),
+        "markov_stationary": timed(analytics.markov_stationary),
+        "hyperball_reach": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.graph", fromlist=["x"]
+            ).hyperball_reach
+        ),
     }
 
     result = {

@@ -1150,3 +1150,95 @@ def ols2_chars_fit(sf_dir: str, *, chunk: int = 8192) -> rd.Dataset:
             }
         )
     )
+
+
+DD_GAMMA = 1.02  # 2% relative-error DDSketch buckets
+DD_QS = (50, 95, 99)
+
+
+def ddsketch_quantiles(sf_dir: str) -> rd.Dataset:
+    """DDSketch approximate quantiles (Masson, Rim & Lee, VLDB 2019) of
+    ``l_extendedprice`` per return flag — the MERGEABLE quantile sketch
+    for metric pipelines: bucket ``b(x) = ceil(ln(x)/ln(γ))`` is a pure
+    function of the value (γ = 1.02 → 2% relative error), so per-batch
+    partial counts fold with plain integer addition in any order — unlike
+    t-digest/GK, whose merge is order-sensitive and therefore untwinnable.
+
+    The estimate for quantile q is the standard DDSketch midpoint
+    ``2·γ^b / (γ+1)`` of the first bucket whose cumulative count reaches
+    ``floor(1 + q·(n−1))``, evaluated as ONE double expression with the
+    twin's operand order and quantized half-even to 4 decimals.  The
+    ln/pow calls are the same libm on both sides — the `source_jsd_matrix`
+    float-grid contract.
+
+    Scale shape: one pass emits per-batch (flag, bucket, n) partials
+    (map-side combine — ≤ flags × few-hundred buckets per batch), a tiny
+    groupby folds them, and the quantile walk runs on the driver over the
+    bucket-table (constant-size at any corpus).  Returns
+    (l_returnflag, q_pct, n, est_q4) sorted.
+    """
+    from ray.data.aggregate import Sum
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    lng = np.log(DD_GAMMA)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        b = np.ceil(np.log(x) / lng).astype(np.int64)
+        fenc = pc.dictionary_encode(batch.column("l_returnflag").combine_chunks())
+        fi = np.asarray(fenc.indices, dtype=np.int64)
+        nb = int(b.max() - b.min()) + 1 if len(b) else 1
+        key = fi * nb + (b - (b.min() if len(b) else 0))
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    [fenc.dictionary[int(k // nb)].as_py() for k in uk], pa.string()
+                ),
+                "bucket": pa.array(
+                    [int(k % nb) + (int(b.min()) if len(b) else 0) for k in uk],
+                    pa.int64(),
+                ),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tab = (
+        li.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # flags × O(ln(max/min)/ln γ) buckets: constant-size
+    )
+    by_flag: dict[str, list[tuple[int, int]]] = {}
+    for r in tab:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (int(r["bucket"]), int(r["n"]))
+        )
+    flags, qs, ns, ests = [], [], [], []
+    for f in sorted(by_flag):
+        buckets = sorted(by_flag[f])
+        n = sum(c for _, c in buckets)
+        for q in DD_QS:
+            rank = int(1 + (q / 100.0) * (n - 1))  # floor(1 + q(n-1))
+            cum = 0
+            est_b = buckets[-1][0]
+            for b, c in buckets:
+                cum += c
+                if cum >= rank:
+                    est_b = b
+                    break
+            v = 2.0 * float(DD_GAMMA) ** est_b / (DD_GAMMA + 1.0) * 10_000.0
+            flags.append(f)
+            qs.append(q)
+            ns.append(n)
+            ests.append(int(np.round(v)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "q_pct": pa.array(qs, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "est_q4": pa.array(ests, pa.int64()),
+            }
+        )
+    )

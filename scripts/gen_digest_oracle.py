@@ -51,6 +51,18 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
         "bpe_digest": od.bpe_digest(od.bpe_merges(sf_dir)),
         "bpe_encode_digest": od.bpe_encode_digest(od.bpe_encode_rows(sf_dir)),
         "cluster_topics_digest": od.topics_digest(od.cluster_topic_rows(sf_dir)),
+    }
+
+
+def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
+    """Pins whose SQL twin carries TWO literals (a count column + the
+    digest) — kept separate from `dedup_oracle_digests` so its
+    single-literal pytest contract stays uniform.  Each has its own
+    literal-rederivation test (test_markov / test_hyperball /
+    test_compression_ratio)."""
+    from ocr_engine_ray import oracle_dedup as od
+
+    return {
         "markov_stationary_digest": od.stationary_rows(sf_dir),
         "hyperball_digest": od.hyperball_rows(sf_dir),
         "compression_ratio_digest": od.compression_hist_rows(sf_dir),
@@ -83,3 +95,4 @@ if __name__ == "__main__":
     for sf_dir in sys.argv[1:] or ["/root/testdata/sf0.01"]:
         print(sf_dir, oracle_digests(sf_dir))
         print(sf_dir, dedup_oracle_digests(sf_dir))
+        print(sf_dir, tuple_digest_oracles(sf_dir))
