@@ -464,6 +464,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with right-censored last orders — one custkey bucket shuffle,
         # horizon-sized exact-integer table; lead-window twin.
         "repurchase_life_table": rankstats.repurchase_life_table,
+        # holt_forecast_digest (twelfth round-4 continuation, never
+        # gated): Holt level+trend forecast as an exact integer
+        # fixed-point recursion (α=3/10, β=1/10, half-even micro-cents) —
+        # bit-reproducible, no float anywhere; pinned from
+        # oracle_dedup.holt_rows.
+        "holt_forecast_digest": rankstats.holt_forecast_digest,
         # cusum_changepoint (twelfth round-4 continuation, never gated):
         # Page's CUSUM level-shift detector on the calendar-sized daily
         # cents series — exact-integer D_k = T·S_k − k·S_T argmax, one
@@ -1369,6 +1375,13 @@ def oracle_sql() -> dict[str, str]:
                                         * 1000000, 0)::BIGINT
                    END AS hazard_ppm
             FROM r ORDER BY gap_days
+        """,
+        # Holt forecast digest: pinned at sf0.01 from the sequential twin
+        # (identical fixed-point spec); regenerate via
+        # scripts/gen_digest_oracle.py.
+        "holt_forecast_digest": """
+            SELECT 7::BIGINT AS n_h,
+                   297343107406227719::BIGINT AS digest
         """,
         # CUSUM changepoint: exact HUGEINT D_k = T·S_k − k·S_T over the
         # day-ordered prefix sum (integer window sums are combine-order

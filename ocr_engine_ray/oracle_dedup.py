@@ -1177,3 +1177,46 @@ def compression_hist_rows(sf_dir: str) -> tuple[int, int]:
     for (s, b), n in counts.items():
         dg = (dg + row_digest(f"{s}\x1f{b}", str(n))) % DIGEST_MOD
     return len(counts), dg
+
+
+def holt_rows(sf_dir: str) -> tuple[int, int]:
+    """Sequential twin of `rankstats.holt_forecast_digest`: plain-dict
+    daily fold (round-half-away cents like DuckDB round), the same
+    fixed-point recursion spec with its own rdiv reimplementation.
+    Returns (n_h, digest)."""
+    import datetime as _dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    daily: dict[_dt.date, int] = {}
+    for ts, v in zip(ev.column("ts").to_pylist(), ev.column("value").to_pylist()):
+        # exact value of the IEEE product v*100.0, ties away — bitwise the
+        # engine's pc.round(pc.multiply(arr, 100.0), half_towards_infinity)
+        cents = int(Decimal(float(v) * 100.0).quantize(Decimal(1), ROUND_HALF_UP))
+        d = ts.date()
+        daily[d] = daily.get(d, 0) + cents
+
+    def rdiv(n: int, d: int) -> int:
+        q, r = divmod(n, d)
+        if 2 * r > d or (2 * r == d and q % 2 == 1):
+            q += 1
+        return q
+
+    if not daily:
+        return 0, 0
+    days = sorted(daily)
+    span = (days[-1] - days[0]).days
+    xs = [daily.get(days[0] + _dt.timedelta(days=i), 0) for i in range(span + 1)]
+    S = 1_000_000
+    level, trend = xs[0] * S, 0
+    for x in xs[1:]:
+        nl = rdiv(3 * x * S + 7 * (level + trend), 10)
+        trend = rdiv(1 * (nl - level) + 9 * trend, 10)
+        level = nl
+    dg = 0
+    for h in range(1, 8):
+        f = rdiv(level + h * trend, S)
+        dg = (dg + row_digest(str(h), str(f))) % DIGEST_MOD
+    return 7, dg

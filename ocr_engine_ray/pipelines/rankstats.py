@@ -745,3 +745,98 @@ def repurchase_life_table(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             }
         )
     )
+
+
+HOLT_ALPHA_NUM, HOLT_BETA_NUM, HOLT_DEN = 3, 1, 10  # α = 0.3, β = 0.1
+HOLT_SCALE = 1_000_000
+HOLT_HORIZON = 7
+
+
+def _rdiv_even(n: int, d: int) -> int:
+    """Round-half-even integer division (d > 0) — exact banker's rounding
+    on arbitrary-precision ints, the fixed-point kernel both the engine
+    and the sequential oracle share by SPEC (reimplemented there)."""
+    q, r = divmod(n, d)
+    if 2 * r > d or (2 * r == d and q % 2 == 1):
+        q += 1
+    return q
+
+
+def holt_forecast(sf_dir: str) -> pa.Table:
+    """Holt double exponential smoothing (level + trend) over the daily
+    revenue series, in EXACT INTEGER FIXED-POINT — the deterministic
+    variant of the classic forecast recursion (α = 3/10, β = 1/10 as
+    rationals, state in micro-cents, every step a half-even integer
+    division), so the whole recursion is bit-reproducible on any
+    platform with no float anywhere:
+
+        l_t = rdiv(3·x_t·S + 7·(l + b), 10)      S = 1e6 micro-cents
+        b_t = rdiv(1·(l_t − l) + 9·b, 10)
+
+    over the ZERO-FILLED calendar between the first and last observed
+    day (gaps are real zero-revenue days for a forecaster).  Forecast
+    h-days-ahead f_h = l_T + h·b_T, emitted as whole cents.
+
+    Scale shape: the acf/cusum pattern — one day-keyed map-side-combined
+    aggregate folds the stream to the calendar-sized series; the
+    recursion is driver math.  Not SQL-expressible (stateful recursion)
+    — gated through `holt_forecast_digest`, pinned from the sequential
+    `oracle_dedup.holt_rows`.  Returns (h, forecast_cents) for h = 1..7.
+    """
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "cents": _cents(batch.column("value"))})
+        agg = pa.TableGroupBy(t, "day").aggregate([("cents", "sum")])
+        return pa.table(
+            {"day": agg.column("day"), "cents": agg.column("cents_sum").cast(pa.int64())}
+        )
+
+    daily = (
+        ev.map_batches(day_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # calendar-sized
+    )
+    empty = pa.table(
+        {"h": pa.array([], pa.int64()), "forecast_cents": pa.array([], pa.int64())}
+    )
+    if not daily:
+        return empty
+    rows = sorted(daily, key=lambda r: r["day"])
+    d0, dT = rows[0]["day"], rows[-1]["day"]
+    idx = {int((r["day"] - d0).days): int(r["cents"]) for r in rows}
+    xs = [idx.get(i, 0) for i in range(int((dT - d0).days) + 1)]
+    level = xs[0] * HOLT_SCALE
+    trend = 0
+    a, b_, den = HOLT_ALPHA_NUM, HOLT_BETA_NUM, HOLT_DEN
+    for x in xs[1:]:
+        new_level = _rdiv_even(a * x * HOLT_SCALE + (den - a) * (level + trend), den)
+        trend = _rdiv_even(b_ * (new_level - level) + (den - b_) * trend, den)
+        level = new_level
+    hs = list(range(1, HOLT_HORIZON + 1))
+    fc = [_rdiv_even(level + h * trend, HOLT_SCALE) for h in hs]
+    return pa.table(
+        {
+            "h": pa.array(hs, pa.int64()),
+            "forecast_cents": pa.array(fc, pa.int64()),
+        }
+    )
+
+
+def holt_forecast_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `holt_forecast`: (n_h, digest) — md5 fold over
+    (h, forecast_cents) rows, pinned from `oracle_dedup.holt_rows`."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = holt_forecast(sf_dir)
+    dg = 0
+    for h, f in zip(t.column("h").to_pylist(), t.column("forecast_cents").to_pylist()):
+        dg = (dg + row_digest(str(h), str(f))) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_h": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )

@@ -66,6 +66,7 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "markov_stationary_digest": od.stationary_rows(sf_dir),
         "hyperball_digest": od.hyperball_rows(sf_dir),
         "compression_ratio_digest": od.compression_hist_rows(sf_dir),
+        "holt_forecast_digest": od.holt_rows(sf_dir),
     }
 
 

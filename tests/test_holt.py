@@ -1,0 +1,67 @@
+"""Holt fixed-point forecast over the daily cents series."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_engine_ray.oracle_dedup import holt_rows
+from ocr_engine_ray.pipelines.rankstats import holt_forecast, holt_forecast_digest
+
+SF_GATE = "/root/testdata/sf0.01"
+
+
+def _pinned() -> tuple[int, int]:
+    import __ray_entry__ as e
+
+    nums = re.findall(r"(\d+)::BIGINT", e.oracle_sql()["holt_forecast_digest"])
+    assert len(nums) == 2
+    return tuple(int(x) for x in nums)
+
+
+def test_literal_matches_oracle():
+    assert _pinned() == holt_rows(SF_GATE)
+
+
+def _write_events(d, day_values):
+    d.mkdir(parents=True)
+    ts = [
+        dt.datetime(2024, 3, 1) + dt.timedelta(days=i, hours=2)
+        for i in range(len(day_values))
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": [float(v) for v in day_values],
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHolt:
+    def test_constant_series_forecasts_constant(self, tmp_path):
+        sf = _write_events(tmp_path / "c", [5.0] * 30)
+        fc = holt_forecast(sf).column("forecast_cents").to_pylist()
+        assert fc == [500] * 7  # level locks to 500 cents, trend 0
+
+    def test_linear_trend_extrapolates(self, tmp_path):
+        # steadily rising: forecasts must keep rising with h
+        sf = _write_events(tmp_path / "t", [float(10 + 2 * i) for i in range(40)])
+        fc = holt_forecast(sf).column("forecast_cents").to_pylist()
+        assert all(b > a for a, b in zip(fc, fc[1:]))
+        # slope ~200 cents/day once the trend state converges
+        assert 150 <= fc[1] - fc[0] <= 250
+
+    def test_engine_matches_sequential_twin(self, tmp_path):
+        sf = _write_events(tmp_path / "m", [3.5, 0.0, 7.25, 2.0, 9.9, 4.4])
+        t = holt_forecast_digest(sf)
+        eng = (t.column("n_h")[0].as_py(), t.column("digest")[0].as_py())
+        assert eng == holt_rows(sf)
