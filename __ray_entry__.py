@@ -442,6 +442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag-1..7 autocorrelation of the calendar-sized daily revenue
         # series, exact Python-int moments; calendar self-join twin.
         "acf_daily_revenue": rankstats.acf_daily_revenue,
+        # kcenter_digest (twelfth round-4 continuation, never gated):
+        # greedy k-center coreset (Gonzalez) over the embedding table —
+        # exact-integer q-grid distances, one center down / one partial
+        # up per shard per round; pinned from oracle_dedup.kcenter_rows.
+        "kcenter_digest": ann.kcenter_digest,
         # compression_ratio_digest (twelfth round-4 continuation, never
         # gated): per-source zlib compression-ratio histogram — the
         # cheap-repetition quality signal; per-doc C kernel, map-side
@@ -1315,6 +1320,12 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000, 0)::BIGINT
                    END AS rho_ppm
             FROM s
+        """,
+        # k-center coreset digest: pinned at sf0.01 from the sequential
+        # twin (full-matrix numpy greedy, same integer grid).
+        "kcenter_digest": """
+            SELECT 8::BIGINT AS n_centers,
+                   2282031470487866852::BIGINT AS digest
         """,
         # Compression-ratio digest: pinned at sf0.01 from the sequential
         # twin (same level-6 zlib — deterministic for a fixed build);

@@ -1220,3 +1220,34 @@ def holt_rows(sf_dir: str) -> tuple[int, int]:
         f = rdiv(level + h * trend, S)
         dg = (dg + row_digest(str(h), str(f))) % DIGEST_MOD
     return 7, dg
+
+
+def kcenter_rows(sf_dir: str, *, k: int = 8) -> tuple[int, int]:
+    """Sequential twin of `ann.kcenter_digest`: full-matrix numpy greedy
+    k-center on the same 2^20 integer grid, same (dmin desc, id asc)
+    tie-break and smallest-id seed.  Returns (n_centers, digest)."""
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    if not len(ids):
+        return 0, 0
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    q = np.round(mat * (1 << 20)).astype(np.int64)
+    rows = [(0, int(ids[0]), 0)]
+    dmin = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    center = q[0]
+    for step in range(1, min(k, len(ids))):
+        diff = q - center[None, :]
+        d = np.einsum("ij,ij->i", diff, diff)
+        np.minimum(dmin, d, out=dmin)
+        mx = int(dmin.max())
+        nxt_id = int(ids[dmin == mx].min())
+        center = q[int(np.searchsorted(ids, nxt_id))]
+        rows.append((step, nxt_id, mx))
+    dg = 0
+    for s, c, r in rows:
+        dg = (dg + row_digest(str(s), f"{c}\x1f{r}")) % DIGEST_MOD
+    return len(rows), dg

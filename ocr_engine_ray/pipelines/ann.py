@@ -1418,3 +1418,159 @@ def greedy_mmr(
         chosen[i] = True
         maxsim = np.maximum(maxsim, sims[:, i])
     return selected
+
+
+KC_GRID = 1 << 20  # component quantization for exact-integer distances
+KC_K = 8
+KC_SHARDS = 8
+
+
+@ray.remote
+class _KCenterShard:
+    """One shard of the greedy k-center state: owns (vec_id, qvec, dmin)
+    for ids hashing here.  Vectors load once; each round moves one center
+    vector down and one (max dmin, argmax id) partial up — O(D + 1) per
+    shard per round, never the points."""
+
+    def __init__(self) -> None:
+        self._ids: list[np.ndarray] = []
+        self._vecs: list[np.ndarray] = []
+        self.ids = np.array([], dtype=np.int64)
+        self.q = np.zeros((0, 0), dtype=np.int64)
+        self.dmin = np.array([], dtype=np.int64)
+
+    def load(self, ids: np.ndarray, q: np.ndarray) -> None:
+        self._ids.append(ids)
+        self._vecs.append(q)
+
+    def seal(self) -> int:
+        if self._ids:
+            ids = np.concatenate(self._ids)
+            q = np.concatenate(self._vecs, axis=0)
+            order = np.argsort(ids)
+            self.ids, self.q = ids[order], q[order]
+            self._ids, self._vecs = [], []
+        self.dmin = np.full(len(self.ids), np.iinfo(np.int64).max, dtype=np.int64)
+        return len(self.ids)
+
+    def min_id_row(self) -> tuple[int, np.ndarray] | None:
+        """Seed partial: (smallest vec_id, its qvec)."""
+        if not len(self.ids):
+            return None
+        return int(self.ids[0]), self.q[0]
+
+    def update_and_peak(self, center_q: np.ndarray) -> tuple[int, int] | None:
+        """Fold the new center into dmin, return this shard's
+        (max dmin, smallest id attaining it)."""
+        if not len(self.ids):
+            return None
+        diff = self.q - center_q[None, :]
+        d = np.einsum("ij,ij->i", diff, diff)  # exact int64 on the grid
+        np.minimum(self.dmin, d, out=self.dmin)
+        mx = int(self.dmin.max())
+        cand = self.ids[self.dmin == mx]
+        return mx, int(cand.min())
+
+    def vec_of(self, vid: int) -> np.ndarray:
+        i = int(np.searchsorted(self.ids, vid))
+        return self.q[i]
+
+
+def kcenter_coreset(
+    sf_dir: str, *, k: int = KC_K, num_shards: int = KC_SHARDS
+) -> pa.Table:
+    """Greedy k-CENTER coreset selection (Gonzalez 1985) over the
+    embedding table — the classic geometric data-selection baseline
+    ("pick the k most mutually-distant examples"), the deterministic
+    counterpart of random coreset sampling and the seeding rule behind
+    k-center clustering bounds.
+
+    Distances are EXACT integers: each component quantizes once to
+    ``round(x · 2^20)`` (the k-means q-grid convention) and the squared
+    Euclidean distance is an int64 sum — every comparison and tie-break
+    ((dmin desc, vec_id asc); seed = smallest vec_id) is integer-exact,
+    which is what makes the selection digest-gateable.
+
+    Scale shape: vectors partition once into state actors (the
+    LPA/HyperBall shard pattern); each of the k rounds moves ONE center
+    vector down and one (max, argmax-id) partial up per shard — no
+    dataset rewrite, no driver-side points.  Returns
+    (step, center_id, radius_q) where radius_q is the chosen point's
+    distance to the previous centers (step 0: 0), i.e. the shrinking
+    k-center covering radius.  Pinned from `oracle_dedup.kcenter_rows`.
+    """
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    shards = [_KCenterShard.remote() for _ in range(num_shards)]
+
+    def push(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        q = np.round(mat * KC_GRID).astype(np.int64)
+        owner = ids % num_shards
+        refs = [
+            shards[s].load.remote(ids[owner == s], q[owner == s])
+            for s in range(num_shards)
+            if (owner == s).any()
+        ]
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    emb.map_batches(push, batch_format="pyarrow").sum("n")
+    n_total = sum(ray.get([s.seal.remote() for s in shards]))
+    empty = pa.table(
+        {
+            "step": pa.array([], pa.int64()),
+            "center_id": pa.array([], pa.int64()),
+            "radius_q": pa.array([], pa.int64()),
+        }
+    )
+    if n_total == 0:
+        for s in shards:
+            ray.kill(s)
+        return empty
+    seeds = [r for r in ray.get([s.min_id_row.remote() for s in shards]) if r]
+    seed_id, seed_q = min(seeds, key=lambda r: r[0])
+    steps, ids_out, radii = [0], [seed_id], [0]
+    center_q = seed_q
+    for step in range(1, min(k, n_total)):
+        peaks = [
+            p
+            for p in ray.get([s.update_and_peak.remote(center_q) for s in shards])
+            if p
+        ]
+        mx = max(p[0] for p in peaks)
+        nxt = min(p[1] for p in peaks if p[0] == mx)
+        owner = shards[nxt % num_shards]
+        center_q = ray.get(owner.vec_of.remote(nxt))
+        steps.append(step)
+        ids_out.append(nxt)
+        radii.append(mx)
+    for s in shards:
+        ray.kill(s)
+    return pa.table(
+        {
+            "step": pa.array(steps, pa.int64()),
+            "center_id": pa.array(ids_out, pa.int64()),
+            "radius_q": pa.array(radii, pa.int64()),
+        }
+    )
+
+
+def kcenter_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `kcenter_coreset`: (n_centers, digest)."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = kcenter_coreset(sf_dir)
+    dg = 0
+    for s, c, r in zip(
+        t.column("step").to_pylist(),
+        t.column("center_id").to_pylist(),
+        t.column("radius_q").to_pylist(),
+    ):
+        dg = (dg + row_digest(str(s), f"{c}\x1f{r}")) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_centers": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
