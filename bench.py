@@ -516,6 +516,17 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.graph", fromlist=["x"]
             ).hyperball_reach
         ),
+        "ddsketch_quantiles": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.profile", fromlist=["x"]
+            ).ddsketch_quantiles
+        ),
+        "holt_forecast": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
+            ).holt_forecast
+        ),
+        "kcenter_coreset": timed(ann.kcenter_coreset),
     }
 
     result = {
