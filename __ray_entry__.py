@@ -538,6 +538,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RE2 classes, all-integer, zeros-honest on clean corpora; RE2
         # class twin.
         "encoding_audit": tsp.encoding_audit,
+        # token_entropy_by_source (twelfth round-4 continuation, never
+        # gated): unigram Shannon entropy per source on the q20 ln grid —
+        # exact integer Σc·ln(c) partials (Python-int strings), one ppm
+        # double; token-bucket twin.
+        "token_entropy_by_source": tsp.token_entropy_by_source,
         # hourly_uniques_digest (tenth round-4 continuation, never
         # gated): windowed HLL — distinct users per hour via mergeable
         # register rows; pinned from oracle_dedup.hll_hourly_users.
@@ -1693,6 +1698,33 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
                     // count(*))::BIGINT AS hapax_ppm
             FROM tc GROUP BY 1 ORDER BY 1
+        """,
+        # Unigram entropy: H = ln(N) − Σ round_even(c·ln(c)·2^20)/2^20/N,
+        # the per-token grid quantization making the big sum exact; same
+        # trim/'\s+' tokenizer as the hapax twin.
+        "token_entropy_by_source": r"""
+            WITH occ AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ),
+            tc AS (
+              SELECT source, token, count(*)::BIGINT AS c
+              FROM occ GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT source, sum(c)::HUGEINT AS n,
+                     count(*)::BIGINT AS n_distinct,
+                     sum(round_even(c::DOUBLE * ln(c::DOUBLE) * 1048576.0,
+                                    0)::HUGEINT) AS sq
+              FROM tc GROUP BY 1
+            )
+            SELECT source, n::BIGINT AS n_tokens,
+                   n_distinct AS n_distinct_tokens,
+                   round_even((ln(n::DOUBLE) - (sq::DOUBLE / 1048576.0)
+                               / n::DOUBLE) * 1000000, 0)::BIGINT
+                     AS entropy_ppm
+            FROM s ORDER BY source
         """,
         # Character-hygiene audit: the same four RE2 classes, summed per
         # source; single-quoted literals hand the \x{...} escapes to RE2

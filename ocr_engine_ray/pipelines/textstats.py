@@ -2197,3 +2197,135 @@ def compression_ratio_digest(sf_dir: str) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+ENTROPY_GRID = 1 << 20  # per-token c·ln(c) quantization (the q40-family grid)
+
+
+def token_entropy_by_source(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Shannon entropy of each source's unigram distribution — the
+    vocabulary-concentration signal next to `lexical_diversity`'s TTR
+    (low entropy = template/boilerplate slice, high = diverse prose), via
+
+        H = ln(N) − (Σ_tokens c·ln(c)) / N
+
+    with every per-token contribution quantized ONCE to
+    ``round_even(c·ln(c)·2^20)`` — the `source_jsd_matrix` grid
+    convention — so the big sum is an exact order-free integer (carried
+    as Python-int strings per bucket partial; per-token terms stay under
+    int64 but vocabulary-sized sums do not), and H is ONE double
+    expression with the twin's operand order, ppm half-even.
+
+    Scale shape: the `lexical_diversity` token-bucket pattern — per-batch
+    distinct (source, token) multiplicity rows, ONE crc-bucket shuffle
+    (a pair lands wholly in one bucket, so the bucket computes the
+    token's GLOBAL count), per-bucket per-source partials
+    (≤ B×sources rows to the driver).  Returns
+    (source, n_tokens, n_distinct_tokens, entropy_ppm) sorted.
+    """
+    import zlib
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "lbkt": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if not len(rows):
+            return empty
+        senc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)[rows]
+        nd = len(dic)
+        ukey, cnt = np.unique(si * nd + codes, return_counts=True)
+        us = (ukey // nd).astype(np.int64)
+        ut = (ukey % nd).astype(np.int64)
+        sdic = senc.dictionary.to_pylist()
+        tdic = dic.to_pylist()
+        bkt = np.fromiter(
+            (
+                zlib.crc32(f"{sdic[a]}\x1f{tdic[b]}".encode()) % num_buckets
+                for a, b in zip(us, ut)
+            ),
+            dtype=np.int64,
+            count=len(ukey),
+        )
+        return pa.table(
+            {
+                "lbkt": pa.array(bkt),
+                "source": pc.take(senc.dictionary, pa.array(us)),
+                "token": pc.take(dic, pa.array(ut)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        senc = pc.dictionary_encode(group.column("source").combine_chunks())
+        tenc = pc.dictionary_encode(group.column("token").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)
+        ti = np.asarray(tenc.indices, dtype=np.int64)
+        c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        nt = max(len(tenc.dictionary), 1)
+        pair = si * nt + ti
+        upair, inv = np.unique(pair, return_inverse=True)
+        ctot = np.zeros(len(upair), dtype=np.int64)
+        np.add.at(ctot, inv, c)  # GLOBAL count per (source, token)
+        cf = ctot.astype(np.float64)
+        contrib = np.zeros(len(upair), dtype=np.int64)
+        pos = ctot > 1  # c == 1 → c·ln(c) = 0 exactly
+        contrib[pos] = np.round(cf[pos] * np.log(cf[pos]) * ENTROPY_GRID).astype(
+            np.int64
+        )
+        src_of_pair = (upair // nt).astype(np.int64)
+        ns = len(senc.dictionary)
+        n_tok = np.zeros(ns, dtype=np.int64)
+        np.add.at(n_tok, src_of_pair, ctot)
+        n_dis = np.bincount(src_of_pair, minlength=ns).astype(np.int64)
+        sq = [0] * ns
+        for s_ix, q in zip(src_of_pair.tolist(), contrib.tolist()):
+            sq[s_ix] += q  # Python ints: no overflow at any vocabulary
+        return pa.table(
+            {
+                "source": senc.dictionary,
+                "n_part": pa.array(n_tok),
+                "d_part": pa.array(n_dis),
+                "sq_part": pa.array([str(v) for v in sq], pa.string()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("lbkt")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .take_all()  # ≤ num_buckets × sources partial rows
+    )
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["source"], [0, 0, 0])
+        a[0] += int(r["n_part"])
+        a[1] += int(r["d_part"])
+        a[2] += int(r["sq_part"])
+    srcs = sorted(acc)
+    ents = []
+    for s in srcs:
+        n, _, sq = acc[s]
+        if n == 0:
+            ents.append(0)
+        else:
+            h = np.log(float(n)) - (float(sq) / float(ENTROPY_GRID)) / float(n)
+            ents.append(int(np.round(h * 1_000_000)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_tokens": pa.array([acc[s][0] for s in srcs], pa.int64()),
+                "n_distinct_tokens": pa.array([acc[s][1] for s in srcs], pa.int64()),
+                "entropy_ppm": pa.array(ents, pa.int64()),
+            }
+        )
+    )
