@@ -458,6 +458,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer per-node estimates so every fold is exact; pinned from
         # oracle_dedup.hyperball_rows.
         "hyperball_digest": graph.hyperball_digest,
+        # time_decay_attribution (twelfth round-4 continuation, never
+        # gated): the fourth credit rule — exponential decay discretized
+        # to dyadic whole-day weights 2^(6−age), exact ppm conservation;
+        # window-join twin.
+        "time_decay_attribution": analytics.time_decay_attribution,
         # markov_stationary_digest (twelfth round-4 continuation, never
         # gated): equilibrium distribution of the event-type chain —
         # exact-rational Gaussian elimination over the distributed
@@ -1391,6 +1396,49 @@ def oracle_sql() -> dict[str, str]:
                                         * 1000000, 0)::BIGINT
                    END AS hazard_ppm
             FROM r ORDER BY gap_days
+        """,
+        # Time-decay attribution: the linear_attribution join skeleton
+        # with dyadic day-bucket weights; floor credits + remainder to
+        # the rn=1 (most recent) click — integer-exact conservation.
+        "time_decay_attribution": """
+            WITH e AS (
+              SELECT event_id, user_id, ts, event_type FROM events
+              WHERE event_type IN ('click', 'purchase')
+            ),
+            p AS (SELECT event_id AS pid, user_id, ts AS pts FROM e
+                  WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS cid, user_id, ts AS cts FROM e
+                  WHERE event_type = 'click'),
+            j AS (
+              SELECT p.pid, c.cid, c.user_id, c.cts,
+                     least((epoch_us(p.pts) - epoch_us(c.cts))
+                           // 86400000000, 6)::BIGINT AS age_d
+              FROM p JOIN c
+                ON c.user_id = p.user_id
+               AND c.cts < p.pts
+               AND c.cts >= p.pts - INTERVAL 7 DAY
+            ),
+            w AS (SELECT pid, cid, user_id, cts,
+                         (1::BIGINT << (6 - age_d))::BIGINT AS wt FROM j),
+            s AS (SELECT pid, sum(wt)::BIGINT AS sw FROM w GROUP BY 1),
+            r AS (
+              SELECT w.pid, w.cid, w.user_id,
+                     row_number() OVER (PARTITION BY w.pid
+                                        ORDER BY w.cts DESC, w.cid DESC) AS rn,
+                     (1000000 * w.wt // s.sw)::BIGINT AS base
+              FROM w JOIN s USING (pid)
+            ),
+            rem AS (SELECT pid, 1000000 - sum(base) AS extra FROM r GROUP BY 1),
+            cr AS (
+              SELECT r.cid, r.user_id,
+                     (r.base + CASE WHEN r.rn = 1 THEN rem.extra ELSE 0 END)
+                       ::BIGINT AS credit
+              FROM r JOIN rem USING (pid)
+            )
+            SELECT cid AS click_event_id, user_id,
+                   count(*)::BIGINT AS n_purchases,
+                   sum(credit)::BIGINT AS credit_ppm_total
+            FROM cr GROUP BY 1, 2 ORDER BY 1
         """,
         # Holt forecast digest: pinned at sf0.01 from the sequential twin
         # (identical fixed-point spec); regenerate via

@@ -2593,3 +2593,85 @@ def markov_stationary_digest(sf_dir: str) -> pa.Table:
             "digest": pa.array([s], pa.int64()),
         }
     )
+
+
+def time_decay_attribution(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Time-decay multi-touch attribution — the fourth standard credit
+    rule beside last-touch / linear / U-shaped: clicks closer to the
+    purchase earn exponentially more credit (1-day half-life).  To keep
+    credit EXACT the decay is discretized to whole-day age buckets with
+    DYADIC integer weights ``w = 2^(6 − age_days)`` (64 for the same-day
+    click down to 1 for the 6-day-old one); each click gets
+    ``⌊10⁶·w/Σw⌋`` ppm and the MOST RECENT click takes the remainder, so
+    every purchase's credit sums to exactly 10⁶ (the `linear_attribution`
+    conservation contract).
+
+    Scale shape: identical to `linear_attribution` — one ``user_id % B``
+    bucket shuffle, two searchsorted probes per purchase, credits folded
+    in-task.  Returns (click_event_id, user_id, n_purchases,
+    credit_ppm_total) sorted; window-join twin.
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"), pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    _DAY_US = 86_400_000_000
+
+    def credit(group: pa.Table) -> pa.Table:
+        df = group.select(["event_id", "user_id", "ts", "event_type"]).to_pandas()
+        out_cid, out_uid, out_np, out_cr = [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            cl = g[g["event_type"] == "click"].sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            pu = g[g["event_type"] == "purchase"]
+            if not len(cl) or not len(pu):
+                continue
+            cts = cl["ts"].to_numpy()
+            cts_us = cts.astype("datetime64[us]").astype("int64")
+            cid = cl["event_id"].to_numpy()
+            n_pur = np.zeros(len(cl), dtype=np.int64)
+            cr = np.zeros(len(cl), dtype=np.int64)
+            for pts in pu["ts"].to_numpy():
+                lo = np.searchsorted(cts, pts - np.timedelta64(7, "D"), side="left")
+                hi = np.searchsorted(cts, pts, side="left")
+                if hi <= lo:
+                    continue
+                pts_us = int(pts.astype("datetime64[us]").astype("int64"))
+                # 0..6 whole days; the exactly-7-day boundary click (included
+                # by the >= window edge) clamps to the oldest weight
+                age_d = np.minimum((pts_us - cts_us[lo:hi]) // _DAY_US, 6)
+                w = (np.int64(1) << (6 - age_d)).astype(np.int64)
+                sw = int(w.sum())
+                base = (1_000_000 * w) // sw
+                n_pur[lo:hi] += 1
+                cr[lo:hi] += base
+                cr[hi - 1] += 1_000_000 - int(base.sum())  # remainder, exact
+            sel = n_pur > 0
+            out_cid.extend(cid[sel].tolist())
+            out_uid.extend([int(uid)] * int(sel.sum()))
+            out_np.extend(n_pur[sel].tolist())
+            out_cr.extend(cr[sel].tolist())
+        return pa.table(
+            {
+                "click_event_id": pa.array(out_cid, pa.int64()),
+                "user_id": pa.array(out_uid, pa.int64()),
+                "n_purchases": pa.array(out_np, pa.int64()),
+                "credit_ppm_total": pa.array(out_cr, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(credit, batch_format="pyarrow")
+        .sort("click_event_id")
+    )
