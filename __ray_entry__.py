@@ -452,6 +452,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cheap-repetition quality signal; per-doc C kernel, map-side
         # combined counts; pinned from oracle_dedup.compression_hist_rows.
         "compression_ratio_digest": tsp.compression_ratio_digest,
+        # betweenness_digest (twelfth round-4 continuation, never gated):
+        # pivot-sampled Brandes centrality — exact int64 σ, δ on the 2^30
+        # integer grid so every fold is order-free; pivots parallelize
+        # over a broadcast CSR; pinned from oracle_dedup.betweenness_rows.
+        "betweenness_digest": graph.betweenness_digest,
         # hyperball_digest (twelfth round-4 continuation, never gated):
         # HyperBall neighborhood function N(t) on the co-purchase graph —
         # per-node 128-byte HLL sketches max-merged over actor shards,
@@ -1343,6 +1348,12 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio_digest": """
             SELECT 103::BIGINT AS n_rows,
                    1690088404423305231::BIGINT AS digest
+        """,
+        # Betweenness digest: pinned at sf0.01 from the sequential twin
+        # (plain dict Brandes, same grid spec).
+        "betweenness_digest": """
+            SELECT 1892::BIGINT AS n_nodes, 8::BIGINT AS n_pivots,
+                   2198128641726530072::BIGINT AS digest
         """,
         # HyperBall digest: pinned at sf0.01 from the sequential twin
         # (identical register spec in functions/sketch.py); regenerate

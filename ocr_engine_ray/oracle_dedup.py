@@ -1251,3 +1251,79 @@ def kcenter_rows(sf_dir: str, *, k: int = 8) -> tuple[int, int]:
     for s, c, r in rows:
         dg = (dg + row_digest(str(s), f"{c}\x1f{r}")) % DIGEST_MOD
     return len(rows), dg
+
+
+def betweenness_rows(
+    sf_dir: str, *, min_support: int = 2, num_pivots: int = 8
+) -> tuple[int, int, int]:
+    """Sequential twin of `graph.betweenness_digest`: plain dict/list
+    Brandes from the same smallest-id pivots, σ as exact Python ints,
+    δ on the shared 2^30 grid with the identical per-edge float
+    expression.  Returns (n_nodes, n_pivots, digest)."""
+    from collections import Counter, defaultdict
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order: dict[int, list[int]] = defaultdict(list)
+    for ok, pk in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        by_order[ok].append(pk)
+    support: Counter = Counter()
+    for parts in by_order.values():
+        for i in range(len(parts)):
+            for j in range(len(parts)):
+                if parts[i] < parts[j]:
+                    support[(parts[i], parts[j])] += 1
+    adj: dict[int, list[int]] = defaultdict(list)
+    for (x, y), n in support.items():
+        if n >= min_support:
+            adj[x].append(y)
+            adj[y].append(x)
+    nodes = sorted(adj)
+    if not nodes:
+        return 0, 0, 0
+    G = 1 << 30
+    total: dict[int, int] = {}
+    for s in nodes[:num_pivots]:
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = [[s]]
+        frontier = [s]
+        while frontier:
+            nxt = set()
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        nxt.add(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] = sigma.get(w, 0) + sigma[v]
+            frontier = sorted(nxt)
+            if frontier:
+                levels.append(frontier)
+        dq: dict[int, int] = {}
+        for lvl in reversed(levels[:-1]):
+            for v in lvl:
+                acc = 0
+                for w in adj[v]:
+                    if dist.get(w) == dist[v] + 1:
+                        t = (
+                            (float(sigma[v]) / float(sigma[w]))
+                            * (1.0 + float(dq.get(w, 0)) / G)
+                            * G
+                        )
+                        acc += round(t)
+                if acc:
+                    dq[v] = acc
+        for v, q in dq.items():
+            if v != s:
+                total[v] = total.get(v, 0) + q
+    dg = 0
+    for v, q in total.items():
+        if q:
+            dg = (dg + row_digest(str(v), str(q))) % DIGEST_MOD
+    return len(nodes), min(num_pivots, len(nodes)), dg

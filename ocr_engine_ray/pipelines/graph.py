@@ -833,3 +833,147 @@ def hyperball_digest(sf_dir: str) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+BC_PIVOTS = 8
+BC_GRID = 1 << 30  # δ quantization: contributions become exact integers
+
+
+def betweenness_digest(
+    sf_dir: str,
+    *,
+    min_support: int = 2,
+    num_buckets: int = 64,
+    num_pivots: int = BC_PIVOTS,
+) -> pa.Table:
+    """Pivot-sampled betweenness centrality (Brandes 2001 with a fixed
+    deterministic pivot set — the ``num_pivots`` smallest node ids) on
+    the co-purchase graph: B[v] = Σ over pivots of the dependency δ_s(v).
+
+    Exactness spec (what makes an inherently-float centrality
+    digest-gateable): per-edge dependency contributions quantize ONCE to
+    ``round_even((σ_v/σ_w)·(1 + δ_w/2^30)·2^30)`` — δ lives on the
+    2^30 integer grid, so every accumulation (per node, per pivot, the
+    cross-pivot sum) is an order-free exact integer; σ path counts are
+    exact int64 (documented bound σ < 2^63, astronomically above any
+    non-adversarial graph at gate scale).
+
+    Distribution axis: pivots are embarrassingly parallel — the
+    adjacency CSR broadcasts once via ``ray.put`` and each pivot's
+    Brandes runs as one task (`map_batches` over the pivot list), the
+    standard "graph fits in a worker, parallelize over sources" regime;
+    for graphs beyond single-node RAM the `bfs_hops`/`_LpaShard` Pregel
+    shards are the documented alternative.  Per-pivot (node, δ_q) rows
+    fold in ONE node-keyed aggregate; the digest folds distributed
+    (`interpret.fold_digest`).  Returns (n_nodes, n_pivots, digest) —
+    pinned from `oracle_dedup.betweenness_rows` (plain dict/list BFS
+    reimplementation, same grid spec).
+    """
+    from ray.data.aggregate import Sum
+
+    from .basket import copurchase_edges
+    from .interpret import fold_digest
+
+    edges = copurchase_edges(sf_dir, min_support=min_support, num_buckets=num_buckets)
+    rows = edges.take_all()  # graph-sized: the broadcast-regime trade
+    empty = pa.table(
+        {
+            "n_nodes": pa.array([0], pa.int64()),
+            "n_pivots": pa.array([0], pa.int64()),
+            "digest": pa.array([0], pa.int64()),
+        }
+    )
+    if not rows:
+        return empty
+    a = np.array([r["p1"] for r in rows], dtype=np.int64)
+    b = np.array([r["p2"] for r in rows], dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = np.unique(src)
+    nid = {int(v): i for i, v in enumerate(nodes.tolist())}
+    si = np.fromiter((nid[int(v)] for v in src), dtype=np.int64, count=len(src))
+    di = np.fromiter((nid[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+    order = np.lexsort((di, si))
+    si, di = si[order], di[order]
+    indptr = np.searchsorted(si, np.arange(len(nodes) + 1))
+    adj_ref = ray.put((nodes, indptr, di))
+    pivots = [int(v) for v in nodes[:num_pivots].tolist()]
+
+    def brandes(batch: pa.Table) -> pa.Table:
+        from ..pipelines.joins import _get_broadcast
+
+        nodes_, indptr_, di_ = _get_broadcast(adj_ref)
+        n = len(nodes_)
+        out_node: list[int] = []
+        out_dq: list[int] = []
+        for pv in batch.column("pivot").to_pylist():
+            s = int(np.searchsorted(nodes_, pv))
+            dist = np.full(n, -1, dtype=np.int64)
+            sigma = np.zeros(n, dtype=np.int64)
+            dist[s], sigma[s] = 0, 1
+            levels = [[s]]
+            frontier = np.array([s], dtype=np.int64)
+            while len(frontier):
+                nxt_set: dict[int, None] = {}
+                for v in frontier.tolist():
+                    for w in di_[indptr_[v] : indptr_[v + 1]].tolist():
+                        if dist[w] == -1:
+                            dist[w] = dist[v] + 1
+                            nxt_set[w] = None
+                        if dist[w] == dist[v] + 1:
+                            sigma[w] += sigma[v]
+                    # σ adds are exact int64 (documented bound)
+                frontier = np.array(sorted(nxt_set), dtype=np.int64)
+                if len(frontier):
+                    levels.append(frontier.tolist())
+            dq = np.zeros(n, dtype=np.int64)
+            for lvl in reversed(levels[:-1]):
+                for v in lvl:
+                    acc = 0
+                    for w in di_[indptr_[v] : indptr_[v + 1]].tolist():
+                        if dist[w] == dist[v] + 1:
+                            t = (
+                                (float(sigma[v]) / float(sigma[w]))
+                                * (1.0 + float(dq[w]) / BC_GRID)
+                                * BC_GRID
+                            )
+                            acc += int(np.round(t))
+                    dq[v] = acc
+            nz = np.nonzero(dq)[0]
+            for i in nz.tolist():
+                if i != s:
+                    out_node.append(int(nodes_[i]))
+                    out_dq.append(int(dq[i]))
+        return pa.table(
+            {
+                "node": pa.array(out_node, pa.int64()),
+                "delta_q": pa.array(out_dq, pa.int64()),
+            }
+        )
+
+    piv_ds = rd.from_arrow(pa.table({"pivot": pa.array(pivots, pa.int64())}))
+    bc = (
+        piv_ds.repartition(len(pivots))
+        .map_batches(brandes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("delta_q", alias_name="b_q"))
+    )
+
+    def payload(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("node"),
+                "payload": _pc.cast(batch.column("b_q"), pa.string()),
+            }
+        )
+
+    dg = fold_digest(bc.map_batches(payload, batch_format="pyarrow"), "payload")
+    return pa.table(
+        {
+            "n_nodes": pa.array([len(nodes)], pa.int64()),
+            "n_pivots": pa.array([len(pivots)], pa.int64()),
+            "digest": dg.column("digest"),
+        }
+    )

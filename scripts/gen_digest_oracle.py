@@ -68,6 +68,7 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "compression_ratio_digest": od.compression_hist_rows(sf_dir),
         "holt_forecast_digest": od.holt_rows(sf_dir),
         "kcenter_digest": od.kcenter_rows(sf_dir),
+        "betweenness_digest": od.betweenness_rows(sf_dir),
     }
 
 
