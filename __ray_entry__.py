@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer per-node estimates so every fold is exact; pinned from
         # oracle_dedup.hyperball_rows.
         "hyperball_digest": graph.hyperball_digest,
+        # fd_violation_audit (twelfth round-4 continuation, never gated):
+        # functional-dependency discovery — distinct-y-per-x counts for
+        # candidate X→Y pairs, one scan per table via tagged union;
+        # COUNT(DISTINCT) twin.
+        "fd_violation_audit": diagnostics.fd_violation_audit,
         # time_decay_attribution (twelfth round-4 continuation, never
         # gated): the fourth credit rule — exponential decay discretized
         # to dyadic whole-day weights 2^(6−age), exact ppm conservation;
@@ -1407,6 +1412,30 @@ def oracle_sql() -> dict[str, str]:
                                         * 1000000, 0)::BIGINT
                    END AS hazard_ppm
             FROM r ORDER BY gap_days
+        """,
+        # FD audit: candidate list verbatim, count(DISTINCT y) per x,
+        # integer-floor ppm.
+        "fd_violation_audit": """
+            WITH a AS (
+              SELECT 'orderkey_determines_status' AS fd_name,
+                     l_orderkey AS x, l_linestatus AS y FROM lineitem
+              UNION ALL
+              SELECT 'partkey_determines_brand_flag', l_partkey, l_returnflag
+              FROM lineitem
+              UNION ALL
+              SELECT 'custkey_determines_priority', o_custkey, o_orderpriority
+              FROM orders
+            ),
+            g AS (
+              SELECT fd_name, x, count(DISTINCT y)::BIGINT AS dy
+              FROM a GROUP BY 1, 2
+            )
+            SELECT fd_name, count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_violating,
+                   (sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) * 1000000
+                    // count(*))::BIGINT AS violation_ppm
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         # Time-decay attribution: the linear_attribution join skeleton
         # with dyadic day-bucket weights; floor credits + remainder to

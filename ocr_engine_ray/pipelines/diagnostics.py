@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
@@ -792,3 +793,105 @@ def coverage_audit_sql() -> str:
         )
     union = "\nUNION ALL\n".join(parts)
     return f"SELECT * FROM (\n{union}\n) ORDER BY relation"
+
+
+FD_CANDIDATES = (
+    # (name, table, lhs, rhs) — candidate functional dependencies to audit
+    ("orderkey_determines_status", "lineitem", "l_orderkey", "l_linestatus"),
+    ("partkey_determines_brand_flag", "lineitem", "l_partkey", "l_returnflag"),
+    ("custkey_determines_priority", "orders", "o_custkey", "o_orderpriority"),
+)
+
+
+def fd_violation_audit(sf_dir: str) -> rd.Dataset:
+    """Functional-dependency discovery audit (the Metanome/profiling-suite
+    primitive): for each CANDIDATE dependency X → Y, how many X-groups
+    map to more than one Y — zero violations means the FD holds and the
+    column pair is a normalization/partitioning opportunity; a high rate
+    certifies the columns as independent.
+
+    Scale shape: per candidate, ONE map-side-combined pass emits distinct
+    (x, y) pairs per batch (the profiler convention — value payloads are
+    md5'd above 32 chars is unnecessary here: keys are ints/short enums),
+    a single ``groupby(x-hash-bucket)`` fold counts distinct y per x
+    inside the bucket (an x lands wholly in one bucket) and emits
+    bucket-sized partials.  All-integer output
+    (fd_name, n_groups, n_violating, violation_ppm — ppm is integer
+    floor on both sides).  Candidates run as a tagged union in one
+    pipeline per TABLE, so a table is scanned once no matter how many
+    FDs it hosts.  Returns rows sorted by fd_name.
+    """
+    from ray.data.aggregate import Sum
+
+    by_table: dict[str, list[tuple[str, str, str]]] = {}
+    for name, table, lhs, rhs in FD_CANDIDATES:
+        by_table.setdefault(table, []).append((name, lhs, rhs))
+
+    parts: list[rd.Dataset] = []
+    for table, cands in sorted(by_table.items()):
+        cols = sorted({c for _, l, r in cands for c in (l, r)})
+        ds = sf_table(sf_dir, table, columns=cols)
+
+        def pair_partials(batch: pa.Table, *, cands=tuple(cands)) -> pa.Table:
+            names, bkts, xs, ys = [], [], [], []
+            for name, lhs, rhs in cands:
+                x = batch.column(lhs).to_numpy(zero_copy_only=False).astype("int64")
+                yarr = batch.column(rhs)
+                yenc = pc.dictionary_encode(yarr.combine_chunks())
+                yi = np.asarray(yenc.indices, dtype=np.int64)
+                ydic = [str(v) for v in yenc.dictionary.to_pylist()]
+                ny = max(len(ydic), 1)
+                uk = np.unique(x * ny + yi)  # batch-distinct (x, y)
+                ux = (uk // ny).astype(np.int64)
+                uy = (uk % ny).astype(np.int64)
+                names.extend([name] * len(uk))
+                bkts.extend((ux % 64).tolist())
+                xs.extend(ux.tolist())
+                ys.extend(ydic[int(i)] for i in uy)
+            return pa.table(
+                {
+                    "fd_name": pa.array(names, pa.string()),
+                    "bkt": pa.array(bkts, pa.int64()),
+                    "x": pa.array(xs, pa.int64()),
+                    "y": pa.array(ys, pa.string()),
+                }
+            )
+
+        def bucket_fold(group: pa.Table) -> pa.Table:
+            # one (fd_name, bkt) per group: distinct-y count per x
+            name = group.column("fd_name")[0].as_py()
+            x = group.column("x").combine_chunks().to_numpy(zero_copy_only=False)
+            yenc = pc.dictionary_encode(group.column("y").combine_chunks())
+            yi = np.asarray(yenc.indices, dtype=np.int64)
+            ny = max(len(yenc.dictionary), 1)
+            uxy = np.unique(x * ny + yi)  # distinct (x, y) across batches
+            ux, ycnt = np.unique(uxy // ny, return_counts=True)
+            return pa.table(
+                {
+                    "fd_name": pa.array([name], pa.string()),
+                    "n_groups": pa.array([len(ux)], pa.int64()),
+                    "n_violating": pa.array([int((ycnt > 1).sum())], pa.int64()),
+                }
+            )
+
+        parts.append(
+            ds.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["fd_name", "bkt"])
+            .map_groups(bucket_fold, batch_format="pyarrow")
+        )
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.union(p)
+    agg = union.groupby("fd_name").aggregate(
+        Sum("n_groups", alias_name="n_groups"),
+        Sum("n_violating", alias_name="n_violating"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_groups").to_numpy(zero_copy_only=False)
+        v = batch.column("n_violating").to_numpy(zero_copy_only=False)
+        ppm = np.where(n > 0, v * 1_000_000 // np.maximum(n, 1), 0)
+        return batch.append_column("violation_ppm", pa.array(ppm, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("fd_name")
