@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer per-node estimates so every fold is exact; pinned from
         # oracle_dedup.hyperball_rows.
         "hyperball_digest": graph.hyperball_digest,
+        # luhn_pii_scan (twelfth round-4 continuation, never gated):
+        # payment-card PII detection — 13-19-digit runs validated by the
+        # Luhn checksum (regex + checksum, beyond regex_tag's reach);
+        # list_transform-lambda twin.
+        "luhn_pii_scan": tagger.luhn_pii_scan,
         # fd_violation_audit (twelfth round-4 continuation, never gated):
         # functional-dependency discovery — distinct-y-per-x counts for
         # candidate X→Y pairs, one scan per table via tagged union;
@@ -1412,6 +1417,50 @@ def oracle_sql() -> dict[str, str]:
                                         * 1000000, 0)::BIGINT
                    END AS hazard_ppm
             FROM r ORDER BY gap_days
+        """,
+        # Luhn scan: maximal digit runs, the same checksum as a
+        # list_transform lambda (pure integer arithmetic — exactly
+        # portable), zero-filled per source via LEFT JOIN.
+        "luhn_pii_scan": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(coalesce(text, ''), '[0-9]+'))
+                       AS run
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source, run FROM r
+              WHERE len(run) BETWEEN 13 AND 19
+            ),
+            v AS (
+              SELECT doc_id, source,
+                     (list_sum(list_transform(range(1, len(run) + 1),
+                        i -> CASE WHEN i % 2 = 0
+                             THEN CASE WHEN 2 * substring(run, len(run)-i+1, 1)::INT > 9
+                                  THEN 2 * substring(run, len(run)-i+1, 1)::INT - 9
+                                  ELSE 2 * substring(run, len(run)-i+1, 1)::INT END
+                             ELSE substring(run, len(run)-i+1, 1)::INT END))
+                      % 10 = 0) AS ok
+              FROM c
+            ),
+            agg AS (
+              SELECT source, count(*)::BIGINT AS n_digit_runs,
+                     sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_luhn_valid
+              FROM v GROUP BY 1
+            ),
+            fl AS (
+              SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs_flagged
+              FROM v WHERE ok GROUP BY 1
+            ),
+            s AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1)
+            SELECT s.source, s.n_docs,
+                   coalesce(agg.n_digit_runs, 0)::BIGINT AS n_digit_runs,
+                   coalesce(agg.n_luhn_valid, 0)::BIGINT AS n_luhn_valid,
+                   coalesce(fl.n_docs_flagged, 0)::BIGINT AS n_docs_flagged
+            FROM s
+            LEFT JOIN agg ON agg.source = s.source
+            LEFT JOIN fl ON fl.source = s.source
+            ORDER BY s.source
         """,
         # FD audit: candidate list verbatim, count(DISTINCT y) per x,
         # integer-floor ppm.

@@ -168,3 +168,83 @@ def pseudonymize_user_activity(sf_dir: str, *, salt: str = PSEUDO_SALT) -> rd.Da
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("pseudo_id")
+
+
+def _luhn_ok(run: str) -> bool:
+    """Luhn checksum (ISO/IEC 7812) — the payment-card validity test."""
+    total = 0
+    for i, ch in enumerate(reversed(run), start=1):
+        d = ord(ch) - 48
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def luhn_pii_scan(sf_dir: str) -> rd.Dataset:
+    """Payment-card-number PII scan — candidate digit runs (maximal
+    ``[0-9]+`` runs of length 13–19, the PAN length range) validated by
+    the Luhn checksum, counted per source: the standard
+    regex-plus-checksum PII detector that plain `regex_tag` cannot
+    express (a checksum is not a regular language).
+
+    All-integer output (source, n_docs, n_digit_runs, n_luhn_valid,
+    n_docs_flagged); a corpus with no long digit runs legitimately
+    reports zeros everywhere except n_docs (the planted-PAN pytest pins
+    the nonzero path).  The SQL twin computes the SAME checksum with a
+    ``list_transform`` lambda over the run's digits — checksum algebra
+    is exactly portable because it is pure integer arithmetic.
+
+    Scale shape: one pass; per-doc regex findall + per-candidate O(19)
+    checksum (candidates are rare by construction), map-side combined
+    counts, tiny source-keyed aggregate.
+    """
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    run_re = _re.compile(r"[0-9]+")
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        counts: dict[str, list[int]] = {}
+        for s, t in zip(srcs, texts):
+            a = counts.setdefault(s, [0, 0, 0, 0])
+            a[0] += 1
+            if not t:
+                continue
+            doc_valid = 0
+            for run in run_re.findall(t):
+                if not (13 <= len(run) <= 19):
+                    continue
+                a[1] += 1
+                if _luhn_ok(run):
+                    a[2] += 1
+                    doc_valid = 1
+            a[3] += doc_valid
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "source": pa.array(ks, pa.string()),
+                "n_docs": pa.array([counts[k][0] for k in ks], pa.int64()),
+                "n_digit_runs": pa.array([counts[k][1] for k in ks], pa.int64()),
+                "n_luhn_valid": pa.array([counts[k][2] for k in ks], pa.int64()),
+                "n_docs_flagged": pa.array([counts[k][3] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_digit_runs", alias_name="n_digit_runs"),
+            Sum("n_luhn_valid", alias_name="n_luhn_valid"),
+            Sum("n_docs_flagged", alias_name="n_docs_flagged"),
+        )
+        .sort("source")
+    )
