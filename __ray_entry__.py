@@ -558,6 +558,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RE2 classes, all-integer, zeros-honest on clean corpora; RE2
         # class twin.
         "encoding_audit": tsp.encoding_audit,
+        # vocab_sketch_digest (twelfth round-4 continuation, never
+        # gated): pairwise vocabulary overlap by HLL set algebra —
+        # max-union + inclusion-exclusion on mergeable registers, moving
+        # sources × 4 KiB instead of the token stream; pinned from
+        # oracle_dedup.vocab_sketch_rows.
+        "vocab_sketch_digest": tsp.vocab_sketch_digest,
         # token_entropy_by_source (twelfth round-4 continuation, never
         # gated): unigram Shannon entropy per source on the q20 ln grid —
         # exact integer Σc·ln(c) partials (Python-int strings), one ppm
@@ -1835,6 +1841,12 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
                     // count(*))::BIGINT AS hapax_ppm
             FROM tc GROUP BY 1 ORDER BY 1
+        """,
+        # Vocab-sketch digest: pinned at sf0.01 from the sequential twin
+        # (plain-dict registers, same blake2b token hash).
+        "vocab_sketch_digest": """
+            SELECT 190::BIGINT AS n_pairs,
+                   1840900594908854993::BIGINT AS digest
         """,
         # Unigram entropy: H = ln(N) − Σ round_even(c·ln(c)·2^20)/2^20/N,
         # the per-token grid quantization making the big sum exact; same

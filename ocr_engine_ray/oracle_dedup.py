@@ -1327,3 +1327,47 @@ def betweenness_rows(
         if q:
             dg = (dg + row_digest(str(v), str(q))) % DIGEST_MOD
     return len(nodes), min(num_pivots, len(nodes)), dg
+
+
+def vocab_sketch_rows(sf_dir: str) -> tuple[int, int]:
+    """Sequential twin of `textstats.vocab_sketch_digest`: plain-dict HLL
+    registers per source over the ASCII-'\\S+' token stream (the
+    hll_distinct_by_source register math), pairwise max-union +
+    inclusion-exclusion.  Returns (n_pairs, digest)."""
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    regs: dict[str, list[int]] = {}
+    tok_re = re.compile(r"[^ \t\n\f\r]+")
+    for s, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        r = regs.setdefault(s, [0] * HLL_M)
+        for tok in set(tok_re.findall(txt or "")):
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            idx = h >> (64 - HLL_P)
+            rest = h & ((1 << (64 - HLL_P)) - 1)
+            rank = (64 - HLL_P) - rest.bit_length() + 1
+            if rank > r[idx]:
+                r[idx] = rank
+    def estimate(r: list[int]) -> int:
+        arr = np.array(r, dtype=np.float64)
+        est = _HLL_ALPHA * HLL_M * HLL_M / np.power(2.0, -arr).sum()
+        zeros = int((arr == 0).sum())
+        if est <= 2.5 * HLL_M and zeros:
+            est = HLL_M * np.log(HLL_M / zeros)
+        return int(round(float(est)))
+
+    srcs = sorted(regs)
+    est = {s: estimate(regs[s]) for s in srcs}
+    dg = 0
+    n = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            u = estimate([max(x, y) for x, y in zip(regs[a], regs[b])])
+            inter = est[a] + est[b] - u
+            j = max(inter, 0) * 1_000_000 // u if u else 0
+            pay = "\x1f".join(str(v) for v in (est[a], est[b], u, inter, j))
+            dg = (dg + row_digest(f"{a}\x1f{b}", pay)) % DIGEST_MOD
+            n += 1
+    return n, dg

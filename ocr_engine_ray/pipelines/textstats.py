@@ -2329,3 +2329,98 @@ def token_entropy_by_source(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset
             }
         )
     )
+
+
+def vocab_overlap_sketch(sf_dir: str) -> pa.Table:
+    """Pairwise vocabulary overlap between sources via HLL SET ALGEBRA —
+    the sketch counterpart of `source_vocab_overlap` (which pays a
+    token-bucket shuffle for exact counts): per-source 4 KiB register
+    arrays merge elementwise, the union sketch of a pair is the
+    elementwise max, and the intersection estimate falls out of
+    inclusion–exclusion — the standard mergeable-sketch trick that
+    estimates |A∩B| at any scale while moving only sources × 4 KiB.
+
+    Every estimate is the integer-rounded HLL value (the
+    `approx_distinct_texts` determinism contract), so the output is
+    exact-integer and digest-gateable: (source_a, source_b, est_a,
+    est_b, est_union, est_inter, jaccard_ppm) for a < b, where
+    ``est_inter = est_a + est_b − est_union`` (kept raw — a slightly
+    negative estimate is honest sketch behavior, clamped only in the
+    jaccard) and ``jaccard_ppm = max(est_inter, 0)·10⁶ // est_union``.
+    Tokens hash under the `hll_sketch` rule (blake2b-64 of the token,
+    the `_py_tokens` ASCII-'\\S+' tokenizer).  Pinned from
+    `oracle_dedup.vocab_sketch_rows`.
+    """
+    from ..functions import sketch
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def batch_sketches(batch: pa.Table) -> pa.Table:
+        groups: dict[str, set] = {}
+        for s, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            groups.setdefault(s, set()).update(_py_tokens(t or ""))
+        srcs, regs = [], []
+        for s, toks in groups.items():
+            srcs.append(s)
+            regs.append(sketch.hll_sketch(sorted(toks)).tobytes())
+        return pa.table(
+            {"source": pa.array(srcs, pa.string()), "regs": pa.array(regs, pa.binary())}
+        )
+
+    rows = ds.map_batches(batch_sketches, batch_format="pyarrow").take_all()
+    merged: dict[str, np.ndarray] = {}
+    for r in rows:  # sources × blocks 4 KiB sketches: tiny driver fold
+        regs = np.frombuffer(r["regs"], dtype=np.uint8)
+        cur = merged.get(r["source"])
+        merged[r["source"]] = (
+            regs.copy() if cur is None else np.maximum(cur, regs)
+        )
+    srcs = sorted(merged)
+    est = {s: int(round(sketch.hll_estimate(merged[s]))) for s in srcs}
+    out = {k: [] for k in ("source_a", "source_b", "est_a", "est_b",
+                           "est_union", "est_inter", "jaccard_ppm")}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            u = int(round(sketch.hll_estimate(np.maximum(merged[a], merged[b]))))
+            inter = est[a] + est[b] - u
+            out["source_a"].append(a)
+            out["source_b"].append(b)
+            out["est_a"].append(est[a])
+            out["est_b"].append(est[b])
+            out["est_union"].append(u)
+            out["est_inter"].append(inter)
+            out["jaccard_ppm"].append(max(inter, 0) * 1_000_000 // u if u else 0)
+    return pa.table(
+        {
+            "source_a": pa.array(out["source_a"], pa.string()),
+            "source_b": pa.array(out["source_b"], pa.string()),
+            "est_a": pa.array(out["est_a"], pa.int64()),
+            "est_b": pa.array(out["est_b"], pa.int64()),
+            "est_union": pa.array(out["est_union"], pa.int64()),
+            "est_inter": pa.array(out["est_inter"], pa.int64()),
+            "jaccard_ppm": pa.array(out["jaccard_ppm"], pa.int64()),
+        }
+    )
+
+
+def vocab_sketch_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `vocab_overlap_sketch`: (n_pairs, digest)."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = vocab_overlap_sketch(sf_dir)
+    dg = 0
+    for i in range(t.num_rows):
+        key = f"{t.column('source_a')[i].as_py()}\x1f{t.column('source_b')[i].as_py()}"
+        pay = "\x1f".join(
+            str(t.column(c)[i].as_py())
+            for c in ("est_a", "est_b", "est_union", "est_inter", "jaccard_ppm")
+        )
+        dg = (dg + row_digest(key, pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_pairs": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )

@@ -69,6 +69,7 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "holt_forecast_digest": od.holt_rows(sf_dir),
         "kcenter_digest": od.kcenter_rows(sf_dir),
         "betweenness_digest": od.betweenness_rows(sf_dir),
+        "vocab_sketch_digest": od.vocab_sketch_rows(sf_dir),
     }
 
 
