@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer per-node estimates so every fold is exact; pinned from
         # oracle_dedup.hyperball_rows.
         "hyperball_digest": graph.hyperball_digest,
+        # window_funnel_depth (twelfth round-4 continuation, never
+        # gated): ClickHouse-style windowFunnel — greedy first-match
+        # stage chain within 24 h, per-user depth histogram;
+        # correlated-min twin.
+        "window_funnel_depth": analytics.window_funnel_depth,
         # luhn_pii_scan (twelfth round-4 continuation, never gated):
         # payment-card PII detection — 13-19-digit runs validated by the
         # Luhn checksum (regex + checksum, beyond regex_tag's reach);
@@ -1423,6 +1428,44 @@ def oracle_sql() -> dict[str, str]:
                                         * 1000000, 0)::BIGINT
                    END AS hazard_ppm
             FROM r ORDER BY gap_days
+        """,
+        # windowFunnel: the greedy chain as correlated min(ts) lookups —
+        # first stage-1 event anchors; each stage strictly after the
+        # previous match, inclusive 24 h deadline.
+        "window_funnel_depth": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            u AS (SELECT DISTINCT user_id FROM e),
+            a AS (SELECT user_id, min(ts) AS t1 FROM e
+                  WHERE event_type = 'view' GROUP BY 1),
+            b AS (
+              SELECT a.user_id, a.t1,
+                     (SELECT min(ts) FROM e
+                      WHERE e.user_id = a.user_id AND e.event_type = 'click'
+                        AND e.ts > a.t1
+                        AND e.ts <= a.t1 + INTERVAL 24 HOUR) AS t2
+              FROM a
+            ),
+            c AS (
+              SELECT b.user_id, b.t1, b.t2,
+                     (SELECT min(ts) FROM e
+                      WHERE e.user_id = b.user_id AND e.event_type = 'purchase'
+                        AND e.ts > b.t2
+                        AND e.ts <= b.t1 + INTERVAL 24 HOUR) AS t3
+              FROM b
+            ),
+            d AS (
+              SELECT u.user_id,
+                     CASE WHEN c.t1 IS NULL THEN 0
+                          WHEN c.t2 IS NULL THEN 1
+                          WHEN c.t3 IS NULL THEN 2
+                          ELSE 3 END AS depth
+              FROM u LEFT JOIN c USING (user_id)
+            )
+            SELECT depth::BIGINT AS depth, count(*)::BIGINT AS n_users
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         # Luhn scan: maximal digit runs, the same checksum as a
         # list_transform lambda (pure integer arithmetic — exactly

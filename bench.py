@@ -527,6 +527,22 @@ def run_bench() -> dict:
             ).holt_forecast
         ),
         "kcenter_coreset": timed(ann.kcenter_coreset),
+        "betweenness_digest": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.graph", fromlist=["x"]
+            ).betweenness_digest
+        ),
+        "time_decay_attribution": timed(analytics.time_decay_attribution),
+        "token_entropy_by_source": timed(tsp.token_entropy_by_source),
+        "fd_violation_audit": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+            ).fd_violation_audit
+        ),
+        "luhn_pii_scan": timed(
+            __import__("ocr_engine_ray.pipelines.tagger", fromlist=["x"]).luhn_pii_scan
+        ),
+        "vocab_sketch_digest": timed(tsp.vocab_sketch_digest),
     }
 
     result = {

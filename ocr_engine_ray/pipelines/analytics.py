@@ -2675,3 +2675,88 @@ def time_decay_attribution(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         .map_groups(credit, batch_format="pyarrow")
         .sort("click_event_id")
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def window_funnel_depth(
+    sf_dir: str, *, window_hours: int = 24, num_buckets: int = 64
+) -> rd.Dataset:
+    """ClickHouse-style ``windowFunnel``: per user, how deep into the
+    ordered stage chain view → click → purchase does the user get within
+    ``window_hours`` of entering the funnel — the stage-progression
+    histogram product analytics teams read daily.
+
+    Deterministic greedy contract (what makes an exact SQL twin
+    possible): the funnel anchors at the user's FIRST stage-1 event;
+    each later stage matches the FIRST event of that type STRICTLY after
+    the previous stage's match, still inside the window.  Depth 0 means
+    the user never fired stage 1.  Output: (depth, n_users) for
+    depth 0..len(stages), plus the conversion counts being derivable.
+
+    Scale shape: the `sessionize` family — ONE ``user_id % B`` bucket
+    shuffle, per-user vectorized searchsorted probes (stage lists are
+    pre-sorted per bucket), tiny depth-keyed aggregate.  The twin chains
+    correlated ``min(ts)`` lateral lookups — identical greedy semantics.
+    """
+    import numpy as np
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    window_us = window_hours * 3_600_000_000
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"), pa.array(list(FUNNEL_STAGES)))
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return batch.append_column(
+            "_bkt", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def depths(group: pa.Table) -> pa.Table:
+        df = group.select(["event_id", "user_id", "ts", "event_type"]).to_pandas()
+        counts: dict[int, int] = {}
+        for _, g in df.groupby("user_id", sort=False):
+            by_stage = {
+                st: np.sort(
+                    g.loc[g["event_type"] == st, "ts"]
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                )
+                for st in FUNNEL_STAGES
+            }
+            s1 = by_stage[FUNNEL_STAGES[0]]
+            if not len(s1):
+                counts[0] = counts.get(0, 0) + 1
+                continue
+            anchor = int(s1[0])
+            deadline = anchor + window_us
+            depth, cur = 1, anchor
+            for st in FUNNEL_STAGES[1:]:
+                ts = by_stage[st]
+                i = int(np.searchsorted(ts, cur, side="right"))  # strictly after
+                if i < len(ts) and int(ts[i]) <= deadline:
+                    cur = int(ts[i])
+                    depth += 1
+                else:
+                    break
+            counts[depth] = counts.get(depth, 0) + 1
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "depth": pa.array(ks, pa.int64()),
+                "n_users": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(depths, batch_format="pyarrow")
+        .groupby("depth")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort("depth")
+    )
