@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer per-node estimates so every fold is exact; pinned from
         # oracle_dedup.hyperball_rows.
         "hyperball_digest": graph.hyperball_digest,
+        # psi_value_drift (twelfth round-4 continuation, never gated):
+        # population stability index between stream halves — Laplace-
+        # smoothed 20-bucket cents histogram, per-bucket q40 doubles,
+        # exact fold; wholesale-recompute twin.
+        "psi_value_drift": analytics.psi_value_drift,
         # window_funnel_depth (twelfth round-4 continuation, never
         # gated): ClickHouse-style windowFunnel — greedy first-match
         # stage chain within 24 h, per-user depth histogram;
@@ -1428,6 +1433,45 @@ def oracle_sql() -> dict[str, str]:
                                         * 1000000, 0)::BIGINT
                    END AS hazard_ppm
             FROM r ORDER BY gap_days
+        """,
+        # PSI: the same bucket rule, Laplace smoothing and per-bucket
+        # q40 quantization; generate_series materializes empty buckets.
+        "psi_value_drift": """
+            WITH c AS (
+              SELECT epoch_us(ts) AS t, round(value * 100)::BIGINT AS cents
+              FROM events
+            ),
+            m AS (
+              SELECT min(cents) AS cmin, max(cents) AS cmax,
+                     (min(t) + max(t)) // 2 AS tmid,
+                     (max(cents) - min(cents) + 1) AS rng
+              FROM c
+            ),
+            g AS (
+              SELECT ((cents - m.cmin) * 20) // m.rng AS bkt,
+                     sum(CASE WHEN t <= m.tmid THEN 1 ELSE 0 END)::BIGINT AS n1,
+                     sum(CASE WHEN t <= m.tmid THEN 0 ELSE 1 END)::BIGINT AS n2
+              FROM c, m GROUP BY 1
+            ),
+            tot AS (SELECT sum(n1)::BIGINT AS t1, sum(n2)::BIGINT AS t2 FROM g),
+            grid AS (
+              SELECT v.b AS bkt, coalesce(g.n1, 0) AS n1, coalesce(g.n2, 0) AS n2
+              FROM (SELECT unnest(generate_series(0, 19)) AS b) v
+              LEFT JOIN g ON g.bkt = v.b
+            ),
+            contrib AS (
+              SELECT round_even(
+                       ((n1 + 1)::DOUBLE / (t1 + 20)::DOUBLE
+                        - (n2 + 1)::DOUBLE / (t2 + 20)::DOUBLE)
+                       * ln(((n1 + 1)::DOUBLE / (t1 + 20)::DOUBLE)
+                            / ((n2 + 1)::DOUBLE / (t2 + 20)::DOUBLE))
+                       * 1099511627776.0, 0)::BIGINT AS q
+              FROM grid, tot
+            )
+            SELECT (SELECT t1 FROM tot) AS n_h1,
+                   (SELECT t2 FROM tot) AS n_h2,
+                   sum(q)::BIGINT AS psi_q40
+            FROM contrib
         """,
         # windowFunnel: the greedy chain as correlated min(ts) lookups —
         # first stage-1 event anchors; each stage strictly after the

@@ -2760,3 +2760,90 @@ def window_funnel_depth(
         .aggregate(Sum("n_users", alias_name="n_users"))
         .sort("depth")
     )
+
+
+PSI_BUCKETS = 20
+_Q40 = float(1 << 40)
+
+
+def psi_value_drift(sf_dir: str) -> rd.Dataset:
+    """Population Stability Index between the first and second halves of
+    the event stream's value distribution — the model-monitoring drift
+    score (PSI < 0.1 stable, > 0.25 shifted) computed exactly:
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    over ``PSI_BUCKETS`` equal-width buckets of the cents grid with
+    Laplace +1 smoothing (p = (n1+1)/(N1+B), q = (n2+1)/(N2+B)) so
+    empty buckets are well-defined; each bucket's contribution is ONE
+    double expression quantized to the q40 grid (the `source_jsd_matrix`
+    convention), so the 20-term sum is exact and order-free.  The halves
+    split at the midpoint timestamp ``(min_ts + max_ts) // 2``
+    (≤ goes to H1) — pure integer microseconds.
+
+    Scale shape: one min/max aggregate pass, then one histogram pass
+    with map-side-combined (bucket, half) int64 partials; the 20-row
+    fold is driver math.  Returns one row
+    (n_h1, n_h2, psi_q40) — the SQL twin recomputes wholesale.
+    """
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    lim = ev.map_batches(
+        lambda b: pa.table(
+            {
+                "c": _cents(b.column("value")),
+                "t": pc.cast(b.column("ts"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Min("c"), Max("c"), Min("t"), Max("t"))
+    cmin, cmax = int(lim["min(c)"]), int(lim["max(c)"])
+    tmid = (int(lim["min(t)"]) + int(lim["max(t)"])) // 2
+    rng1 = cmax - cmin + 1
+    B = PSI_BUCKETS
+
+    def hist(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = np.asarray(_cents(batch.column("value")), dtype=np.int64)
+        t = np.asarray(pc.cast(batch.column("ts"), pa.int64()), dtype=np.int64)
+        bkt = (c - cmin) * B // rng1
+        h1 = t <= tmid
+        n1 = np.zeros(B, dtype=np.int64)
+        n2 = np.zeros(B, dtype=np.int64)
+        np.add.at(n1, bkt[h1], 1)
+        np.add.at(n2, bkt[~h1], 1)
+        return pa.table(
+            {
+                "bkt": pa.array(np.arange(B, dtype=np.int64)),
+                "n1": pa.array(n1),
+                "n2": pa.array(n2),
+            }
+        )
+
+    rows = (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby("bkt")
+        .aggregate(Sum("n1", alias_name="n1"), Sum("n2", alias_name="n2"))
+        .take_all()  # exactly PSI_BUCKETS rows
+    )
+    n1 = {int(r["bkt"]): int(r["n1"]) for r in rows}
+    n2 = {int(r["bkt"]): int(r["n2"]) for r in rows}
+    N1, N2 = sum(n1.values()), sum(n2.values())
+    psi_q = 0
+    for b in range(B):
+        p = float(n1.get(b, 0) + 1) / float(N1 + B)
+        q = float(n2.get(b, 0) + 1) / float(N2 + B)
+        psi_q += int(np.round((p - q) * np.log(p / q) * _Q40))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_h1": pa.array([N1], pa.int64()),
+                "n_h2": pa.array([N2], pa.int64()),
+                "psi_q40": pa.array([psi_q], pa.int64()),
+            }
+        )
+    )
