@@ -452,6 +452,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cheap-repetition quality signal; per-doc C kernel, map-side
         # combined counts; pinned from oracle_dedup.compression_hist_rows.
         "compression_ratio_digest": tsp.compression_ratio_digest,
+        # ppr_digest (twelfth round-4 continuation, never gated):
+        # personalized PageRank (walk-with-restart) recommendations —
+        # exact integer fixed-point iteration, seeds parallel over a
+        # broadcast CSR; pinned from oracle_dedup.ppr_rows.
+        "ppr_digest": pagerank.ppr_digest,
         # betweenness_digest (twelfth round-4 continuation, never gated):
         # pivot-sampled Brandes centrality — exact int64 σ, δ on the 2^30
         # integer grid so every fold is order-free; pivots parallelize
@@ -1374,6 +1379,12 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio_digest": """
             SELECT 103::BIGINT AS n_rows,
                    1690088404423305231::BIGINT AS digest
+        """,
+        # PPR digest: pinned at sf0.01 from the sequential twin (plain
+        # dict walk, same fixed-point spec).
+        "ppr_digest": """
+            SELECT 40::BIGINT AS n_rows,
+                   2120402051947203087::BIGINT AS digest
         """,
         # Betweenness digest: pinned at sf0.01 from the sequential twin
         # (plain dict Brandes, same grid spec).

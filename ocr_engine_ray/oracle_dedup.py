@@ -1371,3 +1371,69 @@ def vocab_sketch_rows(sf_dir: str) -> tuple[int, int]:
             dg = (dg + row_digest(f"{a}\x1f{b}", pay)) % DIGEST_MOD
             n += 1
     return n, dg
+
+
+def ppr_rows(
+    sf_dir: str, *, min_support: int = 2, num_seeds: int = 4, iters: int = 10,
+    top_k: int = 10,
+) -> tuple[int, int]:
+    """Sequential twin of `pagerank.ppr_digest`: plain-dict adjacency,
+    per-node half-even fixed-point outflow, same restart/iteration spec.
+    Returns (n_rows, digest)."""
+    from collections import Counter, defaultdict
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order: dict[int, list[int]] = defaultdict(list)
+    for ok, pk in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        by_order[ok].append(pk)
+    support: Counter = Counter()
+    for parts in by_order.values():
+        for i in range(len(parts)):
+            for j in range(len(parts)):
+                if parts[i] < parts[j]:
+                    support[(parts[i], parts[j])] += 1
+    adj: dict[int, list[int]] = defaultdict(list)
+    for (x, y), n in support.items():
+        if n >= min_support:
+            adj[x].append(y)
+            adj[y].append(x)
+    nodes = sorted(adj)
+    if not nodes:
+        return 0, 0
+    S = 1_000_000_000_000
+
+    def rdiv(n: int, d: int) -> int:
+        q, r = divmod(n, d)
+        if 2 * r > d or (2 * r == d and q % 2 == 1):
+            q += 1
+        return q
+
+    dg = 0
+    n_rows = 0
+    for sd in nodes[:num_seeds]:
+        x = {v: 0 for v in nodes}
+        x[sd] = S
+        for _ in range(iters):
+            nx = {v: 0 for v in nodes}
+            for u in nodes:
+                if x[u] == 0:
+                    continue
+                t = rdiv(85 * x[u], 100 * len(adj[u]))
+                for v in adj[u]:
+                    nx[v] += t
+            nx[sd] += 15 * S // 100
+            x = nx
+        ranked = sorted(
+            ((v, s) for v, s in x.items() if v != sd and s > 0),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:top_k]
+        for rank, (v, s) in enumerate(ranked, start=1):
+            dg = (dg + row_digest(f"{sd}\x1f{rank}", f"{v}\x1f{s}")) % DIGEST_MOD
+            n_rows += 1
+    return n_rows, dg

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..sources.tables import sf_table
@@ -260,4 +261,141 @@ def trade_pagerank(
         scores.groupby("sbkt")
         .map_groups(present, batch_format="pyarrow")
         .sort(["kind", "node_key"])
+    )
+
+
+PPR_SCALE = 1_000_000_000_000  # seed mass in fixed-point units
+PPR_ITERS = 10
+PPR_SEEDS = 4
+PPR_TOPK = 10
+
+
+def _rdiv_even_vec(n: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Vectorized round-half-even integer division (d > 0) — the
+    fixed-point kernel shared by spec with the sequential oracle."""
+    q, r = np.divmod(n, d)
+    up = (2 * r > d) | ((2 * r == d) & (q % 2 == 1))
+    return q + up.astype(np.int64)
+
+
+def ppr_recommendations(
+    sf_dir: str,
+    *,
+    min_support: int = 2,
+    num_buckets: int = 64,
+    num_seeds: int = PPR_SEEDS,
+    iters: int = PPR_ITERS,
+    top_k: int = PPR_TOPK,
+) -> pa.Table:
+    """Personalized PageRank (random walk with restart, α = 0.15) on the
+    co-purchase graph — the classic item-to-item recommendation score —
+    in EXACT INTEGER FIXED-POINT so the whole iteration is
+    bit-reproducible: seed mass ``10^12`` units, per-node outflow
+    ``rdiv(85·x_u, 100·deg_u)`` (half-even — each in-edge of u receives
+    the identical integer, so inflow sums are order-free), restart
+    ``rdiv(15·10^12, 100)`` to the seed each round, ``iters`` fixed
+    rounds (the LPA determinism contract).
+
+    Distribution axis: seeds are embarrassingly parallel over a
+    broadcast CSR (the `betweenness_digest` regime — adjacency fits a
+    worker; the `trade_pagerank` bucket-sharded rounds are the beyond-
+    RAM alternative).  Returns (seed, rank, node, score) — each seed's
+    ``top_k`` non-seed nodes by (score desc, node asc).  Gated via
+    `ppr_digest`, pinned from `oracle_dedup.ppr_rows`.
+    """
+    from .basket import copurchase_edges
+    from .joins import _get_broadcast
+
+    edges = copurchase_edges(sf_dir, min_support=min_support, num_buckets=num_buckets)
+    rows = edges.take_all()  # graph-sized: the broadcast-regime trade
+    empty = pa.table(
+        {
+            "seed": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+        }
+    )
+    if not rows:
+        return empty
+    a = np.array([r["p1"] for r in rows], dtype=np.int64)
+    b = np.array([r["p2"] for r in rows], dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = np.unique(src)
+    pos = {int(v): i for i, v in enumerate(nodes.tolist())}
+    si = np.fromiter((pos[int(v)] for v in src), dtype=np.int64, count=len(src))
+    di = np.fromiter((pos[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+    deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    adj_ref = ray.put((nodes, si, di, deg))
+    seeds = [int(v) for v in nodes[:num_seeds].tolist()]
+
+    def walk(batch: pa.Table) -> pa.Table:
+        nodes_, si_, di_, deg_ = _get_broadcast(adj_ref)
+        n = len(nodes_)
+        restart = 15 * PPR_SCALE // 100  # exact: no remainder
+        out = {"seed": [], "rank": [], "node": [], "score": []}
+        for sd in batch.column("seed").to_pylist():
+            s_ix = int(np.searchsorted(nodes_, sd))
+            x = np.zeros(n, dtype=np.int64)
+            x[s_ix] = PPR_SCALE
+            for _ in range(iters):
+                t = _rdiv_even_vec(85 * x, 100 * deg_)
+                nx = np.zeros(n, dtype=np.int64)
+                np.add.at(nx, di_, t[si_])
+                nx[s_ix] += restart
+                x = nx
+            order = np.lexsort((nodes_, -x))
+            taken = 0
+            for i in order.tolist():
+                if i == s_ix or x[i] <= 0:
+                    continue
+                taken += 1
+                out["seed"].append(sd)
+                out["rank"].append(taken)
+                out["node"].append(int(nodes_[i]))
+                out["score"].append(int(x[i]))
+                if taken >= top_k:
+                    break
+        return pa.table(
+            {
+                "seed": pa.array(out["seed"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+                "node": pa.array(out["node"], pa.int64()),
+                "score": pa.array(out["score"], pa.int64()),
+            }
+        )
+
+    piv = rd.from_arrow(pa.table({"seed": pa.array(seeds, pa.int64())}))
+    t = (
+        piv.repartition(len(seeds))
+        .map_batches(walk, batch_format="pyarrow")
+        .take_all()  # seeds × top_k rows
+    )
+    t = sorted(t, key=lambda r: (r["seed"], r["rank"]))
+    return pa.table(
+        {
+            "seed": pa.array([r["seed"] for r in t], pa.int64()),
+            "rank": pa.array([r["rank"] for r in t], pa.int64()),
+            "node": pa.array([r["node"] for r in t], pa.int64()),
+            "score": pa.array([r["score"] for r in t], pa.int64()),
+        }
+    )
+
+
+def ppr_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `ppr_recommendations`: (n_rows, digest)."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = ppr_recommendations(sf_dir)
+    dg = 0
+    for i in range(t.num_rows):
+        key = f"{t.column('seed')[i].as_py()}\x1f{t.column('rank')[i].as_py()}"
+        pay = f"{t.column('node')[i].as_py()}\x1f{t.column('score')[i].as_py()}"
+        dg = (dg + row_digest(key, pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
     )

@@ -70,6 +70,7 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "kcenter_digest": od.kcenter_rows(sf_dir),
         "betweenness_digest": od.betweenness_rows(sf_dir),
         "vocab_sketch_digest": od.vocab_sketch_rows(sf_dir),
+        "ppr_digest": od.ppr_rows(sf_dir),
     }
 
 
