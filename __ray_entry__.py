@@ -1384,7 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         # dict walk, same fixed-point spec).
         "ppr_digest": """
             SELECT 40::BIGINT AS n_rows,
-                   2120402051947203087::BIGINT AS digest
+                   2212024421391829681::BIGINT AS digest
         """,
         # Betweenness digest: pinned at sf0.01 from the sequential twin
         # (plain dict Brandes, same grid spec).

@@ -1374,7 +1374,7 @@ def vocab_sketch_rows(sf_dir: str) -> tuple[int, int]:
 
 
 def ppr_rows(
-    sf_dir: str, *, min_support: int = 2, num_seeds: int = 4, iters: int = 10,
+    sf_dir: str, *, min_support: int = 2, num_seeds: int = 4, iters: int = 30,
     top_k: int = 10,
 ) -> tuple[int, int]:
     """Sequential twin of `pagerank.ppr_digest`: plain-dict adjacency,

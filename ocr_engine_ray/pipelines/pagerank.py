@@ -265,7 +265,7 @@ def trade_pagerank(
 
 
 PPR_SCALE = 1_000_000_000_000  # seed mass in fixed-point units
-PPR_ITERS = 10
+PPR_ITERS = 30
 PPR_SEEDS = 4
 PPR_TOPK = 10
 
