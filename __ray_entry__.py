@@ -452,6 +452,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cheap-repetition quality signal; per-doc C kernel, map-side
         # combined counts; pinned from oracle_dedup.compression_hist_rows.
         "compression_ratio_digest": tsp.compression_ratio_digest,
+        # ann_eval_digest (twelfth round-4 continuation, never gated):
+        # search-quality eval of the approximate ANN paths vs exact
+        # brute force — recall@k ppm + NDCG@k on the q40 grid; pinned
+        # from oracle_dedup.ann_eval_rows.
+        "ann_eval_digest": ann.ann_eval_digest,
         # ppr_digest (twelfth round-4 continuation, never gated):
         # personalized PageRank (walk-with-restart) recommendations —
         # exact integer fixed-point iteration, seeds parallel over a
@@ -1379,6 +1384,12 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio_digest": """
             SELECT 103::BIGINT AS n_rows,
                    1690088404423305231::BIGINT AS digest
+        """,
+        # ANN eval digest: pinned at sf0.01 from the sequential twin
+        # (plain-math recompute over the twins' lists).
+        "ann_eval_digest": """
+            SELECT 2::BIGINT AS n_rows,
+                   75483498992918109::BIGINT AS digest
         """,
         # PPR digest: pinned at sf0.01 from the sequential twin (plain
         # dict walk, same fixed-point spec).

@@ -1437,3 +1437,63 @@ def ppr_rows(
             dg = (dg + row_digest(f"{sd}\x1f{rank}", f"{v}\x1f{s}")) % DIGEST_MOD
             n_rows += 1
     return n_rows, dg
+
+
+def ann_eval_rows(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> tuple[int, int]:
+    """Sequential twin of `ann.ann_eval_digest`: brute-force ground truth
+    recomputed with plain per-row float64 math (same normalize + dot and
+    (score desc, vec_id asc) tie-break as the pipeline), approximate
+    lists from the existing sequential twins, the same eval math.
+    Returns (n_rows, digest)."""
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    qids = ids[:num_queries]
+    qmat = mat[:num_queries]
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    sims = (mat / n[:, None]) @ qmat.T
+    truth = []
+    for qi, q in enumerate(qids.tolist()):
+        s = sims[:, qi].copy()
+        s[ids == q] = -np.inf
+        o = np.lexsort((ids, -s))[:k]
+        for r, i in enumerate(o.tolist(), start=1):
+            if np.isfinite(s[i]):
+                truth.append((q, r, int(ids[i])))
+    import math
+
+    lists = {
+        "lsh": ann_lsh_topk(sf_dir, num_queries=num_queries, k=k),
+        "ivf": ivf_topk(sf_dir, num_queries=num_queries, k=k),
+    }
+    tsets: dict[int, set[int]] = {}
+    for q, _, v in truth:
+        tsets.setdefault(int(q), set()).add(int(v))
+    dg = 0
+    n_rows = 0
+    for method in sorted(lists):
+        ranked: dict[int, list[tuple[int, int]]] = {}
+        for q, r, v in lists[method]:
+            ranked.setdefault(int(q), []).append((int(r), int(v)))
+        n_q, sum_rec, sum_ndcg = 0, 0, 0
+        for q in sorted(tsets):
+            tset = tsets[q]
+            if not tset:
+                continue
+            n_q += 1
+            lst = sorted(ranked.get(q, []))
+            hits = sum(1 for _, v in lst if v in tset)
+            sum_rec += hits * 1_000_000 // k
+            ideal = min(k, len(tset))
+            idcg = sum(1.0 / math.log2(r + 1) for r in range(1, ideal + 1))
+            dcg = sum(1.0 / math.log2(r + 1) for r, v in lst if v in tset)
+            sum_ndcg += round(dcg / idcg * float(1 << 40))
+        pay = f"{n_q}\x1f{sum_rec // n_q if n_q else 0}\x1f{sum_ndcg}"
+        dg = (dg + row_digest(method, pay)) % DIGEST_MOD
+        n_rows += 1
+    return n_rows, dg

@@ -1574,3 +1574,106 @@ def kcenter_digest(sf_dir: str) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+ANN_EVAL_Q40 = float(1 << 40)
+
+
+def _eval_rows_from_lists(truth_rows, method_lists, *, k: int) -> list[tuple]:
+    """Shared EVAL MATH spec (reimplemented by the sequential oracle):
+    per query recall@k = hits·10⁶ // k and binary-relevance NDCG@k on the
+    q40 grid, summed exactly over queries.  truth_rows / each method's
+    rows are (query_id, rank, vec_id) triples."""
+    import numpy as np
+
+    truth: dict[int, set[int]] = {}
+    for q, _, v in truth_rows:
+        truth.setdefault(int(q), set()).add(int(v))
+    idcg_cache: dict[int, float] = {}
+    out = []
+    for method in sorted(method_lists):
+        ranked: dict[int, list[tuple[int, int]]] = {}
+        for q, r, v in method_lists[method]:
+            ranked.setdefault(int(q), []).append((int(r), int(v)))
+        n_q = 0
+        sum_recall = 0
+        sum_ndcg_q = 0
+        for q in sorted(truth):
+            tset = truth[q]
+            if not tset:
+                continue
+            n_q += 1
+            lst = sorted(ranked.get(q, []))
+            hits = sum(1 for _, v in lst if v in tset)
+            sum_recall += hits * 1_000_000 // k
+            ideal = min(k, len(tset))
+            if ideal not in idcg_cache:
+                idcg_cache[ideal] = float(
+                    sum(1.0 / np.log2(r + 1) for r in range(1, ideal + 1))
+                )
+            dcg = float(
+                sum(1.0 / np.log2(r + 1) for r, v in lst if v in tset)
+            )
+            sum_ndcg_q += int(np.round(dcg / idcg_cache[ideal] * ANN_EVAL_Q40))
+        out.append(
+            (method, n_q, sum_recall // n_q if n_q else 0, sum_ndcg_q)
+        )
+    return out
+
+
+def ann_eval_report(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
+    """Offline SEARCH-QUALITY EVALUATION of the approximate ANN paths
+    against the exact brute-force ground truth — the recall@k / NDCG@k
+    report every vector-search deployment tracks before trading accuracy
+    for speed.  Methods evaluated: the LSH-bucketed and IVF paths (both
+    already independently digest-gated, so this operator verifies the
+    EVAL MATH on verified-equal inputs).
+
+    Per query: recall@k (integer ppm, floor) and binary-relevance
+    NDCG@k quantized to the q40 grid (log2 discounts evaluated in rank
+    order — a fixed summation order, deterministic on both sides); sums
+    over queries are exact integers.  Returns
+    (method, n_queries, mean_recall_ppm, sum_ndcg_q40) sorted by method.
+    Pinned from `oracle_dedup.ann_eval_rows`.
+    """
+    truth = [
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ann_topk_bruteforce(sf_dir, num_queries=num_queries, k=k).take_all()
+    ]
+    lsh = [
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ann_topk_lsh(sf_dir, num_queries=num_queries, k=k).take_all()
+    ]
+    ivf = [
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ann_topk_ivf(sf_dir, num_queries=num_queries, k=k).take_all()
+    ]
+    rows = _eval_rows_from_lists(truth, {"ivf": ivf, "lsh": lsh}, k=k)
+    return pa.table(
+        {
+            "method": pa.array([r[0] for r in rows], pa.string()),
+            "n_queries": pa.array([r[1] for r in rows], pa.int64()),
+            "mean_recall_ppm": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_ndcg_q40": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def ann_eval_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `ann_eval_report`: (n_rows, digest)."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = ann_eval_report(sf_dir)
+    dg = 0
+    for i in range(t.num_rows):
+        pay = "\x1f".join(
+            str(t.column(c)[i].as_py())
+            for c in ("n_queries", "mean_recall_ppm", "sum_ndcg_q40")
+        )
+        dg = (dg + row_digest(t.column("method")[i].as_py(), pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
