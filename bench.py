@@ -543,6 +543,14 @@ def run_bench() -> dict:
             __import__("ocr_engine_ray.pipelines.tagger", fromlist=["x"]).luhn_pii_scan
         ),
         "vocab_sketch_digest": timed(tsp.vocab_sketch_digest),
+        "window_funnel_depth": timed(analytics.window_funnel_depth),
+        "psi_value_drift": timed(analytics.psi_value_drift),
+        "ppr_digest": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.pagerank", fromlist=["x"]
+            ).ppr_digest
+        ),
+        "ann_eval_digest": timed(ann.ann_eval_digest),
     }
 
     result = {
