@@ -1497,3 +1497,79 @@ def ann_eval_rows(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> tuple[int
         dg = (dg + row_digest(method, pay)) % DIGEST_MOD
         n_rows += 1
     return n_rows, dg
+
+
+def dedup_eval_rows(sf_dir: str, *, threshold: float = 0.8, mod: int = 8) -> tuple[int, int]:
+    """Sequential twin of `dedup.dedup_eval_digest`: truth = union-find
+    over exact word-trigram Jaccard pairs within the doc_id % mod == 0
+    sample (plain set intersections, the `jaccard` spec with the
+    wordless-doc {""} convention); predictions from the existing
+    minhash/simhash sequential cluster twins restricted to the sample.
+    Returns (n_rows, digest)."""
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = [
+        (int(d), txt or "")
+        for d, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+        if int(d) % mod == 0
+    ]
+
+    def trigrams(text: str) -> frozenset:
+        words = WORD_RE.findall(text.lower())
+        if len(words) < 3:
+            return frozenset({" ".join(words)})
+        return frozenset(
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        )
+
+    sets = {d: trigrams(txt) for d, txt in docs}
+    ids = sorted(sets)
+    uf = _UnionFind()
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        for b in ids[i + 1 :]:
+            sb = sets[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                uf.union(a, b)
+    tclust: dict[int, list[int]] = {}
+    for v in uf.parent:
+        tclust.setdefault(uf.find(v), []).append(v)
+    true_pairs = {
+        (x, y)
+        for mem in tclust.values()
+        for i, x in enumerate(sorted(mem))
+        for y in sorted(mem)[i + 1 :]
+    }
+
+    def pairs_from(rows) -> set:
+        clust: dict[int, list[int]] = {}
+        for d, c in rows:
+            if d % mod == 0:
+                clust.setdefault(c, []).append(d)
+        return {
+            (x, y)
+            for mem in clust.values()
+            for i, x in enumerate(sorted(mem))
+            for y in sorted(mem)[i + 1 :]
+        }
+
+    methods = {
+        "minhash_lsh": pairs_from(minhash_clusters(sf_dir, threshold=threshold)),
+        "simhash": pairs_from(simhash_clusters(sf_dir)),
+    }
+    dg = 0
+    n_rows = 0
+    for m in sorted(methods):
+        pred = methods[m]
+        inter = len(pred & true_pairs)
+        p = inter * 1_000_000 // len(pred) if pred else 0
+        r = inter * 1_000_000 // len(true_pairs) if true_pairs else 0
+        pay = f"{len(true_pairs)}\x1f{len(pred)}\x1f{p}\x1f{r}"
+        dg = (dg + row_digest(m, pay)) % DIGEST_MOD
+        n_rows += 1
+    return n_rows, dg

@@ -1534,7 +1534,11 @@ def _trigram_set(text: str) -> set[str]:
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, *, threshold: float = 0.8, block_rows: int = 1024
+    sf_dir: str,
+    *,
+    threshold: float = 0.8,
+    block_rows: int = 1024,
+    id_mod: int | None = None,
 ) -> rd.Dataset:
     """Exact all-pairs word-trigram Jaccard near-dup pairs (the n-gram dedup
     baseline), distributed as the same block-pair cartesian as
@@ -1551,6 +1555,9 @@ def ngram_jaccard_pairs(
     corpora is ``minhash_lsh_dedup``.
     """
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if id_mod is not None:
+        # deterministic 1/id_mod subset — the dedup_eval harness's sample
+        docs = docs.filter(expr=f"doc_id % {int(id_mod)} == 0")
     n = docs.count()
     nblocks = max(1, math.ceil(n / block_rows))
 
@@ -1638,6 +1645,9 @@ def containment_pairs(
     the MinHash band family.
     """
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if id_mod is not None:
+        # deterministic 1/id_mod subset — the dedup_eval harness's sample
+        docs = docs.filter(expr=f"doc_id % {int(id_mod)} == 0")
     n = docs.count()
     nblocks = max(1, math.ceil(n / block_rows))
 
@@ -3130,4 +3140,114 @@ def dbscan_clusters(
         .groupby("jbkt")
         .map_groups(assemble, batch_format="pyarrow")
         .sort("vec_id")
+    )
+
+
+DEDUP_EVAL_MOD = 8
+
+
+def dedup_eval_report(sf_dir: str, *, threshold: float = 0.8) -> pa.Table:
+    """Offline DEDUP-QUALITY EVALUATION: pairwise precision/recall of the
+    sketch-based near-dup paths (MinHash-LSH, SimHash) against the exact
+    word-trigram Jaccard ground truth — the `ann_eval_report` counterpart
+    for the dedup family, answering "how much daylight does LSH banding /
+    Hamming thresholding leave vs the exact baseline".
+
+    Metric: co-cluster pairs restricted to the deterministic
+    ``doc_id % 8 == 0`` sample (truth = connected components over the
+    EXACT Jaccard pairs computed only within the sample — O((N/8)²) work;
+    predictions = each method's full-corpus clusters restricted to sample
+    endpoints, so a pair bridged through an out-of-sample doc honestly
+    costs precision — the standard pairwise clustering metric).  Integer
+    ppm (floor).  Returns (method, n_true_pairs, n_pred_pairs,
+    precision_ppm, recall_ppm) sorted by method; gated via
+    `dedup_eval_digest`, pinned from `oracle_dedup.dedup_eval_rows`.
+    """
+    truth_edges = [
+        (int(r["a"]), int(r["b"]))
+        for r in ngram_jaccard_pairs(
+            sf_dir, threshold=threshold, id_mod=DEDUP_EVAL_MOD
+        ).take_all()
+    ]
+    # CC over the exact pairs -> co-cluster pair set (cluster-size bounded)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in truth_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    tclust: dict[int, list[int]] = {}
+    for v in parent:
+        tclust.setdefault(find(v), []).append(v)
+    true_pairs = {
+        (x, y)
+        for mem in tclust.values()
+        for i, x in enumerate(sorted(mem))
+        for y in sorted(mem)[i + 1 :]
+    }
+
+    def pred_pairs_of(cluster_ds) -> set:
+        clust: dict[int, list[int]] = {}
+        for r in cluster_ds.take_all():  # cluster rows only, corpus-sparse
+            d = int(r["doc_id"])
+            if d % DEDUP_EVAL_MOD == 0:
+                clust.setdefault(int(r["cluster_id"]), []).append(d)
+        return {
+            (x, y)
+            for mem in clust.values()
+            for i, x in enumerate(sorted(mem))
+            for y in sorted(mem)[i + 1 :]
+        }
+
+    methods = {
+        "minhash_lsh": pred_pairs_of(minhash_lsh_dedup(sf_dir, threshold=threshold)),
+        "simhash": pred_pairs_of(simhash_dedup(sf_dir)),
+    }
+    out = {k: [] for k in ("method", "n_true_pairs", "n_pred_pairs",
+                           "precision_ppm", "recall_ppm")}
+    for m in sorted(methods):
+        pred = methods[m]
+        inter = len(pred & true_pairs)
+        out["method"].append(m)
+        out["n_true_pairs"].append(len(true_pairs))
+        out["n_pred_pairs"].append(len(pred))
+        out["precision_ppm"].append(inter * 1_000_000 // len(pred) if pred else 0)
+        out["recall_ppm"].append(
+            inter * 1_000_000 // len(true_pairs) if true_pairs else 0
+        )
+    return pa.table(
+        {
+            "method": pa.array(out["method"], pa.string()),
+            "n_true_pairs": pa.array(out["n_true_pairs"], pa.int64()),
+            "n_pred_pairs": pa.array(out["n_pred_pairs"], pa.int64()),
+            "precision_ppm": pa.array(out["precision_ppm"], pa.int64()),
+            "recall_ppm": pa.array(out["recall_ppm"], pa.int64()),
+        }
+    )
+
+
+def dedup_eval_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `dedup_eval_report`: (n_rows, digest)."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = dedup_eval_report(sf_dir)
+    dg = 0
+    for i in range(t.num_rows):
+        pay = "\x1f".join(
+            str(t.column(c)[i].as_py())
+            for c in ("n_true_pairs", "n_pred_pairs", "precision_ppm", "recall_ppm")
+        )
+        dg = (dg + row_digest(t.column("method")[i].as_py(), pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
     )
