@@ -473,6 +473,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer per-node estimates so every fold is exact; pinned from
         # oracle_dedup.hyperball_rows.
         "hyperball_digest": graph.hyperball_digest,
+        # seasonal_outlier_days (twelfth round-4 continuation, never
+        # gated): weekday-deseasonalized daily anomalies — pure integer
+        # cross-multiplication against the weekday totals; window twin.
+        "seasonal_outlier_days": analytics.seasonal_outlier_days,
         # psi_value_drift (twelfth round-4 continuation, never gated):
         # population stability index between stream halves — Laplace-
         # smoothed 20-bucket cents histogram, per-bucket q40 doubles,
@@ -1455,6 +1459,29 @@ def oracle_sql() -> dict[str, str]:
                                         * 1000000, 0)::BIGINT
                    END AS hazard_ppm
             FROM r ORDER BY gap_days
+        """,
+        # Seasonal outliers: weekday totals via window sums, the same
+        # integer cross-multiplied flags and floor ratio.
+        "seasonal_outlier_days": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS day,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS cents
+              FROM events GROUP BY 1
+            ),
+            w AS (
+              SELECT day, dayofweek(day)::BIGINT AS weekday, cents,
+                     sum(cents) OVER (PARTITION BY dayofweek(day))::BIGINT AS sw,
+                     count(*) OVER (PARTITION BY dayofweek(day))::BIGINT AS nw
+              FROM d
+            )
+            SELECT day, weekday, cents,
+                   (cents * nw * 1000000 // sw)::BIGINT AS ratio_ppm,
+                   CASE WHEN cents * nw >= 2 * sw THEN 1 ELSE -1 END
+                     ::BIGINT AS direction
+            FROM w
+            WHERE sw > 0
+              AND (cents * nw >= 2 * sw OR 2 * cents * nw <= sw)
+            ORDER BY day
         """,
         # PSI: the same bucket rule, Laplace smoothing and per-bucket
         # q40 quantization; generate_series materializes empty buckets.

@@ -2847,3 +2847,81 @@ def psi_value_drift(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def seasonal_outlier_days(sf_dir: str) -> rd.Dataset:
+    """Weekday-deseasonalized daily revenue anomalies — "which days were
+    abnormal GIVEN their weekday" (a Monday judged against Mondays), the
+    ops-review complement of `weekday_seasonality`'s indices and
+    `cusum_changepoint`'s single level shift.
+
+    All-integer contract: a day d with cents x_d and weekday w is scored
+    by cross-multiplication against its weekday's total S_w over n_w
+    days — ``ratio_ppm = x_d·n_w·10⁶ // S_w`` (exact floor; the weekday
+    mean never materializes as a float) and flagged when the day is at
+    least 2× its weekday mean (``x_d·n_w ≥ 2·S_w``) or at most half of
+    it (``2·x_d·n_w ≤ S_w``) — integer comparisons on both sides.
+
+    Scale shape: the acf/cusum calendar fold — ONE day-keyed map-side-
+    combined aggregate; weekday totals and flags are driver math over
+    the calendar-sized series.  Returns flagged days only:
+    (day, weekday, cents, ratio_ppm, direction) sorted by day, where
+    direction is +1 (spike) or -1 (drop) and weekday is DuckDB's
+    ``dayofweek`` (0 = Sunday).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "cents": _cents(batch.column("value"))})
+        agg = pa.TableGroupBy(t, "day").aggregate([("cents", "sum")])
+        return pa.table(
+            {"day": agg.column("day"), "cents": agg.column("cents_sum").cast(pa.int64())}
+        )
+
+    daily = (
+        ev.map_batches(day_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # calendar-sized
+    )
+    # DuckDB dayofweek: 0 = Sunday; Python weekday(): 0 = Monday
+    rows = [
+        (r["day"], (r["day"].weekday() + 1) % 7, int(r["cents"])) for r in daily
+    ]
+    s_w: dict[int, int] = {}
+    n_w: dict[int, int] = {}
+    for _, w, c in rows:
+        s_w[w] = s_w.get(w, 0) + c
+        n_w[w] = n_w.get(w, 0) + 1
+    out = {"day": [], "weekday": [], "cents": [], "ratio_ppm": [], "direction": []}
+    for day, w, c in sorted(rows):
+        sw, nw = s_w[w], n_w[w]
+        if sw <= 0:
+            continue
+        lhs = c * nw
+        if lhs >= 2 * sw:
+            direction = 1
+        elif 2 * lhs <= sw:
+            direction = -1
+        else:
+            continue
+        out["day"].append(day)
+        out["weekday"].append(w)
+        out["cents"].append(c)
+        out["ratio_ppm"].append(lhs * 1_000_000 // sw)
+        out["direction"].append(direction)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(out["day"], pa.timestamp("us")),
+                "weekday": pa.array(out["weekday"], pa.int64()),
+                "cents": pa.array(out["cents"], pa.int64()),
+                "ratio_ppm": pa.array(out["ratio_ppm"], pa.int64()),
+                "direction": pa.array(out["direction"], pa.int64()),
+            }
+        )
+    )
