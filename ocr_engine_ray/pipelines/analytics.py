@@ -2849,7 +2849,7 @@ def psi_value_drift(sf_dir: str) -> rd.Dataset:
     )
 
 
-def seasonal_outlier_days(sf_dir: str) -> rd.Dataset:
+def seasonal_outlier_days(sf_dir: str) -> pa.Table:
     """Weekday-deseasonalized daily revenue anomalies — "which days were
     abnormal GIVEN their weekday" (a Monday judged against Mondays), the
     ops-review complement of `weekday_seasonality`'s indices and
@@ -2914,14 +2914,12 @@ def seasonal_outlier_days(sf_dir: str) -> rd.Dataset:
         out["cents"].append(c)
         out["ratio_ppm"].append(lhs * 1_000_000 // sw)
         out["direction"].append(direction)
-    return rd.from_arrow(
-        pa.table(
-            {
-                "day": pa.array(out["day"], pa.timestamp("us")),
-                "weekday": pa.array(out["weekday"], pa.int64()),
-                "cents": pa.array(out["cents"], pa.int64()),
-                "ratio_ppm": pa.array(out["ratio_ppm"], pa.int64()),
-                "direction": pa.array(out["direction"], pa.int64()),
-            }
-        )
+    return pa.table(
+        {
+            "day": pa.array(out["day"], pa.timestamp("us")),
+            "weekday": pa.array(out["weekday"], pa.int64()),
+            "cents": pa.array(out["cents"], pa.int64()),
+            "ratio_ppm": pa.array(out["ratio_ppm"], pa.int64()),
+            "direction": pa.array(out["direction"], pa.int64()),
+        }
     )

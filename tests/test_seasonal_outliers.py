@@ -47,7 +47,7 @@ class TestSeasonalOutliers:
             pa.table({"ts": pa.array(ts, pa.timestamp("us")), "value": v}),
             str(d / "events.parquet"),
         )
-        got = seasonal_outlier_days(str(d)).take_all()
+        got = seasonal_outlier_days(str(d)).to_pylist()
         assert len(got) == 2
         spike, drop = got
         assert spike["direction"] == 1 and spike["cents"] == 10000
@@ -60,4 +60,4 @@ class TestSeasonalOutliers:
 
     def test_flat_series_no_outliers(self, tmp_path):
         sf = _write_events(tmp_path / "f", [5.0] * 28)
-        assert seasonal_outlier_days(sf).take_all() == []
+        assert seasonal_outlier_days(sf).to_pylist() == []
