@@ -452,6 +452,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cheap-repetition quality signal; per-doc C kernel, map-side
         # combined counts; pinned from oracle_dedup.compression_hist_rows.
         "compression_ratio_digest": tsp.compression_ratio_digest,
+        # dedup_eval_digest (twelfth round-4 continuation, never
+        # gated): pairwise precision/recall of the sketch dedup paths vs
+        # exact Jaccard truth on the doc_id%2 sample; pinned from
+        # oracle_dedup.dedup_eval_rows.
+        "dedup_eval_digest": dedup.dedup_eval_digest,
         # ann_eval_digest (twelfth round-4 continuation, never gated):
         # search-quality eval of the approximate ANN paths vs exact
         # brute force — recall@k ppm + NDCG@k on the q40 grid; pinned
@@ -1388,6 +1393,12 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio_digest": """
             SELECT 103::BIGINT AS n_rows,
                    1690088404423305231::BIGINT AS digest
+        """,
+        # Dedup eval digest: pinned at sf0.01 from the sequential twin
+        # (plain union-find + set math over the cluster twins).
+        "dedup_eval_digest": """
+            SELECT 2::BIGINT AS n_rows,
+                   870940225851340538::BIGINT AS digest
         """,
         # ANN eval digest: pinned at sf0.01 from the sequential twin
         # (plain-math recompute over the twins' lists).

@@ -1499,7 +1499,7 @@ def ann_eval_rows(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> tuple[int
     return n_rows, dg
 
 
-def dedup_eval_rows(sf_dir: str, *, threshold: float = 0.8, mod: int = 8) -> tuple[int, int]:
+def dedup_eval_rows(sf_dir: str, *, threshold: float = 0.8, mod: int = 2) -> tuple[int, int]:
     """Sequential twin of `dedup.dedup_eval_digest`: truth = union-find
     over exact word-trigram Jaccard pairs within the doc_id % mod == 0
     sample (plain set intersections, the `jaccard` spec with the

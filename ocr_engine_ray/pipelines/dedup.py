@@ -1557,7 +1557,13 @@ def ngram_jaccard_pairs(
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     if id_mod is not None:
         # deterministic 1/id_mod subset — the dedup_eval harness's sample
-        docs = docs.filter(expr=f"doc_id % {int(id_mod)} == 0")
+        _mod = int(id_mod)
+
+        def _subset(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % _mod == 0))
+
+        docs = docs.map_batches(_subset, batch_format="pyarrow")
     n = docs.count()
     nblocks = max(1, math.ceil(n / block_rows))
 
@@ -1647,7 +1653,13 @@ def containment_pairs(
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     if id_mod is not None:
         # deterministic 1/id_mod subset — the dedup_eval harness's sample
-        docs = docs.filter(expr=f"doc_id % {int(id_mod)} == 0")
+        _mod = int(id_mod)
+
+        def _subset(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % _mod == 0))
+
+        docs = docs.map_batches(_subset, batch_format="pyarrow")
     n = docs.count()
     nblocks = max(1, math.ceil(n / block_rows))
 
@@ -3143,7 +3155,7 @@ def dbscan_clusters(
     )
 
 
-DEDUP_EVAL_MOD = 8
+DEDUP_EVAL_MOD = 2
 
 
 def dedup_eval_report(sf_dir: str, *, threshold: float = 0.8) -> pa.Table:
@@ -3154,8 +3166,10 @@ def dedup_eval_report(sf_dir: str, *, threshold: float = 0.8) -> pa.Table:
     Hamming thresholding leave vs the exact baseline".
 
     Metric: co-cluster pairs restricted to the deterministic
-    ``doc_id % 8 == 0`` sample (truth = connected components over the
-    EXACT Jaccard pairs computed only within the sample — O((N/8)²) work;
+    ``doc_id % 2 == 0`` sample (truth = connected components over the
+    EXACT Jaccard pairs computed only within the sample — O((N/2)²) work,
+    ¼ of the full baseline, sized so the gate-scale sample still holds
+    true pairs — near-dup pair density is low by construction;
     predictions = each method's full-corpus clusters restricted to sample
     endpoints, so a pair bridged through an out-of-sample doc honestly
     costs precision — the standard pairwise clustering metric).  Integer
