@@ -587,6 +587,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RE2 classes, all-integer, zeros-honest on clean corpora; RE2
         # class twin.
         "encoding_audit": tsp.encoding_audit,
+        # rake_digest (twelfth round-4 continuation, never gated):
+        # RAKE keyphrase extraction — stopword-free phrase runs, q20
+        # deg/freq word scores, bucket-join (no vocab broadcast),
+        # distributed top-k; pinned from oracle_dedup.rake_rows.
+        "rake_digest": tsp.rake_digest,
         # vocab_sketch_digest (twelfth round-4 continuation, never
         # gated): pairwise vocabulary overlap by HLL set algebra —
         # max-union + inclusion-exclusion on mergeable registers, moving
@@ -1988,6 +1993,12 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
                     // count(*))::BIGINT AS hapax_ppm
             FROM tc GROUP BY 1 ORDER BY 1
+        """,
+        # RAKE digest: pinned at sf0.01 from the sequential twin
+        # (plain-Counter RAKE, same grid and ranking).
+        "rake_digest": """
+            SELECT 20::BIGINT AS n_rows,
+                   1852277614997703221::BIGINT AS digest
         """,
         # Vocab-sketch digest: pinned at sf0.01 from the sequential twin
         # (plain-dict registers, same blake2b token hash).

@@ -1573,3 +1573,53 @@ def dedup_eval_rows(sf_dir: str, *, threshold: float = 0.8, mod: int = 2) -> tup
         dg = (dg + row_digest(m, pay)) % DIGEST_MOD
         n_rows += 1
     return n_rows, dg
+
+
+def rake_rows(sf_dir: str, *, top_k: int = 20, max_phrase: int = 3) -> tuple[int, int]:
+    """Sequential twin of `textstats.rake_rows` gate: plain-Counter RAKE
+    with the same stopword set, run-chunking rule, q20 word-score grid
+    and (score desc, n desc, phrase asc) ranking.  Returns
+    (n_rows, digest)."""
+    from collections import Counter
+
+    from ocr_engine_ray.functions.textstats import STOPWORDS
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    stop = STOPWORDS["en"]
+    tok_re = re.compile(r"[^ \t\n\f\r]+")
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    phrases: Counter = Counter()
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        toks = [w.lower() for w in tok_re.findall(txt or "")]
+        run: list[str] = []
+        runs = []
+        for w in toks:
+            if w in stop:
+                if run:
+                    runs.append(run)
+                    run = []
+            else:
+                run.append(w)
+        if run:
+            runs.append(run)
+        for r in runs:
+            for i in range(0, len(r), max_phrase):
+                ph = tuple(r[i : i + max_phrase])
+                phrases[ph] += 1
+                for w in ph:
+                    freq[w] += 1
+                    deg[w] += len(ph)
+    wscore = {
+        w: round(deg[w] / freq[w] * (1 << 20)) for w in freq
+    }
+    rows = []
+    for ph, n in phrases.items():
+        rows.append((" ".join(ph), n, sum(wscore[w] for w in ph)))
+    rows.sort(key=lambda r: (-r[2], -r[1], r[0]))
+    rows = rows[:top_k]
+    dg = 0
+    for rank, (ph, n, sq) in enumerate(rows, start=1):
+        dg = (dg + row_digest(str(rank), f"{ph}\x1f{n}\x1f{sq}")) % DIGEST_MOD
+    return len(rows), dg

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 from ..functions import textstats as ts
 from ..sources.tables import sf_table
@@ -2421,6 +2421,205 @@ def vocab_sketch_digest(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "n_pairs": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
+
+
+RAKE_MAX_PHRASE = 3
+RAKE_TOP_K = 20
+RAKE_GRID = 1 << 20
+
+
+def rake_keyphrases(
+    sf_dir: str, *, top_k: int = RAKE_TOP_K, num_buckets: int = 64
+) -> pa.Table:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus — the
+    unsupervised keyphrase family beside tf-idf's per-doc terms and PMI's
+    bigram collocations: candidate phrases are maximal stopword-free
+    token runs (lowercased, capped at ``RAKE_MAX_PHRASE`` words), a
+    word's score is ``deg(w)/freq(w)`` over the candidate set, and a
+    phrase scores the sum of its words.
+
+    Exactness: word scores quantize ONCE to the q20 grid
+    (``round_even(deg/freq · 2^20)``), so phrase scores and all folds
+    are exact integers; ranking is (score_q20 desc, n desc, phrase asc).
+
+    Scale shape — NO vocabulary-sized driver state (the `token_rarity`
+    bucket-join pattern): one corpus pass emits per-batch combined
+    (phrase, n) partials and (word, freq, deg) partials; a word-keyed
+    groupby folds global word stats; phrase→word pairs route by the
+    word's crc bucket to attach scores (shuffle moves phrase-word pairs,
+    ≤ 3 per phrase), and a phrase-keyed groupby sums.  The global top-k
+    is a sort+limit over phrase rows.  Returns
+    (rank, phrase, n, score_q20); pinned via `rake_digest` from
+    `oracle_dedup.rake_rows` (plain-Counter reimplementation).
+    """
+    import zlib
+
+    from ..functions.textstats import STOPWORDS
+
+    stop = frozenset(STOPWORDS["en"])
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def phrase_rows(batch: pa.Table) -> tuple[dict, dict, dict]:
+        phr: dict[tuple, int] = {}
+        freq: dict[str, int] = {}
+        deg: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            toks = [w.lower() for w in _py_tokens(t or "")]
+            run: list[str] = []
+            runs = []
+            for w in toks:
+                if w in stop:
+                    if run:
+                        runs.append(run)
+                        run = []
+                else:
+                    run.append(w)
+            if run:
+                runs.append(run)
+            for r in runs:
+                for i in range(0, len(r), RAKE_MAX_PHRASE):
+                    ph = tuple(r[i : i + RAKE_MAX_PHRASE])
+                    phr[ph] = phr.get(ph, 0) + 1
+                    for w in ph:
+                        freq[w] = freq.get(w, 0) + 1
+                        deg[w] = deg.get(w, 0) + len(ph)
+        return phr, freq, deg
+
+    def partials(batch: pa.Table) -> pa.Table:
+        phr, freq, deg = phrase_rows(batch)
+        kinds, keys, n1, n2 = [], [], [], []
+        for ph, n in phr.items():
+            kinds.append(0)
+            keys.append(" ".join(ph))
+            n1.append(n)
+            n2.append(0)
+        for w in freq:
+            kinds.append(1)
+            keys.append(w)
+            n1.append(freq[w])
+            n2.append(deg[w])
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "n1": pa.array(n1, pa.int64()),
+                "n2": pa.array(n2, pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(Sum("n1", alias_name="n1"), Sum("n2", alias_name="n2"))
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        # word rows route to their own bucket with their q20 score;
+        # phrase rows explode to one row per word, routed the same way
+        out = {"bkt": [], "is_score": [], "word": [], "phrase": [],
+               "n": [], "score_q": []}
+        for kind, key, n1, n2 in zip(
+            batch.column("kind").to_pylist(),
+            batch.column("key").to_pylist(),
+            batch.column("n1").to_pylist(),
+            batch.column("n2").to_pylist(),
+        ):
+            if kind == 1:
+                sq = int(np.round(float(n2) / float(n1) * RAKE_GRID))
+                out["bkt"].append(zlib.crc32(key.encode()) % num_buckets)
+                out["is_score"].append(1)
+                out["word"].append(key)
+                out["phrase"].append("")
+                out["n"].append(0)
+                out["score_q"].append(sq)
+            else:
+                for w in key.split(" "):
+                    out["bkt"].append(zlib.crc32(w.encode()) % num_buckets)
+                    out["is_score"].append(0)
+                    out["word"].append(w)
+                    out["phrase"].append(key)
+                    out["n"].append(n1)
+                    out["score_q"].append(0)
+        return pa.table(
+            {
+                "bkt": pa.array(out["bkt"], pa.int64()),
+                "is_score": pa.array(out["is_score"], pa.int64()),
+                "word": pa.array(out["word"], pa.string()),
+                "phrase": pa.array(out["phrase"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "score_q": pa.array(out["score_q"], pa.int64()),
+            }
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        score: dict[str, int] = {}
+        for w, s_, k_ in zip(
+            group.column("word").to_pylist(),
+            group.column("score_q").to_pylist(),
+            group.column("is_score").to_pylist(),
+        ):
+            if k_ == 1:
+                score[w] = s_
+        out = {"phrase": [], "n": [], "part_q": []}
+        for w, ph, n, k_ in zip(
+            group.column("word").to_pylist(),
+            group.column("phrase").to_pylist(),
+            group.column("n").to_pylist(),
+            group.column("is_score").to_pylist(),
+        ):
+            if k_ == 0:
+                out["phrase"].append(ph)
+                out["n"].append(n)
+                out["part_q"].append(score[w])
+        return pa.table(
+            {
+                "phrase": pa.array(out["phrase"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "part_q": pa.array(out["part_q"], pa.int64()),
+            }
+        )
+
+    scored = (
+        folded.map_batches(route, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(Max("n", alias_name="n"), Sum("part_q", alias_name="score_q20"))
+    )
+    rows = (
+        scored.sort(
+            ["score_q20", "n", "phrase"], descending=[True, True, False]
+        )
+        .limit(top_k)
+        .take_all()  # k rows — the only driver pull
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "phrase": pa.array([r["phrase"] for r in rows], pa.string()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+            "score_q20": pa.array([int(r["score_q20"]) for r in rows], pa.int64()),
+        }
+    )
+
+
+def rake_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `rake_keyphrases`: (n_rows, digest)."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = rake_keyphrases(sf_dir)
+    dg = 0
+    for i in range(t.num_rows):
+        pay = "\x1f".join(
+            str(t.column(c)[i].as_py()) for c in ("phrase", "n", "score_q20")
+        )
+        dg = (dg + row_digest(str(t.column("rank")[i].as_py()), pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([t.num_rows], pa.int64()),
             "digest": pa.array([dg], pa.int64()),
         }
     )
