@@ -551,6 +551,11 @@ def run_bench() -> dict:
             ).ppr_digest
         ),
         "ann_eval_digest": timed(ann.ann_eval_digest),
+        "seasonal_outlier_days": timed(analytics.seasonal_outlier_days),
+        "rake_digest": timed(tsp.rake_digest),
+        # dedup_eval_digest is NOT swept: its exact-Jaccard truth is
+        # O((N/2)^2) by design (the gate-scale eval harness, like
+        # ngram_jaccard_pairs itself).
     }
 
     result = {
