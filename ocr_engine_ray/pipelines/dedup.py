@@ -1651,15 +1651,6 @@ def containment_pairs(
     the MinHash band family.
     """
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
-    if id_mod is not None:
-        # deterministic 1/id_mod subset — the dedup_eval harness's sample
-        _mod = int(id_mod)
-
-        def _subset(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(ids % _mod == 0))
-
-        docs = docs.map_batches(_subset, batch_format="pyarrow")
     n = docs.count()
     nblocks = max(1, math.ceil(n / block_rows))
 
