@@ -587,6 +587,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RE2 classes, all-integer, zeros-honest on clean corpora; RE2
         # class twin.
         "encoding_audit": tsp.encoding_audit,
+        # field_provenance_digest (twelfth round-4 continuation, never
+        # gated): (label, page) histogram of the rich-fields provenance
+        # repair over the streaming extraction output; pinned from the
+        # per-doc oracle transcription.
+        "field_provenance_digest": interpret.field_provenance_digest,
         # rake_digest (twelfth round-4 continuation, never gated):
         # RAKE keyphrase extraction — stopword-free phrase runs, q20
         # deg/freq word scores, bucket-join (no vocab broadcast),
@@ -1993,6 +1998,12 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
                     // count(*))::BIGINT AS hapax_ppm
             FROM tc GROUP BY 1 ORDER BY 1
+        """,
+        # Provenance digest: pinned at sf0.01 from the per-doc oracle
+        # (oracle.rich_fields_document parse + Counter).
+        "field_provenance_digest": """
+            SELECT 1114::BIGINT AS n_rows,
+                   305467820932741533::BIGINT AS digest
         """,
         # RAKE digest: pinned at sf0.01 from the sequential twin
         # (plain-Counter RAKE, same grid and ranking).

@@ -1623,3 +1623,35 @@ def rake_rows(sf_dir: str, *, top_k: int = 20, max_phrase: int = 3) -> tuple[int
     for rank, (ph, n, sq) in enumerate(rows, start=1):
         dg = (dg + row_digest(str(rank), f"{ph}\x1f{n}\x1f{sq}")) % DIGEST_MOD
     return len(rows), dg
+
+
+def field_provenance_rows(sf_dir: str) -> tuple[int, int]:
+    """Sequential twin of `interpret.field_provenance_digest`: per-doc
+    `oracle.rich_fields_document` (the independent app.py transcription)
+    parsed back, plain-Counter (label, page) histogram.  Returns
+    (n_rows, digest)."""
+    import json as _json
+    from collections import Counter
+
+    from ocr_engine_ray import oracle, synth
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    counts: Counter = Counter()
+    for d, txt, lang in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("lang").to_pylist(),
+    ):
+        doc = synth.derive_doc(int(d), txt or "", lang or "")
+        js = oracle.rich_fields_document(doc)
+        for label, rec in _json.loads(js).items():
+            src = rec.get("source") or ""
+            page = int(src.rsplit("#page ", 1)[1]) if "#page " in src else 0
+            counts[(label, page)] += 1
+    dg = 0
+    for (label, page), n in counts.items():
+        dg = (dg + row_digest(f"{label}\x1f{page}", str(n))) % DIGEST_MOD
+    return len(counts), dg

@@ -213,3 +213,70 @@ def free_text_stats(sf_dir: str, **kwargs) -> rd.Dataset:
         )
 
     return out.map_batches(stats, batch_format="pyarrow")
+
+
+def field_provenance_histogram(sf_dir: str, **kwargs) -> rd.Dataset:
+    """Distribution of FIELD PROVENANCE over the rich-fields surface:
+    for every extracted field label, how many documents attribute the
+    value to each page (the ``{doc_id}#page N`` provenance the
+    normalization pass repairs by substring search — reference
+    app.py:606-630 semantics).  The page histogram is the corpus-level
+    audit of that repair machinery: a label whose mass sits on page 1
+    is header-like; mass spread across pages means the fold is picking
+    values from body text.
+
+    Scale shape: one pass over the extraction output (the same streaming
+    `rich_fields` pipeline), per-batch (label, page, n) combined
+    partials, tiny groupby.  Returns (label, page, n_docs) sorted —
+    gated via `field_provenance_digest`, pinned from the per-doc oracle
+    (`oracle.rich_fields_document`) like every interpretation surface.
+    """
+    import json as _json
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = rich_fields(sf_dir, **kwargs)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, int], int] = {}
+        for doc_id, js in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("fields_rich_json").to_pylist(),
+        ):
+            for label, rec in _json.loads(js or "{}").items():
+                src = rec.get("source") or ""
+                page = int(src.rsplit("#page ", 1)[1]) if "#page " in src else 0
+                key = (label, page)
+                counts[key] = counts.get(key, 0) + 1
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "label": pa.array([k[0] for k in ks], pa.string()),
+                "page": pa.array([k[1] for k in ks], pa.int64()),
+                "n_docs": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "page"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort(["label", "page"])
+    )
+
+
+def field_provenance_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `field_provenance_histogram`: (n_rows, digest)."""
+    rows = field_provenance_histogram(sf_dir).take_all()
+    dg = 0
+    for r in rows:
+        dg = (
+            dg + row_digest(f"{r['label']}\x1f{r['page']}", str(r["n_docs"]))
+        ) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([len(rows)], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )

@@ -74,6 +74,7 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "ann_eval_digest": od.ann_eval_rows(sf_dir),
         "dedup_eval_digest": od.dedup_eval_rows(sf_dir),
         "rake_digest": od.rake_rows(sf_dir),
+        "field_provenance_digest": od.field_provenance_rows(sf_dir),
     }
 
 
