@@ -497,6 +497,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Luhn checksum (regex + checksum, beyond regex_tag's reach);
         # list_transform-lambda twin.
         "luhn_pii_scan": tagger.luhn_pii_scan,
+        # parquet_footprint_digest (twelfth round-4 continuation, never
+        # gated): per-(table, column) storage audit from parquet footers
+        # only — no data page read; pytest cross-checks DuckDB's
+        # independent parquet_metadata() reader.
+        "parquet_footprint_digest": diagnostics.parquet_footprint_digest,
         # fd_violation_audit (twelfth round-4 continuation, never gated):
         # functional-dependency discovery — distinct-y-per-x counts for
         # candidate X→Y pairs, one scan per table via tagged union;
@@ -1624,6 +1629,13 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN agg ON agg.source = s.source
             LEFT JOIN fl ON fl.source = s.source
             ORDER BY s.source
+        """,
+        # Footprint digest: pinned at the gate corpus (byte sizes are
+        # corpus constants); DuckDB parquet_metadata() is the pytest
+        # cross-check (paths can't parametrize a static twin).
+        "parquet_footprint_digest": """
+            SELECT 51::BIGINT AS n_rows,
+                   1611710618096160174::BIGINT AS digest
         """,
         # FD audit: candidate list verbatim, count(DISTINCT y) per x,
         # integer-floor ppm.

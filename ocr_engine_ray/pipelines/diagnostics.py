@@ -895,3 +895,91 @@ def fd_violation_audit(sf_dir: str) -> rd.Dataset:
         return batch.append_column("violation_ppm", pa.array(ppm, pa.int64()))
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("fd_name")
+
+
+FOOTPRINT_TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def parquet_footprint(sf_dir: str) -> rd.Dataset:
+    """Storage-layout audit across every driver table from PARQUET FOOTERS
+    ONLY — per (table, column): compressed bytes, uncompressed bytes,
+    row-group count and row count, the lakehouse capacity/compression
+    report (what an ops review reads before re-partitioning or
+    re-encoding a table).  No data page is ever read: each task opens one
+    file's metadata (O(KB) per table at any corpus size — with
+    directory-per-table layouts this maps over the file manifest).
+
+    Scale shape: the table list fans out as a tiny Dataset; one task per
+    file reads the footer.  All-integer output; gated via
+    `parquet_footprint_digest` (pinned at the gate corpus — byte sizes
+    are corpus constants), and pytest cross-checks the numbers against
+    DuckDB's independent ``parquet_metadata()`` reader at both SFs.
+    Returns (table, column, n_row_groups, n_rows, compressed_bytes,
+    uncompressed_bytes) sorted.
+    """
+    import pyarrow.parquet as pq
+
+    tables = rd.from_items([{"table": t} for t in FOOTPRINT_TABLES])
+
+    def footer(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("table", "column", "n_row_groups", "n_rows",
+                               "compressed_bytes", "uncompressed_bytes")}
+        for t in batch.column("table").to_pylist():
+            md = pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata
+            agg: dict[str, list[int]] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    a = agg.setdefault(name, [0, 0])
+                    a[0] += int(col.total_compressed_size)
+                    a[1] += int(col.total_uncompressed_size)
+            for name in sorted(agg):
+                out["table"].append(t)
+                out["column"].append(name)
+                out["n_row_groups"].append(md.num_row_groups)
+                out["n_rows"].append(md.num_rows)
+                out["compressed_bytes"].append(agg[name][0])
+                out["uncompressed_bytes"].append(agg[name][1])
+        return pa.table(
+            {
+                "table": pa.array(out["table"], pa.string()),
+                "column": pa.array(out["column"], pa.string()),
+                "n_row_groups": pa.array(out["n_row_groups"], pa.int64()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "compressed_bytes": pa.array(out["compressed_bytes"], pa.int64()),
+                "uncompressed_bytes": pa.array(out["uncompressed_bytes"], pa.int64()),
+            }
+        )
+
+    return (
+        tables.repartition(len(FOOTPRINT_TABLES))
+        .map_batches(footer, batch_format="pyarrow")
+        .sort(["table", "column"])
+    )
+
+
+def parquet_footprint_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `parquet_footprint`: (n_rows, digest)."""
+    from .fold import fold_int_sums_by_key  # noqa: F401  (module convention)
+    from ..pipelines.interpret import DIGEST_MOD, row_digest
+
+    rows = parquet_footprint(sf_dir).take_all()
+    dg = 0
+    for r in rows:
+        pay = "\x1f".join(
+            str(r[c])
+            for c in ("n_row_groups", "n_rows", "compressed_bytes",
+                      "uncompressed_bytes")
+        )
+        dg = (dg + row_digest(f"{r['table']}\x1f{r['column']}", pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([len(rows)], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
