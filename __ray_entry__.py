@@ -497,6 +497,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Luhn checksum (regex + checksum, beyond regex_tag's reach);
         # list_transform-lambda twin.
         "luhn_pii_scan": tagger.luhn_pii_scan,
+        # join_size_estimate (twelfth round-4 continuation, never
+        # gated): exact join cardinality + the AMS/CMS inner-product
+        # estimate in one row — pins the sketch algebra, the md5 kernel
+        # and the bucketed-join count; full SQL twin.
+        "join_size_estimate": joins.join_size_estimate,
         # parquet_footprint_digest (twelfth round-4 continuation, never
         # gated): per-(table, column) storage audit from parquet footers
         # only — no data page read; pytest cross-checks DuckDB's
@@ -1629,6 +1634,43 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN agg ON agg.source = s.source
             LEFT JOIN fl ON fl.source = s.source
             ORDER BY s.source
+        """,
+        # Join-size: exact Σ c_o·c_e over matching keys + the CMS inner
+        # product with the cms_token_counts md5 hash expression.
+        "join_size_estimate": """
+            WITH o AS (SELECT o_custkey AS k, count(*)::BIGINT AS n
+                       FROM orders GROUP BY 1),
+            e AS (SELECT user_id AS k, count(*)::BIGINT AS n
+                  FROM events GROUP BY 1),
+            exact AS (SELECT coalesce(sum(o.n * e.n), 0)::BIGINT AS x
+                      FROM o JOIN e USING (k)),
+            js AS (SELECT unnest(generate_series(0, 3)) AS j),
+            co AS (
+              SELECT js.j,
+                     ('0x' || substr(md5(js.j::VARCHAR || ':' || o.k::VARCHAR),
+                                     1, 8))::UBIGINT % 256 AS b,
+                     sum(o.n)::BIGINT AS c
+              FROM o, js GROUP BY 1, 2
+            ),
+            ce AS (
+              SELECT js.j,
+                     ('0x' || substr(md5(js.j::VARCHAR || ':' || e.k::VARCHAR),
+                                     1, 8))::UBIGINT % 256 AS b,
+                     sum(e.n)::BIGINT AS c
+              FROM e, js GROUP BY 1, 2
+            ),
+            ip AS (
+              SELECT co.j, sum(co.c * ce.c)::BIGINT AS v
+              FROM co JOIN ce ON co.j = ce.j AND co.b = ce.b
+              GROUP BY 1
+            ),
+            est AS (SELECT min(v)::BIGINT AS est FROM ip)
+            SELECT (SELECT x FROM exact) AS exact_rows,
+                   (SELECT est FROM est) AS cms_estimate,
+                   CASE WHEN (SELECT x FROM exact) = 0 THEN 0
+                        ELSE (((SELECT est FROM est) - (SELECT x FROM exact))
+                              * 1000000 // (SELECT x FROM exact))
+                   END::BIGINT AS err_ppm
         """,
         # Footprint digest: pinned at the gate corpus (byte sizes are
         # corpus constants); DuckDB parquet_metadata() is the pytest

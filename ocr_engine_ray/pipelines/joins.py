@@ -1121,3 +1121,139 @@ def customer_order_reconciliation(
         )
         .sort("presence")
     )
+
+
+JS_DEPTH = 4
+JS_WIDTH = 256
+
+
+def join_size_estimate(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """JOIN-SIZE ESTIMATION — the query-planner primitive: the exact
+    cardinality of ``orders ⋈ events ON o_custkey = user_id`` next to its
+    Count-Min-sketch INNER-PRODUCT estimate (AMS/CMS join-size
+    estimation: |R ⋈ S| ≤ min_j Σ_b C_R[j,b]·C_S[j,b], an upper bound
+    that tightens with width) — so the surface pins the sketch algebra,
+    the md5 hash kernel AND the exact bucketed-join count in one row.
+
+    Scale shape: per-side per-batch key-count partials fold once by key
+    hash bucket (exact side: Σ c_R·c_S inside the bucket that owns the
+    key — ONE shuffle of distinct-key rows); the sketch side emits
+    ≤ depth×width combined cells per batch and folds to a constant-size
+    array.  Integer-only output (exact_rows, cms_estimate, err_ppm);
+    the twin recomputes both wholesale with the
+    ``cms_token_counts`` hash expression.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    sides = (
+        ("orders", "o_custkey", sf_table(sf_dir, "orders", columns=["o_custkey"])),
+        ("events", "user_id", sf_table(sf_dir, "events", columns=["user_id"])),
+    )
+
+    def partials(batch: pa.Table, *, col, side_ix) -> pa.Table:
+        keys = batch.column(col).to_numpy(zero_copy_only=False).astype("int64")
+        uk, cnt = np.unique(keys, return_counts=True)
+        # exact-side rows: (key-bucket, side, key, n)
+        out_rows = {
+            "kbkt": (uk % num_buckets).tolist(),
+            "side": [side_ix] * len(uk),
+            "key": uk.tolist(),
+            "n": cnt.astype(np.int64).tolist(),
+            "j": [-1] * len(uk),
+            "b": [-1] * len(uk),
+        }
+        # sketch-side rows: (j, bucket) cells, combined in-batch
+        cells: dict[tuple[int, int], int] = {}
+        for k, c in zip(uk.tolist(), cnt.tolist()):
+            kb = str(k).encode()
+            for j in range(JS_DEPTH):
+                hb = int(hashlib.md5(b"%d:" % j + kb).hexdigest()[:8], 16) % JS_WIDTH
+                cells[(j, hb)] = cells.get((j, hb), 0) + int(c)
+        for (j, hb), c in sorted(cells.items()):
+            # sketch cells spread over negative buckets (same cell →
+            # same bucket), so no single group holds the whole stream
+            out_rows["kbkt"].append(-1 - ((j * JS_WIDTH + hb) % num_buckets))
+            out_rows["side"].append(side_ix)
+            out_rows["key"].append(-1)
+            out_rows["n"].append(c)
+            out_rows["j"].append(j)
+            out_rows["b"].append(hb)
+        return pa.table(
+            {
+                "kbkt": pa.array(out_rows["kbkt"], pa.int64()),
+                "side": pa.array(out_rows["side"], pa.int64()),
+                "key": pa.array(out_rows["key"], pa.int64()),
+                "n": pa.array(out_rows["n"], pa.int64()),
+                "j": pa.array(out_rows["j"], pa.int64()),
+                "b": pa.array(out_rows["b"], pa.int64()),
+            }
+        )
+
+    streams = [
+        ds.map_batches(partials, batch_format="pyarrow",
+                       fn_kwargs={"col": col, "side_ix": ix})
+        for ix, (_, col, ds) in enumerate(sides)
+    ]
+    union = streams[0].union(streams[1])
+
+    def bucket_product(group: pa.Table) -> pa.Table:
+        kb = group.column("kbkt")[0].as_py()
+        if kb < 0:  # sketch cells pass through folded per (side, j, b)
+            t = pa.TableGroupBy(
+                group.select(["side", "j", "b", "n"]), ["side", "j", "b"]
+            ).aggregate([("n", "sum")])
+            return pa.table(
+                {
+                    "kind": pa.array([1] * t.num_rows, pa.int64()),
+                    "side": t.column("side"),
+                    "j": t.column("j"),
+                    "b": t.column("b"),
+                    "v": t.column("n_sum").cast(pa.int64()),
+                }
+            )
+        # exact side: Σ over keys of c_orders·c_events within this bucket
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        tot = 0
+        c0: dict[int, int] = {}
+        for k, s_, c in zip(keys.tolist(), side.tolist(), n.tolist()):
+            if s_ == 0:
+                c0[k] = c0.get(k, 0) + c
+        for k, s_, c in zip(keys.tolist(), side.tolist(), n.tolist()):
+            if s_ == 1 and k in c0:
+                tot += c0[k] * c
+        return pa.table(
+            {
+                "kind": pa.array([0], pa.int64()),
+                "side": pa.array([-1], pa.int64()),
+                "j": pa.array([-1], pa.int64()),
+                "b": pa.array([-1], pa.int64()),
+                "v": pa.array([tot], pa.int64()),
+            }
+        )
+
+    rows = (
+        union.groupby("kbkt")
+        .map_groups(bucket_product, batch_format="pyarrow")
+        .take_all()  # ≤ num_buckets + 2·depth·width rows
+    )
+    exact = sum(int(r["v"]) for r in rows if r["kind"] == 0)
+    cms = np.zeros((2, JS_DEPTH, JS_WIDTH), dtype=np.int64)
+    for r in rows:
+        if r["kind"] == 1:
+            cms[int(r["side"]), int(r["j"]), int(r["b"])] += int(r["v"])
+    inner = (cms[0].astype(object) * cms[1].astype(object)).sum(axis=1)
+    est = int(min(inner))
+    err = (est - exact) * 1_000_000 // exact if exact else 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "exact_rows": pa.array([exact], pa.int64()),
+                "cms_estimate": pa.array([est], pa.int64()),
+                "err_ppm": pa.array([err], pa.int64()),
+            }
+        )
+    )
