@@ -553,6 +553,17 @@ def run_bench() -> dict:
         "ann_eval_digest": timed(ann.ann_eval_digest),
         "seasonal_outlier_days": timed(analytics.seasonal_outlier_days),
         "rake_digest": timed(tsp.rake_digest),
+        "join_size_estimate": timed(joins.join_size_estimate),
+        "parquet_footprint_digest": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+            ).parquet_footprint_digest
+        ),
+        "field_provenance_digest": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.interpret", fromlist=["x"]
+            ).field_provenance_digest
+        ),
         # dedup_eval_digest is NOT swept: its exact-Jaccard truth is
         # O((N/2)^2) by design (the gate-scale eval harness, like
         # ngram_jaccard_pairs itself).
