@@ -131,8 +131,14 @@ def run_bench() -> dict:
             res.num_rows
         return time.monotonic() - t
 
+    # Sweep entries run ONCE by default since the sweep grew past ~190
+    # queries (the driver repeats the whole bench; min-of-2 would double a
+    # ~10-minute pass — the historical min-of-2 numbers live in
+    # BENCH/bench_session*_full.json).  Set BENCH_QUERY_RUNS=2 to restore.
+    query_runs = int(os.environ.get("BENCH_QUERY_RUNS", "1"))
+
     def timed(fn) -> float:
-        return round(min(_once(fn), _once(fn)), 3)
+        return round(min(_once(fn) for _ in range(max(1, query_runs))), 3)
 
     if os.environ.get("BENCH_SKIP_QUERIES"):
         result = {
