@@ -539,6 +539,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cents series — exact-integer D_k = T·S_k − k·S_T argmax, one
         # scale-free ppm double; prefix-sum window twin.
         "cusum_changepoint": rankstats.cusum_changepoint,
+        # bootstrap_order_value_ci (twelfth round-4 continuation, never
+        # gated): Poisson-bootstrap CI for the mean order value — 64
+        # deterministic md5-seeded replicas, exact integer replica sums,
+        # fixed order-statistic interval; full generate_series twin with
+        # byte-identical CDF threshold literals.
+        "bootstrap_order_value_ci": rankstats.bootstrap_order_value_ci,
         # rfm_segments (tenth round-4 continuation, never gated): the
         # marketing RFM grid — three NTILE rankings in one union shuffle,
         # custkey-zipped; triple-ntile window twin.
@@ -1745,6 +1751,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_purchases,
                    sum(credit)::BIGINT AS credit_ppm_total
             FROM cr GROUP BY 1, 2 ORDER BY 1
+        """,
+        # Poisson bootstrap: the md5 uniform, the CDF threshold literals
+        # (repr round-trips to the identical doubles) and the fixed
+        # rank-2/rank-63 interval, replayed via generate_series.
+        "bootstrap_order_value_ci": __import__(
+            "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
+        ).__dict__["BOOT_CDF"]
+        and f"""
+            WITH o AS (SELECT o_orderkey AS k,
+                              round(o_totalprice * 100)::BIGINT AS cents
+                       FROM orders),
+            r AS (SELECT unnest(generate_series(0, 63)) AS j),
+            u AS (
+              SELECT r.j, o.cents,
+                     ('0x' || substr(md5(r.j::VARCHAR || ':' || o.k::VARCHAR),
+                                     1, 8))::UBIGINT::DOUBLE
+                       / 4294967296.0 AS u
+              FROM o, r
+            ),
+            m AS (SELECT j, cents,
+                         ({" + ".join(f"CASE WHEN u >= {t!r} THEN 1 ELSE 0 END" for t in __import__("ocr_engine_ray.pipelines.rankstats", fromlist=["x"]).BOOT_CDF)})
+                           AS mult
+                  FROM u),
+            rs AS (SELECT j, sum(mult * cents)::BIGINT AS s,
+                          sum(mult)::BIGINT AS n
+                   FROM m GROUP BY 1),
+            mm AS (SELECT j,
+                          CASE WHEN n = 0 THEN 0
+                               ELSE round_even(s::DOUBLE / n::DOUBLE * 10000,
+                                               0)::BIGINT
+                          END AS mean_q4
+                   FROM rs),
+            srt AS (SELECT mean_q4,
+                           row_number() OVER (ORDER BY mean_q4) AS rk
+                    FROM mm),
+            tot AS (SELECT count(*)::BIGINT AS n_all,
+                           sum(cents)::BIGINT AS s_all FROM o)
+            SELECT (SELECT n_all FROM tot) AS n_orders,
+                   round_even((SELECT s_all FROM tot)::DOUBLE
+                              / (SELECT n_all FROM tot)::DOUBLE * 10000,
+                              0)::BIGINT AS mean_q4,
+                   (SELECT mean_q4 FROM srt WHERE rk = 2) AS ci_lo_q4,
+                   (SELECT mean_q4 FROM srt WHERE rk = 63) AS ci_hi_q4
         """,
         # Holt forecast digest: pinned at sf0.01 from the sequential twin
         # (identical fixed-point spec); regenerate via

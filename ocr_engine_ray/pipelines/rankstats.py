@@ -840,3 +840,107 @@ def holt_forecast_digest(sf_dir: str) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+BOOT_REPLICAS = 64
+BOOT_POISSON_MAX = 8
+# Cumulative Poisson(1) CDF thresholds e^{-1}·Σ 1/i!, k = 0..7: a row's
+# replica multiplicity is  c = #{k : u ≥ CDF(k)}  for the replica's
+# uniform u — the shortest-repr literals below are embedded VERBATIM in
+# the SQL twin, so both sides compare against bit-identical doubles.
+BOOT_CDF = []
+_acc, _term = 0.0, 1.0
+for _k in range(BOOT_POISSON_MAX):
+    if _k > 0:
+        _term = _term / _k
+    _acc = _acc + _term
+    BOOT_CDF.append(_acc * 0.36787944117144233)  # e^{-1}
+del _acc, _term, _k
+
+
+def bootstrap_order_value_ci(sf_dir: str) -> rd.Dataset:
+    """Poisson-bootstrap confidence interval for the mean order value
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams")
+    — THE distributed bootstrap: instead of resampling n rows with
+    replacement (impossible in one pass), every row contributes a
+    Poisson(1)-distributed multiplicity to each of ``BOOT_REPLICAS``
+    replicas, with the multiplicity DETERMINISTIC via
+    ``u = md5(replica:orderkey)[:8] / 2^32`` against the precomputed
+    Poisson CDF thresholds (capped at 8 — tail mass < 1e-6).
+
+    Replica sums are exact integer (Σ c·cents, Σ c) partials folded
+    map-side; each replica's mean is ONE double divide quantized to q4;
+    the 2.5%/97.5% interval takes order statistics 1 and 62 of the 64
+    sorted replica means (fixed indices — no interpolation to drift).
+    Returns one row (n_orders, mean_q4, ci_lo_q4, ci_hi_q4); the SQL
+    twin replays the whole construction via generate_series.
+    """
+    import hashlib
+
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = np.asarray(_cents(batch.column("o_totalprice")), dtype=np.int64)
+        B = BOOT_REPLICAS
+        s = np.zeros(B, dtype=np.int64)
+        n = np.zeros(B, dtype=np.int64)
+        for k, c in zip(keys.tolist(), cents.tolist()):
+            kb = str(k).encode()
+            for j in range(B):
+                u = (
+                    int(hashlib.md5(b"%d:" % j + kb).hexdigest()[:8], 16)
+                    / 4294967296.0
+                )
+                mult = 0
+                for t in BOOT_CDF:
+                    if u >= t:
+                        mult += 1
+                if mult:
+                    s[j] += mult * c
+                    n[j] += mult
+        return pa.table(
+            {
+                "replica": pa.array(np.arange(BOOT_REPLICAS, dtype=np.int64)),
+                "s": pa.array(s),
+                "n": pa.array(n),
+            }
+        )
+
+    agg = (
+        orders.map_batches(partials, batch_format="pyarrow")
+        .groupby("replica")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .take_all()  # exactly BOOT_REPLICAS rows
+    )
+    means = []
+    for r in agg:
+        nn = int(r["n"])
+        means.append(
+            int(np.round(float(r["s"]) / float(nn) * 10_000)) if nn else 0
+        )
+    means.sort()
+    # full-sample mean for the point estimate
+    tot = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "c": _cents(b.column("o_totalprice")),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("c"), Sum("one"))
+    s_all, n_all = int(tot["sum(c)"] or 0), int(tot["sum(one)"] or 0)
+    mean_q4 = int(np.round(float(s_all) / float(n_all) * 10_000)) if n_all else 0
+    lo = means[1] if len(means) > 1 else (means[0] if means else 0)
+    hi = means[62] if len(means) > 62 else (means[-1] if means else 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_orders": pa.array([n_all], pa.int64()),
+                "mean_q4": pa.array([mean_q4], pa.int64()),
+                "ci_lo_q4": pa.array([lo], pa.int64()),
+                "ci_hi_q4": pa.array([hi], pa.int64()),
+            }
+        )
+    )
