@@ -467,6 +467,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact integer fixed-point iteration, seeds parallel over a
         # broadcast CSR; pinned from oracle_dedup.ppr_rows.
         "ppr_digest": pagerank.ppr_digest,
+        # hits_digest (thirteenth round-4 continuation, never gated):
+        # HITS hubs & authorities on the bipartite customer→supplier
+        # trade graph — exact integer fixed-point with per-half-round
+        # sum renormalization (Pregel + scalar aggregator); pinned from
+        # the independent sequential oracle_dedup.hits_rows.
+        "hits_digest": pagerank.hits_digest,
         # betweenness_digest (twelfth round-4 continuation, never gated):
         # pivot-sampled Brandes centrality — exact int64 σ, δ on the 2^30
         # integer grid so every fold is order-free; pivots parallelize
@@ -1437,6 +1443,12 @@ def oracle_sql() -> dict[str, str]:
         "ppr_digest": """
             SELECT 40::BIGINT AS n_rows,
                    2212024421391829681::BIGINT AS digest
+        """,
+        # HITS digest: pinned at sf0.01 from the sequential twin (dict
+        # adjacency, Python-int half-even renormalized rounds).
+        "hits_digest": """
+            SELECT 1600::BIGINT AS n_nodes,
+                   674673193450763583::BIGINT AS digest
         """,
         # Betweenness digest: pinned at sf0.01 from the sequential twin
         # (plain dict Brandes, same grid spec).

@@ -1655,3 +1655,67 @@ def field_provenance_rows(sf_dir: str) -> tuple[int, int]:
     for (label, page), n in counts.items():
         dg = (dg + row_digest(f"{label}\x1f{page}", str(n))) % DIGEST_MOD
     return len(counts), dg
+
+
+# --- HITS hubs & authorities ------------------------------------------------
+
+
+def hits_rows(sf_dir: str, *, iters: int = 4) -> tuple[int, int]:
+    """Sequential twin of `pagerank.hits_digest`: dict adjacency over the
+    distinct customer→supplier trading pairs, Python-int HITS rounds with
+    half-even renormalization to total mass 10^12 per side.  Returns
+    (n_nodes, digest)."""
+    from collections import defaultdict
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust_of = dict(
+        zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist(),
+        )
+    )
+    pairs = set()
+    for ok, sk in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_suppkey").to_pylist()
+    ):
+        pairs.add((cust_of[ok], sk))
+    if not pairs:
+        return 0, 0
+    out_of: dict[int, list[int]] = defaultdict(list)
+    in_of: dict[int, list[int]] = defaultdict(list)
+    for c, s in pairs:
+        out_of[c].append(s)
+        in_of[s].append(c)
+    SCALE = 1_000_000_000_000
+
+    def rdiv(n: int, d: int) -> int:
+        q, r = divmod(n, d)
+        if 2 * r > d or (2 * r == d and q % 2 == 1):
+            q += 1
+        return q
+
+    def renorm(x: dict[int, int]) -> dict[int, int]:
+        tot = sum(x.values())
+        return {k: rdiv(v * SCALE, tot) for k, v in x.items()}
+
+    h = {c: 1_000_000 for c in out_of}
+    a: dict[int, int] = {}
+    for _ in range(iters):
+        a = renorm({s: sum(h[c] for c in cs) for s, cs in in_of.items()})
+        h = renorm({c: sum(a[s] for s in ss) for c, ss in out_of.items()})
+    dg = 0
+    n_rows = 0
+    for c, v in h.items():
+        dg = (dg + row_digest(f"customer\x1f{c}", str(v))) % DIGEST_MOD
+        n_rows += 1
+    for s, v in a.items():
+        dg = (dg + row_digest(f"supplier\x1f{s}", str(v))) % DIGEST_MOD
+        n_rows += 1
+    return n_rows, dg

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -396,6 +397,230 @@ def ppr_digest(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "n_rows": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
+
+
+HITS_SCALE = 1_000_000_000_000  # per-side score mass after renormalization
+HITS_ITERS = 4
+
+
+def trade_hits(
+    sf_dir: str, *, iters: int = HITS_ITERS, num_buckets: int = 32
+) -> rd.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) on the BIPARTITE trade
+    graph: customers are hubs, suppliers are authorities, with a directed
+    edge customer→supplier per distinct trading pair (via lineitem⋈orders —
+    the same edge build as `trade_pagerank`, filtered to the c→s
+    direction).
+
+    EXACT INTEGER fixed-point so the result is bit-identical under any
+    bucketing: each half-round pushes raw int64 scores along the edges,
+    folds per-destination sums, and renormalizes the side to total mass
+    ``HITS_SCALE`` with half-even division —
+
+        a'(s)   = Σ_{c→s} h(c)         a(s) = rdiv(a'(s)·10^12, Σ a')
+        h'(c)   = Σ_{c→s} a(s)         h(c) = rdiv(h'(c)·10^12, Σ h')
+
+    starting from h_0(c) = 10^6 (the first renormalization makes the
+    start level irrelevant beyond the grid).  Overflow bound: a side's
+    pushed mass is ≤ 10^12 · max-degree, safe in int64 while the hottest
+    node keeps < ~9·10^6 distinct partners; at web scale the mass
+    constant scales down (same grid contract as PR_S0).
+
+    Scale shape — Pregel with a PER-HALF-ROUND SCALAR AGGREGATOR: each
+    half-round is one co-partition push shuffle (edges ∪ score rows
+    share the src bucket) + one per-destination fold shuffle, then the
+    side total — a single driver scalar via ``Dataset.sum`` — feeds the
+    renormalization map.  The materialize-per-half-round is inherent to
+    normalized HITS (the global sum is a sequential dependency), and
+    each materialized state is one int64 row per node, never edges.
+
+    Returns (kind, node_key, score): hub scores for customers, authority
+    scores for suppliers, sorted by (kind, node_key).  Digest-gated via
+    `hits_digest`, pinned from the independent sequential
+    `oracle_dedup.hits_rows`.
+    """
+    edges = (
+        _trade_edges(sf_dir, num_buckets=num_buckets)
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(pc.bit_wise_and(b.column("src"), 1), 0)
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "node_key": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        )
+    # reversed edge set for the hub half-round, keyed by ITS src (= supplier)
+    def rev(batch: pa.Table) -> pa.Table:
+        src = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sbkt": pa.array((src % num_buckets).astype(np.int64)),
+                "src": pa.array(src),
+                "dst": batch.column("src"),
+                "s": pa.array(np.zeros(len(src), np.int64)),
+            }
+        )
+
+    edges_rev = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    if edges.count() < 2_000_000:
+        edges = edges.repartition(4).materialize()
+        edges_rev = edges_rev.repartition(4).materialize()
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        src = np.unique(
+            batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "sbkt": pa.array((src % num_buckets).astype(np.int64)),
+                "src": pa.array(src),
+                "dst": pa.array(np.full(len(src), _LITERAL_DST, np.int64)),
+                "s": pa.array(np.full(len(src), 1_000_000, np.int64)),
+            }
+        )
+
+    def push(group: pa.Table) -> pa.Table:
+        """One src bucket: resolve literal scores (dupes carry the same
+        value), push score[src] along each edge, bucket-combine per dst."""
+        src = group.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        dst = group.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        s = group.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        is_lit = dst == _LITERAL_DST
+        is_edge = ~is_lit
+        sn, first = np.unique(src[is_lit], return_index=True)
+        sv = s[is_lit][first]
+        esrc, edst = src[is_edge], dst[is_edge]
+        if not len(esrc):
+            return pa.table(
+                {
+                    "fbkt": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.searchsorted(sn, esrc)
+        if (pos >= len(sn)).any() or (sn[np.minimum(pos, len(sn) - 1)] != esrc).any():
+            raise ValueError("edge source without a score row in its bucket")
+        contrib = sv[pos]
+        order = np.argsort(edst, kind="stable")
+        sd = edst[order]
+        new = np.concatenate([[True], sd[1:] != sd[:-1]])
+        starts = np.nonzero(new)[0]
+        node = sd[starts]
+        tot = np.add.reduceat(contrib[order], starts)
+        return pa.table(
+            {
+                "fbkt": pa.array((node % num_buckets).astype(np.int64)),
+                "node": pa.array(node),
+                "s": pa.array(tot),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        node = group.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        s = group.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        sn = node[order]
+        new = np.concatenate([[True], sn[1:] != sn[:-1]]) if len(sn) else np.array([], bool)
+        starts = np.nonzero(new)[0]
+        out = sn[starts]
+        tot = np.add.reduceat(s[order], starts) if len(starts) else s
+        return pa.table({"node": pa.array(out), "s": pa.array(tot)})
+
+    def half_round(score_rows: rd.Dataset, edge_side: rd.Dataset) -> rd.Dataset:
+        raw = (
+            edge_side.union(score_rows)
+            .groupby("sbkt")
+            .map_groups(push, batch_format="pyarrow")
+            .groupby("fbkt")
+            .map_groups(fold, batch_format="pyarrow")
+            .materialize()
+        )
+        total = int(raw.sum("s"))
+
+        def rescale(batch: pa.Table) -> pa.Table:
+            node = batch.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+            s = batch.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+            # Python-int numerators: s·10^12 overflows int64 (s itself can
+            # reach mass × degree); the loop is node-count sized per block.
+            def rdiv(n: int, d: int) -> int:
+                q, r = divmod(n, d)
+                if 2 * r > d or (2 * r == d and q % 2 == 1):
+                    q += 1
+                return q
+
+            scaled = np.fromiter(
+                (rdiv(int(x) * HITS_SCALE, total) for x in s),
+                dtype=np.int64,
+                count=len(s),
+            )
+            return pa.table(
+                {
+                    "sbkt": pa.array((node % num_buckets).astype(np.int64)),
+                    "src": pa.array(node),
+                    "dst": pa.array(np.full(len(node), _LITERAL_DST, np.int64)),
+                    "s": pa.array(scaled),
+                }
+            )
+
+        return raw.map_batches(rescale, batch_format="pyarrow").materialize()
+
+    hubs = edges.map_batches(init_scores, batch_format="pyarrow").materialize()
+    auths = None
+    for _ in range(iters):
+        auths = half_round(hubs, edges)
+        hubs = half_round(auths, edges_rev)
+
+    def present(batch: pa.Table) -> pa.Table:
+        n = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        kind = np.where(n % 2 == 0, "customer", "supplier")
+        return pa.table(
+            {
+                "kind": pa.array(kind.astype(object), pa.string()),
+                "node_key": pa.array(n // 2),
+                "score": batch.column("s"),
+            }
+        )
+
+    return (
+        hubs.union(auths)
+        .map_batches(present, batch_format="pyarrow")
+        .sort(["kind", "node_key"])
+    )
+
+
+def hits_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `trade_hits`: (n_nodes, digest), pinned from the
+    independent sequential `oracle_dedup.hits_rows`."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = trade_hits(sf_dir).to_arrow_refs()
+    import ray as _ray
+
+    dg = 0
+    n_rows = 0
+    for ref in t:
+        tb = _ray.get(ref)
+        for i in range(tb.num_rows):
+            key = f"{tb.column('kind')[i].as_py()}\x1f{tb.column('node_key')[i].as_py()}"
+            dg = (dg + row_digest(key, str(tb.column("score")[i].as_py()))) % DIGEST_MOD
+            n_rows += 1
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_rows], pa.int64()),
             "digest": pa.array([dg], pa.int64()),
         }
     )
