@@ -752,6 +752,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verify, no capping — exact), levenshtein twin, replayable past
         # the cut.
         "fuzzy_customer_pairs": fuzzy.fuzzy_name_pairs,
+        # sorted_neighborhood_pairs (thirteenth round-4 continuation,
+        # never gated): the OTHER classic ER blocking scheme — global
+        # (name, key) rank via order-preserving prefix bucketing, a
+        # sliding window over the ranked order, Jaro-Winkler ≥ τ verify
+        # (fuzz-pinned equal to DuckDB's double, 0.0145 decision margin
+        # at gate scale); window self-join twin.
+        "sorted_neighborhood_pairs": fuzzy.sorted_neighborhood_pairs,
         # cube_pricing moved past the cut in the fifth continuation (slot
         # went to image_decode_stats); still twin-exact and replayable.
         "cube_pricing": analytics.cube_pricing,
@@ -4625,6 +4632,21 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        # Sorted-neighborhood blocking: the rank window is the blocking
+        # rule itself, so the twin is the exact window self-join over
+        # row_number() ranks with DuckDB's own jaro_winkler.
+        "sorted_neighborhood_pairs": """
+            WITH r AS (
+              SELECT p_partkey, p_name,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+              FROM part
+            )
+            SELECT a.p_partkey AS a, b.p_partkey AS b
+            FROM r a JOIN r b
+              ON b.rk > a.rk AND b.rk <= a.rk + 8
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92
+            ORDER BY a, b
         """,
         "referential_integrity_audit": """
             SELECT 'lineitem.l_orderkey->orders' AS relation,

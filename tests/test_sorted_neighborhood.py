@@ -1,0 +1,120 @@
+"""Sorted-neighborhood blocking + Jaro-Winkler verify."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_engine_ray.pipelines.fuzzy import jaro_winkler, sorted_neighborhood_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jaro_winkler_matches_duckdb():
+    """Fuzz-pin `jaro_winkler` to DuckDB's double, including the
+    empty-string and no-match edge cases the Winkler boost rides on."""
+    con = duckdb.connect()
+    rng = random.Random(7)
+    words = ["cold", "small", "large", "blue", "red", "widget", "bolt", "rod"]
+    pairs = list(itertools.combinations([f"{a} {b}" for a in words[:4] for b in words[4:]], 2))
+    pairs += [("", ""), ("", "a"), ("abc", ""), ("martha", "marhta"), ("dwayne", "duane")]
+    for _ in range(400):
+        a = "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 12)))
+        pairs.append((a, b))
+    for a, b in pairs:
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler(a, b) == want, (a, b)
+
+
+def _write_parts(d, names):
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(len(names)), pa.int64()),
+                "p_name": pa.array(names, pa.string()),
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    return str(d)
+
+
+def _naive(names, window=8, tau=0.92):
+    ranked = sorted((n, k) for k, n in enumerate(names))
+    out = []
+    for i in range(len(ranked)):
+        for j in range(i + 1, min(i + window + 1, len(ranked))):
+            if jaro_winkler(ranked[i][0], ranked[j][0]) >= tau:
+                out.append((ranked[i][1], ranked[j][1]))
+    return sorted(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSortedNeighborhood:
+    def test_matches_naive_reference(self, tmp_path):
+        names = [
+            "cold widget", "cold widgets", "small bolt", "small bolts",
+            "large rod", "large rods", "blue gear", "blue gears",
+            "cold widget", "small bolt",
+        ]
+        sf = _write_parts(tmp_path / "a", names)
+        got = [(r["a"], r["b"]) for r in sorted_neighborhood_pairs(sf).take_all()]
+        assert got == _naive(names)
+
+    def test_segment_replication_boundary(self, tmp_path):
+        # seg_size smaller than the corpus forces cross-segment windows;
+        # result must be segment-size invariant
+        names = [f"name {chr(97 + i)}" for i in range(30)]
+        sf = _write_parts(tmp_path / "b", names)
+        big = [(r["a"], r["b"]) for r in sorted_neighborhood_pairs(sf).take_all()]
+        small = [
+            (r["a"], r["b"])
+            for r in sorted_neighborhood_pairs(sf, seg_size=7).take_all()
+        ]
+        assert big == small == _naive(names)
+
+    def test_prefix_bucket_invariance(self, tmp_path):
+        names = ["aa x", "ab x", "ba x", "bb x", "aa y", "ab y"] * 3
+        sf = _write_parts(tmp_path / "c", names)
+        a = [
+            (r["a"], r["b"])
+            for r in sorted_neighborhood_pairs(sf, prefix_bytes=1).take_all()
+        ]
+        b = [
+            (r["a"], r["b"])
+            for r in sorted_neighborhood_pairs(sf, prefix_bytes=3).take_all()
+        ]
+        assert a == b == _naive(names)
+
+    def test_window_bounds_pairs(self, tmp_path):
+        # identical names beyond window distance must NOT pair
+        names = ["same name"] * 12
+        sf = _write_parts(tmp_path / "d", names)
+        got = [
+            (r["a"], r["b"])
+            for r in sorted_neighborhood_pairs(sf, window=2).take_all()
+        ]
+        assert got == _naive(names, window=2)
+        assert len(got) == 11 + 10  # rank deltas 1 and 2 only
+
+    def test_gate_data_margin(self):
+        # the tau decision margin on real gate data dwarfs double noise
+        t = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey", "p_name"])
+        ranked = sorted(
+            zip(t.column("p_name").to_pylist(), t.column("p_partkey").to_pylist())
+        )
+        margin = min(
+            abs(jaro_winkler(ranked[i][0], ranked[j][0]) - 0.92)
+            for i in range(len(ranked))
+            for j in range(i + 1, min(i + 9, len(ranked)))
+        )
+        assert margin > 1e-6
