@@ -298,6 +298,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ranked retrieval on the round_even(x·2^40) integer grid — one
         # corpus pass, postings-volume tagged stream, generated twin.
         "bm25_topk": index.bm25_topk,
+        # wand_topk (thirteenth round-4 continuation, never gated): the
+        # SAME BM25 ranking via WAND document-at-a-time pruning — term
+        # upper bounds + pivot skipping per doc-shard, postings below
+        # the threshold never scored; pytest-pinned equal to bm25_topk
+        # and gated by the identical generated twin.
+        "wand_topk": index.wand_topk,
         # last_touch_attribution (eighth round-4 continuation, never
         # gated): conversion credit to the last preceding click within a
         # 7-day window — one user-bucket shuffle, frontier-ffill kernel;
@@ -2504,6 +2510,10 @@ def oracle_sql() -> dict[str, str]:
         # (term, doc) contribution, same 2^40 round_even grid, same
         # (score DESC, doc_id) total order (generated twin).
         "bm25_topk": __import__(
+            "ocr_engine_ray.pipelines.index", fromlist=["x"]
+        ).bm25_sql(),
+        # WAND computes the identical ranking, so it shares the twin.
+        "wand_topk": __import__(
             "ocr_engine_ray.pipelines.index", fromlist=["x"]
         ).bm25_sql(),
         "mktsegment_revenue": """

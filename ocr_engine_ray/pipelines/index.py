@@ -335,10 +335,51 @@ def bm25_topk(
 
     Returns (rank, doc_id, score_q) — rank 1-based.
     """
-    import functools
-
     from .fold import fold_by_key
 
+    tagged, n_docs, total_tok, df, words = _bm25_tagged(sf_dir, query)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return _bm25_contrib(batch, idf, n_docs, total_tok).select(
+            ["doc_id", "sq"]
+        )
+
+    scored = fold_by_key(
+        tagged.map_batches(score, batch_format="pyarrow"),
+        key="doc_id",
+        cols=["sq"],
+        num_buckets=num_buckets,
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        s = batch.column("sq").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(d) > k:  # only a block-local top-k row can reach global top-k
+            order = np.lexsort((d, -s))[:k]
+            d, s = d[order], s[order]
+        return pa.table({"doc_id": pa.array(d), "sq": pa.array(s)})
+
+    head = (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["sq", "doc_id"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(head) + 1), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in head], pa.int64()),
+            "score_q": pa.array([r["sq"] for r in head], pa.int64()),
+        }
+    )
+
+
+def _bm25_tagged(sf_dir: str, query: str):
+    """Shared postings-volume pass of the BM25 family: one corpus scan
+    emitting per-(doc, query-term) tf rows plus per-batch stat partials,
+    folded to the (n_docs, total_tokens, df_j) scalars on the driver.
+    Returns (tagged_ds, n_docs, total_tok, df, words)."""
     words = sorted(set(w for w in query.split() if w))
     if not words:
         raise ValueError("empty query")
@@ -403,62 +444,38 @@ def bm25_topk(
     for r in stats:
         if r["kind"] == 2:
             df[r["term"]] += r["tf"]
+    return tagged, n_docs, total_tok, df, words
 
-    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
-    def score(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch.column("kind"), 0)
-        g = batch.filter(mask)
-        if not g.num_rows:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "sq": pa.array([], pa.int64())}
-            )
-        d = g.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
-        t = g.column("term").combine_chunks().to_numpy(zero_copy_only=False)
-        tf = g.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
-        dl = g.column("dl").combine_chunks().to_numpy(zero_copy_only=False)
-        # identical float64 operand order as the twin:
-        # idf * (tf*2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*(dl*N)/total))
-        term = (
-            idf[t]
-            * (tf * (BM25_K1 + 1.0))
-            / (
-                tf
-                + BM25_K1
-                * (1.0 - BM25_B + BM25_B * (dl * n_docs) / float(total_tok))
-            )
+def _bm25_contrib(batch: pa.Table, idf: np.ndarray, n_docs: int, total_tok: int) -> pa.Table:
+    """Per-(doc, term) quantized BM25 contribution rows of one tagged
+    batch — identical float64 operand order as the twin:
+    idf * (tf*2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*(dl*N)/total))."""
+    mask = pc.equal(batch.column("kind"), 0)
+    g = batch.filter(mask)
+    if not g.num_rows:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.int64()),
+                "sq": pa.array([], pa.int64()),
+            }
         )
-        sq = np.round(term * _Q40).astype(np.int64)
-        return pa.table({"doc_id": pa.array(d), "sq": pa.array(sq)})
-
-    scored = fold_by_key(
-        tagged.map_batches(score, batch_format="pyarrow"),
-        key="doc_id",
-        cols=["sq"],
-        num_buckets=num_buckets,
+    d = g.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    t = g.column("term").combine_chunks().to_numpy(zero_copy_only=False)
+    tf = g.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
+    dl = g.column("dl").combine_chunks().to_numpy(zero_copy_only=False)
+    term = (
+        idf[t]
+        * (tf * (BM25_K1 + 1.0))
+        / (
+            tf
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * (dl * n_docs) / float(total_tok))
+        )
     )
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
-        s = batch.column("sq").combine_chunks().to_numpy(zero_copy_only=False)
-        if len(d) > k:  # only a block-local top-k row can reach global top-k
-            order = np.lexsort((d, -s))[:k]
-            d, s = d[order], s[order]
-        return pa.table({"doc_id": pa.array(d), "sq": pa.array(s)})
-
-    head = (
-        scored.map_batches(local_topk, batch_format="pyarrow")
-        .sort(["sq", "doc_id"], descending=[True, False])
-        .limit(k)
-        .take_all()
-    )
-    return pa.table(
-        {
-            "rank": pa.array(range(1, len(head) + 1), pa.int64()),
-            "doc_id": pa.array([r["doc_id"] for r in head], pa.int64()),
-            "score_q": pa.array([r["sq"] for r in head], pa.int64()),
-        }
-    )
+    sq = np.round(term * _Q40).astype(np.int64)
+    return pa.table({"doc_id": pa.array(d), "term": pa.array(t), "sq": pa.array(sq)})
 
 
 def bm25_sql(query: str = "sort query data", k: int = BM25_TOP_K) -> str:
@@ -503,3 +520,132 @@ def bm25_sql(query: str = "sort query data", k: int = BM25_TOP_K) -> str:
         ORDER BY score_q DESC, doc_id
         LIMIT {k}
     """
+
+
+def wand_topk(
+    sf_dir: str,
+    *,
+    query: str = "sort query data",
+    k: int = BM25_TOP_K,
+    num_shards: int = 32,
+) -> pa.Table:
+    """BM25 top-``k`` via WAND document-at-a-time pruning (Broder et al.
+    2003, public) — the index-side scale path beside the scan-side
+    `bm25_topk`, returning the IDENTICAL table (same q40 contribution
+    grid, same (score DESC, doc_id) total order; pytest-pinned equal and
+    gated by the same SQL twin).
+
+    Scale shape: the shared `_bm25_tagged` corpus pass emits the
+    postings-volume contribution stream; rows hash-shard by doc_id and
+    each shard runs the REAL WAND loop over its term postings (sorted
+    doc arrays + per-term integer upper bounds): terms sort by their
+    current doc, the pivot is the first term where the cumulative upper
+    bound beats the running threshold θ (the shard's k-th best integer
+    score so far), docs below the pivot are skipped with a galloping
+    ``np.searchsorted`` — never scored, never iterated — and only
+    pivot-aligned docs are fully scored.  Exactness: pruning only
+    discards docs whose upper bound is STRICTLY below θ, so ties still
+    surface and break on doc_id.  Shard top-k tables merge by one k-row
+    sort.  Per-shard skip counts are logged — the observable pruning
+    win postings-heavy corpora get over exhaustive folding.
+    """
+    import logging
+
+    from .fold import fold_by_key  # noqa: F401  (family anchor)
+
+    logger = logging.getLogger(__name__)
+    tagged, n_docs, total_tok, df, words = _bm25_tagged(sf_dir, query)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        t = _bm25_contrib(batch, idf, n_docs, total_tok)
+        d = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        shard = (
+            (d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(59)
+        ).astype(np.int64) % num_shards
+        return t.append_column("shard", pa.array(shard))
+
+    def wand_shard(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        t = group.column("term").combine_chunks().to_numpy(zero_copy_only=False)
+        s = group.column("sq").combine_chunks().to_numpy(zero_copy_only=False)
+        # per-term postings sorted by doc
+        posts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for j in np.unique(t):
+            sel = t == j
+            order = np.argsort(d[sel], kind="stable")
+            posts[int(j)] = (d[sel][order], s[sel][order])
+        terms = list(posts)
+        pos = {j: 0 for j in terms}
+        ub = {j: int(posts[j][1].max()) for j in terms}
+        # heap of (sq, -doc): python tuples give the exact total order
+        import heapq
+
+        heap: list[tuple[int, int]] = []
+        scored_docs = 0
+        skipped = 0
+        while True:
+            active = [j for j in terms if pos[j] < len(posts[j][0])]
+            if not active:
+                break
+            active.sort(key=lambda j: posts[j][0][pos[j]])
+            theta = heap[0][0] if len(heap) >= k else None
+            pivot_ix, acc = None, 0
+            for ix, j in enumerate(active):
+                acc += ub[j]
+                if theta is None or acc >= theta:
+                    pivot_ix = ix
+                    break
+            if pivot_ix is None:
+                break  # summed bounds can't reach θ — all postings pruned
+            pivot_doc = int(posts[active[pivot_ix]][0][pos[active[pivot_ix]]])
+            first_doc = int(posts[active[0]][0][pos[active[0]]])
+            if first_doc == pivot_doc:
+                total = 0
+                for j in active:
+                    docs_j, sq_j = posts[j]
+                    p = pos[j]
+                    if p < len(docs_j) and docs_j[p] == pivot_doc:
+                        total += int(sq_j[p])
+                        pos[j] = p + 1
+                scored_docs += 1
+                item = (total, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+            else:
+                # gallop every pre-pivot term up to the pivot doc
+                for j in active[:pivot_ix]:
+                    docs_j, _ = posts[j]
+                    new = int(np.searchsorted(docs_j, pivot_doc))
+                    skipped += new - pos[j]
+                    pos[j] = new
+        if skipped:
+            logger.info(
+                "wand shard: %d docs scored, %d postings skipped", scored_docs, skipped
+            )
+        best = sorted(heap, reverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array([-dd for _, dd in best], pa.int64()),
+                "sq": pa.array([sq for sq, _ in best], pa.int64()),
+            }
+        )
+
+    head = (
+        tagged.map_batches(contrib, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(wand_shard, batch_format="pyarrow")
+        .sort(["sq", "doc_id"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(head) + 1), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in head], pa.int64()),
+            "score_q": pa.array([r["sq"] for r in head], pa.int64()),
+        }
+    )
