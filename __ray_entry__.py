@@ -363,6 +363,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-frequency regression on the 2^20 ln grid, two-pass ranking
         # with bit_length range buckets; HUGEINT-moments twin.
         "zipf_slope_by_source": tsp.zipf_slope_by_source,
+        # keyness_log_odds (thirteenth round-4 continuation, never
+        # gated): "Fightin' Words" corpus comparison — per-source top-k
+        # terms by log-odds-ratio z-score with a symmetric Dirichlet
+        # prior, every z input an exact integer off one token-bucket
+        # shuffle, z itself one q40-gridded float64 expression; full
+        # SQL twin.
+        "keyness_log_odds": tsp.keyness_log_odds,
         # image_phash_dedup (eighth round-4 continuation, never gated):
         # perceptual (aHash) near-dup groups over REAL-decoded image
         # attachments; brute-force pixel-recompute twin.
@@ -1143,6 +1150,46 @@ def oracle_sql() -> dict[str, str]:
             FROM base b, gp, c4
         """,
         # Zipf slope: row_number over (count DESC, token), ln quantized to
+        # Keyness: identical integer inputs (pair counts / side totals /
+        # vocabulary size), z as ONE double expression in the engine's
+        # operand order on the 2^40 grid, rank window cut mirrored.
+        "keyness_log_odds": r"""
+            WITH occ AS (
+              SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
+              FROM documents
+            ),
+            tc AS (
+              SELECT source, token, count(*)::BIGINT AS c FROM occ GROUP BY 1, 2
+            ),
+            gt AS (SELECT token, sum(c)::BIGINT AS y FROM tc GROUP BY 1),
+            st AS (SELECT source, sum(c)::BIGINT AS n FROM tc GROUP BY 1),
+            gl AS (
+              SELECT sum(c)::BIGINT AS n, count(DISTINCT token)::BIGINT AS v
+              FROM tc
+            ),
+            z AS (
+              SELECT tc.source, tc.token,
+                     round_even(
+                       (ln((tc.c + 1)::DOUBLE
+                           / (st.n + gl.v - tc.c - 1)::DOUBLE)
+                        - ln(((gt.y - tc.c) + 1)::DOUBLE
+                             / ((gl.n - st.n) + gl.v - (gt.y - tc.c) - 1)::DOUBLE))
+                       / sqrt(1.0 / (tc.c + 1)::DOUBLE
+                              + 1.0 / ((gt.y - tc.c) + 1)::DOUBLE)
+                       * 1099511627776.0, 0)::BIGINT AS z_q
+              FROM tc JOIN gt USING (token)
+                      JOIN st ON tc.source = st.source
+                      CROSS JOIN gl
+            )
+            SELECT source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY z_q DESC, token) AS rank,
+                   token, z_q
+            FROM z
+            QUALIFY rank <= 10
+            ORDER BY source, rank
+        """,
         # the 2^20 grid, HUGEINT moments, one double division at the end.
         "zipf_slope_by_source": r"""
             WITH toks AS (

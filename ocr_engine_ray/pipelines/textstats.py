@@ -2623,3 +2623,211 @@ def rake_digest(sf_dir: str) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+# --- keyness: log-odds-ratio with Dirichlet prior ---------------------------
+
+
+def keyness_log_odds(
+    sf_dir: str, *, top_k: int = 10, num_buckets: int = 64
+) -> rd.Dataset:
+    """Per-source keyness: the ``top_k`` terms most over-represented in a
+    source vs the REST of the corpus, ranked by the log-odds-ratio z-score
+    with a symmetric Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words", α_w = 1):
+
+        δ  = ln((c+1)/(n_s + V − c − 1)) − ln((y_r+1)/(n_r + V − y_r − 1))
+        z  = δ / sqrt(1/(c+1) + 1/(y_r+1))
+
+    with c the (source, token) count, y_r the rest-of-corpus token count,
+    n_s / n_r the side totals and V the corpus vocabulary size — the
+    corpus-comparison primitive behind "what is slice X actually made
+    of" curation audits (tf-idf ranks within a document; keyness ranks
+    against a contrast corpus).
+
+    Exactness: every input to z is an exact integer off ONE token-bucket
+    shuffle (a token's rows co-locate, so its global count is
+    bucket-local; side totals and V fold from bucket-count-sized
+    partials on the driver), and z itself is one float64 expression in
+    the twin's operand order quantized ``round_even(z·2^40)`` — the BM25
+    grid convention — so (z_q DESC, token) is a total order and the
+    per-source top-k cut is deterministic.
+
+    Scale shape: per-batch distinct (source, token) multiplicity rows →
+    ONE crc(token) bucket shuffle → per-bucket fold emits scored pairs
+    plus tiny stat partials; a per-block top-k prune bounds the final
+    per-source selection at B·S·k rows.  No vocabulary ever sits on the
+    driver.  Returns (source, rank, token, z_q) sorted.
+    """
+    import zlib
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+    _Q40 = 1099511627776.0
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "tbkt": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if not len(rows):
+            return empty
+        senc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)[rows]
+        nd = len(dic)
+        ukey, cnt = np.unique(si * nd + codes, return_counts=True)
+        us = (ukey // nd).astype(np.int64)
+        ut = (ukey % nd).astype(np.int64)
+        tdic = dic.to_pylist()
+        per_tok = np.array(
+            [zlib.crc32(t.encode("utf-8")) % num_buckets for t in tdic],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "tbkt": pa.array(per_tok[ut]),
+                "source": pc.take(senc.dictionary, pa.array(us)),
+                "token": pc.take(dic, pa.array(ut)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        """Global (source, token) counts + per-token global counts of this
+        bucket (kind=0 rows), plus per-source token-total partials
+        (kind=1) and the bucket's distinct-token count (kind=2)."""
+        senc = pc.dictionary_encode(group.column("source").combine_chunks())
+        tenc = pc.dictionary_encode(group.column("token").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)
+        ti = np.asarray(tenc.indices, dtype=np.int64)
+        c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        nt = max(len(tenc.dictionary), 1)
+        pair = si * nt + ti
+        order = np.argsort(pair, kind="stable")
+        sp = pair[order]
+        new = np.concatenate([[True], sp[1:] != sp[:-1]])
+        starts = np.nonzero(new)[0]
+        pc_sum = np.add.reduceat(c[order], starts)
+        p_src = (sp[starts] // nt).astype(np.int64)
+        p_tok = (sp[starts] % nt).astype(np.int64)
+        y_tok = np.zeros(nt, np.int64)
+        np.add.at(y_tok, p_tok, pc_sum)
+        ns = len(senc.dictionary)
+        t_part = np.zeros(ns, np.int64)
+        np.add.at(t_part, si, c)
+        n_pairs, n_src = len(starts), ns
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(n_pairs, np.int64),
+                            np.ones(n_src, np.int64),
+                            np.array([2], np.int64),
+                        ]
+                    )
+                ),
+                "source": pa.concat_arrays(
+                    [
+                        pc.take(senc.dictionary, pa.array(p_src)),
+                        senc.dictionary,
+                        pa.array([""], pa.string()),
+                    ]
+                ),
+                "token": pa.concat_arrays(
+                    [
+                        pc.take(tenc.dictionary, pa.array(p_tok)),
+                        pa.nulls(n_src, pa.string()),
+                        pa.nulls(1, pa.string()),
+                    ]
+                ),
+                "c": pa.array(
+                    np.concatenate([pc_sum, t_part, np.array([nt], np.int64)])
+                ),
+                "y": pa.array(
+                    np.concatenate(
+                        [y_tok[p_tok], np.zeros(n_src, np.int64), np.zeros(1, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    folded = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("tbkt")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .materialize()
+    )
+    stats = folded.filter(expr="kind > 0").take_all()
+    n_s: dict[str, int] = {}
+    v_total = 0
+    for r in stats:
+        if r["kind"] == 1:
+            n_s[r["source"]] = n_s.get(r["source"], 0) + r["c"]
+        else:
+            v_total += r["c"]
+    n_total = sum(n_s.values())
+    import ray as _ray
+
+    ns_ref = _ray.put((n_s, v_total, n_total))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .joins import _get_broadcast
+
+        ns_map, V, n = _get_broadcast(ns_ref)
+        g = batch.filter(pc.equal(batch.column("kind"), 0))
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "z_q": pa.array([], pa.int64()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        src = g.column("source").to_pylist()
+        c = g.column("c").combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        y = g.column("y").combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        nsv = np.array([ns_map[s] for s in src], dtype=np.float64)
+        yr = y - c
+        nr = n - nsv
+        # one float64 expression, operand order identical to the twin
+        z = (
+            (
+                np.log((c + 1.0) / (nsv + V - c - 1.0))
+                - np.log((yr + 1.0) / (nr + V - yr - 1.0))
+            )
+            / np.sqrt(1.0 / (c + 1.0) + 1.0 / (yr + 1.0))
+            * _Q40
+        )
+        zq = np.round(z).astype(np.int64)
+        out = pa.table(
+            {"source": g.column("source"), "token": g.column("token"), "z_q": pa.array(zq)}
+        )
+        # block-local prune: only a per-source top-k row can reach the cut
+        df = out.to_pandas()
+        df = (
+            df.sort_values(["source", "z_q", "token"], ascending=[True, False, True])
+            .groupby("source", sort=False)
+            .head(top_k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        df = df.sort_values(["z_q", "token"], ascending=[False, True]).head(top_k)
+        df["rank"] = range(1, len(df) + 1)
+        return pa.Table.from_pandas(
+            df[["source", "rank", "token", "z_q"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        folded.map_batches(score, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pyarrow")
+        .sort(["source", "rank"])
+    )
