@@ -370,6 +370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle, z itself one q40-gridded float64 expression; full
         # SQL twin.
         "keyness_log_odds": tsp.keyness_log_odds,
+        # vocab_concentration (thirteenth round-4 continuation, never
+        # gated): Yule's K + Simpson repeat-rate per source — exact
+        # second-moment integer sums (Python-int string partials) over
+        # the entropy pass's token-bucket shuffle; HUGEINT twin.
+        "vocab_concentration": tsp.vocab_concentration,
         # image_phash_dedup (eighth round-4 continuation, never gated):
         # perceptual (aHash) near-dup groups over REAL-decoded image
         # attachments; brute-force pixel-recompute twin.
@@ -1150,6 +1155,32 @@ def oracle_sql() -> dict[str, str]:
             FROM base b, gp, c4
         """,
         # Zipf slope: row_number over (count DESC, token), ln quantized to
+        # Vocabulary concentration: same occ/tc tokenization, HUGEINT
+        # squared-count moments, one floor division per measure.
+        "vocab_concentration": r"""
+            WITH occ AS (
+              SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
+              FROM documents
+            ),
+            tc AS (
+              SELECT source, token, count(*)::BIGINT AS c FROM occ GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT source, sum(c)::HUGEINT AS n,
+                     count(*)::BIGINT AS v,
+                     sum(c::HUGEINT * c::HUGEINT)::HUGEINT AS s2
+              FROM tc GROUP BY 1
+            )
+            SELECT source, n::BIGINT AS n_tokens, v AS n_distinct_tokens,
+                   CASE WHEN n > 0
+                        THEN ((s2 - n) * 10000000000 // (n * n))::BIGINT
+                        ELSE 0 END AS yule_k_micro,
+                   CASE WHEN n > 1
+                        THEN ((s2 - n) * 1000000000 // (n * n - n))::BIGINT
+                        ELSE 0 END AS simpson_ppb
+            FROM m ORDER BY source
+        """,
         # Keyness: identical integer inputs (pair counts / side totals /
         # vocabulary size), z as ONE double expression in the engine's
         # operand order on the 2^40 grid, rank window cut mirrored.

@@ -2831,3 +2831,122 @@ def keyness_log_odds(
         .map_groups(final_topk, batch_format="pyarrow")
         .sort(["source", "rank"])
     )
+
+
+def vocab_concentration(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Vocabulary-concentration moments per source: Yule's K and Simpson's
+    repeat-rate — the second-moment complements of `lexical_diversity`'s
+    TTR and `token_entropy_by_source`'s entropy (K is length-invariant,
+    so it compares template-heavy slices across sizes):
+
+        K·10^6  = (S₂ − N) · 10^10 // N²            (Yule 1944)
+        D_ppb   = (S₂ − N) · 10^9  // (N² − N)      (Simpson repeat-rate)
+
+    with N = Σc, S₂ = Σc² over the source's global token counts — ALL
+    integer arithmetic (S₂ partials ride as Python-int strings, the
+    `token_entropy_by_source` convention, so vocabulary-sized squared
+    sums never overflow), floor-divided once on the driver; HUGEINT twin.
+
+    Scale shape: identical to the entropy pass — one crc(source, token)
+    bucket shuffle, per-bucket global pair counts, ≤ B×sources partial
+    rows to the driver.  Returns (source, n_tokens, n_distinct_tokens,
+    yule_k_micro, simpson_ppb) sorted.
+    """
+    import zlib
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "lbkt": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if not len(rows):
+            return empty
+        senc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)[rows]
+        nd = len(dic)
+        ukey, cnt = np.unique(si * nd + codes, return_counts=True)
+        us = (ukey // nd).astype(np.int64)
+        ut = (ukey % nd).astype(np.int64)
+        sdic = senc.dictionary.to_pylist()
+        tdic = dic.to_pylist()
+        bkt = np.fromiter(
+            (
+                zlib.crc32(f"{sdic[a]}\x1f{tdic[b]}".encode()) % num_buckets
+                for a, b in zip(us, ut)
+            ),
+            dtype=np.int64,
+            count=len(ukey),
+        )
+        return pa.table(
+            {
+                "lbkt": pa.array(bkt),
+                "source": pc.take(senc.dictionary, pa.array(us)),
+                "token": pc.take(dic, pa.array(ut)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        senc = pc.dictionary_encode(group.column("source").combine_chunks())
+        tenc = pc.dictionary_encode(group.column("token").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)
+        ti = np.asarray(tenc.indices, dtype=np.int64)
+        c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        nt = max(len(tenc.dictionary), 1)
+        pair = si * nt + ti
+        upair, inv = np.unique(pair, return_inverse=True)
+        ctot = np.zeros(len(upair), dtype=np.int64)
+        np.add.at(ctot, inv, c)  # GLOBAL count per (source, token)
+        src_of_pair = (upair // nt).astype(np.int64)
+        ns = len(senc.dictionary)
+        n_tok = np.zeros(ns, dtype=np.int64)
+        np.add.at(n_tok, src_of_pair, ctot)
+        n_dis = np.bincount(src_of_pair, minlength=ns).astype(np.int64)
+        m2 = [0] * ns
+        for s_ix, cv in zip(src_of_pair.tolist(), ctot.tolist()):
+            m2[s_ix] += cv * cv  # Python ints: exact at any vocabulary
+        return pa.table(
+            {
+                "source": senc.dictionary,
+                "n_part": pa.array(n_tok),
+                "d_part": pa.array(n_dis),
+                "m2_part": pa.array([str(v) for v in m2], pa.string()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("lbkt")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .take_all()  # ≤ num_buckets × sources partial rows
+    )
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["source"], [0, 0, 0])
+        a[0] += int(r["n_part"])
+        a[1] += int(r["d_part"])
+        a[2] += int(r["m2_part"])
+    srcs = sorted(acc)
+    yk, sp = [], []
+    for s in srcs:
+        n, _, s2 = acc[s]
+        yk.append((s2 - n) * 10_000_000_000 // (n * n) if n > 0 else 0)
+        sp.append((s2 - n) * 1_000_000_000 // (n * n - n) if n > 1 else 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_tokens": pa.array([acc[s][0] for s in srcs], pa.int64()),
+                "n_distinct_tokens": pa.array([acc[s][1] for s in srcs], pa.int64()),
+                "yule_k_micro": pa.array(yk, pa.int64()),
+                "simpson_ppb": pa.array(sp, pa.int64()),
+            }
+        )
+    )
