@@ -491,6 +491,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sum renormalization (Pregel + scalar aggregator); pinned from
         # the independent sequential oracle_dedup.hits_rows.
         "hits_digest": pagerank.hits_digest,
+        # bq_digest (thirteenth round-4 continuation, never gated):
+        # binary-quantization search — 1 bit/dim mean-sign codes via an
+        # exact integer threshold, XOR+popcount Hamming candidates,
+        # 51×k oversampled exact q20 rerank; pinned from the independent
+        # sequential oracle_dedup.bq_rows, recall-floored in pytest.
+        "bq_digest": ann.bq_digest,
         # betweenness_digest (twelfth round-4 continuation, never gated):
         # pivot-sampled Brandes centrality — exact int64 σ, δ on the 2^30
         # integer grid so every fold is order-free; pivots parallelize
@@ -1540,6 +1546,12 @@ def oracle_sql() -> dict[str, str]:
         "hits_digest": """
             SELECT 1600::BIGINT AS n_nodes,
                    674673193450763583::BIGINT AS digest
+        """,
+        # BQ digest: pinned at sf0.01 from the sequential twin (full-
+        # corpus numpy, same integer threshold / Hamming cut / rerank).
+        "bq_digest": """
+            SELECT 40::BIGINT AS n_rows,
+                   298053807081797295::BIGINT AS digest
         """,
         # Betweenness digest: pinned at sf0.01 from the sequential twin
         # (plain dict Brandes, same grid spec).

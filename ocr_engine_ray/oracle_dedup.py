@@ -1719,3 +1719,41 @@ def hits_rows(sf_dir: str, *, iters: int = 4) -> tuple[int, int]:
         dg = (dg + row_digest(f"supplier\x1f{s}", str(v))) % DIGEST_MOD
         n_rows += 1
     return n_rows, dg
+
+
+# --- binary-quantization search --------------------------------------------
+
+
+def bq_rows(
+    sf_dir: str, *, num_queries: int = 8, k: int = 5, n_candidates: int = 256
+) -> tuple[int, int]:
+    """Sequential twin of `ann.bq_digest`: full-corpus numpy, same exact
+    integer mean-threshold bits, Hamming candidate cut and q20 rerank.
+    Returns (n_rows, digest)."""
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    xq = np.round(m * (1 << 20)).astype(np.int64)
+    thr = xq.sum(axis=0)
+    n = len(vid)
+    bits = (xq * n) > thr[None, :]
+    order = np.argsort(vid)
+    qsel = order[:num_queries]
+    dg = 0
+    n_rows = 0
+    for qrow in qsel:
+        qid = int(vid[qrow])
+        ham = (bits ^ bits[qrow][None, :]).sum(axis=1).astype(np.int64)
+        ham[vid == qid] = np.iinfo(np.int64).max
+        cand = np.lexsort((vid, ham))[:n_candidates]
+        cand = cand[ham[cand] != np.iinfo(np.int64).max]
+        score = xq[cand] @ xq[qrow]
+        top = np.lexsort((vid[cand], -score))[: min(k, len(cand))]
+        for rank, ix in enumerate(top, start=1):
+            key = f"{qid}\x1f{rank}"
+            pay = f"{int(vid[cand][ix])}\x1f{int(score[ix])}"
+            dg = (dg + row_digest(key, pay)) % DIGEST_MOD
+            n_rows += 1
+    return n_rows, dg

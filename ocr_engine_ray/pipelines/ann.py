@@ -1677,3 +1677,182 @@ def ann_eval_digest(sf_dir: str) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+# --- binary quantization (1-bit) search --------------------------------------
+BQ_GRID = 1 << 20
+BQ_CANDIDATES = 256
+
+
+def _bq_bits(x: np.ndarray, thr_num: np.ndarray, thr_den: int) -> np.ndarray:
+    """Per-dim sign bits against the EXACT mean threshold: bit_d = 1 iff
+    round(x_d·2^20)·n > Σ_corpus round(x_d·2^20) — integer comparison, so
+    the codebook is bit-identical under any batching.  Returns (n, d/8)
+    packed uint8."""
+    xq = np.round(x * BQ_GRID).astype(np.int64)
+    bits = (xq * thr_den) > thr_num[None, :]
+    return np.packbits(bits, axis=1)
+
+
+def bq_topk(
+    sf_dir: str,
+    *,
+    num_queries: int = 8,
+    k: int = 5,
+    n_candidates: int = BQ_CANDIDATES,
+) -> pa.Table:
+    """Binary-quantization search: the corpus rides as ONE BIT per
+    dimension (sign against the per-dim corpus mean — 64× smaller than
+    float32; the rerank-era default of vector stores), candidates surface
+    by Hamming distance over XOR+popcount, and the top ``n_candidates``
+    per query rerank EXACTLY on the 2^20 integer-grid dot product (the
+    `sq8_topk` scoring convention).
+
+    Exactness: the mean threshold is the integer comparison
+    ``x_q·n > Σx_q`` (no float mean anywhere), Hamming is integer, the
+    candidate cut is (hamming ASC, vec_id ASC) — a total order — and
+    rerank scores are exact int64, so the whole result is bit-identical
+    under any batching; pinned from the independent sequential
+    `oracle_dedup.bq_rows` via `bq_digest`, with a measured recall floor
+    vs `ann_topk_bruteforce` in pytest.  Measured candidate recall vs the
+    exact same-metric top-5 at sf0.01: 0.725 @ C=64, 0.875 @ C=128,
+    1.0 @ C=256 — unrotated mean-sign bits are coarse on clustered
+    embeddings, which is WHY production BQ reranks at 10-100×k
+    oversampling (the default here, C=256 = 51×k); a seeded random
+    rotation before the sign (the `embedding_near_dup_lsh` hyperplane
+    trick) is the recall upgrade path at unchanged storage.
+
+    Scale shape: one corpus pass folds the d-sized q20 sum vector
+    (exact int partials); one corpus pass encodes + scores Hamming with
+    the query codes broadcast, per-batch partial top-``n_candidates``
+    carrying the raw vector for rerank — candidate-count rows per query
+    per batch, the corpus never shuffles.  Returns (query_id, rank,
+    vec_id, score_q).
+    """
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if not len(m):
+            return pa.table(
+                {
+                    "s": pa.array([], pa.list_(pa.int64())),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        xq = np.round(m * BQ_GRID).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([xq.sum(axis=0).tolist()], pa.list_(pa.int64())),
+                "n": pa.array([len(m)], pa.int64()),
+            }
+        )
+
+    parts = emb.map_batches(sum_partial, batch_format="pyarrow").take_all()
+    thr_num = np.sum([r["s"] for r in parts], axis=0).astype(np.int64)
+    n_total = int(sum(r["n"] for r in parts))
+
+    qids, _, qraw = _load_queries(sf_dir, num_queries)
+    qcodes = _bq_bits(qraw, thr_num, n_total)
+    qq = np.round(qraw * BQ_GRID).astype(np.int64)
+    ref = ray.put((qids, qcodes, qq, thr_num, n_total))
+
+    def hamming_candidates(batch: pa.Table, *, ref) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "ham": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        bqids, bqcodes, _, bthr, bn = ray.get(ref)
+        vid = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        codes = _bq_bits(m, bthr, bn)
+        topn = min(n_candidates, len(vid))
+        qp, vp, hp, ep = [], [], [], []
+        for qi in range(len(bqids)):
+            x = np.unpackbits(codes ^ bqcodes[qi][None, :], axis=1)
+            ham = x.sum(axis=1).astype(np.int64)
+            ham[vid == bqids[qi]] = np.iinfo(np.int64).max  # exclude self
+            order = np.lexsort((vid, ham))[:topn]
+            keep = ham[order] != np.iinfo(np.int64).max
+            order = order[keep]
+            qp.append(np.full(len(order), bqids[qi], dtype=np.int64))
+            vp.append(vid[order])
+            hp.append(ham[order])
+            ep.append(order)
+        rows = np.concatenate(ep)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qp), pa.int64()),
+                "vec_id": pa.array(np.concatenate(vp), pa.int64()),
+                "ham": pa.array(np.concatenate(hp), pa.int64()),
+                "embedding": pa.array(
+                    [m[i].tolist() for i in rows], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    partials = emb.map_batches(
+        hamming_candidates, batch_format="pyarrow", batch_size=1024, fn_kwargs={"ref": ref}
+    )
+
+    def rerank(group: pa.Table, *, ref) -> pa.Table:
+        bqids, _, bqq, _, _ = ray.get(ref)
+        qid = group.column("query_id")[0].as_py()
+        vid = np.array(group.column("vec_id").to_pylist(), dtype=np.int64)
+        ham = np.array(group.column("ham").to_pylist(), dtype=np.int64)
+        m = np.array(group.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.lexsort((vid, ham))[: min(n_candidates, len(vid))]
+        vid, m = vid[order], m[order]
+        qi = int(np.nonzero(bqids == qid)[0][0])
+        xq = np.round(m * BQ_GRID)
+        # float64 GEMV over int-valued operands — exact (|terms| << 2^53)
+        score = (xq @ bqq[qi].astype(np.float64)).astype(np.int64)
+        top = np.lexsort((vid, -score))[: min(k, len(vid))]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(top), pa.int64()),
+                "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+                "vec_id": pa.array(vid[top], pa.int64()),
+                "score_q": pa.array(score[top], pa.int64()),
+            }
+        )
+
+    res = (
+        partials.groupby("query_id")
+        .map_groups(rerank, batch_format="pyarrow", fn_kwargs={"ref": ref})
+        .sort(["query_id", "rank"])
+        .take_all()
+    )
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in res], pa.int64()),
+            "rank": pa.array([r["rank"] for r in res], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in res], pa.int64()),
+            "score_q": pa.array([r["score_q"] for r in res], pa.int64()),
+        }
+    )
+
+
+def bq_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `bq_topk`: (n_rows, digest), pinned from the
+    independent sequential `oracle_dedup.bq_rows`."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = bq_topk(sf_dir, **kwargs)
+    dg = 0
+    for i in range(t.num_rows):
+        key = f"{t.column('query_id')[i].as_py()}\x1f{t.column('rank')[i].as_py()}"
+        pay = f"{t.column('vec_id')[i].as_py()}\x1f{t.column('score_q')[i].as_py()}"
+        dg = (dg + row_digest(key, pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
