@@ -570,6 +570,22 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.interpret", fromlist=["x"]
             ).field_provenance_digest
         ),
+        "hits_digest": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.pagerank", fromlist=["x"]
+            ).hits_digest
+        ),
+        "sorted_neighborhood_pairs": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.fuzzy", fromlist=["x"]
+            ).sorted_neighborhood_pairs
+        ),
+        "wand_topk": timed(
+            __import__("ocr_engine_ray.pipelines.index", fromlist=["x"]).wand_topk
+        ),
+        "keyness_log_odds": timed(tsp.keyness_log_odds),
+        "vocab_concentration": timed(tsp.vocab_concentration),
+        "bq_digest": timed(ann.bq_digest),
         # dedup_eval_digest is NOT swept: its exact-Jaccard truth is
         # O((N/2)^2) by design (the gate-scale eval harness, like
         # ngram_jaccard_pairs itself).
