@@ -160,6 +160,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": tsp.cms_token_counts,
         "token_rarity_score": tsp.token_rarity_score,
         "bigram_logprob_score": lm.bigram_logprob_score,
+        # kneser_ney_score (thirteenth round-4 continuation, never
+        # gated): interpolated Kneser-Ney bigram scoring — continuation
+        # counts via a second token-keyed shuffle (crc(w2) attach pass,
+        # then the crc(w1) context pass), exact q40 integer sums; full
+        # SQL twin.
+        "kneser_ney_score": lm.kneser_ney_score,
         "pmi_collocations": colloc.pmi_collocations,
         # source_vocab_overlap is new in this continuation (never gated):
         # its slot comes from perplexity_buckets, whose LM-scoring core
@@ -3742,6 +3748,45 @@ def oracle_sql() -> dict[str, str]:
         # log (same libm, the tfidf contract), the 2^40 scale is a power of
         # two, and round_even == np.round — so per-doc scores are exact
         # integer sums, bit-identical to the bucketed distributed pass.
+        # Kneser-Ney: same bigram CTEs; the three marginals (context
+        # totals/fan-outs, continuation counts, distinct-pair total) are
+        # exact integers, the term ONE double expression in the engine's
+        # operand order on the 2^40 grid.
+        "kneser_ney_score": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents WHERE trim(text) <> ''
+            ),
+            big AS (
+              SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+              FROM toks, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+              WHERE len(arr) >= 2
+            ),
+            c12 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+            ctx AS (
+              SELECT w1, sum(c)::BIGINT AS c1, count(*)::BIGINT AS n1p
+              FROM c12 GROUP BY 1
+            ),
+            cont AS (SELECT w2, count(*)::BIGINT AS nc FROM c12 GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS np FROM c12),
+            term AS (
+              SELECT c12.w1, c12.w2,
+                     round_even(ln(
+                       (c12.c - 0.75) / ctx.c1::DOUBLE
+                       + ((0.75 * ctx.n1p) / ctx.c1::DOUBLE)
+                         * (cont.nc::DOUBLE / tot.np::DOUBLE)
+                     ) * 1099511627776.0, 0)::BIGINT AS q
+              FROM c12 JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+            )
+            SELECT b.doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   sum(t.q)::BIGINT AS logprob_q,
+                   round_even(
+                     sum(t.q)::DOUBLE / count(*) / 1099511627776.0, 6
+                   ) AS avg_logprob
+            FROM big b JOIN term t USING (w1, w2)
+            GROUP BY b.doc_id
+        """,
         "bigram_logprob_score": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr

@@ -586,6 +586,9 @@ def run_bench() -> dict:
         "keyness_log_odds": timed(tsp.keyness_log_odds),
         "vocab_concentration": timed(tsp.vocab_concentration),
         "bq_digest": timed(ann.bq_digest),
+        "kneser_ney_score": timed(
+            __import__("ocr_engine_ray.pipelines.lm", fromlist=["x"]).kneser_ney_score
+        ),
         # dedup_eval_digest is NOT swept: its exact-Jaccard truth is
         # O((N/2)^2) by design (the gate-scale eval harness, like
         # ngram_jaccard_pairs itself).

@@ -312,3 +312,207 @@ def perplexity_buckets(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         .map_groups(rank, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+# --- interpolated Kneser-Ney ------------------------------------------------
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Per-doc INTERPOLATED KNESER-NEY bigram log-probability (Kneser &
+    Ney 1995; the smoothing KenLM ships and CCNet's perplexity filter
+    actually runs) — the continuation-count upgrade of the add-one model
+    in `bigram_logprob_score`:
+
+        P(w2|w1) = (c(w1,w2) − d)/c(w1,·)
+                   + (d·N1+(w1,·)/c(w1,·)) · (N1+(·,w2)/N1+(·,·))
+
+    with d = 0.75.  Every scored pair occurs in the corpus (c ≥ 1), so
+    the max(·,0) clamp never binds.  Each distinct (w1, w2) term is ONE
+    float64 expression in the twin's operand order, quantized
+    ``round_even(ln(P)·2^40)``, so per-doc scores are exact integer sums.
+
+    Scale shape — TWO token-keyed shuffles, mirroring the two marginals
+    the model needs (the model never sits on the driver):
+
+    1. ``crc(w2)`` bucket pass: a word's continuation count N1+(·,w2)
+       (distinct left contexts) is bucket-local; it attaches to every
+       (doc, w1, w2) row in place, and B bucket partials fold to the
+       global N1+(·,·) scalar on the driver;
+    2. ``crc(w1)`` bucket pass: context totals c(w1,·) and fan-outs
+       N1+(w1,·) are bucket-local; the quantized term and per-doc
+       partials fall out in the same kernel (the `bucket_score_kernel`
+       shape);
+    3. the shared per-doc integer fold.
+
+    Returns (doc_id, n_bigrams, logprob_q, avg_logprob) sorted by doc_id
+    — the same surface as `bigram_logprob_score`, so the two models
+    compare doc-for-doc.
+    """
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_bigrams_w2(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int32()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if len(rows) < 2:
+            return empty
+        adj = rows[1:] == rows[:-1]
+        if not adj.any():
+            return empty
+        w1c = codes[:-1][adj]
+        w2c = codes[1:][adj]
+        drow = rows[:-1][adj]
+        nd = len(dic)
+        key = (drow.astype(np.int64) * nd + w1c) * nd + w2c
+        ukey, cnt = np.unique(key, return_counts=True)
+        uw2 = (ukey % nd).astype(np.int64)
+        uw1 = ((ukey // nd) % nd).astype(np.int64)
+        urow = (ukey // (nd * nd)).astype(np.int64)
+        crc = np.fromiter(
+            (zlib.crc32(t.encode()) % num_buckets for t in dic.to_pylist()),
+            dtype=np.int32,
+            count=nd,
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(crc[uw2]),  # keyed by the RIGHT word
+                "w1": pc.take(dic, pa.array(uw1)),
+                "w2": pc.take(dic, pa.array(uw2)),
+                "doc_id": pa.array(dids[urow], pa.int64()),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def cont_kernel(group: pa.Table) -> pa.Table:
+        """Attach N1+(·,w2) to every row; emit the bucket's distinct-pair
+        total as ONE side row (kind=1, in the n_cont column)."""
+        w1enc = pc.dictionary_encode(group.column("w1").combine_chunks())
+        w2enc = pc.dictionary_encode(group.column("w2").combine_chunks())
+        iw1 = np.asarray(w1enc.indices, dtype=np.int64)
+        iw2 = np.asarray(w2enc.indices, dtype=np.int64)
+        n1 = max(len(w1enc.dictionary), 1)
+        pkey = iw2 * n1 + iw1
+        upair = np.unique(pkey)
+        n2 = max(len(w2enc.dictionary), 1)
+        nc = np.bincount((upair // n1).astype(np.int64), minlength=n2).astype(np.int64)
+        w1bkt = np.fromiter(
+            (zlib.crc32(t.encode()) % num_buckets for t in w1enc.dictionary.to_pylist()),
+            dtype=np.int32,
+            count=len(w1enc.dictionary),
+        )
+        kind0 = pa.table(
+            {
+                "kind": pa.array(np.zeros(group.num_rows, np.int64)),
+                "bkt": pa.array(w1bkt[iw1]),
+                "w1": group.column("w1"),
+                "w2": group.column("w2"),
+                "doc_id": group.column("doc_id"),
+                "c": group.column("c"),
+                "n_cont": pa.array(nc[iw2]),
+            }
+        )
+        side = pa.table(
+            {
+                "kind": pa.array([1], pa.int64()),
+                "bkt": pa.array([0], pa.int32()),
+                "w1": pa.array([""], pa.string()),
+                "w2": pa.array([""], pa.string()),
+                "doc_id": pa.array([0], pa.int64()),
+                "c": pa.array([0], pa.int64()),
+                "n_cont": pa.array([len(upair)], pa.int64()),
+            }
+        )
+        return pa.concat_tables([kind0, side])
+
+    tagged = (
+        ds.map_batches(explode_bigrams_w2, batch_format="pyarrow", batch_size=4096)
+        .groupby("bkt")
+        .map_groups(cont_kernel, batch_format="pyarrow")
+        .materialize()
+    )
+    n_pairs_total = sum(
+        r["n_cont"] for r in tagged.filter(expr="kind == 1").take_all()
+    )
+
+    def kn_kernel(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.equal(group.column("kind"), 0))
+        if not g.num_rows:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "logprob_q": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                }
+            )
+        docs = g.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        cs = g.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        ncont = g.column("n_cont").combine_chunks().to_numpy(zero_copy_only=False)
+        w1enc = pc.dictionary_encode(g.column("w1").combine_chunks())
+        w2enc = pc.dictionary_encode(g.column("w2").combine_chunks())
+        iw1 = np.asarray(w1enc.indices, dtype=np.int64)
+        iw2 = np.asarray(w2enc.indices, dtype=np.int64)
+        n1 = len(w1enc.dictionary)
+        n2 = max(len(w2enc.dictionary), 1)
+        pkey = iw1 * n2 + iw2
+        order = np.argsort(pkey, kind="stable")
+        sp = pkey[order]
+        new = np.concatenate([[True], sp[1:] != sp[:-1]])
+        pid_sorted = np.cumsum(new) - 1
+        pid = np.empty(len(pkey), dtype=np.int64)
+        pid[order] = pid_sorted
+        starts = np.nonzero(new)[0]
+        c12 = np.add.reduceat(cs[order], starts)
+        nc12 = ncont[order][starts]  # same value on every row of a pair
+        ctx_of_pair = (sp[starts] // n2).astype(np.int64)
+        c1 = np.zeros(n1, dtype=np.int64)
+        np.add.at(c1, ctx_of_pair, c12)
+        n1p = np.bincount(ctx_of_pair, minlength=n1).astype(np.int64)
+        c1f = c1[ctx_of_pair].astype(np.float64)
+        # the twin's operand order exactly:
+        p = (c12 - KN_DISCOUNT) / c1f + ((KN_DISCOUNT * n1p[ctx_of_pair]) / c1f) * (
+            nc12 / float(n_pairs_total)
+        )
+        q = np.round(np.log(p) * LM_Q).astype(np.int64)
+        contrib = cs * q[pid]
+        dorder = np.argsort(docs, kind="stable")
+        sd = docs[dorder]
+        cuts = np.nonzero(np.diff(sd))[0] + 1
+        dstarts = np.concatenate([[0], cuts]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[dstarts]),
+                "logprob_q": pa.array(np.add.reduceat(contrib[dorder], dstarts)),
+                "n_bigrams": pa.array(np.add.reduceat(cs[dorder], dstarts)),
+            }
+        )
+
+    partials = (
+        tagged.groupby("bkt").map_groups(kn_kernel, batch_format="pyarrow")
+    )
+    from .fold import fold_int_sums_by_key
+
+    agg = fold_int_sums_by_key(partials, cols=["logprob_q", "n_bigrams"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lq = batch.column("logprob_q").combine_chunks().to_numpy(zero_copy_only=False)
+        nb = batch.column("n_bigrams").combine_chunks().to_numpy(zero_copy_only=False)
+        avg = [round(float(a) / float(b) / LM_Q, 6) for a, b in zip(lq, nb)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": batch.column("n_bigrams").cast(pa.int64()),
+                "logprob_q": batch.column("logprob_q").cast(pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
