@@ -818,6 +818,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_core_stats": tsp.doc_core_stats,
         "csv_roundtrip_digest": formats.csv_roundtrip_digest,
         "jsonl_roundtrip_digest": formats.jsonl_roundtrip_digest,
+        # orc/feather round trips (thirteenth round-4 continuation, never
+        # gated): shard-per-block export through pyarrow's ORC and Arrow-
+        # IPC codecs (no native Ray writer — a map_batches side-effect
+        # sink), distributed shard read-back, same exactly-once md5-fold
+        # gate and twin expression as the line formats.
+        "orc_roundtrip_digest": formats.orc_roundtrip_digest,
+        "feather_roundtrip_digest": formats.feather_roundtrip_digest,
         "rich_fields_digest": interpret.rich_fields_digest,
         "intake_vocabulary": modes.intake_vocabulary,
         "minhash_digest": dedup.minhash_digest,
@@ -3640,6 +3647,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT (sum(term) % 2305843009213693951)::BIGINT AS digest FROM terms
         """,
         "csv_roundtrip_digest": """
+            WITH t AS (
+              SELECT md5(doc_id::VARCHAR || chr(31) || coalesce(text, '')) AS h
+              FROM documents
+            ), terms AS (
+              SELECT ((('0x' || substr(h, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(h, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM t
+            )
+            SELECT (sum(term) % 2305843009213693951)::BIGINT AS digest FROM terms
+        """,
+        "orc_roundtrip_digest": """
+            WITH t AS (
+              SELECT md5(doc_id::VARCHAR || chr(31) || coalesce(text, '')) AS h
+              FROM documents
+            ), terms AS (
+              SELECT ((('0x' || substr(h, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(h, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM t
+            )
+            SELECT (sum(term) % 2305843009213693951)::BIGINT AS digest FROM terms
+        """,
+        "feather_roundtrip_digest": """
             WITH t AS (
               SELECT md5(doc_id::VARCHAR || chr(31) || coalesce(text, '')) AS h
               FROM documents

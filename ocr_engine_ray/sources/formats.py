@@ -78,3 +78,80 @@ def jsonl_roundtrip_digest(sf_dir: str) -> pa.Table:
 def csv_roundtrip_digest(sf_dir: str) -> pa.Table:
     """CSV export → shard read-back → corpus digest (1 row)."""
     return _roundtrip_digest(sf_dir, "csv")
+
+
+def _block_file_roundtrip(sf_dir: str, fmt: str) -> pa.Table:
+    """Shard-per-block export through a pyarrow FILE codec Ray Data has no
+    native writer for (ORC, Feather/Arrow-IPC), then a distributed
+    read-back over the shard list — same exactly-once digest gate as the
+    line formats.  The write side is a ``map_batches`` side-effect sink
+    (one file per batch, unique names — the resumable-shard layout); the
+    read side fans the shard paths out as rows, so both directions are
+    parallel over blocks, never a driver loop."""
+    import os
+    import uuid
+
+    from ..pipelines.interpret import fold_digest
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tempfile.mkdtemp(prefix=f"{fmt}_export_")
+    try:
+        def dump(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return pa.table({"path": pa.array([], pa.string())})
+            path = os.path.join(out, f"part-{uuid.uuid4().hex}.{fmt}")
+            if fmt == "orc":
+                from pyarrow import orc
+
+                orc.write_table(batch, path)
+            else:
+                from pyarrow import feather
+
+                feather.write_feather(batch, path)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        paths = [
+            r["path"]
+            for r in docs.map_batches(dump, batch_format="pyarrow").take_all()
+        ]  # shard-count rows, never corpus rows
+        if not paths:
+            return pa.table({"digest": pa.array([0], pa.int64())})
+
+        def load(batch: pa.Table) -> pa.Table:
+            tables = []
+            for p in batch.column("path").to_pylist():
+                if fmt == "orc":
+                    from pyarrow import orc
+
+                    t = orc.read_table(p, columns=["doc_id", "text"])
+                else:
+                    from pyarrow import feather
+
+                    t = feather.read_table(p, columns=["doc_id", "text"])
+                tables.append(t)
+            t = pa.concat_tables(tables)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "payload": pc.fill_null(
+                        t.column("text").cast(pa.string()), ""
+                    ),
+                }
+            )
+
+        back = rd.from_items([{"path": p} for p in paths]).map_batches(
+            load, batch_format="pyarrow"
+        )
+        return fold_digest(back, "payload")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def orc_roundtrip_digest(sf_dir: str) -> pa.Table:
+    """ORC export → shard read-back → corpus digest (1 row)."""
+    return _block_file_roundtrip(sf_dir, "orc")
+
+
+def feather_roundtrip_digest(sf_dir: str) -> pa.Table:
+    """Feather (Arrow IPC) export → shard read-back → corpus digest (1 row)."""
+    return _block_file_roundtrip(sf_dir, "feather")

@@ -35,7 +35,7 @@ def _write(tmp_path) -> str:
     return str(d)
 
 
-@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+@pytest.mark.parametrize("fmt", ["jsonl", "csv", "orc", "feather"])
 def test_roundtrip_digest_matches_twin(ray_session, tmp_path, fmt):
     import duckdb
 
@@ -79,6 +79,6 @@ def test_empty_corpus_digest_zero(ray_session, tmp_path):
          "n_chars": pa.array([], pa.int64())}
     )
     pq.write_table(empty, str(d / "documents.parquet"))
-    for fmt in ("jsonl", "csv"):
+    for fmt in ("jsonl", "csv", "orc", "feather"):
         fn = getattr(formats, f"{fmt}_roundtrip_digest")
         assert fn(str(d)).column("digest")[0].as_py() == 0
