@@ -328,6 +328,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dictionary tagging — one count_substring kernel per keyword per
         # batch; generated string_split twin.
         "keyword_hits": tsp.keyword_hits,
+        # keyword_hits_ac (thirteenth round-4 continuation, never gated):
+        # the SAME dictionary tagging through an Aho-Corasick ACTOR POOL
+        # — automaton built once per actor, one corpus pass regardless of
+        # dictionary size; row-identical to keyword_hits (pytest-pinned)
+        # and gated by the identical generated twin.
+        "keyword_hits_ac": tagger.keyword_hits_ac,
         # sq8_topk (eighth round-4 continuation, never gated): SQ8
         # scalar-quantized ADC search — min/max-trained uint8 codec,
         # decoded scores on the 2^20 integer grid; wholesale-recompute twin.
@@ -1092,6 +1098,10 @@ def oracle_sql() -> dict[str, str]:
         # Dictionary tagging: generated VALUES twin, non-overlapping
         # substring counts via len(string_split)−1 == Arrow count_substring.
         "keyword_hits": __import__(
+            "ocr_engine_ray.pipelines.textstats", fromlist=["x"]
+        ).keyword_hits_sql(),
+        # the AC actor-pool path computes the identical table.
+        "keyword_hits_ac": __import__(
             "ocr_engine_ray.pipelines.textstats", fromlist=["x"]
         ).keyword_hits_sql(),
         # Dataset card: every component recomputed wholesale from the

@@ -248,3 +248,155 @@ def luhn_pii_scan(sf_dir: str) -> rd.Dataset:
         )
         .sort("source")
     )
+
+
+# --- Aho-Corasick dictionary tagging (actor-pool stage) ---------------------
+
+
+class AhoCorasickTagger:
+    """Stateful dictionary tagger: builds the Aho-Corasick automaton
+    (Aho & Corasick 1975) ONCE per actor in ``__init__`` and streams every
+    batch through it in a single pass — the A4 actor-pool contract
+    (`stages/extract.py`): setup cost is per-actor, never per batch.
+
+    Single-pass multi-pattern matching is the scale path when the
+    dictionary is large: `keyword_hits` runs one Arrow ``count_substring``
+    C kernel PER KEYWORD per batch (O(|dict| · corpus) — unbeatable for a
+    handful of brand terms), while the automaton walks the corpus once
+    regardless of dictionary size (O(corpus + matches)).  Per-keyword
+    counts keep `keyword_hits`' NON-OVERLAPPING (greedy-from-left)
+    semantics, derived from the automaton's match end-positions, so the
+    two operators are row-identical and share the generated SQL twin
+    (pytest-pinned).
+    """
+
+    def __init__(self, keywords: tuple[str, ...]):
+        self.keywords = list(keywords)
+        self.lens = [len(k) for k in self.keywords]
+        # trie as dicts: goto[state][ch] -> state; output[state] = [kw ids]
+        goto: list[dict[str, int]] = [{}]
+        out: list[list[int]] = [[]]
+        for ki, kw in enumerate(self.keywords):
+            s = 0
+            for ch in kw:
+                if ch not in goto[s]:
+                    goto.append({})
+                    out.append([])
+                    goto[s][ch] = len(goto) - 1
+                s = goto[s][ch]
+            out[s].append(ki)
+        # failure links, BFS order
+        from collections import deque
+
+        fail = [0] * len(goto)
+        dq = deque(goto[0].values())
+        while dq:
+            s = dq.popleft()
+            for ch, t in goto[s].items():
+                dq.append(t)
+                f = fail[s]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+                out[t] = out[t] + out[fail[t]]
+        self.goto, self.fail, self.out = goto, fail, out
+
+    def _scan(self, text: str) -> list[list[int]]:
+        """Per-keyword sorted match END indices (exclusive) in one pass."""
+        ends: list[list[int]] = [[] for _ in self.keywords]
+        s = 0
+        goto, fail, out = self.goto, self.fail, self.out
+        for i, ch in enumerate(text):
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                for ki in out[s]:
+                    ends[ki].append(i + 1)
+        return ends
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        texts = batch.column("text").to_pylist()
+        src = batch.column("source").to_pylist()
+        # seed every (source, keyword) combo: zero-hit rows survive the
+        # aggregate exactly like keyword_hits' per-doc partials do
+        rows: dict[tuple[str, str], list[int]] = {
+            (sc, kw): [0, 0] for sc in set(src) for kw in self.keywords
+        }
+        for t, sc in zip(texts, src):
+            ends = self._scan(t or "")
+            for ki, kw in enumerate(self.keywords):
+                # greedy-from-left non-overlap == count_substring semantics
+                n = 0
+                last = 0
+                L = self.lens[ki]
+                for e in ends[ki]:
+                    if e - L >= last:
+                        n += 1
+                        last = e
+                if n:
+                    acc = rows[(sc, kw)]
+                    acc[0] += 1
+                    acc[1] += n
+        if not rows:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "keyword": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+        ks = sorted(rows)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks], pa.string()),
+                "keyword": pa.array([k[1] for k in ks], pa.string()),
+                "n_docs": pa.array([rows[k][0] for k in ks], pa.int64()),
+                "n_hits": pa.array([rows[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+
+def keyword_hits_ac(
+    sf_dir: str,
+    *,
+    keywords: tuple[str, ...] | None = None,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> rd.Dataset:
+    """`keyword_hits` through the Aho-Corasick ACTOR POOL: one automaton
+    per actor, one corpus pass total.  Row-identical to the per-keyword
+    kernel scan (shared generated twin); documents with zero hits for a
+    keyword contribute nothing, exactly like the (cnt > 0) partials.
+
+    Returns (source, keyword, n_docs, n_hits) sorted by (source, keyword).
+    """
+    from .textstats import KEYWORD_LIST
+
+    kws = tuple(keywords) if keywords is not None else KEYWORD_LIST
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+    agg = (
+        ds.map_batches(
+            AhoCorasickTagger,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_kwargs={"keywords": kws},
+        )
+        .groupby(["source", "keyword"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_hits", alias_name="n_hits"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "keyword": batch.column("keyword"),
+                "n_docs": batch.column("n_docs").cast(pa.int64()),
+                "n_hits": batch.column("n_hits").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["source", "keyword"])
