@@ -509,6 +509,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 51×k oversampled exact q20 rerank; pinned from the independent
         # sequential oracle_dedup.bq_rows, recall-floored in pytest.
         "bq_digest": ann.bq_digest,
+        # cluster_outlier_digest (thirteenth round-4 continuation, never
+        # gated): per-cluster distance-outlier QA — exact q20 integer
+        # distances to the deterministic k-means centroids, lower-median
+        # cut, integer outlier test; pinned from the independent
+        # sequential oracle_dedup.cluster_outlier_rows.
+        "cluster_outlier_digest": ann.cluster_outlier_digest,
         # betweenness_digest (twelfth round-4 continuation, never gated):
         # pivot-sampled Brandes centrality — exact int64 σ, δ on the 2^30
         # integer grid so every fold is order-free; pivots parallelize
@@ -1575,6 +1581,12 @@ def oracle_sql() -> dict[str, str]:
         "bq_digest": """
             SELECT 40::BIGINT AS n_rows,
                    298053807081797295::BIGINT AS digest
+        """,
+        # Cluster-outlier digest: pinned at sf0.01 from the sequential
+        # twin (same centroids, exact integer distances, lower median).
+        "cluster_outlier_digest": """
+            SELECT 8::BIGINT AS n_rows,
+                   2144747669608658600::BIGINT AS digest
         """,
         # Betweenness digest: pinned at sf0.01 from the sequential twin
         # (plain dict Brandes, same grid spec).

@@ -1757,3 +1757,31 @@ def bq_rows(
             dg = (dg + row_digest(key, pay)) % DIGEST_MOD
             n_rows += 1
     return n_rows, dg
+
+
+def cluster_outlier_rows(
+    sf_dir: str, *, k: int = 8, iters: int = 5, factor: int = 4
+) -> tuple[int, int]:
+    """Sequential twin of `ann.cluster_outlier_digest`: full-corpus numpy,
+    same float assignment, exact q20 integer distances, lower median.
+    Returns (n_rows, digest)."""
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    vid, m = _load_vecs(sf_dir)
+    c = kmeans_centroids(sf_dir, k=k, iters=iters)
+    a = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    xq = np.round(m * (1 << 20)).astype(np.int64)
+    cq = np.round(c * (1 << 20)).astype(np.int64)
+    diff = xq - cq[a]
+    dq = (diff * diff).sum(axis=1)
+    dg = 0
+    n_rows = 0
+    for ci in sorted(set(a.tolist())):
+        d = np.sort(dq[a == ci])
+        n = len(d)
+        med = int(d[(n - 1) // 2])
+        nout = int((d > factor * med).sum())
+        pay = f"{n}\x1f{med}\x1f{nout}\x1f{nout * 1_000_000 // n}"
+        dg = (dg + row_digest(str(ci), pay)) % DIGEST_MOD
+        n_rows += 1
+    return n_rows, dg

@@ -1856,3 +1856,105 @@ def bq_digest(sf_dir: str, **kwargs) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+# --- cluster-outlier QA ------------------------------------------------------
+OUTLIER_FACTOR = 4  # flag dq > factor × cluster median
+
+
+def cluster_outlier_stats(
+    sf_dir: str, *, k: int = 8, iters: int = 5, factor: int = OUTLIER_FACTOR
+) -> pa.Table:
+    """Embedding-cluster outlier QA: assign every vector to its
+    deterministic k-means cluster, measure the EXACT integer squared
+    distance to the centroid on the 2^20 grid, and report per cluster the
+    median distance and how many members sit beyond ``factor ×`` that
+    median — the distance-based outlier sweep run before trusting
+    cluster-balanced curation (`semantic_dedup` / `cluster_topics`).
+
+    Exactness: dq = Σ_j (round(x_j·2^20) − round(c_j·2^20))² is int64;
+    the median is the ⌈n/2⌉-th smallest (lower median — integer, no
+    float averaging); the outlier test is an integer comparison.  Pinned
+    from the independent sequential `oracle_dedup.cluster_outlier_rows`
+    via `cluster_outlier_digest`.
+
+    Scale shape: one broadcast-centroid pass emits (cluster, dq) ints;
+    one k-way groupby; the per-cluster kernel is member-count sized (the
+    exact-median selection generalizes to the two-pass histogram select
+    of `price_outliers` beyond RAM).  Returns (cluster, n_vectors,
+    median_dq, n_outliers, outlier_ppm) sorted by cluster.
+    """
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    centroids = _kmeans_centroids(emb, k=k, iters=iters)
+    cq = np.round(centroids * (1 << 20)).astype(np.int64)
+    cref = ray.put((centroids, cq))
+
+    def dists(batch: pa.Table) -> pa.Table:
+        c, cqb = ray.get(cref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"cluster": pa.array([], pa.int32()), "dq": pa.array([], pa.int64())}
+            )
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        a = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        xq = np.round(m * (1 << 20)).astype(np.int64)
+        diff = xq - cqb[a]
+        dq = (diff * diff).sum(axis=1)
+        return pa.table(
+            {"cluster": pa.array(a.astype(np.int32)), "dq": pa.array(dq)}
+        )
+
+    def stats(group: pa.Table) -> pa.Table:
+        ci = group.column("cluster")[0].as_py()
+        dq = np.sort(
+            group.column("dq").combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        n = len(dq)
+        med = int(dq[(n - 1) // 2])
+        nout = int((dq > factor * med).sum())
+        return pa.table(
+            {
+                "cluster": pa.array([ci], pa.int32()),
+                "n_vectors": pa.array([n], pa.int64()),
+                "median_dq": pa.array([med], pa.int64()),
+                "n_outliers": pa.array([nout], pa.int64()),
+                "outlier_ppm": pa.array([nout * 1_000_000 // n], pa.int64()),
+            }
+        )
+
+    rows = (
+        emb.map_batches(dists, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(stats, batch_format="pyarrow")
+        .sort("cluster")
+        .take_all()
+    )
+    return pa.table(
+        {
+            "cluster": pa.array([r["cluster"] for r in rows], pa.int32()),
+            "n_vectors": pa.array([r["n_vectors"] for r in rows], pa.int64()),
+            "median_dq": pa.array([r["median_dq"] for r in rows], pa.int64()),
+            "n_outliers": pa.array([r["n_outliers"] for r in rows], pa.int64()),
+            "outlier_ppm": pa.array([r["outlier_ppm"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def cluster_outlier_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `cluster_outlier_stats`: (n_rows, digest)."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = cluster_outlier_stats(sf_dir, **kwargs)
+    dg = 0
+    for i in range(t.num_rows):
+        pay = "\x1f".join(
+            str(t.column(c)[i].as_py())
+            for c in ("n_vectors", "median_dq", "n_outliers", "outlier_ppm")
+        )
+        dg = (dg + row_digest(str(t.column("cluster")[i].as_py()), pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
