@@ -589,6 +589,16 @@ def run_bench() -> dict:
         "kneser_ney_score": timed(
             __import__("ocr_engine_ray.pipelines.lm", fromlist=["x"]).kneser_ney_score
         ),
+        "keyword_hits_ac": timed(
+            __import__("ocr_engine_ray.pipelines.tagger", fromlist=["x"]).keyword_hits_ac
+        ),
+        "cluster_outlier_digest": timed(ann.cluster_outlier_digest),
+        "orc_roundtrip_digest": timed(
+            __import__("ocr_engine_ray.sources.formats", fromlist=["x"]).orc_roundtrip_digest
+        ),
+        "feather_roundtrip_digest": timed(
+            __import__("ocr_engine_ray.sources.formats", fromlist=["x"]).feather_roundtrip_digest
+        ),
         # dedup_eval_digest is NOT swept: its exact-Jaccard truth is
         # O((N/2)^2) by design (the gate-scale eval harness, like
         # ngram_jaccard_pairs itself).
