@@ -160,12 +160,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": tsp.cms_token_counts,
         "token_rarity_score": tsp.token_rarity_score,
         "bigram_logprob_score": lm.bigram_logprob_score,
-        # kneser_ney_score (thirteenth round-4 continuation, never
-        # gated): interpolated Kneser-Ney bigram scoring — continuation
-        # counts via a second token-keyed shuffle (crc(w2) attach pass,
-        # then the crc(w1) context pass), exact q40 integer sums; full
-        # SQL twin.
-        "kneser_ney_score": lm.kneser_ney_score,
         "pmi_collocations": colloc.pmi_collocations,
         # source_vocab_overlap is new in this continuation (never gated):
         # its slot comes from perplexity_buckets, whose LM-scoring core
@@ -805,6 +799,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # went to image_decode_stats); still twin-exact and replayable.
         "cube_pricing": analytics.cube_pricing,
         "perplexity_buckets": lm.perplexity_buckets,
+        # kneser_ney_score (thirteenth round-4 continuation, past the
+        # gate cut so the planned first-50 stays intact): interpolated
+        # Kneser-Ney bigram scoring — continuation counts via a second
+        # token-keyed shuffle (crc(w2) attach pass, then the crc(w1)
+        # context pass), exact q40 integer sums; full SQL twin,
+        # replayable via scripts/compare_oracle.py.
+        "kneser_ney_score": lm.kneser_ney_score,
         "curate_corpus": curate.curate_corpus,
         "rollup_pricing": analytics.rollup_pricing,
         "embedding_gram": pca.embedding_gram,
