@@ -509,6 +509,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cut, integer outlier test; pinned from the independent
         # sequential oracle_dedup.cluster_outlier_rows.
         "cluster_outlier_digest": ann.cluster_outlier_digest,
+        # ktruss_digest (thirteenth round-4 continuation, never gated):
+        # maximal k-truss of the co-purchase graph — iterative edge
+        # peeling with triangle supports credited to all three edges per
+        # close, fixed-point convergence witness; pinned from the
+        # independent sequential oracle_dedup.ktruss_rows.
+        "ktruss_digest": graph.ktruss_digest,
         # betweenness_digest (twelfth round-4 continuation, never gated):
         # pivot-sampled Brandes centrality — exact int64 σ, δ on the 2^30
         # integer grid so every fold is order-free; pivots parallelize
@@ -1588,6 +1594,12 @@ def oracle_sql() -> dict[str, str]:
         "cluster_outlier_digest": """
             SELECT 8::BIGINT AS n_rows,
                    2144747669608658600::BIGINT AS digest
+        """,
+        # k-truss digest: pinned at sf0.01 from the sequential twin
+        # (dict adjacency, naive common-neighbor supports, same peel).
+        "ktruss_digest": """
+            SELECT 273::BIGINT AS n_edges,
+                   2016442538931659579::BIGINT AS digest
         """,
         # Betweenness digest: pinned at sf0.01 from the sequential twin
         # (plain dict Brandes, same grid spec).

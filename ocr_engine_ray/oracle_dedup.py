@@ -1785,3 +1785,46 @@ def cluster_outlier_rows(
         dg = (dg + row_digest(str(ci), pay)) % DIGEST_MOD
         n_rows += 1
     return n_rows, dg
+
+
+def ktruss_rows(
+    sf_dir: str, *, k: int = 3, min_support: int = 2
+) -> tuple[int, int]:
+    """Sequential twin of `graph.ktruss_digest`: dict adjacency over the
+    co-purchase graph, naive per-round common-neighbor supports, peel
+    until fixed point.  Returns (n_edges, digest)."""
+    from collections import Counter, defaultdict
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order: dict[int, list[int]] = defaultdict(list)
+    for ok, pk in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        by_order[ok].append(pk)
+    support: Counter = Counter()
+    for parts in by_order.values():
+        for i in range(len(parts)):
+            for j in range(len(parts)):
+                if parts[i] < parts[j]:
+                    support[(parts[i], parts[j])] += 1
+    edges = {e for e, n in support.items() if n >= min_support}
+    need = k - 2
+    while True:
+        nbrs: dict[int, set[int]] = defaultdict(set)
+        for a, b in edges:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        keep = {
+            (a, b) for a, b in edges if len(nbrs[a] & nbrs[b]) >= need
+        }
+        if keep == edges:
+            break
+        edges = keep
+    dg = 0
+    for a, b in sorted(edges):
+        dg = (dg + row_digest(str(a), str(b))) % DIGEST_MOD
+    return len(edges), dg

@@ -977,3 +977,200 @@ def betweenness_digest(
             "digest": dg.column("digest"),
         }
     )
+
+
+# --- k-truss decomposition ---------------------------------------------------
+KTRUSS_K = 3  # 4-truss is empty at gate scale; 3 = every edge in a triangle
+KTRUSS_MAX_ROUNDS = 30
+
+
+def ktruss_edges(
+    sf_dir: str,
+    *,
+    k: int = KTRUSS_K,
+    min_support: int = 2,
+    num_buckets: int = 64,
+    max_rounds: int = KTRUSS_MAX_ROUNDS,
+) -> rd.Dataset:
+    """Maximal k-truss of the co-purchase graph (Cohen 2008, public): the
+    unique largest subgraph where EVERY edge closes ≥ k−2 triangles — the
+    community-core detector one level stronger than `kcore_members`
+    (cores bound degrees; trusses bound cohesion).
+
+    Iterative edge peeling, each round three co-partition shuffles (the
+    `triangle_count` node-iterator machinery with the apex carried so a
+    closed wedge credits all THREE of its edges):
+
+    1. wedge generation per low-endpoint bucket (degree-size-class triu);
+    2. wedge close per (b, c) hash bucket → support partials for the
+       edges (a,b), (a,c), (b,c) of each closed triangle;
+    3. per-edge support fold → drop edges with support < k−2.
+
+    Rounds repeat until the edge count is a fixed point (a driver scalar
+    per round — the `connected_components` convergence-witness
+    contract; raises after ``max_rounds``).  The result is ORDER-FREE:
+    the maximal k-truss is unique, so peeling order cannot matter.
+    Returns the surviving (p1, p2) edges sorted; digest-gated via
+    `ktruss_digest`, pinned from `oracle_dedup.ktruss_rows`.
+    """
+    from .basket import copurchase_edges
+
+    _PRIME = np.int64(1_000_003)
+    need = k - 2
+    edges = copurchase_edges(
+        sf_dir, min_support=min_support, num_buckets=num_buckets
+    ).materialize()
+    n_prev = edges.count()
+    if n_prev == 0:
+        return edges.sort(["p1", "p2"])
+
+    def abucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("p1").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "abkt", pa.array((a % num_buckets).astype(np.int64))
+        )
+
+    def wedges_of(group: pa.Table) -> pa.Table:
+        """Wedge rows (b, c, apex a) + edge-presence rows (b, c, a=-1)."""
+        empty = pa.table(
+            {
+                "wbkt": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+            }
+        )
+        a = group.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+        nb = group.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(a):
+            return empty
+        order = np.lexsort((nb, a))
+        av, nbv = a[order], nb[order]
+        verts, deg = np.unique(av, return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        b_all, c_all, a_all = [], [], []
+        for d in np.unique(deg):
+            if d < 2:
+                continue
+            sel = np.nonzero(deg == d)[0]
+            idx = starts[sel][:, None] + np.arange(d)[None, :]
+            nbr = nbv[idx]
+            iu, ju = np.triu_indices(int(d), 1)
+            b_all.append(nbr[:, iu].ravel())
+            c_all.append(nbr[:, ju].ravel())
+            a_all.append(np.repeat(verts[sel], len(iu)))
+        parts = [empty]
+        if b_all:
+            b = np.concatenate(b_all)
+            c = np.concatenate(c_all)
+            ap = np.concatenate(a_all)
+            parts.append(
+                pa.table(
+                    {
+                        "wbkt": pa.array(
+                            ((b * _PRIME + c) % num_buckets).astype(np.int64)
+                        ),
+                        "b": pa.array(b),
+                        "c": pa.array(c),
+                        "a": pa.array(ap),
+                    }
+                )
+            )
+        parts.append(
+            pa.table(
+                {
+                    "wbkt": pa.array(((a * _PRIME + nb) % num_buckets).astype(np.int64)),
+                    "b": pa.array(a),
+                    "c": pa.array(nb),
+                    "a": pa.array(np.full(len(a), -1, np.int64)),
+                }
+            )
+        )
+        return pa.concat_tables(parts)
+
+    def close_to_support(group: pa.Table) -> pa.Table:
+        """Support partials: each closed wedge (a; b, c) credits edges
+        (a,b), (a,c), (b,c) — keyed by each edge's own bucket."""
+        b = group.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        ap = group.column("a").combine_chunks().to_numpy(zero_copy_only=False)
+        ise = ap == -1
+        empty = pa.table(
+            {
+                "ebkt": pa.array([], pa.int64()),
+                "p1": pa.array([], pa.int64()),
+                "p2": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+        if ise.all() or not ise.any():
+            return empty
+        maxc = int(c.max()) + 1
+        key = b * maxc + c
+        closed = np.isin(key[~ise], key[ise])
+        wb, wc, wa = b[~ise][closed], c[~ise][closed], ap[~ise][closed]
+        if not len(wb):
+            return empty
+        # edges of the triangle (a < b < c by construction): (a,b) (a,c) (b,c)
+        p1 = np.concatenate([wa, wa, wb])
+        p2 = np.concatenate([wb, wc, wc])
+        return pa.table(
+            {
+                "ebkt": pa.array(((p1 * _PRIME + p2) % num_buckets).astype(np.int64)),
+                "p1": pa.array(p1),
+                "p2": pa.array(p2),
+                "s": pa.array(np.ones(len(p1), np.int64)),
+            }
+        )
+
+    def keep_supported(group: pa.Table) -> pa.Table:
+        p1 = group.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+        p2 = group.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
+        maxp = int(p2.max()) + 1 if len(p2) else 1
+        key = p1 * maxp + p2
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, group.column("s").combine_chunks().to_numpy(zero_copy_only=False))
+        ok = tot >= need
+        return pa.table(
+            {
+                "p1": pa.array((uk[ok] // maxp).astype(np.int64)),
+                "p2": pa.array((uk[ok] % maxp).astype(np.int64)),
+            }
+        )
+
+    for _ in range(max_rounds):
+        support = (
+            edges.map_batches(abucket, batch_format="pyarrow")
+            .groupby("abkt")
+            .map_groups(wedges_of, batch_format="pyarrow")
+            .groupby("wbkt")
+            .map_groups(close_to_support, batch_format="pyarrow")
+            .groupby("ebkt")
+            .map_groups(keep_supported, batch_format="pyarrow")
+            .materialize()
+        )
+        n_now = support.count()
+        if n_now == n_prev:
+            return support.sort(["p1", "p2"])
+        edges, n_prev = support, n_now
+        if n_prev == 0:
+            return edges.sort(["p1", "p2"])
+    raise RuntimeError(f"k-truss peeling did not converge in {max_rounds} rounds")
+
+
+def ktruss_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `ktruss_edges`: (n_edges, digest), pinned from the
+    independent sequential `oracle_dedup.ktruss_rows`."""
+    from ..pipelines.interpret import DIGEST_MOD, row_digest
+
+    rows = ktruss_edges(sf_dir, **kwargs).take_all()
+    dg = 0
+    for r in rows:
+        dg = (dg + row_digest(str(r["p1"]), str(r["p2"]))) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_edges": pa.array([len(rows)], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
