@@ -515,6 +515,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # close, fixed-point convergence witness; pinned from the
         # independent sequential oracle_dedup.ktruss_rows.
         "ktruss_digest": graph.ktruss_digest,
+        # rendezvous_plan (thirteenth round-4 continuation, never gated):
+        # highest-random-weight placement planner — per-source argmax
+        # over md5(source, worker) with load columns; the no-churn
+        # resize property is pytest-pinned; generated arg_max twin.
+        "rendezvous_plan": diagnostics.rendezvous_plan,
         # betweenness_digest (twelfth round-4 continuation, never gated):
         # pivot-sampled Brandes centrality — exact int64 σ, δ on the 2^30
         # integer grid so every fold is order-free; pivots parallelize
@@ -1601,6 +1606,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 273::BIGINT AS n_edges,
                    2016442538931659579::BIGINT AS digest
         """,
+        # Rendezvous plan: same md5-hex argmax, generated twin.
+        "rendezvous_plan": __import__(
+            "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+        ).rendezvous_plan_sql(),
         # Betweenness digest: pinned at sf0.01 from the sequential twin
         # (plain dict Brandes, same grid spec).
         "betweenness_digest": """

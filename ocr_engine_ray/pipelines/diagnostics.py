@@ -983,3 +983,110 @@ def parquet_footprint_digest(sf_dir: str) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+# --- rendezvous (HRW) placement planner -------------------------------------
+RENDEZVOUS_WORKERS = 16
+
+
+def rendezvous_plan(
+    sf_dir: str, *, n_workers: int = RENDEZVOUS_WORKERS
+) -> rd.Dataset:
+    """Rendezvous / highest-random-weight placement (Thaler & Ravishankar
+    1996 — the consistent-hashing scheme behind cache/shard routers):
+    assign every source to ``argmax_w md5(source ␟ w)`` and report the
+    per-source load the plan moves there.  The HRW property the pytest
+    pins: adding a worker relocates ONLY the keys that move TO the new
+    worker — every other assignment is untouched (no ring-rebalance
+    churn), which is what makes the plan usable for incremental cluster
+    resizes at 100 TB.
+
+    Exactness: the weight is the md5 hex string itself (DuckDB ``md5``
+    returns the same hex; max over ASCII hex strings is identical in
+    both engines, and collisions would need an md5 break).  One corpus
+    pass emits per-batch (source, n_docs, n_chars) partials with the
+    argmax computed per DISTINCT source via the dictionary; a
+    sources-sized aggregate folds.  Returns (source, worker, n_docs,
+    n_chars) sorted by source.
+    """
+    import hashlib
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def assign(src: str) -> int:
+        best_w, best_h = 0, ""
+        for w in range(n_workers):
+            h = hashlib.md5(f"{src}\x1f{w}".encode("utf-8")).hexdigest()
+            if h > best_h:
+                best_w, best_h = w, h
+        return best_w
+
+    def partials(batch: pa.Table) -> pa.Table:
+        senc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)
+        nchars = np.asarray(
+            pc.utf8_length(pc.fill_null(batch.column("text").combine_chunks(), "")),
+            dtype=np.int64,
+        )
+        ns = len(senc.dictionary)
+        n_docs = np.bincount(si, minlength=ns).astype(np.int64)
+        n_ch = np.zeros(ns, np.int64)
+        np.add.at(n_ch, si, nchars)
+        workers = np.fromiter(
+            (assign(s) for s in senc.dictionary.to_pylist()),
+            dtype=np.int64,
+            count=ns,
+        )
+        return pa.table(
+            {
+                "source": senc.dictionary,
+                "worker": pa.array(workers),
+                "n_docs": pa.array(n_docs),
+                "n_chars": pa.array(n_ch),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "worker"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "worker": batch.column("worker").cast(pa.int64()),
+                "n_docs": batch.column("n_docs").cast(pa.int64()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+def rendezvous_plan_sql(n_workers: int = RENDEZVOUS_WORKERS) -> str:
+    """Generated twin: the same argmax over md5 hex via ``arg_max`` on a
+    generated worker series."""
+    return f"""
+        WITH s AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(length(coalesce(text, '')))::BIGINT AS n_chars
+          FROM documents GROUP BY 1
+        ),
+        a AS (
+          SELECT s.source,
+                 arg_max(w.w, md5(s.source || chr(31) || w.w::VARCHAR))::BIGINT
+                   AS worker
+          FROM s CROSS JOIN (
+            SELECT unnest(generate_series(0, {n_workers - 1})) AS w
+          ) w
+          GROUP BY s.source
+        )
+        SELECT s.source, a.worker, s.n_docs, s.n_chars
+        FROM s JOIN a USING (source)
+        ORDER BY source
+    """
