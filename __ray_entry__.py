@@ -381,6 +381,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # second-moment integer sums (Python-int string partials) over
         # the entropy pass's token-bucket shuffle; HUGEINT twin.
         "vocab_concentration": tsp.vocab_concentration,
+        # token_dispersion (thirteenth round-4 continuation, never
+        # gated): Gries' deviation-of-proportions for the global top-k
+        # tokens — the uneven-spread/boilerplate signal frequency can't
+        # see; exact common-denominator integers with the non-occurring
+        # docs folded in closed form; HUGEINT twin.
+        "token_dispersion": tsp.token_dispersion,
         # image_phash_dedup (eighth round-4 continuation, never gated):
         # perceptual (aHash) near-dup groups over REAL-decoded image
         # attachments; brute-force pixel-recompute twin.
@@ -1202,6 +1208,39 @@ def oracle_sql() -> dict[str, str]:
             FROM base b, gp, c4
         """,
         # Zipf slope: row_number over (count DESC, token), ln quantized to
+        # DP dispersion: same tokenization, per-(doc, token) counts and
+        # doc lengths as exact HUGEINTs, the non-occurring-doc term in
+        # the same closed form, one floor division to ppm.
+        "token_dispersion": r"""
+            WITH occ AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
+              FROM documents
+            ),
+            dt AS (
+              SELECT doc_id, token, count(*)::BIGINT AS ci FROM occ GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM occ GROUP BY 1),
+            g AS (SELECT token, sum(ci)::BIGINT AS c FROM dt GROUP BY 1),
+            n AS (SELECT sum(len)::HUGEINT AS n FROM dl),
+            top AS (SELECT token, c FROM g ORDER BY c DESC, token LIMIT 20),
+            t1 AS (
+              SELECT t.token, t.c,
+                     sum(abs(dt.ci::HUGEINT * n.n
+                             - dl.len::HUGEINT * t.c))::HUGEINT AS num_occ,
+                     sum(dl.len)::HUGEINT AS occ_len
+              FROM top t
+              JOIN dt ON dt.token = t.token
+              JOIN dl USING (doc_id)
+              CROSS JOIN n
+              GROUP BY 1, 2
+            )
+            SELECT t1.token, t1.c AS c_total,
+                   ((t1.num_occ + t1.c::HUGEINT * (n.n - t1.occ_len)) * 1000000
+                    // (2 * t1.c::HUGEINT * n.n))::BIGINT AS dp_ppm
+            FROM t1 CROSS JOIN n
+            ORDER BY dp_ppm DESC, token
+        """,
         # Vocabulary concentration: same occ/tc tokenization, HUGEINT
         # squared-count moments, one floor division per measure.
         "vocab_concentration": r"""

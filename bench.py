@@ -593,6 +593,15 @@ def run_bench() -> dict:
             __import__("ocr_engine_ray.pipelines.tagger", fromlist=["x"]).keyword_hits_ac
         ),
         "cluster_outlier_digest": timed(ann.cluster_outlier_digest),
+        "ktruss_digest": timed(
+            __import__("ocr_engine_ray.pipelines.graph", fromlist=["x"]).ktruss_digest
+        ),
+        "rendezvous_plan": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+            ).rendezvous_plan
+        ),
+        "token_dispersion": timed(tsp.token_dispersion),
         "orc_roundtrip_digest": timed(
             __import__("ocr_engine_ray.sources.formats", fromlist=["x"]).orc_roundtrip_digest
         ),

@@ -2950,3 +2950,166 @@ def vocab_concentration(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
             }
         )
     )
+
+
+# --- token dispersion (Gries' DP) -------------------------------------------
+DISPERSION_TOP_K = 20
+
+
+def token_dispersion(
+    sf_dir: str, *, top_k: int = DISPERSION_TOP_K, num_buckets: int = 64
+) -> rd.Dataset:
+    """Gries' *deviation of proportions* (DP, Gries 2008) for the corpus's
+    ``top_k`` tokens: how unevenly a token's occurrences spread over
+    documents relative to document sizes —
+
+        DP(w) = ½ Σ_docs |c_i(w)/c(w) − len_i/N|
+
+    DP → 0 means the token tracks document mass (function words); DP → 1
+    means it concentrates in few docs (topic/template/boilerplate
+    markers).  Frequency says none of this — dispersion is the standard
+    corpus-linguistics complement, and the template-detection signal
+    beside `compression_ratio`.
+
+    EXACT integers end-to-end: with the common denominator c·N,
+
+        DP·2cN = Σ_{docs with w} |c_i·N − len_i·c|  +  c·(N − Σ_{occ} len_i)
+
+    (the second term folds every non-occurring doc in closed form), all
+    Python-int partials, one floor division to ppm at the end; HUGEINT
+    twin.
+
+    Scale shape: pass 1 = the `heavy_hitters`-style global top-k (token
+    buckets → exact counts → k-row driver broadcast, tie-break (count
+    DESC, token ASC)); pass 2 = one corpus pass computing per-batch
+    partials Σ|c_i·N − len_i·c| and Σ len_i per tracked token (k-sized
+    rows per batch).  Returns (token, c_total, dp_ppm) sorted by
+    (dp_ppm DESC, token).
+    """
+    import ray as _ray
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # pass 1a: global token counts via the shared bucket shuffle; global
+    # N and the top-k cut
+    def occ_partials(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        if not len(rows):
+            return pa.table(
+                {
+                    "tbkt": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        uc, cnt = np.unique(codes, return_counts=True)
+        tdic = dic.to_pylist()
+        bkt = np.fromiter(
+            (zlib.crc32(tdic[i].encode()) % num_buckets for i in uc),
+            dtype=np.int64,
+            count=len(uc),
+        )
+        return pa.table(
+            {
+                "tbkt": pa.array(bkt),
+                "token": pc.take(dic, pa.array(uc)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        tenc = pc.dictionary_encode(group.column("token").combine_chunks())
+        ti = np.asarray(tenc.indices, dtype=np.int64)
+        c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        nt = len(tenc.dictionary)
+        tot = np.zeros(nt, np.int64)
+        np.add.at(tot, ti, c)
+        # block-local top-k prune: only a bucket top-k row can reach the cut
+        names = tenc.dictionary.to_pylist()
+        order = sorted(range(nt), key=lambda i: (-tot[i], names[i]))[:top_k]
+        return pa.table(
+            {
+                "token": pc.take(tenc.dictionary, pa.array(order, pa.int64())),
+                "c": pa.array(tot[order]),
+            }
+        )
+
+    counted = (
+        ds.map_batches(occ_partials, batch_format="pyarrow")
+        .groupby("tbkt")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ B×k rows
+    top = sorted(counted, key=lambda r: (-r["c"], r["token"]))[:top_k]
+    tokens = [r["token"] for r in top]
+    c_of = {r["token"]: r["c"] for r in top}
+
+    # pass 1b: N (total corpus tokens) — counted was top-k-pruned per
+    # bucket, so N comes from its own cheap scalar pass
+    def len_partial(batch: pa.Table) -> pa.Table:
+        rows, _, _ = _token_occurrences(batch.column("text").to_pylist())
+        return pa.table({"n": pa.array([int(len(rows))], pa.int64())})
+
+    n_total = int(
+        sum(r["n"] for r in ds.map_batches(len_partial, batch_format="pyarrow").take_all())
+    )
+    ref = _ray.put((tokens, c_of, n_total))
+
+    def dp_partials(batch: pa.Table) -> pa.Table:
+        from .joins import _get_broadcast
+
+        toks, cmap, N = _get_broadcast(ref)
+        rows, codes, dic = _token_occurrences(batch.column("text").to_pylist())
+        out_tok, out_num, out_len = [], [], []
+        if len(rows):
+            m = batch.num_rows
+            dl = np.bincount(rows, minlength=m).astype(np.int64)
+            wc = pc.index_in(pa.array(toks), value_set=dic)
+            for j, w in enumerate(toks):
+                code = wc[j].as_py()
+                num = 0
+                occ_len = 0
+                if code is not None:
+                    sel = codes == code
+                    if sel.any():
+                        hit_rows, ci = np.unique(rows[sel], return_counts=True)
+                        c = cmap[w]
+                        # Python ints: c_i·N and len_i·c stay exact at any N
+                        for r_ix, cv in zip(hit_rows.tolist(), ci.tolist()):
+                            num += abs(cv * N - int(dl[r_ix]) * c)
+                            occ_len += int(dl[r_ix])
+                out_tok.append(w)
+                out_num.append(str(num))
+                out_len.append(occ_len)
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "num": pa.array(out_num, pa.string()),
+                "occ_len": pa.array(out_len, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(dp_partials, batch_format="pyarrow").take_all()
+    num_of: dict[str, int] = {w: 0 for w in tokens}
+    occ_of: dict[str, int] = {w: 0 for w in tokens}
+    for r in parts:
+        num_of[r["token"]] += int(r["num"])
+        occ_of[r["token"]] += int(r["occ_len"])
+    out = []
+    for w in tokens:
+        c = c_of[w]
+        total_num = num_of[w] + c * (n_total - occ_of[w])
+        dp_ppm = total_num * 1_000_000 // (2 * c * n_total)
+        out.append((w, c, dp_ppm))
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "token": pa.array([t[0] for t in out], pa.string()),
+                "c_total": pa.array([t[1] for t in out], pa.int64()),
+                "dp_ppm": pa.array([t[2] for t in out], pa.int64()),
+            }
+        )
+    )
