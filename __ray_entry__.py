@@ -526,6 +526,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over md5(source, worker) with load columns; the no-churn
         # resize property is pytest-pinned; generated arg_max twin.
         "rendezvous_plan": diagnostics.rendezvous_plan,
+        # merkle_manifest (thirteenth round-4 continuation, never gated):
+        # two-level content-addressed partition manifest — per-doc md5
+        # leaves fold in doc order to bucket digests, buckets to one
+        # root; the changed-partition diff primitive; ordered string_agg
+        # twin.
+        "merkle_manifest": diagnostics.merkle_manifest,
         # betweenness_digest (twelfth round-4 continuation, never gated):
         # pivot-sampled Brandes centrality — exact int64 σ, δ on the 2^30
         # integer grid so every fold is order-free; pivots parallelize
@@ -1649,6 +1655,10 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_plan": __import__(
             "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
         ).rendezvous_plan_sql(),
+        # Merkle manifest: same two-level ordered md5 fold.
+        "merkle_manifest": __import__(
+            "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+        ).merkle_manifest_sql(),
         # Betweenness digest: pinned at sf0.01 from the sequential twin
         # (plain dict Brandes, same grid spec).
         "betweenness_digest": """

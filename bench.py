@@ -602,6 +602,11 @@ def run_bench() -> dict:
             ).rendezvous_plan
         ),
         "token_dispersion": timed(tsp.token_dispersion),
+        "merkle_manifest": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]
+            ).merkle_manifest
+        ),
         "orc_roundtrip_digest": timed(
             __import__("ocr_engine_ray.sources.formats", fromlist=["x"]).orc_roundtrip_digest
         ),

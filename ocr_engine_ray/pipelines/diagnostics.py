@@ -1090,3 +1090,114 @@ def rendezvous_plan_sql(n_workers: int = RENDEZVOUS_WORKERS) -> str:
         FROM s JOIN a USING (source)
         ORDER BY source
     """
+
+
+# --- Merkle partition manifest ----------------------------------------------
+MERKLE_BUCKETS = 64
+
+
+def merkle_manifest(
+    sf_dir: str, *, num_buckets: int = MERKLE_BUCKETS
+) -> rd.Dataset:
+    """Two-level Merkle manifest of the corpus: per-document leaf hashes
+    ``md5(doc_id ␟ text)`` fold into per-bucket digests
+    (``bucket = doc_id % B``), which fold into one root — the
+    content-addressed summary that lets two replicas (or two runs of an
+    incremental pipeline) agree on WHICH partitions differ by comparing
+    B+1 rows instead of re-reading 100 TB (`extraction_delta` finds the
+    changed docs; this finds the changed partitions first).
+
+    Deterministic by construction: leaves concatenate in (doc_id) order
+    inside a bucket, buckets in bucket order — so the manifest is a pure
+    content function, independent of batching (pytest-pinned: editing
+    ONE document changes exactly its bucket row and the root).  One
+    bucket shuffle; the root folds B rows on the driver.  Returns
+    (level, bucket, n_docs, digest) — B ``leaf``-level rows plus one
+    ``root`` row (bucket = −1) — sorted by (level, bucket); full md5
+    string_agg twin.
+    """
+    import hashlib
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def leaves(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        hx = [
+            hashlib.md5(f"{int(d)}\x1f{t or ''}".encode("utf-8")).hexdigest()
+            for d, t in zip(did, texts)
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array((did % num_buckets).astype(np.int64)),
+                "doc_id": pa.array(did.astype(np.int64)),
+                "h": pa.array(hx, pa.string()),
+            }
+        )
+
+    def bucket_digest(group: pa.Table) -> pa.Table:
+        import hashlib
+
+        b = group.column("bucket")[0].as_py()
+        did = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        hx = group.column("h").to_pylist()
+        order = np.argsort(did, kind="stable")
+        cat = "".join(hx[i] for i in order)
+        return pa.table(
+            {
+                "bucket": pa.array([b], pa.int64()),
+                "n_docs": pa.array([len(did)], pa.int64()),
+                "digest": pa.array(
+                    [hashlib.md5(cat.encode("utf-8")).hexdigest()], pa.string()
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(leaves, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_digest, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ B rows
+    rows.sort(key=lambda r: r["bucket"])
+    root = hashlib.md5("".join(r["digest"] for r in rows).encode("utf-8")).hexdigest()
+    lvl = ["leaf"] * len(rows) + ["root"]
+    bkt = [r["bucket"] for r in rows] + [-1]
+    nd = [r["n_docs"] for r in rows] + [sum(r["n_docs"] for r in rows)]
+    dg = [r["digest"] for r in rows] + [root]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "level": pa.array(lvl, pa.string()),
+                "bucket": pa.array(bkt, pa.int64()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "digest": pa.array(dg, pa.string()),
+            }
+        )
+    )
+
+
+def merkle_manifest_sql(num_buckets: int = MERKLE_BUCKETS) -> str:
+    """Generated twin: the same two-level md5 fold via ordered string_agg."""
+    return f"""
+        WITH leaf AS (
+          SELECT doc_id % {num_buckets} AS bucket, doc_id,
+                 md5(doc_id::VARCHAR || chr(31) || coalesce(text, '')) AS h
+          FROM documents
+        ),
+        b AS (
+          SELECT bucket, count(*)::BIGINT AS n_docs,
+                 md5(string_agg(h, '' ORDER BY doc_id)) AS digest
+          FROM leaf GROUP BY bucket
+        ),
+        r AS (
+          SELECT 'root' AS level, -1::BIGINT AS bucket,
+                 sum(n_docs)::BIGINT AS n_docs,
+                 md5(string_agg(digest, '' ORDER BY bucket)) AS digest
+          FROM b
+        )
+        SELECT 'leaf' AS level, bucket, n_docs, digest FROM b
+        UNION ALL
+        SELECT * FROM r
+        ORDER BY level, bucket
+    """
