@@ -521,6 +521,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # close, fixed-point convergence witness; pinned from the
         # independent sequential oracle_dedup.ktruss_rows.
         "ktruss_digest": graph.ktruss_digest,
+        # cdc_digest (thirteenth round-4 continuation, never gated):
+        # content-defined chunking dedup stats — gear-hash boundaries
+        # (64-byte rolling window, vectorized as 64 shifted adds), md5
+        # chunk identity, one hash-bucket shuffle for distinct volumes;
+        # pinned from the pure-Python sequential oracle_dedup.cdc_rows.
+        "cdc_digest": dedup.cdc_digest,
         # rendezvous_plan (thirteenth round-4 continuation, never gated):
         # highest-random-weight placement planner — per-source argmax
         # over md5(source, worker) with load columns; the no-churn
@@ -1650,6 +1656,12 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_digest": """
             SELECT 273::BIGINT AS n_edges,
                    2016442538931659579::BIGINT AS digest
+        """,
+        # CDC digest: pinned at sf0.01 from the sequential twin (byte-
+        # at-a-time rolling gear hash, independent of the vector kernel).
+        "cdc_digest": """
+            SELECT 20::BIGINT AS n_rows,
+                   618876294648121671::BIGINT AS digest
         """,
         # Rendezvous plan: same md5-hex argmax, generated twin.
         "rendezvous_plan": __import__(

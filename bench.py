@@ -602,6 +602,7 @@ def run_bench() -> dict:
             ).rendezvous_plan
         ),
         "token_dispersion": timed(tsp.token_dispersion),
+        "cdc_digest": timed(dedup.cdc_digest),
         "merkle_manifest": timed(
             __import__(
                 "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]

@@ -1828,3 +1828,50 @@ def ktruss_rows(
     for a, b in sorted(edges):
         dg = (dg + row_digest(str(a), str(b))) % DIGEST_MOD
     return len(edges), dg
+
+
+def cdc_rows(sf_dir: str, *, mask_bits: int = 6) -> tuple[int, int]:
+    """Sequential twin of `dedup.cdc_digest`: per-doc gear-hash cut points
+    (pure-Python rolling hash — independent of the vectorized engine
+    kernel), per-source chunk multisets, same ratio arithmetic.
+    Returns (n_rows, digest)."""
+    import hashlib
+    from collections import defaultdict
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    gear = [
+        int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+        for b in range(256)
+    ]
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    occ: dict[str, list] = defaultdict(list)
+    for sc, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        data = (txt or "").encode("utf-8")
+        h = 0
+        prev = 0
+        mask = (1 << mask_bits) - 1
+        window_mask = (1 << 64) - 1
+        for i, byte in enumerate(data):
+            h = ((h << 1) + gear[byte]) & window_mask
+            if (h & mask) == 0:
+                occ[sc].append(data[prev : i + 1])
+                prev = i + 1
+        if prev != len(data) or not data:
+            if data:
+                occ[sc].append(data[prev:])
+    dg = 0
+    n_rows = 0
+    for sc in sorted(occ):
+        chunks = occ[sc]
+        hashes = [hashlib.md5(c).hexdigest() for c in chunks]
+        seen: dict[str, int] = {}
+        for hx, c in zip(hashes, chunks):
+            seen.setdefault(hx, len(c))
+        total = sum(len(c) for c in chunks)
+        uniq = sum(seen.values())
+        ratio = (total - uniq) * 1_000_000 // total if total else 0
+        pay = f"{len(chunks)}\x1f{len(seen)}\x1f{total}\x1f{uniq}\x1f{ratio}"
+        dg = (dg + row_digest(sc, pay)) % DIGEST_MOD
+        n_rows += 1
+    return n_rows, dg

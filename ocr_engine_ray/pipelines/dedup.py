@@ -3256,3 +3256,184 @@ def dedup_eval_digest(sf_dir: str) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+# --- content-defined chunking (gear CDC) ------------------------------------
+CDC_MASK_BITS = 6  # expected chunk ≈ 64 bytes on random content
+_CDC_WINDOW = 64
+
+
+def _gear_table() -> np.ndarray:
+    """Deterministic 256-entry gear table: 8 md5 bytes per byte value
+    (the public gear-hash construction — no RNG, reproducible anywhere)."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+            for b in range(256)
+        ],
+        dtype=np.uint64,
+    )
+
+
+_GEAR = _gear_table()
+
+
+def cdc_cut_points(data: bytes, *, mask_bits: int = CDC_MASK_BITS) -> np.ndarray:
+    """Content-defined cut positions (exclusive ends) of ``data``: the
+    rolling gear hash h_i = Σ_{k<64} gear[b_{i−k}] << k cuts wherever its
+    low ``mask_bits`` bits are zero.  No min/max clamp, so every cut is a
+    pure function of its trailing 64 bytes — boundaries survive
+    insertions/deletions elsewhere (the CDC property), and the whole
+    computation vectorizes as 64 shifted adds.  Always ends with
+    ``len(data)``."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, np.int64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    g = _GEAR[b]
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(min(_CDC_WINDOW, n)):
+        h[k:] += g[: n - k] << np.uint64(k)  # uint64 wrap == mod 2^64
+    mask = np.uint64((1 << mask_bits) - 1)
+    cuts = np.nonzero((h & mask) == 0)[0] + 1
+    if not len(cuts) or cuts[-1] != n:
+        cuts = np.concatenate([cuts, [n]])
+    return cuts.astype(np.int64)
+
+
+def cdc_dedup_stats(
+    sf_dir: str, *, mask_bits: int = CDC_MASK_BITS, num_buckets: int = 64
+) -> rd.Dataset:
+    """Storage-layer dedup planning via content-defined chunking (gear
+    hash — the FastCDC/LBFS family, public): split every document's
+    UTF-8 bytes at content-defined boundaries, hash the chunks, and
+    report per source how much of the byte volume is redundant at chunk
+    granularity — the sub-document counterpart of `exact_dedup` (whole
+    docs) and `paragraph_dedup` (structural units), robust to insertions
+    because boundaries are functions of local content, not offsets.
+
+    Per source: (n_chunks, n_distinct_chunks, bytes_total, bytes_unique,
+    dedup_ratio_ppm = (total − unique)·10^6 // total), sorted by source.
+    Exact: chunk identity is md5; distinct counting is ONE
+    crc(hash)-bucket shuffle (a chunk's rows co-locate), sums are
+    integers.  Digest-gated via `cdc_digest`, pinned from the
+    independent sequential `oracle_dedup.cdc_rows` (the rolling hash is
+    not SQL-expressible at reasonable cost).
+    """
+    import hashlib
+    import zlib
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_b, out_s, out_h, out_l = [], [], [], []
+        for sc, t in zip(srcs, texts):
+            data = (t or "").encode("utf-8")
+            prev = 0
+            for cut in cdc_cut_points(data, mask_bits=mask_bits):
+                chunk = data[prev:cut]
+                prev = cut
+                h = hashlib.md5(chunk).hexdigest()
+                out_b.append(zlib.crc32(h.encode()) % num_buckets)
+                out_s.append(sc)
+                out_h.append(h)
+                out_l.append(len(chunk))
+        return pa.table(
+            {
+                "hbkt": pa.array(out_b, pa.int64()),
+                "source": pa.array(out_s, pa.string()),
+                "h": pa.array(out_h, pa.string()),
+                "blen": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        """Exact per-source partials of this hash bucket: occurrences,
+        per-source-distinct chunks and their byte volumes."""
+        senc = pc.dictionary_encode(group.column("source").combine_chunks())
+        henc = pc.dictionary_encode(group.column("h").combine_chunks())
+        si = np.asarray(senc.indices, dtype=np.int64)
+        hi = np.asarray(henc.indices, dtype=np.int64)
+        blen = group.column("blen").combine_chunks().to_numpy(zero_copy_only=False)
+        nh = max(len(henc.dictionary), 1)
+        pair = si * nh + hi
+        upair, first = np.unique(pair, return_index=True)
+        ns = len(senc.dictionary)
+        p_src = (upair // nh).astype(np.int64)
+        n_occ = np.bincount(si, minlength=ns).astype(np.int64)
+        b_tot = np.zeros(ns, np.int64)
+        np.add.at(b_tot, si, blen)
+        n_dis = np.bincount(p_src, minlength=ns).astype(np.int64)
+        b_uni = np.zeros(ns, np.int64)
+        np.add.at(b_uni, p_src, blen[first])
+        return pa.table(
+            {
+                "source": senc.dictionary,
+                "n_occ": pa.array(n_occ),
+                "n_dis": pa.array(n_dis),
+                "b_tot": pa.array(b_tot),
+                "b_uni": pa.array(b_uni),
+            }
+        )
+
+    rows = (
+        ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby("hbkt")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ B × sources rows
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["source"], [0, 0, 0, 0])
+        a[0] += r["n_occ"]
+        a[1] += r["n_dis"]
+        a[2] += r["b_tot"]
+        a[3] += r["b_uni"]
+    srcs = sorted(acc)
+    ratio = [
+        (acc[s][2] - acc[s][3]) * 1_000_000 // acc[s][2] if acc[s][2] else 0
+        for s in srcs
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_chunks": pa.array([acc[s][0] for s in srcs], pa.int64()),
+                "n_distinct_chunks": pa.array([acc[s][1] for s in srcs], pa.int64()),
+                "bytes_total": pa.array([acc[s][2] for s in srcs], pa.int64()),
+                "bytes_unique": pa.array([acc[s][3] for s in srcs], pa.int64()),
+                "dedup_ratio_ppm": pa.array(ratio, pa.int64()),
+            }
+        )
+    )
+
+
+def cdc_digest(sf_dir: str, **kwargs) -> pa.Table:
+    """Digest gate over `cdc_dedup_stats`: (n_rows, digest), pinned from
+    the independent sequential `oracle_dedup.cdc_rows`."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    rows = cdc_dedup_stats(sf_dir, **kwargs).take_all()
+    dg = 0
+    for r in rows:
+        pay = "\x1f".join(
+            str(r[c])
+            for c in (
+                "n_chunks",
+                "n_distinct_chunks",
+                "bytes_total",
+                "bytes_unique",
+                "dedup_ratio_ppm",
+            )
+        )
+        dg = (dg + row_digest(r["source"], pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([len(rows)], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )
