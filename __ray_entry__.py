@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slot comes from token_totals_by_lang, whose per-lang totals are
         # the column sums of the still-gated token_frequencies output.
         "copurchase_pairs": basket.copurchase_pairs,
+        # degree_assortativity registered past the cut (r4c13) — see the
+        # graph section below.
         # incremental_dedup_digest is new in this (sixth) round-4
         # continuation, never driver-gated: the incremental new-batch-vs-
         # indexed-history MinHash dedup (cross-side banding, shared verify
@@ -527,6 +529,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chunk identity, one hash-bucket shuffle for distinct volumes;
         # pinned from the pure-Python sequential oracle_dedup.cdc_rows.
         "cdc_digest": dedup.cdc_digest,
+        # degree_assortativity (thirteenth round-4 continuation, never
+        # gated): Newman's endpoint-degree Pearson over the co-purchase
+        # stubs — exact integer moments via degree-bucket attach passes,
+        # one double expression to ppm; full HUGEINT twin.
+        "degree_assortativity": basket.degree_assortativity,
         # rendezvous_plan (thirteenth round-4 continuation, never gated):
         # highest-random-weight placement planner — per-source argmax
         # over md5(source, worker) with load columns; the no-churn
@@ -1656,6 +1663,41 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_digest": """
             SELECT 273::BIGINT AS n_edges,
                    2016442538931659579::BIGINT AS digest
+        """,
+        # Assortativity: same moments as exact HUGEINTs over both stub
+        # orientations, one double division, ppm half-even.
+        "degree_assortativity": """
+            WITH pc AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM lineitem a
+              JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            ),
+            stubs AS (
+              SELECT p1 AS u, p2 AS v FROM pc
+              UNION ALL
+              SELECT p2 AS u, p1 AS v FROM pc
+            ),
+            deg AS (SELECT u AS node, count(*)::BIGINT AS d FROM stubs GROUP BY 1),
+            m AS (
+              SELECT count(*)::HUGEINT AS m,
+                     sum(du.d)::HUGEINT AS sx,
+                     sum(du.d::HUGEINT * du.d)::HUGEINT AS sxx,
+                     sum(du.d::HUGEINT * dv.d)::HUGEINT AS sxy
+              FROM stubs s
+              JOIN deg du ON s.u = du.node
+              JOIN deg dv ON s.v = dv.node
+            )
+            SELECT (m // 2)::BIGINT AS n_edges, m::BIGINT AS m_stubs,
+                   sx::BIGINT AS sx, sxx::BIGINT AS sxx, sxy::BIGINT AS sxy,
+                   CASE WHEN m > 0 AND (m * sxx - sx * sx) <> 0
+                        THEN round_even((m * sxy - sx * sx)::DOUBLE
+                                        / (m * sxx - sx * sx)::DOUBLE
+                                        * 1000000, 0)::BIGINT
+                        ELSE 0 END AS r_ppm
+            FROM m
         """,
         # CDC digest: pinned at sf0.01 from the sequential twin (byte-
         # at-a-time rolling gear hash, independent of the vector kernel).

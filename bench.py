@@ -603,6 +603,11 @@ def run_bench() -> dict:
         ),
         "token_dispersion": timed(tsp.token_dispersion),
         "cdc_digest": timed(dedup.cdc_digest),
+        "degree_assortativity": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.basket", fromlist=["x"]
+            ).degree_assortativity
+        ),
         "merkle_manifest": timed(
             __import__(
                 "ocr_engine_ray.pipelines.diagnostics", fromlist=["x"]

@@ -1142,3 +1142,188 @@ def linkpred_holdout_eval(
             }
         )
     )
+
+
+def degree_assortativity(
+    sf_dir: str, *, min_support: int = BASKET_MIN_SUPPORT, num_buckets: int = 64
+) -> pa.Table:
+    """Degree assortativity coefficient (Newman 2002) of the co-purchase
+    graph: the Pearson correlation of endpoint degrees over all edge
+    stubs — positive means hubs trade with hubs (assortative), negative
+    means hub-and-spoke structure; THE one-number summary of whether
+    near-dup/graph blow-ups will concentrate on a few nodes.
+
+    EXACT integer moments end-to-end: over the 2E ordered stubs (u, v),
+    Sx = Σ deg_u (= Σ deg_v by symmetry), Sxx = Σ deg_u², Sxy =
+    Σ deg_u·deg_v fold as Python ints; r is ONE double expression
+
+        r = (M·Sxy − Sx·Sx) / (M·Sxx − Sx·Sx)
+
+    rounded half-even to ppm — HUGEINT twin with the same operand order.
+
+    Scale shape: degrees via one endpoint-bucket fold; two co-partition
+    attach passes key the edge list by u then by v (the
+    `token_rarity_score` bucket-join discipline — the degree table never
+    sits on the driver); block-local moment partials fold to six
+    driver ints.  Returns ONE row (n_edges, m_stubs, sx, sxx, sxy,
+    r_ppm).
+    """
+    edges = copurchase_edges(
+        sf_dir, min_support=min_support, num_buckets=num_buckets
+    ).materialize()
+    _SENT = -1
+
+    def stub_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch.column("p2").combine_chunks().to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b])
+        return pa.table(
+            {
+                "nbkt": pa.array((node % num_buckets).astype(np.int64)),
+                "node": pa.array(node),
+                "c": pa.array(np.ones(len(node), np.int64)),
+            }
+        )
+
+    def deg_fold(group: pa.Table) -> pa.Table:
+        node = group.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        un, inv = np.unique(node, return_inverse=True)
+        deg = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "nbkt": pa.array((un % num_buckets).astype(np.int64)),
+                "node": pa.array(un),
+                "deg": pa.array(deg),
+            }
+        )
+
+    degrees = (
+        edges.map_batches(stub_rows, batch_format="pyarrow")
+        .groupby("nbkt")
+        .map_groups(deg_fold, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def edge_u_side(batch: pa.Table) -> pa.Table:
+        a = batch.column("p1").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nbkt": pa.array((a % num_buckets).astype(np.int64)),
+                "node": pa.array(a),
+                "other": batch.column("p2"),
+                "deg": pa.array(np.full(len(a), _SENT, np.int64)),
+            }
+        )
+
+    def deg_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nbkt": batch.column("nbkt"),
+                "node": batch.column("node"),
+                "other": pa.array(np.full(batch.num_rows, _SENT, np.int64)),
+                "deg": batch.column("deg"),
+            }
+        )
+
+    def attach_u(group: pa.Table) -> pa.Table:
+        node = group.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        other = group.column("other").combine_chunks().to_numpy(zero_copy_only=False)
+        deg = group.column("deg").combine_chunks().to_numpy(zero_copy_only=False)
+        is_deg = deg != _SENT
+        dn, dv = node[is_deg], deg[is_deg]
+        order = np.argsort(dn, kind="stable")
+        dn, dv = dn[order], dv[order]
+        eu, ev = node[~is_deg], other[~is_deg]
+        if not len(eu):
+            return pa.table(
+                {
+                    "nbkt": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                    "other": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.searchsorted(dn, eu)
+        if (pos >= len(dn)).any() or (dn[np.minimum(pos, len(dn) - 1)] != eu).any():
+            raise ValueError("edge endpoint without a degree row")
+        # rekey by the OTHER endpoint, carrying deg_u in `deg`
+        return pa.table(
+            {
+                "nbkt": pa.array((ev % num_buckets).astype(np.int64)),
+                "node": pa.array(ev),
+                "other": pa.array(eu),
+                "deg": pa.array(dv[pos]),
+            }
+        )
+
+    def attach_v(group: pa.Table) -> pa.Table:
+        node = group.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        deg = group.column("deg").combine_chunks().to_numpy(zero_copy_only=False)
+        other = group.column("other").combine_chunks().to_numpy(zero_copy_only=False)
+        is_deg = (other == _SENT)
+        dn, dv = node[is_deg], deg[is_deg]
+        order = np.argsort(dn, kind="stable")
+        dn, dv = dn[order], dv[order]
+        eu, du = node[~is_deg], deg[~is_deg]
+        if not len(eu):
+            return pa.table(
+                {
+                    "sx": pa.array([], pa.string()),
+                    "sxx": pa.array([], pa.string()),
+                    "sxy": pa.array([], pa.string()),
+                    "m": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.searchsorted(dn, eu)
+        if (pos >= len(dn)).any() or (dn[np.minimum(pos, len(dn) - 1)] != eu).any():
+            raise ValueError("edge endpoint without a degree row")
+        dv_edge = dv[pos]
+        # both stub orientations of each undirected edge: (du, dv) + (dv, du)
+        sx = int(du.sum()) + int(dv_edge.sum())
+        sxx = int((du * du).sum()) + int((dv_edge * dv_edge).sum())
+        sxy = 2 * int((du * dv_edge).sum())
+        return pa.table(
+            {
+                "sx": pa.array([str(sx)], pa.string()),
+                "sxx": pa.array([str(sxx)], pa.string()),
+                "sxy": pa.array([str(sxy)], pa.string()),
+                "m": pa.array([2 * len(eu)], pa.int64()),
+            }
+        )
+
+    deg_keyed = degrees.map_batches(deg_side, batch_format="pyarrow")
+    mid = (
+        edges.map_batches(edge_u_side, batch_format="pyarrow")
+        .union(deg_keyed)
+        .groupby("nbkt")
+        .map_groups(attach_u, batch_format="pyarrow")
+    )
+    parts = (
+        mid.union(deg_keyed)
+        .groupby("nbkt")
+        .map_groups(attach_v, batch_format="pyarrow")
+        .take_all()
+    )
+    sx = sum(int(r["sx"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    m = sum(r["m"] for r in parts)
+    n_edges = m // 2
+    if m and (m * sxx - sx * sx):
+        r_ppm = int(
+            np.round(
+                (float(m * sxy - sx * sx) / float(m * sxx - sx * sx)) * 1_000_000
+            )
+        )
+    else:
+        r_ppm = 0
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "m_stubs": pa.array([m], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "r_ppm": pa.array([r_ppm], pa.int64()),
+        }
+    )
