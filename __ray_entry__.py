@@ -534,6 +534,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stubs — exact integer moments via degree-bucket attach passes,
         # one double expression to ppm; full HUGEINT twin.
         "degree_assortativity": basket.degree_assortativity,
+        # quantile_sketch_eval (thirteenth round-4 continuation, never
+        # gated): DDSketch-vs-exact accuracy eval — exact type-1 cents
+        # quantiles via per-flag histogram walks, relative error as one
+        # mirrored double, integer guarantee check; full SQL twin.
+        "quantile_sketch_eval": profile.quantile_sketch_eval,
         # rendezvous_plan (thirteenth round-4 continuation, never gated):
         # highest-random-weight placement planner — per-source argmax
         # over md5(source, worker) with load columns; the no-churn
@@ -1663,6 +1668,72 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_digest": """
             SELECT 273::BIGINT AS n_edges,
                    2016442538931659579::BIGINT AS digest
+        """,
+        # Sketch eval: the ddsketch twin CTEs + the exact cents-histogram
+        # kth, the same single double expression for the error.
+        "quantile_sketch_eval": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     ceil(ln(l_extendedprice) / ln(1.02))::BIGINT AS bucket,
+                     count(*)::BIGINT AS n
+              FROM lineitem GROUP BY 1, 2
+            ),
+            t AS (SELECT l_returnflag, sum(n)::BIGINT AS n_tot FROM b GROUP BY 1),
+            c AS (
+              SELECT l_returnflag, bucket, n,
+                     sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM b
+            ),
+            qs AS (SELECT * FROM (VALUES (50, 0.5), (95, 0.95), (99, 0.99))
+                   AS v(q_pct, qf)),
+            pick AS (
+              SELECT c.l_returnflag, qs.q_pct, t.n_tot,
+                     min(c.bucket) AS est_b
+              FROM c
+              JOIN t USING (l_returnflag)
+              JOIN qs ON true
+              WHERE c.cum >= floor(1 + qs.qf * (t.n_tot - 1))::BIGINT
+              GROUP BY 1, 2, 3
+            ),
+            est AS (
+              SELECT l_returnflag, q_pct::BIGINT AS q_pct, n_tot AS n,
+                     round_even(2.0 * power(1.02, est_b) / (1.02 + 1.0)
+                                * 10000.0, 0)::BIGINT AS est_q4
+              FROM pick
+            ),
+            cents AS (
+              SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS ct,
+                     count(*)::BIGINT AS n
+              FROM lineitem GROUP BY 1, 2
+            ),
+            cc AS (
+              SELECT l_returnflag, ct, n,
+                     sum(n) OVER (PARTITION BY l_returnflag ORDER BY ct
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM cents
+            ),
+            ex AS (
+              SELECT cc.l_returnflag, qs.q_pct::BIGINT AS q_pct,
+                     min(cc.ct) AS exact_cents
+              FROM cc
+              JOIN t USING (l_returnflag)
+              JOIN qs ON true
+              WHERE cc.cum >= floor(1 + qs.qf * (t.n_tot - 1))::BIGINT
+              GROUP BY 1, 2
+            )
+            SELECT est.l_returnflag, est.q_pct, est.n, ex.exact_cents,
+                   est.est_q4,
+                   round_even(abs(est.est_q4 / 10000.0 - ex.exact_cents / 100.0)
+                              / (ex.exact_cents / 100.0) * 1000000.0, 0)::BIGINT
+                     AS rel_err_ppm,
+                   CASE WHEN round_even(abs(est.est_q4 / 10000.0
+                                            - ex.exact_cents / 100.0)
+                                        / (ex.exact_cents / 100.0)
+                                        * 1000000.0, 0) <= 9901
+                        THEN 1 ELSE 0 END::BIGINT AS within_bound
+            FROM est JOIN ex USING (l_returnflag, q_pct)
+            ORDER BY l_returnflag, q_pct
         """,
         # Assortativity: same moments as exact HUGEINTs over both stub
         # orientations, one double division, ppm half-even.

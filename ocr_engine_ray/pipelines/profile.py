@@ -1242,3 +1242,107 @@ def ddsketch_quantiles(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def quantile_sketch_eval(sf_dir: str) -> pa.Table:
+    """Offline accuracy eval of the DDSketch path vs EXACT quantiles —
+    the quantile counterpart of `ann_eval_digest` / `dedup_eval_digest`:
+    for each (return flag, q ∈ {50, 95, 99}) report the exact type-1
+    quantile, the sketch estimate, the relative error and whether it
+    honors the sketch's (γ−1)/(γ+1) ≈ 9901 ppm guarantee.
+
+    Exact side: per-(flag, cents) counts (prices are 2-decimal, so cents
+    are exact int64) fold in one groupby; each flag's quantile walk runs
+    INSIDE its group kernel over the distinct-cents histogram (constant
+    per flag at any corpus — the `price_outliers` histogram-select
+    shape), so only flags × quantiles rows reach the driver.  The error
+    is ONE double expression mirrored in the twin; the bound check is an
+    integer comparison.  Returns (l_returnflag, q_pct, n, exact_cents,
+    est_q4, rel_err_ppm, within_bound) sorted.
+    """
+    from ray.data.aggregate import Count
+
+    QS = [(50, 0.5), (95, 0.95), (99, 0.99)]
+    BOUND_PPM = 9901  # (γ−1)/(γ+1) at γ = 1.02, floored to ppm
+
+    sk = {
+        (r["l_returnflag"], r["q_pct"]): (r["n"], r["est_q4"])
+        for r in ddsketch_quantiles(sf_dir).take_all()
+    }
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def cents_rows(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "c": pa.array(np.round(p * 100.0).astype(np.int64)),
+            }
+        )
+
+    counted = (
+        li.map_batches(cents_rows, batch_format="pyarrow")
+        .groupby(["l_returnflag", "c"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def walk(group: pa.Table) -> pa.Table:
+        flag = group.column("l_returnflag")[0].as_py()
+        c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        c, n = c[order], n[order]
+        cum = np.cumsum(n)
+        tot = int(cum[-1])
+        rows = []
+        for q_pct, qf in QS:
+            k = int(np.floor(1 + qf * (tot - 1)))
+            ix = int(np.searchsorted(cum, k))
+            rows.append((q_pct, tot, int(c[ix])))
+        return pa.table(
+            {
+                "l_returnflag": pa.array([flag] * len(rows), pa.string()),
+                "q_pct": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "exact_cents": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    exact = (
+        counted.groupby("l_returnflag")
+        .map_groups(walk, batch_format="pyarrow")
+        .take_all()
+    )  # flags × quantiles rows
+    out = {"l_returnflag": [], "q_pct": [], "n": [], "exact_cents": [],
+           "est_q4": [], "rel_err_ppm": [], "within_bound": []}
+    for r in sorted(exact, key=lambda r: (r["l_returnflag"], r["q_pct"])):
+        key = (r["l_returnflag"], r["q_pct"])
+        n_sk, est = sk[key]
+        assert n_sk == r["n"]
+        # one double expression, twin operand order
+        err = int(
+            np.round(
+                abs(est / 10000.0 - r["exact_cents"] / 100.0)
+                / (r["exact_cents"] / 100.0)
+                * 1000000.0
+            )
+        )
+        out["l_returnflag"].append(key[0])
+        out["q_pct"].append(key[1])
+        out["n"].append(r["n"])
+        out["exact_cents"].append(r["exact_cents"])
+        out["est_q4"].append(est)
+        out["rel_err_ppm"].append(err)
+        out["within_bound"].append(1 if err <= BOUND_PPM else 0)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "q_pct": pa.array(out["q_pct"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64()),
+            "exact_cents": pa.array(out["exact_cents"], pa.int64()),
+            "est_q4": pa.array(out["est_q4"], pa.int64()),
+            "rel_err_ppm": pa.array(out["rel_err_ppm"], pa.int64()),
+            "within_bound": pa.array(out["within_bound"], pa.int64()),
+        }
+    )
