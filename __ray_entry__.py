@@ -539,6 +539,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantiles via per-flag histogram walks, relative error as one
         # mirrored double, integer guarantee check; full SQL twin.
         "quantile_sketch_eval": profile.quantile_sketch_eval,
+        # holt_backtest (thirteenth round-4 continuation, never gated):
+        # walk-forward eval of the Holt forecaster vs last-value
+        # persistence over the final 28 days — exact-integer prefix
+        # recursions, one 5-int row; pinned from the sequential
+        # oracle_dedup.holt_backtest_rows.
+        "holt_backtest": rankstats.holt_backtest,
         # rendezvous_plan (thirteenth round-4 continuation, never gated):
         # highest-random-weight placement planner — per-source argmax
         # over md5(source, worker) with load columns; the no-churn
@@ -1668,6 +1674,15 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_digest": """
             SELECT 273::BIGINT AS n_edges,
                    2016442538931659579::BIGINT AS digest
+        """,
+        # Holt backtest: pinned at sf0.01 from the sequential twin
+        # (Counter series, same exact-integer recursion).
+        "holt_backtest": """
+            SELECT 28::BIGINT AS k_days,
+                   127968::BIGINT AS mae_holt_cents,
+                   178552::BIGINT AS mae_naive_cents,
+                   16::BIGINT AS holt_wins,
+                   283301::BIGINT AS improvement_ppm
         """,
         # Sketch eval: the ddsketch twin CTEs + the exact cents-histogram
         # kth, the same single double expression for the error.

@@ -603,6 +603,11 @@ def run_bench() -> dict:
         ),
         "token_dispersion": timed(tsp.token_dispersion),
         "cdc_digest": timed(dedup.cdc_digest),
+        "holt_backtest": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.rankstats", fromlist=["x"]
+            ).holt_backtest
+        ),
         "quantile_sketch_eval": timed(
             __import__(
                 "ocr_engine_ray.pipelines.profile", fromlist=["x"]

@@ -1875,3 +1875,61 @@ def cdc_rows(sf_dir: str, *, mask_bits: int = 6) -> tuple[int, int]:
         dg = (dg + row_digest(sc, pay)) % DIGEST_MOD
         n_rows += 1
     return n_rows, dg
+
+
+def holt_backtest_rows(sf_dir: str, *, k: int = 28) -> tuple[int, int, int, int, int]:
+    """Sequential twin of `rankstats.holt_backtest`: Counter-built daily
+    series, the same exact-integer prefix recursions.  Returns
+    (k_days, mae_holt, mae_naive, holt_wins, improvement_ppm)."""
+    from collections import Counter
+
+    from ocr_engine_ray.pipelines.rankstats import (
+        HOLT_ALPHA_NUM,
+        HOLT_BETA_NUM,
+        HOLT_DEN,
+        HOLT_SCALE,
+        _rdiv_even,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    per: Counter = Counter()
+    for ts, v in zip(t.column("ts").to_pylist(), t.column("value").to_pylist()):
+        per[ts.date()] += int(round(v * 100))
+    if not per:
+        return 0, 0, 0, 0, 0
+    days = sorted(per)
+    d0, dT = days[0], days[-1]
+    T = (dT - d0).days + 1
+    xs = [per.get(d0 + __import__("datetime").timedelta(days=i), 0) for i in range(T)]
+    k = min(k, T - 2)
+    if k <= 0:
+        return 0, 0, 0, 0, 0
+
+    def one_ahead(prefix):
+        level = prefix[0] * HOLT_SCALE
+        trend = 0
+        for x in prefix[1:]:
+            nl = _rdiv_even(
+                HOLT_ALPHA_NUM * x * HOLT_SCALE
+                + (HOLT_DEN - HOLT_ALPHA_NUM) * (level + trend),
+                HOLT_DEN,
+            )
+            trend = _rdiv_even(
+                HOLT_BETA_NUM * (nl - level) + (HOLT_DEN - HOLT_BETA_NUM) * trend,
+                HOLT_DEN,
+            )
+            level = nl
+        return _rdiv_even(level + trend, HOLT_SCALE)
+
+    eh = en = wins = 0
+    for t_ix in range(T - k, T):
+        a = xs[t_ix]
+        fh = one_ahead(xs[:t_ix])
+        fn = xs[t_ix - 1]
+        deh, den_ = abs(fh - a), abs(fn - a)
+        eh += deh
+        en += den_
+        if deh < den_:
+            wins += 1
+    mae_h, mae_n = eh // k, en // k
+    return k, mae_h, mae_n, wins, (mae_n - mae_h) * 1_000_000 // max(mae_n, 1)

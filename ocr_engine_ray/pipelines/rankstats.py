@@ -944,3 +944,95 @@ def bootstrap_order_value_ci(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+BACKTEST_DAYS = 28
+
+
+def holt_backtest(sf_dir: str, *, k: int = BACKTEST_DAYS) -> pa.Table:
+    """Walk-forward backtest of the Holt forecaster — the eval harness
+    that tells you whether the fancy model beats persistence BEFORE
+    trusting its forecasts (the `ann_eval_digest` discipline applied to
+    time series): for each of the last ``k`` days, fit the exact-integer
+    Holt recursion on the PREFIX ending the day before, forecast h = 1,
+    and compare against both the actual and the naive last-value carry.
+
+    All integer: the daily series folds once (the `holt_forecast`
+    day-keyed aggregate), the k prefix recursions run as driver math
+    over the calendar-sized series (each O(T) int steps — at web scale
+    the prefix states checkpoint incrementally, the recursion being
+    strictly left-to-right), absolute errors sum exactly.  Returns ONE
+    row (k_days, mae_holt_cents, mae_naive_cents, holt_wins,
+    improvement_ppm) where improvement_ppm = (mae_naive − mae_holt)·10^6
+    // max(mae_naive, 1) — positive means Holt beats persistence.
+    """
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "cents": _cents(batch.column("value"))})
+        agg = pa.TableGroupBy(t, "day").aggregate([("cents", "sum")])
+        return pa.table(
+            {"day": agg.column("day"), "cents": agg.column("cents_sum").cast(pa.int64())}
+        )
+
+    daily = (
+        ev.map_batches(day_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # calendar-sized
+    )
+    empty = pa.table(
+        {
+            "k_days": pa.array([0], pa.int64()),
+            "mae_holt_cents": pa.array([0], pa.int64()),
+            "mae_naive_cents": pa.array([0], pa.int64()),
+            "holt_wins": pa.array([0], pa.int64()),
+            "improvement_ppm": pa.array([0], pa.int64()),
+        }
+    )
+    if not daily:
+        return empty
+    rows = sorted(daily, key=lambda r: r["day"])
+    d0, dT = rows[0]["day"], rows[-1]["day"]
+    idx = {int((r["day"] - d0).days): int(r["cents"]) for r in rows}
+    xs = [idx.get(i, 0) for i in range(int((dT - d0).days) + 1)]
+    T = len(xs)
+    k = min(k, T - 2)
+    if k <= 0:
+        return empty
+
+    def holt_one_ahead(prefix: list[int]) -> int:
+        level = prefix[0] * HOLT_SCALE
+        trend = 0
+        a, b_, den = HOLT_ALPHA_NUM, HOLT_BETA_NUM, HOLT_DEN
+        for x in prefix[1:]:
+            new_level = _rdiv_even(a * x * HOLT_SCALE + (den - a) * (level + trend), den)
+            trend = _rdiv_even(b_ * (new_level - level) + (den - b_) * trend, den)
+            level = new_level
+        return _rdiv_even(level + trend, HOLT_SCALE)
+
+    err_h = 0
+    err_n = 0
+    wins = 0
+    for t in range(T - k, T):
+        actual = xs[t]
+        fh = holt_one_ahead(xs[:t])
+        fn = xs[t - 1]
+        eh, en = abs(fh - actual), abs(fn - actual)
+        err_h += eh
+        err_n += en
+        if eh < en:
+            wins += 1
+    mae_h = err_h // k
+    mae_n = err_n // k
+    imp = (mae_n - mae_h) * 1_000_000 // max(mae_n, 1)
+    return pa.table(
+        {
+            "k_days": pa.array([k], pa.int64()),
+            "mae_holt_cents": pa.array([mae_h], pa.int64()),
+            "mae_naive_cents": pa.array([mae_n], pa.int64()),
+            "holt_wins": pa.array([wins], pa.int64()),
+            "improvement_ppm": pa.array([imp], pa.int64()),
+        }
+    )
