@@ -389,6 +389,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # see; exact common-denominator integers with the non-occurring
         # docs folded in closed form; HUGEINT twin.
         "token_dispersion": tsp.token_dispersion,
+        # signal_agreement (thirteenth round-4 continuation, never
+        # gated): pairwise Spearman between the per-doc quality signals
+        # — doc_id-unique rankings via four chained zipf-style two-pass
+        # rank attachments, Σd² as decimal-string partials; full
+        # row_number twin.
+        "signal_agreement": tsp.signal_agreement,
         # image_phash_dedup (eighth round-4 continuation, never gated):
         # perceptual (aHash) near-dup groups over REAL-decoded image
         # attachments; brute-force pixel-recompute twin.
@@ -1270,6 +1276,60 @@ def oracle_sql() -> dict[str, str]:
                     // (2 * t1.c::HUGEINT * n.n))::BIGINT AS dp_ppm
             FROM t1 CROSS JOIN n
             ORDER BY dp_ppm DESC, token
+        """,
+        # Signal agreement: identical integer signals, row_number ranks
+        # with the doc_id tie-break, HUGEINT d-squared sums, the
+        # spearman final expression per pair.
+        "signal_agreement": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     length(coalesce(text, ''))::BIGINT AS n_chars,
+                     len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT
+                       AS n_tokens,
+                     len(list_distinct(
+                       regexp_extract_all(coalesce(text, ''), '\S+')))::BIGINT
+                       AS n_distinct_tokens,
+                     len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]'))::BIGINT
+                       AS n_alpha_chars
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY n_chars, doc_id)::HUGEINT AS r1,
+                     row_number() OVER (ORDER BY n_tokens, doc_id)::HUGEINT AS r2,
+                     row_number() OVER (ORDER BY n_distinct_tokens, doc_id)::HUGEINT
+                       AS r3,
+                     row_number() OVER (ORDER BY n_alpha_chars, doc_id)::HUGEINT
+                       AS r4
+              FROM s
+            ),
+            p AS (
+              SELECT 'n_chars' AS a, 'n_tokens' AS b, count(*)::HUGEINT AS n,
+                     sum((r1 - r2) * (r1 - r2)) AS sd2 FROM r
+              UNION ALL
+              SELECT 'n_chars' AS a, 'n_distinct_tokens' AS b, count(*)::HUGEINT AS n,
+                     sum((r1 - r3) * (r1 - r3)) AS sd2 FROM r
+              UNION ALL
+              SELECT 'n_chars' AS a, 'n_alpha_chars' AS b, count(*)::HUGEINT AS n,
+                     sum((r1 - r4) * (r1 - r4)) AS sd2 FROM r
+              UNION ALL
+              SELECT 'n_tokens' AS a, 'n_distinct_tokens' AS b, count(*)::HUGEINT AS n,
+                     sum((r2 - r3) * (r2 - r3)) AS sd2 FROM r
+              UNION ALL
+              SELECT 'n_tokens' AS a, 'n_alpha_chars' AS b, count(*)::HUGEINT AS n,
+                     sum((r2 - r4) * (r2 - r4)) AS sd2 FROM r
+              UNION ALL
+              SELECT 'n_distinct_tokens' AS a, 'n_alpha_chars' AS b, count(*)::HUGEINT AS n,
+                     sum((r3 - r4) * (r3 - r4)) AS sd2 FROM r
+            )
+            SELECT a AS sig_a, b AS sig_b, n::BIGINT AS n,
+                   sd2::VARCHAR AS sum_d2,
+                   CASE WHEN n * (n * n - 1) = 0 THEN 0
+                        ELSE round_even(
+                          (1 - (6 * sd2)::DOUBLE / (n * (n * n - 1))::DOUBLE)
+                          * 1000000, 0)::BIGINT
+                   END AS rho_ppm
+            FROM p ORDER BY sig_a, sig_b
         """,
         # Vocabulary concentration: same occ/tc tokenization, HUGEINT
         # squared-count moments, one floor division per measure.

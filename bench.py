@@ -602,6 +602,7 @@ def run_bench() -> dict:
             ).rendezvous_plan
         ),
         "token_dispersion": timed(tsp.token_dispersion),
+        "signal_agreement": timed(tsp.signal_agreement),
         "cdc_digest": timed(dedup.cdc_digest),
         "holt_backtest": timed(
             __import__(

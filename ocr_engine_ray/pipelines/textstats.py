@@ -3113,3 +3113,159 @@ def token_dispersion(
             }
         )
     )
+
+
+# --- quality-signal agreement matrix ----------------------------------------
+_SIGNALS = ("n_chars", "n_tokens", "n_distinct_tokens", "n_alpha_chars")
+_ALPHA_RE = _pyre.compile(r"[A-Za-z]")
+
+
+def signal_agreement(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Pairwise SPEARMAN agreement between per-document quality signals
+    (chars, tokens, distinct tokens, alpha chars) — the curation
+    meta-analysis that says which cheap signals are redundant and which
+    add independent information before you weight them into a filter
+    (`dataset_card` reports the signals; this reports their geometry).
+
+    Docs are uniquely keyed, so every ranking is the deterministic
+    ``row_number() OVER (ORDER BY signal, doc_id)`` — no tie machinery
+    needed (the `spearman_qty_price` uid trick degenerates to doc_id).
+    Scale shape: one pass computes all four integer signals; each signal
+    then gets the zipf-style two-pass ranking (bit_length range buckets
+    → exclusive driver offsets → per-bucket sort) as FOUR CHAINED passes
+    that carry the row, so rank columns accumulate in place; a final map
+    folds Σd² per signal pair as decimal-string partials (Σd² ≤ n³).
+    Returns C(4,2) = 6 rows (sig_a, sig_b, n, sum_d2, rho_ppm) sorted.
+    """
+    from itertools import combinations
+
+    import ray as _ray
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        rows, codes, dic = _token_occurrences(texts)
+        m = len(texts)
+        ntok = np.bincount(rows, minlength=m).astype(np.int64)
+        ndis = np.zeros(m, np.int64)
+        if len(rows):
+            pair = rows * max(len(dic), 1) + codes
+            urows = (np.unique(pair) // max(len(dic), 1)).astype(np.int64)
+            ndis = np.bincount(urows, minlength=m).astype(np.int64)
+        txt = pc.fill_null(batch.column("text").combine_chunks(), "")
+        nch = np.asarray(pc.utf8_length(txt), dtype=np.int64)
+        nal = np.fromiter(
+            (len(_ALPHA_RE.findall(t or "")) for t in texts),
+            dtype=np.int64,
+            count=m,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_chars": pa.array(nch),
+                "n_tokens": pa.array(ntok),
+                "n_distinct_tokens": pa.array(ndis),
+                "n_alpha_chars": pa.array(nal),
+            }
+        )
+
+    base = ds.map_batches(signals, batch_format="pyarrow").materialize()
+
+    def offsets_for(sig: str) -> dict[int, int]:
+        from ray.data.aggregate import Count
+
+        def part(batch: pa.Table) -> pa.Table:
+            v = batch.column(sig).combine_chunks().to_numpy(zero_copy_only=False)
+            bl = np.array([int(x).bit_length() for x in v], dtype=np.int64)
+            ub, cnt = np.unique(bl, return_counts=True)
+            return pa.table({"b": pa.array(ub), "n": pa.array(cnt.astype(np.int64))})
+
+        parts = (
+            base.map_batches(part, batch_format="pyarrow")
+            .groupby("b")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        off: dict[int, int] = {}
+        acc = 0
+        for r in sorted(parts, key=lambda r: r["b"]):
+            off[r["b"]] = acc
+            acc += r["n"]
+        return off
+
+    offs = {s: offsets_for(s) for s in _SIGNALS}
+    off_ref = _ray.put(offs)
+
+    cur = base
+    for k, sig in enumerate(_SIGNALS):
+        def bucketize(batch: pa.Table, *, sig=sig) -> pa.Table:
+            v = batch.column(sig).combine_chunks().to_numpy(zero_copy_only=False)
+            bl = np.array([int(x).bit_length() for x in v], dtype=np.int64)
+            return batch.append_column("_bkt", pa.array(bl))
+
+        def rank_pass(group: pa.Table, *, sig=sig) -> pa.Table:
+            from .joins import _get_broadcast
+
+            off = _get_broadcast(off_ref)[sig][group.column("_bkt")[0].as_py()]
+            v = group.column(sig).combine_chunks().to_numpy(zero_copy_only=False)
+            d = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((d, v))
+            rank = np.empty(len(v), np.int64)
+            rank[order] = off + 1 + np.arange(len(v), dtype=np.int64)
+            out = group.drop_columns(["_bkt"])
+            return out.append_column(f"_r_{sig}", pa.array(rank))
+
+        cur = (
+            cur.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_bkt")
+            .map_groups(rank_pass, batch_format="pyarrow")
+        )
+
+    def d2_partials(batch: pa.Table) -> pa.Table:
+        out = {"pair": [], "n": [], "sd2": []}
+        ranks = {
+            s: batch.column(f"_r_{s}").combine_chunks().to_numpy(zero_copy_only=False)
+            for s in _SIGNALS
+        }
+        for a, b in combinations(_SIGNALS, 2):
+            d = ranks[a] - ranks[b]
+            out["pair"].append(f"{a}\x1f{b}")
+            out["n"].append(batch.num_rows)
+            out["sd2"].append(str(int(np.dot(d.astype(object), d.astype(object)))))
+        return pa.table(
+            {
+                "pair": pa.array(out["pair"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "sd2": pa.array(out["sd2"], pa.string()),
+            }
+        )
+
+    rows = cur.map_batches(d2_partials, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["pair"], [0, 0])
+        a[0] += r["n"]
+        a[1] += int(r["sd2"])
+    out_rows = []
+    for a, b in combinations(_SIGNALS, 2):
+        n, sd2 = acc.get(f"{a}\x1f{b}", [0, 0])
+        den = n * (n * n - 1)
+        rho = (
+            int(np.round((1.0 - float(6 * sd2) / float(den)) * 1_000_000))
+            if den
+            else 0
+        )
+        out_rows.append((a, b, n, str(sd2), rho))
+    out_rows.sort()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "sig_a": pa.array([r[0] for r in out_rows], pa.string()),
+                "sig_b": pa.array([r[1] for r in out_rows], pa.string()),
+                "n": pa.array([r[2] for r in out_rows], pa.int64()),
+                "sum_d2": pa.array([r[3] for r in out_rows], pa.string()),
+                "rho_ppm": pa.array([r[4] for r in out_rows], pa.int64()),
+            }
+        )
+    )
