@@ -1260,8 +1260,6 @@ def quantile_sketch_eval(sf_dir: str) -> pa.Table:
     integer comparison.  Returns (l_returnflag, q_pct, n, exact_cents,
     est_q4, rel_err_ppm, within_bound) sorted.
     """
-    from ray.data.aggregate import Count
-
     QS = [(50, 0.5), (95, 0.95), (99, 0.99)]
     BOUND_PPM = 9901  # (γ−1)/(γ+1) at γ = 1.02, floored to ppm
 
@@ -1272,23 +1270,48 @@ def quantile_sketch_eval(sf_dir: str) -> pa.Table:
 
     li = sf_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
 
+    _FLAG_BASE = 1_000_000_000  # composite key: ord(flag)·1e9 + cents
+
     def cents_rows(batch: pa.Table) -> pa.Table:
+        # map-side combine onto ONE integer key (ord(flag)·1e9 + cents):
+        # the string+int groupby.aggregate on ~distinct-price keys was the
+        # measured 10 s hotspot; the integer-key reduceat fold is the
+        # fold.py fast path
         p = batch.column("l_extendedprice").combine_chunks().to_numpy(zero_copy_only=False)
+        c = np.round(p * 100.0).astype(np.int64)
+        fenc = pc.dictionary_encode(batch.column("l_returnflag").combine_chunks())
+        fi = np.asarray(fenc.indices, dtype=np.int64)
+        fords = np.array(
+            [ord(f) for f in fenc.dictionary.to_pylist()], dtype=np.int64
+        )
+        key = fords[fi] * _FLAG_BASE + c
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"k": pa.array(uk), "n_part": pa.array(cnt.astype(np.int64))}
+        )
+
+    from .fold import fold_int_sums_by_key
+
+    folded = fold_int_sums_by_key(
+        li.map_batches(cents_rows, batch_format="pyarrow"),
+        key="k",
+        cols=["n_part"],
+    )
+
+    def flag_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "l_returnflag": batch.column("l_returnflag"),
-                "c": pa.array(np.round(p * 100.0).astype(np.int64)),
+                "f": pa.array((k // _FLAG_BASE).astype(np.int64)),
+                "c": pa.array((k % _FLAG_BASE).astype(np.int64)),
+                "n": batch.column("n_part"),
             }
         )
 
-    counted = (
-        li.map_batches(cents_rows, batch_format="pyarrow")
-        .groupby(["l_returnflag", "c"])
-        .aggregate(Count(alias_name="n"))
-    )
+    counted = folded.map_batches(flag_rows, batch_format="pyarrow")
 
     def walk(group: pa.Table) -> pa.Table:
-        flag = group.column("l_returnflag")[0].as_py()
+        flag = chr(group.column("f")[0].as_py())
         c = group.column("c").combine_chunks().to_numpy(zero_copy_only=False)
         n = group.column("n").combine_chunks().to_numpy(zero_copy_only=False)
         order = np.argsort(c, kind="stable")
@@ -1310,7 +1333,7 @@ def quantile_sketch_eval(sf_dir: str) -> pa.Table:
         )
 
     exact = (
-        counted.groupby("l_returnflag")
+        counted.groupby("f")
         .map_groups(walk, batch_format="pyarrow")
         .take_all()
     )  # flags × quantiles rows
