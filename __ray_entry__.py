@@ -848,6 +848,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (fuzz-pinned equal to DuckDB's double, 0.0145 decision margin
         # at gate scale); window self-join twin.
         "sorted_neighborhood_pairs": fuzzy.sorted_neighborhood_pairs,
+        # sn_damerau_pairs (thirteenth round-4 continuation, never
+        # gated): the typo-model verify on the same blocking — window
+        # pairs within unrestricted Damerau-Levenshtein ≤ 2 (Lowrance-
+        # Wagner, fuzz-pinned equal to DuckDB's function, all-integer);
+        # rank-window self-join twin.
+        "sn_damerau_pairs": fuzzy.sorted_neighborhood_damerau,
         # cube_pricing moved past the cut in the fifth continuation (slot
         # went to image_decode_stats); still twin-exact and replayable.
         "cube_pricing": analytics.cube_pricing,
@@ -5119,6 +5125,19 @@ def oracle_sql() -> dict[str, str]:
             FROM r a JOIN r b
               ON b.rk > a.rk AND b.rk <= a.rk + 8
             WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92
+            ORDER BY a, b
+        """,
+        # Damerau variant: integer distance, no float threshold at all.
+        "sn_damerau_pairs": """
+            WITH r AS (
+              SELECT p_partkey, p_name,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+              FROM part
+            )
+            SELECT a.p_partkey AS a, b.p_partkey AS b
+            FROM r a JOIN r b
+              ON b.rk > a.rk AND b.rk <= a.rk + 8
+            WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2
             ORDER BY a, b
         """,
         "referential_integrity_audit": """

@@ -580,6 +580,11 @@ def run_bench() -> dict:
                 "ocr_engine_ray.pipelines.fuzzy", fromlist=["x"]
             ).sorted_neighborhood_pairs
         ),
+        "sn_damerau_pairs": timed(
+            __import__(
+                "ocr_engine_ray.pipelines.fuzzy", fromlist=["x"]
+            ).sorted_neighborhood_damerau
+        ),
         "wand_topk": timed(
             __import__("ocr_engine_ray.pipelines.index", fromlist=["x"]).wand_topk
         ),

@@ -387,6 +387,43 @@ def jaro_winkler(a: str, b: str) -> float:
     return j
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance & Wagner 1975) with
+    DuckDB-matching semantics — fuzz-pinned equal to DuckDB's
+    ``damerau_levenshtein`` over 1500 random cases in
+    `tests/test_sorted_neighborhood.py` (DuckDB is NOT the restricted
+    OSA variant: dl('ca','abc') = 2)."""
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxd
+    for i in range(la + 1):
+        d[i + 1][0] = maxd
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxd
+        d[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def sorted_neighborhood_pairs(
     sf_dir: str,
     *,
@@ -397,6 +434,8 @@ def sorted_neighborhood_pairs(
     name: str = "p_name",
     prefix_bytes: int = 2,
     seg_size: int = 4096,
+    metric: str = "jw",
+    max_dist: int = 2,
 ) -> rd.Dataset:
     """Sorted-neighborhood blocking (Hernández & Stolfo 1995, public): rank
     every row by its sort key, slide a ``window``-row neighborhood down the
@@ -490,7 +529,11 @@ def sorted_neighborhood_pairs(
             for j in range(i + 1, len(rk)):
                 if rk[j] > rk[i] + window:
                     break
-                if jaro_winkler(nm[i], nm[j]) >= tau:
+                if (
+                    jaro_winkler(nm[i], nm[j]) >= tau
+                    if metric == "jw"
+                    else damerau_levenshtein(nm[i], nm[j]) <= max_dist
+                ):
                     a_out.append(int(ks[i]))
                     b_out.append(int(ks[j]))
         return pa.table(
@@ -502,3 +545,13 @@ def sorted_neighborhood_pairs(
         .map_groups(pair_kernel, batch_format="pyarrow")
         .sort(["a", "b"])
     )
+
+
+def sorted_neighborhood_damerau(sf_dir: str, **kwargs) -> rd.Dataset:
+    """`sorted_neighborhood_pairs` with the TYPO model instead of the
+    Jaro-Winkler one: keep window pairs within unrestricted
+    Damerau-Levenshtein distance ``max_dist`` (default 2) — transposition
+    -aware, all-integer verify (no float margin to reason about at all).
+    Twin: the same rank-window self-join over DuckDB's own
+    ``damerau_levenshtein``."""
+    return sorted_neighborhood_pairs(sf_dir, metric="damerau", **kwargs)

@@ -10,7 +10,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from ocr_engine_ray.pipelines.fuzzy import jaro_winkler, sorted_neighborhood_pairs
+from ocr_engine_ray.pipelines.fuzzy import (
+    damerau_levenshtein,
+    jaro_winkler,
+    sorted_neighborhood_damerau,
+    sorted_neighborhood_pairs,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -118,3 +123,36 @@ class TestSortedNeighborhood:
             for j in range(i + 1, min(i + 9, len(ranked)))
         )
         assert margin > 1e-6
+
+
+def test_damerau_matches_duckdb():
+    """Fuzz-pin the Lowrance-Wagner implementation to DuckDB's
+    UNRESTRICTED damerau_levenshtein (dl('ca','abc') == 2, not OSA's 3)."""
+    con = duckdb.connect()
+    rng = random.Random(5)
+    cases = [("ca", "abc"), ("ab", "ba"), ("", ""), ("a", ""), ("abcdef", "abdcfe")]
+    for _ in range(600):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 9)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 9)))
+        cases.append((a, b))
+    for a, b in cases:
+        want = con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+    assert damerau_levenshtein("ca", "abc") == 2  # the unrestricted marker
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_damerau_variant_matches_naive(tmp_path):
+    names = ["cold widget", "cold widgte", "dold widget", "other thing",
+             "cold widget", "smal bolt", "small bolt"]
+    sf = _write_parts(tmp_path / "dl", names)
+    got = [(r["a"], r["b"]) for r in sorted_neighborhood_damerau(sf).take_all()]
+    ranked = sorted((n, k) for k, n in enumerate(names))
+    want = []
+    for i in range(len(ranked)):
+        for j in range(i + 1, min(i + 9, len(ranked))):
+            if damerau_levenshtein(ranked[i][0], ranked[j][0]) <= 2:
+                want.append((ranked[i][1], ranked[j][1]))
+    assert got == sorted(want)
