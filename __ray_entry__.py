@@ -523,6 +523,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cut, integer outlier test; pinned from the independent
         # sequential oracle_dedup.cluster_outlier_rows.
         "cluster_outlier_digest": ann.cluster_outlier_digest,
+        # ann_mp_digest (thirteenth round-4 continuation, never gated):
+        # query-directed multi-probe LSH (Lv et al. 2007) — fine buckets
+        # probed along the smallest-Σmargin² perturbation heap, recall
+        # decoupled from table fineness (measured trade disclosed in the
+        # docstring); pinned from oracle_dedup.multiprobe_rows.
+        "ann_mp_digest": ann.ann_mp_digest,
         # ktruss_digest (thirteenth round-4 continuation, never gated):
         # maximal k-truss of the co-purchase graph — iterative edge
         # peeling with triangle supports credited to all three edges per
@@ -1728,6 +1734,12 @@ def oracle_sql() -> dict[str, str]:
         "bq_digest": """
             SELECT 40::BIGINT AS n_rows,
                    298053807081797295::BIGINT AS digest
+        """,
+        # Multi-probe LSH digest: pinned at sf0.01 from the sequential
+        # twin (same seeded planes, same perturbation heap).
+        "ann_mp_digest": """
+            SELECT 40::BIGINT AS n_rows,
+                   540817291444965182::BIGINT AS digest
         """,
         # Cluster-outlier digest: pinned at sf0.01 from the sequential
         # twin (same centroids, exact integer distances, lower median).

@@ -598,6 +598,7 @@ def run_bench() -> dict:
             __import__("ocr_engine_ray.pipelines.tagger", fromlist=["x"]).keyword_hits_ac
         ),
         "cluster_outlier_digest": timed(ann.cluster_outlier_digest),
+        "ann_mp_digest": timed(ann.ann_mp_digest),
         "ktruss_digest": timed(
             __import__("ocr_engine_ray.pipelines.graph", fromlist=["x"]).ktruss_digest
         ),

@@ -1933,3 +1933,78 @@ def holt_backtest_rows(sf_dir: str, *, k: int = 28) -> tuple[int, int, int, int,
             wins += 1
     mae_h, mae_n = eh // k, en // k
     return k, mae_h, mae_n, wins, (mae_n - mae_h) * 1_000_000 // max(mae_n, 1)
+
+
+def multiprobe_rows(
+    sf_dir: str,
+    *,
+    num_queries: int = 8,
+    k: int = 5,
+    num_planes: int = 10,
+    num_probes: int = 32,
+) -> tuple[int, int]:
+    """Sequential twin of `ann.ann_mp_digest`: full-corpus numpy, same
+    seeded hyperplanes, the same shift/expand perturbation heap, plain
+    per-query candidate scan.  Returns (n_rows, digest)."""
+    import heapq
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    mn = m / n[:, None]
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((num_planes, m.shape[1]))
+    signs = (mn @ planes.T) > 0
+    buckets = (
+        signs.astype(np.uint32) << np.arange(num_planes, dtype=np.uint32)
+    ).sum(axis=1)
+    order_q = np.argsort(vid)[:num_queries]
+    dg = 0
+    n_rows = 0
+    for qrow in order_q:
+        qid = int(vid[qrow])
+        proj = mn[qrow] @ planes.T
+        base = int(
+            ((proj > 0).astype(np.uint32) << np.arange(num_planes, dtype=np.uint32)).sum()
+        )
+        margins = np.abs(proj)
+        s_order = np.argsort(margins, kind="stable")
+        sm = margins[s_order]
+        sets: list[tuple[int, ...]] = [()]
+        heap = [(float(sm[0] * sm[0]), (0,))]
+        seen: set[tuple[int, ...]] = set()
+        while heap and len(sets) < num_probes:
+            cost, s = heapq.heappop(heap)
+            if s in seen:
+                continue
+            seen.add(s)
+            sets.append(tuple(int(s_order[p]) for p in s))
+            last = s[-1]
+            if last + 1 < len(sm):
+                heapq.heappush(
+                    heap,
+                    (cost - float(sm[last] * sm[last]) + float(sm[last + 1] * sm[last + 1]),
+                     s[:-1] + (last + 1,)),
+                )
+                heapq.heappush(
+                    heap, (cost + float(sm[last + 1] * sm[last + 1]), s + (last + 1,))
+                )
+        probed = set()
+        for flips in sets:
+            b = base
+            for p in flips:
+                b ^= 1 << p
+            probed.add(b)
+        cand = np.nonzero(np.isin(buckets, list(probed)) & (vid != qid))[0]
+        sims = mn[cand] @ mn[qrow]
+        top = np.lexsort((vid[cand], -sims))[: min(k, len(cand))]
+        for rank, ix in enumerate(top, start=1):
+            dg = (
+                dg + row_digest(f"{qid}\x1f{rank}", str(int(vid[cand][ix])))
+            ) % DIGEST_MOD
+            n_rows += 1
+    return n_rows, dg
