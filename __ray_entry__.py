@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # identical to the still-gated shuffled_export_digest (csv/jsonl
         # both stay replayable via scripts/compare_oracle.py).
         "knn_graph": knn.knn_graph,
+        # mutual_knn_pairs registered past the cut (r4c13) — see below.
         # --- text analysis ---------------------------------------------------
         # lexical_diversity / pmi_collocations / embedding_gram are new in
         # this (third) round-4 continuation, never driver-gated: they take
@@ -529,6 +530,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decoupled from table fineness (measured trade disclosed in the
         # docstring); pinned from oracle_dedup.multiprobe_rows.
         "ann_mp_digest": ann.ann_mp_digest,
+        # mutual_knn_pairs (thirteenth round-4 continuation, never
+        # gated): reciprocal-NN filtering on the exact kNN stream — a
+        # pair survives iff each vector is in the other's top-k (one
+        # unordered-pair bucket shuffle); self-joined knn twin.
+        "mutual_knn_pairs": knn.mutual_knn_pairs,
         # ktruss_digest (thirteenth round-4 continuation, never gated):
         # maximal k-truss of the co-purchase graph — iterative edge
         # peeling with triangle supports credited to all three edges per
@@ -4406,6 +4412,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, rank, neighbor_id, dot
             FROM ranked WHERE rank <= 5
+        """,
+        # Mutual kNN: the knn CTEs joined to themselves on the reversed
+        # direction; dot is symmetric so either side's value matches.
+        "mutual_knn_pairs": """
+            WITH q AS (
+              SELECT vec_id, i,
+                     round_even(embedding[i] * 1048576.0, 0)::BIGINT AS q
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS t(i)
+            ),
+            dots AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     sum(a.q * b.q)::BIGINT AS dot
+              FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT vec_id, neighbor_id, dot,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY dot DESC, neighbor_id
+                     ) AS rank
+              FROM dots
+            ),
+            g AS (SELECT vec_id, neighbor_id, dot FROM ranked WHERE rank <= 5)
+            SELECT x.vec_id AS a, x.neighbor_id AS b, x.dot
+            FROM g x JOIN g y
+              ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id
+            WHERE x.vec_id < x.neighbor_id
+            ORDER BY a, b
         """,
         "trade_pagerank": _pagerank_sql(),
         # Market-basket support counting: the self-join convention (every

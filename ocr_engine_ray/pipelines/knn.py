@@ -217,3 +217,72 @@ def knn_graph_reference(sf_dir: str, *, k: int = 5) -> pa.Table:
             "dot": pa.array(out["dot"], pa.int64()),
         }
     )
+
+
+def mutual_knn_pairs(
+    sf_dir: str, *, k: int = 5, num_buckets: int = 32
+) -> rd.Dataset:
+    """Mutual k-nearest-neighbor pairs: (a, b, dot) with a < b where EACH
+    vector is in the other's exact top-k — the high-precision near-dup /
+    matching criterion (reciprocal-NN is what keeps one-directional hub
+    attraction out of match sets; the standard filter in image-matching
+    and bitext mining).
+
+    Built ON the exact `knn_graph` stream: each directed edge hashes by
+    its unordered pair, ONE bucket shuffle co-locates the two directions,
+    and a pair survives iff both arrived.  dot is the exact q20-grid
+    integer (identical in both directions).  Full SQL twin (the knn twin
+    joined to itself).  Returns rows sorted by (a, b).
+    """
+    g = knn_graph(sf_dir, k=k)
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        w = batch.column("neighbor_id").combine_chunks().to_numpy(zero_copy_only=False)
+        lo = np.minimum(v, w)
+        hi = np.maximum(v, w)
+        return pa.table(
+            {
+                "pbkt": pa.array(
+                    ((lo * np.int64(1_000_003) + hi) % num_buckets).astype(np.int64)
+                ),
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+                "dirn": pa.array((v < w).astype(np.int64)),
+                "dot": batch.column("dot"),
+            }
+        )
+
+    def mutual(group: pa.Table) -> pa.Table:
+        lo = group.column("lo").combine_chunks().to_numpy(zero_copy_only=False)
+        hi = group.column("hi").combine_chunks().to_numpy(zero_copy_only=False)
+        dirn = group.column("dirn").combine_chunks().to_numpy(zero_copy_only=False)
+        dot = group.column("dot").combine_chunks().to_numpy(zero_copy_only=False)
+        mx = int(hi.max()) + 1 if len(hi) else 1
+        key = lo * mx + hi
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        new = np.concatenate([[True], sk[1:] != sk[:-1]])
+        starts = np.nonzero(new)[0]
+        ends = np.concatenate([starts[1:], [len(sk)]])
+        out_lo, out_hi, out_dot = [], [], []
+        for s0, e0 in zip(starts, ends):
+            idx = order[s0:e0]
+            if len(set(dirn[idx].tolist())) == 2:  # both directions present
+                out_lo.append(int(lo[idx[0]]))
+                out_hi.append(int(hi[idx[0]]))
+                out_dot.append(int(dot[idx[0]]))
+        return pa.table(
+            {
+                "a": pa.array(out_lo, pa.int64()),
+                "b": pa.array(out_hi, pa.int64()),
+                "dot": pa.array(out_dot, pa.int64()),
+            }
+        )
+
+    return (
+        g.map_batches(pair_key, batch_format="pyarrow")
+        .groupby("pbkt")
+        .map_groups(mutual, batch_format="pyarrow")
+        .sort(["a", "b"])
+    )
