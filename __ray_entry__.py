@@ -535,6 +535,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pair survives iff each vector is in the other's top-k (one
         # unordered-pair bucket shuffle); self-joined knn twin.
         "mutual_knn_pairs": knn.mutual_knn_pairs,
+        # ann_eval2_digest (thirteenth round-4 continuation, never
+        # gated): the eval harness closed over the r4c13 search paths —
+        # recall@5/NDCG@5 of binary-quantization (1.0 recall at C=256)
+        # and multi-probe LSH (0.10 — the disclosed single-table trade)
+        # vs exact brute force; pinned from oracle_dedup.ann_eval2_rows.
+        "ann_eval2_digest": ann.ann_eval2_digest,
         # ktruss_digest (thirteenth round-4 continuation, never gated):
         # maximal k-truss of the co-purchase graph — iterative edge
         # peeling with triangle supports credited to all three edges per
@@ -1746,6 +1752,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_mp_digest": """
             SELECT 40::BIGINT AS n_rows,
                    540817291444965182::BIGINT AS digest
+        """,
+        # Eval2 digest: pinned at sf0.01 from the sequential twin (same
+        # truth recompute, sequential bq/multiprobe lists, same math).
+        "ann_eval2_digest": """
+            SELECT 2::BIGINT AS n_rows,
+                   151658645592079922::BIGINT AS digest
         """,
         # Cluster-outlier digest: pinned at sf0.01 from the sequential
         # twin (same centroids, exact integer distances, lower median).

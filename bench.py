@@ -599,6 +599,7 @@ def run_bench() -> dict:
         ),
         "cluster_outlier_digest": timed(ann.cluster_outlier_digest),
         "ann_mp_digest": timed(ann.ann_mp_digest),
+        "ann_eval2_digest": timed(ann.ann_eval2_digest),
         "mutual_knn_pairs": timed(
             __import__("ocr_engine_ray.pipelines.knn", fromlist=["x"]).mutual_knn_pairs
         ),

@@ -2008,3 +2008,152 @@ def multiprobe_rows(
             ) % DIGEST_MOD
             n_rows += 1
     return n_rows, dg
+
+
+def _bq_topk_rows(
+    sf_dir: str, *, num_queries: int = 8, k: int = 5, n_candidates: int = 256
+) -> list[tuple[int, int, int]]:
+    """(query_id, rank, vec_id) rows of the sequential BQ search — the
+    list-returning core `bq_rows` digests."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    xq = np.round(m * (1 << 20)).astype(np.int64)
+    thr = xq.sum(axis=0)
+    n = len(vid)
+    bits = (xq * n) > thr[None, :]
+    out = []
+    for qrow in np.argsort(vid)[:num_queries]:
+        qid = int(vid[qrow])
+        ham = (bits ^ bits[qrow][None, :]).sum(axis=1).astype(np.int64)
+        ham[vid == qid] = np.iinfo(np.int64).max
+        cand = np.lexsort((vid, ham))[:n_candidates]
+        cand = cand[ham[cand] != np.iinfo(np.int64).max]
+        score = xq[cand] @ xq[qrow]
+        top = np.lexsort((vid[cand], -score))[: min(k, len(cand))]
+        for rank, ix in enumerate(top, start=1):
+            out.append((qid, rank, int(vid[cand][ix])))
+    return out
+
+
+def _multiprobe_topk_rows(
+    sf_dir: str,
+    *,
+    num_queries: int = 8,
+    k: int = 5,
+    num_planes: int = 10,
+    num_probes: int = 32,
+) -> list[tuple[int, int, int]]:
+    """(query_id, rank, vec_id) rows of the sequential multi-probe search."""
+    import heapq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    mn = m / n[:, None]
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((num_planes, m.shape[1]))
+    buckets = (
+        ((mn @ planes.T) > 0).astype(np.uint32)
+        << np.arange(num_planes, dtype=np.uint32)
+    ).sum(axis=1)
+    out = []
+    for qrow in np.argsort(vid)[:num_queries]:
+        qid = int(vid[qrow])
+        proj = mn[qrow] @ planes.T
+        base = int(
+            ((proj > 0).astype(np.uint32) << np.arange(num_planes, dtype=np.uint32)).sum()
+        )
+        margins = np.abs(proj)
+        s_order = np.argsort(margins, kind="stable")
+        sm = margins[s_order]
+        sets: list[tuple[int, ...]] = [()]
+        heap = [(float(sm[0] * sm[0]), (0,))]
+        seen: set[tuple[int, ...]] = set()
+        while heap and len(sets) < num_probes:
+            cost, s = heapq.heappop(heap)
+            if s in seen:
+                continue
+            seen.add(s)
+            sets.append(tuple(int(s_order[p]) for p in s))
+            last = s[-1]
+            if last + 1 < len(sm):
+                heapq.heappush(
+                    heap,
+                    (cost - float(sm[last] * sm[last])
+                     + float(sm[last + 1] * sm[last + 1]),
+                     s[:-1] + (last + 1,)),
+                )
+                heapq.heappush(
+                    heap, (cost + float(sm[last + 1] * sm[last + 1]), s + (last + 1,))
+                )
+        probed = set()
+        for flips in sets:
+            b = base
+            for p in flips:
+                b ^= 1 << p
+            probed.add(b)
+        cand = np.nonzero(np.isin(buckets, list(probed)) & (vid != qid))[0]
+        sims = mn[cand] @ mn[qrow]
+        top = np.lexsort((vid[cand], -sims))[: min(k, len(cand))]
+        for rank, ix in enumerate(top, start=1):
+            out.append((qid, rank, int(vid[cand][ix])))
+    return out
+
+
+def ann_eval2_rows(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> tuple[int, int]:
+    """Sequential twin of `ann.ann_eval2_digest`: brute-force truth plus
+    the sequential bq / multi-probe lists, the same eval math.
+    Returns (n_rows, digest)."""
+    import math
+
+    from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    qids = ids[:num_queries]
+    qmat = mat[:num_queries]
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    sims = (mat / n[:, None]) @ qmat.T
+    tsets: dict[int, set[int]] = {}
+    for qi, q in enumerate(qids.tolist()):
+        s = sims[:, qi].copy()
+        s[ids == q] = -np.inf
+        o = np.lexsort((ids, -s))[:k]
+        tsets[int(q)] = {int(ids[i]) for i in o if np.isfinite(s[i])}
+    lists = {
+        "bq": _bq_topk_rows(sf_dir, num_queries=num_queries, k=k),
+        "multiprobe": _multiprobe_topk_rows(sf_dir, num_queries=num_queries, k=k),
+    }
+    dg = 0
+    n_rows = 0
+    for method in sorted(lists):
+        ranked: dict[int, list[tuple[int, int]]] = {}
+        for q, r, v in lists[method]:
+            ranked.setdefault(int(q), []).append((int(r), int(v)))
+        n_q, sum_rec, sum_ndcg = 0, 0, 0
+        for q in sorted(tsets):
+            tset = tsets[q]
+            if not tset:
+                continue
+            n_q += 1
+            lst = sorted(ranked.get(q, []))
+            hits = sum(1 for _, v in lst if v in tset)
+            sum_rec += hits * 1_000_000 // k
+            ideal = min(k, len(tset))
+            idcg = sum(1.0 / math.log2(r + 1) for r in range(1, ideal + 1))
+            dcg = sum(
+                1.0 / math.log2(r + 1) for r, v in lst if v in tset
+            )
+            sum_ndcg += int(np.round(dcg / idcg * (1 << 40)))
+        mean_rec = sum_rec // max(n_q, 1)
+        pay = f"{n_q}\x1f{mean_rec}\x1f{sum_ndcg}"
+        dg = (dg + row_digest(method, pay)) % DIGEST_MOD
+        n_rows += 1
+    return n_rows, dg

@@ -2141,3 +2141,62 @@ def ann_mp_digest(sf_dir: str, **kwargs) -> pa.Table:
             "digest": pa.array([dg], pa.int64()),
         }
     )
+
+
+def ann_eval2_report(sf_dir: str, *, num_queries: int = 8, k: int = 5) -> pa.Table:
+    """`ann_eval_report` for the r4c13 search paths: recall@k / NDCG@k of
+    the binary-quantization and multi-probe-LSH results against the
+    exact brute-force truth — closing the eval loop over every
+    approximate path in the module (lsh/ivf in `ann_eval_report`,
+    bq/multiprobe here; both inputs independently digest-gated, so this
+    verifies the EVAL MATH on verified-equal lists).  Returns (method,
+    n_queries, mean_recall_ppm, sum_ndcg_q40) sorted; pinned from
+    `oracle_dedup.ann_eval2_rows`.
+    """
+    truth = [
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ann_topk_bruteforce(sf_dir, num_queries=num_queries, k=k).take_all()
+    ]
+    bq = bq_topk(sf_dir, num_queries=num_queries, k=k)
+    bq_rows_list = [
+        (bq.column("query_id")[i].as_py(), bq.column("rank")[i].as_py(),
+         bq.column("vec_id")[i].as_py())
+        for i in range(bq.num_rows)
+    ]
+    mp = [
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ann_topk_lsh_multiprobe(
+            sf_dir, num_queries=num_queries, k=k
+        ).take_all()
+    ]
+    rows = _eval_rows_from_lists(
+        truth, {"bq": bq_rows_list, "multiprobe": mp}, k=k
+    )
+    return pa.table(
+        {
+            "method": pa.array([r[0] for r in rows], pa.string()),
+            "n_queries": pa.array([r[1] for r in rows], pa.int64()),
+            "mean_recall_ppm": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_ndcg_q40": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def ann_eval2_digest(sf_dir: str) -> pa.Table:
+    """Digest gate over `ann_eval2_report`: (n_rows, digest)."""
+    from .interpret import DIGEST_MOD, row_digest
+
+    t = ann_eval2_report(sf_dir)
+    dg = 0
+    for i in range(t.num_rows):
+        pay = "\x1f".join(
+            str(t.column(c)[i].as_py())
+            for c in ("n_queries", "mean_recall_ppm", "sum_ndcg_q40")
+        )
+        dg = (dg + row_digest(t.column("method")[i].as_py(), pay)) % DIGEST_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "digest": pa.array([dg], pa.int64()),
+        }
+    )

@@ -77,6 +77,7 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "ktruss_digest": od.ktruss_rows(sf_dir),
         "cdc_digest": od.cdc_rows(sf_dir),
         "ann_mp_digest": od.multiprobe_rows(sf_dir),
+        "ann_eval2_digest": od.ann_eval2_rows(sf_dir),
         "ann_eval_digest": od.ann_eval_rows(sf_dir),
         "dedup_eval_digest": od.dedup_eval_rows(sf_dir),
         "rake_digest": od.rake_rows(sf_dir),
