@@ -883,6 +883,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # context pass), exact q40 integer sums; full SQL twin,
         # replayable via scripts/compare_oracle.py.
         "kneser_ney_score": lm.kneser_ney_score,
+        # lm_model_compare (thirteenth round-4 continuation, never
+        # gated): per-source add-one vs Kneser-Ney summed q40
+        # log-probability — exact integer model selection; both model
+        # twins' CTEs joined and regrouped by source.
+        "lm_model_compare": lm.lm_model_compare,
         "curate_corpus": curate.curate_corpus,
         "rollup_pricing": analytics.rollup_pricing,
         "embedding_gram": pca.embedding_gram,
@@ -4112,6 +4117,65 @@ def oracle_sql() -> dict[str, str]:
         # log (same libm, the tfidf contract), the 2^40 scale is a power of
         # two, and round_even == np.round — so per-doc scores are exact
         # integer sums, bit-identical to the bucketed distributed pass.
+        # LM model comparison: both scorers' CTEs verbatim, per-doc sums
+        # joined, one trunc division per source (DuckDB // truncates).
+        "lm_model_compare": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents WHERE trim(text) <> ''
+            ),
+            big AS (
+              SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+              FROM toks, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+              WHERE len(arr) >= 2
+            ),
+            c12 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c)::BIGINT AS c1 FROM c12 GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT token)::BIGINT AS v
+              FROM (SELECT unnest(arr) AS token FROM toks)
+            ),
+            term_a AS (
+              SELECT c12.w1, c12.w2,
+                     round_even(
+                       ln((c12.c + 1)::DOUBLE / (c1.c1 + v.v)) * 1099511627776.0, 0
+                     )::BIGINT AS q
+              FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+            ),
+            ctx AS (
+              SELECT w1, sum(c)::BIGINT AS c1, count(*)::BIGINT AS n1p
+              FROM c12 GROUP BY 1
+            ),
+            cont AS (SELECT w2, count(*)::BIGINT AS nc FROM c12 GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS np FROM c12),
+            term_k AS (
+              SELECT c12.w1, c12.w2,
+                     round_even(ln(
+                       (c12.c - 0.75) / ctx.c1::DOUBLE
+                       + ((0.75 * ctx.n1p) / ctx.c1::DOUBLE)
+                         * (cont.nc::DOUBLE / tot.np::DOUBLE)
+                     ) * 1099511627776.0, 0)::BIGINT AS q
+              FROM c12 JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+            ),
+            per_doc AS (
+              SELECT b.doc_id, count(*)::BIGINT AS nb,
+                     sum(a.q)::HUGEINT AS sa, sum(kk.q)::HUGEINT AS sk
+              FROM big b
+              JOIN term_a a USING (w1, w2)
+              JOIN term_k kk USING (w1, w2)
+              GROUP BY 1
+            )
+            SELECT d.source, count(*)::BIGINT AS n_docs,
+                   sum(p.nb)::BIGINT AS n_bigrams,
+                   sum(p.sa)::BIGINT AS logprob_q_add1,
+                   sum(p.sk)::BIGINT AS logprob_q_kn,
+                   CASE WHEN sum(p.nb) > 0
+                        THEN ((sum(p.sk) - sum(p.sa)) // sum(p.nb)::HUGEINT)::BIGINT
+                        ELSE 0 END AS kn_gain_q40_per_bigram
+            FROM per_doc p JOIN documents d USING (doc_id)
+            GROUP BY d.source
+            ORDER BY d.source
+        """,
         # Kneser-Ney: same bigram CTEs; the three marginals (context
         # totals/fan-outs, continuation counts, distinct-pair total) are
         # exact integers, the term ONE double expression in the engine's

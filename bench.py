@@ -594,6 +594,9 @@ def run_bench() -> dict:
         "kneser_ney_score": timed(
             __import__("ocr_engine_ray.pipelines.lm", fromlist=["x"]).kneser_ney_score
         ),
+        "lm_model_compare": timed(
+            __import__("ocr_engine_ray.pipelines.lm", fromlist=["x"]).lm_model_compare
+        ),
         "keyword_hits_ac": timed(
             __import__("ocr_engine_ray.pipelines.tagger", fromlist=["x"]).keyword_hits_ac
         ),

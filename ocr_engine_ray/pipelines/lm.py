@@ -516,3 +516,141 @@ def kneser_ney_score(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def lm_model_compare(sf_dir: str, *, num_buckets: int = 64) -> rd.Dataset:
+    """Model-selection report for the two self-trained bigram LMs: per
+    SOURCE, the exact summed log-probabilities of the add-one and
+    Kneser-Ney models over the same bigrams — the held-in comparison
+    that justifies shipping KN for perplexity filtering (CCNet's choice)
+    with numbers instead of citations.
+
+    ALL integer: both scorers emit exact q40 sums per doc; sources
+    attach via ONE hash-partitioned join each (the `perplexity_buckets`
+    seam); per-source folds are integer adds, and the verdict columns
+    are floor divisions — kn_gain_q40_per_bigram = (Σkn − Σadd1) //
+    Σbigrams (positive = KN assigns more probability).  Twin: both
+    model twins' CTEs joined and re-grouped by source.  Returns
+    (source, n_docs, n_bigrams, logprob_q_add1, logprob_q_kn,
+    kn_gain_q40_per_bigram) sorted by source.
+    """
+    add1 = _score_dataset(sf_dir, num_buckets=num_buckets)
+    kn = kneser_ney_score(sf_dir, num_buckets=num_buckets)
+    srcs = sf_table(sf_dir, "documents", columns=["doc_id", "source"])
+    B = num_buckets
+
+    # tagged union + ONE doc-bucket merge (Dataset.join chains stall at
+    # low parallelism — the joins-module union discipline instead)
+    def tag_scores(kind: int):
+        def prep(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "dbkt": pa.array((did % B).astype(np.int64)),
+                    "doc_id": pa.array(did.astype(np.int64)),
+                    "kind": pa.array(np.full(len(did), kind, np.int64)),
+                    "q": batch.column("logprob_q").cast(pa.int64()),
+                    "nb": batch.column("n_bigrams").cast(pa.int64()),
+                    "source": pa.array([""] * len(did), pa.string()),
+                }
+            )
+
+        return prep
+
+    def tag_src(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dbkt": pa.array((did % B).astype(np.int64)),
+                "doc_id": pa.array(did.astype(np.int64)),
+                "kind": pa.array(np.full(len(did), 2, np.int64)),
+                "q": pa.array(np.zeros(len(did), np.int64)),
+                "nb": pa.array(np.zeros(len(did), np.int64)),
+                "source": batch.column("source"),
+            }
+        )
+
+    def partials(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        q = group.column("q").combine_chunks().to_numpy(zero_copy_only=False)
+        nb = group.column("nb").combine_chunks().to_numpy(zero_copy_only=False)
+        src = group.column("source").to_pylist()
+        a_ix = np.nonzero(kind == 0)[0]
+        k_ix = np.nonzero(kind == 1)[0]
+        s_ix = np.nonzero(kind == 2)[0]
+        # docs scored by BOTH models (identical doc sets by construction)
+        a_order = a_ix[np.argsort(did[a_ix])]
+        k_order = k_ix[np.argsort(did[k_ix])]
+        if len(a_order) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sa": pa.array([], pa.string()),
+                    "sk": pa.array([], pa.string()),
+                    "nb": pa.array([], pa.string()),
+                }
+            )
+        if not np.array_equal(did[a_order], did[k_order]):
+            raise ValueError("add-one and KN scored different doc sets")
+        s_sorted = s_ix[np.argsort(did[s_ix])]
+        pos = np.searchsorted(did[s_sorted], did[a_order])
+        src_of = [src[s_sorted[p]] for p in pos]
+        acc: dict[str, list[int]] = {}
+        for sc, ai, ki in zip(src_of, a_order, k_order):
+            a = acc.setdefault(sc, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += int(q[ai])
+            a[2] += int(q[ki])
+            a[3] += int(nb[ai])
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_docs": pa.array([acc[s][0] for s in keys], pa.int64()),
+                "sa": pa.array([str(acc[s][1]) for s in keys], pa.string()),
+                "sk": pa.array([str(acc[s][2]) for s in keys], pa.string()),
+                "nb": pa.array([str(acc[s][3]) for s in keys], pa.string()),
+            }
+        )
+
+    joined = (
+        add1.map_batches(tag_scores(0), batch_format="pyarrow")
+        .union(kn.map_batches(tag_scores(1), batch_format="pyarrow"))
+        .union(srcs.map_batches(tag_src, batch_format="pyarrow"))
+        .groupby("dbkt")
+        .map_groups(partials, batch_format="pyarrow")
+    )
+
+    rows = joined.take_all()
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["source"], [0, 0, 0, 0])
+        a[0] += r["n_docs"]
+        a[1] += int(r["sa"])
+        a[2] += int(r["sk"])
+        a[3] += int(r["nb"])
+    srcs_sorted = sorted(acc)
+
+    def tdiv(n: int, d: int) -> int:
+        # DuckDB's integer // truncates toward zero (−7//2 = −3);
+        # Python's floors — match the twin explicitly
+        return abs(n) // d * (1 if n >= 0 else -1)
+
+    gain = [
+        tdiv(acc[s][2] - acc[s][1], acc[s][3]) if acc[s][3] else 0
+        for s in srcs_sorted
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs_sorted, pa.string()),
+                "n_docs": pa.array([acc[s][0] for s in srcs_sorted], pa.int64()),
+                "n_bigrams": pa.array([acc[s][3] for s in srcs_sorted], pa.int64()),
+                "logprob_q_add1": pa.array([acc[s][1] for s in srcs_sorted], pa.int64()),
+                "logprob_q_kn": pa.array([acc[s][2] for s in srcs_sorted], pa.int64()),
+                "kn_gain_q40_per_bigram": pa.array(gain, pa.int64()),
+            }
+        )
+    )
