@@ -87,7 +87,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only surfaces (rich_fields, minhash_lsh_dedup, …) are exposed as
     # public library functions but no longer spend gate slots: their pinned
     # digest twins carry the identical correctness signal.
-    return {
+    #
+    # ROUND 5: the registry below keeps its historical grouping/comments;
+    # the actual gate order is applied at the end of this function via
+    # _GATE_R5 — the 50 slots now point at operators that have NEVER had a
+    # driver CORRECTNESS row (the round-4 verdict's named list: the ER /
+    # sorted-neighborhood family, the iterative-graph digests, WAND/BM25,
+    # Kneser-Ney, the audit matrices, …).  Every query gated green in
+    # r1-r4 moves past the cut with unchanged code and stays replayable
+    # via scripts/compare_oracle.py.
+    reg = {
         # --- training-data layer: curation / packing / hygiene --------------
         "curate_training_mix": curate.curate_training_mix,
         "pack_sequences": packing.pack_sequences,
@@ -1037,6 +1046,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": analytics.sessionize,
         "top_sources": analytics.top_sources,
     }
+    ordered = {k: reg[k] for k in _GATE_R5}
+    ordered.update((k, v) for k, v in reg.items() if k not in ordered)
+    return ordered
+
+
+# Round-5 gate window (first 50 keys the driver checks): every entry has
+# never had a driver CORRECTNESS row — the round-4 verdict's named
+# rotation list plus the next never-gated continuation operators.  Order
+# within the window is thematic (ER → graph → retrieval/LM → audits →
+# profile/sampling → media → partition plans).
+_GATE_R5 = [
+    # entity resolution / fuzzy family (verdict items 2-3 live here too)
+    "sorted_neighborhood_pairs",
+    "sn_damerau_pairs",
+    "fuzzy_customer_pairs",
+    "entity_golden_records",
+    "cross_source_dup_matrix",
+    "dedup_method_agreement",
+    # iterative / exact graph digests
+    "hits_digest",
+    "ktruss_digest",
+    "kcore_digest",
+    "clustering_coefficients",
+    "betweenness_digest",
+    "degree_assortativity",
+    "mutual_knn_pairs",
+    # retrieval / LM / ANN
+    "bm25_topk",
+    "wand_topk",
+    "kneser_ney_score",
+    "lm_model_compare",
+    "keyness_log_odds",
+    "ann_mp_digest",
+    "bq_digest",
+    "sq8_topk",
+    # dedup / split hygiene
+    "split_leakage_digest",
+    "cdc_digest",
+    "dup_cluster_sizes",
+    "dedup_rate_by_source",
+    "leakage_safe_split",
+    # rules / tagging / constraints
+    "association_rules",
+    "c4_quality_filters",
+    "validate_constraints",
+    "keyword_hits",
+    "keyword_hits_ac",
+    "props_field_stats",
+    # corpus-statistics signals
+    "source_jsd_matrix",
+    "zipf_slope_by_source",
+    "vocab_concentration",
+    "token_dispersion",
+    "signal_agreement",
+    # attribution / funnels / trends
+    "last_touch_attribution",
+    "funnel_latency_quantiles",
+    "weekly_trends",
+    # profile / audit
+    "price_outliers",
+    "winsorized_pricing",
+    "benford_audit",
+    "pearson_price_qty",
+    "embedding_health",
+    # sampling / layout
+    "balanced_label_sample",
+    "compact_shards",
+    "range_partition_plan",
+    # real-decode media dedup
+    "image_phash_dedup",
+    "audio_fingerprint_dedup",
+]
 
 
 # ---------------------------------------------------------------------------

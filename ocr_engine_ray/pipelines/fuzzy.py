@@ -16,12 +16,15 @@ Distributed shape:
    most ``q(k+1)-1`` chars long, so that bucket is alphabet-bounded);
 3. ONE gram-bucket shuffle pairs prefix-sharers per element (sizes logged —
    prefix buckets are df-ranked SMALL by construction, the reason ED-Join
-   beats naive gram joins on skewed prefixes); a pair-bucket shuffle
-   dedupes candidates that share several prefix elements;
-4. the verify stage runs a BANDED Levenshtein DP (width 2k+1) vectorized
-   across each bucket's candidate pairs (numpy rows over codepoint
-   matrices — O(pairs · maxlen · (2k+1)), never the full O(n·m) table),
-   after the free |len(a)-len(b)| ≤ k pre-filter.
+   beats naive gram joins on skewed prefixes).  Each row carries its full
+   4-slot prefix vector, and a pair is kept only in the bucket of its
+   MINIMUM shared prefix element — the ownership test replaces the old
+   second (pair-bucket) shuffle and its global dedupe outright;
+4. the verify runs in the same kernel: the closed-form prefix/suffix test
+   for k = 1 (`edit_distance_le1_batch`, exact) or a BANDED Levenshtein DP
+   (width 2k+1) vectorized across the bucket's candidate pairs for k ≥ 2,
+   over a codepoint matrix built once per DISTINCT name, after the free
+   |len(a)-len(b)| ≤ k pre-filter.
 
 Exact: no capping anywhere — every surviving pair is verified by the DP,
 and the DuckDB twin recomputes the whole join wholesale with its built-in
@@ -31,7 +34,6 @@ and the DuckDB twin recomputes the whole join wholesale with its built-in
 from __future__ import annotations
 
 import logging
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -43,7 +45,12 @@ from ..sources.tables import sf_table
 
 logger = logging.getLogger(__name__)
 
-_SHORT = "\x00short\x00"  # dedicated bucket element for prefix-exempt strings
+# int64 element encoding: rank<<20 | occurrence#; the SHORT marker sorts
+# above every real element (so two short strings sharing a real gram verify
+# in that gram's bucket, not the short bucket) and the PAD sentinel above
+# everything.
+_SHORT_INT = 1 << 62  # plain Python ints: the bucket mix multiplies past
+_PAD_INT = (1 << 63) - 1  # int64 range, which must not demote to float64
 
 
 def _grams(s: str, q: int) -> list[str]:
@@ -98,6 +105,38 @@ def banded_levenshtein(
     return np.minimum(out, big)
 
 
+def edit_distance_le1_batch(
+    a_codes: np.ndarray, a_len: np.ndarray, b_codes: np.ndarray, b_len: np.ndarray
+) -> np.ndarray:
+    """Exact Levenshtein verify for the k=1 case, closed form: ed(a,b) <= 1
+    iff the common prefix plus the (non-overlapping) common suffix covers
+    all but at most one substitution (equal lengths) or all of the shorter
+    string (lengths differing by one).  Returns 0, 1 or 2 (2 = "> 1") per
+    pair in a handful of O(P·L) vector ops — no DP loop.  Fuzz-pinned
+    equal to `banded_levenshtein(·, k=1)` in tests/test_fuzzy.py."""
+    P = len(a_len)
+    if P == 0:
+        return np.empty(0, np.int64)
+    L = a_codes.shape[1]
+    mn = np.minimum(a_len, b_len)
+    tgrid = np.arange(L)[None, :]
+    diff = (a_codes != b_codes) | (tgrid >= mn[:, None])
+    any_d = diff.any(axis=1)
+    cp = np.where(any_d, np.argmax(diff, axis=1), mn)
+    ia = np.maximum(a_len[:, None] - 1 - tgrid, 0)
+    ib = np.maximum(b_len[:, None] - 1 - tgrid, 0)
+    va = np.take_along_axis(a_codes, ia, axis=1)
+    vb = np.take_along_axis(b_codes, ib, axis=1)
+    sdiff = (va != vb) | (tgrid >= mn[:, None])
+    any_s = sdiff.any(axis=1)
+    cs = np.where(any_s, np.argmax(sdiff, axis=1), mn)
+    cs = np.minimum(cs, mn - cp)  # prefix and suffix may not overlap
+    ld = np.abs(a_len - b_len)
+    eq = (a_len == b_len) & (cp >= a_len)
+    one = np.where(a_len == b_len, cp + cs >= a_len - 1, (ld == 1) & (cp + cs >= mn))
+    return np.where(eq, 0, np.where(one, 1, 2)).astype(np.int64)
+
+
 def fuzzy_name_pairs(
     sf_dir: str,
     *,
@@ -112,6 +151,7 @@ def fuzzy_name_pairs(
     and a_key < b_key.  Exact SQL twin in ``__ray_entry__.oracle_sql()``."""
     B = num_buckets
     P = k * q + 1  # prefix length
+    S = P + 1  # prefix-vector slots (P elements + the SHORT marker)
     src = sf_table(sf_dir, table, columns=[key, name])
 
     # -- pass 1: global gram document frequencies (alphabet-bounded) --------
@@ -144,11 +184,22 @@ def fuzzy_name_pairs(
     rank_ref = ray.put(rank_of)
 
     # -- pass 2: emit prefix elements (element = gram + occurrence#) --------
+    # Every row ALSO carries the string's full prefix as a fixed
+    # ``S = P+1``-slot int64 vector (elements encode as rank<<20 | occ;
+    # _SHORT_INT for the prefix-exempt marker; _PAD_INT pads — P real
+    # elements at most, plus one slot so short strings fit all elements
+    # AND the SHORT marker).  A candidate pair is then
+    # verified ONLY in the bucket of the MINIMUM shared prefix element —
+    # every other shared element sees the same minimum and drops the pair —
+    # so the old second (pair-bucket) shuffle and its global dedupe
+    # disappear: ONE elem-bucket shuffle runs candidate generation,
+    # min-element ownership filtering and the vectorized verify in place.
     def prefix_rows(batch: pa.Table) -> pa.Table:
         ranks = ray.get(rank_ref)
         keys = batch.column(key).to_pylist()
         names = batch.column(name).to_pylist()
         e_bkt, e_key, e_elem, e_name = [], [], [], []
+        e_pfx = [[] for _ in range(S)]
         for kk, s in zip(keys, names):
             if s is None:  # SQL levenshtein(NULL, ·) is NULL -> excluded
                 continue
@@ -158,116 +209,121 @@ def fuzzy_name_pairs(
             for g in gs:
                 o = occ.get(g, 0)
                 occ[g] = o + 1
-                elems.append((ranks[g], o, f"{g}\x1f{o}"))
+                elems.append((ranks[g] << 20) | min(o, (1 << 20) - 1))
             elems.sort()
-            pick = [e for _, _, e in elems[:P]]
+            pick = elems[:P]
             if len(gs) <= k * q:  # prefix-exempt: all elements + short bucket
-                pick = [e for _, _, e in elems] + [_SHORT]
+                pick = elems + [_SHORT_INT]
+            pfx = (pick + [_PAD_INT] * S)[:S]
             for e in pick:
-                e_bkt.append(zlib.crc32(e.encode()) % B)
+                # Fibonacci-mix, HIGH bits: the low bits of both the
+                # encode (occurrence#) and the product are occ-dominated,
+                # so either ``e % B`` or low-bit mixing would collapse
+                # every row into one bucket
+                e_bkt.append(((e * 0x9E3779B97F4A7C15 % (1 << 64)) >> 32) % B)
                 e_key.append(kk)
                 e_elem.append(e)
                 e_name.append(s)
+                for t in range(S):
+                    e_pfx[t].append(pfx[t])
         return pa.table(
             {
                 "bkt": pa.array(e_bkt, pa.int64()),
                 "key": pa.array(e_key, pa.int64()),
-                "elem": pa.array(e_elem, pa.string()),
+                "elem": pa.array(e_elem, pa.int64()),
                 "name": pa.array(e_name, pa.string()),
+                **{
+                    f"p{t}": pa.array(e_pfx[t], pa.int64()) for t in range(S)
+                },
             }
         )
 
-    # -- per element: candidate pairs (both sides hold the element) ---------
-    def pair_up(group: pa.Table) -> pa.Table:
-        elems = group.column("elem").to_pylist()
+    _EMPTY_OUT = pa.table(
+        {
+            "a_key": pa.array([], pa.int64()),
+            "b_key": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+
+    # -- per elem bucket: pair generation + ownership filter + verify -------
+    # Fully vectorized: pair indices from per-run triu_indices, the
+    # min-shared-element ownership test as 16 vector compares over the two
+    # 4-slot prefix vectors, and the distance verify over a codepoint
+    # matrix built once per DISTINCT name (names repeat across thousands
+    # of candidates on uniform corpora).  No Python statement executes per
+    # candidate pair.
+    def pair_verify(group: pa.Table) -> pa.Table:
         keys = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
-        names = group.column("name").to_pylist()
-        enc = pc.dictionary_encode(group.column("elem").combine_chunks())
-        code = np.asarray(enc.indices, dtype=np.int64)
+        code = group.column("elem").combine_chunks().to_numpy(zero_copy_only=False)
         order = np.argsort(code, kind="stable")
         oc = code[order]
         starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
         ends = np.r_[starts[1:], len(oc)]
-        a_k, b_k, a_n, b_n = [], [], [], []
+        I_parts, J_parts = [], []
         for s0, s1 in zip(starts, ends):
-            m = s1 - s0
+            m = int(s1 - s0)
             if m < 2:
                 continue
             if m > 4096:
                 logger.warning(
-                    "fuzzy prefix bucket %r holds %d strings — verifying %d pairs",
-                    elems[order[s0]], m, m * (m - 1) // 2,
+                    "fuzzy prefix bucket %d holds %d strings — verifying %d pairs",
+                    int(oc[s0]), m, m * (m - 1) // 2,
                 )
             idx = order[s0:s1]
             ii, jj = np.triu_indices(m, 1)
-            ka, kb = keys[idx[ii]], keys[idx[jj]]
-            swap = ka > kb
-            ka2 = np.where(swap, kb, ka)
-            kb2 = np.where(swap, ka, kb)
-            keep = ka2 != kb2
-            for x, y in zip(ka2[keep], kb2[keep]):
-                a_k.append(int(x))
-                b_k.append(int(y))
-            ni = [names[t] for t in idx]
-            for t_i, t_j, sw, kp in zip(ii, jj, swap, keep):
-                if not kp:
-                    continue
-                if sw:
-                    a_n.append(ni[t_j]); b_n.append(ni[t_i])
-                else:
-                    a_n.append(ni[t_i]); b_n.append(ni[t_j])
-        pb = [(a * 1000003 + b) % B for a, b in zip(a_k, b_k)]
-        return pa.table(
-            {
-                "pbkt": pa.array(pb, pa.int64()),
-                "a_key": pa.array(a_k, pa.int64()),
-                "b_key": pa.array(b_k, pa.int64()),
-                "a_name": pa.array(a_n, pa.string()),
-                "b_name": pa.array(b_n, pa.string()),
-            }
+            I_parts.append(idx[ii])
+            J_parts.append(idx[jj])
+        if not I_parts:
+            return _EMPTY_OUT
+        I = np.concatenate(I_parts)
+        J = np.concatenate(J_parts)
+        elem_of_pair = code[I]  # == code[J]: pairs form inside one elem run
+        # ownership: verify only where this elem is the pair's MIN shared
+        # prefix element (unique per pair -> no duplicates anywhere)
+        pfx = np.stack(
+            [
+                group.column(f"p{t}").combine_chunks().to_numpy(zero_copy_only=False)
+                for t in range(S)
+            ],
+            axis=1,
         )
-
-    # -- per pair bucket: dedupe + banded-DP verify --------------------------
-    def verify(group: pa.Table) -> pa.Table:
-        a_k = group.column("a_key").combine_chunks().to_numpy(zero_copy_only=False)
-        b_k = group.column("b_key").combine_chunks().to_numpy(zero_copy_only=False)
-        a_n = group.column("a_name").to_pylist()
-        b_n = group.column("b_name").to_pylist()
-        _, first = np.unique(
-            np.stack([a_k, b_k], axis=1), axis=0, return_index=True
-        )
-        a_k, b_k = a_k[first], b_k[first]
-        a_n = [a_n[i] for i in first]
-        b_n = [b_n[i] for i in first]
-        a_len = np.array([len(s) for s in a_n], np.int64)
-        b_len = np.array([len(s) for s in b_n], np.int64)
+        A4, B4 = pfx[I], pfx[J]
+        shared_min = np.full(len(I), _PAD_INT, np.int64)
+        for a_slot in range(S):
+            av = A4[:, a_slot]
+            hit = (av[:, None] == B4).any(axis=1) & (av != _PAD_INT)
+            shared_min = np.minimum(shared_min, np.where(hit, av, _PAD_INT))
+        own = shared_min == elem_of_pair
+        keep = own & (keys[I] != keys[J])
+        I, J = I[keep], J[keep]
+        if not len(I):
+            return _EMPTY_OUT
+        swap = keys[I] > keys[J]
+        Ia = np.where(swap, J, I)
+        Jb = np.where(swap, I, J)
+        # verify on a once-per-distinct-name codepoint matrix
+        names_enc = pc.dictionary_encode(group.column("name").combine_chunks())
+        nidx = np.asarray(names_enc.indices, dtype=np.int64)
+        dic = names_enc.dictionary.to_pylist()
+        d_len = np.array([len(s) for s in dic], np.int64)
+        a_idx, b_idx = nidx[Ia], nidx[Jb]
+        a_len, b_len = d_len[a_idx], d_len[b_idx]
         lf = np.abs(a_len - b_len) <= k  # free length filter
-        a_k, b_k, a_len, b_len = a_k[lf], b_k[lf], a_len[lf], b_len[lf]
-        a_n = [s for s, m in zip(a_n, lf) if m]
-        b_n = [s for s, m in zip(b_n, lf) if m]
-        if not len(a_k):
-            return pa.table(
-                {
-                    "a_key": pa.array([], pa.int64()),
-                    "b_key": pa.array([], pa.int64()),
-                    "dist": pa.array([], pa.int64()),
-                }
-            )
-        lmax = int(max(a_len.max(), b_len.max()))
-
-        def mat(strs: list[str]) -> np.ndarray:
-            m = np.zeros((len(strs), lmax), np.int32)
-            for i, s in enumerate(strs):
-                cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-                m[i, : len(cp)] = cp.astype(np.int32)
-            return m
-
-        dist = banded_levenshtein(mat(a_n), a_len, mat(b_n), b_len, k)
+        Ia, Jb = Ia[lf], Jb[lf]
+        a_idx, b_idx, a_len, b_len = a_idx[lf], b_idx[lf], a_len[lf], b_len[lf]
+        if not len(Ia):
+            return _EMPTY_OUT
+        dmat = _code_matrix(dic, int(d_len.max()))
+        if k == 1:
+            dist = edit_distance_le1_batch(dmat[a_idx], a_len, dmat[b_idx], b_len)
+        else:
+            dist = banded_levenshtein(dmat[a_idx], a_len, dmat[b_idx], b_len, k)
         ok = dist <= k
         return pa.table(
             {
-                "a_key": pa.array(a_k[ok]),
-                "b_key": pa.array(b_k[ok]),
+                "a_key": pa.array(keys[Ia[ok]], pa.int64()),
+                "b_key": pa.array(keys[Jb[ok]], pa.int64()),
                 "dist": pa.array(dist[ok]),
             }
         )
@@ -275,9 +331,7 @@ def fuzzy_name_pairs(
     return (
         src.map_batches(prefix_rows, batch_format="pyarrow")
         .groupby("bkt")
-        .map_groups(pair_up, batch_format="pyarrow")
-        .groupby("pbkt")
-        .map_groups(verify, batch_format="pyarrow")
+        .map_groups(pair_verify, batch_format="pyarrow")
     )
 
 
@@ -295,13 +349,15 @@ def entity_golden_records(
     multi-member clusters appear (singletons have nothing to merge).
 
     Scale shape: the pair join and CC carry all the data movement (both
-    already bucketed); the name attach is a dim-table broadcast (customer
-    is the canonical broadcast side everywhere in `joins`), and the final
-    groupby moves cluster-count rows.  Returns (canonical_key, n_members,
-    canonical_name) sorted by canonical_key; twin is the recursive-CTE
-    closure SQL (the `embedding_near_dup_clusters` pattern).
+    already bucketed); the name attach is a bucketed co-partition hash
+    join on ``c_custkey % num_buckets`` (the `joins.brand_volume` idiom —
+    NO driver-side name dict, so the dim side never materializes outside
+    the cluster), and the final groupby moves cluster-count rows.
+    Returns (canonical_key, n_members, canonical_name) sorted by
+    canonical_key; twin is the recursive-CTE closure SQL (the
+    `embedding_near_dup_clusters` pattern).
     """
-    import ray
+    import pandas as pd
 
     from ..sources.tables import sf_table
     from .graph import connected_components
@@ -315,29 +371,70 @@ def entity_golden_records(
 
     cc = connected_components(pairs.map_batches(to_edges, batch_format="pyarrow"))
 
-    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    names: dict[int, str] = {}
-    for r in cust.take_all():  # dim-sized, the broadcast-join budget
-        names[r["c_custkey"]] = r["c_name"]
-    nref = ray.put(names)
-
     from ray.data.aggregate import Count
 
     agg = cc.groupby("cluster_id").aggregate(Count(alias_name="n_members"))
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    B = num_buckets
 
-    def finish(batch: pa.Table, *, ref) -> pa.Table:
-        nm = ray.get(ref)
-        keys = batch.column("cluster_id").to_pylist()
+    def cluster_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("cluster_id").cast(pa.int64())
         return pa.table(
             {
-                "canonical_key": pa.array(keys, pa.int64()),
+                "bkt": pa.array(
+                    keys.to_numpy(zero_copy_only=False) % B
+                ).cast(pa.int32()),
+                "key": keys,
                 "n_members": batch.column("n_members").cast(pa.int64()),
-                "canonical_name": pa.array([nm[k] for k in keys], pa.string()),
+                "c_name": pa.nulls(batch.num_rows, pa.string()),
+            }
+        )
+
+    def dim_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    keys.to_numpy(zero_copy_only=False) % B
+                ).cast(pa.int32()),
+                "key": keys,
+                # Count() rows are never null -> n_members is the side marker
+                "n_members": pa.nulls(batch.num_rows, pa.int64()),
+                "c_name": batch.column("c_name"),
+            }
+        )
+
+    both = agg.map_batches(cluster_side, batch_format="pyarrow").union(
+        cust.map_batches(dim_side, batch_format="pyarrow")
+    )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "canonical_key": pd.Series([], dtype="int64"),
+            "n_members": pd.Series([], dtype="int64"),
+            "canonical_name": pd.Series([], dtype="object"),
+        }
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or "n_members" not in group.columns:
+            return _EMPTY  # typed empty: no schema-drift RefBundles
+        clusters = group[group["n_members"].notna()][["key", "n_members"]]
+        dim = group[group["n_members"].isna()][["key", "c_name"]]
+        if clusters.empty:
+            return _EMPTY
+        j = clusters.merge(dim, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "canonical_key": j["key"].astype("int64"),
+                "n_members": j["n_members"].astype("int64"),
+                "canonical_name": j["c_name"].astype("object"),
             }
         )
 
     return (
-        agg.map_batches(finish, batch_format="pyarrow", fn_kwargs={"ref": nref})
+        both.groupby("bkt")
+        .map_groups(join_bucket, batch_format="pandas")
         .sort("canonical_key")
     )
 
@@ -422,6 +519,162 @@ def damerau_levenshtein(a: str, b: str) -> int:
             )
         da[a[i - 1]] = i
     return d[la + 1][lb + 1]
+
+
+def _code_matrix(strs: list[str], lmax: int) -> np.ndarray:
+    """(N, lmax) int32 codepoint matrix, 0-padded (0 never occurs in text)."""
+    m = np.zeros((len(strs), max(lmax, 1)), np.int32)
+    for i, s in enumerate(strs):
+        cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        m[i, : len(cp)] = cp.astype(np.int32)
+    return m
+
+
+def jaro_winkler_batch(
+    a_codes: np.ndarray, a_len: np.ndarray, b_codes: np.ndarray, b_len: np.ndarray
+) -> np.ndarray:
+    """Vectorized Jaro-Winkler over P pairs — bit-identical to the scalar
+    `jaro_winkler` (asserted by the fuzz test in
+    tests/test_sorted_neighborhood.py): the greedy first-unmatched-in-window
+    match scan runs as a (char position × window offset) loop of O(P)
+    vector steps, and every float expression keeps the scalar's exact
+    operation order, so the IEEE results (and any >= tau decisions) agree
+    bit-for-bit."""
+    P = len(a_len)
+    if P == 0:
+        return np.empty(0, np.float64)
+    l1 = a_len.astype(np.int64)
+    l2 = b_len.astype(np.int64)
+    La, Lb = a_codes.shape[1], b_codes.shape[1]
+    md = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    md_max = int(md.max())
+    m1 = np.zeros((P, max(La, 1)), bool)
+    m2 = np.zeros((P, max(Lb, 1)), bool)
+    i_max = int(l1.max()) if P else 0
+    for i in range(i_max):
+        found = np.zeros(P, bool)
+        ai = a_codes[:, i]
+        live = i < l1
+        for d in range(-md_max, md_max + 1):
+            j = i + d
+            if j < 0 or j >= Lb:
+                continue
+            cand = (
+                live
+                & ~found
+                & (j < l2)
+                & (np.abs(d) <= md)
+                & ~m2[:, j]
+                & (ai == b_codes[:, j])
+            )
+            if cand.any():
+                m1[cand, i] = True
+                m2[cand, j] = True
+                found |= cand
+    m = m1.sum(axis=1).astype(np.int64)
+    # transpositions: compact each side's matched chars in order, compare
+    Lm = max(La, Lb, 1)
+    seq_a = np.zeros((P, Lm), np.int32)
+    seq_b = np.zeros((P, Lm), np.int32)
+    ra, ca = np.nonzero(m1)
+    pos_a = np.cumsum(m1, axis=1) - 1
+    seq_a[ra, pos_a[ra, ca]] = a_codes[ra, ca]
+    rb, cb = np.nonzero(m2)
+    pos_b = np.cumsum(m2, axis=1) - 1
+    seq_b[rb, pos_b[rb, cb]] = b_codes[rb, cb]
+    valid = np.arange(Lm)[None, :] < m[:, None]
+    t = ((seq_a != seq_b) & valid).sum(axis=1) // 2
+    mf = m.astype(np.float64)
+    l1s = np.maximum(l1, 1)
+    l2s = np.maximum(l2, 1)
+    ms = np.maximum(m, 1)
+    j = (mf / l1s + mf / l2s + (mf - t) / ms) / 3
+    # Winkler prefix boost (scale 0.1, prefix <= 4), only when jaro > 0.7
+    pre_w = min(4, La, Lb)
+    if pre_w > 0:
+        eq4 = (a_codes[:, :pre_w] == b_codes[:, :pre_w]) & (
+            np.arange(pre_w)[None, :] < np.minimum(l1, l2)[:, None]
+        )
+        p = np.cumprod(eq4, axis=1).sum(axis=1)
+    else:
+        p = np.zeros(P, np.int64)
+    j = np.where(j > 0.7, j + 0.1 * p * (1 - j), j)
+    return np.where((m > 0) & (l1 > 0) & (l2 > 0), j, 0.0)
+
+
+def damerau_levenshtein_batch(
+    a_codes: np.ndarray,
+    a_len: np.ndarray,
+    b_codes: np.ndarray,
+    b_len: np.ndarray,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """Vectorized unrestricted Damerau-Levenshtein (Lowrance & Wagner 1975)
+    over P pairs — exact-integer, asserted equal to the scalar
+    `damerau_levenshtein` by the fuzz test.  The (P, la+2, lb+2) DP cube is
+    processed one a-row at a time with the classic running-minimum trick
+    for the sequential insertion chain; the chunk size caps the cube at
+    ~50 MB per call."""
+    P = len(a_len)
+    out = np.empty(P, np.int64)
+    for s in range(0, P, chunk):
+        e = min(s + chunk, P)
+        out[s:e] = _dl_chunk(a_codes[s:e], a_len[s:e], b_codes[s:e], b_len[s:e])
+    return out
+
+
+def _dl_chunk(
+    a_codes: np.ndarray, la: np.ndarray, b_codes: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    P = len(la)
+    if P == 0:
+        return np.empty(0, np.int64)
+    la = la.astype(np.int64)
+    lb = lb.astype(np.int64)
+    La = int(la.max())
+    Lb = int(lb.max())
+    maxd = (la + lb).astype(np.int32)
+    D = np.zeros((P, La + 2, Lb + 2), np.int32)
+    D[:, 0, :] = maxd[:, None]
+    D[:, :, 0] = maxd[:, None]
+    D[:, 1:, 1] = np.arange(La + 1, dtype=np.int32)[None, :]
+    D[:, 1, 1:] = np.arange(Lb + 1, dtype=np.int32)[None, :]
+    flat = D.reshape(P, -1)
+    stride = Lb + 2
+    jcols = np.arange(1, Lb + 1, dtype=np.int32)  # b position j (1-based)
+    # da_for_b[p, j] = last row i' (so far) with a[i'-1] == b[j-1]
+    da_for_b = np.zeros((P, Lb + 1), np.int32)
+    for i in range(1, La + 1):
+        ai = a_codes[:, i - 1]
+        match = (
+            (b_codes[:, :Lb] == ai[:, None])
+            & (jcols[None, :] <= lb[:, None])
+            & (i <= la)[:, None]
+        )
+        # l = db: last matched column BEFORE j in this row (exclusive max)
+        mj = np.where(match, jcols[None, :], np.int32(0))
+        run = np.maximum.accumulate(mj, axis=1)
+        db_at = np.concatenate(
+            [np.zeros((P, 1), np.int32), run[:, :-1]], axis=1
+        )
+        k = da_for_b[:, 1:]  # (P, Lb), row of last a-occurrence of b[j-1]
+        cost = (~match).astype(np.int32)
+        prev = D[:, i, :]
+        sub = prev[:, 1 : Lb + 1] + cost
+        dele = prev[:, 2 : Lb + 2] + 1
+        Dkl = np.take_along_axis(flat, (k * stride + db_at).astype(np.int64), axis=1)
+        trans = Dkl + (np.int32(i) - k - 1) + (jcols[None, :] - db_at - 1) + 1
+        cn = np.minimum(np.minimum(sub, dele), trans)
+        # insertion chain d[j+1] = min(cn[j], d[j]+1), d[1] = i, via
+        # running min of (value - column)
+        acc = np.concatenate(
+            [np.full((P, 1), i - 1, np.int32), cn - (jcols[None, :] + 1)], axis=1
+        )
+        u = np.minimum.accumulate(acc, axis=1)[:, 1:]
+        D[:, i + 1, 2 : Lb + 2] = u + (jcols[None, :] + 1)
+        da_for_b[:, 1:][match] = np.int32(i)
+    idx = ((la + 1) * stride + (lb + 1)).astype(np.int64)
+    return np.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(np.int64)
 
 
 def sorted_neighborhood_pairs(
@@ -515,6 +768,11 @@ def sorted_neighborhood_pairs(
     ranked = rows.groupby("pfx").map_groups(rank_and_emit, batch_format="pyarrow")
 
     def pair_kernel(group: pa.Table) -> pa.Table:
+        # Candidate window pairs are generated vectorized (one arange per
+        # rank offset), then verified in ONE batched distance-kernel call —
+        # `jaro_winkler_batch` / `damerau_levenshtein_batch` are fuzz-pinned
+        # bit-identical to the scalar kernels, so every >= tau / <= max_dist
+        # decision matches the per-pair loop exactly.
         seg = group.column("seg")[0].as_py()
         rk = group.column("rk").combine_chunks().to_numpy(zero_copy_only=False)
         ks = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
@@ -522,22 +780,38 @@ def sorted_neighborhood_pairs(
         order = np.argsort(rk, kind="stable")
         rk, ks = rk[order], ks[order]
         nm = [nm[i] for i in order]
-        a_out, b_out = [], []
-        for i in range(len(rk)):
-            if rk[i] // seg_size != seg:
-                continue  # replica owned by the previous segment
-            for j in range(i + 1, len(rk)):
-                if rk[j] > rk[i] + window:
-                    break
-                if (
-                    jaro_winkler(nm[i], nm[j]) >= tau
-                    if metric == "jw"
-                    else damerau_levenshtein(nm[i], nm[j]) <= max_dist
-                ):
-                    a_out.append(int(ks[i]))
-                    b_out.append(int(ks[j]))
+        n = len(rk)
+        owned = (rk // seg_size) == seg
+        ii_parts, jj_parts = [], []
+        for o in range(1, window + 1):
+            if o >= n:
+                break
+            t = np.arange(n - o)
+            keep = owned[t] & (rk[t + o] <= rk[t] + window)
+            if keep.any():
+                ii_parts.append(t[keep])
+                jj_parts.append(t[keep] + o)
+        if not ii_parts:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+        lens = np.array([len(s) for s in nm], np.int64)
+        codes = _code_matrix(nm, int(lens.max()) if n else 0)
+        if metric == "jw":
+            sim = jaro_winkler_batch(codes[ii], lens[ii], codes[jj], lens[jj])
+            hit = sim >= tau
+        else:
+            dist = damerau_levenshtein_batch(
+                codes[ii], lens[ii], codes[jj], lens[jj]
+            )
+            hit = dist <= max_dist
         return pa.table(
-            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+            {
+                "a": pa.array(ks[ii[hit]], pa.int64()),
+                "b": pa.array(ks[jj[hit]], pa.int64()),
+            }
         )
 
     return (

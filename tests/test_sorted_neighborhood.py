@@ -156,3 +156,54 @@ def test_damerau_variant_matches_naive(tmp_path):
             if damerau_levenshtein(ranked[i][0], ranked[j][0]) <= 2:
                 want.append((ranked[i][1], ranked[j][1]))
     assert got == sorted(want)
+
+
+def test_batch_kernels_bit_identical_to_scalar():
+    """The vectorized pair kernels (`jaro_winkler_batch`,
+    `damerau_levenshtein_batch`) must agree BIT-FOR-BIT with the scalar
+    functions (which are themselves fuzz-pinned to DuckDB above) — the
+    >= tau / <= max_dist decisions in `sorted_neighborhood_pairs` ride on
+    exact equality, not closeness."""
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.fuzzy import (
+        _code_matrix,
+        damerau_levenshtein_batch,
+        jaro_winkler_batch,
+    )
+
+    rng = random.Random(99)
+    words = ["goldenrod", "lavender", "spring", "chocolate", "lace", "puff"]
+    pairs = []
+    for _ in range(800):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 11)))
+        b = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 11)))
+        pairs.append((a, b))
+    for _ in range(400):  # realistic multi-word names + small edits
+        a = " ".join(rng.choice(words) for _ in range(rng.randint(1, 4)))
+        bl = list(a)
+        for _ in range(rng.randint(0, 3)):
+            if not bl:
+                break
+            p = rng.randrange(len(bl))
+            op = rng.choice("idst")
+            if op == "i":
+                bl.insert(p, rng.choice("abcde"))
+            elif op == "d":
+                del bl[p]
+            elif op == "t" and p + 1 < len(bl):
+                bl[p], bl[p + 1] = bl[p + 1], bl[p]
+            else:
+                bl[p] = rng.choice("abcde")
+        pairs.append((a, "".join(bl)))
+    A = [p[0] for p in pairs]
+    B = [p[1] for p in pairs]
+    al = np.array([len(s) for s in A], np.int64)
+    bl_ = np.array([len(s) for s in B], np.int64)
+    am = _code_matrix(A, int(al.max()))
+    bm = _code_matrix(B, int(bl_.max()))
+    jw = jaro_winkler_batch(am, al, bm, bl_)
+    dl = damerau_levenshtein_batch(am, al, bm, bl_, chunk=257)
+    for i, (a, b) in enumerate(pairs):
+        assert jw[i] == jaro_winkler(a, b), (a, b)  # bitwise, no tolerance
+        assert dl[i] == damerau_levenshtein(a, b), (a, b)
