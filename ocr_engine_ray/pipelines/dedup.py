@@ -1713,7 +1713,11 @@ def containment_pairs(
 
 
 def ppjoin_jaccard_pairs(
-    sf_dir: str, *, threshold: float = 0.8, num_buckets: int = 64
+    sf_dir: str,
+    *,
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+    sort: bool = True,
 ) -> rd.Dataset:
     """Exact word-trigram Jaccard pairs via the PPJoin PREFIX FILTER (Xiao
     et al. 2008, public) — the scale path for the same semantics as
@@ -1812,9 +1816,19 @@ def ppjoin_jaccard_pairs(
         b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
         keep = a != b
         a, b = a[keep], b[keep]
+        # in-bucket pre-dedup (same pair via several grams of one bucket),
+        # then key by the a-side DOC bucket: the global dedupe runs inside
+        # the stage-1 attach (all copies of (a, b) share a), so the old
+        # dedicated pair-bucket shuffle disappears — one less all-to-all
+        # barrier, which dominated this pipeline's wall at sf0.1.
+        if len(a):
+            pairs = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
+            pairs["a"], pairs["b"] = a, b
+            u = np.unique(pairs)
+            a, b = u["a"], u["b"]
         return pa.table(
             {
-                "pbkt": pa.array((a % B) * B + b % B),
+                "jbkt": pa.array(a % B),
                 "a": pa.array(a),
                 "b": pa.array(b),
             }
@@ -1825,14 +1839,6 @@ def ppjoin_jaccard_pairs(
         .groupby("bkt")
         .map_groups(pair_up, batch_format="pyarrow")
     )
-
-    def dedupe(group: pa.Table) -> pa.Table:
-        a = group.column("a").combine_chunks().to_numpy(zero_copy_only=False)
-        b = group.column("b").combine_chunks().to_numpy(zero_copy_only=False)
-        _, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
-        return pa.table({"a": pa.array(a[first]), "b": pa.array(b[first])})
-
-    cand = cand.groupby("pbkt").map_groups(dedupe, batch_format="pyarrow")
 
     # --- two co-partition attach shuffles, then the exact float verify -----
     # unified row layout for the attach/verify buckets:
@@ -1886,6 +1892,15 @@ def ppjoin_jaccard_pairs(
         kind = group.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
         lut = _lut(group, kind)
         g = group.filter(pa.array(kind == 0))
+        # global candidate dedupe, fused here: every copy of (a, b) shares
+        # a and therefore this jbkt (replaces the old pair-bucket shuffle)
+        ga = g.column("a").combine_chunks().to_numpy(zero_copy_only=False)
+        gb = g.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(ga):
+            pairs = np.empty(len(ga), dtype=[("a", np.int64), ("b", np.int64)])
+            pairs["a"], pairs["b"] = ga, gb
+            _, first = np.unique(pairs, return_index=True)
+            g = g.take(pa.array(np.sort(first)))
         b_col = g.column("b")
         n = g.num_rows
         return _row_table(
@@ -1926,12 +1941,14 @@ def ppjoin_jaccard_pairs(
         .groupby("jbkt")
         .map_groups(attach_a, batch_format="pyarrow")
     )
-    return (
+    out = (
         stage1.union(sets.map_batches(set_rows, batch_format="pyarrow"))
         .groupby("jbkt")
         .map_groups(verify, batch_format="pyarrow")
-        .sort(["a", "b"])
     )
+    # sort=False lets audit consumers (agreement matrix, dup matrix) skip
+    # this whole all-to-all barrier: they re-bucket the pairs anyway
+    return out.sort(["a", "b"]) if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -2490,7 +2507,7 @@ def cross_source_dup_matrix(
     # makes each later exchange pay per-block fixed costs (the
     # connected-components compaction rule)
     pairs = (
-        ppjoin_jaccard_pairs(sf_dir, threshold=threshold)
+        ppjoin_jaccard_pairs(sf_dir, threshold=threshold, sort=False)
         .repartition(8)
         .materialize()
     )
@@ -2804,7 +2821,9 @@ def dedup_method_agreement(
     the tagged union of the two candidate-sized streams.  Returns one
     row (n_jaccard, n_cosine, n_both, jaccard_only, cosine_only).
     """
-    text_pairs = ppjoin_jaccard_pairs(sf_dir, threshold=jaccard_threshold)
+    text_pairs = ppjoin_jaccard_pairs(
+        sf_dir, threshold=jaccard_threshold, sort=False
+    )
     vec_pairs = embedding_near_dup(sf_dir, threshold=cosine_threshold)
 
     def tag(batch: pa.Table, *, kind: int, a: str, b: str) -> pa.Table:

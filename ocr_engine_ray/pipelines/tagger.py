@@ -300,6 +300,45 @@ class AhoCorasickTagger:
                 fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
                 out[t] = out[t] + out[fail[t]]
         self.goto, self.fail, self.out = goto, fail, out
+        # --- dense tables for the vectorized lockstep walk ------------------
+        # character classes: 0 = "not in any keyword" (always routes to the
+        # root), 1..C for each distinct keyword char; delta resolves every
+        # failure chain at build time (standard AC-to-DFA conversion), so
+        # the scan is ONE gather per character position across all docs.
+        import numpy as np
+
+        chars = sorted({ch for kw in self.keywords for ch in kw})
+        self._lut_size = (max(ord(c) for c in chars) + 1) if chars else 1
+        lut = np.zeros(self._lut_size, np.int32)
+        for i, c in enumerate(chars, start=1):
+            lut[ord(c)] = i
+        self._lut = lut
+        S, C = len(goto), len(chars)
+        delta = np.zeros((S, C + 1), np.int32)
+        from collections import deque as _dq
+
+        order = list(goto[0].values())
+        bfs = _dq(order)
+        seen = set(order)
+        while bfs:
+            s = bfs.popleft()
+            for t in goto[s].values():
+                if t not in seen:
+                    seen.add(t)
+                    order.append(t)
+                    bfs.append(t)
+        for i, c in enumerate(chars, start=1):
+            delta[0, i] = goto[0].get(c, 0)
+        for s in order:  # BFS order: fail[s] already resolved
+            for i, c in enumerate(chars, start=1):
+                delta[s, i] = goto[s][c] if c in goto[s] else delta[fail[s], i]
+        self._delta = delta
+        deg = np.array([len(o) for o in out], np.int64)
+        self._out_deg = deg
+        self._out_ptr = np.concatenate([[0], np.cumsum(deg)])
+        self._out_ids = np.array(
+            [ki for o in out for ki in o], np.int64
+        ) if deg.sum() else np.empty(0, np.int64)
 
     def _scan(self, text: str) -> list[list[int]]:
         """Per-keyword sorted match END indices (exclusive) in one pass."""
@@ -315,32 +354,99 @@ class AhoCorasickTagger:
                     ends[ki].append(i + 1)
         return ends
 
+    def _scan_lockstep(self, texts: list[str]) -> dict[tuple[int, int], list[int]]:
+        """Vectorized walk: all docs advance through the DFA in lockstep —
+        one ``delta[states, cls[:, t]]`` gather per character position over
+        the whole batch (the per-char Python loop of `_scan` was the
+        round-4 bench tail).  Returns {(doc#, kw#): sorted match ends}."""
+        import numpy as np
+
+        out: dict[tuple[int, int], list[int]] = {}
+        CH = 2_000_000  # cap the codepoint matrix at ~8 MB per chunk
+        n_all = len(texts)
+        base = 0
+        while base < n_all:
+            dlen_all = [len(t) for t in texts[base:]]
+            take, cells = 0, 0
+            lmax = 0
+            for L in dlen_all:
+                nx = max(lmax, L) * (take + 1)
+                if take and nx > CH:
+                    break
+                take += 1
+                lmax = max(lmax, L)
+                cells = nx
+            chunk = texts[base : base + take]
+            dlen = np.array([len(t) for t in chunk], np.int64)
+            Lmax = int(dlen.max()) if take else 0
+            if Lmax == 0:
+                base += take
+                continue
+            codes = np.zeros((take, Lmax), np.int32)
+            for i, t in enumerate(chunk):
+                if t:
+                    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                    codes[i, : len(cp)] = cp.astype(np.int32)
+            cls = np.where(
+                codes < self._lut_size,
+                self._lut[np.clip(codes, 0, self._lut_size - 1)],
+                0,
+            )
+            states = np.zeros(take, np.int32)
+            hd_parts, ht_parts, hs_parts = [], [], []
+            deg = self._out_deg
+            for t in range(Lmax):
+                states = self._delta[states, cls[:, t]]
+                m = (deg[states] > 0) & (t < dlen)
+                if m.any():
+                    w = np.nonzero(m)[0]
+                    hd_parts.append(w)
+                    ht_parts.append(np.full(len(w), t, np.int64))
+                    hs_parts.append(states[w])
+            if hd_parts:
+                hd = np.concatenate(hd_parts)
+                ht = np.concatenate(ht_parts)
+                hs = np.concatenate(hs_parts)
+                g = deg[hs]
+                total = int(g.sum())
+                ptr = self._out_ptr[hs]
+                cum = np.cumsum(g)
+                within = np.arange(total) - np.repeat(cum - g, g)
+                kw_ids = self._out_ids[np.repeat(ptr, g) + within]
+                doc_r = np.repeat(hd, g) + base
+                end_r = np.repeat(ht + 1, g)
+                order = np.lexsort((end_r, kw_ids, doc_r))
+                for o in order:
+                    out.setdefault((int(doc_r[o]), int(kw_ids[o])), []).append(
+                        int(end_r[o])
+                    )
+            base += take
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
         import pandas as pd
 
-        texts = batch.column("text").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
         src = batch.column("source").to_pylist()
         # seed every (source, keyword) combo: zero-hit rows survive the
         # aggregate exactly like keyword_hits' per-doc partials do
         rows: dict[tuple[str, str], list[int]] = {
             (sc, kw): [0, 0] for sc in set(src) for kw in self.keywords
         }
-        for t, sc in zip(texts, src):
-            ends = self._scan(t or "")
-            for ki, kw in enumerate(self.keywords):
-                # greedy-from-left non-overlap == count_substring semantics
-                n = 0
-                last = 0
-                L = self.lens[ki]
-                for e in ends[ki]:
-                    if e - L >= last:
-                        n += 1
-                        last = e
-                if n:
-                    acc = rows[(sc, kw)]
-                    acc[0] += 1
-                    acc[1] += n
+        for (di, ki), ends in self._scan_lockstep(texts).items():
+            # greedy-from-left non-overlap == count_substring semantics
+            n = 0
+            last = 0
+            L = self.lens[ki]
+            for e in ends:
+                if e - L >= last:
+                    n += 1
+                    last = e
+            if n:
+                acc = rows[(src[di], self.keywords[ki])]
+                acc[0] += 1
+                acc[1] += n
         if not rows:
             return pa.table(
                 {
@@ -366,11 +472,21 @@ def keyword_hits_ac(
     *,
     keywords: tuple[str, ...] | None = None,
     concurrency: int | tuple[int, int] = (1, 4),
+    actor_threshold: int = 64,
 ) -> rd.Dataset:
-    """`keyword_hits` through the Aho-Corasick ACTOR POOL: one automaton
-    per actor, one corpus pass total.  Row-identical to the per-keyword
-    kernel scan (shared generated twin); documents with zero hits for a
-    keyword contribute nothing, exactly like the (cnt > 0) partials.
+    """`keyword_hits` through the Aho-Corasick automaton: one combined
+    scan per corpus pass regardless of dictionary size.  Row-identical to
+    the per-keyword kernel scan (shared generated twin); documents with
+    zero hits for a keyword contribute nothing, exactly like the
+    (cnt > 0) partials.
+
+    Dispatch: a SMALL dictionary (< ``actor_threshold`` keywords) builds
+    the automaton ONCE on the driver and ships the KB-sized dense tables
+    in the task closure — plain task pool, no actor spin-up (the round-4
+    bench showed pool startup dominating the whole query at seconds
+    scale).  A LARGE dictionary keeps the A4 actor-pool contract: the
+    expensive automaton build runs once per actor in ``__init__``, never
+    per task.
 
     Returns (source, keyword, n_docs, n_hits) sorted by (source, keyword).
     """
@@ -378,14 +494,19 @@ def keyword_hits_ac(
 
     kws = tuple(keywords) if keywords is not None else KEYWORD_LIST
     ds = sf_table(sf_dir, "documents", columns=["source", "text"])
-    agg = (
-        ds.map_batches(
+    if len(kws) < actor_threshold:
+        tagged = ds.map_batches(
+            AhoCorasickTagger(kws), batch_format="pyarrow"
+        )
+    else:
+        tagged = ds.map_batches(
             AhoCorasickTagger,
             batch_format="pyarrow",
             concurrency=concurrency,
             fn_constructor_kwargs={"keywords": kws},
         )
-        .groupby(["source", "keyword"])
+    agg = (
+        tagged.groupby(["source", "keyword"])
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_hits", alias_name="n_hits"))
     )
 
