@@ -6256,11 +6256,125 @@ def oracle_sql() -> dict[str, str]:
         "winnow_digest": """
             SELECT 595497846761617659::BIGINT AS digest
         """,
+        # COMPUTED HLL twin (round-5 literal-to-computed conversion): the
+        # registers, the exact-integer harmonic sum S = Σ 2^(53-r) (HUGEINT
+        # — up to 4096·2^53 exceeds BIGINT), the one-float-division
+        # estimate, the linear-counting branch, and the md5-fold digest are
+        # ALL recomputed wholesale.  ln parity with libm and the ≥1e-4
+        # floor(+0.5) margin are measured in tests/test_digest_dedup.py.
         "approx_distinct_digest": """
-            SELECT 887623493524140749::BIGINT AS digest
+            WITH h AS (
+              SELECT source,
+                     ('0x' || substr(md5(coalesce(text, '')), 1, 16))::UBIGINT AS hv
+              FROM documents
+            ),
+            r AS (
+              SELECT source, (hv >> 52)::BIGINT AS idx,
+                     CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53
+                          ELSE 53 - length(bin(hv & 4503599627370495::UBIGINT))
+                     END AS rnk
+              FROM h
+            ),
+            regs AS (SELECT source, idx, max(rnk) AS reg FROM r GROUP BY source, idx),
+            agg AS (
+              SELECT source,
+                     sum(1::BIGINT << (53 - reg))::HUGEINT AS s_present,
+                     count(*) AS n_present
+              FROM regs GROUP BY source
+            ),
+            est AS (
+              SELECT source,
+                     (s_present
+                       + (4096 - n_present)::HUGEINT * 9007199254740992::BIGINT)
+                       AS s_tot,
+                     4096 - n_present AS zeros
+              FROM agg
+            ),
+            vals AS (
+              SELECT source,
+                     CASE WHEN (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                                 * 9007199254740992.0 / (s_tot::DOUBLE)
+                               <= 2.5 * 4096
+                               AND zeros > 0
+                          THEN floor(4096.0 * ln(4096.0 / zeros) + 0.5)::BIGINT
+                          ELSE floor((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                                 * 9007199254740992.0 / (s_tot::DOUBLE)
+                                 + 0.5)::BIGINT
+                     END AS approx_unique
+              FROM est
+            ),
+            t AS (
+              SELECT md5(source || chr(31) || approx_unique::VARCHAR) AS hx
+              FROM vals
+            ),
+            terms AS (
+              SELECT ((('0x' || substr(hx, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(hx, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM t
+            )
+            SELECT (sum(term) % 2305843009213693951)::BIGINT AS digest FROM terms
         """,
+        # COMPUTED HLL twin (round-5, same contract as
+        # approx_distinct_digest): hourly windowed sketches recomputed
+        # wholesale — md5-64 registers over str(user_id), exact-integer
+        # harmonic sum, one float division, md5-fold digest keyed by the
+        # hour's str() form (DuckDB TIMESTAMP::VARCHAR matches it).
         "hourly_uniques_digest": """
-            SELECT 1794288287685167697::BIGINT AS digest
+            WITH h AS (
+              SELECT date_trunc('hour', ts)::VARCHAR AS hr,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS hv
+              FROM events
+            ),
+            r AS (
+              SELECT hr, (hv >> 52)::BIGINT AS idx,
+                     CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53
+                          ELSE 53 - length(bin(hv & 4503599627370495::UBIGINT))
+                     END AS rnk
+              FROM h
+            ),
+            regs AS (SELECT hr, idx, max(rnk) AS reg FROM r GROUP BY hr, idx),
+            agg AS (
+              SELECT hr,
+                     sum(1::BIGINT << (53 - reg))::HUGEINT AS s_present,
+                     count(*) AS n_present
+              FROM regs GROUP BY hr
+            ),
+            est AS (
+              SELECT hr,
+                     (s_present
+                       + (4096 - n_present)::HUGEINT * 9007199254740992::BIGINT)
+                       AS s_tot,
+                     4096 - n_present AS zeros
+              FROM agg
+            ),
+            vals AS (
+              SELECT hr,
+                     CASE WHEN (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                                 * 9007199254740992.0 / (s_tot::DOUBLE)
+                               <= 2.5 * 4096
+                               AND zeros > 0
+                          THEN floor(4096.0 * ln(4096.0 / zeros) + 0.5)::BIGINT
+                          ELSE floor((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                                 * 9007199254740992.0 / (s_tot::DOUBLE)
+                                 + 0.5)::BIGINT
+                     END AS approx_unique
+              FROM est
+            ),
+            t AS (
+              SELECT md5(hr || chr(31) || approx_unique::VARCHAR) AS hx FROM vals
+            ),
+            terms AS (
+              SELECT ((('0x' || substr(hx, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(hx, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM t
+            )
+            SELECT (sum(term) % 2305843009213693951)::BIGINT AS digest FROM terms
         """,
         # Incremental re-extraction delta: the changed-doc set under the
         # deterministic v2 overlay is a property of the EXTRACTOR (the

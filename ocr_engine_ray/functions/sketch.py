@@ -34,6 +34,41 @@ def hll_sketch(values: list[str]) -> np.ndarray:
     return regs
 
 
+def hll_sketch_md5(values: list[str]) -> np.ndarray:
+    """`hll_sketch` with the md5-64 hash (first 8 digest bytes, big-endian)
+    instead of blake2b — the hash a DuckDB twin can recompute verbatim
+    (``('0x' || substr(md5(v), 1, 16))::UBIGINT``), so the approx-distinct
+    gate runs against a COMPUTED oracle rather than a pinned literal.
+    Blake2b consumers keep their existing pins untouched."""
+    regs = np.zeros(M, dtype=np.uint8)
+    for v in values:
+        h = int.from_bytes(hashlib.md5((v or "").encode("utf-8")).digest()[:8], "big")
+        idx = h >> (64 - P)
+        rest = h & ((1 << (64 - P)) - 1)
+        rank = (64 - P) - rest.bit_length() + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    return regs
+
+
+def hll_count(regs: np.ndarray) -> int:
+    """Rounded HLL estimate on the EXACT-integer grid: the harmonic sum
+    folds as ``S = Σ 2^(53-r)`` in arbitrary-precision ints (merge-order
+    invariant by construction), and the float tail is the literal
+    expression below, op-for-op identical to the SQL twin.  DuckDB ``ln``
+    matches libm ``math.log`` on every possible linear-counting argument
+    and the floor(+0.5) margin is ≥ 1e-4 (both measured in
+    tests/test_digest_dedup.py), so the twin is bit-reproducible."""
+    import math
+
+    S = sum(1 << (53 - int(r)) for r in regs)  # 53 = (64 - P) + 1, P = 12
+    raw = (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 * 9007199254740992.0 / float(S)
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * 4096 and zeros:
+        return math.floor(4096.0 * math.log(4096.0 / zeros) + 0.5)
+    return math.floor(raw + 0.5)
+
+
 def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
     out = np.zeros(M, dtype=np.uint8)
     for s in sketches:

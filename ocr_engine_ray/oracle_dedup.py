@@ -320,13 +320,19 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 def hll_distinct_by_source(sf_dir: str) -> list[tuple[str, int]]:
     """Sequential HLL per source — the register max-fold is associative, so
-    one pass over all values equals any merge tree of per-batch sketches."""
+    one pass over all values equals any merge tree of per-batch sketches.
+    md5-64 hashing + exact-integer harmonic sum + floor(est + 0.5), the
+    same arithmetic the computed DuckDB twin expresses (registers via
+    ``substr(md5(·), 1, 16)``, ``S = Σ 2^(53-r)`` as HUGEINT, one float
+    division at the end)."""
+    import math
+
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
     regs: dict[str, list[int]] = {}
     for s, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
         r = regs.setdefault(s, [0] * HLL_M)
         h = int.from_bytes(
-            hashlib.blake2b((txt or "").encode("utf-8"), digest_size=8).digest(), "big"
+            hashlib.md5((txt or "").encode("utf-8")).digest()[:8], "big"
         )
         idx = h >> (64 - HLL_P)
         rest = h & ((1 << (64 - HLL_P)) - 1)
@@ -335,12 +341,17 @@ def hll_distinct_by_source(sf_dir: str) -> list[tuple[str, int]]:
             r[idx] = rank
     out = []
     for s in sorted(regs):
-        r = np.array(regs[s], dtype=np.float64)
-        est = _HLL_ALPHA * HLL_M * HLL_M / np.power(2.0, -r).sum()
-        zeros = int((r == 0).sum())
-        if est <= 2.5 * HLL_M and zeros:
-            est = HLL_M * np.log(HLL_M / zeros)
-        out.append((s, int(round(float(est)))))
+        r = regs[s]
+        S = sum(1 << (53 - v) for v in r)
+        raw = (
+            (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+            * 9007199254740992.0 / float(S)
+        )
+        zeros = sum(1 for v in r if v == 0)
+        if raw <= 2.5 * 4096 and zeros:
+            out.append((s, math.floor(4096.0 * math.log(4096.0 / zeros) + 0.5)))
+        else:
+            out.append((s, math.floor(raw + 0.5)))
     return out
 
 
@@ -853,8 +864,11 @@ def kcore_nodes(
 
 def hll_hourly_users(sf_dir: str) -> list[tuple[str, int]]:
     """Sequential HLL of distinct user_ids per hour — the independent twin
-    of `pipelines.textstats.hourly_approx_uniques` (same blake2b register
-    fold, same str(user_id) value representation, same str(hour) key)."""
+    of `pipelines.textstats.hourly_approx_uniques` (same md5-64 register
+    fold, same str(user_id) value representation, same str(hour) key,
+    same exact-integer-grid estimate as the computed DuckDB twin)."""
+    import math
+
     t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
     import pyarrow.compute as _pc
 
@@ -863,7 +877,7 @@ def hll_hourly_users(sf_dir: str) -> list[tuple[str, int]]:
     for h, u in zip(hours, t.column("user_id").to_pylist()):
         r = regs.setdefault(str(h), [0] * HLL_M)
         hv = int.from_bytes(
-            hashlib.blake2b(str(u).encode("utf-8"), digest_size=8).digest(), "big"
+            hashlib.md5(str(u).encode("utf-8")).digest()[:8], "big"
         )
         idx = hv >> (64 - HLL_P)
         rest = hv & ((1 << (64 - HLL_P)) - 1)
@@ -872,12 +886,17 @@ def hll_hourly_users(sf_dir: str) -> list[tuple[str, int]]:
             r[idx] = rank
     out = []
     for h in sorted(regs):
-        r = np.array(regs[h], dtype=np.float64)
-        est = _HLL_ALPHA * HLL_M * HLL_M / np.power(2.0, -r).sum()
-        zeros = int((r == 0).sum())
-        if est <= 2.5 * HLL_M and zeros:
-            est = HLL_M * np.log(HLL_M / zeros)
-        out.append((h, int(round(float(est)))))
+        r = regs[h]
+        S = sum(1 << (53 - v) for v in r)
+        raw = (
+            (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+            * 9007199254740992.0 / float(S)
+        )
+        zeros = sum(1 for v in r if v == 0)
+        if raw <= 2.5 * 4096 and zeros:
+            out.append((h, math.floor(4096.0 * math.log(4096.0 / zeros) + 0.5)))
+        else:
+            out.append((h, math.floor(raw + 0.5)))
     return out
 
 

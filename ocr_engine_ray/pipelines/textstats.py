@@ -635,7 +635,10 @@ def approx_distinct_texts(sf_dir: str) -> rd.Dataset:
     Each batch emits ONE (source, registers) row per source; the groupby
     merges registers elementwise — the shuffle moves ``sources × blocks``
     4 KiB sketches, never the texts.  (~1.6% standard error at 2^12
-    registers; accuracy asserted vs exact counts in tests.)
+    registers; accuracy asserted vs exact counts in tests.)  Hashing is
+    md5-64 and the estimate folds on the exact-integer grid
+    (`sketch.hll_count`) so the DuckDB twin recomputes registers AND
+    estimate wholesale — a computed oracle, not a pinned literal.
     """
     from ..functions import sketch
 
@@ -650,7 +653,7 @@ def approx_distinct_texts(sf_dir: str) -> rd.Dataset:
         srcs, regs = [], []
         for s, texts in groups.items():
             srcs.append(s)
-            regs.append(sketch.hll_sketch(texts).tobytes())
+            regs.append(sketch.hll_sketch_md5(texts).tobytes())
         return pa.table(
             {"source": pa.array(srcs, pa.string()), "regs": pa.array(regs, pa.binary())}
         )
@@ -663,11 +666,11 @@ def approx_distinct_texts(sf_dir: str) -> rd.Dataset:
         sketches = [
             np.frombuffer(b, dtype=np.uint8) for b in group.column("regs").to_pylist()
         ]
-        est = sketch.hll_estimate(sketch.hll_merge(sketches))
+        est = sketch.hll_count(sketch.hll_merge(sketches))
         return pa.table(
             {
                 "source": pa.array([group.column("source")[0].as_py()], pa.string()),
-                "approx_unique": pa.array([int(round(est))], pa.int64()),
+                "approx_unique": pa.array([est], pa.int64()),
             }
         )
 
@@ -984,10 +987,11 @@ def heavy_hitters(sf_dir: str, *, capacity: int = 256) -> rd.Dataset:
 
 def approx_distinct_digest(sf_dir: str) -> "pa.Table":
     """Digest gate over `approx_distinct_texts`: the HLL register max-fold is
-    associative/commutative, so the distributed estimate is deterministic and
-    a single-pass sequential HLL (`oracle_dedup.hll_distinct_by_source`)
-    reproduces it bit-for-bit — the pinned literal in
-    `__ray_entry__.oracle_sql()` comes from that oracle."""
+    associative/commutative, so the distributed estimate is deterministic;
+    the DuckDB twin in `__ray_entry__.oracle_sql()` RECOMPUTES registers,
+    estimate and digest wholesale (md5-64 hash + exact-integer harmonic
+    sum), and the sequential `oracle_dedup.hll_distinct_by_source` pins the
+    same rows in pytest."""
     from .interpret import fold_digest
 
     ds = approx_distinct_texts(sf_dir)
@@ -1919,8 +1923,10 @@ def hourly_approx_uniques(sf_dir: str) -> rd.Dataset:
     Each batch emits one (hour, registers) row per hour seen; the
     groupby max-folds registers elementwise.  The register fold is
     associative/commutative, so the estimate is bit-deterministic across
-    batchings — `oracle_dedup.hll_hourly_users` reproduces it exactly
-    and pins `hourly_uniques_digest`.  Returns (hour, approx_unique).
+    batchings — the DuckDB twin RECOMPUTES registers + estimate wholesale
+    (md5-64 hash, exact-integer harmonic sum — the `approx_distinct`
+    computed-twin contract) and `oracle_dedup.hll_hourly_users` pins the
+    same rows in pytest.  Returns (hour, approx_unique).
     """
     from ..functions import sketch
 
@@ -1935,7 +1941,7 @@ def hourly_approx_uniques(sf_dir: str) -> rd.Dataset:
         hs, regs = [], []
         for h, vals in groups.items():
             hs.append(h)
-            regs.append(sketch.hll_sketch(vals).tobytes())
+            regs.append(sketch.hll_sketch_md5(vals).tobytes())
         return pa.table(
             {
                 "hour": pa.array(hs, pa.timestamp("us")),
@@ -1951,11 +1957,11 @@ def hourly_approx_uniques(sf_dir: str) -> rd.Dataset:
         sketches = [
             np.frombuffer(b, dtype=np.uint8) for b in group.column("regs").to_pylist()
         ]
-        est = sk.hll_estimate(sk.hll_merge(sketches))
+        est = sk.hll_count(sk.hll_merge(sketches))
         return pa.table(
             {
                 "hour": pa.array([group.column("hour")[0].as_py()], pa.timestamp("us")),
-                "approx_unique": pa.array([int(round(est))], pa.int64()),
+                "approx_unique": pa.array([est], pa.int64()),
             }
         )
 
@@ -1964,8 +1970,9 @@ def hourly_approx_uniques(sf_dir: str) -> rd.Dataset:
 
 def hourly_uniques_digest(sf_dir: str) -> "pa.Table":
     """Digest gate over `hourly_approx_uniques` (the
-    `approx_distinct_digest` contract: pinned literal from the sequential
-    oracle, order-independent corpus fold)."""
+    `approx_distinct_digest` contract: COMPUTED DuckDB twin recomputing
+    registers, estimate and md5-fold wholesale; sequential oracle pins
+    the rows in pytest)."""
     from .interpret import fold_digest
 
     ds = hourly_approx_uniques(sf_dir)

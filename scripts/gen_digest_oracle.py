@@ -40,8 +40,6 @@ def dedup_oracle_digests(sf_dir: str) -> dict[str, int]:
         "kcore_digest": od.clusters_digest(od.kcore_nodes(sf_dir)),
         "simhash_digest": od.clusters_digest(od.simhash_clusters(sf_dir)),
         "winnow_digest": od.clusters_digest(od.winnow_clusters(sf_dir)),
-        "approx_distinct_digest": od.hll_digest(od.hll_distinct_by_source(sf_dir)),
-        "hourly_uniques_digest": od.hll_digest(od.hll_hourly_users(sf_dir)),
         "ann_lsh_digest": od.topk_digest(od.ann_lsh_topk(sf_dir)),
         "kmeans_digest": od.clusters_digest(od.kmeans_assignments(sf_dir, k=8, iters=5)),
         "semantic_digest": od.clusters_digest(od.semantic_keep(sf_dir)),

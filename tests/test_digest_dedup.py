@@ -48,8 +48,6 @@ class TestDedupDigestGates:
             "kcore_digest",
             "simhash_digest",
             "winnow_digest",
-            "approx_distinct_digest",
-            "hourly_uniques_digest",
             "ann_lsh_digest",
             "kmeans_digest",
             "semantic_digest",
@@ -66,6 +64,72 @@ class TestDedupDigestGates:
 
         t = entry.queries()[name](SF)
         assert t.column("digest")[0].as_py() == _literal(name), name
+
+    def test_hourly_uniques_computed_twin(self, ray_session):
+        """Same literal -> computed conversion as approx_distinct: the
+        hourly HLL twin recomputes registers over str(user_id) keyed by
+        the hour's str() form."""
+        import duckdb
+
+        import __ray_entry__ as entry
+        from ocr_engine_ray import oracle_dedup as od
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS"
+            f" SELECT * FROM read_parquet('{SF}/events.parquet')"
+        )
+        sql_digest = con.execute(
+            entry.oracle_sql()["hourly_uniques_digest"]
+        ).fetchone()[0]
+        assert sql_digest == od.hll_digest(od.hll_hourly_users(SF))
+        t = entry.queries()["hourly_uniques_digest"](SF)
+        assert t.column("digest")[0].as_py() == sql_digest
+
+    def test_approx_distinct_computed_twin(self, ray_session):
+        """approx_distinct_digest converted literal -> COMPUTED twin in
+        round 5: the DuckDB SQL recomputes registers (md5-64), the
+        exact-integer harmonic sum, the estimate and the md5-fold digest
+        wholesale; the sequential oracle and the Ray pipeline must both
+        match it bit-for-bit."""
+        import duckdb
+
+        import __ray_entry__ as entry
+        from ocr_engine_ray import oracle_dedup as od
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS"
+            f" SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        sql_digest = con.execute(
+            entry.oracle_sql()["approx_distinct_digest"]
+        ).fetchone()[0]
+        assert sql_digest == od.hll_digest(od.hll_distinct_by_source(SF))
+        t = entry.queries()["approx_distinct_digest"](SF)
+        assert t.column("digest")[0].as_py() == sql_digest
+
+    def test_hll_ln_parity_and_round_margin(self):
+        """The two float hazards of the computed HLL twin, measured:
+        DuckDB ``ln`` must equal libm ``math.log`` on every possible
+        linear-counting argument, and no estimate may sit within 1e-6 of
+        a floor(+0.5) boundary."""
+        import math
+
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "select z, 4096.0 * ln(4096.0 / z)"
+            " from generate_series(1, 4096) t(z)"
+        ).fetchall()
+        for z, v in rows:
+            assert v == 4096.0 * math.log(4096.0 / z), z
+        margin = min(
+            abs((4096.0 * math.log(4096.0 / z)) % 1 - 0.5)
+            for z in range(1, 4097)
+        )
+        assert margin > 1e-6
 
     def test_cluster_topics_rows_match_oracle(self, ray_session):
         from ocr_engine_ray import oracle_dedup as od
