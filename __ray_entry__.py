@@ -2657,11 +2657,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT 20::BIGINT AS n_rows,
                    1852277614997703221::BIGINT AS digest
         """,
-        # Vocab-sketch digest: pinned at sf0.01 from the sequential twin
-        # (plain-dict registers, same blake2b token hash).
+        # COMPUTED HLL set-algebra twin (round-5 literal-to-computed
+        # conversion, the approx_distinct contract): per-source registers
+        # over the DISTINCT '\\S+' token stream (md5-64), pairwise union
+        # registers via max over both sides, inclusion-exclusion
+        # intersection, integer-// jaccard_ppm, md5-fold digest — ALL
+        # recomputed wholesale.  Sources with zero tokens keep empty
+        # registers (LEFT JOINs + coalesce), matching the sequential
+        # oracle's setdefault semantics.
         "vocab_sketch_digest": """
-            SELECT 190::BIGINT AS n_pairs,
-                   1840900594908854993::BIGINT AS digest
+            WITH st AS (
+              SELECT DISTINCT source, tok FROM (
+                SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                FROM documents
+              )
+            ),
+            hv AS (
+              SELECT source,
+                     ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+              FROM st
+            ),
+            r AS (
+              SELECT source, (hv >> 52)::BIGINT AS idx,
+                     CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53
+                          ELSE 53 - length(bin(hv & 4503599627370495::UBIGINT))
+                     END AS rnk
+              FROM hv
+            ),
+            regs AS (SELECT source, idx, max(rnk) AS reg FROM r GROUP BY source, idx),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            agg AS (
+              SELECT s.source,
+                     coalesce(sum(1::BIGINT << (53 - g.reg))::HUGEINT, 0::HUGEINT)
+                       AS sp,
+                     count(g.idx) AS np
+              FROM srcs s LEFT JOIN regs g ON g.source = s.source
+              GROUP BY s.source
+            ),
+            est1 AS (
+              SELECT source,
+                     CASE WHEN (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                                 * 9007199254740992.0
+                                 / ((sp + (4096 - np)::HUGEINT
+                                       * 9007199254740992::BIGINT)::DOUBLE)
+                               <= 2.5 * 4096 AND (4096 - np) > 0
+                          THEN floor(4096.0 * ln(4096.0 / (4096 - np))
+                                     + 0.5)::BIGINT
+                          ELSE floor((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                                 * 9007199254740992.0
+                                 / ((sp + (4096 - np)::HUGEINT
+                                       * 9007199254740992::BIGINT)::DOUBLE)
+                                 + 0.5)::BIGINT
+                     END AS est
+              FROM agg
+            ),
+            pairs AS (
+              SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON a.source < b.source
+            ),
+            uregs AS (
+              SELECT p.sa, p.sb, g.idx, max(g.reg) AS reg
+              FROM pairs p JOIN regs g ON g.source IN (p.sa, p.sb)
+              GROUP BY p.sa, p.sb, g.idx
+            ),
+            uagg AS (
+              SELECT p.sa, p.sb,
+                     coalesce(sum(1::BIGINT << (53 - u.reg))::HUGEINT,
+                              0::HUGEINT) AS sp,
+                     count(u.idx) AS np
+              FROM pairs p
+              LEFT JOIN uregs u ON u.sa = p.sa AND u.sb = p.sb
+              GROUP BY p.sa, p.sb
+            ),
+            uest AS (
+              SELECT sa, sb,
+                     CASE WHEN (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                                 * 9007199254740992.0
+                                 / ((sp + (4096 - np)::HUGEINT
+                                       * 9007199254740992::BIGINT)::DOUBLE)
+                               <= 2.5 * 4096 AND (4096 - np) > 0
+                          THEN floor(4096.0 * ln(4096.0 / (4096 - np))
+                                     + 0.5)::BIGINT
+                          ELSE floor((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                                 * 9007199254740992.0
+                                 / ((sp + (4096 - np)::HUGEINT
+                                       * 9007199254740992::BIGINT)::DOUBLE)
+                                 + 0.5)::BIGINT
+                     END AS est_u
+              FROM uagg
+            ),
+            vals AS (
+              SELECT p.sa, p.sb, ea.est AS est_a, eb.est AS est_b, u.est_u,
+                     ea.est + eb.est - u.est_u AS est_inter,
+                     CASE WHEN u.est_u = 0 THEN 0
+                          ELSE greatest(ea.est + eb.est - u.est_u, 0)
+                               * 1000000 // u.est_u END AS jppm
+              FROM pairs p
+              JOIN est1 ea ON ea.source = p.sa
+              JOIN est1 eb ON eb.source = p.sb
+              JOIN uest u ON u.sa = p.sa AND u.sb = p.sb
+            ),
+            t AS (
+              SELECT md5(sa || chr(31) || sb || chr(31)
+                         || est_a::VARCHAR || chr(31) || est_b::VARCHAR
+                         || chr(31) || est_u::VARCHAR || chr(31)
+                         || est_inter::VARCHAR || chr(31)
+                         || jppm::VARCHAR) AS hx
+              FROM vals
+            ),
+            terms AS (
+              SELECT ((('0x' || substr(hx, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(hx, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM t
+            )
+            SELECT (SELECT count(*) FROM vals)::BIGINT AS n_pairs,
+                   (sum(term) % 2305843009213693951)::BIGINT AS digest
+            FROM terms
         """,
         # Unigram entropy: H = ln(N) − Σ round_even(c·ln(c)·2^20)/2^20/N,
         # the per-token grid quantization making the big sum exact; same

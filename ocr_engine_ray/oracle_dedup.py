@@ -1350,9 +1350,12 @@ def betweenness_rows(
 
 def vocab_sketch_rows(sf_dir: str) -> tuple[int, int]:
     """Sequential twin of `textstats.vocab_sketch_digest`: plain-dict HLL
-    registers per source over the ASCII-'\\S+' token stream (the
-    hll_distinct_by_source register math), pairwise max-union +
-    inclusion-exclusion.  Returns (n_pairs, digest)."""
+    registers per source over the ASCII-'\\S+' token stream (md5-64
+    hashing + the exact-integer-grid estimate, the computed-DuckDB-twin
+    arithmetic), pairwise max-union + inclusion-exclusion.  Returns
+    (n_pairs, digest)."""
+    import math
+
     from ocr_engine_ray.pipelines.interpret import DIGEST_MOD, row_digest
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
@@ -1362,7 +1365,7 @@ def vocab_sketch_rows(sf_dir: str) -> tuple[int, int]:
         r = regs.setdefault(s, [0] * HLL_M)
         for tok in set(tok_re.findall(txt or "")):
             h = int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
             )
             idx = h >> (64 - HLL_P)
             rest = h & ((1 << (64 - HLL_P)) - 1)
@@ -1370,12 +1373,15 @@ def vocab_sketch_rows(sf_dir: str) -> tuple[int, int]:
             if rank > r[idx]:
                 r[idx] = rank
     def estimate(r: list[int]) -> int:
-        arr = np.array(r, dtype=np.float64)
-        est = _HLL_ALPHA * HLL_M * HLL_M / np.power(2.0, -arr).sum()
-        zeros = int((arr == 0).sum())
-        if est <= 2.5 * HLL_M and zeros:
-            est = HLL_M * np.log(HLL_M / zeros)
-        return int(round(float(est)))
+        S = sum(1 << (53 - v) for v in r)
+        raw = (
+            (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+            * 9007199254740992.0 / float(S)
+        )
+        zeros = sum(1 for v in r if v == 0)
+        if raw <= 2.5 * 4096 and zeros:
+            return math.floor(4096.0 * math.log(4096.0 / zeros) + 0.5)
+        return math.floor(raw + 0.5)
 
     srcs = sorted(regs)
     est = {s: estimate(regs[s]) for s in srcs}

@@ -2354,9 +2354,12 @@ def vocab_overlap_sketch(sf_dir: str) -> pa.Table:
     ``est_inter = est_a + est_b − est_union`` (kept raw — a slightly
     negative estimate is honest sketch behavior, clamped only in the
     jaccard) and ``jaccard_ppm = max(est_inter, 0)·10⁶ // est_union``.
-    Tokens hash under the `hll_sketch` rule (blake2b-64 of the token,
-    the `_py_tokens` ASCII-'\\S+' tokenizer).  Pinned from
-    `oracle_dedup.vocab_sketch_rows`.
+    Tokens hash under the `hll_sketch_md5` rule (md5-64 of the token,
+    the `_py_tokens` ASCII-'\\S+' tokenizer) and estimates fold on the
+    exact-integer grid (`sketch.hll_count`), so the DuckDB twin
+    RECOMPUTES registers, per-source and pairwise-union estimates and
+    the digest wholesale; `oracle_dedup.vocab_sketch_rows` pins the same
+    rows in pytest.
     """
     from ..functions import sketch
 
@@ -2371,7 +2374,7 @@ def vocab_overlap_sketch(sf_dir: str) -> pa.Table:
         srcs, regs = [], []
         for s, toks in groups.items():
             srcs.append(s)
-            regs.append(sketch.hll_sketch(sorted(toks)).tobytes())
+            regs.append(sketch.hll_sketch_md5(sorted(toks)).tobytes())
         return pa.table(
             {"source": pa.array(srcs, pa.string()), "regs": pa.array(regs, pa.binary())}
         )
@@ -2385,12 +2388,12 @@ def vocab_overlap_sketch(sf_dir: str) -> pa.Table:
             regs.copy() if cur is None else np.maximum(cur, regs)
         )
     srcs = sorted(merged)
-    est = {s: int(round(sketch.hll_estimate(merged[s]))) for s in srcs}
+    est = {s: sketch.hll_count(merged[s]) for s in srcs}
     out = {k: [] for k in ("source_a", "source_b", "est_a", "est_b",
                            "est_union", "est_inter", "jaccard_ppm")}
     for i, a in enumerate(srcs):
         for b in srcs[i + 1 :]:
-            u = int(round(sketch.hll_estimate(np.maximum(merged[a], merged[b]))))
+            u = sketch.hll_count(np.maximum(merged[a], merged[b]))
             inter = est[a] + est[b] - u
             out["source_a"].append(a)
             out["source_b"].append(b)

@@ -67,7 +67,8 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "holt_forecast_digest": od.holt_rows(sf_dir),
         "kcenter_digest": od.kcenter_rows(sf_dir),
         "betweenness_digest": od.betweenness_rows(sf_dir),
-        "vocab_sketch_digest": od.vocab_sketch_rows(sf_dir),
+        # vocab_sketch_digest: converted to a COMPUTED SQL twin in round 5
+        # (tests/test_vocab_sketch.py runs the SQL against the oracle).
         "ppr_digest": od.ppr_rows(sf_dir),
         "hits_digest": od.hits_rows(sf_dir),
         "bq_digest": od.bq_rows(sf_dir),
