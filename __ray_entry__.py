@@ -1244,6 +1244,177 @@ def _pagerank_sql(iters: int = 5) -> str:
     """
 
 
+def _ppr_sql(iters: int = 30, num_seeds: int = 4, top_k: int = 10) -> str:
+    """COMPUTED personalized-PageRank twin (round-5 literal-to-computed
+    conversion): the exact-integer random-walk-with-restart unrolls one
+    CTE pair per round (standard SQL forbids aggregation over a recursive
+    reference — the `_pagerank_sql` pattern).  Every value is BIGINT: the
+    per-node outflow is the HALF-EVEN division rdiv(85·x, 100·deg)
+    expressed with ``//``/``%`` arithmetic, the restart is an exact
+    integer, so the twin is bit-identical to the pipeline and the
+    sequential oracle under any execution order."""
+    S = 1_000_000_000_000
+    restart = 15 * S // 100
+
+    def rdiv(n: str, d: str) -> str:
+        q = f"(({n}) // ({d}))"
+        r = f"(({n}) % ({d}))"
+        return (
+            f"({q} + (CASE WHEN 2 * {r} > ({d})"
+            f" OR (2 * {r} = ({d}) AND ({q} % 2) = 1)"
+            f" THEN 1 ELSE 0 END))"
+        )
+
+    rounds = []
+    prev = "s0"
+    for i in range(1, iters + 1):
+        rd = rdiv("85 * s.x", "100 * d.d")
+        rounds.append(
+            f"""t{i} AS MATERIALIZED (
+              SELECT s.seed, s.node, {rd}::BIGINT AS t
+              FROM {prev} s JOIN deg d ON d.src = s.node
+            ),
+            s{i} AS MATERIALIZED (
+              SELECT seed, node, sum(x)::BIGINT AS x FROM (
+                SELECT t.seed, e.dst AS node, t.t AS x
+                FROM t{i} t JOIN edges e ON e.src = t.node
+                UNION ALL
+                SELECT seed, seed AS node, {restart}::BIGINT AS x FROM seeds
+              ) GROUP BY seed, node
+            )"""
+        )
+        prev = f"s{i}"
+    joined = ",\n            ".join(rounds)
+    return f"""
+            WITH pc AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                     count(*)::BIGINT AS n
+              FROM lineitem a
+              JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            e0 AS (SELECT p1, p2 FROM pc WHERE n >= 2),
+            edges AS MATERIALIZED (
+              SELECT p1 AS src, p2 AS dst FROM e0
+              UNION ALL
+              SELECT p2 AS src, p1 AS dst FROM e0
+            ),
+            deg AS MATERIALIZED (
+              SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY 1
+            ),
+            seeds AS MATERIALIZED (
+              SELECT src AS seed FROM deg ORDER BY src LIMIT {num_seeds}
+            ),
+            s0 AS (SELECT seed, seed AS node, {S}::BIGINT AS x FROM seeds),
+            {joined},
+            ranked AS (
+              SELECT seed, node, x AS score,
+                     row_number() OVER (
+                       PARTITION BY seed ORDER BY x DESC, node ASC
+                     ) AS rank
+              FROM {prev} WHERE node != seed AND x > 0
+            ),
+            top AS (SELECT * FROM ranked WHERE rank <= {top_k}),
+            h AS (
+              SELECT md5(seed::VARCHAR || chr(31) || rank::VARCHAR || chr(31)
+                         || node::VARCHAR || chr(31) || score::VARCHAR) AS hx
+              FROM top
+            ),
+            terms AS (
+              SELECT ((('0x' || substr(hx, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(hx, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM h
+            )
+            SELECT (SELECT count(*) FROM top)::BIGINT AS n_rows,
+                   coalesce((SELECT sum(term) %% 2305843009213693951 FROM terms),
+                            0)::BIGINT AS digest
+    """.replace("%%", "%")
+
+
+def _hits_sql(iters: int = 4) -> str:
+    """COMPUTED HITS twin (round-5 literal-to-computed conversion): the
+    exact-integer hubs/authorities fixed-point with per-half-round
+    renormalization to total mass 10^12 unrolls one (raw, total, rescale)
+    CTE triple per half-round.  Raw inflow sums and the ``raw·10^12``
+    numerators are HUGEINT (they exceed int64 exactly as the pipeline's
+    Python-int numerators do); the half-even division is //-and-%
+    arithmetic, so the twin is bit-identical to the Pregel rounds and the
+    sequential oracle."""
+    SCALE = 1_000_000_000_000
+
+    def rdiv(n: str, d: str) -> str:
+        q = f"(({n}) // ({d}))"
+        r = f"(({n}) % ({d}))"
+        return (
+            f"({q} + (CASE WHEN 2 * {r} > ({d})"
+            f" OR (2 * {r} = ({d}) AND ({q} % 2) = 1)"
+            f" THEN 1 ELSE 0 END))"
+        )
+
+    rounds = []
+    h_prev = "h0"
+    for i in range(1, iters + 1):
+        rd_a = rdiv(f"raw * {SCALE}::HUGEINT", "t.tot")
+        rd_h = rdiv(f"raw * {SCALE}::HUGEINT", "t.tot")
+        rounds.append(
+            f"""a{i}raw AS MATERIALIZED (
+              SELECT p.s AS node, sum(x.sval)::HUGEINT AS raw
+              FROM pairs p JOIN {h_prev} x ON x.node = p.c GROUP BY p.s
+            ),
+            ta{i} AS MATERIALIZED (SELECT sum(raw) AS tot FROM a{i}raw),
+            a{i} AS MATERIALIZED (
+              SELECT node, {rd_a}::HUGEINT AS sval FROM a{i}raw, ta{i} t
+            ),
+            h{i}raw AS MATERIALIZED (
+              SELECT p.c AS node, sum(x.sval)::HUGEINT AS raw
+              FROM pairs p JOIN a{i} x ON x.node = p.s GROUP BY p.c
+            ),
+            th{i} AS MATERIALIZED (SELECT sum(raw) AS tot FROM h{i}raw),
+            h{i} AS MATERIALIZED (
+              SELECT node, {rd_h}::HUGEINT AS sval FROM h{i}raw, th{i} t
+            )"""
+        )
+        h_prev = f"h{i}"
+    joined = ",\n            ".join(rounds)
+    return f"""
+            WITH pairs AS MATERIALIZED (
+              SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            h0 AS MATERIALIZED (
+              SELECT DISTINCT c AS node, 1000000::HUGEINT AS sval FROM pairs
+            ),
+            {joined},
+            final AS (
+              SELECT 'customer' AS kind, node AS node_key,
+                     sval::BIGINT AS score FROM h{iters}
+              UNION ALL
+              SELECT 'supplier' AS kind, node AS node_key,
+                     sval::BIGINT AS score FROM a{iters}
+            ),
+            hx_ AS (
+              SELECT md5(kind || chr(31) || node_key::VARCHAR || chr(31)
+                         || score::VARCHAR) AS hx
+              FROM final
+            ),
+            terms AS (
+              SELECT ((('0x' || substr(hx, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(hx, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM hx_
+            )
+            SELECT (SELECT count(*) FROM final)::BIGINT AS n_nodes,
+                   coalesce((SELECT sum(term) % 2305843009213693951
+                             FROM terms), 0)::BIGINT AS digest
+    """
+
+
 _QUALITY_RAW = """
 0.35 * (least(1.0, q_nt / 20.0)
         * (CASE WHEN q_nt <= 5000 THEN 1.0 ELSE 0.5 END))
@@ -1815,18 +1986,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2::BIGINT AS n_rows,
                    75483498992918109::BIGINT AS digest
         """,
-        # PPR digest: pinned at sf0.01 from the sequential twin (plain
-        # dict walk, same fixed-point spec).
-        "ppr_digest": """
-            SELECT 40::BIGINT AS n_rows,
-                   2212024421391829681::BIGINT AS digest
-        """,
-        # HITS digest: pinned at sf0.01 from the sequential twin (dict
-        # adjacency, Python-int half-even renormalized rounds).
-        "hits_digest": """
-            SELECT 1600::BIGINT AS n_nodes,
-                   674673193450763583::BIGINT AS digest
-        """,
+        # PPR digest: COMPUTED twin (round-5 conversion) — the 30-round
+        # exact-integer random-walk-with-restart unrolled into
+        # MATERIALIZED CTEs, half-even rdiv as //-and-% arithmetic; see
+        # _ppr_sql.
+        "ppr_digest": _ppr_sql(),
+        # HITS digest: COMPUTED twin (round-5 conversion) — the 8
+        # renormalized half-rounds unrolled into MATERIALIZED CTEs with
+        # HUGEINT raw sums and half-even //-and-% division; see _hits_sql.
+        "hits_digest": _hits_sql(),
         # BQ digest: pinned at sf0.01 from the sequential twin (full-
         # corpus numpy, same integer threshold / Hamming cut / rerank).
         "bq_digest": """

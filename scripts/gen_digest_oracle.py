@@ -69,8 +69,10 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "betweenness_digest": od.betweenness_rows(sf_dir),
         # vocab_sketch_digest: converted to a COMPUTED SQL twin in round 5
         # (tests/test_vocab_sketch.py runs the SQL against the oracle).
-        "ppr_digest": od.ppr_rows(sf_dir),
-        "hits_digest": od.hits_rows(sf_dir),
+        # ppr_digest: converted to a COMPUTED SQL twin in round 5
+        # (tests/test_ppr.py runs the unrolled-walk SQL vs the oracle).
+        # hits_digest: converted to a COMPUTED SQL twin in round 5
+        # (tests/test_hits.py runs the unrolled half-round SQL vs the oracle).
         "bq_digest": od.bq_rows(sf_dir),
         "cluster_outlier_digest": od.cluster_outlier_rows(sf_dir),
         "ktruss_digest": od.ktruss_rows(sf_dir),

@@ -15,16 +15,26 @@ SF = "/root/testdata/sf0.001"
 SF_GATE = "/root/testdata/sf0.01"
 
 
-def _pinned() -> tuple[int, int]:
+def _computed(sf: str) -> tuple[int, int]:
+    """Round-5: the twin is COMPUTED SQL (the unrolled renormalized
+    half-rounds in `_hits_sql`), not a pinned literal — run it."""
+    import duckdb
+
     import __ray_entry__ as e
 
-    nums = re.findall(r"(\d+)::BIGINT", e.oracle_sql()["hits_digest"])
-    assert len(nums) == 2
-    return tuple(int(x) for x in nums)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con.execute(e.oracle_sql()["hits_digest"]).fetchone()
 
 
-def test_literal_matches_oracle():
-    assert _pinned() == hits_rows(SF_GATE)
+def test_computed_twin_matches_oracle():
+    # two scales: proves the twin genuinely recomputes
+    assert _computed(SF_GATE) == hits_rows(SF_GATE)
+    assert _computed(SF) == hits_rows(SF)
 
 
 def _write_trade(d, pairs):
