@@ -1415,6 +1415,154 @@ def _hits_sql(iters: int = 4) -> str:
     """
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """COMPUTED greedy k-center twin (round-5 literal-to-computed
+    conversion): Gonzalez farthest-first unrolled one (distance, running
+    dmin, argmax) CTE triple per step.  Components quantize with
+    ``round_even(x·2^20)`` (DuckDB's half-even round == np.round), every
+    distance is an int64 sum, the (dmin DESC, vec_id ASC) tie-break and
+    smallest-id seed mirror the pipeline exactly."""
+    steps = []
+    prev_c = "seed"
+    prev_m = None
+    for i in range(1, k):
+        m_src = (
+            f"SELECT vec_id, d AS dmin FROM d{i}"
+            if prev_m is None
+            else f"""SELECT m.vec_id, least(m.dmin, d.d) AS dmin
+              FROM {prev_m} m JOIN d{i} d ON d.vec_id = m.vec_id"""
+        )
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT a.vec_id,
+                     sum((a.qv - b.qv) * (a.qv - b.qv))::BIGINT AS d
+              FROM dims a
+              JOIN dims b ON b.i = a.i
+                         AND b.vec_id = (SELECT cid FROM {prev_c})
+              GROUP BY a.vec_id
+            ),
+            m{i} AS MATERIALIZED ({m_src}),
+            c{i} AS MATERIALIZED (
+              SELECT vec_id AS cid, dmin AS mx FROM m{i}
+              ORDER BY dmin DESC, vec_id ASC LIMIT 1
+            )"""
+        )
+        prev_c = f"c{i}"
+        prev_m = f"m{i}"
+    joined = ",\n            ".join(steps)
+    picks = "\n              UNION ALL\n              ".join(
+        f"SELECT {i}::BIGINT AS step, cid AS center_id, mx AS radius_q FROM c{i}"
+        for i in range(1, k)
+    )
+    return f"""
+            WITH dims AS MATERIALIZED (
+              SELECT vec_id, i,
+                     round_even(embedding[i]::DOUBLE * 1048576.0, 0)::BIGINT
+                       AS qv
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS t(i)
+            ),
+            seed AS MATERIALIZED (SELECT min(vec_id) AS cid FROM embeddings),
+            {joined},
+            rows_ AS (
+              SELECT 0::BIGINT AS step, (SELECT cid FROM seed) AS center_id,
+                     0::BIGINT AS radius_q
+              UNION ALL
+              {picks}
+            ),
+            hx_ AS (
+              SELECT md5(step::VARCHAR || chr(31) || center_id::VARCHAR
+                         || chr(31) || radius_q::VARCHAR) AS hx
+              FROM rows_
+            ),
+            terms AS (
+              SELECT ((('0x' || substr(hx, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(hx, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM hx_
+            )
+            SELECT (SELECT count(*) FROM rows_)::BIGINT AS n_centers,
+                   coalesce((SELECT sum(term) % 2305843009213693951
+                             FROM terms), 0)::BIGINT AS digest
+    """
+
+
+def _holt_sql() -> str:
+    """COMPUTED Holt-forecast twin (round-5 literal-to-computed
+    conversion): the level/trend fixed-point recursion runs as a
+    RECURSIVE CTE over the zero-filled daily index — one row per day
+    carrying (level, trend).  Numerators can be NEGATIVE (trend), and
+    DuckDB's ``//``/``%`` truncate C-style while the pipeline's divmod
+    floors, so rdiv first normalizes the remainder to [0, d) and derives
+    the floored quotient from it; the parity test uses ``<> 0`` (odd)
+    which agrees across both sign conventions."""
+
+    def rdiv(n: str, d: str) -> str:
+        r2 = f"(((({n}) % ({d})) + ({d})) % ({d}))"
+        q2 = f"((({n}) - {r2}) // ({d}))"
+        return (
+            f"({q2} + (CASE WHEN 2 * {r2} > ({d})"
+            f" OR (2 * {r2} = ({d}) AND ({q2} % 2) <> 0)"
+            f" THEN 1 ELSE 0 END))"
+        )
+
+    nl = rdiv("3 * x.x * 1000000 + 7 * (r.level + r.trend)", "10")
+    nt = rdiv("(q.nl - q.level) + 9 * q.trend", "10")
+    fh = rdiv("f.level + h.h * f.trend", "1000000")
+    return f"""
+            WITH RECURSIVE ev AS (
+              SELECT ts::DATE AS d, round(value * 100.0)::BIGINT AS c
+              FROM events
+            ),
+            span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+            xs AS MATERIALIZED (
+              SELECT g.i, coalesce(s.c, 0)::BIGINT AS x
+              FROM (
+                SELECT unnest(generate_series(
+                  0, (SELECT (d1 - d0) FROM span))) AS i
+              ) g
+              LEFT JOIN (
+                SELECT (d - (SELECT d0 FROM span))::BIGINT AS i,
+                       sum(c)::BIGINT AS c
+                FROM ev GROUP BY 1
+              ) s ON s.i = g.i
+            ),
+            rec AS (
+              SELECT 0::BIGINT AS i,
+                     ((SELECT x FROM xs WHERE i = 0) * 1000000)::BIGINT
+                       AS level,
+                     0::BIGINT AS trend
+              UNION ALL
+              SELECT q.i, q.nl::BIGINT, {nt}::BIGINT
+              FROM (
+                SELECT x.i, r.level, r.trend, {nl} AS nl
+                FROM rec r JOIN xs x ON x.i = r.i + 1
+              ) q
+            ),
+            fin AS (SELECT level, trend FROM rec ORDER BY i DESC LIMIT 1),
+            fc AS (
+              SELECT h.h, {fh}::BIGINT AS f
+              FROM fin f, (SELECT unnest(generate_series(1, 7)) AS h) h
+            ),
+            hx_ AS (
+              SELECT md5(h::VARCHAR || chr(31) || f::VARCHAR) AS hx FROM fc
+            ),
+            terms AS (
+              SELECT ((('0x' || substr(hx, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(hx, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM hx_
+            )
+            SELECT (SELECT count(*) FROM fc)::BIGINT AS n_h,
+                   coalesce((SELECT sum(term) % 2305843009213693951
+                             FROM terms), 0)::BIGINT AS digest
+    """
+
+
 _QUALITY_RAW = """
 0.35 * (least(1.0, q_nt / 20.0)
         * (CASE WHEN q_nt <= 5000 THEN 1.0 ELSE 0.5 END))
@@ -1961,12 +2109,10 @@ def oracle_sql() -> dict[str, str]:
                    END AS rho_ppm
             FROM s
         """,
-        # k-center coreset digest: pinned at sf0.01 from the sequential
-        # twin (full-matrix numpy greedy, same integer grid).
-        "kcenter_digest": """
-            SELECT 8::BIGINT AS n_centers,
-                   2282031470487866852::BIGINT AS digest
-        """,
+        # k-center coreset digest: COMPUTED twin (round-5 conversion) —
+        # the greedy farthest-first steps unrolled into MATERIALIZED CTEs
+        # on the round_even(x·2^20) integer grid; see _kcenter_sql.
+        "kcenter_digest": _kcenter_sql(),
         # Compression-ratio digest: pinned at sf0.01 from the sequential
         # twin (same level-6 zlib — deterministic for a fixed build);
         # regenerate via scripts/gen_digest_oracle.py.
@@ -2506,13 +2652,10 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT mean_q4 FROM srt WHERE rk = 2) AS ci_lo_q4,
                    (SELECT mean_q4 FROM srt WHERE rk = 63) AS ci_hi_q4
         """,
-        # Holt forecast digest: pinned at sf0.01 from the sequential twin
-        # (identical fixed-point spec); regenerate via
-        # scripts/gen_digest_oracle.py.
-        "holt_forecast_digest": """
-            SELECT 7::BIGINT AS n_h,
-                   297343107406227719::BIGINT AS digest
-        """,
+        # Holt forecast digest: COMPUTED twin (round-5 conversion) — the
+        # level/trend fixed-point recursion as a RECURSIVE CTE over the
+        # zero-filled daily index, floored half-even rdiv; see _holt_sql.
+        "holt_forecast_digest": _holt_sql(),
         # CUSUM changepoint: exact HUGEINT D_k = T·S_k − k·S_T over the
         # day-ordered prefix sum (integer window sums are combine-order
         # free), argmax with smallest-k tie-break, one ppm double with

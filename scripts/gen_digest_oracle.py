@@ -64,8 +64,10 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "markov_stationary_digest": od.stationary_rows(sf_dir),
         "hyperball_digest": od.hyperball_rows(sf_dir),
         "compression_ratio_digest": od.compression_hist_rows(sf_dir),
-        "holt_forecast_digest": od.holt_rows(sf_dir),
-        "kcenter_digest": od.kcenter_rows(sf_dir),
+        # holt_forecast_digest: converted to a COMPUTED SQL twin in round 5
+        # (tests/test_holt.py runs the recursive-CTE SQL vs the oracle).
+        # kcenter_digest: converted to a COMPUTED SQL twin in round 5
+        # (tests/test_kcenter.py runs the unrolled greedy SQL vs the oracle).
         "betweenness_digest": od.betweenness_rows(sf_dir),
         # vocab_sketch_digest: converted to a COMPUTED SQL twin in round 5
         # (tests/test_vocab_sketch.py runs the SQL against the oracle).

@@ -15,16 +15,26 @@ from ocr_engine_ray.pipelines.rankstats import holt_forecast, holt_forecast_dige
 SF_GATE = "/root/testdata/sf0.01"
 
 
-def _pinned() -> tuple[int, int]:
+def _computed(sf: str) -> tuple[int, int]:
+    """Round-5: the twin is COMPUTED SQL (`_holt_sql`) — run it."""
+    import duckdb
+
     import __ray_entry__ as e
 
-    nums = re.findall(r"(\d+)::BIGINT", e.oracle_sql()["holt_forecast_digest"])
-    assert len(nums) == 2
-    return tuple(int(x) for x in nums)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    return con.execute(e.oracle_sql()["holt_forecast_digest"]).fetchone()
 
 
-def test_literal_matches_oracle():
-    assert _pinned() == holt_rows(SF_GATE)
+def test_computed_twin_matches_oracle():
+    # two scales: proves the twin genuinely recomputes
+    assert _computed(SF_GATE) == holt_rows(SF_GATE)
+    assert _computed("/root/testdata/sf0.001") == holt_rows(
+        "/root/testdata/sf0.001"
+    )
 
 
 def _write_events(d, day_values):
