@@ -204,7 +204,14 @@ def copurchase_edges(
     ``min_support``): the shared `_pair_partials` stages + one pair-bucket
     support fold — the edge input of `triangle_count` and
     `graph.kcore_members` (a pair lands wholly in its bucket, so bucket
-    folds are exact)."""
+    folds are exact).
+
+    The survivor set is compacted to 8 blocks before materializing (the
+    connected-components compaction rule): the fold leaves ``num_buckets``
+    near-empty blocks, and every downstream graph query pays per-block
+    fixed costs in EACH of its all-to-all exchanges — at web scale the
+    edge list is large and blocks stay full, so the repartition is a
+    no-op-sized cheap pass there too."""
     import functools
 
     pairs = _pair_partials(sf_dir, num_buckets=num_buckets)
@@ -214,6 +221,7 @@ def copurchase_edges(
             functools.partial(_support_filter, min_support=min_support),
             batch_format="pyarrow",
         )
+        .repartition(8)
         .materialize()
     )
 
