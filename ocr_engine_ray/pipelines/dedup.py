@@ -1755,6 +1755,12 @@ def ppjoin_jaccard_pairs(
         )
 
     sets = docs.map_batches(sets_rows, batch_format="pyarrow").materialize()
+    # compact when small (the copurchase/CC compaction rule): the set rows
+    # re-enter TWO attach exchanges, and 64 near-empty blocks make each
+    # pay per-block fixed costs; at web scale the count guard keeps the
+    # corpus-sized set list at its natural block count
+    if sets.count() < 2_000_000:
+        sets = sets.repartition(8).materialize()
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         # md5 runs only over the batch's UNIQUE grams (dictionary-encoded —
