@@ -576,7 +576,13 @@ def trade_hits(
                 }
             )
 
-        return raw.map_batches(rescale, batch_format="pyarrow").materialize()
+        out = raw.map_batches(rescale, batch_format="pyarrow")
+        # score rows are node-count sized and re-enter the NEXT half-round's
+        # push exchange: compact the 64 near-empty fold blocks (count-guarded
+        # — at web scale the block count stays natural)
+        if total and raw.count() < 2_000_000:
+            out = out.repartition(4)
+        return out.materialize()
 
     hubs = edges.map_batches(init_scores, batch_format="pyarrow").materialize()
     auths = None
