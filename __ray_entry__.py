@@ -1563,6 +1563,98 @@ def _holt_sql() -> str:
     """
 
 
+_RAKE_SQL = """
+            WITH tk AS (
+              SELECT doc_id, t.i, lower(toks[t.i]) AS w
+              FROM (
+                SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+')
+                         AS toks
+                FROM documents
+              ), unnest(generate_series(1, len(toks))) AS t(i)
+            ),
+            m AS (
+              SELECT doc_id, i, w,
+                     w IN ('the','a','and','of','to','in','is','that',
+                           'for','it') AS is_stop
+              FROM tk
+            ),
+            runs AS (
+              SELECT doc_id, i, w, is_stop,
+                     count(*) FILTER (WHERE is_stop)
+                       OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+              FROM m
+            ),
+            nw AS MATERIALIZED (
+              SELECT doc_id, run_id, w,
+                     (row_number() OVER (
+                        PARTITION BY doc_id, run_id ORDER BY i
+                      ) - 1) AS pos
+              FROM runs WHERE NOT is_stop
+            ),
+            chunk_len AS MATERIALIZED (
+              SELECT doc_id, run_id, (pos // 3) AS chunk,
+                     count(*)::BIGINT AS plen
+              FROM nw GROUP BY doc_id, run_id, (pos // 3)
+            ),
+            ph AS MATERIALIZED (
+              SELECT doc_id, run_id, (pos // 3) AS chunk,
+                     string_agg(w, ' ' ORDER BY pos) AS phrase
+              FROM nw GROUP BY doc_id, run_id, (pos // 3)
+            ),
+            phr AS MATERIALIZED (
+              SELECT phrase, count(*)::BIGINT AS n FROM ph GROUP BY phrase
+            ),
+            wstats AS (
+              SELECT n2.w, count(*)::BIGINT AS freq, sum(cl.plen)::BIGINT AS deg
+              FROM nw n2
+              JOIN chunk_len cl
+                ON cl.doc_id = n2.doc_id AND cl.run_id = n2.run_id
+               AND cl.chunk = (n2.pos // 3)
+              GROUP BY n2.w
+            ),
+            wscore AS MATERIALIZED (
+              -- the ONE float op, op-for-op the engine's
+              -- np.round(deg/freq * 2^20): division, multiply, round-even
+              SELECT w,
+                     round_even((deg::DOUBLE / freq::DOUBLE) * 1048576.0,
+                                0)::BIGINT AS sq
+              FROM wstats
+            ),
+            pwords AS (
+              SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM phr
+            ),
+            psc AS (
+              SELECT pw.phrase, sum(ws.sq)::BIGINT AS score_q20
+              FROM pwords pw JOIN wscore ws ON ws.w = pw.w
+              GROUP BY pw.phrase
+            ),
+            ranked AS (
+              SELECT row_number() OVER (
+                       ORDER BY psc.score_q20 DESC, phr.n DESC, phr.phrase ASC
+                     ) AS rank,
+                     phr.phrase, phr.n, psc.score_q20
+              FROM phr JOIN psc ON psc.phrase = phr.phrase
+            ),
+            top AS (SELECT * FROM ranked WHERE rank <= 20),
+            hx_ AS (
+              SELECT md5(rank::VARCHAR || chr(31) || phrase || chr(31)
+                         || n::VARCHAR || chr(31) || score_q20::VARCHAR) AS hx
+              FROM top
+            ),
+            terms AS (
+              SELECT ((('0x' || substr(hx, 1, 16))::UBIGINT
+                        % 2305843009213693951)::HUGEINT * 8
+                    + ('0x' || substr(hx, 17, 16))::UBIGINT
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS term
+              FROM hx_
+            )
+            SELECT (SELECT count(*) FROM top)::BIGINT AS n_rows,
+                   coalesce((SELECT sum(term) % 2305843009213693951
+                             FROM terms), 0)::BIGINT AS digest
+"""
+
+
 _QUALITY_RAW = """
 0.35 * (least(1.0, q_nt / 20.0)
         * (CASE WHEN q_nt <= 5000 THEN 1.0 ELSE 0.5 END))
@@ -2962,12 +3054,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1114::BIGINT AS n_rows,
                    305467820932741533::BIGINT AS digest
         """,
-        # RAKE digest: pinned at sf0.01 from the sequential twin
-        # (plain-Counter RAKE, same grid and ranking).
-        "rake_digest": """
-            SELECT 20::BIGINT AS n_rows,
-                   1852277614997703221::BIGINT AS digest
-        """,
+        # RAKE digest: COMPUTED twin (round-5 conversion) — stopword-run
+        # segmentation via window functions, word deg/freq from the
+        # chunked phrase instances, the single q20 float op op-for-op
+        # the engine's np.round(deg/freq·2^20); see _RAKE_SQL.
+        "rake_digest": _RAKE_SQL,
         # COMPUTED HLL set-algebra twin (round-5 literal-to-computed
         # conversion, the approx_distinct contract): per-source registers
         # over the DISTINCT '\\S+' token stream (md5-64), pairwise union

@@ -83,7 +83,8 @@ def tuple_digest_oracles(sf_dir: str) -> dict[str, tuple]:
         "ann_eval2_digest": od.ann_eval2_rows(sf_dir),
         "ann_eval_digest": od.ann_eval_rows(sf_dir),
         "dedup_eval_digest": od.dedup_eval_rows(sf_dir),
-        "rake_digest": od.rake_rows(sf_dir),
+        # rake_digest: converted to a COMPUTED SQL twin in round 5
+        # (tests/test_rake.py runs the window-function SQL vs the oracle).
         "field_provenance_digest": od.field_provenance_rows(sf_dir),
     }
 

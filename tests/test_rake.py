@@ -14,16 +14,26 @@ from ocr_engine_ray.pipelines.textstats import rake_digest, rake_keyphrases
 SF_GATE = "/root/testdata/sf0.01"
 
 
-def _pinned() -> tuple[int, int]:
+def _computed(sf: str) -> tuple[int, int]:
+    """Round-5: the twin is COMPUTED SQL (`_RAKE_SQL`) — run it."""
+    import duckdb
+
     import __ray_entry__ as e
 
-    nums = re.findall(r"(\d+)::BIGINT", e.oracle_sql()["rake_digest"])
-    assert len(nums) == 2
-    return tuple(int(x) for x in nums)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    return con.execute(e.oracle_sql()["rake_digest"]).fetchone()
 
 
-def test_literal_matches_oracle():
-    assert _pinned() == rake_rows(SF_GATE)
+def test_computed_twin_matches_oracle():
+    # two scales: proves the twin genuinely recomputes
+    assert _computed(SF_GATE) == rake_rows(SF_GATE)
+    assert _computed("/root/testdata/sf0.001") == rake_rows(
+        "/root/testdata/sf0.001"
+    )
 
 
 def _write(d, texts):
